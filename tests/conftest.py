@@ -17,6 +17,9 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+    from transmog_ray.runtime import configure_context
+
+    configure_context()
     yield
     ray.shutdown()
 

@@ -1,0 +1,40 @@
+"""Ray Data execution-context defaults for this engine.
+
+Central place for the DataContext knobs every entry point (tests, bench,
+__ray_entry__, CLI) applies. Never calls ``ray.init`` — session ownership
+stays with the caller (driver contract).
+"""
+
+from __future__ import annotations
+
+
+def configure_context(
+    target_max_block_size: int | None = None,
+    preserve_order: bool = False,
+    quiet: bool = True,
+) -> None:
+    """Apply engine defaults to the current ``DataContext``.
+
+    * tensor-extension casting OFF — flatten output carries ragged
+      ``list<string>`` columns (SMART-mode inline arrays) that must stay
+      plain Arrow lists, not TensorArrays.
+    * progress bars / verbose logs off by default (tests, bench).
+    * ``preserve_order`` stays False unless a pipeline genuinely needs
+      input order (windowed ops sort explicitly, so they don't).
+    """
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_tensor_extension_casting = False
+    if target_max_block_size is not None:
+        ctx.target_max_block_size = target_max_block_size
+    ctx.execution_options.preserve_order = preserve_order
+    if quiet:
+        ctx.enable_progress_bars = False
+        try:
+            ctx.execution_options.verbose_progress = False
+        except AttributeError:  # pragma: no cover
+            pass
+
+
+__all__ = ["configure_context"]
