@@ -1,0 +1,261 @@
+"""Feature-operator correctness: hand-computed fixtures (FIXTURES.md §C)
+and an independent row-loop oracle on randomized data.
+
+The oracle implementations below are deliberately naive Python loops —
+a different algorithm family from the engine's vectorized/sort-merge
+paths, so agreement is meaningful.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from transmog_ray.stages.asof import asof_join, asof_join_broadcast
+from transmog_ray.stages.dedup import dedup_exact
+from transmog_ray.stages.partition import apply_sorted
+from transmog_ray.stages.window import (
+    backfill,
+    rolling_agg,
+    sessionize,
+    with_lag,
+    with_lead,
+)
+
+
+def ts(seconds):
+    return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=seconds)
+
+
+# ------------------------------------------------------------- oracles
+
+
+def oracle_asof(left_rows, right_rows, tolerance=None):
+    """For each (key, t): latest right row with rt <= t (and t - rt <= tol)."""
+    out = []
+    for key, t in left_rows:
+        best = None
+        for rkey, rt, val in right_rows:
+            if rkey == key and rt <= t and (tolerance is None or (t - rt).total_seconds() <= tolerance):
+                if best is None or rt > best[0]:
+                    best = (rt, val)
+        out.append((key, t, *(best if best else (None, None))))
+    return out
+
+
+def oracle_sessions(times, gap_s):
+    """Session index per sorted timestamp list."""
+    out, seq = [], -1
+    prev = None
+    for t in times:
+        if prev is None or (t - prev).total_seconds() > gap_s:
+            seq += 1
+        out.append(seq)
+        prev = t
+    return out
+
+
+# -------------------------------------------------------- hand fixtures
+
+
+def test_asof_hand_case(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame(
+        {"url": ["u"] * 3, "warc_ts": [ts(10), ts(20), ts(30)]}
+    )
+    right = pd.DataFrame(
+        {
+            "url": ["u"] * 4,
+            "feature_ts": [ts(5), ts(15), ts(25), ts(35)],
+            "feat": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        key="url",
+        left_ts="warc_ts",
+        right_ts="feature_ts",
+        right_cols=["feat"],
+        num_buckets=4,
+    ).to_pandas().sort_values("warc_ts").reset_index(drop=True)
+
+    assert list(out["feat"]) == [1.0, 2.0, 3.0]
+    # zero leakage: every joined feature_ts <= warc_ts; ts(35) never appears
+    assert (out["feature_ts"] <= out["warc_ts"]).all()
+    assert ts(35) not in set(out["feature_ts"])
+
+
+def test_asof_exact_match_and_miss(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": ["a", "a", "b"], "t": [ts(5), ts(1), ts(9)]})
+    right = pd.DataFrame({"k": ["a"], "ft": [ts(5)], "v": [7]})
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key="k", left_ts="t", right_ts="ft", right_cols=["v"], num_buckets=2,
+    ).to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    # exact match joins; earlier row and other key miss (null)
+    assert out.loc[1, "v"] == 7  # (a, t=5) ← ft=5
+    assert pd.isna(out.loc[0, "v"])  # (a, t=1): nothing at or before
+    assert pd.isna(out.loc[2, "v"])  # (b, t=9): no rows for key b
+    assert len(out) == 3
+
+
+def test_asof_broadcast_matches_shuffle(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 100),
+            "t": [ts(int(s)) for s in rng.integers(0, 1000, 100)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 30),
+            "ft": [ts(int(s)) for s in rng.integers(0, 1000, 30)],
+            "v": rng.normal(size=30),
+        }
+    ).drop_duplicates(subset=["k", "ft"])
+    a = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key="k", left_ts="t", right_ts="ft", right_cols=["v"], num_buckets=8,
+    ).to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    b = asof_join_broadcast(
+        rd.from_pandas(left), right,
+        key="k", left_ts="t", right_ts="ft", right_cols=["v"],
+    ).to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["k", "t", "ft", "v"]], b[["k", "t", "ft", "v"]])
+    # oracle agreement
+    expect = oracle_asof(
+        list(zip(left["k"], left["t"])),
+        list(zip(right["k"], right["ft"], right["v"])),
+    )
+    exp = pd.DataFrame(expect, columns=["k", "t", "ft", "v"]).sort_values(
+        ["k", "t"]
+    ).reset_index(drop=True)
+    assert np.allclose(a["v"].to_numpy(dtype=float), exp["v"].to_numpy(dtype=float), equal_nan=True)
+
+
+def test_sessionize_hand_case():
+    df = pd.DataFrame(
+        {"url": ["u"] * 5, "warc_ts": [ts(0), ts(30), ts(50), ts(200), ts(220)]}
+    )
+    out = sessionize(df.copy(), "url", "warc_ts", gap_seconds=60)
+    assert list(out["session_seq"]) == [0, 0, 0, 1, 1]
+    assert out["session_id"][0] == out["session_id"][2] != out["session_id"][3]
+    # deterministic: key|epoch_us(session_start)
+    start_us = ts(0).value // 1000
+    assert out["session_id"][0] == f"u|{start_us}"
+    assert list(out["session_seq"]) == oracle_sessions(list(df["warc_ts"]), 60)
+
+
+def test_lag_lead_backfill_hand_case():
+    df = pd.DataFrame(
+        {
+            "url": ["u"] * 5,
+            "warc_ts": [ts(i) for i in range(5)],
+            "x": [1.0, None, 3.0, None, 5.0],
+        }
+    )
+    out = with_lag(df.copy(), "url", ["x"], lags=[1, 2])
+    assert list(out["x_lag1"].fillna(-1)) == [-1, 1.0, -1, 3.0, -1]
+    assert list(out["x_lag2"].fillna(-1)) == [-1, -1, 1.0, -1, 3.0]
+    out = with_lead(out, "url", ["x"], leads=[1])
+    assert list(out["x_lead1"].fillna(-1)) == [-1, 3.0, -1, 5.0, -1]
+    out = backfill(out, "url", ["x"])
+    assert list(out["x_filled"]) == [1.0, 1.0, 3.0, 3.0, 5.0]
+
+
+def test_rolling_window_hand_case():
+    df = pd.DataFrame(
+        {
+            "url": ["u"] * 4,
+            "warc_ts": [ts(0), ts(50), ts(100), ts(300)],
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = rolling_agg(df.copy(), "url", "warc_ts", "v", 100, aggs=("count", "mean"))
+    # windows [t-100, t] closed both: t=100 includes t=0 (boundary)
+    assert list(out["v_w100s_count"]) == [1.0, 2.0, 3.0, 1.0]
+    assert list(out["v_w100s_mean"]) == [1.0, 1.5, 2.0, 4.0]
+
+
+def test_dedup_exact(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "url": ["a", "a", "a", "b", "b"],
+            "warc_ts": [ts(1), ts(1), ts(2), ts(3), ts(3)],
+            "rank": [2, 1, 0, 5, 4],
+        }
+    )
+    out = dedup_exact(
+        rd.from_pandas(df), keys=["url", "warc_ts"], order_by=["rank"], num_buckets=4
+    ).to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    assert len(out) == 3
+    assert list(out["rank"]) == [1, 0, 4]  # deterministic min-rank winner
+
+
+def test_apply_sorted_fused_pipeline(ray_session):
+    """lag + sessionize + backfill + rolling in ONE partition pass."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "url": rng.choice([f"u{i}" for i in range(17)], n),
+            "warc_ts": [ts(int(s)) for s in rng.integers(0, 5000, n)],
+            "x": np.where(rng.random(n) < 0.25, np.nan, rng.normal(size=n)),
+        }
+    ).drop_duplicates(subset=["url", "warc_ts"])
+
+    def features(part: pd.DataFrame) -> pd.DataFrame:
+        part = with_lag(part, "url", ["x"])
+        part = sessionize(part, "url", "warc_ts", gap_seconds=300)
+        part = backfill(part, "url", ["x"])
+        part = rolling_agg(part, "url", "warc_ts", "x", 600, aggs=("count",))
+        return part
+
+    out = (
+        apply_sorted(rd.from_pandas(df), ["url"], "warc_ts", features, num_buckets=8)
+        .to_pandas()
+        .sort_values(["url", "warc_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(df)
+
+    # oracle: per-key loop
+    exp = df.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    for url, g in exp.groupby("url"):
+        sub = out[out["url"] == url].reset_index(drop=True)
+        xs = g["x"].tolist()
+        times = g["warc_ts"].tolist()
+        # lag
+        expect_lag = [np.nan] + xs[:-1]
+        assert np.allclose(sub["x_lag1"], expect_lag, equal_nan=True)
+        # sessions
+        assert list(sub["session_seq"]) == oracle_sessions(times, 300)
+        # backfill
+        filled, last = [], np.nan
+        for x in xs:
+            if not np.isnan(x):
+                last = x
+            filled.append(last)
+        assert np.allclose(sub["x_filled"], filled, equal_nan=True)
+        # rolling count of non-null x in [t-600, t]
+        cnt = [
+            sum(
+                1
+                for t2, x2 in zip(times, xs)
+                if 0 <= (t - t2).total_seconds() <= 600 and not np.isnan(x2)
+            )
+            for t in times
+        ]
+        assert list(sub["x_w600s_count"].astype(int)) == cnt

@@ -1,0 +1,199 @@
+"""Point-in-time (as-of) join: attach the latest feature row at or before
+each observation timestamp — zero temporal leakage by construction.
+
+Two physical strategies, same semantics:
+
+* :func:`asof_join` — both sides large. Pad both sides to one common
+  Arrow schema (typed nulls), tag, union, hash-bucket by key, then per
+  bucket split + sort-merge (binary-search cursor via ``pd.merge_asof``).
+  ONE shuffle total: the union is lazy block concatenation; the bucket
+  groupby moves each row exactly once. Project the left side down to the
+  columns you need BEFORE joining — wide payload columns (html) would
+  ride the shuffle.
+* :func:`asof_join_broadcast` — feature side small enough to broadcast.
+  ``ray.put`` the sorted feature frame once; every left batch merges
+  against it inside ``map_batches``. NO shuffle; the left side streams.
+
+Semantics: backward join, ``right_ts <= left_ts`` (exact matches allowed),
+optional tolerance; rows with null key/timestamp never match (left nulls
+pass through with null features). The right side should be unique per
+(key, ts) — run exact dedup first, otherwise the winner among equal
+timestamps is unspecified.
+
+No counterpart in the reference (SURVEY.md §2.5); pinned by the
+hand-computed oracle tests and DuckDB ``ASOF JOIN`` SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import pyarrow as pa
+
+from .partition import BUCKET_COL, add_bucket
+
+_SIDE = "_asof_side"
+
+
+def _merge_asof(
+    left: pd.DataFrame,
+    right: pd.DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance_seconds: float | None,
+) -> pd.DataFrame:
+    """Leakage-free backward merge; null-ts left rows pass through unmatched."""
+    null_mask = left[left_ts].isna() | left[key].isna()
+    left_ok = left[~null_mask].sort_values(left_ts, kind="mergesort")
+    right_ok = right.dropna(subset=[key, right_ts]).sort_values(
+        right_ts, kind="mergesort"
+    )
+    merged = pd.merge_asof(
+        left_ok,
+        right_ok[[key, right_ts, *right_cols]],
+        left_on=left_ts,
+        right_on=right_ts,
+        by=key,
+        direction="backward",
+        allow_exact_matches=True,
+        tolerance=(
+            pd.Timedelta(seconds=tolerance_seconds)
+            if tolerance_seconds is not None
+            else None
+        ),
+        suffixes=("", "_feat"),
+    )
+    if null_mask.any():
+        passthrough = left[null_mask].copy()
+        for c in (right_ts, *right_cols):
+            out_c = c if c not in left.columns else f"{c}_feat"
+            passthrough[out_c] = None
+        merged = pd.concat([merged, passthrough], ignore_index=True)
+    return merged
+
+
+def arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset regardless of its block format.
+
+    ``ds.schema().base_schema`` is a ``PandasBlockSchema`` for
+    pandas-backed datasets, so fall back to converting one row.
+    """
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    for batch in ds.limit(1).iter_batches(batch_size=1, batch_format="pyarrow"):
+        return batch.schema
+    # empty pandas-block dataset: map the numpy dtypes
+    fields = []
+    for name, dtype in zip(schema.names, schema.types):
+        if isinstance(dtype, pa.DataType):
+            fields.append(pa.field(name, dtype))
+        else:
+            fields.append(pa.field(name, pa.from_numpy_dtype(dtype)))
+    return pa.schema(fields)
+
+
+def _pad_to(target: pa.Schema, side: int):
+    """pyarrow map fn: conform a batch to *target* (+ side tag), adding
+    typed null columns for missing fields."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        arrays = []
+        for fld in target:
+            if fld.name == _SIDE:
+                arrays.append(pa.array([side] * t.num_rows, pa.int8()))
+            elif fld.name in t.column_names:
+                col = t[fld.name]
+                if col.type != fld.type:
+                    col = col.cast(fld.type)
+                arrays.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+            else:
+                arrays.append(pa.nulls(t.num_rows, fld.type))
+        return pa.Table.from_arrays(arrays, schema=target)
+
+    return fn
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    num_buckets: int = 64,
+    tolerance_seconds: float | None = None,
+):
+    """Shuffle-based as-of join of two Datasets (both sides large).
+
+    Output = every left row + ``right_ts`` + ``right_cols`` (null when no
+    feature row exists at or before the left timestamp). ``left_ts`` and
+    ``right_ts`` must be distinct column names.
+    """
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    right_cols = list(right_cols)
+
+    left_schema = arrow_schema(left_ds)
+    right_schema = arrow_schema(right_ds)
+    fields = list(left_schema)
+    for name in (right_ts, *right_cols):
+        if name in left_schema.names:
+            raise ValueError(f"column {name!r} exists on both sides; rename first")
+        fields.append(right_schema.field(name))
+    fields.append(pa.field(_SIDE, pa.int8()))
+    target = pa.schema(fields)
+
+    left_pad = left_ds.map_batches(_pad_to(target, 0), batch_format="pyarrow")
+    right_pad = right_ds.map_batches(_pad_to(target, 1), batch_format="pyarrow")
+    bucketed = add_bucket(left_pad.union(right_pad), [key], num_buckets)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
+        left = df[df[_SIDE] == 0].drop(columns=[_SIDE, right_ts, *right_cols])
+        right = df[df[_SIDE] == 1]
+        if left.empty:
+            return df.iloc[0:0].drop(columns=[_SIDE])
+        return _merge_asof(
+            left, right, key, left_ts, right_ts, right_cols, tolerance_seconds
+        )
+
+    return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+
+
+def asof_join_broadcast(
+    left_ds,
+    right_df: pd.DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance_seconds: float | None = None,
+    concurrency: int | None = None,
+):
+    """Broadcast as-of join: small feature side shipped once via ``ray.put``,
+    looked up inside every left batch — no shuffle, left side streams.
+    """
+    import ray
+
+    right_cols = list(right_cols)
+    right_sorted = right_df.sort_values(right_ts, kind="mergesort").reset_index(drop=True)
+    right_ref = ray.put(right_sorted)
+
+    def lookup(batch: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(right_ref)  # zero-copy view from local object store
+        return _merge_asof(
+            batch, right, key, left_ts, right_ts, right_cols, tolerance_seconds
+        )
+
+    kwargs = {"batch_format": "pandas"}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return left_ds.map_batches(lookup, **kwargs)
+
+
+__all__ = ["asof_join", "asof_join_broadcast"]

@@ -1,0 +1,118 @@
+"""Windowed feature operators over sorted partitions.
+
+Each function here is a pure, vectorized pandas transform over ONE sorted
+partition frame (all rows of each key, ordered by (key, ts)) — the frames
+produced by :func:`transmog_ray.stages.partition.apply_sorted`. They
+compose: a single partition pass can compute lag/lead + sessions +
+backfill + rolling windows with no extra shuffle (north_star's "one fused
+sorted pass").
+
+None of these exist in the reference (SURVEY.md §2.5) — semantics are
+defined here and pinned by the hand-computed oracle in tests plus DuckDB
+window-function SQL in __ray_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+
+def with_lag(
+    df: pd.DataFrame, key: str, cols: Sequence[str], lags: Sequence[int] = (1,)
+) -> pd.DataFrame:
+    """``<col>_lag<k>``: value k rows earlier within the key (None at the head).
+
+    Frame must already be sorted by (key, ts). SQL: ``LAG(col, k) OVER
+    (PARTITION BY key ORDER BY ts)``.
+    """
+    g = df.groupby(key, sort=False)
+    for col in cols:
+        for k in lags:
+            df[f"{col}_lag{k}"] = g[col].shift(k)
+    return df
+
+
+def with_lead(
+    df: pd.DataFrame, key: str, cols: Sequence[str], leads: Sequence[int] = (1,)
+) -> pd.DataFrame:
+    """``<col>_lead<k>``: value k rows later within the key."""
+    g = df.groupby(key, sort=False)
+    for col in cols:
+        for k in leads:
+            df[f"{col}_lead{k}"] = g[col].shift(-k)
+    return df
+
+
+def sessionize(
+    df: pd.DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: float,
+    session_col: str = "session_id",
+) -> pd.DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    previous row of the same key exceeds ``gap_seconds``.
+
+    Emits ``session_seq`` (0-based per key) and a deterministic
+    ``session_id`` = ``"<key>|<epoch_us(session_start)>"`` — a plain
+    concatenation, reproducible in ANSI SQL without hashing.
+    """
+    gap = pd.Timedelta(seconds=gap_seconds)
+    tcol = df[ts]
+    prev = df.groupby(key, sort=False)[ts].shift(1)
+    new_session = prev.isna() | ((tcol - prev) > gap)
+    df["session_seq"] = (
+        new_session.astype(np.int64).groupby(df[key], sort=False).cumsum() - 1
+    )
+    starts = tcol.where(new_session)
+    session_start = starts.groupby(df[key], sort=False).ffill()
+    epoch_us = session_start.astype("int64") // 1000  # ns → µs, matches epoch_us()
+    df[session_col] = df[key].astype(str) + "|" + epoch_us.astype(str)
+    return df
+
+
+def backfill(
+    df: pd.DataFrame, key: str, cols: Sequence[str], suffix: str = "_filled"
+) -> pd.DataFrame:
+    """Forward-fill nulls from the latest earlier non-null within the key.
+
+    ("backfill" in the feature-store sense: fill the current row from the
+    past — never from the future, so no temporal leakage.) SQL:
+    ``LAST_VALUE(col IGNORE NULLS) OVER (PARTITION BY key ORDER BY ts)``.
+    """
+    g = df.groupby(key, sort=False)
+    for col in cols:
+        df[f"{col}{suffix}"] = g[col].ffill()
+    return df
+
+
+def rolling_agg(
+    df: pd.DataFrame,
+    key: str,
+    ts: str,
+    col: str,
+    window_seconds: float,
+    aggs: Sequence[str] = ("count", "mean"),
+    prefix: str | None = None,
+) -> pd.DataFrame:
+    """Trailing time-window aggregates including the current row.
+
+    Window is ``[t - window_seconds, t]`` with BOTH boundaries closed,
+    matching SQL ``RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW``.
+    """
+    prefix = prefix or f"{col}_w{int(window_seconds)}s"
+    r = (
+        df.groupby(key, sort=False)
+        .rolling(pd.Timedelta(seconds=window_seconds), on=ts, closed="both")[col]
+    )
+    for agg in aggs:
+        # with on=ts the result is (key, ts)-indexed; the frame is sorted by
+        # (key, ts) and groups are contiguous, so positions line up 1:1
+        df[f"{prefix}_{agg}"] = getattr(r, agg)().to_numpy()
+    return df
+
+
+__all__ = ["with_lag", "with_lead", "sessionize", "backfill", "rolling_agg"]
