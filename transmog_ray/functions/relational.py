@@ -1,0 +1,176 @@
+"""Relational building blocks: pre-aggregated groupby, broadcast join, top-k.
+
+The reference has no joins/groupby/sort at all (SURVEY.md §2.5); these are
+engine-native operators expressed Ray-Data-first:
+
+* :func:`grouped_agg` — two-stage aggregation: vectorized PARTIAL
+  aggregates inside ``map_batches`` (one row per key per batch) feed a
+  small ``groupby().aggregate()`` shuffle. At 100 TB this moves per-batch
+  partials, not rows, through the object store; hot keys are naturally
+  salted by batch boundaries (each batch contributes one partial per key).
+* :func:`broadcast_join` — dimension-table join with the small side
+  shipped once via ``ray.put`` and merged per batch. No shuffle.
+* :func:`topk` — per-batch local prune to k, then a tiny global sort.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import pandas as pd
+
+_PARTIALS = {
+    "sum": ("sum",),
+    "count": ("count",),
+    "mean": ("sum", "count"),
+    "min": ("min",),
+    "max": ("max",),
+}
+
+
+def grouped_agg(
+    ds,
+    keys: Sequence[str],
+    specs: Mapping[str, tuple[str, str]],
+):
+    """Grouped aggregation with partial pre-aggregation.
+
+    ``specs``: output column name -> (input column, op) with op in
+    sum/count/mean/min/max; ``count`` counts non-null values of the input
+    column (SQL ``COUNT(col)``); use the key column for ``COUNT(*)``
+    semantics on non-null keys. Returns a Dataset with one row per key
+    combo, columns named exactly as spec'd (oracle-SQL friendly).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    keys = list(keys)
+    for alias, (col, op) in specs.items():
+        if op not in _PARTIALS:
+            raise ValueError(f"unsupported agg op {op!r} for {alias!r}")
+
+    # partial columns needed, deduped: (col, partial_op) -> temp name
+    partial_cols = {}
+    for alias, (col, op) in specs.items():
+        for p in _PARTIALS[op]:
+            partial_cols.setdefault((col, p), f"__{p}_{col}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = {}
+        for (col, p), name in partial_cols.items():
+            out[name] = getattr(g[col], p)()
+        return pd.DataFrame(out).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    # combine partials: sum/count partials add up; min/max nest
+    combiners = []
+    for (col, p), name in partial_cols.items():
+        if p in ("sum", "count"):
+            combiners.append(Sum(name, alias_name=name))
+        elif p == "min":
+            combiners.append(Min(name, alias_name=name))
+        else:
+            combiners.append(Max(name, alias_name=name))
+    combined = partials.groupby(keys).aggregate(*combiners)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys].copy()
+        for alias, (col, op) in specs.items():
+            if op == "mean":
+                out[alias] = (
+                    df[partial_cols[(col, "sum")]] / df[partial_cols[(col, "count")]]
+                )
+            elif op == "count":
+                out[alias] = df[partial_cols[(col, "count")]].astype("int64")
+            else:
+                out[alias] = df[partial_cols[(col, op)]]
+        return out
+
+    return combined.map_batches(finalize, batch_format="pandas")
+
+
+def broadcast_join(
+    ds,
+    small: pd.DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    select: Sequence[str] | None = None,
+):
+    """Join a Dataset against a small in-memory table (dimension side).
+
+    The small side is put in the object store ONCE and read zero-copy by
+    every task — never re-shipped per batch. ``select`` optionally projects
+    the small side (keys always kept).
+    """
+    import ray
+
+    on = [on] if isinstance(on, str) else list(on)
+    if select is not None:
+        small = small[list(dict.fromkeys([*on, *select]))]
+    ref = ray.put(small)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(ref)
+        return df.merge(rhs, on=on, how=how)
+
+    return ds.map_batches(merge, batch_format="pandas")
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    num_buckets: int = 64,
+):
+    """Partitioned hash join, both sides large: pad to a common typed
+    schema, tag, union, hash-bucket on the key(s), pandas merge per
+    bucket. Each row moves exactly once. Non-key column names must be
+    disjoint between the sides.
+    """
+    import pyarrow as pa
+
+    from ..stages.common import arrow_schema, pad_to, union_schemas
+    from ..stages.partition import BUCKET_COL, add_bucket
+
+    on = [on] if isinstance(on, str) else list(on)
+    side = "_join_side"
+    left_schema = arrow_schema(left_ds)
+    right_schema = arrow_schema(right_ds)
+    overlap = (set(left_schema.names) & set(right_schema.names)) - set(on)
+    if overlap:
+        raise ValueError(f"non-key columns on both sides: {sorted(overlap)}")
+    target = union_schemas(left_schema, right_schema, side)
+
+    left_pad = left_ds.map_batches(pad_to(target, side, 0), batch_format="pyarrow")
+    right_pad = right_ds.map_batches(pad_to(target, side, 1), batch_format="pyarrow")
+    bucketed = add_bucket(left_pad.union(right_pad), on, num_buckets)
+
+    left_cols = list(left_schema.names)
+    right_only = [n for n in right_schema.names if n not in left_schema.names]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df[side] == 0][left_cols]
+        right = df[df[side] == 1][[*on, *right_only]]
+        return left.merge(right, on=on, how=how)
+
+    return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+
+
+def topk(ds, by: Sequence[str] | str, k: int, descending: bool = True):
+    """Global top-k: per-batch prune to k rows, then one tiny sort.
+
+    The shuffle sees at most ``k × num_batches`` rows regardless of input
+    size.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=not descending, kind="mergesort").head(k)
+
+    pruned = ds.map_batches(local_prune, batch_format="pandas")
+    return pruned.sort(by, descending=descending).limit(k)
+
+
+__all__ = ["grouped_agg", "broadcast_join", "topk"]

@@ -1,0 +1,673 @@
+"""Driver-contract query catalog: one entry per operator/pipeline, each
+with a DuckDB oracle-SQL twin (see __ray_entry__.py).
+
+Conventions that make the driver's order-insensitive value-hash compare
+work:
+
+* every computed column is NAMED identically in the Ray code and the SQL;
+* float aggregates whose accumulation ORDER differs between engines are
+  rounded on BOTH sides with half-away-from-zero (DuckDB ``ROUND``
+  semantics — numpy's ``round`` is half-even and would disagree on exact
+  boundaries);
+* exact integer ratios / copies are NOT rounded (same float64 division on
+  both sides is bit-identical);
+* tie-prone orderings always carry a deterministic tiebreak column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SESSION_GAP_S = 1800
+ROLL_WINDOW_S = 3600
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def read_table(sf_dir: str, name: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def round_half_away(x, decimals: int):
+    """DuckDB ROUND semantics (half away from zero)."""
+    m = 10.0 ** decimals
+    return np.trunc(np.asarray(x, dtype=np.float64) * m + np.copysign(0.5, x)) / m
+
+
+# ================================================================ TPC-H-ish
+
+
+def q_pricing_summary(sf_dir: str):
+    """Q1-style pricing summary over lineitem (partial pre-agg + groupby)."""
+    from ..functions.relational import grouped_agg
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+
+    def revenue(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] < pd.Timestamp("1998-09-01")]
+        df = df.assign(disc_price=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return df
+
+    ds = ds.map_batches(revenue, batch_format="pandas")
+    agg = grouped_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "avg_qty": ("l_quantity", "mean"),
+            "avg_price": ("l_extendedprice", "mean"),
+            "count_order": ("l_orderkey", "count"),
+        },
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"):
+            df[c] = round_half_away(df[c], 2)
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       ROUND(SUM(l_quantity) / COUNT(l_quantity), 2)      AS avg_qty,
+       ROUND(SUM(l_extendedprice) / COUNT(l_extendedprice), 2) AS avg_price,
+       COUNT(l_orderkey)                                  AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """lineitem ⋈ orders ⋈ customer ⋈ nation revenue rollup — broadcast
+    joins for the dimension chain, partial-agg groupby for the sum."""
+    from ..functions.relational import broadcast_join, grouped_agg
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+
+    dim = (
+        orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    )[["o_orderkey", "n_name"]].rename(columns={"o_orderkey": "l_orderkey"})
+
+    ds = broadcast_join(li, dim, on="l_orderkey", how="inner")
+    ds = ds.map_batches(
+        lambda df: df.assign(rev=df["l_extendedprice"] * (1 - df["l_discount"])),
+        batch_format="pandas",
+    )
+    agg = grouped_agg(ds, ["n_name"], {"revenue": ("rev", "sum"),
+                                       "n_items": ("l_orderkey", "count")})
+    return agg.map_batches(
+        lambda df: df.assign(revenue=round_half_away(df["revenue"], 2)),
+        batch_format="pandas",
+    )
+
+
+SQL_REVENUE_NATION = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(l_orderkey) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """Top-10 customers by total order value (groupby + global top-k)."""
+    from ..functions.relational import grouped_agg, topk
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderkey"])
+    agg = grouped_agg(
+        orders, ["o_custkey"],
+        {"total_spent": ("o_totalprice", "sum"), "n_orders": ("o_orderkey", "count")},
+    )
+    agg = agg.map_batches(
+        lambda df: df.assign(total_spent=round_half_away(df["total_spent"], 2)),
+        batch_format="pandas",
+    )
+    return topk(agg, by=["total_spent", "o_custkey"], k=10, descending=True)
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent,
+       COUNT(o_orderkey) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey DESC LIMIT 10
+"""
+
+
+def q_filter_high_value(sf_dir: str):
+    """Vectorized filter + projection."""
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type", "value"])
+    return ev.map_batches(
+        lambda df: df[(df["value"] > 30) & (df["event_type"] == "purchase")][
+            ["event_id", "user_id", "ts", "value"]
+        ],
+        batch_format="pandas",
+    )
+
+
+SQL_FILTER_HIGH_VALUE = """
+SELECT event_id, user_id, ts, value FROM events
+WHERE value > 30 AND event_type = 'purchase'
+"""
+
+
+def q_events_by_type(sf_dir: str):
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    agg = grouped_agg(
+        ev, ["event_type"],
+        {
+            "n": ("event_id", "count"),
+            "sum_value": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+    )
+    return agg.map_batches(
+        lambda df: df.assign(sum_value=round_half_away(df["sum_value"], 2)),
+        batch_format="pandas",
+    )
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type, COUNT(event_id) AS n, ROUND(SUM(value), 2) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+# ============================================================== flattening
+
+
+def q_flatten_events(sf_dir: str):
+    """transmog-style flatten of the props JSON column (main table)."""
+    from ..core.config import FlattenConfig
+    from ..stages.flatten import FlattenSpec, flatten_dataset
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "props"])
+    spec = FlattenSpec(
+        entity="events",
+        config=FlattenConfig(id_generation=("event_id",), time_field=None),
+        json_col="props",
+        record_cols=("event_id",),
+        passthrough=("event_id",),
+    )
+    flat, _plan = flatten_dataset(ev, spec, emit="main")
+    return flat.map_batches(
+        lambda df: df[["event_id", "props_k"]].astype({"props_k": "Int64"}),
+        batch_format="pandas",
+    )
+
+
+SQL_FLATTEN_EVENTS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+FROM events
+"""
+
+
+# ======================================================== windowed features
+
+
+def q_lag_lead_events(sf_dir: str):
+    from ..stages.partition import apply_sorted
+    from ..stages.window import with_lag, with_lead
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = with_lag(df, "user_id", ["value"])
+        return with_lead(df, "user_id", ["value"])
+
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+                        tiebreak=["event_id"])
+
+
+SQL_LAG_LEAD = """
+SELECT event_id, user_id, ts, value,
+       LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag1,
+       LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lead1
+FROM events
+"""
+
+
+def q_sessionize_events(sf_dir: str):
+    from ..stages.partition import apply_sorted
+    from ..stages.window import sessionize
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return sessionize(df, "user_id", "ts", gap_seconds=SESSION_GAP_S)
+
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+                        tiebreak=["event_id"])
+
+
+SQL_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT event_id, user_id, ts,
+         CAST(SUM(is_new) OVER w2 - 1 AS BIGINT) AS session_seq,
+         MAX(CASE WHEN is_new = 1 THEN ts END) OVER w2 AS session_start
+  FROM flagged
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, ts, session_seq,
+       CAST(user_id AS VARCHAR) || '|' || CAST(epoch_us(session_start) AS VARCHAR)
+           AS session_id
+FROM numbered
+"""
+
+
+def q_backfill_events(sf_dir: str):
+    """Null out 'error' readings, forward-fill from the past per user."""
+    from ..stages.partition import apply_sorted
+    from ..stages.window import backfill
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type", "value"])
+    ev = ev.map_batches(
+        lambda df: df.assign(x=df["value"].where(df["event_type"] != "error")),
+        batch_format="pandas",
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return backfill(df, "user_id", ["x"])
+
+    out = apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+                       tiebreak=["event_id"])
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "ts", "x", "x_filled"]],
+        batch_format="pandas",
+    )
+
+
+SQL_BACKFILL = """
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type <> 'error' THEN value END AS x
+  FROM events
+)
+SELECT event_id, user_id, ts, x,
+       LAST_VALUE(x IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+       ) AS x_filled
+FROM base
+"""
+
+
+def q_rolling_events(sf_dir: str):
+    from ..stages.partition import apply_sorted
+    from ..stages.window import rolling_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = rolling_agg(df, "user_id", "ts", "value", ROLL_WINDOW_S,
+                         aggs=("count", "mean"))
+        df[f"value_w{ROLL_WINDOW_S}s_count"] = df[
+            f"value_w{ROLL_WINDOW_S}s_count"
+        ].astype("int64")
+        df[f"value_w{ROLL_WINDOW_S}s_mean"] = round_half_away(
+            df[f"value_w{ROLL_WINDOW_S}s_mean"], 4
+        )
+        return df
+
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+                        tiebreak=["event_id"])
+
+
+SQL_ROLLING = f"""
+SELECT event_id, user_id, ts, value,
+       COUNT(value) OVER w AS value_w{ROLL_WINDOW_S}s_count,
+       ROUND(SUM(value) OVER w / COUNT(value) OVER w, 4)
+           AS value_w{ROLL_WINDOW_S}s_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {ROLL_WINDOW_S} SECOND PRECEDING
+                   AND CURRENT ROW)
+"""
+
+
+def q_asof_purchase(sf_dir: str):
+    """Point-in-time: latest purchase at or before each event (per user)."""
+    from ..stages.asof import asof_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda df: df[df["event_type"] == "purchase"][["user_id", "ts", "value"]]
+        .rename(columns={"ts": "p_ts", "value": "p_value"}),
+        batch_format="pandas",
+    )
+    return asof_join(
+        ev, purchases,
+        key="user_id", left_ts="ts", right_ts="p_ts", right_cols=["p_value"],
+        num_buckets=32,
+    )
+
+
+SQL_ASOF_PURCHASE = """
+SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value, p.p_ts, p.p_value
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts AS p_ts, value AS p_value FROM events
+  WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts >= p.p_ts
+"""
+
+
+def q_dedup_user_type(sf_dir: str):
+    """Exact dedup: first event per (user, type) by time."""
+    from ..stages.dedup import dedup_exact
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type", "value"])
+    return dedup_exact(ev, keys=["user_id", "event_type"],
+                       order_by=["ts", "event_id"], num_buckets=32)
+
+
+SQL_DEDUP_USER_TYPE = """
+SELECT event_id, user_id, ts, event_type, value FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+"""
+
+
+# ============================================================ text analysis
+
+
+def q_token_stats(sf_dir: str):
+    from ..functions.text import token_stats
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda df: token_stats(df)[["doc_id", "n_tokens", "n_chars_computed"]],
+        batch_format="pandas",
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed
+FROM documents
+"""
+
+
+def q_quality_docs(sf_dir: str):
+    from ..functions.text import quality_score
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda df: quality_score(df)[
+            ["doc_id", "n_words", "mean_word_len", "stopword_ratio"]
+        ],
+        batch_format="pandas",
+    )
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       (length(text) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' ')) AS mean_word_len,
+       len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the', 'a', 'and', 'of', 'to')))
+             / len(string_split(text, ' ')) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_fingerprint_docs(sf_dir: str):
+    from ..functions.text import fingerprint
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda df: fingerprint(df)[["doc_id", "fp"]], batch_format="pandas"
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+"""
+
+
+def q_dedup_docs(sf_dir: str):
+    """Exact dedup of documents per (lang, source): lowest doc_id wins."""
+    from ..stages.dedup import dedup_exact
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "source", "n_chars"])
+    return dedup_exact(docs, keys=["lang", "source"], order_by=["doc_id"],
+                       num_buckets=16)
+
+
+SQL_DEDUP_DOCS = """
+SELECT doc_id, lang, source, n_chars FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+"""
+
+
+# ======================================================= similarity / ANN
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    from ..functions.ann import brute_topk
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = emb.map_batches(
+        lambda df: df[df["vec_id"] < 10], batch_format="pandas"
+    ).to_pandas().rename(columns={"vec_id": "query_id"})
+    out = brute_topk(emb, queries, k=5)
+    out["cos_sim"] = round_half_away(out["cos_sim"], 6)
+    out["rank"] = out["rank"].astype("int64")
+    return out
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, neighbor_id, ROUND(s, 6) AS cos_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY s DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_cosine_pairs(sf_dir: str):
+    """All-pairs embedding near-dup candidates at cosine ≥ 0.4."""
+    from ..functions.neardup import cosine_pairs
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_pairs(emb, threshold=0.4)
+    return out.map_batches(
+        lambda df: df.assign(cos_sim=round_half_away(df["cos_sim"], 6)).astype(
+            {"id_a": "int64", "id_b": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_COSINE_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Character-set Jaccard duplicate pairs (== DuckDB jaccard())."""
+    from ..functions.neardup import char_jaccard_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = char_jaccard_pairs(docs, threshold=1.0)
+    return out.map_batches(
+        lambda df: df[["id_a", "id_b"]].astype("int64"), batch_format="pandas"
+    )
+
+
+SQL_JACCARD_PAIRS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a CROSS JOIN documents b
+WHERE a.doc_id < b.doc_id AND jaccard(a.text, b.text) >= 1.0
+"""
+
+
+# ==================================================== rows-only pipelines
+# (no faithful SQL form — driver records a rows-only check)
+
+
+def q_minhash_dedup(sf_dir: str):
+    from ..functions.neardup import minhash_clusters
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_clusters(docs, n_perm=32, n_bands=8, jaccard_threshold=0.8)
+
+
+def q_simhash_docs(sf_dir: str):
+    from ..functions.neardup import add_simhash
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda df: add_simhash(df)[["doc_id", "simhash"]], batch_format="pandas"
+    )
+
+
+def q_langid_docs(sf_dir: str):
+    from ..functions.text import LangId
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(LangId, batch_format="pandas", concurrency=2).map_batches(
+        lambda df: df[["doc_id", "lang_guess"]], batch_format="pandas"
+    )
+
+
+def q_lsh_ann(sf_dir: str):
+    from ..functions.ann import lsh_topk
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = emb.map_batches(
+        lambda df: df[df["vec_id"] < 10], batch_format="pandas"
+    ).to_pandas().rename(columns={"vec_id": "query_id"})
+    return lsh_topk(emb, queries, k=5)
+
+
+def q_pages_features(sf_dir: str):
+    """Flagship: synthetic Common-Crawl-style pages → point-in-time
+    features (flatten → dedup → as-of → windows). Pages are synthesized
+    deterministically per scale (no external data)."""
+    import os
+
+    from ..pipelines.features import page_features
+    from ..sources.pages import write_pages
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    shards = {"sf0.001": 2, "sf0.01": 4, "sf0.1": 8}.get(scale, 2)
+    urls = {"sf0.001": 50, "sf0.01": 250, "sf0.1": 1500}.get(scale, 50)
+    pages_dir = write_pages(f"/tmp/transmog_ray_pages/{scale}", n_shards=shards,
+                            n_urls_per_shard=urls)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts", "text", "lang", "meta"])
+    return page_features(ds, num_buckets=32)
+
+
+# ================================================================ registry
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_customers": q_top_customers,
+    "filter_high_value": q_filter_high_value,
+    "events_by_type": q_events_by_type,
+    "flatten_events": q_flatten_events,
+    "lag_lead_events": q_lag_lead_events,
+    "sessionize_events": q_sessionize_events,
+    "backfill_events": q_backfill_events,
+    "rolling_events": q_rolling_events,
+    "asof_purchase": q_asof_purchase,
+    "dedup_user_type": q_dedup_user_type,
+    "token_stats": q_token_stats,
+    "quality_docs": q_quality_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "dedup_docs": q_dedup_docs,
+    "ann_topk": q_ann_topk,
+    "cosine_pairs": q_cosine_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_docs": q_simhash_docs,
+    "langid_docs": q_langid_docs,
+    "lsh_ann": q_lsh_ann,
+    "pages_features": q_pages_features,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "revenue_by_nation": SQL_REVENUE_NATION,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "filter_high_value": SQL_FILTER_HIGH_VALUE,
+    "events_by_type": SQL_EVENTS_BY_TYPE,
+    "flatten_events": SQL_FLATTEN_EVENTS,
+    "lag_lead_events": SQL_LAG_LEAD,
+    "sessionize_events": SQL_SESSIONIZE,
+    "backfill_events": SQL_BACKFILL,
+    "rolling_events": SQL_ROLLING,
+    "asof_purchase": SQL_ASOF_PURCHASE,
+    "dedup_user_type": SQL_DEDUP_USER_TYPE,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_docs": SQL_QUALITY,
+    "fingerprint_docs": SQL_FINGERPRINT,
+    "dedup_docs": SQL_DEDUP_DOCS,
+    "ann_topk": SQL_ANN_TOPK,
+    "cosine_pairs": SQL_COSINE_PAIRS,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    # minhash_dedup / simhash_docs / langid_docs / lsh_ann / pages_features:
+    # rows-only (no faithful ANSI-SQL form)
+}
+
+
+__all__ = ["QUERIES", "ORACLE_SQL", "read_table", "round_half_away"]

@@ -31,6 +31,7 @@ from typing import Sequence
 import pandas as pd
 import pyarrow as pa
 
+from .common import arrow_schema, pad_to
 from .partition import BUCKET_COL, add_bucket
 
 _SIDE = "_asof_side"
@@ -75,49 +76,6 @@ def _merge_asof(
     return merged
 
 
-def arrow_schema(ds) -> pa.Schema:
-    """Arrow schema of a Dataset regardless of its block format.
-
-    ``ds.schema().base_schema`` is a ``PandasBlockSchema`` for
-    pandas-backed datasets, so fall back to converting one row.
-    """
-    schema = ds.schema()
-    base = getattr(schema, "base_schema", None)
-    if isinstance(base, pa.Schema):
-        return base
-    for batch in ds.limit(1).iter_batches(batch_size=1, batch_format="pyarrow"):
-        return batch.schema
-    # empty pandas-block dataset: map the numpy dtypes
-    fields = []
-    for name, dtype in zip(schema.names, schema.types):
-        if isinstance(dtype, pa.DataType):
-            fields.append(pa.field(name, dtype))
-        else:
-            fields.append(pa.field(name, pa.from_numpy_dtype(dtype)))
-    return pa.schema(fields)
-
-
-def _pad_to(target: pa.Schema, side: int):
-    """pyarrow map fn: conform a batch to *target* (+ side tag), adding
-    typed null columns for missing fields."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        arrays = []
-        for fld in target:
-            if fld.name == _SIDE:
-                arrays.append(pa.array([side] * t.num_rows, pa.int8()))
-            elif fld.name in t.column_names:
-                col = t[fld.name]
-                if col.type != fld.type:
-                    col = col.cast(fld.type)
-                arrays.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
-            else:
-                arrays.append(pa.nulls(t.num_rows, fld.type))
-        return pa.Table.from_arrays(arrays, schema=target)
-
-    return fn
-
-
 def asof_join(
     left_ds,
     right_ds,
@@ -148,8 +106,8 @@ def asof_join(
     fields.append(pa.field(_SIDE, pa.int8()))
     target = pa.schema(fields)
 
-    left_pad = left_ds.map_batches(_pad_to(target, 0), batch_format="pyarrow")
-    right_pad = right_ds.map_batches(_pad_to(target, 1), batch_format="pyarrow")
+    left_pad = left_ds.map_batches(pad_to(target, _SIDE, 0), batch_format="pyarrow")
+    right_pad = right_ds.map_batches(pad_to(target, _SIDE, 1), batch_format="pyarrow")
     bucketed = add_bucket(left_pad.union(right_pad), [key], num_buckets)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:

@@ -69,7 +69,9 @@ def sessionize(
     )
     starts = tcol.where(new_session)
     session_start = starts.groupby(df[key], sort=False).ffill()
-    epoch_us = session_start.astype("int64") // 1000  # ns → µs, matches epoch_us()
+    # normalize to ns first — pandas keeps datetime64[us] for Arrow input,
+    # so a bare astype(int64) would be unit-dependent
+    epoch_us = session_start.astype("datetime64[ns]").astype("int64") // 1000
     df[session_col] = df[key].astype(str) + "|" + epoch_us.astype(str)
     return df
 
