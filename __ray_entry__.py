@@ -37,7 +37,7 @@ def entry() -> Any:
     sf_dir = "/root/testdata/sf0.001"
     ev = read_table(sf_dir, "events",
                     columns=["event_id", "user_id", "ts", "event_type", "value"])
-    ev = dedup_exact(ev, keys=["event_id"], order_by=["ts"], num_buckets=16)
+    ev = dedup_exact(ev, keys=["event_id"], order_by=["ts"], num_buckets=16).materialize()
     purchases = ev.map_batches(
         lambda df: df[df["event_type"] == "purchase"][["user_id", "ts", "value"]]
         .rename(columns={"ts": "p_ts", "value": "p_value"}),

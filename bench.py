@@ -1,0 +1,120 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "pages_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 and 32) on the same input and reports both throughputs plus
+scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline set: flagship pages pipeline + one per operator family
+BENCH_QUERIES = [
+    "pages_features",
+    "flatten_events",
+    "asof_purchase",
+    "lag_lead_events",
+    "sessionize_events",
+    "rolling_events",
+    "pricing_summary",
+    "revenue_by_nation",
+    "dedup_user_type",
+    "minhash_dedup",
+    "ann_topk",
+    "token_stats",
+]
+
+
+def consume(result) -> int:
+    """Materialize a result enough to count rows (stream-friendly)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, (pd.DataFrame, pa.Table)):
+        return len(result)
+    return result.count()
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    # warm the page cache + synthetic pages fixture outside the timed region
+    from transmog_ray.pipelines.queries import read_table
+
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        read_table(SF_DIR, t).count()
+    rows_by_q: dict[str, int] = {}
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        if name == "pages_features":
+            fn(SF_DIR)  # first call generates + caches the synthetic pages
+        t0 = time.time()
+        rows_by_q[name] = consume(fn(SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    pages_sec = (
+        round(rows_by_q["pages_features"] / times["pages_features"], 1)
+        if times.get("pages_features") else None
+    )
+    out = {
+        "metric": "headline pipeline suite wall-time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages_per_sec": pages_sec,
+        "rows": rows_by_q,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "pages_per_sec_8": r_lo.get("pages_per_sec"),
+        "pages_per_sec_32": r_hi.get("pages_per_sec"),
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

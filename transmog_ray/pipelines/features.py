@@ -56,6 +56,10 @@ def page_features(
     tagged, plan = flatten_dataset(
         pages_ds, PAGE_SPEC, emit="tagged", concurrency=flatten_concurrency
     )
+    # the tagged table fans out to main + child consumers; materialize ONCE
+    # so the (expensive) JSON-parse+flatten never re-executes — Ray pins
+    # blocks in the object store and spills under pressure
+    tagged = tagged.materialize()
     tables = split_tagged(tagged, plan)
     main = tables["pages"]
     links = tables.get("pages_meta_links")
@@ -64,9 +68,11 @@ def page_features(
     # group (it hashes the key), so break ties on content — text gives a
     # deterministic winner for conflicting same-timestamp crawls
     main = dedup_exact(main, keys=["url", "warc_ts"], order_by=["text"],
-                       num_buckets=num_buckets)
+                       num_buckets=num_buckets).materialize()  # feeds id_map AND the join left side
 
     # feature side: link aggregates per page snapshot (keyed by root id)
+    # materialized: the join below probes the schema AND unions this
+    # dataset — without pinning, the groupby would execute twice
     feats = grouped_agg(
         links,
         keys=["_parent_id"],
@@ -74,7 +80,7 @@ def page_features(
             "n_links": ("href", "count"),
             "mean_link_depth": ("depth", "mean"),
         },
-    )
+    ).materialize()
     # attach the url/warc_ts of the owning snapshot (acting as the feature
     # timestamp) by joining back on the deterministic root id — both sides
     # are 1 row per snapshot, so a partitioned hash join
@@ -84,7 +90,9 @@ def page_features(
         ),
         batch_format="pandas",
     )
-    feature_rows = hash_join(feats, id_map, on="_parent_id", num_buckets=num_buckets)
+    feature_rows = hash_join(
+        feats, id_map, on="_parent_id", num_buckets=num_buckets
+    ).materialize()  # probed + unioned by the as-of join below
 
     # as-of join needs feature_ts strictly BEFORE equal-time self-matches
     # would be trivial; we keep exact-time matches (features of the current

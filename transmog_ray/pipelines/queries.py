@@ -370,7 +370,8 @@ def q_asof_purchase(sf_dir: str):
     from ..stages.asof import asof_join
 
     ev = read_table(sf_dir, "events",
-                    columns=["event_id", "user_id", "ts", "event_type", "value"])
+                    columns=["event_id", "user_id", "ts", "event_type", "value"]
+                    ).materialize()  # consumed twice: left side + purchase filter
     purchases = ev.map_batches(
         lambda df: df[df["event_type"] == "purchase"][["user_id", "ts", "value"]]
         .rename(columns={"ts": "p_ts", "value": "p_value"}),
