@@ -1,0 +1,114 @@
+"""Checkpoint/resume: identical output after interruption, skip-completed
+semantics, lineage fingerprints."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from transmog_ray.state.checkpoint import (
+    checkpointed_sorted_run,
+    fingerprint,
+    input_lineage,
+    load_metrics,
+)
+from transmog_ray.stages.window import sessionize, with_lag
+
+
+def make_events(n=500, seed=3) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 23, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+            "value": rng.normal(size=n),
+        }
+    )
+
+
+def feature_fn(df: pd.DataFrame) -> pd.DataFrame:
+    df = with_lag(df, "user_id", ["value"])
+    return sessionize(df, "user_id", "ts", gap_seconds=600)
+
+
+def read_out(out_dir) -> pd.DataFrame:
+    frames = [
+        pq.read_table(p).to_pandas()
+        for p in sorted(glob.glob(f"{out_dir}/part=*/data.parquet"))
+    ]
+    return (
+        pd.concat(frames)
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_checkpoint_run_and_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    df = make_events()
+    fp = fingerprint({"config": "v1"})
+    out1 = str(tmp_path / "run1")
+
+    meta = checkpointed_sorted_run(
+        rd.from_pandas(df), ["user_id"], "ts", feature_fn, out1, fp,
+        num_buckets=8, tiebreak=["event_id"],
+    )
+    assert meta["partitions_skipped"] == 0
+    assert meta["rows_out"] == len(df)
+    full = read_out(out1)
+
+    # simulate a crash: drop 3 partitions, resume
+    parts = sorted(glob.glob(f"{out1}/part=*"))
+    for p in parts[:3]:
+        shutil.rmtree(p)
+    meta2 = checkpointed_sorted_run(
+        rd.from_pandas(df), ["user_id"], "ts", feature_fn, out1, fp,
+        num_buckets=8, tiebreak=["event_id"],
+    )
+    assert meta2["partitions_skipped"] == len(parts) - 3
+    resumed = read_out(out1)
+    pd.testing.assert_frame_equal(full, resumed)
+
+    # full rerun skips everything
+    meta3 = checkpointed_sorted_run(
+        rd.from_pandas(df), ["user_id"], "ts", feature_fn, out1, fp,
+        num_buckets=8, tiebreak=["event_id"],
+    )
+    assert meta3["partitions_skipped"] == meta3["partitions_done"]
+
+    # metrics surface
+    m = load_metrics(out1)
+    assert m["rows_out"].sum() == len(df)
+    assert set(m.columns) >= {"partition", "run_fingerprint", "seconds"}
+
+
+def test_fingerprint_invalidates(ray_session, tmp_path):
+    import ray.data as rd
+
+    df = make_events(200)
+    out = str(tmp_path / "run")
+    checkpointed_sorted_run(
+        rd.from_pandas(df), ["user_id"], "ts", feature_fn, out,
+        fingerprint({"v": 1}), num_buckets=4, tiebreak=["event_id"],
+    )
+    meta = checkpointed_sorted_run(
+        rd.from_pandas(df), ["user_id"], "ts", feature_fn, out,
+        fingerprint({"v": 2}), num_buckets=4, tiebreak=["event_id"],
+    )
+    assert meta["partitions_skipped"] == 0  # config change recomputes
+
+
+def test_input_lineage(tmp_path):
+    p = tmp_path / "x.parquet"
+    p.write_bytes(b"abc")
+    lin = input_lineage([str(p)])
+    assert lin[0]["bytes"] == 3
+    assert fingerprint(lin) == fingerprint(lin)

@@ -1,0 +1,152 @@
+"""Per-partition checkpointed execution with lineage + metrics.
+
+"Resumable from checkpoint" for a batch pipeline (north_rule): output is
+laid out one directory per hash partition —
+
+    out_dir/
+      part=00000/data.parquet      # written atomically (tmp + rename)
+      part=00000/manifest.json     # rows in/out, wall time, lineage
+      ...
+      _run.json                    # run-level lineage (config hash, inputs)
+
+A rerun with the same ``run_fingerprint`` SKIPS every partition whose
+manifest already exists and matches — only missing/failed partitions are
+recomputed. Because every operator in this engine is deterministic
+(hash IDs, run-constant extract_time, total-order tiebreaks), a resumed
+run is byte-identical to an uninterrupted one; a fingerprint change
+(different input or config) invalidates all partitions.
+
+The partition task double-acts as the metrics collector: each manifest
+records per-partition row counts and timings, aggregated by
+:func:`load_metrics` — no shared mutable state, no metrics actor needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Callable, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..stages.partition import BUCKET_COL, add_bucket
+
+
+def fingerprint(obj) -> str:
+    """Stable hash of a JSON-able lineage description."""
+    return hashlib.sha256(
+        json.dumps(obj, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
+def input_lineage(paths: Sequence[str]) -> list[dict]:
+    """Size+mtime fingerprint of the input files (cheap, no reads)."""
+    out = []
+    for p in sorted(paths):
+        st = os.stat(p)
+        out.append({"path": p, "bytes": st.st_size, "mtime_ns": st.st_mtime_ns})
+    return out
+
+
+def checkpointed_sorted_run(
+    ds,
+    keys: Sequence[str],
+    ts: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    out_dir: str,
+    run_fingerprint: str,
+    num_buckets: int = 64,
+    tiebreak: Sequence[str] = (),
+) -> dict:
+    """apply_sorted + per-partition parquet checkpointing in ONE pass.
+
+    Each bucket task sorts its partition, applies *fn*, and writes
+    ``part=<bucket>/data.parquet`` atomically with a manifest. Buckets
+    whose manifest already matches ``run_fingerprint`` are skipped
+    WITHOUT recomputation (the skip happens before sort/fn). Returns the
+    aggregated run metrics; read results with ``ray.data.read_parquet
+    (out_dir)``.
+    """
+    keys = list(keys)
+    sort_cols = [*keys, ts, *tiebreak]
+    os.makedirs(out_dir, exist_ok=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        bucket = int(df[BUCKET_COL].iloc[0])
+        part_dir = os.path.join(out_dir, f"part={bucket:05d}")
+        manifest_path = os.path.join(part_dir, "manifest.json")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                m = json.load(f)
+            if m.get("run_fingerprint") == run_fingerprint:
+                return pd.DataFrame(
+                    {"partition": [bucket], "rows_in": [len(df)],
+                     "rows_out": [m["rows_out"]], "seconds": [0.0],
+                     "skipped": [True]}
+                )
+        df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        out = fn(df).drop(columns=[BUCKET_COL], errors="ignore")
+        os.makedirs(part_dir, exist_ok=True)
+        tmp = os.path.join(part_dir, f".data.parquet.tmp.{os.getpid()}")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+        manifest = {
+            "partition": bucket,
+            "run_fingerprint": run_fingerprint,
+            "rows_in": int(len(df)),
+            "rows_out": int(len(out)),
+            "seconds": round(time.time() - t0, 4),
+            "sort_cols": sort_cols,
+        }
+        tmp_m = manifest_path + f".tmp.{os.getpid()}"
+        with open(tmp_m, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_m, manifest_path)
+        return pd.DataFrame(
+            {"partition": [bucket], "rows_in": [manifest["rows_in"]],
+             "rows_out": [manifest["rows_out"]],
+             "seconds": [manifest["seconds"]], "skipped": [False]}
+        )
+
+    bucketed = add_bucket(ds, keys, num_buckets)
+    stats = (
+        bucketed.groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    run_meta = {
+        "run_fingerprint": run_fingerprint,
+        "num_buckets": num_buckets,
+        "partitions_done": int(len(stats)),
+        "partitions_skipped": int(stats["skipped"].sum()),
+        "rows_in": int(stats["rows_in"].sum()),
+        "rows_out": int(stats["rows_out"].sum()),
+        "wall_seconds_sum": float(stats["seconds"].sum()),
+    }
+    with open(os.path.join(out_dir, "_run.json"), "w") as f:
+        json.dump(run_meta, f, indent=1)
+    return run_meta
+
+
+def load_metrics(out_dir: str) -> pd.DataFrame:
+    """Per-partition manifests as a frame (lineage/metrics surface)."""
+    rows = []
+    for name in sorted(os.listdir(out_dir)):
+        mp = os.path.join(out_dir, name, "manifest.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                rows.append(json.load(f))
+    return pd.DataFrame(rows)
+
+
+__all__ = [
+    "checkpointed_sorted_run",
+    "load_metrics",
+    "fingerprint",
+    "input_lineage",
+]
