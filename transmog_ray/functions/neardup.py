@@ -26,18 +26,12 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _shingles(text: str, k: int = 5) -> np.ndarray:
-    """Hashed character k-shingles (stable across processes: md5-based)."""
+    """Hashed character k-shingles (stable across processes: fixed-key
+    siphash via ``pd.util.hash_pandas_object`` — vectorized)."""
     if not text or len(text) < k:
         return np.array([0], dtype=np.uint64)
-    views = {text[i : i + k] for i in range(len(text) - k + 1)}
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-            for s in views
-        ),
-        dtype=np.uint64,
-        count=len(views),
-    )
+    views = list({text[i : i + k] for i in range(len(text) - k + 1)})
+    return pd.util.hash_pandas_object(pd.Series(views), index=False).to_numpy()
 
 
 class MinHasher:
@@ -55,17 +49,42 @@ class MinHasher:
         self.shingle_k = shingle_k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.shingle_k).astype(np.object_)  # big-int math
-        # (a*x + b) mod p per permutation; object dtype avoids uint64 overflow
-        sig = np.empty(self.n_perm, dtype=np.uint64)
-        for i in range(self.n_perm):
-            sig[i] = np.min(
-                (int(self.a[i]) * sh + int(self.b[i])) % _MERSENNE
-            )
-        return sig
+        sh = _shingles(text, self.shingle_k)
+        # (a*x + b) in wrap-around uint64 — one broadcasted op per doc.
+        # Overflow wraparound is itself a fine universal-ish hash family
+        # for LSH purposes and ~1000x faster than arbitrary-precision mod-p.
+        with np.errstate(over="ignore"):
+            grid = self.a[:, None] * sh[None, :] + self.b[:, None]
+        return grid.min(axis=1)
+
+    def sign_batch(self, texts) -> list[np.ndarray]:
+        """Whole-batch signatures: hash every shingle of the batch in ONE
+        pandas siphash call, then segment-min with ``minimum.reduceat``."""
+        k = self.shingle_k
+        all_sh: list[str] = []
+        starts = [0]
+        for t in texts:
+            t = t or ""
+            if len(t) < k:
+                views = [t] if t else ["\0"]
+            else:
+                views = list({t[i : i + k] for i in range(len(t) - k + 1)})
+            all_sh.extend(views)
+            starts.append(len(all_sh))
+        hashed = pd.util.hash_pandas_object(
+            pd.Series(all_sh), index=False
+        ).to_numpy()
+        starts_arr = np.asarray(starts[:-1], dtype=np.int64)
+        sig = np.empty((len(texts), self.n_perm), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(self.n_perm):
+                sig[:, i] = np.minimum.reduceat(
+                    self.a[i] * hashed + self.b[i], starts_arr
+                )
+        return list(sig)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        df["minhash"] = [self.signature(t or "") for t in df["text"]]
+        df["minhash"] = self.sign_batch(df["text"])
         return df
 
 
@@ -110,13 +129,31 @@ def minhash_clusters(
         lambda df: lsh_bands(df, n_bands, id_col), batch_format="pandas"
     )
 
+    # one Ray group per COARSE bucket of band-hashes (not per band bucket —
+    # millions of tiny groups would drown in per-group overhead); the fine
+    # (band, band_hash) grouping happens in pandas inside each task
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = sorted(grp[id_col].unique())
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    def coarse_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_cand_bucket"] = (
+            pd.util.hash_pandas_object(df["band_hash"], index=False)
+            % np.uint64(64)
+        ).astype(np.int64)
+        return df
 
     cand = (
-        bands.groupby(["band", "band_hash"])
+        bands.map_batches(coarse_bucket, batch_format="pandas")
+        .groupby("_cand_bucket")
         .map_groups(candidates, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()

@@ -32,16 +32,24 @@ def grouped_agg(
     ds,
     keys: Sequence[str],
     specs: Mapping[str, tuple[str, str]],
+    num_buckets: int = 64,
 ):
-    """Grouped aggregation with partial pre-aggregation.
+    """Grouped aggregation: vectorized partial aggregates per batch, then
+    a hash-bucket shuffle and a pandas combine per bucket.
+
+    The shuffle key is a SMALL int bucket column, not the raw key values —
+    Ray's native groupby sort-shuffles on the full key, which is
+    needlessly expensive for high-cardinality string keys; hashing to
+    ``num_buckets`` gives the same co-location with an int sort. Partial
+    pre-aggregation bounds shuffle volume at one row per key per batch
+    (hot keys contribute one partial per batch — natural salting).
 
     ``specs``: output column name -> (input column, op) with op in
     sum/count/mean/min/max; ``count`` counts non-null values of the input
-    column (SQL ``COUNT(col)``); use the key column for ``COUNT(*)``
-    semantics on non-null keys. Returns a Dataset with one row per key
-    combo, columns named exactly as spec'd (oracle-SQL friendly).
+    column (SQL ``COUNT(col)``). Returns one row per key combo, columns
+    named exactly as spec'd (oracle-SQL friendly).
     """
-    from ray.data.aggregate import Max, Min, Sum
+    from ..stages.partition import BUCKET_COL, add_bucket
 
     keys = list(keys)
     for alias, (col, op) in specs.items():
@@ -61,33 +69,32 @@ def grouped_agg(
             out[name] = getattr(g[col], p)()
         return pd.DataFrame(out).reset_index()
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = add_bucket(
+        ds.map_batches(partial, batch_format="pandas"), keys, num_buckets
+    )
 
-    # combine partials: sum/count partials add up; min/max nest
-    combiners = []
-    for (col, p), name in partial_cols.items():
-        if p in ("sum", "count"):
-            combiners.append(Sum(name, alias_name=name))
-        elif p == "min":
-            combiners.append(Min(name, alias_name=name))
-        else:
-            combiners.append(Max(name, alias_name=name))
-    combined = partials.groupby(keys).aggregate(*combiners)
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[keys].copy()
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        merged = {}
+        for (col, p), name in partial_cols.items():
+            merged[name] = g[name].sum() if p in ("sum", "count") else getattr(
+                g[name], p
+            )()
+        comb = pd.DataFrame(merged).reset_index()
+        out = comb[keys].copy()
         for alias, (col, op) in specs.items():
             if op == "mean":
                 out[alias] = (
-                    df[partial_cols[(col, "sum")]] / df[partial_cols[(col, "count")]]
+                    comb[partial_cols[(col, "sum")]]
+                    / comb[partial_cols[(col, "count")]]
                 )
             elif op == "count":
-                out[alias] = df[partial_cols[(col, "count")]].astype("int64")
+                out[alias] = comb[partial_cols[(col, "count")]].astype("int64")
             else:
-                out[alias] = df[partial_cols[(col, op)]]
+                out[alias] = comb[partial_cols[(col, op)]]
         return out
 
-    return combined.map_batches(finalize, batch_format="pandas")
+    return partials.groupby(BUCKET_COL).map_groups(combine, batch_format="pandas")
 
 
 def broadcast_join(

@@ -1,20 +1,27 @@
 """Flagship pipeline: Common-Crawl-style pages → point-in-time features.
 
-The north-star shape (BASELINE.json):
+The north-star shape (BASELINE.json), executed with exactly ONE shuffle:
 
-    read_parquet(pages)
-      → FlattenStage (actor pool, tagged: main + child tables, one pass)
-      → exact dedup of (url, warc_ts)
-      → feature side: per-(url, warc_ts) link aggregates from the
-        pages_meta_links child table (join back by _parent_id == root id)
-      → as-of join: latest feature row with feature_ts <= warc_ts
-        (features lag one snapshot — computed features describe the
-        PREVIOUS crawl of the url, a real point-in-time setup)
-      → one fused sorted pass: lag/lead + sessionize + backfill + rolling
-      → write partitioned parquet + manifest (checkpoint/resume)
+    read_parquet(pages, columns pruned, html never read)
+      → FlattenStage (tagged: main + child link rows in one pass; child
+        rows carry url/warc_ts via typed child_passthrough — no join back
+        through _parent_id is ever needed)
+      → hash-bucket the tagged rows by url              [the ONE shuffle]
+      → per bucket, one fused sorted pass:
+           exact dedup of (url, warc_ts)                 (deterministic winner)
+           link aggregates per snapshot → feature rows   (feature_ts = warc_ts)
+           sort-merge as-of join (feature_ts <= warc_ts) (zero leakage)
+           lag/lead + gap sessionization + backfill + trailing windows
 
 ``text`` rides as an untouched passthrough column end-to-end
-(byte-identity invariant), and ``html`` is dropped before any shuffle.
+(byte-identity invariant). Hot-domain skew is handled by bucket count
+(num_buckets ≫ cores; a bucket holds whole url groups, so the widest url
+bounds the minimum) — order-sensitive ops cannot be key-salted (SURVEY.md
+§7.4); pure aggregations use the salted two-stage grouped_agg instead.
+
+For resumable runs, the same fused per-bucket function can be executed
+through state.checkpoint.checkpointed_sorted_run (see
+pipelines.checkpointed_page_features).
 """
 
 from __future__ import annotations
@@ -22,12 +29,9 @@ from __future__ import annotations
 import pandas as pd
 
 from ..core.config import FlattenConfig
-from ..stages.asof import asof_join
-from ..stages.dedup import dedup_exact
-from ..stages.flatten import FlattenSpec, TABLE_TAG, flatten_dataset, split_tagged
-from ..stages.partition import apply_sorted
+from ..stages.flatten import FlattenSpec, TABLE_TAG, flatten_dataset
+from ..stages.partition import BUCKET_COL, add_bucket
 from ..stages.window import backfill, rolling_agg, sessionize, with_lag, with_lead
-from ..functions.relational import grouped_agg, hash_join
 
 PAGE_SPEC = FlattenSpec(
     entity="pages",
@@ -35,8 +39,85 @@ PAGE_SPEC = FlattenSpec(
     json_col="meta",
     record_cols=("url", "warc_ts"),
     passthrough=("url", "warc_ts", "text", "lang"),
+    child_passthrough=("url", "warc_ts"),
     extract_time="2026-01-01 00:00:00.000000",  # run constant: deterministic
 )
+
+LINKS_TABLE = "pages_meta_links"
+
+
+def page_feature_fn(session_gap_s: float, rolling_window_s: float):
+    """The fused per-partition kernel: tagged rows of one url-bucket →
+    feature rows. Pure pandas; reusable by both the streaming pipeline and
+    the checkpointed runner."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        main = df[df[TABLE_TAG] == "pages"]
+        links = df[df[TABLE_TAG] == LINKS_TABLE]
+
+        # exact dedup of (url, warc_ts); the composite _id is constant
+        # within a group (it hashes the key), so the winner is the first
+        # row by text — a deterministic content tiebreak
+        main = (
+            main.sort_values(["url", "warc_ts", "text"], kind="mergesort")
+            .drop_duplicates(subset=["url", "warc_ts"], keep="first")
+            # link-side columns are null padding on main rows
+            .drop(columns=[TABLE_TAG, "_parent_id", "href", "depth"],
+                  errors="ignore")
+            .dropna(subset=["url", "warc_ts"])
+        )
+
+        # link aggregates per snapshot; duplicate pages contribute
+        # duplicate link rows — collapse on CONTENT columns before
+        # counting. (NOT on _id: under a composite ID strategy child rows
+        # hash the missing key fields and share one degenerate _id —
+        # see the parity-pinned quirk in core/flatten.py.)
+        links = links.drop_duplicates(subset=["_parent_id", "href", "depth"])
+        g = links.groupby(["url", "warc_ts"], sort=False)
+        feats = pd.DataFrame(
+            {"n_links": g["href"].count(), "mean_link_depth": g["depth"].mean()}
+        ).reset_index().rename(columns={"warc_ts": "feature_ts"})
+
+        # sort-merge as-of: latest feature row with feature_ts <= warc_ts
+        left = main.sort_values("warc_ts", kind="mergesort")
+        right = feats.sort_values("feature_ts", kind="mergesort")
+        out = pd.merge_asof(
+            left, right, left_on="warc_ts", right_on="feature_ts", by="url",
+            direction="backward", allow_exact_matches=True,
+        )
+
+        out = out.sort_values(["url", "warc_ts", "_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        out = with_lag(out, "url", ["n_links"])
+        out = with_lead(out, "url", ["n_links"])
+        out = sessionize(out, "url", "warc_ts", gap_seconds=session_gap_s)
+        out = backfill(out, "url", ["mean_link_depth"])
+        out = rolling_agg(
+            out, "url", "warc_ts", "n_links", rolling_window_s, aggs=("count", "mean")
+        )
+        return out
+
+    return fn
+
+
+def tagged_pages(pages_ds, flatten_concurrency: int | None = None):
+    """Flatten pages into the tagged main+links dataset, pruned to the
+    columns the feature pass needs (html/scripts never shuffle)."""
+    tagged, plan = flatten_dataset(
+        pages_ds, PAGE_SPEC, emit="tagged", concurrency=flatten_concurrency
+    )
+    keep = [
+        TABLE_TAG, "url", "warc_ts", "text", "lang", "_id", "_parent_id",
+        "href", "depth",
+        *[c for c in plan.main_flat_schema.names if c.startswith("meta_")],
+    ]
+
+    def prune(t):
+        cols = [c for c in keep if c in t.column_names]
+        return t.select(cols)
+
+    return tagged.map_batches(prune, batch_format="pyarrow"), plan
 
 
 def page_features(
@@ -46,87 +127,45 @@ def page_features(
     num_buckets: int = 64,
     flatten_concurrency: int | None = None,
 ):
-    """Full feature pipeline over a pages Dataset → features Dataset.
+    """Full feature pipeline over a pages Dataset → features Dataset:
+    flatten, then ONE url-hash shuffle feeding the fused sorted pass."""
+    tagged, _plan = tagged_pages(pages_ds, flatten_concurrency)
+    fn = page_feature_fn(session_gap_s, rolling_window_s)
 
-    Returns one row per distinct (url, warc_ts) with flattened metadata
-    columns, as-of-joined link features of the previous snapshot, and
-    windowed features. ``html`` is never read (column pruning happens at
-    the caller's ``read_parquet``).
-    """
-    tagged, plan = flatten_dataset(
-        pages_ds, PAGE_SPEC, emit="tagged", concurrency=flatten_concurrency
-    )
-    # the tagged table fans out to main + child consumers; materialize ONCE
-    # so the (expensive) JSON-parse+flatten never re-executes — Ray pins
-    # blocks in the object store and spills under pressure
-    tagged = tagged.materialize()
-    tables = split_tagged(tagged, plan)
-    main = tables["pages"]
-    links = tables.get("pages_meta_links")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=[BUCKET_COL]))
 
-    # 1 row per (url, warc_ts): the composite _id is constant within the
-    # group (it hashes the key), so break ties on content — text gives a
-    # deterministic winner for conflicting same-timestamp crawls
-    main = dedup_exact(main, keys=["url", "warc_ts"], order_by=["text"],
-                       num_buckets=num_buckets).materialize()  # feeds id_map AND the join left side
+    bucketed = add_bucket(tagged, ["url"], num_buckets)
+    return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
-    # feature side: link aggregates per page snapshot (keyed by root id)
-    # materialized: the join below probes the schema AND unions this
-    # dataset — without pinning, the groupby would execute twice
-    feats = grouped_agg(
-        links,
-        keys=["_parent_id"],
-        specs={
-            "n_links": ("href", "count"),
-            "mean_link_depth": ("depth", "mean"),
-        },
-    ).materialize()
-    # attach the url/warc_ts of the owning snapshot (acting as the feature
-    # timestamp) by joining back on the deterministic root id — both sides
-    # are 1 row per snapshot, so a partitioned hash join
-    id_map = main.map_batches(
-        lambda df: df[["_id", "url", "warc_ts"]].rename(
-            columns={"_id": "_parent_id", "warc_ts": "feature_ts"}
-        ),
-        batch_format="pandas",
-    )
-    feature_rows = hash_join(
-        feats, id_map, on="_parent_id", num_buckets=num_buckets
-    ).materialize()  # probed + unioned by the as-of join below
 
-    # as-of join needs feature_ts strictly BEFORE equal-time self-matches
-    # would be trivial; we keep exact-time matches (features of the current
-    # snapshot are known at crawl time) — leakage contract is <=.
-    left = main.map_batches(
-        lambda df: df.drop(columns=[c for c in df.columns if c == TABLE_TAG]),
-        batch_format="pandas",
-    )
-    joined = asof_join(
-        left,
-        feature_rows.map_batches(
-            lambda df: df.drop(columns=["_parent_id"]), batch_format="pandas"
-        ),
-        key="url",
-        left_ts="warc_ts",
-        right_ts="feature_ts",
-        right_cols=["n_links", "mean_link_depth"],
-        num_buckets=num_buckets,
-    )
+def checkpointed_page_features(
+    pages_ds,
+    out_dir: str,
+    run_fingerprint: str,
+    session_gap_s: float = 7 * 86400,
+    rolling_window_s: float = 30 * 86400,
+    num_buckets: int = 64,
+) -> dict:
+    """Resumable flagship run: same fused kernel, executed through the
+    per-partition checkpoint layer (atomic parquet + manifest per url
+    bucket; rerun skips completed partitions). Returns run metrics; read
+    results with ``ray.data.read_parquet(out_dir)``."""
+    from ..state.checkpoint import checkpointed_sorted_run
 
-    def windowed(part: pd.DataFrame) -> pd.DataFrame:
-        part = with_lag(part, "url", ["n_links"])
-        part = with_lead(part, "url", ["n_links"])
-        part = sessionize(part, "url", "warc_ts", gap_seconds=session_gap_s)
-        part = backfill(part, "url", ["mean_link_depth"])
-        part = rolling_agg(
-            part, "url", "warc_ts", "n_links", rolling_window_s, aggs=("count", "mean")
-        )
-        return part
-
-    return apply_sorted(
-        joined, ["url"], "warc_ts", windowed, num_buckets=num_buckets,
-        tiebreak=["_id"],
+    tagged, _plan = tagged_pages(pages_ds)
+    fn = page_feature_fn(session_gap_s, rolling_window_s)
+    return checkpointed_sorted_run(
+        tagged, ["url"], "warc_ts", fn, out_dir, run_fingerprint,
+        num_buckets=num_buckets, tiebreak=[TABLE_TAG, "_id"],
     )
 
 
-__all__ = ["page_features", "PAGE_SPEC"]
+__all__ = [
+    "page_features",
+    "page_feature_fn",
+    "tagged_pages",
+    "checkpointed_page_features",
+    "PAGE_SPEC",
+    "LINKS_TABLE",
+]

@@ -613,7 +613,11 @@ def q_pages_features(sf_dir: str):
     urls = {"sf0.001": 50, "sf0.01": 250, "sf0.1": 1500}.get(scale, 50)
     pages_dir = write_pages(f"/tmp/transmog_ray_pages/{scale}", n_shards=shards,
                             n_urls_per_shard=urls)
-    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts", "text", "lang", "meta"])
+    ds = _rd().read_parquet(
+        pages_dir,
+        columns=["url", "warc_ts", "text", "lang", "meta"],
+        override_num_blocks=64,  # decouple flatten parallelism from file count
+    )
     return page_features(ds, num_buckets=32)
 
 

@@ -75,6 +75,10 @@ class FlattenSpec:
     json_col: str | None = None
     record_cols: tuple = ()
     passthrough: tuple = ()
+    #: input columns injected (typed, by source-record index) into every
+    #: CHILD row — lets downstream ops key child tables by the natural key
+    #: (e.g. url/warc_ts) without a join back through ``_parent_id``
+    child_passthrough: tuple = ()
     extract_time: str | None = None
 
 
@@ -239,6 +243,7 @@ class FlattenStage:
         rows: list[dict] = []
         keep_idx: list[int] = []
         children: dict[str, list[dict]] = {}
+        child_src: dict[str, list[int]] = {}
         flatten_record = self.flattener.flatten_record
         for i, rec in enumerate(records):
             row, kids = flatten_record(rec, extract_time) if rec else (None, {})
@@ -247,13 +252,20 @@ class FlattenStage:
                 keep_idx.append(i)
             for tname, trows in kids.items():
                 children.setdefault(tname, []).extend(trows)
+                child_src.setdefault(tname, []).extend([i] * len(trows))
 
         if self.emit == "main":
             return self._main_table(batch, rows, keep_idx)
         if self.emit == "tagged":
-            return self._tagged_table(batch, rows, keep_idx, children)
-        rows_for = children.get(self.emit, [])
-        return _conform(rows_for, self.plan.child_schemas[self.emit])
+            return self._tagged_table(batch, rows, keep_idx, children, child_src)
+        return self._child_table(batch, self.emit, children, child_src)
+
+    def _child_table(self, batch, tname, children, child_src) -> pa.Table:
+        out = _conform(children.get(tname, []), self.plan.child_schemas[tname])
+        for pos, name in enumerate(self.spec.child_passthrough):
+            idx = pa.array(np.asarray(child_src.get(tname, []), dtype=np.int64))
+            out = out.add_column(pos, batch.schema.field(name), batch[name].take(idx))
+        return out
 
     def _main_table(self, batch: pa.Table, rows, keep_idx) -> pa.Table:
         flat = _conform(rows, self.plan.main_flat_schema)
@@ -267,12 +279,12 @@ class FlattenStage:
             )
         return out
 
-    def _tagged_table(self, batch, rows, keep_idx, children) -> pa.Table:
+    def _tagged_table(self, batch, rows, keep_idx, children, child_src) -> pa.Table:
         main = self._main_table(batch, rows, keep_idx)
         main = main.add_column(0, TABLE_TAG, pa.array([self.spec.entity] * main.num_rows))
         parts = [main]
-        for tname, schema in self.plan.child_schemas.items():
-            child = _conform(children.get(tname, []), schema)
+        for tname in self.plan.child_schemas:
+            child = self._child_table(batch, tname, children, child_src)
             child = child.add_column(0, TABLE_TAG, pa.array([tname] * child.num_rows))
             parts.append(child)
         return pa.concat_tables(parts, promote_options="permissive")
@@ -320,8 +332,9 @@ def split_tagged(tagged_ds, plan: FlattenPlan):
     out[spec.entity] = tagged_ds.map_batches(
         extract(spec.entity, main_cols), batch_format="pyarrow")
     for tname, schema in plan.child_schemas.items():
+        child_cols = [*spec.child_passthrough, *schema.names]
         out[tname] = tagged_ds.map_batches(
-            extract(tname, list(schema.names)), batch_format="pyarrow")
+            extract(tname, child_cols), batch_format="pyarrow")
     return out
 
 
