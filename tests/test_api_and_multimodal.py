@@ -1,0 +1,122 @@
+"""User-API surface (flatten/flatten_stream/save) and multimodal stages."""
+
+from __future__ import annotations
+
+import csv
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import transmog_ray as tm
+from transmog_ray.stages.multimodal import (
+    FrameSampleStage,
+    ImageDecodeStage,
+    byte_histogram_features,
+    media_features,
+    synth_media_table,
+)
+
+DATA = [
+    {"id": 1, "name": "=danger", "meta": {"v": 2}, "kids": [{"k": "a"}, {"k": "b"}]},
+    {"id": 2, "name": "ok", "meta": {"v": 3}, "kids": []},
+]
+
+
+def test_flatten_api_shape():
+    r = tm.flatten(DATA, name="thing", config=tm.FlattenConfig(id_generation="hash"))
+    assert set(r.all_tables) == {"thing", "thing_kids"}
+    assert len(r.main) == 2 and len(r.tables["thing_kids"]) == 2
+    assert r.main[0]["meta_v"] == 2
+
+
+def test_flatten_string_and_jsonl_inputs():
+    js = json.dumps(DATA)
+    assert len(tm.flatten(js).main) == 2
+    jsonl = "\n".join(json.dumps(d) for d in DATA)
+    assert len(tm.flatten(jsonl).main) == 2
+
+
+def test_flatten_file_inputs(tmp_path):
+    p = tmp_path / "d.json"
+    p.write_text(json.dumps(DATA))
+    assert len(tm.flatten(p).main) == 2
+    pl = tmp_path / "d.jsonl"
+    pl.write_text("\n".join(json.dumps(d) for d in DATA))
+    assert len(tm.flatten(str(pl)).main) == 2
+
+
+def test_save_multi_table_csv_with_injection_guard(tmp_path):
+    r = tm.flatten(DATA, name="t", config=tm.FlattenConfig(id_generation="hash"))
+    files = r.save(tmp_path / "out", "csv")
+    assert {f.name for f in files} == {"t.csv", "t_kids.csv"}
+    with open(tmp_path / "out" / "t.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert rows[0]["name"] == "'=danger"  # formula-injection sanitized
+
+
+def test_save_parquet_roundtrip(tmp_path):
+    r = tm.flatten(DATA, name="t", config=tm.FlattenConfig(id_generation="hash"))
+    files = r.save(tmp_path / "out", "parquet")
+    t = pq.read_table([f for f in files if f.name == "t.parquet"][0])
+    assert t.num_rows == 2
+    assert "meta_v" in t.column_names
+
+
+def test_flatten_stream_parts(tmp_path):
+    records = [{"i": i, "kids": [{"j": i * 10}]} for i in range(25)]
+    files = tm.flatten_stream(
+        records, tmp_path / "out", name="r", output_format="parquet",
+        config=tm.FlattenConfig(id_generation="hash"), batch_size=10,
+    )
+    mains = [f for f in files if f.parent.name == "r"]
+    kids = [f for f in files if f.parent.name == "r_kids"]
+    assert len(mains) == 3  # 10 + 10 + 5
+    total = sum(pq.read_table(f).num_rows for f in mains)
+    assert total == 25
+    assert sum(pq.read_table(f).num_rows for f in kids) == 25
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_byte_histogram_deterministic():
+    blobs = [b"hello world", b"", None, bytes(range(256))]
+    a = byte_histogram_features(blobs)
+    b = byte_histogram_features(blobs)
+    assert np.array_equal(a, b)
+    assert a.shape == (4, 17)
+    assert np.allclose(a[3, :16], 16 / 256)  # uniform bytes → uniform hist
+
+
+def test_image_decode_stub_strict_raises():
+    stage = ImageDecodeStage(strict=True)
+    if stage._pil is None:
+        with pytest.raises(NotImplementedError):
+            stage(synth_media_table(4))
+
+
+def test_media_features_pipeline(ray_session):
+    import ray.data as rd
+
+    media = synth_media_table(32)
+    out = media_features(rd.from_pandas(media), concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert "payload" not in out.columns  # bytes never leave the stage
+    assert out["decoder"].iloc[0] == "byte-histogram-stub"
+    assert all(len(f) == 17 for f in out["features"])
+    # deterministic across runs
+    out2 = media_features(rd.from_pandas(media), concurrency=2, batch_size=8).to_pandas()
+    assert [list(x) for x in out.sort_values("id")["features"]] == [
+        list(x) for x in out2.sort_values("id")["features"]
+    ]
+
+
+def test_frame_sample_plan():
+    df = synth_media_table(9)
+    out = FrameSampleStage(every_n_seconds=1.0, max_frames=4)(df)
+    assert set(out.columns) == {"id", "frame_index", "frame_ts_s"}
+    # id=6 has duration 6s → 4 frames (capped)
+    assert (out[out["id"] == 6]["frame_index"].to_numpy() == [0, 25, 50, 75]).all()
