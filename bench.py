@@ -90,31 +90,75 @@ def run_bench() -> dict:
     return out
 
 
+def run_flagship_only() -> dict:
+    """Flagship pages pipeline on the SCALING fixture (bigger than the
+    per-round suite fixture so 32 CPUs have real work — the north-rule
+    metric is pages/sec of this pipeline, not the tiny-query suite)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from transmog_ray.runtime import configure_context
+
+    configure_context()
+    import ray.data as rd
+
+    from transmog_ray.pipelines.features import page_features_pushdown
+    from transmog_ray.sources.pages import write_pages
+
+    shards = int(os.environ.get("GRAFT_SCALING_SHARDS", "32"))
+    urls = int(os.environ.get("GRAFT_SCALING_URLS", "1500"))
+    pages_dir = write_pages("/tmp/transmog_ray_pages/scaling",
+                            n_shards=shards, n_urls_per_shard=urls)
+
+    def run_once() -> tuple[int, float]:
+        ds = rd.read_parquet(
+            pages_dir, columns=["url", "warc_ts", "text", "lang", "meta"],
+            # measured sweet spot on this box: ~32 blocks/buckets keeps the
+            # sort-coordination cost low while saturating all cores
+            override_num_blocks=max(32, NUM_CPUS),
+        )
+        t0 = time.time()
+        n = page_features_pushdown(ds, num_buckets=max(32, NUM_CPUS)).count()
+        return n, time.time() - t0
+
+    run_once()  # warm page cache + workers, untimed
+    n, dt1 = run_once()
+    _, dt2 = run_once()
+    dt = min(dt1, dt2)  # best-of-2: object-store/OS noise is one-sided
+    ray.shutdown()
+    return {"rows": n, "sec": round(dt, 3),
+            "pages_per_sec": round(n / dt, 1), "num_cpus": NUM_CPUS}
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--flagship"],
             env=env, capture_output=True, text=True, check=True,
         )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     lo, hi = 8, 32
     r_lo, r_hi = one(lo), one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
     return {
-        "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "pages_per_sec_8": r_lo.get("pages_per_sec"),
-        "pages_per_sec_32": r_hi.get("pages_per_sec"),
+        "metric": "flagship pages/sec scaling (num_cpus 8 -> 32, same input)",
+        "rows": r_lo["rows"],
+        "sec_8": r_lo["sec"],
+        "sec_32": r_hi["sec"],
+        "pages_per_sec_8": r_lo["pages_per_sec"],
+        "pages_per_sec_32": r_hi["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "sf": SF_DIR,
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--flagship" in sys.argv:
+        print(json.dumps(run_flagship_only()))
     else:
         print(json.dumps(run_bench()))

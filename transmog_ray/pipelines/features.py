@@ -45,6 +45,22 @@ PAGE_SPEC = FlattenSpec(
 
 LINKS_TABLE = "pages_meta_links"
 
+#: flagship spec: link aggregates pushed down into the flatten pass — a
+#: record's child rows are task-local, so per-snapshot aggregates are
+#: exact there, and the (3-5x larger) child rows never enter the shuffle
+PAGE_SPEC_PUSHDOWN = FlattenSpec(
+    entity="pages",
+    config=FlattenConfig(id_generation=("url", "warc_ts")),
+    json_col="meta",
+    record_cols=("url", "warc_ts"),
+    passthrough=("url", "warc_ts", "text", "lang"),
+    child_aggs=(
+        (LINKS_TABLE, "n_links", "href", "count"),
+        (LINKS_TABLE, "mean_link_depth", "depth", "mean"),
+    ),
+    extract_time="2026-01-01 00:00:00.000000",
+)
+
 
 def page_feature_fn(session_gap_s: float, rolling_window_s: float):
     """The fused per-partition kernel: tagged rows of one url-bucket →
@@ -139,6 +155,69 @@ def page_features(
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
+def page_feature_fn_pushdown(session_gap_s: float, rolling_window_s: float):
+    """Fused kernel for the PUSHDOWN path: input rows are main rows that
+    already carry per-snapshot link aggregates (child_aggs). Feature rows
+    exist only for snapshots that observed links (n_links > 0), matching
+    the tagged path where linkless snapshots emit no feature row — so the
+    as-of join genuinely reaches back to the previous crawl for them."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        main = (
+            df.sort_values(["url", "warc_ts", "text"], kind="mergesort")
+            .drop_duplicates(subset=["url", "warc_ts"], keep="first")
+            .dropna(subset=["url", "warc_ts"])
+        )
+        feats = main.loc[
+            main["n_links"] > 0, ["url", "warc_ts", "n_links", "mean_link_depth"]
+        ].rename(columns={"warc_ts": "feature_ts"})
+        left = main.drop(columns=["n_links", "mean_link_depth"]).sort_values(
+            "warc_ts", kind="mergesort"
+        )
+        right = feats.sort_values("feature_ts", kind="mergesort")
+        out = pd.merge_asof(
+            left, right, left_on="warc_ts", right_on="feature_ts", by="url",
+            direction="backward", allow_exact_matches=True,
+        )
+        out = out.sort_values(["url", "warc_ts", "_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        out = with_lag(out, "url", ["n_links"])
+        out = with_lead(out, "url", ["n_links"])
+        out = sessionize(out, "url", "warc_ts", gap_seconds=session_gap_s)
+        out = backfill(out, "url", ["mean_link_depth"])
+        out = rolling_agg(
+            out, "url", "warc_ts", "n_links", rolling_window_s, aggs=("count", "mean")
+        )
+        return out
+
+    return fn
+
+
+def page_features_pushdown(
+    pages_ds,
+    session_gap_s: float = 7 * 86400,
+    rolling_window_s: float = 30 * 86400,
+    num_buckets: int = 64,
+    flatten_concurrency: int | None = None,
+):
+    """THE flagship at scale: child aggregates computed inside the flatten
+    task (exact — a record's child rows never span tasks), so only main
+    rows enter the one url shuffle (3-5x less exchange volume than the
+    tagged path)."""
+    flat, _plan = flatten_dataset(
+        pages_ds, PAGE_SPEC_PUSHDOWN, emit="main",
+        concurrency=flatten_concurrency,
+    )
+    fn = page_feature_fn_pushdown(session_gap_s, rolling_window_s)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=[BUCKET_COL]))
+
+    bucketed = add_bucket(flat, ["url"], num_buckets)
+    return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+
+
 def checkpointed_page_features(
     pages_ds,
     out_dir: str,
@@ -163,9 +242,12 @@ def checkpointed_page_features(
 
 __all__ = [
     "page_features",
+    "page_features_pushdown",
     "page_feature_fn",
+    "page_feature_fn_pushdown",
     "tagged_pages",
     "checkpointed_page_features",
     "PAGE_SPEC",
+    "PAGE_SPEC_PUSHDOWN",
     "LINKS_TABLE",
 ]

@@ -146,20 +146,41 @@ def write_pages(
 ) -> str:
     """Write the synthetic page table as one parquet file per shard.
 
-    Uses plain pyarrow (no Ray session needed) so tests and bench setup can
-    call it anywhere; shards are independent so this could equally run as
-    Ray tasks for very large fixtures.
+    Shards are pure in (shard, seed), so they are generated as parallel
+    Ray tasks when a session is live (large fixtures), else sequentially
+    with plain pyarrow. Existing shard files are kept (idempotent).
     """
     import os
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    for shard in range(n_shards):
+    missing = [
+        shard for shard in range(n_shards)
+        if not os.path.exists(os.path.join(out_dir, f"pages-{shard:05d}.parquet"))
+    ]
+    if not missing:
+        return out_dir
+
+    def write_one(shard: int) -> None:
         path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
-        if not os.path.exists(path):
-            pq.write_table(
-                generate_pages_shard(shard, n_urls_per_shard, seed), path
-            )
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(generate_pages_shard(shard, n_urls_per_shard, seed), tmp)
+        os.replace(tmp, path)
+
+    try:
+        import ray
+
+        live = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        live = False
+    if live and len(missing) > 1:
+        import ray
+
+        task = ray.remote(num_cpus=1)(write_one)
+        ray.get([task.remote(s) for s in missing])
+    else:
+        for shard in missing:
+            write_one(shard)
     return out_dir
 
 

@@ -79,6 +79,12 @@ class FlattenSpec:
     #: CHILD row — lets downstream ops key child tables by the natural key
     #: (e.g. url/warc_ts) without a join back through ``_parent_id``
     child_passthrough: tuple = ()
+    #: per-record child-table aggregates PUSHED DOWN into the flatten pass:
+    #: tuple of (child_table, alias, child_col, op) with op in
+    #: count/sum/mean/min/max. A record's child rows never leave the task,
+    #: so these are exact — and the child rows need not shuffle at all
+    #: when the pipeline only needs the aggregates (scale lever).
+    child_aggs: tuple = ()
     extract_time: str | None = None
 
 
@@ -156,6 +162,48 @@ def rows_to_table(rows: list[dict]) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
+def _agg_values(values: list, op: str):
+    vals = [v for v in values if v is not None and v == v]  # non-null, non-NaN
+    if op == "count":
+        return len(vals)
+    if not vals:
+        return None
+    if op == "sum":
+        return sum(vals)
+    if op == "mean":
+        return sum(vals) / len(vals)
+    if op == "min":
+        return min(vals)
+    if op == "max":
+        return max(vals)
+    raise ValueError(f"unsupported child_agg op {op!r}")
+
+
+def flatten_records(flattener: Flattener, records: list[dict], spec: FlattenSpec):
+    """Shared record loop for plan discovery and the runtime stage:
+    flatten each record, track child-row source indices, and append any
+    pushed-down child aggregates to the main row."""
+    rows: list[dict] = []
+    keep_idx: list[int] = []
+    children: dict[str, list[dict]] = {}
+    child_src: dict[str, list[int]] = {}
+    extract_time = spec.extract_time
+    flatten_record = flattener.flatten_record
+    for i, rec in enumerate(records):
+        row, kids = flatten_record(rec, extract_time) if rec else (None, {})
+        if row is not None:
+            for table, alias, col, op in spec.child_aggs:
+                row[alias] = _agg_values(
+                    [r.get(col) for r in kids.get(table, ())], op
+                )
+            rows.append(row)
+            keep_idx.append(i)
+        for tname, trows in kids.items():
+            children.setdefault(tname, []).extend(trows)
+            child_src.setdefault(tname, []).extend([i] * len(trows))
+    return rows, keep_idx, children, child_src
+
+
 def compile_plan(sample: pa.Table, spec: FlattenSpec) -> FlattenPlan:
     """Discover frozen table schemas by flattening a driver-side sample.
 
@@ -165,7 +213,7 @@ def compile_plan(sample: pa.Table, spec: FlattenSpec) -> FlattenPlan:
     """
     flattener = Flattener(spec.config, spec.entity)
     records = build_records(sample, spec)
-    rows, children = flattener.flatten_batch(records, spec.extract_time)
+    rows, _keep, children, _src = flatten_records(flattener, records, spec)
 
     main_tbl = rows_to_table(rows)
     drop = [c for c in main_tbl.column_names if c in spec.passthrough]
@@ -239,21 +287,9 @@ class FlattenStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         records = build_records(batch, self.spec)
-        extract_time = self.spec.extract_time
-        rows: list[dict] = []
-        keep_idx: list[int] = []
-        children: dict[str, list[dict]] = {}
-        child_src: dict[str, list[int]] = {}
-        flatten_record = self.flattener.flatten_record
-        for i, rec in enumerate(records):
-            row, kids = flatten_record(rec, extract_time) if rec else (None, {})
-            if row is not None:
-                rows.append(row)
-                keep_idx.append(i)
-            for tname, trows in kids.items():
-                children.setdefault(tname, []).extend(trows)
-                child_src.setdefault(tname, []).extend([i] * len(trows))
-
+        rows, keep_idx, children, child_src = flatten_records(
+            self.flattener, records, self.spec
+        )
         if self.emit == "main":
             return self._main_table(batch, rows, keep_idx)
         if self.emit == "tagged":
@@ -269,8 +305,6 @@ class FlattenStage:
 
     def _main_table(self, batch: pa.Table, rows, keep_idx) -> pa.Table:
         flat = _conform(rows, self.plan.main_flat_schema)
-        if not self.spec.passthrough:
-            return flat
         idx = pa.array(np.asarray(keep_idx, dtype=np.int64))
         out = flat
         for pos, name in enumerate(self.spec.passthrough):
@@ -278,6 +312,7 @@ class FlattenStage:
                 pos, batch.schema.field(name), batch[name].take(idx)
             )
         return out
+
 
     def _tagged_table(self, batch, rows, keep_idx, children, child_src) -> pa.Table:
         main = self._main_table(batch, rows, keep_idx)
@@ -303,6 +338,9 @@ def flatten_dataset(ds, spec: FlattenSpec, plan: FlattenPlan | None = None,
     plan = plan or plan_from_dataset(ds, spec)
     map_kwargs.setdefault("batch_format", "pyarrow")
     map_kwargs.setdefault("zero_copy_batch", True)
+    # whole-block batches: per-batch conform/concat overhead amortizes far
+    # better than the 1024-row default (block size already bounds memory)
+    map_kwargs.setdefault("batch_size", None)
     if map_kwargs.get("concurrency") is None:
         # Stateless tasks with the compiled stage baked into the closure:
         # elastic scheduling, no CPU reservation that could starve the read

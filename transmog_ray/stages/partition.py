@@ -42,14 +42,23 @@ def key_hash(frame: pd.DataFrame, keys: Sequence[str]) -> np.ndarray:
 
 
 def add_bucket(ds, keys: Sequence[str], num_buckets: int):
-    """Append the hash-bucket column (vectorized, stateless map)."""
+    """Append the hash-bucket column (vectorized, stateless map).
+
+    Arrow-native: only the key columns are converted to pandas for the
+    siphash — the (potentially wide) payload columns stay zero-copy Arrow.
+    """
+    import pyarrow as pa
+
     keys = list(keys)
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df[BUCKET_COL] = (key_hash(df, keys) % np.uint64(num_buckets)).astype(np.int64)
-        return df
+    def bucketize(t: pa.Table) -> pa.Table:
+        key_frame = t.select(keys).to_pandas()
+        buckets = (key_hash(key_frame, keys) % np.uint64(num_buckets)).astype(
+            np.int64
+        )
+        return t.append_column(BUCKET_COL, pa.array(buckets, pa.int64()))
 
-    return ds.map_batches(bucketize, batch_format="pandas")
+    return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
 def apply_sorted(
