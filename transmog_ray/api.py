@@ -90,9 +90,45 @@ def _write_table(rows: list[dict], path: Path, fmt: str) -> Path:
     elif fmt == "json":
         with open(path, "w") as f:
             json.dump(rows, f, ensure_ascii=False, default=str)
+    elif fmt == "orc":
+        from pyarrow import orc
+
+        orc.write_table(rows_to_table(rows), str(path))
+    elif fmt == "avro":
+        try:
+            import fastavro  # noqa: F401
+        except ImportError as exc:  # optional dependency, not in this env
+            raise ImportError(
+                "avro output requires the optional 'fastavro' package"
+            ) from exc
+        _write_avro(rows, path)  # pragma: no cover
     else:
         raise ValueError(f"unsupported output format: {fmt!r}")
     return path
+
+
+def _write_avro(rows: list[dict], path: Path) -> None:  # pragma: no cover
+    """Avro with a union-typed inferred schema (the reference's Avro
+    writer shape, avro.py:64-140) — only reachable when fastavro exists."""
+    import fastavro
+
+    type_map = {bool: "boolean", int: "long", float: "double", str: "string"}
+    fields = {}
+    for r in rows:
+        for k, v in r.items():
+            fields.setdefault(k, set())
+            if v is not None:
+                fields[k].add(type_map.get(type(v), "string"))
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": k, "type": ["null", *sorted(ts or {"string"})]}
+            for k, ts in fields.items()
+        ],
+    }
+    with open(path, "wb") as f:
+        fastavro.writer(f, fastavro.parse_schema(schema), rows)
 
 
 # ---------------------------------------------------------------- inputs

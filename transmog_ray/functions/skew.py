@@ -1,0 +1,109 @@
+"""Explicit skew handling for hot keys.
+
+Two mechanisms (north_rule: "partitioning / shuffle / skew handled
+explicitly"):
+
+* **Aggregation paths** — :func:`salted_grouped_agg` splits each row's
+  key into ``num_salts`` sub-keys before the exchange and merges the
+  partials after, so a single hot key (one domain owning 30% of rows)
+  spreads over ``num_salts`` reducers instead of melting one. The plain
+  :func:`~transmog_ray.functions.relational.grouped_agg` already gets
+  natural batch-level salting from partial pre-aggregation; explicit
+  salting is for when per-batch partials are still too hot (few giant
+  keys, many batches).
+* **Order-sensitive paths** (as-of, lag, sessionize) CANNOT be salted —
+  splitting a key breaks window semantics (SURVEY.md §7.4). There the
+  lever is bucket count: a bucket holds whole key groups, so the widest
+  single key bounds task memory, and :func:`detect_hot_keys` tells you
+  which keys those are (cap them upstream or handle out-of-band).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+
+
+def detect_hot_keys(
+    ds, key: str, sample_fraction: float = 0.05, hot_share: float = 0.01,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """Estimate hot keys from a sample: keys whose sampled row share
+    exceeds ``hot_share``. One cheap pass (sampled count groupby)."""
+    sampled = ds.random_sample(sample_fraction, seed=seed)
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key, sort=False).size().rename("n").reset_index()
+
+    partials = sampled.map_batches(count, batch_format="pandas").to_pandas()
+    totals = partials.groupby(key, sort=False)["n"].sum().reset_index()
+    total = totals["n"].sum()
+    if total == 0:
+        return totals.assign(share=0.0).iloc[0:0]
+    totals["share"] = totals["n"] / total
+    return totals[totals["share"] >= hot_share].sort_values(
+        "share", ascending=False
+    ).reset_index(drop=True)
+
+
+def salted_grouped_agg(
+    ds,
+    keys: Sequence[str],
+    specs: Mapping[str, tuple[str, str]],
+    num_salts: int = 8,
+    num_buckets: int = 64,
+    seed: int = 17,
+):
+    """Two-stage salted aggregation: stage 1 groups by (keys + salt) —
+    spreading each key over ``num_salts`` reducers — stage 2 merges the
+    per-salt partials. Same result as unsalted grouped_agg for every
+    supported op (sum/count/min/max/mean decompose exactly)."""
+    from .relational import _PARTIALS, grouped_agg
+    from ..stages.partition import BUCKET_COL, add_bucket
+
+    keys = list(keys)
+    salt_col = "_salt"
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([seed, len(df), int(df.index[0]) if len(df) else 0])
+        )
+        df[salt_col] = rng.integers(0, num_salts, len(df))
+        return df
+
+    # stage 1: aggregate per (keys, salt) — partial columns per op
+    partial_specs: dict[str, tuple[str, str]] = {}
+    for alias, (col, op) in specs.items():
+        for p in _PARTIALS[op]:
+            partial_specs[f"__{p}_{alias}"] = (col, p)
+    salted = ds.map_batches(add_salt, batch_format="pandas")
+    stage1 = grouped_agg(salted, [*keys, salt_col], partial_specs,
+                         num_buckets=num_buckets)
+
+    # stage 2: merge salt partials per key
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        merged: dict[str, pd.Series] = {}
+        for alias, (col, op) in specs.items():
+            if op == "mean":
+                s = g[f"__sum_{alias}"].sum() / g[f"__count_{alias}"].sum()
+            elif op in ("sum", "count"):
+                s = g[f"__{op}_{alias}"].sum()
+                if op == "count":
+                    s = s.astype("int64")
+            else:
+                s = getattr(g[f"__{op}_{alias}"], op)()
+            merged[alias] = s
+        return pd.DataFrame(merged).reset_index()
+
+    bucketed = add_bucket(stage1, keys, num_buckets)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return merge(df.drop(columns=[BUCKET_COL]))
+
+    return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+
+
+__all__ = ["detect_hot_keys", "salted_grouped_agg"]

@@ -205,6 +205,77 @@ FROM events GROUP BY event_type
 """
 
 
+def q_salted_revenue(sf_dir: str):
+    """Hot-key aggregation via explicit salting (l_returnflag has only 3
+    values — the degenerate-skew case); result equals the unsalted path."""
+    from ..functions.skew import salted_grouped_agg
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    agg = salted_grouped_agg(
+        li, ["l_returnflag"],
+        {
+            "sum_price": ("l_extendedprice", "sum"),
+            "n": ("l_quantity", "count"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        num_salts=8,
+    )
+    return agg.map_batches(
+        lambda df: df.assign(sum_price=round_half_away(df["sum_price"], 2)),
+        batch_format="pandas",
+    )
+
+
+SQL_SALTED_REVENUE = """
+SELECT l_returnflag, ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(l_quantity) AS n, MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_distinct_langs(sf_dir: str):
+    """Distinct values (set op) — Ray ``unique`` over a projected read."""
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"])
+    vals = sorted(docs.unique("source"))
+    return pd.DataFrame({"source": pd.Series(vals, dtype="object")})
+
+
+SQL_DISTINCT_LANGS = """
+SELECT DISTINCT source FROM documents
+"""
+
+
+def q_orders_by_month(sf_dir: str):
+    """Date-function scalar work (month truncation) + aggregation."""
+    from ..functions.relational import grouped_agg
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice", "o_orderkey"])
+    orders = orders.map_batches(
+        lambda df: df.assign(
+            month=df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        ),
+        batch_format="pandas",
+    )
+    agg = grouped_agg(
+        orders, ["month"],
+        {"n_orders": ("o_orderkey", "count"), "revenue": ("o_totalprice", "sum")},
+    )
+    return agg.map_batches(
+        lambda df: df.assign(revenue=round_half_away(df["revenue"], 2)),
+        batch_format="pandas",
+    )
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       COUNT(o_orderkey) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
 # ============================================================== flattening
 
 
@@ -629,6 +700,9 @@ QUERIES = {
     "top_customers": q_top_customers,
     "filter_high_value": q_filter_high_value,
     "events_by_type": q_events_by_type,
+    "salted_revenue": q_salted_revenue,
+    "distinct_sources": q_distinct_langs,
+    "orders_by_month": q_orders_by_month,
     "flatten_events": q_flatten_events,
     "lag_lead_events": q_lag_lead_events,
     "sessionize_events": q_sessionize_events,
@@ -656,6 +730,9 @@ ORACLE_SQL = {
     "top_customers": SQL_TOP_CUSTOMERS,
     "filter_high_value": SQL_FILTER_HIGH_VALUE,
     "events_by_type": SQL_EVENTS_BY_TYPE,
+    "salted_revenue": SQL_SALTED_REVENUE,
+    "distinct_sources": SQL_DISTINCT_LANGS,
+    "orders_by_month": SQL_ORDERS_BY_MONTH,
     "flatten_events": SQL_FLATTEN_EVENTS,
     "lag_lead_events": SQL_LAG_LEAD,
     "sessionize_events": SQL_SESSIONIZE,

@@ -79,6 +79,9 @@ class FlattenSpec:
     #: CHILD row — lets downstream ops key child tables by the natural key
     #: (e.g. url/warc_ts) without a join back through ``_parent_id``
     child_passthrough: tuple = ()
+    #: column holding the FULL record as a JSON string — each row's parsed
+    #: object IS the record (no key prefix), for flattening raw JSONL lines
+    record_json_col: str | None = None
     #: per-record child-table aggregates PUSHED DOWN into the flatten pass:
     #: tuple of (child_table, alias, child_col, op) with op in
     #: count/sum/mean/min/max. A record's child rows never leave the task,
@@ -117,6 +120,11 @@ def _canonize_column(col: pa.ChunkedArray | pa.Array) -> list:
 
 
 def build_records(batch: pa.Table, spec: FlattenSpec) -> list[dict]:
+    if spec.record_json_col is not None:
+        return [
+            {} if (s is None or s == "") else _loads(s)
+            for s in batch[spec.record_json_col].to_pylist()
+        ]
     cols = {c: _canonize_column(batch[c]) for c in spec.record_cols}
     parsed = None
     if spec.json_col is not None:
@@ -229,8 +237,11 @@ def plan_from_dataset(ds, spec: FlattenSpec, sample_rows: int = 5000) -> Flatten
     """Compile the plan from the head of a Dataset (small, driver-side)."""
     import ray.data  # noqa: F401  (ds is a ray.data.Dataset)
 
-    cols = list(dict.fromkeys([*spec.record_cols, *(
-        [spec.json_col] if spec.json_col else [])]))
+    cols = list(dict.fromkeys([
+        *spec.record_cols,
+        *([spec.json_col] if spec.json_col else []),
+        *([spec.record_json_col] if spec.record_json_col else []),
+    ]))
     sample = ds.limit(sample_rows).select_columns(cols).to_arrow_refs()
     import ray
 
@@ -328,6 +339,41 @@ class FlattenStage:
 # ------------------------------------------------------------ dataset api
 
 
+def flatten_json_file(
+    path,
+    out_dir: str,
+    entity: str = "record",
+    config: FlattenConfig | None = None,
+    extract_time: str | None = None,
+    **map_kwargs,
+) -> dict:
+    """Ray-native streaming flatten of JSONL file(s) → one parquet
+    directory per table (the reference's ``flatten_stream`` at scale:
+    read_text → FlattenStage → write_parquet; constant memory, parallel).
+
+    Returns {table: output_dir}."""
+    import os
+
+    import ray.data as rd
+
+    spec = FlattenSpec(
+        entity=entity,
+        config=config or FlattenConfig(),
+        record_json_col="text",
+        extract_time=extract_time,
+    )
+    ds = rd.read_text(path)
+    plan = plan_from_dataset(ds, spec)
+    out: dict[str, str] = {}
+    for table in [spec.entity or "main", *plan.child_names]:
+        emit = "main" if table == (spec.entity or "main") else table
+        flat, _ = flatten_dataset(ds, spec, plan=plan, emit=emit, **map_kwargs)
+        dest = os.path.join(out_dir, table)
+        flat.write_parquet(dest)
+        out[table] = dest
+    return out
+
+
 def flatten_dataset(ds, spec: FlattenSpec, plan: FlattenPlan | None = None,
                     emit: str = "main", **map_kwargs):
     """``map_batches`` wrapper: flatten a Dataset into one logical table.
@@ -378,6 +424,7 @@ def split_tagged(tagged_ds, plan: FlattenPlan):
 
 __all__ = [
     "FlattenSpec",
+    "flatten_json_file",
     "FlattenPlan",
     "FlattenStage",
     "compile_plan",
