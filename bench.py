@@ -107,7 +107,7 @@ def run_flagship_only() -> dict:
     from transmog_ray.pipelines.features import page_features_pushdown
     from transmog_ray.sources.pages import write_pages
 
-    shards = int(os.environ.get("GRAFT_SCALING_SHARDS", "32"))
+    shards = int(os.environ.get("GRAFT_SCALING_SHARDS", "192"))
     urls = int(os.environ.get("GRAFT_SCALING_URLS", "1500"))
     pages_dir = write_pages("/tmp/transmog_ray_pages/scaling",
                             n_shards=shards, n_urls_per_shard=urls)
@@ -115,12 +115,13 @@ def run_flagship_only() -> dict:
     def run_once() -> tuple[int, float]:
         ds = rd.read_parquet(
             pages_dir, columns=["url", "warc_ts", "text", "lang", "meta"],
-            # measured sweet spot on this box: ~32 blocks/buckets keeps the
-            # sort-coordination cost low while saturating all cores
-            override_num_blocks=max(32, NUM_CPUS),
+            # measured sweet spot on this box: ~2 blocks per cpu for the
+            # flatten stage, ~32 shuffle buckets (more buckets inflate
+            # sort-coordination; fewer leave hot-domain stragglers)
+            override_num_blocks=max(32, 2 * NUM_CPUS),
         )
         t0 = time.time()
-        n = page_features_pushdown(ds, num_buckets=max(32, NUM_CPUS)).count()
+        n = page_features_pushdown(ds, num_buckets=32).count()
         return n, time.time() - t0
 
     run_once()  # warm page cache + workers, untimed

@@ -90,9 +90,19 @@ class Flattener:
     the wall clock inside the kernel.
     """
 
-    def __init__(self, config: FlattenConfig | None = None, entity: str = "record"):
+    def __init__(
+        self,
+        config: FlattenConfig | None = None,
+        entity: str = "record",
+        child_metadata: bool = True,
+    ):
         self.cfg = config or FlattenConfig()
         self.entity = sanitize_name(entity) if entity else ""
+        #: set False when child rows are consumed only by per-record
+        #: aggregation (never emitted) — skips per-child-row id hashing,
+        #: which otherwise dominates kernel CPU (~40%).
+        self.child_metadata = child_metadata
+        self._table_names: dict[tuple, str] = {}
 
     # ------------------------------------------------------------------ api
 
@@ -219,7 +229,10 @@ class Flattener:
         cfg = self.cfg
         staged: ChildTables = {}
         simple = True
-        tname = child_table_name(self.entity, sanitize_name(key), "_".join(path))
+        tname = self._table_names.get((key, path))
+        if tname is None:
+            tname = child_table_name(self.entity, sanitize_name(key), "_".join(path))
+            self._table_names[(key, path)] = tname
 
         for item in array:
             if is_null_like(item) and not cfg.include_nulls:
@@ -235,11 +248,13 @@ class Flattener:
             else:
                 row = {"value": item}
 
-            if cfg.id_generation == "natural" and cfg.id_field not in row:
-                # the reference's non-deterministic fallback (flattening.py:254-258);
-                # avoided by using hash/composite strategies in pipelines.
-                row[cfg.id_field] = str(uuid.uuid4())
-            self._annotate(row, parent_id=root_id, extract_time=extract_time)
+            if self.child_metadata:
+                if cfg.id_generation == "natural" and cfg.id_field not in row:
+                    # the reference's non-deterministic fallback
+                    # (flattening.py:254-258); avoided by using
+                    # hash/composite strategies in pipelines.
+                    row[cfg.id_field] = str(uuid.uuid4())
+                self._annotate(row, parent_id=root_id, extract_time=extract_time)
             staged.setdefault(tname, []).append(row)
             for sub_name, sub_rows in nested.items():
                 staged.setdefault(sub_name, []).extend(sub_rows)

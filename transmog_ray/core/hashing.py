@@ -35,9 +35,25 @@ def canonical_repr(value: Any) -> str:
     return str(value)
 
 
+_NAMESPACE_BYTES = NAMESPACE.bytes
+
+
+def _uuid5_hex(name: str) -> str:
+    """Exactly ``str(uuid.uuid5(NAMESPACE, name))`` without constructing a
+    UUID object — the hashing hot path runs once per row AND per child row,
+    so the ~2x speedup matters (equality pinned by tests)."""
+    import hashlib
+
+    d = bytearray(hashlib.sha1(_NAMESPACE_BYTES + name.encode("utf-8")).digest()[:16])
+    d[6] = (d[6] & 0x0F) | 0x50
+    d[8] = (d[8] & 0x3F) | 0x80
+    x = d.hex()
+    return f"{x[:8]}-{x[8:12]}-{x[12:16]}-{x[16:20]}-{x[20:]}"
+
+
 def hash_value(value: Any) -> str:
     """uuid5 of the normalized canonical form of *value*."""
-    return str(uuid.uuid5(NAMESPACE, canonical_repr(value).strip().lower()))
+    return _uuid5_hex(canonical_repr(value).strip().lower())
 
 
 def hash_fields(record: Mapping[str, Any], fields: Iterable[str]) -> str:

@@ -287,7 +287,12 @@ class FlattenStage:
         self.plan = plan
         self.spec = plan.spec
         self.emit = emit
-        self.flattener = Flattener(self.spec.config, self.spec.entity)
+        # main-only emission discards child rows (or aggregates them per
+        # record), so their per-row metadata/ids are never observable —
+        # skip the hashing
+        self.flattener = Flattener(
+            self.spec.config, self.spec.entity, child_metadata=(emit != "main")
+        )
         if emit not in ("main", "tagged") and emit not in plan.child_schemas:
             raise ValueError(
                 f"emit={emit!r} is not 'main', 'tagged' or a known child table "
