@@ -1,0 +1,83 @@
+"""Skew handling (salted == unsalted on hot-key data), hot-key detection,
+and the Ray-native JSONL flatten path."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from transmog_ray.core.config import FlattenConfig
+from transmog_ray.functions.relational import grouped_agg
+from transmog_ray.functions.skew import detect_hot_keys, salted_grouped_agg
+from transmog_ray.stages.flatten import flatten_json_file
+
+
+@pytest.fixture()
+def skewed_df():
+    rng = np.random.default_rng(21)
+    n = 20_000
+    # one key owns ~50% of rows
+    keys = np.where(rng.random(n) < 0.5, "hot", rng.choice([f"k{i}" for i in range(50)], n))
+    return pd.DataFrame({"k": keys, "v": rng.normal(size=n), "w": rng.integers(0, 100, n)})
+
+
+def canon(df):
+    return df.sort_values("k").reset_index(drop=True)
+
+
+def test_salted_equals_unsalted(ray_session, skewed_df):
+    import ray.data as rd
+
+    specs = {
+        "sum_v": ("v", "sum"),
+        "n": ("v", "count"),
+        "min_w": ("w", "min"),
+        "max_w": ("w", "max"),
+        "mean_v": ("v", "mean"),
+    }
+    plain = canon(grouped_agg(rd.from_pandas(skewed_df), ["k"], specs).to_pandas())
+    salted = canon(
+        salted_grouped_agg(rd.from_pandas(skewed_df), ["k"], specs,
+                           num_salts=8).to_pandas()
+    )
+    assert plain["n"].sum() == len(skewed_df)
+    pd.testing.assert_series_equal(plain["n"], salted["n"])
+    assert np.allclose(plain["sum_v"], salted["sum_v"])
+    assert np.allclose(plain["mean_v"], salted["mean_v"])
+    assert (plain["min_w"] == salted["min_w"]).all()
+    assert (plain["max_w"] == salted["max_w"]).all()
+
+
+def test_detect_hot_keys(ray_session, skewed_df):
+    import ray.data as rd
+
+    hot = detect_hot_keys(rd.from_pandas(skewed_df), "k",
+                          sample_fraction=0.3, hot_share=0.1)
+    assert list(hot["k"])[:1] == ["hot"]
+    assert hot.iloc[0]["share"] > 0.3
+
+
+def test_flatten_json_file(ray_session, tmp_path):
+    import ray.data as rd
+
+    path = tmp_path / "in.jsonl"
+    with open(path, "w") as f:
+        for i in range(200):
+            f.write(json.dumps(
+                {"id": i, "meta": {"v": i % 5}, "kids": [{"k": j} for j in range(i % 4)]}
+            ) + "\n")
+    out = flatten_json_file(
+        str(path), str(tmp_path / "out"), entity="rec",
+        config=FlattenConfig(id_generation="hash"), extract_time="T",
+    )
+    assert set(out) == {"rec", "rec_kids"}
+    main = rd.read_parquet(out["rec"]).to_pandas()
+    kids = rd.read_parquet(out["rec_kids"]).to_pandas()
+    assert len(main) == 200
+    assert len(kids) == sum(i % 4 for i in range(200))
+    assert "meta_v" in main.columns
+    # parent linkage intact
+    assert set(kids["_parent_id"]) <= set(main["_id"])
