@@ -366,6 +366,79 @@ FROM numbered
 """
 
 
+def q_session_summary(sf_dir: str):
+    """Sessionize + per-session aggregate FUSED in one sorted-partition
+    pass (sessions are key-local, so no second shuffle)."""
+    from ..stages.partition import apply_sorted
+    from ..stages.window import sessionize
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = sessionize(df, "user_id", "ts", gap_seconds=SESSION_GAP_S)
+        g = df.groupby(["user_id", "session_id"], sort=False)
+        out = pd.DataFrame(
+            {
+                "n_events": g["event_id"].count().astype("int64"),
+                "duration_us": (
+                    (g["ts"].max().astype("datetime64[ns]").astype("int64")
+                     - g["ts"].min().astype("datetime64[ns]").astype("int64"))
+                    // 1000
+                ),
+                "sum_value": g["value"].sum(),
+            }
+        ).reset_index()
+        out["sum_value"] = round_half_away(out["sum_value"], 2)
+        return out
+
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+                        tiebreak=["event_id"])
+
+
+SQL_SESSION_SUMMARY = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT event_id, user_id, ts, value,
+         MAX(CASE WHEN is_new = 1 THEN ts END) OVER w2 AS session_start
+  FROM flagged
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id,
+       CAST(user_id AS VARCHAR) || '|' || CAST(epoch_us(session_start) AS VARCHAR)
+           AS session_id,
+       COUNT(event_id) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       ROUND(SUM(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def q_union_lang_counts(sf_dir: str):
+    """Set op: UNION ALL of two readings of documents, then aggregate."""
+    from ..functions.relational import grouped_agg
+
+    a = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    b = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return grouped_agg(a.union(b), ["lang"], {"n_docs": ("doc_id", "count")})
+
+
+SQL_UNION_LANG = """
+SELECT lang, COUNT(doc_id) AS n_docs
+FROM (SELECT doc_id, lang FROM documents
+      UNION ALL SELECT doc_id, lang FROM documents)
+GROUP BY lang
+"""
+
+
 def q_backfill_events(sf_dir: str):
     """Null out 'error' readings, forward-fill from the past per user."""
     from ..stages.partition import apply_sorted
@@ -706,6 +779,8 @@ QUERIES = {
     "flatten_events": q_flatten_events,
     "lag_lead_events": q_lag_lead_events,
     "sessionize_events": q_sessionize_events,
+    "session_summary": q_session_summary,
+    "union_lang_counts": q_union_lang_counts,
     "backfill_events": q_backfill_events,
     "rolling_events": q_rolling_events,
     "asof_purchase": q_asof_purchase,
@@ -736,6 +811,8 @@ ORACLE_SQL = {
     "flatten_events": SQL_FLATTEN_EVENTS,
     "lag_lead_events": SQL_LAG_LEAD,
     "sessionize_events": SQL_SESSIONIZE,
+    "session_summary": SQL_SESSION_SUMMARY,
+    "union_lang_counts": SQL_UNION_LANG,
     "backfill_events": SQL_BACKFILL,
     "rolling_events": SQL_ROLLING,
     "asof_purchase": SQL_ASOF_PURCHASE,
