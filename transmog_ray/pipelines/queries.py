@@ -255,6 +255,7 @@ def q_orders_by_month(sf_dir: str):
     orders = orders.map_batches(
         lambda df: df.assign(
             month=df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+            .astype("datetime64[us]")  # match DuckDB timestamp precision
         ),
         batch_format="pandas",
     )
@@ -294,7 +295,9 @@ def q_flatten_events(sf_dir: str):
     )
     flat, _plan = flatten_dataset(ev, spec, emit="main")
     return flat.map_batches(
-        lambda df: df[["event_id", "props_k"]].astype({"props_k": "Int64"}),
+        lambda df: df[["event_id", "props_k"]].astype(
+            {"props_k": "int64" if df["props_k"].notna().all() else "Int64"}
+        ),
         batch_format="pandas",
     )
 
