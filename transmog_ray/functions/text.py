@@ -10,9 +10,7 @@ language-ID heuristic, which has no reasonable SQL form (rows-only check).
 from __future__ import annotations
 
 import hashlib
-import math
 
-import numpy as np
 import pandas as pd
 
 STOPWORDS = ("the", "a", "and", "of", "to")
@@ -49,7 +47,6 @@ def quality_score(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     n_spaces = s.str.count(" ")
     df["n_words"] = n_words
     df["mean_word_len"] = (n_chars - n_spaces) / n_words
-    pattern = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
     # count only exact single-space tokens to mirror the SQL list_filter
     stop_counts = s.str.split(" ").map(
         lambda ws: sum(1 for w in ws if w in STOPWORDS)
