@@ -81,3 +81,20 @@ def test_flatten_json_file(ray_session, tmp_path):
     assert "meta_v" in main.columns
     # parent linkage intact
     assert set(kids["_parent_id"]) <= set(main["_id"])
+
+
+def test_semi_anti_join(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import semi_join
+
+    df = pd.DataFrame({"k": ["a", "b", "c", "a"], "v": [1, 2, 3, 4]})
+    keys = pd.DataFrame({"k": ["a", "z"]})
+    kept = semi_join(rd.from_pandas(df), keys, on="k").to_pandas()
+    assert sorted(kept["v"]) == [1, 4]
+    dropped = semi_join(rd.from_pandas(df), keys, on="k", anti=True).to_pandas()
+    assert sorted(dropped["v"]) == [2, 3]
+    # multi-column key
+    keys2 = pd.DataFrame({"k": ["a"], "v": [4]})
+    kept2 = semi_join(rd.from_pandas(df), keys2, on=["k", "v"]).to_pandas()
+    assert list(kept2["v"]) == [4]

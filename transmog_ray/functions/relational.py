@@ -165,6 +165,37 @@ def hash_join(
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
+def semi_join(ds, keys_df: pd.DataFrame, on: Sequence[str] | str,
+              anti: bool = False):
+    """Semi/anti join: keep rows whose key IS (or is NOT) in the broadcast
+    key set. The key set is shipped once via ``ray.put`` and probed per
+    batch with a vectorized pandas isin/merge — no shuffle; at very large
+    key-set sizes swap the set for a Bloom filter with the same call shape.
+    """
+    import ray
+
+    on = [on] if isinstance(on, str) else list(on)
+    key_set = keys_df[on].drop_duplicates()
+    ref = ray.put(
+        set(map(tuple, key_set.itertuples(index=False)))
+        if len(on) > 1
+        else set(key_set[on[0]])
+    )
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ref)
+        if len(on) == 1:
+            mask = df[on[0]].isin(keys)
+        else:
+            mask = pd.Series(
+                [t in keys for t in map(tuple, df[on].itertuples(index=False))],
+                index=df.index,
+            )
+        return df[~mask] if anti else df[mask]
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
 def topk(ds, by: Sequence[str] | str, k: int, descending: bool = True):
     """Global top-k: per-batch prune to k rows, then one tiny sort.
 

@@ -277,6 +277,45 @@ FROM orders GROUP BY 1
 """
 
 
+def q_semi_anti_purchasers(sf_dir: str):
+    """Semi + anti join via a broadcast key set: per user, events kept by
+    the semi side (users with a purchase) and the anti side — returned as
+    per-user counts so both paths are exercised in one result."""
+    from ..functions.relational import grouped_agg, semi_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    purchasers = (
+        ev.map_batches(
+            lambda df: df[df["event_type"] == "purchase"][["user_id"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .drop_duplicates()
+    )
+    kept = semi_join(ev, purchasers, on="user_id")
+    a = grouped_agg(kept, ["user_id"], {"n_semi": ("event_id", "count")}).to_pandas()
+    tot = grouped_agg(ev, ["user_id"], {"n_total": ("event_id", "count")}).to_pandas()
+    # anti = total - semi (the anti-side Dataset can be entirely empty,
+    # which Ray represents as schemaless blocks — aggregate the complement
+    # arithmetically instead)
+    out = tot.merge(a, on="user_id", how="left")
+    out["n_semi"] = out["n_semi"].fillna(0).astype("int64")
+    out["n_anti"] = (out["n_total"] - out["n_semi"]).astype("int64")
+    return out.drop(columns=["n_total"]).sort_values("user_id").reset_index(drop=True)
+
+
+SQL_SEMI_ANTI = """
+SELECT user_id,
+       SUM(CASE WHEN user_id IN (SELECT user_id FROM events
+                                 WHERE event_type = 'purchase')
+                THEN 1 ELSE 0 END)::BIGINT AS n_semi,
+       SUM(CASE WHEN user_id NOT IN (SELECT user_id FROM events
+                                     WHERE event_type = 'purchase')
+                THEN 1 ELSE 0 END)::BIGINT AS n_anti
+FROM events GROUP BY user_id
+"""
+
+
 # ============================================================== flattening
 
 
@@ -779,6 +818,7 @@ QUERIES = {
     "salted_revenue": q_salted_revenue,
     "distinct_sources": q_distinct_langs,
     "orders_by_month": q_orders_by_month,
+    "semi_anti_purchasers": q_semi_anti_purchasers,
     "flatten_events": q_flatten_events,
     "lag_lead_events": q_lag_lead_events,
     "sessionize_events": q_sessionize_events,
@@ -811,6 +851,7 @@ ORACLE_SQL = {
     "salted_revenue": SQL_SALTED_REVENUE,
     "distinct_sources": SQL_DISTINCT_LANGS,
     "orders_by_month": SQL_ORDERS_BY_MONTH,
+    "semi_anti_purchasers": SQL_SEMI_ANTI,
     "flatten_events": SQL_FLATTEN_EVENTS,
     "lag_lead_events": SQL_LAG_LEAD,
     "sessionize_events": SQL_SESSIONIZE,
