@@ -110,15 +110,30 @@ def asof_join(
     right_pad = right_ds.map_batches(pad_to(target, _SIDE, 1), batch_format="pyarrow")
     bucketed = add_bucket(left_pad.union(right_pad), [key], num_buckets)
 
+    # pandas upcasts int columns to float when the OTHER side's padding
+    # nulls share the column; left rows themselves are never null there,
+    # so the original integer dtypes are restored after the merge
+    left_int_cols = {
+        f.name: f.type.to_pandas_dtype()
+        for f in left_schema
+        if pa.types.is_integer(f.type)
+    }
+
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=[BUCKET_COL], errors="ignore")
         left = df[df[_SIDE] == 0].drop(columns=[_SIDE, right_ts, *right_cols])
         right = df[df[_SIDE] == 1]
         if left.empty:
-            return df.iloc[0:0].drop(columns=[_SIDE])
-        return _merge_asof(
-            left, right, key, left_ts, right_ts, right_cols, tolerance_seconds
-        )
+            out = df.iloc[0:0].drop(columns=[_SIDE])
+        else:
+            out = _merge_asof(
+                left, right, key, left_ts, right_ts, right_cols,
+                tolerance_seconds,
+            )
+        for col, dtype in left_int_cols.items():
+            if col in out.columns and out[col].notna().all():
+                out[col] = out[col].astype(dtype)
+        return out
 
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
