@@ -126,3 +126,17 @@ def test_conform_fills_missing_columns(spec):
     out = FlattenStage(plan, emit="main")(minimal)
     assert out.num_rows == 1
     assert out["meta_title"][0].as_py() is None
+
+
+def test_actor_pool_flatten(ray_session, pages_dir, spec):
+    """Explicit concurrency → true actor pool (compiled plan in actor
+    state); results identical to the stateless-task path."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(pages_dir)
+    stateless, plan = flatten_dataset(ds, spec, emit="main")
+    pooled, _ = flatten_dataset(ds, spec, plan=plan, emit="main", concurrency=2)
+    a = stateless.to_pandas().sort_values(["url", "warc_ts", "text"]).reset_index(drop=True)
+    b = pooled.to_pandas().sort_values(["url", "warc_ts", "text"]).reset_index(drop=True)
+    assert a["_id"].equals(b["_id"])
+    assert len(a) == len(b) == ds.count()
