@@ -277,6 +277,66 @@ FROM orders GROUP BY 1
 """
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-style: segment filter, 3-table join, revenue rollup,
+    top-10 — composition of broadcast join + grouped_agg + topk."""
+    from ..functions.relational import broadcast_join, grouped_agg, topk
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    building = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    cutoff = pd.Timestamp("1997-06-30")
+    dim = orders[orders["o_orderdate"] < cutoff].merge(
+        building, left_on="o_custkey", right_on="c_custkey"
+    )[["o_orderkey", "o_orderdate"]].rename(columns={"o_orderkey": "l_orderkey"})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li = li.map_batches(
+        lambda df: df[df["l_shipdate"] > cutoff].assign(
+            rev=df.loc[df["l_shipdate"] > cutoff, "l_extendedprice"]
+            * (1 - df.loc[df["l_shipdate"] > cutoff, "l_discount"])
+        ),
+        batch_format="pandas",
+    )
+    joined = broadcast_join(li, dim, on="l_orderkey", how="inner")
+    agg = grouped_agg(joined, ["l_orderkey", "o_orderdate"],
+                      {"revenue": ("rev", "sum")})
+    agg = agg.map_batches(
+        lambda df: df.assign(revenue=round_half_away(df["revenue"], 2)),
+        batch_format="pandas",
+    )
+    return topk(agg, by=["revenue", "l_orderkey"], k=10, descending=True)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-30'
+  AND l_shipdate  > TIMESTAMP '1997-06-30'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey DESC
+LIMIT 10
+"""
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: byte-histogram features over a deterministic
+    synthetic media table via the actor-pool decode stage (codec stubbed
+    — rows-only check)."""
+    from ..stages.multimodal import media_features, synth_media_table
+
+    media = _rd().from_pandas(synth_media_table(n=256))
+    out = media_features(media, concurrency=2, batch_size=32).to_pandas()
+    out["feat0"] = [float(f[0]) for f in out["features"]]
+    return out[["id", "media_type", "decoder", "feature_dim", "feat0"]]
+
+
 def q_semi_anti_purchasers(sf_dir: str):
     """Semi + anti join via a broadcast key set: per user, events kept by
     the semi side (users with a purchase) and the anti side — returned as
@@ -818,6 +878,8 @@ QUERIES = {
     "salted_revenue": q_salted_revenue,
     "distinct_sources": q_distinct_langs,
     "orders_by_month": q_orders_by_month,
+    "shipping_priority": q_shipping_priority,
+    "media_features": q_media_features,
     "semi_anti_purchasers": q_semi_anti_purchasers,
     "flatten_events": q_flatten_events,
     "lag_lead_events": q_lag_lead_events,
@@ -851,6 +913,7 @@ ORACLE_SQL = {
     "salted_revenue": SQL_SALTED_REVENUE,
     "distinct_sources": SQL_DISTINCT_LANGS,
     "orders_by_month": SQL_ORDERS_BY_MONTH,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "semi_anti_purchasers": SQL_SEMI_ANTI,
     "flatten_events": SQL_FLATTEN_EVENTS,
     "lag_lead_events": SQL_LAG_LEAD,
