@@ -50,6 +50,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
         return f"SCHEMA MISMATCH ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}"
     if len(ray_df) != len(sql_df):
         return f"ROWCOUNT MISMATCH ray={len(ray_df)} sql={len(sql_df)}"
+    for c in sorted(ray_df.columns):
+        a, b = str(ray_df[c].dtype), str(sql_df[c].dtype)
+        if a != b:
+            print(f"    dtype-warn {name}.{c}: ray={a} sql={b}")
     a, b = canon(ray_df), canon(sql_df)
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,

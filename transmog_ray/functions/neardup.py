@@ -121,10 +121,12 @@ def minhash_clusters(
     import ray
 
     hasher = MinHasher(n_perm, shingle_k)
+    # one signature pass, materialized: both the band explosion and the
+    # verification texts fan out from it (no re-read, no re-hash)
     with_sig = ds.map_batches(
         lambda df: hasher(df[[id_col, text_col]].rename(columns={text_col: "text"})),
         batch_format="pandas",
-    )
+    ).materialize()
     bands = with_sig.map_batches(
         lambda df: lsh_bands(df, n_bands, id_col), batch_format="pandas"
     )
@@ -159,12 +161,10 @@ def minhash_clusters(
         .drop_duplicates()
     )
 
-    # verify on the driver: candidate set is tiny by construction
-    texts = dict(
-        zip(*(lambda d: (d[id_col], d[text_col]))(
-            ds.select_columns([id_col, text_col]).to_pandas()
-        ))
-    )
+    # verify on the driver: candidate set is tiny by construction; texts
+    # come from the already-materialized signature pass
+    tdf = with_sig.select_columns([id_col, "text"]).to_pandas()
+    texts = dict(zip(tdf[id_col], tdf["text"]))
 
     def jaccard_shingles(a: str, b: str) -> float:
         sa = {a[i : i + shingle_k] for i in range(max(1, len(a) - shingle_k + 1))}
