@@ -120,3 +120,37 @@ def test_frame_sample_plan():
     assert set(out.columns) == {"id", "frame_index", "frame_ts_s"}
     # id=6 has duration 6s → 4 frames (capped)
     assert (out[out["id"] == 6]["frame_index"].to_numpy() == [0, 25, 50, 75]).all()
+
+
+def test_streaming_csv_frozen_header_and_drift(tmp_path):
+    records = [{"a": 1, "kids": [{"k": 1}]}, {"a": 2, "b": "new"}]
+    files = tm.flatten_stream(
+        records, tmp_path / "out", name="r", output_format="csv",
+        config=tm.FlattenConfig(id_generation="hash"), batch_size=1,
+    )
+    with open([f for f in files if f.name == "r.csv"][0]) as f:
+        rows = list(csv.DictReader(f))
+    # header frozen from first batch: drifted field 'b' silently dropped
+    assert "b" not in rows[0]
+    assert len(rows) == 2
+
+    with pytest.raises(ValueError, match="schema drift"):
+        tm.flatten_stream(
+            records, tmp_path / "strict", name="r", output_format="csv",
+            config=tm.FlattenConfig(id_generation="hash"), batch_size=1,
+            csv_drift="strict",
+        )
+
+
+def test_progress_callbacks():
+    records = [{"i": i} for i in range(25)]
+    calls = []
+    tm.flatten(records, config=tm.FlattenConfig(id_generation="hash", batch_size=10),
+               progress_callback=lambda done, total: calls.append((done, total)))
+    assert calls == [(10, 25), (20, 25), (25, 25)]
+    calls2 = []
+    tm.flatten_stream(records, "/tmp/progress_out", name="r",
+                      config=tm.FlattenConfig(id_generation="hash"),
+                      batch_size=10,
+                      progress_callback=lambda d, t: calls2.append((d, t)))
+    assert calls2 == [(10, 25), (20, 25), (25, 25)]

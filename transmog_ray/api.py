@@ -185,13 +185,71 @@ def flatten(
     data: Any,
     name: str = "record",
     config: FlattenConfig | None = None,
+    progress_callback=None,
 ) -> FlattenResult:
-    """In-memory flatten (reference api.py:182-281 semantics)."""
+    """In-memory flatten (reference api.py:182-281 semantics);
+    ``progress_callback(processed, total_or_None)`` fires per config
+    batch_size records."""
     cfg = config or FlattenConfig()
     flattener = Flattener(cfg, name)
     ts = run_timestamp() if cfg.time_field else None
-    rows, children = flattener.flatten_batch(iter_records(data), extract_time=ts)
-    return FlattenResult(entity=flattener.entity, main=rows, tables=children)
+    records = iter_records(data)
+    if progress_callback is None:
+        rows, children = flattener.flatten_batch(records, extract_time=ts)
+        return FlattenResult(entity=flattener.entity, main=rows, tables=children)
+
+    records = list(records)
+    result = FlattenResult(entity=flattener.entity)
+    for start in range(0, len(records), cfg.batch_size):
+        chunk = records[start : start + cfg.batch_size]
+        rows, children = flattener.flatten_batch(chunk, extract_time=ts)
+        result.main.extend(rows)
+        for tname, trows in children.items():
+            result.tables.setdefault(tname, []).extend(trows)
+        progress_callback(min(start + cfg.batch_size, len(records)), len(records))
+    return result
+
+
+class StreamingCsvWriter:
+    """Reference-style streaming CSV sink (writers/csv.py:239-461 shape):
+    ONE file per table, header frozen from the table's first batch, later
+    schema drift handled per policy — ``"drop"`` silently drops unseen
+    fields, ``"strict"`` raises."""
+
+    def __init__(self, out_dir: Path, drift: str = "drop"):
+        if drift not in ("drop", "strict"):
+            raise ValueError("drift must be 'drop' or 'strict'")
+        self.out_dir = out_dir
+        self.drift = drift
+        self._writers: dict[str, _csv.DictWriter] = {}
+        self._handles: dict[str, object] = {}
+        self._fields: dict[str, list[str]] = {}
+
+    def write(self, table: str, rows: list[dict]) -> Path:
+        path = self.out_dir / f"{table}.csv"
+        if table not in self._writers:
+            fields = sorted({k for r in rows for k in r})
+            f = open(path, "w", newline="")
+            w = _csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
+            w.writeheader()
+            self._writers[table], self._handles[table] = w, f
+            self._fields[table] = fields
+        elif self.drift == "strict":
+            unseen = {k for r in rows for k in r} - set(self._fields[table])
+            if unseen:
+                raise ValueError(
+                    f"schema drift in table {table!r}: new fields {sorted(unseen)}"
+                )
+        w = self._writers[table]
+        for r in rows:
+            w.writerow({k: _sanitize_csv_cell(r.get(k)) for k in self._fields[table]})
+        return path
+
+    def close(self) -> None:
+        for f in self._handles.values():
+            f.close()
+        self._handles.clear()
+        self._writers.clear()
 
 
 def flatten_stream(
@@ -201,12 +259,16 @@ def flatten_stream(
     output_format: str = "parquet",
     config: FlattenConfig | None = None,
     batch_size: int = 4096,
+    progress_callback=None,
+    csv_drift: str = "drop",
 ) -> list[Path]:
     """File/iterator → files without holding tables in memory.
 
-    When Ray is initialised and the input is a JSONL file, runs as a Ray
-    Dataset pipeline (read_json → FlattenStage → write); otherwise falls
-    back to batched pure-Python streaming through the same kernel.
+    Parquet/orc/json emit one part file per flush batch per table
+    (resumable-friendly layout); CSV streams into one file per table with
+    a frozen header and a drift policy (reference streaming-writer
+    semantics). ``progress_callback(processed, total_or_None)`` fires per
+    flush (reference ProgressCallback shape, types.py:9).
     """
     cfg = config or FlattenConfig()
     flattener = Flattener(cfg, name)
@@ -214,32 +276,51 @@ def flatten_stream(
     out_dir = Path(output_path)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    # batched pure-python path: bounded memory per batch, append per table
-    counts: dict[str, int] = {}
+    records = iter_records(data)
+    total = len(records) if isinstance(records, list) else None
+    csv_writer = StreamingCsvWriter(out_dir, csv_drift) if output_format == "csv" else None
+
     part = 0
+    processed = 0
     batch: list[dict] = []
 
     def flush(batch_rows):
-        nonlocal part
+        nonlocal part, processed
         rows, children = flattener.flatten_batch(batch_rows, extract_time=ts)
         for tname, trows in {flattener.entity: rows, **children}.items():
             if not trows:
                 continue
-            tdir = out_dir / tname
-            tdir.mkdir(exist_ok=True)
-            _write_table(trows, tdir / f"part-{part:05d}.{output_format}",
-                         output_format)
-            counts[tname] = counts.get(tname, 0) + len(trows)
+            if csv_writer is not None:
+                csv_writer.write(tname, trows)
+            else:
+                tdir = out_dir / tname
+                tdir.mkdir(exist_ok=True)
+                _write_table(trows, tdir / f"part-{part:05d}.{output_format}",
+                             output_format)
         part += 1
+        processed += len(batch_rows)
+        if progress_callback is not None:
+            progress_callback(processed, total)
 
-    for rec in iter_records(data):
-        batch.append(rec)
-        if len(batch) >= batch_size:
+    try:
+        for rec in records:
+            batch.append(rec)
+            if len(batch) >= batch_size:
+                flush(batch)
+                batch = []
+        if batch:
             flush(batch)
-            batch = []
-    if batch:
-        flush(batch)
+    finally:
+        if csv_writer is not None:
+            csv_writer.close()
     return sorted(out_dir.rglob(f"*.{output_format}"))
 
 
-__all__ = ["flatten", "flatten_stream", "FlattenResult", "FlattenConfig", "iter_records"]
+__all__ = [
+    "flatten",
+    "flatten_stream",
+    "FlattenResult",
+    "FlattenConfig",
+    "StreamingCsvWriter",
+    "iter_records",
+]
