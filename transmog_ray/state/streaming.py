@@ -1,0 +1,104 @@
+"""Stream-shaped incremental operators: stateful actors fed an ordered log.
+
+Ray Data has no event-time windows/watermarks; for stream-shaped inputs
+(an append-only log ordered by event time) the engine keeps incremental
+state in actors — one :class:`SessionActor` per key-hash bucket, fed
+batches in time order (ray_guide "streaming-shaped workloads" pattern).
+Results are identical to the batch :func:`~transmog_ray.stages.window.
+sessionize` over the full log (pinned by tests), but arrive
+incrementally with bounded state: per-key (last_ts, session_start) only.
+
+Ordering contract: batches must arrive in non-decreasing event time per
+key (a partitioned log guarantees this); late rows violating it belong
+to a new session erroneously — detect upstream via watermark checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+class SessionState:
+    """Incremental gap-sessionization core (plain object, wrapped in a Ray
+    actor by :class:`StreamingSessionizer`; kept separate for unit tests)."""
+
+    def __init__(self, key: str, ts: str, gap_seconds: float):
+        self.key = key
+        self.ts = ts
+        self.gap = pd.Timedelta(seconds=gap_seconds)
+        # key -> (last_ts, session_start_ts, session_seq)
+        self.state: dict = {}
+
+    def process(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Assign session ids to a time-ordered batch, carrying state
+        across calls. Vectorized per key-run within the batch; state
+        touched once per key per batch."""
+        df = df.sort_values([self.key, self.ts], kind="mergesort").reset_index(drop=True)
+        session_seq = np.empty(len(df), dtype=np.int64)
+        session_id: list[str] = [""] * len(df)
+
+        for key_val, grp in df.groupby(self.key, sort=False):
+            last_ts, start_ts, seq = self.state.get(key_val, (None, None, -1))
+            times = grp[self.ts].tolist()
+            for pos, t in zip(grp.index, times):
+                if last_ts is None or (t - last_ts) > self.gap:
+                    seq += 1
+                    start_ts = t
+                last_ts = t
+                session_seq[pos] = seq
+                session_id[pos] = (
+                    f"{key_val}|{pd.Timestamp(start_ts).value // 1000}"
+                )
+            self.state[key_val] = (last_ts, start_ts, seq)
+
+        df["session_seq"] = session_seq
+        df["session_id"] = session_id
+        return df
+
+    def open_sessions(self) -> pd.DataFrame:
+        """Current open-session state (for checkpointing/inspection)."""
+        rows = [
+            {self.key: k, "last_ts": v[0], "session_start": v[1],
+             "session_seq": v[2]}
+            for k, v in self.state.items()
+        ]
+        return pd.DataFrame(rows)
+
+
+def streaming_sessionize(
+    ordered_batches,
+    key: str,
+    ts: str,
+    gap_seconds: float,
+    num_buckets: int = 8,
+):
+    """Feed a time-ordered iterable of pandas batches through a pool of
+    session actors (hash-routed by key) and yield sessionized batches.
+
+    The driver routes rows by key hash so each actor sees every row of
+    its keys in order; actor calls per batch run concurrently across
+    buckets.
+    """
+    import ray
+
+    from ..stages.partition import key_hash
+
+    ActorCls = ray.remote(SessionState)
+    actors = [
+        ActorCls.remote(key, ts, gap_seconds) for _ in range(num_buckets)
+    ]
+    for batch in ordered_batches:
+        if batch.empty:
+            continue
+        buckets = key_hash(batch, [key]) % np.uint64(num_buckets)
+        refs = []
+        for b in range(num_buckets):
+            part = batch[buckets == b]
+            if len(part):
+                refs.append(actors[b].process.remote(part))
+        for out in ray.get(refs):
+            yield out
+
+
+__all__ = ["SessionState", "streaming_sessionize"]
