@@ -149,8 +149,24 @@ def _sniff_format(text: str) -> str:
     return "jsonl" if hits >= 2 else "json"
 
 
+def _parse_optional(text: str, fmt: str):
+    """JSON5/HJSON parsing behind optional dependencies (the reference's
+    iterators.py:266-319 surface; neither package ships in this env)."""
+    try:
+        mod = __import__(fmt)
+    except ImportError as exc:
+        raise ImportError(
+            f"{fmt} input requires the optional '{fmt}' package"
+        ) from exc
+    return mod.loads(text)
+
+
 def iter_records(data: Any) -> Iterable[dict]:
-    """Route any supported input to an iterator of record dicts."""
+    """Route any supported input to an iterator of record dicts
+    (the reference's dispatcher surface, iterators.py:47-106):
+    dict, list, iterator, JSON/JSONL str/bytes, or a path with format
+    taken from the extension (.json/.jsonl/.ndjson/.json5/.hjson) or
+    sniffed from content."""
     if isinstance(data, dict):
         return [data]
     if isinstance(data, list):
@@ -161,9 +177,11 @@ def iter_records(data: Any) -> Iterable[dict]:
         ):
             p = Path(data)
             text = p.read_text()
-            fmt = {"jsonl": "jsonl", "ndjson": "jsonl"}.get(
-                p.suffix.lstrip("."), None
-            ) or _sniff_format(text)
+            ext = p.suffix.lstrip(".")
+            if ext in ("json5", "hjson"):
+                parsed = _parse_optional(text, ext)
+                return parsed if isinstance(parsed, list) else [parsed]
+            fmt = {"jsonl": "jsonl", "ndjson": "jsonl"}.get(ext) or _sniff_format(text)
         else:
             text = data.decode() if isinstance(data, bytes) else data
             fmt = _sniff_format(text)
