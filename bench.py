@@ -109,8 +109,12 @@ def run_flagship_only() -> dict:
 
     shards = int(os.environ.get("GRAFT_SCALING_SHARDS", "192"))
     urls = int(os.environ.get("GRAFT_SCALING_URLS", "1500"))
-    pages_dir = write_pages("/tmp/transmog_ray_pages/scaling",
-                            n_shards=shards, n_urls_per_shard=urls)
+    # shard count in the path: a directory is read whole, so reusing one
+    # dir across different fixture sizes would silently mix them
+    pages_dir = write_pages(
+        f"/tmp/transmog_ray_pages/scaling-{shards}x{urls}",
+        n_shards=shards, n_urls_per_shard=urls,
+    )
 
     def run_once() -> tuple[int, float]:
         ds = rd.read_parquet(
@@ -134,16 +138,26 @@ def run_flagship_only() -> dict:
 
 
 def run_scaling() -> dict:
+    """Each level runs in FRESH processes (the driver-contract stand-in
+    for separate cluster sizes), best-of-2 processes per level with a
+    settle gap — back-to-back Ray sessions interfere (teardown of the
+    previous raylet overlaps the next session's timed region)."""
+
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flagship"],
             env=env, capture_output=True, text=True, check=True,
         )
+        time.sleep(8)  # let the session tear down fully
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
+    def best(ncpu: int) -> dict:
+        a, b = one(ncpu), one(ncpu)
+        return a if a["sec"] <= b["sec"] else b
+
     lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
+    r_lo, r_hi = best(lo), best(hi)
     eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
     return {
         "metric": "flagship pages/sec scaling (num_cpus 8 -> 32, same input)",

@@ -24,14 +24,28 @@ def configure_context(
     """
     from ray.data import DataContext
 
+    import os
+
     ctx = DataContext.get_current()
     ctx.enable_tensor_extension_casting = False
     try:
         from ray.data.context import ShuffleStrategy
 
-        # push-based sort shuffle: ~2x faster all-to-all for the bucketed
-        # groupby exchanges this engine is built on (measured at sf0.1+)
-        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        # push-based sort shuffle: ~2x faster all-to-all than pull-based
+        # for the bucketed groupby exchanges this engine is built on.
+        # GRAFT_SHUFFLE=hash switches to the actor-aggregator hash shuffle
+        # (tuned parallelism/aggregators via GRAFT_SHUFFLE_PARALLELISM /
+        # GRAFT_SHUFFLE_AGGREGATORS) — faster on some shapes, measure.
+        if os.environ.get("GRAFT_SHUFFLE") == "hash":
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            ctx.default_hash_shuffle_parallelism = int(
+                os.environ.get("GRAFT_SHUFFLE_PARALLELISM", "32")
+            )
+            ctx.max_hash_shuffle_aggregators = int(
+                os.environ.get("GRAFT_SHUFFLE_AGGREGATORS", "8")
+            )
+        else:
+            ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     except ImportError:  # pragma: no cover — older Ray
         pass
     if target_max_block_size is not None:
