@@ -98,3 +98,26 @@ def test_semi_anti_join(ray_session):
     keys2 = pd.DataFrame({"k": ["a"], "v": [4]})
     kept2 = semi_join(rd.from_pandas(df), keys2, on=["k", "v"]).to_pandas()
     assert list(kept2["v"]) == [4]
+
+
+def test_bloom_prefilter(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import BloomFilter, bloom_prefilter
+
+    rng = np.random.default_rng(3)
+    keys = pd.Series([f"k{i}" for i in range(1000)])
+    member = keys.sample(200, random_state=1)
+    bloom = BloomFilter(len(member), fp_rate=0.01)
+    bloom.add(member)
+    # zero false negatives
+    assert bloom.contains(member).all()
+    # false-positive rate bounded (generous 5x margin on 1% target)
+    others = pd.Series([f"x{i}" for i in range(20_000)])
+    fp = bloom.contains(others).mean()
+    assert fp < 0.05, fp
+
+    df = pd.DataFrame({"k": keys, "v": np.arange(1000)})
+    out = bloom_prefilter(rd.from_pandas(df), member, on="k").to_pandas()
+    assert set(member) <= set(out["k"])          # superset (no misses)
+    assert len(out) <= len(member) + 0.05 * 1000  # few extras

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
+import numpy as np
 import pandas as pd
 
 _PARTIALS = {
@@ -192,6 +193,62 @@ def semi_join(ds, keys_df: pd.DataFrame, on: Sequence[str] | str,
                 index=df.index,
             )
         return df[~mask] if anti else df[mask]
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+class BloomFilter:
+    """Vectorized numpy Bloom filter (double hashing over the fixed-key
+    siphash) — the broadcastable stand-in for a key SET when the set is
+    too large to ship. Deterministic across processes."""
+
+    def __init__(self, n_items: int, fp_rate: float = 0.01):
+        import math
+
+        n_items = max(1, n_items)
+        self.m = max(8, int(-n_items * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.k = max(1, int(round(self.m / n_items * math.log(2))))
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    @staticmethod
+    def _hashes(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        h1 = pd.util.hash_pandas_object(values, index=False).to_numpy()
+        h2 = pd.util.hash_pandas_object(
+            values, index=False, hash_key="fedcba9876543210"
+        ).to_numpy() | np.uint64(1)
+        return h1, h2
+
+    def _positions(self, values: pd.Series) -> np.ndarray:
+        h1, h2 = self._hashes(values)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m))
+
+    def add(self, values: pd.Series) -> None:
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, pos >> np.uint64(6),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, values: pd.Series) -> np.ndarray:
+        pos = self._positions(values)
+        hit = (self.bits[pos >> np.uint64(6)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+
+def bloom_prefilter(ds, keys: pd.Series, on: str, fp_rate: float = 0.01):
+    """Approximate semi-join prefilter: keep rows whose key PROBABLY is in
+    *keys* (no false negatives; ≤ fp_rate false positives). Use before an
+    exact verify/join when the key set is too big to broadcast as a set —
+    the filter is a fixed-size bit array regardless of set size."""
+    import ray
+
+    bloom = BloomFilter(len(keys), fp_rate)
+    bloom.add(pd.Series(pd.unique(keys)))
+    ref = ray.put(bloom)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        return df[ray.get(ref).contains(df[on])]
 
     return ds.map_batches(probe, batch_format="pandas")
 

@@ -611,6 +611,34 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_tumbling_hourly(sf_dir: str):
+    """Event-time tumbling windows (1h) per user: vectorized floor +
+    pre-aggregated groupby — the batch-engine form of a streaming
+    tumbling window."""
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ev = ev.map_batches(
+        lambda df: df.assign(window_start=df["ts"].dt.floor("h")),
+        batch_format="pandas",
+    )
+    agg = grouped_agg(
+        ev, ["user_id", "window_start"],
+        {"n_events": ("event_id", "count"), "sum_value": ("value", "sum")},
+    )
+    return agg.map_batches(
+        lambda df: df.assign(sum_value=round_half_away(df["sum_value"], 2)),
+        batch_format="pandas",
+    )
+
+
+SQL_TUMBLING = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       COUNT(event_id) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY user_id, window_start
+"""
+
+
 def q_asof_purchase(sf_dir: str):
     """Point-in-time: latest purchase at or before each event (per user)."""
     from ..stages.asof import asof_join
@@ -888,6 +916,7 @@ QUERIES = {
     "union_lang_counts": q_union_lang_counts,
     "backfill_events": q_backfill_events,
     "rolling_events": q_rolling_events,
+    "tumbling_hourly": q_tumbling_hourly,
     "asof_purchase": q_asof_purchase,
     "dedup_user_type": q_dedup_user_type,
     "token_stats": q_token_stats,
@@ -922,6 +951,7 @@ ORACLE_SQL = {
     "union_lang_counts": SQL_UNION_LANG,
     "backfill_events": SQL_BACKFILL,
     "rolling_events": SQL_ROLLING,
+    "tumbling_hourly": SQL_TUMBLING,
     "asof_purchase": SQL_ASOF_PURCHASE,
     "dedup_user_type": SQL_DEDUP_USER_TYPE,
     "token_stats": SQL_TOKEN_STATS,
