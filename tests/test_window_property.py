@@ -1,0 +1,98 @@
+"""Property-based checks of the windowed operators against loop oracles —
+random keys/timestamps with ties, duplicates and nulls."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from transmog_ray.stages.window import backfill, rolling_agg, sessionize, with_lag
+
+FRAMES = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),            # key
+        st.integers(min_value=0, max_value=2000),    # seconds offset (ties likely)
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),  # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def build(rows) -> pd.DataFrame:
+    df = pd.DataFrame(rows, columns=["k", "off", "v"])
+    df["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(df["off"], unit="s")
+    df["rid"] = np.arange(len(df))
+    return df.sort_values(["k", "ts", "rid"], kind="mergesort").reset_index(drop=True)
+
+
+@settings(max_examples=80, deadline=None)
+@given(rows=FRAMES)
+def test_lag_matches_loop(rows):
+    df = build(rows)
+    out = with_lag(df.copy(), "k", ["v"])
+    for key, g in df.groupby("k"):
+        vals = g["v"].tolist()
+        expect = [None] + vals[:-1]
+        got = out[out["k"] == key]["v_lag1"].tolist()
+        for a, b in zip(got, expect):
+            assert (pd.isna(a) and (b is None or pd.isna(b))) or a == b
+
+
+@settings(max_examples=80, deadline=None)
+@given(rows=FRAMES, gap=st.integers(min_value=1, max_value=500))
+def test_sessionize_matches_loop(rows, gap):
+    df = build(rows)
+    out = sessionize(df.copy(), "k", "ts", gap_seconds=gap)
+    for key, g in df.groupby("k"):
+        seq, prev = [], None
+        s = -1
+        for t in g["ts"]:
+            if prev is None or (t - prev).total_seconds() > gap:
+                s += 1
+            seq.append(s)
+            prev = t
+        assert out[out["k"] == key]["session_seq"].tolist() == seq
+
+
+@settings(max_examples=80, deadline=None)
+@given(rows=FRAMES)
+def test_backfill_matches_loop(rows):
+    df = build(rows)
+    out = backfill(df.copy(), "k", ["v"])
+    for key, g in df.groupby("k"):
+        expect, last = [], None
+        for v in g["v"]:
+            if v is not None and not pd.isna(v):
+                last = v
+            expect.append(last)
+        got = out[out["k"] == key]["v_filled"].tolist()
+        for a, b in zip(got, expect):
+            assert (pd.isna(a) and b is None) or a == b
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=FRAMES, window=st.integers(min_value=1, max_value=1000))
+def test_rolling_count_matches_loop(rows, window):
+    df = build(rows)
+    out = rolling_agg(df.copy(), "k", "ts", "v", window, aggs=("count",))
+    col = f"v_w{window}s_count"
+    for key, g in df.groupby("k"):
+        times = g["ts"].tolist()
+        vals = g["v"].tolist()
+        # trailing [t-window, t] both-closed, ROW-order cumulative: pandas
+        # includes only rows at positions <= current within the window,
+        # which for tied timestamps means earlier-positioned peers only
+        expect = []
+        for i, t in enumerate(times):
+            n = sum(
+                1
+                for j in range(i + 1)
+                if 0 <= (t - times[j]).total_seconds() <= window
+                and vals[j] is not None
+                and not pd.isna(vals[j])
+            )
+            expect.append(n)
+        got = out[out["k"] == key][col].astype(int).tolist()
+        assert got == expect

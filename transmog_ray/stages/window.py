@@ -103,7 +103,11 @@ def rolling_agg(
     """Trailing time-window aggregates including the current row.
 
     Window is ``[t - window_seconds, t]`` with BOTH boundaries closed,
-    matching SQL ``RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW``.
+    matching SQL ``RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW``
+    — except on TIED timestamps within a key: SQL RANGE frames include
+    all peer rows, while this includes only peers at earlier sort
+    positions (pandas rolling is row-cumulative). Pinned by the property
+    tests; irrelevant when (key, ts) is unique (dedup first).
     """
     prefix = prefix or f"{col}_w{int(window_seconds)}s"
     r = (
