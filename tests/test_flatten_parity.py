@@ -245,3 +245,15 @@ def test_ids_are_uuid5_in_namespace():
     rid = uuid.UUID(rows[0]["_id"])
     assert rid.version == 5
     assert rows[0]["_id"] == hashing.hash_value(ARRAYS)
+
+
+def test_hash_thread_safety():
+    """Deterministic IDs under concurrency (mirrors the reference's
+    thread-safety pin, test_flattening_ids.py:198-227)."""
+    import concurrent.futures
+
+    record = {"id": 7, "nested": {"a": [1, 2, {"b": "x"}]}}
+    expected = hashing.hash_value(record)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(lambda _: hashing.hash_value(record), range(200)))
+    assert all(r == expected for r in results)
