@@ -48,6 +48,12 @@ def configure_context(
             ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     except ImportError:  # pragma: no cover — older Ray
         pass
+    if os.environ.get("GRAFT_NO_RESERVATION") == "1":
+        # ~20% faster for all-task pipelines (the 50% downstream
+        # reservation idles half the cores under the flatten stage);
+        # UNSAFE with actor pools — they need the reservation to avoid
+        # starving upstream reads, so this stays opt-in
+        ctx.op_resource_reservation_enabled = False
     if target_max_block_size is not None:
         ctx.target_max_block_size = target_max_block_size
     ctx.execution_options.preserve_order = preserve_order
