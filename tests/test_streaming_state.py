@@ -61,3 +61,23 @@ def test_streaming_actor_pool_matches_batch(ray_session):
     got = canon(pd.concat(outs, ignore_index=True))
     expect = canon(batch_expected(make_log(400, seed=9)))
     pd.testing.assert_frame_equal(got, expect)
+
+
+def test_watermark_tracker():
+    from transmog_ray.state.streaming import WatermarkTracker
+
+    wm = WatermarkTracker("ts", allowed_lateness_s=10)
+    t0 = pd.Timestamp("2024-01-01")
+    b1 = pd.DataFrame({"ts": [t0, t0 + pd.Timedelta(seconds=100)]})
+    on_time, late = wm.split(b1)
+    assert len(on_time) == 2 and late.empty  # first batch: no watermark yet
+    assert wm.watermark == t0 + pd.Timedelta(seconds=90)
+
+    # a row older than watermark (100 - 10 = 90s) is flagged late
+    b2 = pd.DataFrame({"ts": [t0 + pd.Timedelta(seconds=50),
+                              t0 + pd.Timedelta(seconds=95),
+                              t0 + pd.Timedelta(seconds=200)]})
+    on_time, late = wm.split(b2)
+    assert late["ts"].tolist() == [t0 + pd.Timedelta(seconds=50)]
+    assert len(on_time) == 2
+    assert wm.watermark == t0 + pd.Timedelta(seconds=190)

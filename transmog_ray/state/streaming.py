@@ -101,4 +101,33 @@ def streaming_sessionize(
             yield out
 
 
-__all__ = ["SessionState", "streaming_sessionize"]
+class WatermarkTracker:
+    """Event-time watermark over an ordered log: watermark = max seen ts
+    minus ``allowed_lateness``. :meth:`split` separates each batch into
+    (on-time, late) so late rows can be rerouted/corrected instead of
+    silently corrupting order-sensitive state (the ordering-contract
+    guard for :class:`SessionState`)."""
+
+    def __init__(self, ts: str, allowed_lateness_s: float = 0.0):
+        self.ts = ts
+        self.lateness = pd.Timedelta(seconds=allowed_lateness_s)
+        self.max_ts = None
+
+    @property
+    def watermark(self):
+        if self.max_ts is None:
+            return None
+        return self.max_ts - self.lateness
+
+    def split(self, df: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+        wm = self.watermark
+        batch_max = df[self.ts].max()
+        if self.max_ts is None or batch_max > self.max_ts:
+            self.max_ts = batch_max
+        if wm is None:
+            return df, df.iloc[0:0]
+        late_mask = df[self.ts] < wm
+        return df[~late_mask], df[late_mask]
+
+
+__all__ = ["SessionState", "WatermarkTracker", "streaming_sessionize"]
