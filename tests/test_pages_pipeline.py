@@ -94,3 +94,62 @@ def test_checkpointed_matches_streaming(ray_session, pages_dir, tmp_path):
     pd.testing.assert_frame_equal(
         streamed.drop(columns=drop), ck.drop(columns=drop), check_dtype=False
     )
+
+
+def test_tagged_matches_pushdown_with_dup_links(ray_session, tmp_path):
+    """The tagged and pushdown flagship paths must agree feature-for-feature
+    — including on a record with REPEATED IDENTICAL links (counted once per
+    occurrence, like the per-record pushdown aggregates) and on duplicate /
+    tie rows sharing (url, warc_ts)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from transmog_ray.pipelines.features import page_features, page_features_pushdown
+
+    def meta(links):
+        return json.dumps({"title": "t", "headers": {"content_type": "x",
+                                                     "server": "nginx"},
+                           "tags": [], "links": links})
+
+    dup_link = {"href": "u/a", "rel": "follow", "depth": 2.0}
+    rows = {
+        "url": ["https://a/p/1"] * 4 + ["https://a/p/2"],
+        "warc_ts": [1_000_000_000_000_000, 1_000_000_000_000_000,
+                    1_000_086_400_000_000, 1_000_086_400_000_000,
+                    1_000_000_000_000_000],
+        "html": [None] * 5,
+        "text": ["s0", "s0-tie", "s1", "s1", "other"],
+        "lang": ["en"] * 5,
+        "meta": [
+            meta([dup_link, dup_link, {"href": "u/b", "rel": "x", "depth": 4.0}]),
+            meta([{"href": "u/c", "rel": "x", "depth": 1.0}]),  # tie loser
+            meta([{"href": "u/d", "rel": "x", "depth": 3.0}]),  # exact dup pair
+            meta([{"href": "u/d", "rel": "x", "depth": 3.0}]),
+            meta([]),
+        ],
+    }
+    t = pa.table({
+        "url": pa.array(rows["url"]),
+        "warc_ts": pa.array(rows["warc_ts"], pa.timestamp("us")),
+        "html": pa.array(rows["html"], pa.binary()),
+        "text": pa.array(rows["text"]),
+        "lang": pa.array(rows["lang"]),
+        "meta": pa.array(rows["meta"]),
+    })
+    p = str(tmp_path / "pages-00000.parquet")
+    pq_.write_table(t, p)
+
+    def run(fn):
+        ds = rd.read_parquet(p, columns=["url", "warc_ts", "text", "lang", "meta"])
+        return canon(fn(ds, num_buckets=4).to_pandas())
+
+    a, b = run(page_features), run(page_features_pushdown)
+    shared = [c for c in a.columns if c in b.columns and c != "meta_tags"]
+    pd.testing.assert_frame_equal(a[shared], b[shared], check_dtype=False)
+    # winner of the tie is text "s0": its repeated identical link counts twice
+    first = a[(a["url"] == "https://a/p/1")].sort_values("warc_ts").iloc[0]
+    assert first["n_links"] == 3.0
+    assert first["mean_link_depth"] == pytest.approx((2.0 + 2.0 + 4.0) / 3)

@@ -40,6 +40,8 @@ PAGE_SPEC = FlattenSpec(
     record_cols=("url", "warc_ts"),
     passthrough=("url", "warc_ts", "text", "lang"),
     child_passthrough=("url", "warc_ts"),
+    provenance=True,  # _fp/_seq: lets the fused pass keep only the dedup
+                      # winner's link rows (exact pushdown parity)
     extract_time="2026-01-01 00:00:00.000000",  # run constant: deterministic
 )
 
@@ -71,28 +73,36 @@ def page_feature_fn(session_gap_s: float, rolling_window_s: float):
         main = df[df[TABLE_TAG] == "pages"]
         links = df[df[TABLE_TAG] == LINKS_TABLE]
 
-        # exact dedup of (url, warc_ts); the composite _id is constant
-        # within a group (it hashes the key), so the winner is the first
-        # row by text — a deterministic content tiebreak
+        # exact dedup of (url, warc_ts); winner = first by (text, _fp) — a
+        # deterministic content tiebreak (the composite _id is constant
+        # within a group, it hashes only the key fields)
         main = (
-            main.sort_values(["url", "warc_ts", "text"], kind="mergesort")
+            main.sort_values(["url", "warc_ts", "text", "_fp"], kind="mergesort")
             .drop_duplicates(subset=["url", "warc_ts"], keep="first")
-            # link-side columns are null padding on main rows
-            .drop(columns=[TABLE_TAG, "_parent_id", "href", "depth"],
-                  errors="ignore")
             .dropna(subset=["url", "warc_ts"])
         )
 
-        # link aggregates per snapshot; duplicate pages contribute
-        # duplicate link rows — collapse on CONTENT columns before
-        # counting. (NOT on _id: under a composite ID strategy child rows
-        # hash the missing key fields and share one degenerate _id —
-        # see the parity-pinned quirk in core/flatten.py.)
-        links = links.drop_duplicates(subset=["_parent_id", "href", "depth"])
+        # keep exactly the dedup WINNER's link rows (pushdown parity):
+        # identical duplicate records collapse on (_fp, _seq) — same
+        # fingerprint, same ordinals — while a losing snapshot that shares
+        # (url, warc_ts) but differs in content has a different _fp and is
+        # dropped. Genuinely repeated identical links within one record
+        # keep distinct _seq and are counted, exactly like the pushdown
+        # per-record aggregates. (NOT keyed on _id: composite-ID child
+        # rows share one degenerate _id — parity-pinned quirk.)
+        links = links.drop_duplicates(subset=["_fp", "_seq"])
+        links = links[links["_fp"].isin(main["_fp"].to_numpy())]
         g = links.groupby(["url", "warc_ts"], sort=False)
         feats = pd.DataFrame(
             {"n_links": g["href"].count(), "mean_link_depth": g["depth"].mean()}
         ).reset_index().rename(columns={"warc_ts": "feature_ts"})
+        feats = feats[feats["n_links"] > 0]
+
+        # main rows drop link padding + provenance before the join
+        main = main.drop(
+            columns=[TABLE_TAG, "_parent_id", "href", "depth", "_fp", "_seq"],
+            errors="ignore",
+        )
 
         # sort-merge as-of: latest feature row with feature_ts <= warc_ts
         left = main.sort_values("warc_ts", kind="mergesort")
@@ -125,7 +135,7 @@ def tagged_pages(pages_ds, flatten_concurrency: int | None = None):
     )
     keep = [
         TABLE_TAG, "url", "warc_ts", "text", "lang", "_id", "_parent_id",
-        "href", "depth",
+        "href", "depth", "_fp", "_seq",
         *[c for c in plan.main_flat_schema.names if c.startswith("meta_")],
     ]
 

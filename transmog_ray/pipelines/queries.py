@@ -873,26 +873,154 @@ def q_lsh_ann(sf_dir: str):
     return lsh_topk(emb, queries, k=5)
 
 
-def q_pages_features(sf_dir: str):
-    """Flagship: synthetic Common-Crawl-style pages → point-in-time
-    features (flatten → dedup → as-of → windows). Pages are synthesized
-    deterministically per scale (no external data)."""
+PAGES_FIXTURE_ROOT = "/tmp/transmog_ray_pages"
+#: stable alias the static oracle SQL reads — repointed (atomically) at the
+#: scale-specific fixture dir each time a pages query runs, so one SQL
+#: string works at every sf the driver/selfcheck picks
+PAGES_CURRENT = f"{PAGES_FIXTURE_ROOT}/current"
+PAGE_GAP_S = 7 * 86400
+PAGE_ROLL_S = 30 * 86400
+
+
+def _pages_fixture(sf_dir: str) -> str:
     import os
 
-    from ..pipelines.features import page_features
     from ..sources.pages import write_pages
 
     scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     shards = {"sf0.001": 2, "sf0.01": 4, "sf0.1": 8}.get(scale, 2)
     urls = {"sf0.001": 50, "sf0.01": 250, "sf0.1": 1500}.get(scale, 50)
-    pages_dir = write_pages(f"/tmp/transmog_ray_pages/{scale}", n_shards=shards,
+    pages_dir = write_pages(f"{PAGES_FIXTURE_ROOT}/{scale}", n_shards=shards,
                             n_urls_per_shard=urls)
+    tmp = f"{PAGES_CURRENT}.tmp.{os.getpid()}"
+    if os.path.islink(tmp) or os.path.exists(tmp):
+        os.remove(tmp)
+    os.symlink(pages_dir, tmp)
+    os.replace(tmp, PAGES_CURRENT)
+    return pages_dir
+
+
+#: the scalar feature columns the flagship is graded on (list columns like
+#: meta_tags and the uuid5 _id — not SQL-reproducible — stay internal)
+PAGES_PROJ = [
+    "url", "warc_ts", "text", "lang", "meta_title",
+    "meta_headers_content_type", "meta_headers_server",
+    "feature_ts", "n_links", "mean_link_depth",
+    "n_links_lag1", "n_links_lead1", "session_seq", "session_id",
+    "mean_link_depth_filled",
+    f"n_links_w{PAGE_ROLL_S}s_count", f"n_links_w{PAGE_ROLL_S}s_mean",
+]
+
+
+def _pages_proj(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[PAGES_PROJ].copy()
+    df["session_seq"] = df["session_seq"].astype("int64")
+    df[f"n_links_w{PAGE_ROLL_S}s_count"] = df[
+        f"n_links_w{PAGE_ROLL_S}s_count"
+    ].astype("int64")
+    # all-matched buckets would otherwise emit int64 blocks (schema drift)
+    for c in ("n_links", "n_links_lag1", "n_links_lead1"):
+        df[c] = df[c].astype("float64")
+    for c in ("mean_link_depth", "mean_link_depth_filled",
+              f"n_links_w{PAGE_ROLL_S}s_mean"):
+        df[c] = round_half_away(df[c], 6)
+    return df
+
+
+def q_pages_features(sf_dir: str):
+    """Flagship: synthetic Common-Crawl-style pages → point-in-time
+    features (flatten with child-agg pushdown → ONE url shuffle → fused
+    dedup + as-of + lag/lead + sessionize + backfill + rolling pass).
+    Pages are synthesized deterministically per scale (no external data)."""
+    from ..pipelines.features import page_features_pushdown
+
+    pages_dir = _pages_fixture(sf_dir)
     ds = _rd().read_parquet(
         pages_dir,
         columns=["url", "warc_ts", "text", "lang", "meta"],
         override_num_blocks=64,  # decouple flatten parallelism from file count
     )
-    return page_features(ds, num_buckets=32)
+    out = page_features_pushdown(ds, num_buckets=32)
+    return out.map_batches(_pages_proj, batch_format="pandas")
+
+
+def q_pages_features_tagged(sf_dir: str):
+    """The tagged-union flagship path (child link rows shuffle alongside
+    main rows): must produce EXACTLY the same features as the pushdown
+    path — both are pinned to the same oracle SQL."""
+    from ..pipelines.features import page_features
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(
+        pages_dir,
+        columns=["url", "warc_ts", "text", "lang", "meta"],
+        override_num_blocks=64,
+    )
+    out = page_features(ds, num_buckets=32)
+    return out.map_batches(_pages_proj, batch_format="pandas")
+
+
+SQL_PAGES_FEATURES = f"""
+WITH pages AS (
+  SELECT url, warc_ts, text, lang, meta
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), dedup AS (
+  SELECT * FROM pages
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY url, warc_ts
+                             ORDER BY text ASC NULLS LAST) = 1
+), links AS (
+  SELECT d.url, d.warc_ts,
+         json_extract_string(l.link, '$.href') AS href,
+         TRY_CAST(json_extract(l.link, '$.depth') AS DOUBLE) AS depth
+  FROM dedup d, UNNEST(CAST(json_extract(d.meta, '$.links') AS JSON[])) AS l(link)
+), feats AS (
+  SELECT url, warc_ts AS feature_ts,
+         COUNT(href) AS n_links, AVG(depth) AS mean_link_depth
+  FROM links GROUP BY url, warc_ts HAVING COUNT(href) > 0
+), joined AS (
+  SELECT d.url, d.warc_ts, d.text, d.lang,
+         json_extract_string(d.meta, '$.title') AS meta_title,
+         json_extract_string(d.meta, '$.headers.content_type')
+             AS meta_headers_content_type,
+         NULLIF(json_extract_string(d.meta, '$.headers.server'), '')
+             AS meta_headers_server,
+         f.feature_ts, CAST(f.n_links AS DOUBLE) AS n_links,
+         f.mean_link_depth
+  FROM dedup d ASOF LEFT JOIN feats f
+    ON d.url = f.url AND d.warc_ts >= f.feature_ts
+), flagged AS (
+  SELECT *,
+         CASE WHEN LAG(warc_ts) OVER w IS NULL
+                   OR warc_ts - LAG(warc_ts) OVER w > INTERVAL {PAGE_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM joined
+  WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+), sessions AS (
+  SELECT *,
+         CAST(SUM(is_new) OVER w2 - 1 AS BIGINT) AS session_seq,
+         MAX(CASE WHEN is_new = 1 THEN warc_ts END) OVER w2 AS session_start
+  FROM flagged
+  WINDOW w2 AS (PARTITION BY url ORDER BY warc_ts ROWS UNBOUNDED PRECEDING)
+)
+SELECT url, warc_ts, text, lang, meta_title, meta_headers_content_type,
+       meta_headers_server, feature_ts, n_links,
+       ROUND(mean_link_depth, 6) AS mean_link_depth,
+       LAG(n_links)  OVER w AS n_links_lag1,
+       LEAD(n_links) OVER w AS n_links_lead1,
+       session_seq,
+       url || '|' || CAST(epoch_us(session_start) AS VARCHAR) AS session_id,
+       ROUND(LAST_VALUE(mean_link_depth IGNORE NULLS) OVER
+             (PARTITION BY url ORDER BY warc_ts ROWS UNBOUNDED PRECEDING), 6)
+           AS mean_link_depth_filled,
+       COUNT(n_links) OVER wr AS n_links_w{PAGE_ROLL_S}s_count,
+       ROUND(SUM(n_links) OVER wr / COUNT(n_links) OVER wr, 6)
+           AS n_links_w{PAGE_ROLL_S}s_mean
+FROM sessions
+WINDOW w  AS (PARTITION BY url ORDER BY warc_ts),
+       wr AS (PARTITION BY url ORDER BY warc_ts
+              RANGE BETWEEN INTERVAL {PAGE_ROLL_S} SECOND PRECEDING
+                    AND CURRENT ROW)
+"""
 
 
 # ================================================================ registry
@@ -931,6 +1059,7 @@ QUERIES = {
     "langid_docs": q_langid_docs,
     "lsh_ann": q_lsh_ann,
     "pages_features": q_pages_features,
+    "pages_features_tagged": q_pages_features_tagged,
 }
 
 ORACLE_SQL = {
@@ -961,7 +1090,9 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
-    # minhash_dedup / simhash_docs / langid_docs / lsh_ann / pages_features:
+    "pages_features": SQL_PAGES_FEATURES,
+    "pages_features_tagged": SQL_PAGES_FEATURES,
+    # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
 

@@ -82,6 +82,15 @@ class FlattenSpec:
     #: column holding the FULL record as a JSON string — each row's parsed
     #: object IS the record (no key prefix), for flattening raw JSONL lines
     record_json_col: str | None = None
+    #: tagged emission only: stamp every main/child row with ``_fp`` (a
+    #: deterministic 64-bit content fingerprint of its SOURCE record over
+    #: record_cols + json_col) and child rows with ``_seq`` (the row's
+    #: ordinal within its record, per table). Lets downstream dedup pick a
+    #: winner among rows sharing a natural key and keep exactly the
+    #: winner's child rows — identical duplicate records collapse on
+    #: (_fp, _seq) while genuinely repeated child items within one record
+    #: stay distinct.
+    provenance: bool = False
     #: per-record child-table aggregates PUSHED DOWN into the flatten pass:
     #: tuple of (child_table, alias, child_col, op) with op in
     #: count/sum/mean/min/max. A record's child rows never leave the task,
@@ -269,6 +278,34 @@ def _conform(rows: list[dict], schema: pa.Schema) -> pa.Table:
         return pa.Table.from_arrays(arrays, schema=schema)
 
 
+def _record_fp(batch: pa.Table, spec: FlattenSpec) -> np.ndarray:
+    """Deterministic int64 content fingerprint of each source record,
+    hashed over the record/JSON columns (vectorized siphash — same
+    recipe as stages.partition.key_hash; no PYTHONHASHSEED dependence)."""
+    import pandas as pd
+
+    from .partition import key_hash
+
+    cols = [
+        *spec.record_cols,
+        *([spec.json_col] if spec.json_col else []),
+        *([spec.record_json_col] if spec.record_json_col else []),
+    ]
+    frame = batch.select(list(dict.fromkeys(cols))).to_pandas()
+    return key_hash(frame, list(frame.columns)).view(np.int64)
+
+
+def _run_ordinal(src: np.ndarray) -> np.ndarray:
+    """Position of each element within its contiguous run of equal source
+    indices — the child row's ordinal within its record."""
+    if len(src) == 0:
+        return np.empty(0, dtype=np.int64)
+    pos = np.arange(len(src), dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, np.diff(src) != 0])
+    lengths = np.diff(np.r_[starts, len(src)])
+    return pos - np.repeat(starts, lengths)
+
+
 # ----------------------------------------------------------------- stage
 
 
@@ -331,12 +368,23 @@ class FlattenStage:
 
 
     def _tagged_table(self, batch, rows, keep_idx, children, child_src) -> pa.Table:
+        fp = _record_fp(batch, self.spec) if self.spec.provenance else None
         main = self._main_table(batch, rows, keep_idx)
         main = main.add_column(0, TABLE_TAG, pa.array([self.spec.entity] * main.num_rows))
+        if fp is not None:
+            main = main.append_column(
+                "_fp", pa.array(fp[np.asarray(keep_idx, dtype=np.int64)], pa.int64())
+            )
         parts = [main]
         for tname in self.plan.child_schemas:
             child = self._child_table(batch, tname, children, child_src)
             child = child.add_column(0, TABLE_TAG, pa.array([tname] * child.num_rows))
+            if fp is not None:
+                src = np.asarray(child_src.get(tname, []), dtype=np.int64)
+                child = child.append_column("_fp", pa.array(fp[src], pa.int64()))
+                child = child.append_column(
+                    "_seq", pa.array(_run_ordinal(src), pa.int64())
+                )
             parts.append(child)
         return pa.concat_tables(parts, promote_options="permissive")
 
