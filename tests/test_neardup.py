@@ -1,0 +1,134 @@
+"""Near-dup operators: distributed MinHash clustering pinned against a
+local single-process reference, SimHash Hamming pairs pinned against brute
+force, and single/batch API consistency."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from transmog_ray.functions.neardup import (
+    MinHasher,
+    _popcount64,
+    _shingle_jaccard,
+    minhash_clusters,
+    simhash64,
+    simhash_batch,
+    simhash_neardup,
+)
+
+
+def make_docs(n=120, seed=3):
+    """Synthetic corpus with planted near-dup groups: every 10th doc gets
+    two lightly-mutated copies (same prefix, one word changed) plus one
+    exact copy."""
+    rng = np.random.default_rng(seed)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    ids, texts = [], []
+    nid = 0
+    for i in range(n):
+        base = " ".join(rng.choice(words, 30))
+        ids.append(nid); texts.append(base); nid += 1
+        if i % 10 == 0:
+            ids.append(nid); texts.append(base); nid += 1  # exact dup
+            mut = base.split(" ")
+            mut[5] = "OMEGA"
+            ids.append(nid); texts.append(" ".join(mut)); nid += 1
+    # a couple of degenerate rows
+    ids.append(nid); texts.append(""); nid += 1
+    ids.append(nid); texts.append(None); nid += 1
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                         "text": texts})
+
+
+def local_minhash_reference(docs, n_perm, n_bands, shingle_k, thr):
+    """Single-process mirror of the distributed pipeline's semantics."""
+    from transmog_ray.functions.neardup import lsh_bands
+
+    hasher = MinHasher(n_perm, shingle_k)
+    df = docs.copy()
+    df["minhash"] = hasher.sign_batch(list(df["text"]))
+    bands = lsh_bands(df, n_bands)
+    cand = set()
+    for _, grp in bands.groupby(["band", "band_hash"]):
+        ids = sorted(grp["doc_id"].unique())
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                cand.add((a, b))
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(cand):
+        if _shingle_jaccard(texts[a] or "", texts[b] or "", shingle_k) >= thr:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return pd.DataFrame({
+        "doc_id": docs["doc_id"],
+        "cluster": [find(i) if i in parent else i for i in docs["doc_id"]],
+    })
+
+
+def test_minhash_clusters_distributed_matches_local(ray_session):
+    import ray.data as rd
+
+    docs = make_docs()
+    expect = local_minhash_reference(docs, 32, 8, 5, 0.8)
+    got = (
+        minhash_clusters(rd.from_pandas(docs), n_perm=32, n_bands=8,
+                         jaccard_threshold=0.8, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expect = expect.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    # planted dups actually clustered: exact copy shares its base's cluster
+    by_id = dict(zip(got["doc_id"], got["cluster"]))
+    assert by_id[1] == by_id[0]  # exact dup of doc 0
+
+
+def test_minhasher_single_matches_batch():
+    h = MinHasher(16)
+    for t in ["", "ab", "abcd", "hello world this is a longer text", None]:
+        single = h.signature(t or "")
+        batch = h.sign_batch([t])[0]
+        assert (single == batch).all(), t
+
+
+def test_simhash_batch_matches_scalar_and_is_stable():
+    texts = ["hello world", "hello world", "hello there world", "", None, "x"]
+    sigs = simhash_batch(texts)
+    assert sigs[0] == sigs[1]
+    assert sigs[0] == simhash64("hello world")
+    assert sigs[3] == 0 and sigs[4] == 0
+    # similar texts are close in Hamming distance, dissimilar far
+    d_close = int(_popcount64(np.array([sigs[0] ^ sigs[2]], dtype=np.uint64))[0])
+    assert d_close < 20
+
+
+def test_simhash_neardup_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    docs = make_docs(80, seed=11).dropna(subset=["text"]).reset_index(drop=True)
+    sigs = simhash_batch(list(docs["text"]))
+    ids = docs["doc_id"].to_numpy()
+    ai, bi = np.triu_indices(len(ids), k=1)
+    ham = _popcount64(sigs[ai] ^ sigs[bi])
+    keep = ham <= 3
+    brute = set(zip(ids[ai[keep]], ids[bi[keep]]))
+
+    got = simhash_neardup(rd.from_pandas(docs), max_hamming=3,
+                          num_buckets=8).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    assert got_pairs == brute
+    assert (got["hamming"] <= 3).all()
+    assert len(brute) > 0  # planted dups guarantee hits

@@ -81,3 +81,24 @@ def test_watermark_tracker():
     assert late["ts"].tolist() == [t0 + pd.Timedelta(seconds=50)]
     assert len(on_time) == 2
     assert wm.watermark == t0 + pd.Timedelta(seconds=190)
+
+
+def test_watermark_survives_empty_and_allnat_batches():
+    import pandas as pd
+
+    from transmog_ray.state.streaming import WatermarkTracker
+
+    w = WatermarkTracker("ts", allowed_lateness_s=0.0)
+    empty = pd.DataFrame({"ts": pd.Series([], dtype="datetime64[ns]")})
+    w.split(empty)                       # must not set max_ts to NaT
+    assert w.max_ts is None
+    allnat = pd.DataFrame({"ts": pd.to_datetime([None, None])})
+    w.split(allnat)
+    assert w.max_ts is None
+    ok = pd.DataFrame({"ts": pd.to_datetime(["2026-01-02", "2026-01-03"])})
+    on_time, late = w.split(ok)
+    assert len(on_time) == 2
+    # the guard is actually live afterwards: earlier rows are late now
+    old = pd.DataFrame({"ts": pd.to_datetime(["2026-01-01"])})
+    on_time, late = w.split(old)
+    assert len(late) == 1 and len(on_time) == 0

@@ -25,15 +25,6 @@ import pandas as pd
 _MERSENNE = (1 << 61) - 1
 
 
-def _shingles(text: str, k: int = 5) -> np.ndarray:
-    """Hashed character k-shingles (stable across processes: fixed-key
-    siphash via ``pd.util.hash_pandas_object`` — vectorized)."""
-    if not text or len(text) < k:
-        return np.array([0], dtype=np.uint64)
-    views = list({text[i : i + k] for i in range(len(text) - k + 1)})
-    return pd.util.hash_pandas_object(pd.Series(views), index=False).to_numpy()
-
-
 class MinHasher:
     """n_perm universal-hash minhash signatures; bands for LSH.
 
@@ -49,13 +40,9 @@ class MinHasher:
         self.shingle_k = shingle_k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.shingle_k)
-        # (a*x + b) in wrap-around uint64 — one broadcasted op per doc.
-        # Overflow wraparound is itself a fine universal-ish hash family
-        # for LSH purposes and ~1000x faster than arbitrary-precision mod-p.
-        with np.errstate(over="ignore"):
-            grid = self.a[:, None] * sh[None, :] + self.b[:, None]
-        return grid.min(axis=1)
+        """Single-doc signature — delegates to the batch kernel so both
+        APIs use the identical shingle fallback for empty/short texts."""
+        return self.sign_batch([text])[0]
 
     def sign_batch(self, texts) -> list[np.ndarray]:
         """Whole-batch signatures: hash every shingle of the batch in ONE
@@ -103,6 +90,14 @@ def lsh_bands(df: pd.DataFrame, n_bands: int, id_col: str = "doc_id") -> pd.Data
     return pd.DataFrame(rows)
 
 
+def _shingle_jaccard(a: str, b: str, k: int) -> float:
+    sa = {a[i : i + k] for i in range(max(1, len(a) - k + 1))}
+    sb = {b[i : i + k] for i in range(max(1, len(b) - k + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
 def minhash_clusters(
     ds,
     n_perm: int = 64,
@@ -111,22 +106,31 @@ def minhash_clusters(
     jaccard_threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_buckets: int = 32,
 ):
-    """Full MinHash-LSH near-dup pipeline → pandas frame (id, cluster).
+    """Full MinHash-LSH near-dup pipeline → Dataset of (id, cluster).
 
-    Candidate pairs from band buckets are VERIFIED with exact shingle
-    Jaccard before clustering (min-label union-find on the — small —
-    verified edge set).
+    Every wide step is distributed — the driver only ever sees candidate
+    PAIRS and verified EDGES (both tiny by LSH construction), never texts
+    or signatures:
+
+      sign (map_batches) → band-bucket groupby → candidate pairs
+      → semi-join texts down to candidate ids → hash-join text_a/text_b
+      onto the pairs → exact shingle-Jaccard VERIFY in map_batches
+      → verified edges to the driver → min-label union-find on edges
+      → broadcast label map → cluster column via map_batches.
     """
     import ray
 
+    from ..stages.partition import BUCKET_COL, add_bucket
+    from .relational import hash_join, semi_join
+
     hasher = MinHasher(n_perm, shingle_k)
-    # one signature pass, materialized: both the band explosion and the
-    # verification texts fan out from it (no re-read, no re-hash)
-    with_sig = ds.map_batches(
+    docs = ds.select_columns([id_col, text_col]).materialize()
+    with_sig = docs.map_batches(
         lambda df: hasher(df[[id_col, text_col]].rename(columns={text_col: "text"})),
         batch_format="pandas",
-    ).materialize()
+    )
     bands = with_sig.map_batches(
         lambda df: lsh_bands(df, n_bands, id_col), batch_format="pandas"
     )
@@ -144,7 +148,10 @@ def minhash_clusters(
                 for b in ids[i + 1 :]:
                     out_a.append(a)
                     out_b.append(b)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        return pd.DataFrame(
+            {"id_a": pd.Series(out_a, dtype="int64"),
+             "id_b": pd.Series(out_b, dtype="int64")}
+        )
 
     def coarse_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df["_cand_bucket"] = (
@@ -157,72 +164,217 @@ def minhash_clusters(
         bands.map_batches(coarse_bucket, batch_format="pandas")
         .groupby("_cand_bucket")
         .map_groups(candidates, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    )
+    # global pair dedup (the same pair can surface from bands that hash to
+    # different coarse buckets): one hash-bucket shuffle of the pair set
+    pairs = (
+        add_bucket(cand, ["id_a", "id_b"], num_buckets)
+        .groupby(BUCKET_COL)
+        .map_groups(
+            lambda df: df.drop_duplicates(["id_a", "id_b"]).drop(
+                columns=[BUCKET_COL]
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
     )
 
-    # verify on the driver: candidate set is tiny by construction; texts
-    # come from the already-materialized signature pass
-    tdf = with_sig.select_columns([id_col, "text"]).to_pandas()
-    texts = dict(zip(tdf[id_col], tdf["text"]))
+    # candidate ids to the driver (small); texts stay distributed — prune
+    # the doc table to candidate ids, then hash-join texts onto the pairs
+    ids_pd = pairs.to_pandas()
+    if len(ids_pd) == 0:
+        label_ref = ray.put({})
+    else:
+        cand_ids = pd.DataFrame(
+            {id_col: pd.unique(ids_pd[["id_a", "id_b"]].to_numpy().ravel())}
+        )
+        sub = semi_join(docs, cand_ids, on=id_col)
+        a_side = sub.map_batches(
+            lambda df: df.rename(columns={id_col: "id_a", text_col: "text_a"}),
+            batch_format="pandas",
+        )
+        b_side = sub.map_batches(
+            lambda df: df.rename(columns={id_col: "id_b", text_col: "text_b"}),
+            batch_format="pandas",
+        )
+        withtexts = hash_join(
+            hash_join(pairs, a_side, on="id_a", num_buckets=num_buckets),
+            b_side, on="id_b", num_buckets=num_buckets,
+        )
 
-    def jaccard_shingles(a: str, b: str) -> float:
-        sa = {a[i : i + shingle_k] for i in range(max(1, len(a) - shingle_k + 1))}
-        sb = {b[i : i + shingle_k] for i in range(max(1, len(b) - shingle_k + 1))}
-        if not sa and not sb:
-            return 1.0
-        return len(sa & sb) / len(sa | sb)
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            jac = [
+                _shingle_jaccard(a or "", b or "", shingle_k)
+                for a, b in zip(df["text_a"], df["text_b"])
+            ]
+            out = df.loc[np.asarray(jac) >= jaccard_threshold, ["id_a", "id_b"]]
+            return out
 
-    edges = [
-        (a, b)
-        for a, b in zip(cand.get("id_a", []), cand.get("id_b", []))
-        if jaccard_shingles(texts.get(a) or "", texts.get(b) or "")
-        >= jaccard_threshold
-    ]
+        edges = withtexts.map_batches(verify, batch_format="pandas").to_pandas()
 
-    parent = {}
+        # union-find over the verified EDGE set only (driver-side by
+        # design: edges ≪ docs; texts/signatures never left the cluster)
+        parent: dict = {}
 
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
 
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+        for a, b in zip(edges["id_a"], edges["id_b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        label_ref = ray.put({x: find(x) for x in list(parent)})
 
-    all_ids = sorted(texts)
-    return pd.DataFrame(
-        {id_col: all_ids, "cluster": [find(i) if i in parent else i for i in all_ids]}
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        labels = ray.get(label_ref)
+        ids = df[id_col]
+        return pd.DataFrame(
+            {id_col: ids,
+             "cluster": [labels.get(i, i) for i in ids]}
+        )
+
+    return docs.map_batches(assign, batch_format="pandas")
+
+
+_SIMHASH_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def simhash_batch(texts, seed: int = 11) -> np.ndarray:
+    """64-bit SimHash per text over single-space tokens — fully batch-
+    vectorized: ONE fixed-key siphash call for every token in the batch
+    (seed mixed in arithmetically), bit matrix + ``add.reduceat`` segment
+    sums. Process-stable (no PYTHONHASHSEED dependence)."""
+    toks: list[str] = []
+    starts: list[int] = []
+    for t in texts:
+        starts.append(len(toks))
+        if t:
+            toks.extend(t.split(" "))
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if not toks:
+        return out
+    hashed = pd.util.hash_pandas_object(pd.Series(toks), index=False).to_numpy()
+    with np.errstate(over="ignore"):
+        hashed = hashed * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)
+    # (n_tokens, 64) sign matrix, segment-summed per doc
+    bits = ((hashed[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)).astype(
+        np.int32
+    ) * 2 - 1
+    lengths = np.diff(np.r_[starts, len(toks)])
+    nonempty = np.flatnonzero(lengths > 0)
+    if len(nonempty) == 0:
+        return out
+    acc = np.add.reduceat(bits, np.asarray(starts)[nonempty], axis=0)
+    sig = ((acc > 0).astype(np.uint64) << _SIMHASH_SHIFTS[None, :]).sum(
+        axis=1, dtype=np.uint64
     )
-
-
-def simhash64(text: str, seed: int = 11) -> int:
-    """64-bit SimHash over single-space tokens (md5-derived token hashes —
-    process-stable)."""
-    if not text:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for tok in text.split(" "):
-        h = np.uint64(int.from_bytes(
-            hashlib.md5(f"{seed}:{tok}".encode()).digest()[:8], "little"
-        ))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= 1 << i
+    out[nonempty] = sig
     return out
 
 
+def simhash64(text: str, seed: int = 11) -> int:
+    """Single-doc SimHash (delegates to the batch kernel)."""
+    return int(simhash_batch([text], seed)[0])
+
+
 def add_simhash(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    df["simhash"] = [str(simhash64(t or "")) for t in df[text_col]]
+    df["simhash"] = [str(s) for s in simhash_batch(list(df[text_col]))]
     return df
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy-1.x compatible)."""
+    v = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return np.unpackbits(v).reshape(len(x), 64).sum(axis=1)
+
+
+def simhash_neardup(
+    ds,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 11,
+    num_buckets: int = 32,
+):
+    """SimHash near-duplicate pairs (Hamming distance ≤ ``max_hamming``)
+    → Dataset of (id_a, id_b, hamming).
+
+    EXACT by the pigeonhole principle: the 64-bit fingerprint splits into
+    ``max_hamming + 1`` blocks; any pair within distance ``max_hamming``
+    agrees on at least one whole block, so candidates are generated by a
+    per-block bucket groupby (distributed), verified with a vectorized
+    popcount, and deduped by (id_a, id_b) — no all-pairs comparison.
+    """
+    from ..stages.partition import BUCKET_COL, add_bucket
+
+    n_blocks = max_hamming + 1
+    block_bits = 64 // n_blocks
+    mask = np.uint64((1 << block_bits) - 1)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        sig = simhash_batch(list(df[text_col]), seed)
+        ids = df[id_col].to_numpy()
+        parts = []
+        for b in range(n_blocks):
+            block = (sig >> np.uint64(b * block_bits)) & mask
+            parts.append(pd.DataFrame({
+                "block": np.int64(b),
+                "block_val": block.astype(np.int64),
+                id_col: ids,
+                "sig": sig.astype(np.int64),  # int64 view rides the shuffle
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"id_a": [], "id_b": [], "hamming": []}
+        for _, grp in g.groupby(["block", "block_val"], sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.drop_duplicates(id_col).sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            sigs = grp["sig"].to_numpy().astype(np.uint64)
+            ai, bi = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(sigs[ai] ^ sigs[bi])
+            keep = ham <= max_hamming
+            out["id_a"].extend(ids[ai[keep]])
+            out["id_b"].extend(ids[bi[keep]])
+            out["hamming"].extend(ham[keep])
+        return pd.DataFrame({
+            "id_a": pd.Series(out["id_a"], dtype="int64"),
+            "id_b": pd.Series(out["id_b"], dtype="int64"),
+            "hamming": pd.Series(out["hamming"], dtype="int64"),
+        })
+
+    def coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df["_nd_bucket"] = (
+            pd.util.hash_pandas_object(df["block_val"], index=False)
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return df
+
+    cand = (
+        exploded.map_batches(coarse, batch_format="pandas")
+        .groupby("_nd_bucket")
+        .map_groups(candidates, batch_format="pandas")
+    )
+    # same pair can match on several blocks → global dedup, one shuffle
+    return (
+        add_bucket(cand, ["id_a", "id_b"], num_buckets)
+        .groupby(BUCKET_COL)
+        .map_groups(
+            lambda df: df.drop_duplicates(["id_a", "id_b"]).drop(
+                columns=[BUCKET_COL]
+            ),
+            batch_format="pandas",
+        )
+    )
 
 
 def char_jaccard_pairs(
@@ -301,8 +453,10 @@ __all__ = [
     "MinHasher",
     "lsh_bands",
     "minhash_clusters",
+    "simhash_batch",
     "simhash64",
     "add_simhash",
+    "simhash_neardup",
     "char_jaccard_pairs",
     "cosine_pairs",
 ]

@@ -67,7 +67,11 @@ def grouped_agg(
         g = df.groupby(keys, sort=False, dropna=False)
         out = {}
         for (col, p), name in partial_cols.items():
-            out[name] = getattr(g[col], p)()
+            # min_count=1: an all-null group must yield NULL like SQL SUM,
+            # not pandas' default 0
+            out[name] = (
+                g[col].sum(min_count=1) if p == "sum" else getattr(g[col], p)()
+            )
         return pd.DataFrame(out).reset_index()
 
     partials = add_bucket(
@@ -78,9 +82,12 @@ def grouped_agg(
         g = df.groupby(keys, sort=False, dropna=False)
         merged = {}
         for (col, p), name in partial_cols.items():
-            merged[name] = g[name].sum() if p in ("sum", "count") else getattr(
-                g[name], p
-            )()
+            if p == "sum":
+                merged[name] = g[name].sum(min_count=1)
+            elif p == "count":
+                merged[name] = g[name].sum()
+            else:
+                merged[name] = getattr(g[name], p)()
         comb = pd.DataFrame(merged).reset_index()
         out = comb[keys].copy()
         for alias, (col, op) in specs.items():
@@ -157,11 +164,24 @@ def hash_join(
 
     left_cols = list(left_schema.names)
     right_only = [n for n in right_schema.names if n not in left_schema.names]
+    # pandas upcasts int columns to float when the other side's padding
+    # nulls share the column in the unioned bucket frame; restore the
+    # original integer dtypes after the merge (mirrors asof_join)
+    int_cols = {
+        f.name: f.type.to_pandas_dtype()
+        for schema in (left_schema, right_schema)
+        for f in schema
+        if pa.types.is_integer(f.type)
+    }
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df[side] == 0][left_cols]
         right = df[df[side] == 1][[*on, *right_only]]
-        return left.merge(right, on=on, how=how)
+        out = left.merge(right, on=on, how=how)
+        for col, dtype in int_cols.items():
+            if col in out.columns and out[col].notna().all():
+                out[col] = out[col].astype(dtype)
+        return out
 
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 

@@ -97,22 +97,29 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """lineitem ⋈ orders ⋈ customer ⋈ nation revenue rollup — broadcast
-    joins for the dimension chain, partial-agg groupby for the sum."""
-    from ..functions.relational import broadcast_join, grouped_agg
+    """lineitem ⋈ orders ⋈ customer ⋈ nation revenue rollup. Both FACT
+    tables (lineitem, orders) stay distributed — they meet in a
+    partitioned hash join; only the customer→nation dimension chain is
+    broadcast (small side, shipped once via ray.put)."""
+    from ..functions.relational import broadcast_join, grouped_agg, hash_join
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ].rename(columns={"c_custkey": "o_custkey"})
 
-    dim = (
-        orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
-        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    )[["o_orderkey", "n_name"]].rename(columns={"o_orderkey": "l_orderkey"})
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    order_nation = broadcast_join(orders, dim, on="o_custkey").map_batches(
+        lambda df: df[["o_orderkey", "n_name"]].rename(
+            columns={"o_orderkey": "l_orderkey"}
+        ),
+        batch_format="pandas",
+    )
 
-    ds = broadcast_join(li, dim, on="l_orderkey", how="inner")
+    ds = hash_join(li, order_nation, on="l_orderkey", num_buckets=32)
     ds = ds.map_batches(
         lambda df: df.assign(rev=df["l_extendedprice"] * (1 - df["l_discount"])),
         batch_format="pandas",
@@ -279,18 +286,26 @@ FROM orders GROUP BY 1
 
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3-style: segment filter, 3-table join, revenue rollup,
-    top-10 — composition of broadcast join + grouped_agg + topk."""
-    from ..functions.relational import broadcast_join, grouped_agg, topk
+    top-10. The orders FACT side stays distributed (semi-join against the
+    broadcast BUILDING customer-key set, then a partitioned hash join
+    with lineitem); only the customer key set is broadcast."""
+    from ..functions.relational import grouped_agg, hash_join, semi_join, topk
 
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    building = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
-    orders = read_table(sf_dir, "orders",
-                        columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    building = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]].rename(
+        columns={"c_custkey": "o_custkey"}
+    )
     cutoff = pd.Timestamp("1997-06-30")
-    dim = orders[orders["o_orderdate"] < cutoff].merge(
-        building, left_on="o_custkey", right_on="c_custkey"
-    )[["o_orderkey", "o_orderdate"]].rename(columns={"o_orderkey": "l_orderkey"})
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    dim = semi_join(orders, building, on="o_custkey").map_batches(
+        lambda df: df.loc[df["o_orderdate"] < cutoff,
+                          ["o_orderkey", "o_orderdate"]].rename(
+            columns={"o_orderkey": "l_orderkey"}
+        ),
+        batch_format="pandas",
+    )
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -301,7 +316,7 @@ def q_shipping_priority(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    joined = broadcast_join(li, dim, on="l_orderkey", how="inner")
+    joined = hash_join(li, dim, on="l_orderkey", num_buckets=32)
     agg = grouped_agg(joined, ["l_orderkey", "o_orderdate"],
                       {"revenue": ("rev", "sum")})
     agg = agg.map_batches(
@@ -338,30 +353,37 @@ def q_media_features(sf_dir: str):
 
 
 def q_semi_anti_purchasers(sf_dir: str):
-    """Semi + anti join via a broadcast key set: per user, events kept by
-    the semi side (users with a purchase) and the anti side — returned as
-    per-user counts so both paths are exercised in one result."""
-    from ..functions.relational import grouped_agg, semi_join
+    """Semi + anti join via a broadcast key set: each event is flagged
+    semi/anti against the (small, deduped) purchaser key set inside
+    ``map_batches``, then ONE distributed grouped aggregation produces
+    both per-user counts — no driver-side merge of user-cardinality
+    frames."""
+    import ray
+
+    from ..functions.relational import grouped_agg
 
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
-    purchasers = (
+    purchasers = set(
         ev.map_batches(
-            lambda df: df[df["event_type"] == "purchase"][["user_id"]],
+            lambda df: df[df["event_type"] == "purchase"][["user_id"]]
+            .drop_duplicates(),
             batch_format="pandas",
-        )
-        .to_pandas()
-        .drop_duplicates()
+        ).unique("user_id")
     )
-    kept = semi_join(ev, purchasers, on="user_id")
-    a = grouped_agg(kept, ["user_id"], {"n_semi": ("event_id", "count")}).to_pandas()
-    tot = grouped_agg(ev, ["user_id"], {"n_total": ("event_id", "count")}).to_pandas()
-    # anti = total - semi (the anti-side Dataset can be entirely empty,
-    # which Ray represents as schemaless blocks — aggregate the complement
-    # arithmetically instead)
-    out = tot.merge(a, on="user_id", how="left")
-    out["n_semi"] = out["n_semi"].fillna(0).astype("int64")
-    out["n_anti"] = (out["n_total"] - out["n_semi"]).astype("int64")
-    return out.drop(columns=["n_total"]).sort_values("user_id").reset_index(drop=True)
+    ref = ray.put(purchasers)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        is_semi = df["user_id"].isin(ray.get(ref))
+        return df.assign(semi=is_semi.astype("int64"),
+                         anti=(~is_semi).astype("int64"))
+
+    flagged = ev.map_batches(flag, batch_format="pandas")
+    agg = grouped_agg(flagged, ["user_id"],
+                      {"n_semi": ("semi", "sum"), "n_anti": ("anti", "sum")})
+    return agg.map_batches(
+        lambda df: df.astype({"n_semi": "int64", "n_anti": "int64"}),
+        batch_format="pandas",
+    )
 
 
 SQL_SEMI_ANTI = """
@@ -854,6 +876,15 @@ def q_simhash_docs(sf_dir: str):
     )
 
 
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup pairs at Hamming ≤ 3 (pigeonhole block buckets +
+    vectorized popcount verify; exactness pinned vs brute force in tests)."""
+    from ..functions.neardup import simhash_neardup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_neardup(docs, max_hamming=3)
+
+
 def q_langid_docs(sf_dir: str):
     from ..functions.text import LangId
 
@@ -1056,6 +1087,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_dedup": q_minhash_dedup,
     "simhash_docs": q_simhash_docs,
+    "simhash_neardup": q_simhash_neardup,
     "langid_docs": q_langid_docs,
     "lsh_ann": q_lsh_ann,
     "pages_features": q_pages_features,

@@ -122,7 +122,12 @@ class WatermarkTracker:
     def split(self, df: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
         wm = self.watermark
         batch_max = df[self.ts].max()
-        if self.max_ts is None or batch_max > self.max_ts:
+        # an empty / all-NaT batch must not poison the tracker: NaT
+        # compares False against everything, so assigning it once would
+        # freeze max_ts (and disable the late-row guard) forever
+        if not pd.isna(batch_max) and (
+            self.max_ts is None or batch_max > self.max_ts
+        ):
             self.max_ts = batch_max
         if wm is None:
             return df, df.iloc[0:0]
