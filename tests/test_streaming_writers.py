@@ -1,0 +1,151 @@
+"""Streaming input/output surfaces: constant-memory JSON-array parsing,
+frozen per-table schemas across part files, ORC streaming, the writer
+registry, and dependency gating."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from transmog_ray.api import (
+    MissingDependencyError,
+    StreamingAvroWriter,
+    create_streaming_writer,
+    flatten_stream,
+    iter_records,
+    register_writer,
+)
+
+
+def test_json_array_file_streams_with_bounded_memory(tmp_path):
+    """A large top-level JSON array is parsed element by element: peak
+    Python allocation stays far below the file size."""
+    import tracemalloc
+
+    p = tmp_path / "big.json"
+    with open(p, "w") as f:
+        f.write("[\n")
+        for i in range(60_000):
+            if i:
+                f.write(",\n")
+            f.write(json.dumps({"id": i, "pad": "x" * 200}))
+        f.write("\n]")
+    size = p.stat().st_size
+    assert size > 10_000_000
+
+    tracemalloc.start()
+    n = 0
+    first = last = None
+    for rec in iter_records(p):
+        if n == 0:
+            first = rec
+        last = rec
+        n += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 60_000
+    assert first == {"id": 0, "pad": "x" * 200}
+    assert last["id"] == 59_999
+    assert peak < size / 4, f"peak {peak} vs file {size}"
+
+
+def test_json_array_stream_matches_full_parse(tmp_path):
+    recs = [{"a": i, "b": {"c": [i, i + 1]}, "t": "é" * i} for i in range(50)]
+    p = tmp_path / "arr.json"
+    p.write_text(json.dumps(recs))
+    assert list(iter_records(p)) == recs
+    # tiny chunk size forces many refills across element boundaries
+    from transmog_ray.api import _iter_json_array_file
+
+    assert list(_iter_json_array_file(p, chunk_size=7)) == recs
+
+
+def test_json_object_file_still_single_record(tmp_path):
+    p = tmp_path / "obj.json"
+    p.write_text(json.dumps({"a": 1, "b": [1, 2]}))
+    assert list(iter_records(p)) == [{"a": 1, "b": [1, 2]}]
+
+
+def test_jsonl_file_streams_lines(tmp_path):
+    p = tmp_path / "r.jsonl"
+    p.write_text('{"a": 1}\n\n{"a": 2}\n')
+    it = iter_records(p)
+    assert not isinstance(it, list)  # lazy
+    assert list(it) == [{"a": 1}, {"a": 2}]
+
+
+def test_parquet_stream_freezes_schema_across_drifting_parts(tmp_path):
+    """Later batches that drop/add/upgrade fields must still produce part
+    files with ONE schema per table, readable as a single dataset."""
+    recs = (
+        [{"a": 1, "s": "x"}] * 5          # first flush: a:int64, s:string
+        + [{"a": 2.5}] * 5                # float upgrade + missing s
+        + [{"a": 3, "s": "y", "new": 9}] * 5  # unseen field → dropped
+    )
+    out = tmp_path / "out"
+    files = flatten_stream(recs, out, name="r", batch_size=5)
+    schemas = {pq.read_schema(f).to_string() for f in files}
+    assert len(schemas) == 1, schemas
+    t = pq.read_table(f"{out}/r")
+    assert t.num_rows == 15
+    assert set(t.column_names) >= {"a", "s", "_id"}
+    assert "new" not in t.column_names
+    # float upgrade applied to all parts under the frozen schema
+    assert str(t.schema.field("a").type) in ("int64", "double")
+
+
+def test_parquet_stream_strict_drift_raises(tmp_path):
+    recs = [{"a": 1}] * 5 + [{"a": 2, "new": 1}] * 5
+    with pytest.raises(ValueError, match="schema drift"):
+        flatten_stream(recs, tmp_path / "o", batch_size=5, drift="strict")
+
+
+def test_orc_streaming_single_file_roundtrip(tmp_path):
+    from pyarrow import orc
+
+    recs = [{"a": i, "tags": ["t1", "t2"]} for i in range(12)]
+    out = tmp_path / "orc_out"
+    files = flatten_stream(recs, out, name="r", output_format="orc", batch_size=5)
+    assert [f.name for f in files] == ["r.orc"]  # ONE file, 3 flushes
+    t = orc.read_table(str(files[0]))
+    assert t.num_rows == 12
+    assert sorted(t["a"].to_pylist()) == list(range(12))
+
+
+def test_avro_streaming_gated_on_missing_dependency(tmp_path):
+    with pytest.raises(MissingDependencyError):
+        StreamingAvroWriter(tmp_path)
+    with pytest.raises(MissingDependencyError):
+        flatten_stream([{"a": 1}], tmp_path / "o", output_format="avro")
+
+
+def test_register_writer_extension_surface(tmp_path):
+    lines_written = []
+
+    class TsvWriter:
+        def __init__(self, out_dir):
+            self.out_dir = out_dir
+
+        def write(self, table, rows):
+            path = self.out_dir / f"{table}.tsv"
+            with open(path, "a") as f:
+                for r in rows:
+                    f.write("\t".join(str(v) for v in r.values()) + "\n")
+                    lines_written.append(table)
+            return path
+
+        def close(self):
+            pass
+
+    register_writer("tsv", streaming_factory=lambda out_dir, **o: TsvWriter(out_dir))
+    out = tmp_path / "tsv_out"
+    flatten_stream([{"a": 1}, {"a": 2}], out, name="r", output_format="tsv")
+    assert (out / "r.tsv").read_text().count("\n") == 2
+    assert lines_written.count("r") == 2
+
+
+def test_unknown_format_rejected(tmp_path):
+    with pytest.raises(ValueError, match="unsupported output format"):
+        create_streaming_writer("xml", tmp_path)

@@ -81,14 +81,14 @@ def test_rolling_count_matches_loop(rows, window):
     for key, g in df.groupby("k"):
         times = g["ts"].tolist()
         vals = g["v"].tolist()
-        # trailing [t-window, t] both-closed, ROW-order cumulative: pandas
-        # includes only rows at positions <= current within the window,
-        # which for tied timestamps means earlier-positioned peers only
+        # trailing [t-window, t] both-closed, SQL RANGE semantics: ALL
+        # rows of the key with ts in the window count — peer rows at the
+        # same timestamp included regardless of sort position
         expect = []
         for i, t in enumerate(times):
             n = sum(
                 1
-                for j in range(i + 1)
+                for j in range(len(times))
                 if 0 <= (t - times[j]).total_seconds() <= window
                 and vals[j] is not None
                 and not pd.isna(vals[j])
@@ -96,3 +96,62 @@ def test_rolling_count_matches_loop(rows, window):
             expect.append(n)
         got = out[out["k"] == key][col].astype(int).tolist()
         assert got == expect
+
+
+def test_rolling_tied_timestamps_match_duckdb(ray_session):
+    """Full rolling_events pipeline vs the DuckDB RANGE-frame oracle on a
+    fixture that CONTAINS (user_id, ts) ties — peer rows must all see the
+    whole tie group (SQL peer-inclusive semantics)."""
+    import duckdb
+    import ray.data as rd
+
+    from transmog_ray.pipelines.queries import ROLL_WINDOW_S
+    from transmog_ray.stages.partition import apply_sorted
+
+    rng = np.random.default_rng(5)
+    n = 400
+    base = pd.Timestamp("2024-01-01")
+    ts = base + pd.to_timedelta(rng.integers(0, 7200, n), unit="s")
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 8, n).astype(np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    # force guaranteed exact ties within users
+    ev.loc[1, ["user_id", "ts"]] = ev.loc[0, ["user_id", "ts"]]
+    ev.loc[3, ["user_id", "ts"]] = ev.loc[2, ["user_id", "ts"]]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from transmog_ray.stages.window import rolling_agg
+
+        df = rolling_agg(df, "user_id", "ts", "value", ROLL_WINDOW_S,
+                         aggs=("count", "mean"))
+        df[f"value_w{ROLL_WINDOW_S}s_count"] = df[
+            f"value_w{ROLL_WINDOW_S}s_count"].astype("int64")
+        return df
+
+    got = (
+        apply_sorted(rd.from_pandas(ev), ["user_id"], "ts", fn, num_buckets=4,
+                     tiebreak=["event_id"])
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # raw (unrounded) RANGE-frame oracle: values compared with a float
+    # tolerance — accumulation order differs between engines, a genuine
+    # tie-semantics bug would differ by whole rows, not 1e-12
+    sql = f"""
+    SELECT event_id, user_id, ts, value,
+           COUNT(value) OVER w AS value_w{ROLL_WINDOW_S}s_count,
+           SUM(value) OVER w / COUNT(value) OVER w AS value_w{ROLL_WINDOW_S}s_mean
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL {ROLL_WINDOW_S} SECOND PRECEDING
+                       AND CURRENT ROW)
+    """
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.sql(sql).df().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, rtol=1e-9, atol=1e-9,
+    )

@@ -73,37 +73,79 @@ def _sanitize_csv_cell(v):
     return v
 
 
-def _write_table(rows: list[dict], path: Path, fmt: str) -> Path:
+class MissingDependencyError(ImportError):
+    """An output format's optional dependency is not installed
+    (the reference's writer-factory UX, writers/__init__.py:46-130)."""
+
+
+def _write_parquet_batch(rows: list[dict], path: Path) -> None:
+    import pyarrow.parquet as pq
+
     from .stages.flatten import rows_to_table
 
-    if fmt == "parquet":
-        import pyarrow.parquet as pq
+    pq.write_table(rows_to_table(rows), path)
 
-        pq.write_table(rows_to_table(rows), path)
-    elif fmt == "csv":
-        keys = sorted({k for r in rows for k in r})
-        with open(path, "w", newline="") as f:
-            w = _csv.DictWriter(f, fieldnames=keys)
-            w.writeheader()
-            for r in rows:
-                w.writerow({k: _sanitize_csv_cell(r.get(k)) for k in keys})
-    elif fmt == "json":
-        with open(path, "w") as f:
-            json.dump(rows, f, ensure_ascii=False, default=str)
-    elif fmt == "orc":
-        from pyarrow import orc
 
-        orc.write_table(rows_to_table(rows), str(path))
-    elif fmt == "avro":
-        try:
-            import fastavro  # noqa: F401
-        except ImportError as exc:  # optional dependency, not in this env
-            raise ImportError(
-                "avro output requires the optional 'fastavro' package"
-            ) from exc
-        _write_avro(rows, path)  # pragma: no cover
-    else:
+def _write_csv_batch(rows: list[dict], path: Path) -> None:
+    keys = sorted({k for r in rows for k in r})
+    with open(path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        for r in rows:
+            w.writerow({k: _sanitize_csv_cell(r.get(k)) for k in keys})
+
+
+def _write_json_batch(rows: list[dict], path: Path) -> None:
+    with open(path, "w") as f:
+        json.dump(rows, f, ensure_ascii=False, default=str)
+
+
+def _write_orc_batch(rows: list[dict], path: Path) -> None:
+    from pyarrow import orc
+
+    from .stages.flatten import rows_to_table
+
+    orc.write_table(rows_to_table(rows), str(path))
+
+
+def _write_avro_batch(rows: list[dict], path: Path) -> None:
+    try:
+        import fastavro  # noqa: F401
+    except ImportError as exc:  # optional dependency, not in this env
+        raise MissingDependencyError(
+            "avro output requires the optional 'fastavro' package"
+        ) from exc
+    _write_avro(rows, path)  # pragma: no cover
+
+
+#: format name → batch writer fn(rows, path). The extension surface for
+#: custom sinks — see :func:`register_writer`.
+BATCH_WRITERS = {
+    "parquet": _write_parquet_batch,
+    "csv": _write_csv_batch,
+    "json": _write_json_batch,
+    "orc": _write_orc_batch,
+    "avro": _write_avro_batch,
+}
+
+
+def register_writer(fmt: str, batch_fn=None, streaming_factory=None) -> None:
+    """Register a custom output format (writer-registry extension surface,
+    mirroring reference writers/__init__.py:30-43): ``batch_fn(rows,
+    path)`` for :meth:`FlattenResult.save`, ``streaming_factory(out_dir,
+    **opts) -> writer`` (write(table, rows)/close()) for
+    :func:`flatten_stream`."""
+    if batch_fn is not None:
+        BATCH_WRITERS[fmt] = batch_fn
+    if streaming_factory is not None:
+        STREAMING_WRITERS[fmt] = streaming_factory
+
+
+def _write_table(rows: list[dict], path: Path, fmt: str) -> Path:
+    writer = BATCH_WRITERS.get(fmt)
+    if writer is None:
         raise ValueError(f"unsupported output format: {fmt!r}")
+    writer(rows, path)
     return path
 
 
@@ -161,12 +203,81 @@ def _parse_optional(text: str, fmt: str):
     return mod.loads(text)
 
 
-def iter_records(data: Any) -> Iterable[dict]:
+def _iter_jsonl_file(p: Path) -> Iterable[dict]:
+    """Line-streamed JSONL: one line parsed at a time, never the whole
+    file (reference iterators.py:227-243)."""
+    with open(p, "r") as f:
+        for ln in f:
+            if ln.strip():
+                yield _loads(ln)
+
+
+def _iter_json_array_file(p: Path, chunk_size: int = 1 << 18) -> Iterable[dict]:
+    """Constant-memory incremental parse of a file whose top level is a
+    JSON ARRAY (the reference's ijson path, iterators.py:156-203, built on
+    the stdlib instead): elements are decoded one at a time with
+    ``JSONDecoder.raw_decode`` over a sliding buffer that is trimmed after
+    every element — peak memory is O(largest element + chunk), not O(file).
+    A file whose first byte is not ``[`` falls back to one whole-file load
+    (first-byte sniff, reference iterators.py:179-189)."""
+    dec = json.JSONDecoder()
+    with open(p, "r") as f:
+        buf = f.read(chunk_size)
+        i = 0
+        # skip leading whitespace (refill if the first chunk is all ws)
+        while True:
+            while i < len(buf) and buf[i].isspace():
+                i += 1
+            if i < len(buf):
+                break
+            chunk = f.read(chunk_size)
+            if not chunk:
+                return
+            buf, i = chunk, 0
+        if buf[i] != "[":
+            text = buf[i:] + f.read()
+            parsed = _loads(text)
+            if isinstance(parsed, list):  # pragma: no cover (i=='[' above)
+                yield from parsed
+            else:
+                yield parsed
+            return
+        i += 1
+        while True:
+            while True:
+                while i < len(buf) and buf[i] in " \t\n\r,":
+                    i += 1
+                if i < len(buf):
+                    break
+                chunk = f.read(chunk_size)
+                if not chunk:
+                    raise ValueError(f"unterminated JSON array in {p}")
+                buf, i = chunk, 0
+            if buf[i] == "]":
+                return
+            while True:
+                try:
+                    value, end = dec.raw_decode(buf, i)
+                    break
+                except json.JSONDecodeError:
+                    chunk = f.read(chunk_size)
+                    if not chunk:
+                        raise
+                    buf = buf[i:] + chunk
+                    i = 0
+            yield value
+            buf = buf[end:]
+            i = 0
+
+
+def iter_records(data: Any, streaming: bool = True) -> Iterable[dict]:
     """Route any supported input to an iterator of record dicts
     (the reference's dispatcher surface, iterators.py:47-106):
     dict, list, iterator, JSON/JSONL str/bytes, or a path with format
     taken from the extension (.json/.jsonl/.ndjson/.json5/.hjson) or
-    sniffed from content."""
+    sniffed from a bounded head sample. File inputs stream — JSONL line
+    by line, top-level JSON arrays element by element — so memory is
+    bounded by one record, not the file."""
     if isinstance(data, dict):
         return [data]
     if isinstance(data, list):
@@ -176,19 +287,20 @@ def iter_records(data: Any) -> Iterable[dict]:
             isinstance(data, str) and len(data) < 4096 and os.path.exists(data)
         ):
             p = Path(data)
-            text = p.read_text()
             ext = p.suffix.lstrip(".")
             if ext in ("json5", "hjson"):
-                parsed = _parse_optional(text, ext)
+                parsed = _parse_optional(p.read_text(), ext)
                 return parsed if isinstance(parsed, list) else [parsed]
-            fmt = {"jsonl": "jsonl", "ndjson": "jsonl"}.get(ext) or _sniff_format(text)
-        else:
-            text = data.decode() if isinstance(data, bytes) else data
-            fmt = _sniff_format(text)
-        if fmt == "jsonl":
-            return (
-                _loads(ln) for ln in text.splitlines() if ln.strip()
-            )
+            if ext in ("jsonl", "ndjson"):
+                return _iter_jsonl_file(p)
+            with open(p, "r") as f:
+                head = f.read(8192)
+            if _sniff_format(head) == "jsonl":
+                return _iter_jsonl_file(p)
+            return _iter_json_array_file(p)
+        text = data.decode() if isinstance(data, bytes) else data
+        if _sniff_format(text) == "jsonl":
+            return (_loads(ln) for ln in text.splitlines() if ln.strip())
         parsed = _loads(text)
         return parsed if isinstance(parsed, list) else [parsed]
     if hasattr(data, "__iter__"):
@@ -270,6 +382,175 @@ class StreamingCsvWriter:
         self._writers.clear()
 
 
+class StreamingArrowPartWriter:
+    """Streaming Arrow-family sink: one part file per flush per table,
+    with each table's schema FROZEN from its first batch — later flushes
+    are conformed to it (missing fields → null, numeric promotions cast,
+    unseen fields dropped under ``drift="conform"`` or rejected under
+    ``drift="strict"``), so every part file of a table carries ONE
+    schema even when the record stream drifts (the reference freezes on
+    first batch too, arrow_base.py:364-369)."""
+
+    def __init__(self, out_dir: Path, fmt: str = "parquet", drift: str = "conform"):
+        if drift not in ("conform", "strict"):
+            raise ValueError("drift must be 'conform' or 'strict'")
+        self.out_dir = out_dir
+        self.fmt = fmt
+        self.drift = drift
+        self._schemas: dict[str, object] = {}
+        self._parts: dict[str, int] = {}
+
+    def _conform_rows(self, table: str, rows: list[dict]):
+        from .stages.flatten import _conform, rows_to_table
+
+        if table not in self._schemas:
+            t = rows_to_table(rows)
+            self._schemas[table] = t.schema
+            return t
+        schema = self._schemas[table]
+        if self.drift == "strict":
+            unseen = {k for r in rows for k in r} - set(schema.names)
+            if unseen:
+                raise ValueError(
+                    f"schema drift in table {table!r}: new fields {sorted(unseen)}"
+                )
+        return _conform(rows, schema)
+
+    def _emit(self, table, arrow_table, path):
+        import pyarrow.parquet as pq
+
+        pq.write_table(arrow_table, path)
+
+    def write(self, table: str, rows: list[dict]) -> Path:
+        t = self._conform_rows(table, rows)
+        tdir = self.out_dir / table
+        tdir.mkdir(exist_ok=True)
+        part = self._parts.get(table, 0)
+        self._parts[table] = part + 1
+        path = tdir / f"part-{part:05d}.{self.fmt}"
+        self._emit(table, t, path)
+        return path
+
+    def close(self) -> None:
+        pass
+
+
+class StreamingOrcWriter(StreamingArrowPartWriter):
+    """Streaming ORC: ONE file per table (``pyarrow.orc.ORCWriter``
+    appends a stripe per flush — reference orc.py:43-79 shape), frozen
+    first-batch schema like the parquet part writer."""
+
+    def __init__(self, out_dir: Path, drift: str = "conform"):
+        super().__init__(out_dir, "orc", drift)
+        self._writers: dict[str, object] = {}
+
+    def write(self, table: str, rows: list[dict]) -> Path:
+        from pyarrow import orc
+
+        t = self._conform_rows(table, rows)
+        path = self.out_dir / f"{table}.orc"
+        if table not in self._writers:
+            self._writers[table] = orc.ORCWriter(str(path))
+        self._writers[table].write(t)
+        return path
+
+    def close(self) -> None:
+        for w in self._writers.values():
+            w.close()
+        self._writers.clear()
+
+
+class StreamingJsonPartWriter:
+    """Streaming JSON sink: one part file per flush per table (schema-free)."""
+
+    def __init__(self, out_dir: Path):
+        self.out_dir = out_dir
+        self._parts: dict[str, int] = {}
+
+    def write(self, table: str, rows: list[dict]) -> Path:
+        tdir = self.out_dir / table
+        tdir.mkdir(exist_ok=True)
+        part = self._parts.get(table, 0)
+        self._parts[table] = part + 1
+        path = tdir / f"part-{part:05d}.json"
+        _write_json_batch(rows, path)
+        return path
+
+    def close(self) -> None:
+        pass
+
+
+class StreamingAvroWriter:  # pragma: no cover — fastavro absent in this env
+    """Streaming Avro: one file per table, union schema inferred from the
+    FIRST batch, later drift always raises and records are appended by
+    reopening ``a+b`` (reference avro.py:357-648 semantics). Gated on the
+    optional fastavro dependency."""
+
+    def __init__(self, out_dir: Path):
+        try:
+            import fastavro  # noqa: F401
+        except ImportError as exc:
+            raise MissingDependencyError(
+                "avro output requires the optional 'fastavro' package"
+            ) from exc
+        self.out_dir = out_dir
+        self._schemas: dict[str, object] = {}
+        self._fields: dict[str, set] = {}
+
+    def write(self, table: str, rows: list[dict]) -> Path:
+        import fastavro
+
+        path = self.out_dir / f"{table}.avro"
+        if table not in self._schemas:
+            type_map = {bool: "boolean", int: "long", float: "double", str: "string"}
+            fields: dict[str, set] = {}
+            for r in rows:
+                for k, v in r.items():
+                    fields.setdefault(k, set())
+                    if v is not None:
+                        fields[k].add(type_map.get(type(v), "string"))
+            schema = {
+                "type": "record", "name": "row",
+                "fields": [{"name": k, "type": ["null", *sorted(ts or {"string"})]}
+                           for k, ts in fields.items()],
+            }
+            self._schemas[table] = fastavro.parse_schema(schema)
+            self._fields[table] = set(fields)
+            with open(path, "wb") as f:
+                fastavro.writer(f, self._schemas[table], rows)
+            return path
+        unseen = {k for r in rows for k in r} - self._fields[table]
+        if unseen:
+            raise ValueError(
+                f"schema drift in table {table!r}: new fields {sorted(unseen)}"
+            )
+        with open(path, "a+b") as f:
+            fastavro.writer(f, self._schemas[table], rows)
+        return path
+
+    def close(self) -> None:
+        pass
+
+
+#: format name → streaming writer factory(out_dir, **opts); extension
+#: point shared with :func:`register_writer`
+STREAMING_WRITERS = {
+    "parquet": lambda out_dir, **o: StreamingArrowPartWriter(
+        out_dir, "parquet", o.get("drift", "conform")),
+    "orc": lambda out_dir, **o: StreamingOrcWriter(out_dir, o.get("drift", "conform")),
+    "json": lambda out_dir, **o: StreamingJsonPartWriter(out_dir),
+    "csv": lambda out_dir, **o: StreamingCsvWriter(out_dir, o.get("drift", "drop")),
+    "avro": lambda out_dir, **o: StreamingAvroWriter(out_dir),
+}
+
+
+def create_streaming_writer(fmt: str, out_dir: Path, **opts):
+    factory = STREAMING_WRITERS.get(fmt)
+    if factory is None:
+        raise ValueError(f"unsupported output format: {fmt!r}")
+    return factory(out_dir, **opts)
+
+
 def flatten_stream(
     data: Any,
     output_path: str | Path,
@@ -279,14 +560,16 @@ def flatten_stream(
     batch_size: int = 4096,
     progress_callback=None,
     csv_drift: str = "drop",
+    drift: str | None = None,
 ) -> list[Path]:
     """File/iterator → files without holding tables in memory.
 
-    Parquet/orc/json emit one part file per flush batch per table
-    (resumable-friendly layout); CSV streams into one file per table with
-    a frozen header and a drift policy (reference streaming-writer
-    semantics). ``progress_callback(processed, total_or_None)`` fires per
-    flush (reference ProgressCallback shape, types.py:9).
+    Input streams record by record (JSONL lines / JSON-array elements
+    decoded incrementally); output goes through a streaming writer from
+    the registry — parquet/json part files per flush, single-file ORC and
+    CSV — with each table's schema frozen from its first batch.
+    ``progress_callback(processed, total_or_None)`` fires per flush
+    (reference ProgressCallback shape, types.py:9).
     """
     cfg = config or FlattenConfig()
     flattener = Flattener(cfg, name)
@@ -296,26 +579,20 @@ def flatten_stream(
 
     records = iter_records(data)
     total = len(records) if isinstance(records, list) else None
-    csv_writer = StreamingCsvWriter(out_dir, csv_drift) if output_format == "csv" else None
+    writer = create_streaming_writer(
+        output_format, out_dir,
+        drift=(drift or (csv_drift if output_format == "csv" else "conform")),
+    )
 
-    part = 0
     processed = 0
     batch: list[dict] = []
 
     def flush(batch_rows):
-        nonlocal part, processed
+        nonlocal processed
         rows, children = flattener.flatten_batch(batch_rows, extract_time=ts)
         for tname, trows in {flattener.entity: rows, **children}.items():
-            if not trows:
-                continue
-            if csv_writer is not None:
-                csv_writer.write(tname, trows)
-            else:
-                tdir = out_dir / tname
-                tdir.mkdir(exist_ok=True)
-                _write_table(trows, tdir / f"part-{part:05d}.{output_format}",
-                             output_format)
-        part += 1
+            if trows:
+                writer.write(tname, trows)
         processed += len(batch_rows)
         if progress_callback is not None:
             progress_callback(processed, total)
@@ -329,8 +606,7 @@ def flatten_stream(
         if batch:
             flush(batch)
     finally:
-        if csv_writer is not None:
-            csv_writer.close()
+        writer.close()
     return sorted(out_dir.rglob(f"*.{output_format}"))
 
 
@@ -339,6 +615,12 @@ __all__ = [
     "flatten_stream",
     "FlattenResult",
     "FlattenConfig",
+    "MissingDependencyError",
     "StreamingCsvWriter",
+    "StreamingArrowPartWriter",
+    "StreamingOrcWriter",
+    "StreamingAvroWriter",
+    "register_writer",
+    "create_streaming_writer",
     "iter_records",
 ]

@@ -104,10 +104,11 @@ def rolling_agg(
 
     Window is ``[t - window_seconds, t]`` with BOTH boundaries closed,
     matching SQL ``RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW``
-    — except on TIED timestamps within a key: SQL RANGE frames include
-    all peer rows, while this includes only peers at earlier sort
-    positions (pandas rolling is row-cumulative). Pinned by the property
-    tests; irrelevant when (key, ts) is unique (dedup first).
+    exactly — including on TIED timestamps: SQL RANGE frames are
+    peer-inclusive, so every row of a (key, ts) tie group sees the whole
+    group. pandas rolling is row-cumulative; at the LAST row of a tie
+    group its cumulative window equals the SQL frame, so that value is
+    broadcast back over the group's peers (one vectorized transform).
     """
     prefix = prefix or f"{col}_w{int(window_seconds)}s"
     r = (
@@ -117,7 +118,10 @@ def rolling_agg(
     for agg in aggs:
         # with on=ts the result is (key, ts)-indexed; the frame is sorted by
         # (key, ts) and groups are contiguous, so positions line up 1:1
-        df[f"{prefix}_{agg}"] = getattr(r, agg)().to_numpy()
+        vals = pd.Series(getattr(r, agg)().to_numpy(), index=df.index)
+        df[f"{prefix}_{agg}"] = vals.groupby(
+            [df[key], df[ts]], sort=False
+        ).transform("last")
     return df
 
 
