@@ -259,3 +259,38 @@ def test_apply_sorted_fused_pipeline(ray_session):
             for t in times
         ]
         assert list(sub["x_w600s_count"].astype(int)) == cnt
+
+
+def test_bucket_exchange_matches_groupby_exchange(ray_session):
+    """The raw-task bucket exchange must be a drop-in replacement for the
+    sort-based groupby exchange."""
+    import numpy as np
+    import ray.data as rd
+
+    from transmog_ray.stages.partition import apply_sorted
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 50, n).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10000, n), unit="s"),
+        "v": rng.uniform(0, 10, n),
+        "rid": np.arange(n, dtype=np.int64),
+    })
+
+    def fn(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy()
+        part["cum"] = part.groupby("k")["v"].cumsum()
+        return part
+
+    def run(exchange):
+        ds = rd.from_pandas(df).map_batches(lambda t: t, batch_format="pyarrow")
+        return (
+            apply_sorted(ds, ["k"], "ts", fn, num_buckets=8,
+                         tiebreak=["rid"], exchange=exchange)
+            .to_pandas().sort_values("rid").reset_index(drop=True)
+        )
+
+    a, b = run("groupby"), run("tasks")
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)

@@ -153,3 +153,20 @@ def test_tagged_matches_pushdown_with_dup_links(ray_session, tmp_path):
     first = a[(a["url"] == "https://a/p/1")].sort_values("warc_ts").iloc[0]
     assert first["n_links"] == 3.0
     assert first["mean_link_depth"] == pytest.approx((2.0 + 2.0 + 4.0) / 3)
+
+
+def test_fused_matches_dataset_pushdown(ray_session, pages_dir):
+    import glob as _glob
+
+    from transmog_ray.pipelines.features import (
+        page_features_pushdown,
+        page_features_pushdown_fused,
+    )
+
+    a = canon(page_features_pushdown(load(pages_dir), num_buckets=4).to_pandas())
+    files = _glob.glob(f"{pages_dir}/*.parquet")
+    b = canon(page_features_pushdown_fused(files, num_buckets=4).to_pandas())
+    drop = [c for c in ("meta_tags",) if c in a.columns]
+    pd.testing.assert_frame_equal(
+        a.drop(columns=drop), b.drop(columns=drop), check_dtype=False
+    )

@@ -51,7 +51,6 @@ def brute_topk(
         kk = min(k, S.shape[1])
         out = {"query_id": [], "neighbor_id": [], "cos_sim": []}
         # per query: local top-k by (sim desc, id asc)
-        order_ids = np.argsort(ids, kind="stable")
         for qi in range(S.shape[0]):
             sims = S[qi]
             idx = np.lexsort((ids, -sims))[:kk]

@@ -114,16 +114,17 @@ def minhash_clusters(
     PAIRS and verified EDGES (both tiny by LSH construction), never texts
     or signatures:
 
-      sign (map_batches) → band-bucket groupby → candidate pairs
-      → semi-join texts down to candidate ids → hash-join text_a/text_b
-      onto the pairs → exact shingle-Jaccard VERIFY in map_batches
-      → verified edges to the driver → min-label union-find on edges
-      → broadcast label map → cluster column via map_batches.
+      sign (map_batches) → band-bucket groupby → candidate pairs (driver,
+      deduped) → semi-join texts down to candidate ids → explode each
+      candidate doc to the verify buckets that need it → ONE bucket
+      groupby whose tasks merge texts onto their pairs and run the exact
+      shingle-Jaccard VERIFY → verified edges to the driver → min-label
+      union-find on edges → broadcast label map → cluster column via
+      map_batches.
     """
     import ray
 
-    from ..stages.partition import BUCKET_COL, add_bucket
-    from .relational import hash_join, semi_join
+    from .relational import semi_join
 
     hasher = MinHasher(n_perm, shingle_k)
     docs = ds.select_columns([id_col, text_col]).materialize()
@@ -160,60 +161,74 @@ def minhash_clusters(
         ).astype(np.int64)
         return df
 
-    cand = (
+    # candidate PAIRS to the driver, deduped there (pairs ≪ docs by LSH
+    # construction — this is the defensible driver-side set; texts and
+    # signatures never leave the cluster)
+    pairs_pd = (
         bands.map_batches(coarse_bucket, batch_format="pandas")
         .groupby("_cand_bucket")
         .map_groups(candidates, batch_format="pandas")
-    )
-    # global pair dedup (the same pair can surface from bands that hash to
-    # different coarse buckets): one hash-bucket shuffle of the pair set
-    pairs = (
-        add_bucket(cand, ["id_a", "id_b"], num_buckets)
-        .groupby(BUCKET_COL)
-        .map_groups(
-            lambda df: df.drop_duplicates(["id_a", "id_b"]).drop(
-                columns=[BUCKET_COL]
-            ),
-            batch_format="pandas",
-        )
-        .materialize()
-    )
+        .to_pandas()
+    ).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
-    # candidate ids to the driver (small); texts stay distributed — prune
-    # the doc table to candidate ids, then hash-join texts onto the pairs
-    ids_pd = pairs.to_pandas()
-    if len(ids_pd) == 0:
+    if len(pairs_pd) == 0:
         label_ref = ray.put({})
     else:
-        cand_ids = pd.DataFrame(
-            {id_col: pd.unique(ids_pd[["id_a", "id_b"]].to_numpy().ravel())}
-        )
+        # ONE verify shuffle: each pair is assigned a verify bucket; the
+        # (pruned) candidate docs are exploded to every bucket that
+        # needs their text, and each bucket task merges texts onto its
+        # pairs and verifies with exact shingle Jaccard
+        vb = (
+            pd.util.hash_pandas_object(
+                pairs_pd["id_a"].astype("int64"), index=False
+            ) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        pairs_pd = pairs_pd.assign(_vb=vb)
+        need: dict = {}
+        for a, b, bk in zip(pairs_pd["id_a"], pairs_pd["id_b"], vb):
+            need.setdefault(a, set()).add(int(bk))
+            need.setdefault(b, set()).add(int(bk))
+        need_ref = ray.put(need)
+        pairs_ref = ray.put(pairs_pd)
+
+        cand_ids = pd.DataFrame({id_col: list(need)})
         sub = semi_join(docs, cand_ids, on=id_col)
-        a_side = sub.map_batches(
-            lambda df: df.rename(columns={id_col: "id_a", text_col: "text_a"}),
-            batch_format="pandas",
-        )
-        b_side = sub.map_batches(
-            lambda df: df.rename(columns={id_col: "id_b", text_col: "text_b"}),
-            batch_format="pandas",
-        )
-        withtexts = hash_join(
-            hash_join(pairs, a_side, on="id_a", num_buckets=num_buckets),
-            b_side, on="id_b", num_buckets=num_buckets,
-        )
 
-        def verify(df: pd.DataFrame) -> pd.DataFrame:
-            jac = [
-                _shingle_jaccard(a or "", b or "", shingle_k)
-                for a, b in zip(df["text_a"], df["text_b"])
+        def explode(df: pd.DataFrame) -> pd.DataFrame:
+            need_map = ray.get(need_ref)
+            ids_out, texts_out, vb_out = [], [], []
+            for i, t in zip(df[id_col], df[text_col]):
+                for bk in need_map.get(i, ()):
+                    ids_out.append(i)
+                    texts_out.append(t)
+                    vb_out.append(bk)
+            return pd.DataFrame({
+                id_col: pd.Series(ids_out, dtype="int64"),
+                text_col: texts_out,
+                "_vb": pd.Series(vb_out, dtype="int64"),
+            })
+
+        def verify(g: pd.DataFrame) -> pd.DataFrame:
+            bk = int(g["_vb"].iloc[0])
+            mine = ray.get(pairs_ref)
+            mine = mine[mine["_vb"] == bk]
+            texts = dict(zip(g[id_col], g[text_col]))
+            ok = [
+                _shingle_jaccard(texts.get(a) or "", texts.get(b) or "",
+                                 shingle_k) >= jaccard_threshold
+                for a, b in zip(mine["id_a"], mine["id_b"])
             ]
-            out = df.loc[np.asarray(jac) >= jaccard_threshold, ["id_a", "id_b"]]
-            return out
+            return mine.loc[ok, ["id_a", "id_b"]]
 
-        edges = withtexts.map_batches(verify, batch_format="pandas").to_pandas()
+        edges = (
+            sub.map_batches(explode, batch_format="pandas")
+            .groupby("_vb")
+            .map_groups(verify, batch_format="pandas")
+            .to_pandas()
+        )
 
         # union-find over the verified EDGE set only (driver-side by
-        # design: edges ≪ docs; texts/signatures never left the cluster)
+        # design: edges ≪ docs)
         parent: dict = {}
 
         def find(x):

@@ -138,16 +138,20 @@ def hash_join(
     on: Sequence[str] | str,
     how: str = "inner",
     num_buckets: int = 64,
+    exchange: str | None = None,
 ):
     """Partitioned hash join, both sides large: pad to a common typed
     schema, tag, union, hash-bucket on the key(s), pandas merge per
     bucket. Each row moves exactly once. Non-key column names must be
-    disjoint between the sides.
+    disjoint between the sides. ``exchange="tasks"`` (default) runs the
+    bucket exchange on raw Ray tasks (no sort coordination —
+    stages.partition.bucket_exchange); ``"groupby"`` uses the Ray Data
+    sort-based groupby.
     """
     import pyarrow as pa
 
     from ..stages.common import arrow_schema, pad_to, union_schemas
-    from ..stages.partition import BUCKET_COL, add_bucket
+    from ..stages.partition import BUCKET_COL, add_bucket, bucket_exchange
 
     on = [on] if isinstance(on, str) else list(on)
     side = "_join_side"
@@ -160,7 +164,7 @@ def hash_join(
 
     left_pad = left_ds.map_batches(pad_to(target, side, 0), batch_format="pyarrow")
     right_pad = right_ds.map_batches(pad_to(target, side, 1), batch_format="pyarrow")
-    bucketed = add_bucket(left_pad.union(right_pad), on, num_buckets)
+    unioned = left_pad.union(right_pad)
 
     left_cols = list(left_schema.names)
     right_only = [n for n in right_schema.names if n not in left_schema.names]
@@ -175,6 +179,7 @@ def hash_join(
     }
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
         left = df[df[side] == 0][left_cols]
         right = df[df[side] == 1][[*on, *right_only]]
         out = left.merge(right, on=on, how=how)
@@ -183,6 +188,11 @@ def hash_join(
                 out[col] = out[col].astype(dtype)
         return out
 
+    import os
+
+    if (exchange or os.environ.get("GRAFT_JOIN_EXCHANGE", "tasks")) == "tasks":
+        return bucket_exchange(unioned, on, per_bucket, num_buckets)
+    bucketed = add_bucket(unioned, on, num_buckets)
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 

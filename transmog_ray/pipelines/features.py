@@ -170,36 +170,93 @@ def page_feature_fn_pushdown(session_gap_s: float, rolling_window_s: float):
     already carry per-snapshot link aggregates (child_aggs). Feature rows
     exist only for snapshots that observed links (n_links > 0), matching
     the tagged path where linkless snapshots emit no feature row — so the
-    as-of join genuinely reaches back to the previous crawl for them."""
+    as-of join genuinely reaches back to the previous crawl for them.
+
+    Hot-path shape (this kernel runs once per shuffle bucket, so its
+    constants ARE the pipeline's reduce cost): urls are factorized to int
+    codes and the single sort runs on (code, ts) int64 arrays — object
+    (string) comparisons only happen inside the rare (url, warc_ts)
+    duplicate runs when picking the dedup winner. Because the feature
+    rows are derived from the SAME frame (feature_ts == a winner row's
+    own warc_ts), the backward as-of join degenerates to a masked
+    per-key forward fill — no merge, no re-sort."""
+    import numpy as np
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        main = (
-            df.sort_values(["url", "warc_ts", "text"], kind="mergesort")
-            .drop_duplicates(subset=["url", "warc_ts"], keep="first")
-            .dropna(subset=["url", "warc_ts"])
+        if len(df) == 0:
+            return df
+        df = df.dropna(subset=["url", "warc_ts"])
+        n = len(df)
+        if n == 0:
+            return df
+        codes, _ = pd.factorize(df["url"], use_na_sentinel=False)
+        ts_i = df["warc_ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        order = np.lexsort((ts_i, codes))  # stable: (code, ts, input order)
+        codes_s, ts_s = codes[order], ts_i[order]
+
+        # dedup winner per (url, warc_ts): first of each run; runs longer
+        # than 1 re-ranked by (text asc, NaN last) on the tiny dup subset
+        first = np.r_[True, (codes_s[1:] != codes_s[:-1]) | (ts_s[1:] != ts_s[:-1])]
+        keep = first.copy()
+        if not first.all():
+            grp = np.cumsum(first) - 1
+            sizes = np.bincount(grp)
+            dup_pos = np.flatnonzero(sizes[grp] > 1)
+            text_vals = df["text"].to_numpy()[order][dup_pos]
+            sub = pd.DataFrame({"g": grp[dup_pos], "text": text_vals,
+                                "pos": dup_pos})
+            winners = (
+                sub.sort_values(["g", "text"], na_position="last",
+                                kind="mergesort")
+                .drop_duplicates("g")["pos"].to_numpy()
+            )
+            keep[dup_pos] = False
+            keep[winners] = True
+
+        main = df.iloc[order[keep]].reset_index(drop=True)
+        kc = codes_s[keep]
+        main["_kc"] = kc
+
+        # as-of attach of self-derived features == forward fill of the
+        # latest feature ROW POSITION per key, then a gather — filling the
+        # position (not the values) keeps a feature row's own NaN fields
+        # (e.g. all-null depths) from being bridged by older features
+        nm = len(main)
+        has = main["n_links"].to_numpy() > 0
+        pos = pd.Series(
+            np.where(has, np.arange(nm, dtype=np.float64), np.nan),
+            index=main.index,
         )
-        feats = main.loc[
-            main["n_links"] > 0, ["url", "warc_ts", "n_links", "mean_link_depth"]
-        ].rename(columns={"warc_ts": "feature_ts"})
-        left = main.drop(columns=["n_links", "mean_link_depth"]).sort_values(
-            "warc_ts", kind="mergesort"
+        posf = pos.groupby(kc, sort=False).ffill().to_numpy()
+        valid = ~np.isnan(posf)
+        src = posf[valid].astype(np.int64)
+
+        feature_ts = np.full(nm, np.datetime64("NaT", "ns"))
+        feature_ts[valid] = (
+            main["warc_ts"].to_numpy().astype("datetime64[ns]")[src]
         )
-        right = feats.sort_values("feature_ts", kind="mergesort")
-        out = pd.merge_asof(
-            left, right, left_on="warc_ts", right_on="feature_ts", by="url",
-            direction="backward", allow_exact_matches=True,
+        n_links_f = np.full(nm, np.nan)
+        n_links_f[valid] = main["n_links"].to_numpy(dtype=np.float64)[src]
+        depth_f = np.full(nm, np.nan)
+        depth_f[valid] = main["mean_link_depth"].to_numpy(dtype=np.float64)[src]
+
+        out = main.drop(columns=["n_links", "mean_link_depth"])
+        out["feature_ts"] = pd.Series(feature_ts, index=main.index).astype(
+            main["warc_ts"].dtype
         )
-        out = out.sort_values(["url", "warc_ts", "_id"], kind="mergesort").reset_index(
-            drop=True
-        )
-        out = with_lag(out, "url", ["n_links"])
-        out = with_lead(out, "url", ["n_links"])
-        out = sessionize(out, "url", "warc_ts", gap_seconds=session_gap_s)
-        out = backfill(out, "url", ["mean_link_depth"])
+        out["n_links"] = n_links_f
+        out["mean_link_depth"] = depth_f
+
+        out = with_lag(out, "_kc", ["n_links"])
+        out = with_lead(out, "_kc", ["n_links"])
+        out = sessionize(out, "_kc", "warc_ts", gap_seconds=session_gap_s,
+                         label_key="url")
+        out = backfill(out, "_kc", ["mean_link_depth"])
         out = rolling_agg(
-            out, "url", "warc_ts", "n_links", rolling_window_s, aggs=("count", "mean")
+            out, "_kc", "warc_ts", "n_links", rolling_window_s,
+            aggs=("count", "mean"),
         )
-        return out
+        return out.drop(columns=["_kc"])
 
     return fn
 
@@ -210,22 +267,105 @@ def page_features_pushdown(
     rolling_window_s: float = 30 * 86400,
     num_buckets: int = 64,
     flatten_concurrency: int | None = None,
+    exchange: str = "groupby",
+    plan=None,
 ):
     """THE flagship at scale: child aggregates computed inside the flatten
     task (exact — a record's child rows never span tasks), so only main
     rows enter the one url shuffle (3-5x less exchange volume than the
-    tagged path)."""
+    tagged path). ``exchange="tasks"`` swaps the sort-based groupby for
+    the map-side bucket exchange (stages.partition.bucket_exchange).
+    Pass a precompiled ``plan`` (stages.flatten.plan_from_dataset) to skip
+    the driver-side schema-discovery sample — discovery is a per-call
+    constant that repeated/benchmarked runs should hoist."""
     flat, _plan = flatten_dataset(
         pages_ds, PAGE_SPEC_PUSHDOWN, emit="main",
-        concurrency=flatten_concurrency,
+        concurrency=flatten_concurrency, plan=plan,
     )
     fn = page_feature_fn_pushdown(session_gap_s, rolling_window_s)
+
+    if exchange == "tasks":
+        from ..stages.partition import bucket_exchange
+
+        return bucket_exchange(flat, ["url"], fn, num_buckets)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return fn(df.drop(columns=[BUCKET_COL]))
 
     bucketed = add_bucket(flat, ["url"], num_buckets)
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+
+
+def page_features_pushdown_fused(
+    pages_files,
+    session_gap_s: float = 7 * 86400,
+    rolling_window_s: float = 30 * 86400,
+    num_buckets: int = 16,
+    plan=None,
+    columns=("url", "warc_ts", "text", "lang", "meta"),
+):
+    """Peak-throughput flagship: read + flatten + bucket-split FUSED into
+    one Ray task per input shard (the classic map-side shuffle write), so
+    flattened rows go to the object store already bucketed — no
+    intermediate full-table materialization and no separate split hop.
+    One reduce task per bucket runs the same fused feature kernel.
+
+    Partitioning assumption (document per SURVEY §2 custom-operator rule):
+    input shard count ≫ total cores (one task per shard is the map
+    quantum), and a bucket must fit one worker's memory — identical to
+    the Dataset path's bucket contract. Results are row-for-row equal to
+    :func:`page_features_pushdown`; this variant exists because the
+    all-to-all here is two task hops instead of a sort, which is what
+    scales linearly with cores on a fixed cluster."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from ..stages.flatten import FlattenStage, plan_from_dataset
+    from ..stages.partition import key_hash
+
+    files = sorted(pages_files)
+    if plan is None:
+        ds = rd.read_parquet(files, columns=list(columns))
+        plan = plan_from_dataset(ds, PAGE_SPEC_PUSHDOWN)
+    plan_ref = ray.put(plan)
+    fn = page_feature_fn_pushdown(session_gap_s, rolling_window_s)
+
+    @ray.remote(num_returns=num_buckets)
+    def map_shard(path, plan_obj):
+        import pyarrow.parquet as pq
+
+        block = pq.read_table(path, columns=list(columns))
+        flat = FlattenStage(plan_obj, emit="main")(block)
+        key_frame = flat.select(["url"]).to_pandas()
+        h = (key_hash(key_frame, ["url"]) % np.uint64(num_buckets)).astype(
+            np.int64
+        )
+        order = np.argsort(h, kind="stable")
+        taken = flat.take(pa.array(order))
+        bounds = np.searchsorted(h[order], np.arange(num_buckets + 1))
+        parts = tuple(
+            taken.slice(bounds[b], bounds[b + 1] - bounds[b])
+            for b in range(num_buckets)
+        )
+        return parts if num_buckets > 1 else parts[0]
+
+    @ray.remote
+    def reduce(*parts):
+        live = [p for p in parts if p.num_rows]
+        t = parts[0] if not live else pa.concat_tables(
+            live, promote_options="permissive"
+        )
+        return pa.Table.from_pandas(fn(t.to_pandas()), preserve_index=False)
+
+    matrix = [map_shard.remote(f, plan_ref) for f in files]
+    if num_buckets == 1:
+        matrix = [[refs] for refs in matrix]
+    outs = [
+        reduce.remote(*[row[b] for row in matrix]) for b in range(num_buckets)
+    ]
+    return rd.from_arrow_refs(outs)
 
 
 def checkpointed_page_features(
@@ -253,6 +393,7 @@ def checkpointed_page_features(
 __all__ = [
     "page_features",
     "page_features_pushdown",
+    "page_features_pushdown_fused",
     "page_feature_fn",
     "page_feature_fn_pushdown",
     "tagged_pages",

@@ -960,18 +960,20 @@ def _pages_proj(df: pd.DataFrame) -> pd.DataFrame:
 
 def q_pages_features(sf_dir: str):
     """Flagship: synthetic Common-Crawl-style pages → point-in-time
-    features (flatten with child-agg pushdown → ONE url shuffle → fused
-    dedup + as-of + lag/lead + sessionize + backfill + rolling pass).
-    Pages are synthesized deterministically per scale (no external data)."""
-    from ..pipelines.features import page_features_pushdown
+    features (read+flatten+bucket-split fused into one map task per
+    shard — the peak-throughput map-side shuffle — then one fused
+    dedup + as-of + lag/lead + sessionize + backfill + rolling reduce
+    per url bucket). Pages are synthesized deterministically per scale
+    (no external data). The driver's oracle compare runs against THIS
+    path; the Dataset-exchange variant is pinned by
+    ``pages_features_tagged`` and the parity tests."""
+    import glob
+
+    from ..pipelines.features import page_features_pushdown_fused
 
     pages_dir = _pages_fixture(sf_dir)
-    ds = _rd().read_parquet(
-        pages_dir,
-        columns=["url", "warc_ts", "text", "lang", "meta"],
-        override_num_blocks=64,  # decouple flatten parallelism from file count
-    )
-    out = page_features_pushdown(ds, num_buckets=32)
+    files = glob.glob(f"{pages_dir}/pages-*.parquet")
+    out = page_features_pushdown_fused(files, num_buckets=16)
     return out.map_batches(_pages_proj, batch_format="pandas")
 
 

@@ -85,12 +85,15 @@ def asof_join(
     right_cols: Sequence[str],
     num_buckets: int = 64,
     tolerance_seconds: float | None = None,
+    exchange: str | None = None,
 ):
     """Shuffle-based as-of join of two Datasets (both sides large).
 
     Output = every left row + ``right_ts`` + ``right_cols`` (null when no
     feature row exists at or before the left timestamp). ``left_ts`` and
-    ``right_ts`` must be distinct column names.
+    ``right_ts`` must be distinct column names. ``exchange="tasks"``
+    (default) runs the bucket exchange on raw Ray tasks (no sort
+    coordination); ``"groupby"`` uses the Ray Data sort-based groupby.
     """
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct column names")
@@ -108,7 +111,7 @@ def asof_join(
 
     left_pad = left_ds.map_batches(pad_to(target, _SIDE, 0), batch_format="pyarrow")
     right_pad = right_ds.map_batches(pad_to(target, _SIDE, 1), batch_format="pyarrow")
-    bucketed = add_bucket(left_pad.union(right_pad), [key], num_buckets)
+    unioned = left_pad.union(right_pad)
 
     # pandas upcasts int columns to float when the OTHER side's padding
     # nulls share the column; left rows themselves are never null there,
@@ -135,6 +138,13 @@ def asof_join(
                 out[col] = out[col].astype(dtype)
         return out
 
+    import os
+
+    if (exchange or os.environ.get("GRAFT_JOIN_EXCHANGE", "tasks")) == "tasks":
+        from .partition import bucket_exchange
+
+        return bucket_exchange(unioned, [key], per_bucket, num_buckets)
+    bucketed = add_bucket(unioned, [key], num_buckets)
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 

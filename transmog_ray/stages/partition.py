@@ -61,6 +61,75 @@ def add_bucket(ds, keys: Sequence[str], num_buckets: int):
     return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
+def bucket_exchange(
+    ds,
+    keys: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 32,
+):
+    """Map-side bucket exchange on raw Ray tasks: each input block is
+    split into per-bucket Arrow slices (one vectorized argsort, zero-copy
+    ``take``), then one reduce task per bucket concatenates its slices
+    and applies *fn* to the whole bucket frame.
+
+    This replaces the sort-based ``groupby().map_groups`` exchange for
+    the hot path: there is no global sort and no merge coordination —
+    the split stage is embarrassingly parallel and each reduce depends
+    only on its own column of the [blocks × buckets] object matrix, so
+    the exchange scales with cores. The object matrix is the classic
+    map-shuffle layout (O(blocks × buckets) small objects; at multi-node
+    scale keep buckets ≈ a small multiple of total cores, and the object
+    store spills slices under pressure). One of the few places the engine
+    drops below the Dataset API — the Dataset groupby expresses the same
+    semantics but pays a sort it doesn't need (SURVEY.md §2 custom-
+    operator rule c).
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    keys = list(keys)
+
+    @ray.remote(num_returns=num_buckets)
+    def split(block):
+        if not isinstance(block, pa.Table):  # pandas-backed upstream block
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        key_frame = block.select(keys).to_pandas()
+        h = (key_hash(key_frame, keys) % np.uint64(num_buckets)).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        taken = block.take(pa.array(order))
+        bounds = np.searchsorted(h[order], np.arange(num_buckets + 1))
+        parts = tuple(
+            taken.slice(bounds[b], bounds[b + 1] - bounds[b])
+            for b in range(num_buckets)
+        )
+        return parts if num_buckets > 1 else parts[0]
+
+    @ray.remote
+    def reduce(*parts: pa.Table):
+        live = [p for p in parts if p.num_rows]
+        if not live:
+            t = parts[0]
+        else:
+            t = pa.concat_tables(live, promote_options="permissive")
+        out = fn(t.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # stream split tasks as upstream blocks are produced — the split
+    # stage overlaps the (possibly expensive) map stage feeding it; only
+    # the reduce barrier waits for everything
+    matrix = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            matrix.append(split.remote(block_ref))
+    if num_buckets == 1:
+        matrix = [[refs] for refs in matrix]
+    outs = [
+        reduce.remote(*[row[b] for row in matrix]) for b in range(num_buckets)
+    ]
+    return rd.from_arrow_refs(outs)
+
+
 def apply_sorted(
     ds,
     keys: Sequence[str],
@@ -68,12 +137,17 @@ def apply_sorted(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int = 64,
     tiebreak: Sequence[str] = (),
+    exchange: str = "groupby",
 ):
     """Hash-partition by *keys*, sort each partition by (keys, ts, tiebreak),
     apply *fn* per sorted partition.
 
     *fn* may add columns, drop rows, or aggregate — anything with
     per-key-local semantics. Rows of one key never span partitions.
+    ``exchange`` picks the physical shuffle: ``"groupby"`` (Ray Data
+    sort-based groupby — streaming, overlaps with upstream) or
+    ``"tasks"`` (:func:`bucket_exchange` — no sort coordination, better
+    core-scaling on large exchanges).
     """
     keys = list(keys)
     sort_cols = [*keys, ts, *tiebreak]
@@ -83,8 +157,11 @@ def apply_sorted(
         out = fn(df)
         return out.drop(columns=[BUCKET_COL], errors="ignore")
 
+    if exchange == "tasks":
+        return bucket_exchange(ds, keys, per_bucket, num_buckets)
     bucketed = add_bucket(ds, keys, num_buckets)
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
-__all__ = ["BUCKET_COL", "key_hash", "add_bucket", "apply_sorted"]
+__all__ = ["BUCKET_COL", "key_hash", "add_bucket", "apply_sorted",
+           "bucket_exchange"]
