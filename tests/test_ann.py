@@ -1,0 +1,97 @@
+"""ANN operators: brute-force exactness vs numpy, and recall floors for
+the LSH and IVF approximate paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from transmog_ray.functions.ann import brute_topk, ivf_topk, kmeans_centroids, lsh_topk
+
+
+def corpus(n=600, dim=16, seed=13):
+    rng = np.random.default_rng(seed)
+    # clustered corpus so IVF cells are meaningful
+    centers = rng.normal(size=(8, dim))
+    X = centers[rng.integers(0, 8, n)] + 0.3 * rng.normal(size=(n, dim))
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [row.astype(np.float64) for row in X],
+    })
+
+
+def brute_numpy(df, queries, k):
+    X = np.array(df["embedding"].tolist())
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Q = np.array(queries["embedding"].tolist())
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Q @ X.T
+    out = {}
+    for qi, qid in enumerate(queries["query_id"]):
+        idx = np.lexsort((df["vec_id"].to_numpy(), -S[qi]))[:k]
+        out[qid] = list(df["vec_id"].to_numpy()[idx])
+    return out
+
+
+def test_brute_topk_matches_numpy(ray_session):
+    import ray.data as rd
+
+    df = corpus()
+    queries = df.head(6).rename(columns={"vec_id": "query_id"})
+    got = brute_topk(rd.from_pandas(df), queries, k=5)
+    want = brute_numpy(df, queries, 5)
+    for qid, grp in got.groupby("query_id"):
+        assert list(grp.sort_values("rank")["neighbor_id"]) == want[qid]
+
+
+def _recall(got, want, k):
+    hits = total = 0
+    for qid, neighbors in want.items():
+        g = set(got[got["query_id"] == qid]["neighbor_id"])
+        hits += len(g & set(neighbors))
+        total += k
+    return hits / total
+
+
+def test_ivf_recall_floor(ray_session):
+    import ray.data as rd
+
+    df = corpus()
+    queries = df.head(8).rename(columns={"vec_id": "query_id"})
+    want = brute_numpy(df, queries, 5)
+    got = ivf_topk(rd.from_pandas(df), queries, k=5, n_centroids=16, nprobe=4)
+    assert _recall(got, want, 5) >= 0.8
+    # ranks are 1..k and similarities descend within each query
+    for _, grp in got.groupby("query_id"):
+        sims = list(grp.sort_values("rank")["cos_sim"])
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_full_probe_is_exact(ray_session):
+    import ray.data as rd
+
+    df = corpus(n=200)
+    queries = df.head(5).rename(columns={"vec_id": "query_id"})
+    want = brute_numpy(df, queries, 5)
+    # probing every cell == brute force
+    got = ivf_topk(rd.from_pandas(df), queries, k=5, n_centroids=8, nprobe=8)
+    for qid, grp in got.groupby("query_id"):
+        assert list(grp.sort_values("rank")["neighbor_id"]) == want[qid]
+
+
+def test_lsh_recall_floor(ray_session):
+    import ray.data as rd
+
+    df = corpus()
+    queries = df.head(8).rename(columns={"vec_id": "query_id"})
+    want = brute_numpy(df, queries, 5)
+    got = lsh_topk(rd.from_pandas(df), queries, k=5, n_planes=8, multiprobe=1)
+    assert _recall(got, want, 5) >= 0.5
+
+
+def test_kmeans_deterministic():
+    X = np.random.default_rng(3).normal(size=(300, 8))
+    a = kmeans_centroids(X, 16)
+    b = kmeans_centroids(X, 16)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)

@@ -294,3 +294,36 @@ def test_bucket_exchange_matches_groupby_exchange(ray_session):
 
     a, b = run("groupby"), run("tasks")
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_hash_join_left_and_dtypes(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import hash_join
+
+    left = pd.DataFrame({
+        "k": pd.Series([1, 2, 3, 4], dtype="int64"),
+        "lv": pd.Series([10, 20, 30, 40], dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": pd.Series([2, 3, 5], dtype="int64"),
+        "rv": ["b", "c", "e"],
+    })
+    for exchange in ("groupby", "tasks"):
+        inner = (
+            hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                      num_buckets=4, exchange=exchange)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert list(inner["k"]) == [2, 3]
+        assert str(inner["k"].dtype) == "int64"  # restored after pad/union
+        assert str(inner["lv"].dtype) == "int64"
+        assert list(inner["rv"]) == ["b", "c"]
+
+        outer = (
+            hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                      how="left", num_buckets=4, exchange=exchange)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert list(outer["k"]) == [1, 2, 3, 4]
+        assert outer["rv"].isna().sum() == 2

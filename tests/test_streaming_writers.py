@@ -149,3 +149,34 @@ def test_register_writer_extension_surface(tmp_path):
 def test_unknown_format_rejected(tmp_path):
     with pytest.raises(ValueError, match="unsupported output format"):
         create_streaming_writer("xml", tmp_path)
+
+
+def test_json_array_stream_property_roundtrip(tmp_path):
+    """Property: arbitrary JSON values in a top-level array round-trip
+    through the incremental parser at adversarial chunk sizes."""
+    from hypothesis import given, settings, strategies as st
+
+    from transmog_ray.api import _iter_json_array_file
+
+    leaf = st.one_of(
+        st.none(), st.booleans(), st.integers(-10**9, 10**9),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=20),
+    )
+    value = st.recursive(
+        leaf,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=4),
+            st.dictionaries(st.text(max_size=8), inner, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(vals=st.lists(value, max_size=12), chunk=st.integers(1, 64))
+    def roundtrip(vals, chunk):
+        p = tmp_path / "prop.json"
+        p.write_text(json.dumps(vals, ensure_ascii=False))
+        assert list(_iter_json_array_file(p, chunk_size=chunk)) == vals
+
+    roundtrip()

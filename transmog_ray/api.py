@@ -255,6 +255,18 @@ def _iter_json_array_file(p: Path, chunk_size: int = 1 << 18) -> Iterable[dict]:
                 buf, i = chunk, 0
             if buf[i] == "]":
                 return
+            if buf[i] in "-0123456789":
+                # numbers are the one token the decoder parses GREEDILY
+                # but can still extend past the buffer edge ("0" of
+                # "0.5", "1e" of "1e9") — refill until a character that
+                # terminates a number is in the buffer, so the number's
+                # full text is guaranteed present before parsing
+                while not any(c in ",]} \t\n\r" for c in buf[i + 1:]):
+                    chunk = f.read(chunk_size)
+                    if not chunk:
+                        break  # EOF terminates the number
+                    buf = buf[i:] + chunk
+                    i = 0
             while True:
                 try:
                     value, end = dec.raw_decode(buf, i)

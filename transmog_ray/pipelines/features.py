@@ -152,11 +152,19 @@ def page_features(
     rolling_window_s: float = 30 * 86400,
     num_buckets: int = 64,
     flatten_concurrency: int | None = None,
+    exchange: str = "groupby",
 ):
     """Full feature pipeline over a pages Dataset → features Dataset:
-    flatten, then ONE url-hash shuffle feeding the fused sorted pass."""
+    flatten (tagged: main + child link rows), then ONE url-hash shuffle
+    feeding the fused sorted pass. ``exchange="tasks"`` swaps the
+    sort-based groupby for the map-side bucket exchange."""
     tagged, _plan = tagged_pages(pages_ds, flatten_concurrency)
     fn = page_feature_fn(session_gap_s, rolling_window_s)
+
+    if exchange == "tasks":
+        from ..stages.partition import bucket_exchange
+
+        return bucket_exchange(tagged, ["url"], fn, num_buckets)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return fn(df.drop(columns=[BUCKET_COL]))

@@ -958,6 +958,18 @@ def _pages_proj(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def q_ivf_ann(sf_dir: str):
+    """IVF approximate top-k: spherical-kmeans codebook (driver sample,
+    broadcast) + per-cell scoring; recall pinned vs brute in tests."""
+    from ..functions.ann import ivf_topk
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = emb.map_batches(
+        lambda df: df[df["vec_id"] < 10], batch_format="pandas"
+    ).to_pandas().rename(columns={"vec_id": "query_id"})
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
 def q_pages_features(sf_dir: str):
     """Flagship: synthetic Common-Crawl-style pages → point-in-time
     features (read+flatten+bucket-split fused into one map task per
@@ -989,7 +1001,7 @@ def q_pages_features_tagged(sf_dir: str):
         columns=["url", "warc_ts", "text", "lang", "meta"],
         override_num_blocks=64,
     )
-    out = page_features(ds, num_buckets=32)
+    out = page_features(ds, num_buckets=32, exchange="tasks")
     return out.map_batches(_pages_proj, batch_format="pandas")
 
 
@@ -1092,6 +1104,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "langid_docs": q_langid_docs,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "pages_features": q_pages_features,
     "pages_features_tagged": q_pages_features_tagged,
 }

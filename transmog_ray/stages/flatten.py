@@ -417,12 +417,15 @@ def flatten_json_file(
     )
     ds = rd.read_text(path)
     plan = plan_from_dataset(ds, spec)
+    # flatten ONCE in tagged mode and materialize; per-table writes are
+    # then cheap vectorized filters over the same blocks — N tables cost
+    # one JSON parse + flatten pass, not N
+    tagged, _ = flatten_dataset(ds, spec, plan=plan, emit="tagged", **map_kwargs)
+    tagged = tagged.materialize()
     out: dict[str, str] = {}
-    for table in [spec.entity or "main", *plan.child_names]:
-        emit = "main" if table == (spec.entity or "main") else table
-        flat, _ = flatten_dataset(ds, spec, plan=plan, emit=emit, **map_kwargs)
+    for table, table_ds in split_tagged(tagged, plan).items():
         dest = os.path.join(out_dir, table)
-        flat.write_parquet(dest)
+        table_ds.write_parquet(dest)
         out[table] = dest
     return out
 
