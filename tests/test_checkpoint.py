@@ -112,3 +112,57 @@ def test_input_lineage(tmp_path):
     lin = input_lineage([str(p)])
     assert lin[0]["bytes"] == 3
     assert fingerprint(lin) == fingerprint(lin)
+
+
+def test_checkpointed_tasks_exchange_resume(ray_session, tmp_path):
+    """Tasks-exchange checkpointing: identical output to the groupby
+    path, and a resumed run skips completed buckets DRIVER-side."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from transmog_ray.pipelines.features import checkpointed_page_features
+    from transmog_ray.sources.pages import write_pages
+    from transmog_ray.state.checkpoint import fingerprint
+
+    pages_dir = write_pages(str(tmp_path / "pages"), n_shards=2,
+                            n_urls_per_shard=30)
+
+    def load():
+        return rd.read_parquet(
+            pages_dir, columns=["url", "warc_ts", "text", "lang", "meta"])
+
+    fp = fingerprint({"v": "tasks1"})
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    meta_a = checkpointed_page_features(load(), a_dir, fp, num_buckets=6,
+                                        exchange="groupby")
+    meta_b = checkpointed_page_features(load(), b_dir, fp, num_buckets=6,
+                                        exchange="tasks")
+    assert meta_a["rows_out"] == meta_b["rows_out"]
+
+    def read_all(d):
+        frames = [pq.read_table(p).to_pandas()
+                  for p in sorted(glob.glob(f"{d}/part=*/data.parquet"))]
+        df = pd.concat(frames).sort_values(["url", "warc_ts"]).reset_index(drop=True)
+        return df[sorted(c for c in df.columns if c != "meta_tags")]
+
+    pd.testing.assert_frame_equal(read_all(a_dir), read_all(b_dir),
+                                  check_dtype=False)
+
+    # resume: all buckets skipped without any reduce work
+    meta_c = checkpointed_page_features(load(), b_dir, fp, num_buckets=6,
+                                        exchange="tasks")
+    assert meta_c["partitions_skipped"] == 6
+    assert meta_c["rows_out"] == meta_b["rows_out"]
+
+    # partial resume: delete one manifest, only that bucket recomputes
+    import os
+    victim = sorted(glob.glob(f"{b_dir}/part=*/manifest.json"))[2]
+    os.remove(victim)
+    meta_d = checkpointed_page_features(load(), b_dir, fp, num_buckets=6,
+                                        exchange="tasks")
+    assert meta_d["partitions_skipped"] == 5
+    pd.testing.assert_frame_equal(read_all(a_dir), read_all(b_dir),
+                                  check_dtype=False)

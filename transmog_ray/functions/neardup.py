@@ -428,6 +428,57 @@ def char_jaccard_pairs(
     return ds.map_batches(pairs, batch_format="pandas")
 
 
+def ngram_jaccard_pairs(
+    ds,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """All-pairs word n-gram Jaccard ≥ threshold (id_a < id_b).
+
+    Token n-grams over single-space splits (SQL-reproducible: DuckDB
+    list comprehension + list_intersect/list_distinct). Right side's
+    n-gram sets are built once and broadcast; the left streams per
+    batch — the exact small-scale oracle; MinHash-LSH is the scale path
+    (its shingles are the character analogue of these n-grams).
+    """
+    import ray
+
+    def grams(text: str) -> frozenset:
+        toks = (text or "").split(" ")
+        if len(toks) < n:
+            return frozenset([" ".join(toks)] if toks != [""] else [])
+        return frozenset(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+
+    full = ds.select_columns([id_col, text_col]).to_pandas()
+    sets_r = [grams(t) for t in full[text_col]]
+    ref = ray.put((full[id_col].to_numpy(), sets_r))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids_r, sr = ray.get(ref)
+        out = {"id_a": [], "id_b": [], "jac": []}
+        for rid, text in zip(df[id_col], df[text_col]):
+            s = grams(text)
+            for rid2, s2 in zip(ids_r, sr):
+                if rid < rid2:
+                    union = len(s | s2)
+                    jac = (len(s & s2) / union) if union else 1.0
+                    if jac >= threshold:
+                        out["id_a"].append(rid)
+                        out["id_b"].append(rid2)
+                        out["jac"].append(round(jac, 6))
+        return pd.DataFrame({
+            "id_a": pd.Series(out["id_a"], dtype="int64"),
+            "id_b": pd.Series(out["id_b"], dtype="int64"),
+            "jac": pd.Series(out["jac"], dtype="float64"),
+        })
+
+    return ds.map_batches(pairs, batch_format="pandas")
+
+
 def cosine_pairs(
     ds,
     threshold: float,

@@ -383,11 +383,14 @@ def checkpointed_page_features(
     session_gap_s: float = 7 * 86400,
     rolling_window_s: float = 30 * 86400,
     num_buckets: int = 64,
+    exchange: str = "groupby",
 ) -> dict:
     """Resumable flagship run: same fused kernel, executed through the
     per-partition checkpoint layer (atomic parquet + manifest per url
-    bucket; rerun skips completed partitions). Returns run metrics; read
-    results with ``ray.data.read_parquet(out_dir)``."""
+    bucket; rerun skips completed partitions — with ``exchange="tasks"``
+    the skip happens driver-side and completed buckets never launch a
+    reduce). Returns run metrics; read results with
+    ``ray.data.read_parquet(out_dir)``."""
     from ..state.checkpoint import checkpointed_sorted_run
 
     tagged, _plan = tagged_pages(pages_ds)
@@ -395,6 +398,7 @@ def checkpointed_page_features(
     return checkpointed_sorted_run(
         tagged, ["url"], "warc_ts", fn, out_dir, run_fingerprint,
         num_buckets=num_buckets, tiebreak=[TABLE_TAG, "_id"],
+        exchange=exchange,
     )
 
 

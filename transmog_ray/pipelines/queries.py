@@ -856,6 +856,35 @@ WHERE a.doc_id < b.doc_id AND jaccard(a.text, b.text) >= 1.0
 """
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Word 3-gram Jaccard near-dup pairs ≥ 0.5 (exact all-pairs oracle;
+    MinHash-LSH is the scale path)."""
+    from ..functions.neardup import ngram_jaccard_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+
+
+SQL_NGRAM_JACCARD = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         END AS gs
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+             len(list_distinct(a.gs || b.gs)), 6) AS jac
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+      len(list_distinct(a.gs || b.gs)) >= 0.5
+"""
+
+
 # ==================================================== rows-only pipelines
 # (no faithful SQL form — driver records a rows-only check)
 
@@ -1099,6 +1128,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "cosine_pairs": q_cosine_pairs,
     "jaccard_pairs": q_jaccard_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_dedup": q_minhash_dedup,
     "simhash_docs": q_simhash_docs,
     "simhash_neardup": q_simhash_neardup,
@@ -1137,6 +1167,7 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "pages_features": SQL_PAGES_FEATURES,
     "pages_features_tagged": SQL_PAGES_FEATURES,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:

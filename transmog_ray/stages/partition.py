@@ -66,6 +66,8 @@ def bucket_exchange(
     keys: Sequence[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int = 32,
+    only_buckets: Sequence[int] | None = None,
+    with_bucket: bool = False,
 ):
     """Map-side bucket exchange on raw Ray tasks: each input block is
     split into per-bucket Arrow slices (one vectorized argsort, zero-copy
@@ -82,7 +84,9 @@ def bucket_exchange(
     store spills slices under pressure). One of the few places the engine
     drops below the Dataset API — the Dataset groupby expresses the same
     semantics but pays a sort it doesn't need (SURVEY.md §2 custom-
-    operator rule c).
+    operator rule c). ``only_buckets`` restricts the REDUCE side to a
+    subset (checkpoint resume: completed buckets never launch a task);
+    ``with_bucket=True`` calls ``fn(frame, bucket_index)``.
     """
     import pyarrow as pa
     import ray
@@ -106,13 +110,14 @@ def bucket_exchange(
         return parts if num_buckets > 1 else parts[0]
 
     @ray.remote
-    def reduce(*parts: pa.Table):
+    def reduce(bucket: int, *parts: pa.Table):
         live = [p for p in parts if p.num_rows]
         if not live:
             t = parts[0]
         else:
             t = pa.concat_tables(live, promote_options="permissive")
-        out = fn(t.to_pandas())
+        frame = t.to_pandas()
+        out = fn(frame, bucket) if with_bucket else fn(frame)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     # stream split tasks as upstream blocks are produced — the split
@@ -124,8 +129,9 @@ def bucket_exchange(
             matrix.append(split.remote(block_ref))
     if num_buckets == 1:
         matrix = [[refs] for refs in matrix]
+    buckets = range(num_buckets) if only_buckets is None else only_buckets
     outs = [
-        reduce.remote(*[row[b] for row in matrix]) for b in range(num_buckets)
+        reduce.remote(b, *[row[b] for row in matrix]) for b in buckets
     ]
     return rd.from_arrow_refs(outs)
 

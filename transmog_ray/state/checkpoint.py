@@ -52,6 +52,16 @@ def input_lineage(paths: Sequence[str]) -> list[dict]:
     return out
 
 
+def _matching_manifest(out_dir: str, bucket: int, run_fingerprint: str):
+    manifest_path = os.path.join(out_dir, f"part={bucket:05d}", "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        if m.get("run_fingerprint") == run_fingerprint:
+            return m
+    return None
+
+
 def checkpointed_sorted_run(
     ds,
     keys: Sequence[str],
@@ -61,34 +71,25 @@ def checkpointed_sorted_run(
     run_fingerprint: str,
     num_buckets: int = 64,
     tiebreak: Sequence[str] = (),
+    exchange: str = "groupby",
 ) -> dict:
     """apply_sorted + per-partition parquet checkpointing in ONE pass.
 
     Each bucket task sorts its partition, applies *fn*, and writes
     ``part=<bucket>/data.parquet`` atomically with a manifest. Buckets
     whose manifest already matches ``run_fingerprint`` are skipped
-    WITHOUT recomputation (the skip happens before sort/fn). Returns the
-    aggregated run metrics; read results with ``ray.data.read_parquet
-    (out_dir)``.
+    WITHOUT recomputation (the skip happens before sort/fn; with
+    ``exchange="tasks"`` completed buckets are skipped DRIVER-side and
+    never even launch a reduce task). Returns the aggregated run
+    metrics; read results with ``ray.data.read_parquet(out_dir)``.
     """
     keys = list(keys)
     sort_cols = [*keys, ts, *tiebreak]
     os.makedirs(out_dir, exist_ok=True)
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def run_partition(df: pd.DataFrame, bucket: int) -> pd.DataFrame:
         t0 = time.time()
-        bucket = int(df[BUCKET_COL].iloc[0])
         part_dir = os.path.join(out_dir, f"part={bucket:05d}")
-        manifest_path = os.path.join(part_dir, "manifest.json")
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                m = json.load(f)
-            if m.get("run_fingerprint") == run_fingerprint:
-                return pd.DataFrame(
-                    {"partition": [bucket], "rows_in": [len(df)],
-                     "rows_out": [m["rows_out"]], "seconds": [0.0],
-                     "skipped": [True]}
-                )
         df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         out = fn(df).drop(columns=[BUCKET_COL], errors="ignore")
         os.makedirs(part_dir, exist_ok=True)
@@ -103,6 +104,7 @@ def checkpointed_sorted_run(
             "seconds": round(time.time() - t0, 4),
             "sort_cols": sort_cols,
         }
+        manifest_path = os.path.join(part_dir, "manifest.json")
         tmp_m = manifest_path + f".tmp.{os.getpid()}"
         with open(tmp_m, "w") as f:
             json.dump(manifest, f)
@@ -113,12 +115,51 @@ def checkpointed_sorted_run(
              "seconds": [manifest["seconds"]], "skipped": [False]}
         )
 
-    bucketed = add_bucket(ds, keys, num_buckets)
-    stats = (
-        bucketed.groupby(BUCKET_COL)
-        .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    if exchange == "tasks":
+        from ..stages.partition import bucket_exchange
+
+        done = []
+        pending = []
+        for b in range(num_buckets):
+            m = _matching_manifest(out_dir, b, run_fingerprint)
+            (done if m else pending).append((b, m))
+        frames = [
+            pd.DataFrame({"partition": [b], "rows_in": [m["rows_in"]],
+                          "rows_out": [m["rows_out"]], "seconds": [0.0],
+                          "skipped": [True]})
+            for b, m in done
+        ]
+        if pending:
+            frames.append(
+                bucket_exchange(
+                    ds, keys,
+                    lambda df, b: run_partition(
+                        df.drop(columns=[BUCKET_COL], errors="ignore"), b
+                    ),
+                    num_buckets,
+                    only_buckets=[b for b, _ in pending],
+                    with_bucket=True,
+                ).to_pandas()
+            )
+        stats = pd.concat(frames, ignore_index=True)
+    else:
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(df[BUCKET_COL].iloc[0])
+            m = _matching_manifest(out_dir, bucket, run_fingerprint)
+            if m is not None:
+                return pd.DataFrame(
+                    {"partition": [bucket], "rows_in": [len(df)],
+                     "rows_out": [m["rows_out"]], "seconds": [0.0],
+                     "skipped": [True]}
+                )
+            return run_partition(df, bucket)
+
+        bucketed = add_bucket(ds, keys, num_buckets)
+        stats = (
+            bucketed.groupby(BUCKET_COL)
+            .map_groups(per_bucket, batch_format="pandas")
+            .to_pandas()
+        )
     run_meta = {
         "run_fingerprint": run_fingerprint,
         "num_buckets": num_buckets,
