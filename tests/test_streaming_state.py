@@ -102,3 +102,92 @@ def test_watermark_survives_empty_and_allnat_batches():
     old = pd.DataFrame({"ts": pd.to_datetime(["2026-01-01"])})
     on_time, late = w.split(old)
     assert len(late) == 1 and len(on_time) == 0
+
+
+def _batch_tumbling(df, key, ts, value, window_s):
+    import numpy as np
+
+    ts_ns = df[ts].to_numpy().astype("datetime64[ns]").astype(np.int64)
+    win_ns = np.int64(window_s * 1e9)
+    win = (ts_ns // win_ns) * win_ns
+    g = (
+        df.assign(window_start=pd.to_datetime(win))
+        .groupby([key, "window_start"], sort=False)[value]
+        .agg(["count", "sum", "min", "max"])
+        .reset_index()
+        .rename(columns={"count": "n", "sum": "sum_value",
+                         "min": "min_value", "max": "max_value"})
+    )
+    g["n"] = g["n"].astype("int64")
+    return g.sort_values([key, "window_start"]).reset_index(drop=True)
+
+
+def test_streaming_tumbling_matches_batch(ray_session):
+    import numpy as np
+
+    from transmog_ray.state.streaming import streaming_tumbling
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.sort(rng.integers(0, 40_000, n)), unit="s"),
+        "value": np.round(rng.uniform(0, 50, n), 3),
+    })
+    batches = [df.iloc[i:i + 250] for i in range(0, n, 250)]
+    out = pd.concat(
+        list(streaming_tumbling(batches, "user_id", "ts", "value", 3600,
+                                num_buckets=4)),
+        ignore_index=True,
+    ).sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    want = _batch_tumbling(df, "user_id", "ts", "value", 3600)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_tumbling_state_bounded_and_incremental_emission():
+    from transmog_ray.state.streaming import TumblingWindowState
+
+    st = TumblingWindowState("k", "ts", "v", window_seconds=60)
+    t0 = pd.Timestamp("2024-01-01")
+
+    def batch(offsets, vals):
+        return pd.DataFrame({"k": ["a"] * len(offsets),
+                             "ts": [t0 + pd.Timedelta(seconds=s) for s in offsets],
+                             "v": vals})
+
+    out1 = st.process(batch([0, 10, 20], [1.0, 2.0, 3.0]))
+    assert len(out1) == 0  # watermark at :20, window [0,60) still open
+    out2 = st.process(batch([70], [4.0]))
+    # watermark at :70 closes window 0
+    assert len(out2) == 1 and out2.iloc[0]["n"] == 3
+    assert out2.iloc[0]["sum_value"] == 6.0
+    assert len(st.partials) == 1  # only the open window is state
+
+    # a row for the already-emitted window is dropped and counted
+    out3 = st.process(batch([5], [99.0]))
+    assert st.dropped_late == 1
+    assert len(out3) == 0
+    fin = st.flush()
+    assert len(fin) == 1 and fin.iloc[0]["n"] == 1
+    assert st.partials == {}
+
+
+def test_tumbling_allowed_lateness_keeps_window_open():
+    from transmog_ray.state.streaming import TumblingWindowState
+
+    st = TumblingWindowState("k", "ts", "v", window_seconds=60,
+                             allowed_lateness_s=30)
+    t0 = pd.Timestamp("2024-01-01")
+    df1 = pd.DataFrame({"k": ["a"], "ts": [t0], "v": [1.0]})
+    df2 = pd.DataFrame({"k": ["a"], "ts": [t0 + pd.Timedelta(seconds=70)],
+                        "v": [2.0]})
+    late = pd.DataFrame({"k": ["a"], "ts": [t0 + pd.Timedelta(seconds=50)],
+                         "v": [3.0]})
+    assert len(st.process(df1)) == 0
+    assert len(st.process(df2)) == 0  # watermark 70-30=40 < window end 60
+    assert len(st.process(late)) == 0  # still accepted (window open)
+    fin = st.flush()
+    w0 = fin[fin["window_start"] == t0]
+    assert w0.iloc[0]["n"] == 2 and w0.iloc[0]["sum_value"] == 4.0
+    assert st.dropped_late == 0

@@ -1,7 +1,7 @@
 """Near-duplicate detection: MinHash+LSH, SimHash, character-set Jaccard,
 embedding-cosine.
 
-Scale shapes (ray_guide patterns):
+Scale shapes:
 * MinHash/LSH: per-batch shingle→minhash (numpy universal hashing), explode
   to (band, band_hash, doc_id) rows, ``groupby`` the band buckets, verify
   candidate pairs, then min-label propagation for clusters. Only bucketed
