@@ -21,6 +21,12 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# benchmark processes own their Ray session and run no actor pools in the
+# headline set — disable the downstream-operator CPU reservation that
+# would otherwise idle cores under map-heavy stages (opt-out by
+# exporting GRAFT_NO_RESERVATION=0)
+os.environ.setdefault("GRAFT_NO_RESERVATION", "1")
+
 # headline set: flagship pages pipeline + one per operator family
 BENCH_QUERIES = [
     "pages_features",

@@ -121,3 +121,33 @@ def test_bloom_prefilter(ray_session):
     out = bloom_prefilter(rd.from_pandas(df), member, on="k").to_pandas()
     assert set(member) <= set(out["k"])          # superset (no misses)
     assert len(out) <= len(member) + 0.05 * 1000  # few extras
+
+
+def test_langid_latin_and_script_detection():
+    import pandas as pd
+
+    from transmog_ray.functions.text import LangId
+
+    lid = LangId()
+    df = pd.DataFrame({"text": [
+        "the cat sat on the mat and it was happy",
+        "der Hund ist nicht mit der Katze auf dem Sofa",
+        "le chat est dans la maison pour les vacances",
+        "el perro es una mascota por la casa para todos",
+        "il gatto non sono nel giardino della casa",
+        "o cachorro que está em um parque para brincar",
+        "de hond is een dier dat op de bank zit",
+        "这是一个中文句子用于测试语言识别",
+        "これはにほんごのぶんしょうです",
+        "это русское предложение для теста",
+        "",
+        None,
+        "zzz qqq xxx",  # no profile hits
+    ]})
+    out = lid(df.copy())
+    got = list(out["lang_guess"])
+    assert got[:7] == ["en", "de", "fr", "es", "it", "pt", "nl"]
+    assert got[7] == "zh" and got[8] == "ja" and got[9] == "ru"
+    assert got[10] == "und" and got[11] == "und" and got[12] == "und"
+    # single-text wrapper agrees with the batch kernel
+    assert lid.guess("the cat and the dog") == "en"

@@ -15,13 +15,35 @@ import pandas as pd
 
 STOPWORDS = ("the", "a", "and", "of", "to")
 
-# tiny per-language stopword profiles for the n-gram/stopword heuristic
+# per-language function-word profiles for the stopword heuristic (latin
+# scripts; non-latin scripts are detected by unicode range instead)
 _LANG_PROFILES = {
-    "en": {"the", "and", "of", "to", "in", "is", "you", "that", "it", "for"},
-    "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich", "zu"},
-    "fr": {"le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"},
-    "es": {"el", "la", "que", "de", "los", "es", "una", "por", "con", "para"},
+    "en": {"the", "and", "of", "to", "in", "is", "you", "that", "it", "for",
+           "was", "with", "are", "this", "have"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich",
+           "zu", "den", "von", "auf", "sich", "auch"},
+    "fr": {"le", "la", "et", "les", "des", "est", "pas", "que", "une",
+           "dans", "pour", "qui", "sur", "vous", "nous"},
+    "es": {"el", "que", "de", "los", "es", "una", "por", "con", "para",
+           "las", "del", "se", "su", "como", "más"},
+    "it": {"il", "di", "che", "e", "la", "per", "un", "del", "non", "sono",
+           "nel", "della", "con", "gli", "anche"},
+    "pt": {"o", "de", "que", "e", "do", "da", "em", "um", "para", "com",
+           "não", "uma", "os", "são", "mais"},
+    "nl": {"de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+           "zijn", "voor", "met", "niet", "aan"},
 }
+
+# unicode script ranges → language guess when that script dominates
+_SCRIPTS = (
+    ("zh", r"[一-鿿]"),
+    ("ja", r"[぀-ヿ]"),   # kana beats han for ja text
+    ("ko", r"[가-힯]"),
+    ("ru", r"[Ѐ-ӿ]"),
+    ("ar", r"[؀-ۿ]"),
+    ("el", r"[Ͱ-Ͽ]"),
+    ("he", r"[֐-׿]"),
+)
 
 
 def token_stats(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
@@ -65,29 +87,51 @@ def fingerprint(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 
 
 class LangId:
-    """Stopword-profile language guesser (actor-pool friendly: profiles
-    compiled once in ``__init__``). Heuristic — no SQL oracle; checked by
-    rows-only validation plus unit tests on known-language snippets."""
+    """Language guesser: unicode-script detection for non-latin scripts
+    (zh/ja/ko/ru/ar/el/he by dominant character range) + function-word
+    profiles for 7 latin-script languages, batch-vectorized (explode +
+    map, no per-row Python in the hot path). Actor-pool friendly: the
+    word→languages index is compiled once in ``__init__``. Heuristic —
+    no SQL oracle; rows-only check plus unit tests on known-language
+    snippets."""
 
     def __init__(self):
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
-
-    def guess(self, text: str | None) -> str:
-        if not text:
-            return "und"
-        words = text.lower().split()
-        if not words:
-            return "und"
-        best, best_hits = "und", 0
-        for lang, prof in self.profiles.items():
-            hits = sum(1 for w in words if w in prof)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best
+        self.langs = list(_LANG_PROFILES)
+        word_langs: dict[str, tuple] = {}
+        for lang, prof in _LANG_PROFILES.items():
+            for w in prof:
+                word_langs[w] = word_langs.get(w, ()) + (lang,)
+        self.word_langs = word_langs
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        df["lang_guess"] = [self.guess(t) for t in df["text"]]
+        s = df["text"].fillna("")
+        n = len(df)
+        guess = pd.Series(["und"] * n, index=df.index)
+
+        # latin-script path: per-language function-word hit counts
+        tokens = s.str.lower().str.split().explode()
+        langs = tokens.map(self.word_langs).dropna().explode()
+        if len(langs):
+            counts = (
+                pd.crosstab(langs.index, langs)
+                .reindex(columns=self.langs, fill_value=0)
+            )
+            best = counts.idxmax(axis=1)
+            hit = counts.max(axis=1) > 0
+            guess.loc[best.index[hit]] = best[hit]
+
+        # script path overrides when a non-latin script dominates
+        total = s.str.len().clip(lower=1)
+        for lang, pattern in _SCRIPTS:
+            frac = s.str.count(pattern) / total
+            guess = guess.mask(frac > 0.25, lang)
+
+        df["lang_guess"] = guess
         return df
+
+    def guess(self, text: str | None) -> str:
+        """Single-text convenience wrapper over the batch kernel."""
+        return self(pd.DataFrame({"text": [text]}))["lang_guess"].iloc[0]
 
 
 def rolling_fingerprint(text: str, window: int = 16, base: int = 257,
