@@ -34,6 +34,7 @@ def grouped_agg(
     keys: Sequence[str],
     specs: Mapping[str, tuple[str, str]],
     num_buckets: int = 64,
+    exchange: str | None = None,
 ):
     """Grouped aggregation: vectorized partial aggregates per batch, then
     a hash-bucket shuffle and a pandas combine per bucket.
@@ -74,9 +75,7 @@ def grouped_agg(
             )
         return pd.DataFrame(out).reset_index()
 
-    partials = add_bucket(
-        ds.map_batches(partial, batch_format="pandas"), keys, num_buckets
-    )
+    partials_ds = ds.map_batches(partial, batch_format="pandas")
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, sort=False, dropna=False)
@@ -102,6 +101,13 @@ def grouped_agg(
                 out[alias] = comb[partial_cols[(col, op)]]
         return out
 
+    import os
+
+    from ..stages.partition import bucket_exchange
+
+    if (exchange or os.environ.get("GRAFT_JOIN_EXCHANGE", "tasks")) == "tasks":
+        return bucket_exchange(partials_ds, keys, combine, num_buckets)
+    partials = add_bucket(partials_ds, keys, num_buckets)
     return partials.groupby(BUCKET_COL).map_groups(combine, batch_format="pandas")
 
 

@@ -19,6 +19,7 @@ def dedup_exact(
     keys: Sequence[str],
     order_by: Sequence[str] = (),
     num_buckets: int = 64,
+    exchange: str | None = None,
 ):
     """Keep exactly one row per distinct *keys* combination.
 
@@ -27,10 +28,14 @@ def dedup_exact(
     id) for stable results; without it ties are broken by partition-local
     input order.
 
-    One shuffle (hash by keys). Hash collisions are safe: rows in the same
-    bucket are still deduped on the REAL key columns, and rows of one key
-    can never land in different buckets.
+    One shuffle (hash by keys; the raw-task bucket exchange by default,
+    ``exchange="groupby"`` for the Ray Data sort-based path). Hash
+    collisions are safe: rows in the same bucket are still deduped on the
+    REAL key columns, and rows of one key can never land in different
+    buckets.
     """
+    import os
+
     keys = list(keys)
     order_by = list(order_by)
 
@@ -39,6 +44,10 @@ def dedup_exact(
         out = df.drop_duplicates(subset=keys, keep="first")
         return out.drop(columns=[BUCKET_COL], errors="ignore")
 
+    if (exchange or os.environ.get("GRAFT_JOIN_EXCHANGE", "tasks")) == "tasks":
+        from .partition import bucket_exchange
+
+        return bucket_exchange(ds, keys, per_bucket, num_buckets)
     bucketed = add_bucket(ds, keys, num_buckets)
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
