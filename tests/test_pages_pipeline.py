@@ -170,3 +170,105 @@ def test_fused_matches_dataset_pushdown(ray_session, pages_dir):
     pd.testing.assert_frame_equal(
         a.drop(columns=drop), b.drop(columns=drop), check_dtype=False
     )
+
+
+def test_pushdown_kernel_property_vs_loop_oracle(ray_session):
+    """Random page frames (ties, dup copies, null text, zero-link and
+    null-depth snapshots) through the fused pushdown kernel vs a
+    straightforward row-by-row oracle."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from transmog_ray.pipelines.features import page_feature_fn_pushdown
+
+    GAP, ROLL = 100.0, 250.0
+    kernel = page_feature_fn_pushdown(GAP, ROLL)
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2", "u3"]),         # url
+            st.integers(0, 8),                            # ts slot (ties!)
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # text
+            st.integers(0, 3),                            # n_links
+            st.one_of(st.none(), st.floats(0, 5, allow_nan=False)),  # depth
+        ),
+        min_size=1, max_size=25,
+    )
+
+    def build(rows):
+        base = pd.Timestamp("2024-01-01")
+        return pd.DataFrame({
+            "url": [r[0] for r in rows],
+            "warc_ts": [base + pd.Timedelta(seconds=60 * r[1]) for r in rows],
+            "text": [r[2] for r in rows],
+            "lang": ["en"] * len(rows),
+            "_id": ["x"] * len(rows),
+            "n_links": pd.Series([r[3] for r in rows], dtype="int64"),
+            "mean_link_depth": pd.Series(
+                [r[4] if r[3] > 0 else None for r in rows], dtype="float64"),
+        })
+
+    def oracle(df):
+        # dedup winner per (url, ts): min text (None last)
+        groups = {}
+        for i in range(len(df)):
+            k = (df["url"][i], df["warc_ts"][i])
+            cur = groups.get(k)
+            tx = df["text"][i]
+            rank = (tx is None, tx)
+            if cur is None or rank < cur[0]:
+                groups[k] = (rank, i)
+        out = []
+        for (url, ts), (_, i) in groups.items():
+            out.append(dict(url=url, warc_ts=ts, text=df["text"][i],
+                            n0=int(df["n_links"][i]),
+                            d0=df["mean_link_depth"][i]))
+        out.sort(key=lambda r: (r["url"], r["warc_ts"]))
+        # as-of: latest same-url row at/earlier with n0 > 0
+        for r in out:
+            feat = None
+            for r2 in out:
+                if r2["url"] == r["url"] and r2["warc_ts"] <= r["warc_ts"] \
+                        and r2["n0"] > 0:
+                    if feat is None or r2["warc_ts"] > feat["warc_ts"]:
+                        feat = r2
+            r["feature_ts"] = feat["warc_ts"] if feat else None
+            r["n_links"] = float(feat["n0"]) if feat else None
+            r["mean_link_depth"] = feat["d0"] if feat else None
+        # rolling over attached n_links within [t-ROLL, t]
+        for r in out:
+            window = [r2 for r2 in out if r2["url"] == r["url"]
+                      and 0 <= (r["warc_ts"] - r2["warc_ts"]).total_seconds() <= ROLL
+                      and r2["n_links"] is not None]
+            r["rcount"] = len(window)
+            r["rmean"] = (sum(x["n_links"] for x in window) / len(window)
+                          if window else None)
+        return out
+
+    @settings(max_examples=25, deadline=None)
+    @given(rows=rows_strategy)
+    def check(rows):
+        df = build(rows)
+        got = kernel(df.copy()).sort_values(["url", "warc_ts"]).reset_index(drop=True)
+        want = oracle(df)
+        assert len(got) == len(want)
+        for i, w in enumerate(want):
+            g = got.iloc[i]
+            assert (g["url"], g["warc_ts"]) == (w["url"], w["warc_ts"])
+            assert (g["text"] == w["text"]) or (pd.isna(g["text"]) and w["text"] is None)
+            if w["n_links"] is None:
+                assert pd.isna(g["n_links"]) and pd.isna(g["feature_ts"])
+            else:
+                assert g["n_links"] == w["n_links"]
+                assert g["feature_ts"] == w["feature_ts"]
+                if w["mean_link_depth"] is None or pd.isna(w["mean_link_depth"]):
+                    assert pd.isna(g["mean_link_depth"])
+                else:
+                    assert abs(g["mean_link_depth"] - w["mean_link_depth"]) < 1e-9
+            assert g[f"n_links_w{int(ROLL)}s_count"] == w["rcount"]
+            if w["rmean"] is None:
+                assert pd.isna(g[f"n_links_w{int(ROLL)}s_mean"])
+            else:
+                assert abs(g[f"n_links_w{int(ROLL)}s_mean"] - w["rmean"]) < 1e-9
+
+    check()

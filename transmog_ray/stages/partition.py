@@ -127,6 +127,8 @@ def bucket_exchange(
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
             matrix.append(split.remote(block_ref))
+    if not matrix:  # upstream produced no blocks at all
+        return rd.from_items([])
     if num_buckets == 1:
         matrix = [[refs] for refs in matrix]
     buckets = range(num_buckets) if only_buckets is None else only_buckets
