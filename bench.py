@@ -206,6 +206,21 @@ def run_scaling() -> dict:
     results = {n: min(runs, key=lambda r: r["sec"])
                for n, runs in samples.items()}
 
+    # noise-aware retries: a measured efficiency ABOVE linear means the
+    # lower level's best sample was itself taken in a throttled host
+    # window — re-measure that level (bounded retries, keep the best)
+    for _ in range(2):
+        retried = False
+        for lo, hi in zip(levels, levels[1:]):
+            eff = (results[hi]["pages_per_sec"] /
+                   results[lo]["pages_per_sec"]) / (hi / lo)
+            if eff > 1.05:
+                samples[lo].append(one(lo))
+                results[lo] = min(samples[lo], key=lambda r: r["sec"])
+                retried = True
+        if not retried:
+            break
+
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     "scripts"))
     from measure_cpu_ceiling import measure
