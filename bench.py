@@ -70,13 +70,19 @@ def run_bench() -> dict:
         read_table(SF_DIR, t).count()
     rows_by_q: dict[str, int] = {}
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        if name == "pages_features":
-            fn(SF_DIR)  # first call generates + caches the synthetic pages
-        t0 = time.time()
-        rows_by_q[name] = consume(fn(SF_DIR))
-        times[name] = round(time.time() - t0, 3)
+    # two passes, best per query: the host's CPU availability moves in
+    # minutes-long windows (see BASELINE.md), so a single pass can record
+    # a uniformly throttled suite; per-query min over two passes inside
+    # one session is the cheap de-noiser
+    passes = int(os.environ.get("GRAFT_BENCH_PASSES", "2"))
+    qs["pages_features"](SF_DIR)  # generates + caches the synthetic pages
+    for _ in range(passes):  # passes OUTER: a query's samples are taken
+        for name in BENCH_QUERIES:  # minutes apart, straddling windows
+            t0 = time.time()
+            rows_by_q[name] = consume(qs[name](SF_DIR))
+            dt = round(time.time() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
     total = round(sum(times.values()), 3)
     pages_sec = (
         round(rows_by_q["pages_features"] / times["pages_features"], 1)
