@@ -152,16 +152,19 @@ def page_features(
     rolling_window_s: float = 30 * 86400,
     num_buckets: int = 64,
     flatten_concurrency: int | None = None,
-    exchange: str = "groupby",
+    exchange: str | None = None,
 ):
     """Full feature pipeline over a pages Dataset → features Dataset:
     flatten (tagged: main + child link rows), then ONE url-hash shuffle
-    feeding the fused sorted pass. ``exchange="tasks"`` swaps the
-    sort-based groupby for the map-side bucket exchange."""
+    feeding the fused sorted pass. Default exchange = the map-side
+    bucket exchange on raw tasks (measured fastest at every level);
+    ``exchange="groupby"`` keeps the fully-lazy Dataset sort fallback."""
+    from ..stages.partition import resolve_exchange
+
     tagged, _plan = tagged_pages(pages_ds, flatten_concurrency)
     fn = page_feature_fn(session_gap_s, rolling_window_s)
 
-    if exchange == "tasks":
+    if resolve_exchange(exchange) == "tasks":
         from ..stages.partition import bucket_exchange
 
         return bucket_exchange(tagged, ["url"], fn, num_buckets)
@@ -275,24 +278,27 @@ def page_features_pushdown(
     rolling_window_s: float = 30 * 86400,
     num_buckets: int = 64,
     flatten_concurrency: int | None = None,
-    exchange: str = "groupby",
+    exchange: str | None = None,
     plan=None,
 ):
     """THE flagship at scale: child aggregates computed inside the flatten
     task (exact — a record's child rows never span tasks), so only main
     rows enter the one url shuffle (3-5x less exchange volume than the
-    tagged path). ``exchange="tasks"`` swaps the sort-based groupby for
-    the map-side bucket exchange (stages.partition.bucket_exchange).
+    tagged path). Default exchange = the map-side bucket exchange on raw
+    tasks; ``exchange="groupby"`` keeps the fully-lazy Dataset sort
+    fallback (stages.partition.resolve_exchange).
     Pass a precompiled ``plan`` (stages.flatten.plan_from_dataset) to skip
     the driver-side schema-discovery sample — discovery is a per-call
     constant that repeated/benchmarked runs should hoist."""
+    from ..stages.partition import resolve_exchange
+
     flat, _plan = flatten_dataset(
         pages_ds, PAGE_SPEC_PUSHDOWN, emit="main",
         concurrency=flatten_concurrency, plan=plan,
     )
     fn = page_feature_fn_pushdown(session_gap_s, rolling_window_s)
 
-    if exchange == "tasks":
+    if resolve_exchange(exchange) == "tasks":
         from ..stages.partition import bucket_exchange
 
         return bucket_exchange(flat, ["url"], fn, num_buckets)
@@ -324,16 +330,21 @@ def page_features_pushdown_fused(
     the Dataset path's bucket contract. Results are row-for-row equal to
     :func:`page_features_pushdown`; this variant exists because the
     all-to-all here is two task hops instead of a sort, which is what
-    scales linearly with cores on a fixed cluster."""
+    scales linearly with cores on a fixed cluster. Per-bucket fan-in is
+    bounded: above ``GRAFT_REDUCE_FANIN`` (64) shards, intermediate
+    concat tasks tree-reduce the parts so no task ever takes more than
+    the cap in arguments (10^5 shards → 3 bounded hops)."""
     import numpy as np
     import pyarrow as pa
     import ray
     import ray.data as rd
 
     from ..stages.flatten import FlattenStage, plan_from_dataset
-    from ..stages.partition import key_hash
+    from ..stages.partition import DEFAULT_MAX_FANIN, _tree_concat, key_hash
 
     files = sorted(pages_files)
+    if not files:  # mirror bucket_exchange's empty-upstream guard
+        return rd.from_items([])
     if plan is None:
         ds = rd.read_parquet(files, columns=list(columns))
         plan = plan_from_dataset(ds, PAGE_SPEC_PUSHDOWN)
@@ -362,8 +373,10 @@ def page_features_pushdown_fused(
     @ray.remote
     def reduce(*parts):
         live = [p for p in parts if p.num_rows]
-        t = parts[0] if not live else pa.concat_tables(
-            live, promote_options="permissive"
+        t = (
+            next((p for p in parts if p.num_columns), parts[0])
+            if not live
+            else pa.concat_tables(live, promote_options="permissive")
         )
         return pa.Table.from_pandas(fn(t.to_pandas()), preserve_index=False)
 
@@ -371,7 +384,10 @@ def page_features_pushdown_fused(
     if num_buckets == 1:
         matrix = [[refs] for refs in matrix]
     outs = [
-        reduce.remote(*[row[b] for row in matrix]) for b in range(num_buckets)
+        reduce.remote(
+            *_tree_concat([row[b] for row in matrix], DEFAULT_MAX_FANIN)
+        )
+        for b in range(num_buckets)
     ]
     return rd.from_arrow_refs(outs)
 
@@ -383,7 +399,7 @@ def checkpointed_page_features(
     session_gap_s: float = 7 * 86400,
     rolling_window_s: float = 30 * 86400,
     num_buckets: int = 64,
-    exchange: str = "groupby",
+    exchange: str | None = None,
 ) -> dict:
     """Resumable flagship run: same fused kernel, executed through the
     per-partition checkpoint layer (atomic parquet + manifest per url

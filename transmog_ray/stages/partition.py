@@ -23,12 +23,50 @@ Scale notes (100 TB / multi-node):
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Sequence
 
 import numpy as np
 import pandas as pd
 
 BUCKET_COL = "_bucket"
+
+#: max refs any single reduce/concat task takes as arguments. Above this
+#: the exchange inserts tree levels of concat tasks (group size = this
+#: cap), so per-task fan-in stays bounded no matter the shard count —
+#: 10^5 input shards become ceil(log_64(10^5)) = 3 hops of ≤64-arg tasks
+#: instead of one 10^5-arg reduce call.
+DEFAULT_MAX_FANIN = int(os.environ.get("GRAFT_REDUCE_FANIN", "64"))
+
+
+def default_num_buckets() -> int:
+    """Cluster-scaled bucket count: ≈ total CPUs (min 16). One bucket per
+    core keeps every reducer busy without the quadratic coordination cost
+    of buckets ≫ cores; multi-node clusters get more buckets automatically
+    because ``cluster_resources`` sums all nodes."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(16, int(ray.cluster_resources().get("CPU", 0)))
+    except Exception:
+        pass
+    return max(16, os.cpu_count() or 8)
+
+
+def default_exchange() -> str:
+    """Physical exchange default: the raw-task bucket exchange ("tasks")
+    everywhere — measured faster than the Dataset sort-based groupby at
+    every parallelism level (BASELINE.md). ``GRAFT_DEFAULT_EXCHANGE``
+    (or the legacy ``GRAFT_JOIN_EXCHANGE``) switches the fallback."""
+    return os.environ.get(
+        "GRAFT_DEFAULT_EXCHANGE",
+        os.environ.get("GRAFT_JOIN_EXCHANGE", "tasks"),
+    )
+
+
+def resolve_exchange(exchange: str | None) -> str:
+    return exchange if exchange else default_exchange()
 
 
 def key_hash(frame: pd.DataFrame, keys: Sequence[str]) -> np.ndarray:
@@ -61,13 +99,37 @@ def add_bucket(ds, keys: Sequence[str], num_buckets: int):
     return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _tree_concat(refs: list, max_fanin: int):
+    """Bound per-task fan-in: while more than ``max_fanin`` part refs
+    remain for a bucket, concat them in groups of ``max_fanin`` via
+    intermediate tasks (each level frees its inputs, so the object store
+    never holds more than two levels). Returns ≤ ``max_fanin`` refs."""
+    import pyarrow as pa
+    import ray
+
+    @ray.remote
+    def concat(*parts: pa.Table) -> pa.Table:
+        live = [p for p in parts if p.num_rows]
+        if not live:  # keep a schema-bearing empty if any part has one
+            return next((p for p in parts if p.num_columns), parts[0])
+        return pa.concat_tables(live, promote_options="permissive")
+
+    while len(refs) > max_fanin:
+        refs = [
+            concat.remote(*refs[i : i + max_fanin])
+            for i in range(0, len(refs), max_fanin)
+        ]
+    return refs
+
+
 def bucket_exchange(
     ds,
     keys: Sequence[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     only_buckets: Sequence[int] | None = None,
     with_bucket: bool = False,
+    max_fanin: int | None = None,
 ):
     """Map-side bucket exchange on raw Ray tasks: each input block is
     split into per-bucket Arrow slices (one vectorized argsort, zero-copy
@@ -79,25 +141,46 @@ def bucket_exchange(
     the split stage is embarrassingly parallel and each reduce depends
     only on its own column of the [blocks × buckets] object matrix, so
     the exchange scales with cores. The object matrix is the classic
-    map-shuffle layout (O(blocks × buckets) small objects; at multi-node
-    scale keep buckets ≈ a small multiple of total cores, and the object
-    store spills slices under pressure). One of the few places the engine
-    drops below the Dataset API — the Dataset groupby expresses the same
-    semantics but pays a sort it doesn't need (SURVEY.md §2 custom-
-    operator rule c). ``only_buckets`` restricts the REDUCE side to a
-    subset (checkpoint resume: completed buckets never launch a task);
-    ``with_bucket=True`` calls ``fn(frame, bucket_index)``.
+    map-shuffle layout (O(blocks × buckets) small objects; the object
+    store spills slices under pressure). When a bucket's part count
+    exceeds ``max_fanin`` (default ``GRAFT_REDUCE_FANIN``, 64) the
+    reduce becomes a TREE: intermediate concat tasks of ≤ ``max_fanin``
+    parts each, so per-task argument counts stay bounded at any shard
+    count (10^5 shards → 3 tree hops, never a 10^5-arg call). One of the
+    few places the engine drops below the Dataset API — the Dataset
+    groupby expresses the same semantics but pays a sort it doesn't need
+    (SURVEY.md §2 custom-operator rule c). ``only_buckets`` restricts
+    the REDUCE side to a subset (checkpoint resume: completed buckets
+    never launch a task); ``with_bucket=True`` calls
+    ``fn(frame, bucket_index)``.
+
+    EAGER at the upstream boundary: this function consumes
+    ``ds.iter_internal_ref_bundles()`` at CALL time (that streaming
+    launch — split tasks starting as upstream blocks appear — is what
+    overlaps the split with the map stage feeding it and makes the
+    exchange win; see BASELINE.md). Callers that build pipelines without
+    consuming them should defer calling this until they mean to execute;
+    the returned Dataset's reduce stage is still lazy.
     """
     import pyarrow as pa
     import ray
     import ray.data as rd
 
     keys = list(keys)
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    if max_fanin is None:
+        max_fanin = DEFAULT_MAX_FANIN
 
     @ray.remote(num_returns=num_buckets)
     def split(block):
         if not isinstance(block, pa.Table):  # pandas-backed upstream block
             block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0:
+            # Ray Data emits zero-row (sometimes zero-COLUMN) filler
+            # blocks from actor-pool stages; hashing would KeyError
+            parts = tuple(block for _ in range(num_buckets))
+            return parts if num_buckets > 1 else parts[0]
         key_frame = block.select(keys).to_pandas()
         h = (key_hash(key_frame, keys) % np.uint64(num_buckets)).astype(np.int64)
         order = np.argsort(h, kind="stable")
@@ -113,7 +196,7 @@ def bucket_exchange(
     def reduce(bucket: int, *parts: pa.Table):
         live = [p for p in parts if p.num_rows]
         if not live:
-            t = parts[0]
+            t = next((p for p in parts if p.num_columns), parts[0])
         else:
             t = pa.concat_tables(live, promote_options="permissive")
         frame = t.to_pandas()
@@ -133,7 +216,8 @@ def bucket_exchange(
         matrix = [[refs] for refs in matrix]
     buckets = range(num_buckets) if only_buckets is None else only_buckets
     outs = [
-        reduce.remote(b, *[row[b] for row in matrix]) for b in buckets
+        reduce.remote(b, *_tree_concat([row[b] for row in matrix], max_fanin))
+        for b in buckets
     ]
     return rd.from_arrow_refs(outs)
 
@@ -143,33 +227,36 @@ def apply_sorted(
     keys: Sequence[str],
     ts: str,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     tiebreak: Sequence[str] = (),
-    exchange: str = "groupby",
+    exchange: str | None = None,
 ):
     """Hash-partition by *keys*, sort each partition by (keys, ts, tiebreak),
     apply *fn* per sorted partition.
 
     *fn* may add columns, drop rows, or aggregate — anything with
     per-key-local semantics. Rows of one key never span partitions.
-    ``exchange`` picks the physical shuffle: ``"groupby"`` (Ray Data
-    sort-based groupby — streaming, overlaps with upstream) or
-    ``"tasks"`` (:func:`bucket_exchange` — no sort coordination, better
-    core-scaling on large exchanges).
+    ``exchange`` picks the physical shuffle: ``"tasks"`` (default —
+    :func:`bucket_exchange`, no sort coordination, best measured
+    core-scaling; eager at the upstream boundary, see its docstring) or
+    ``"groupby"`` (Ray Data sort-based groupby — fully lazy fallback).
     """
     keys = list(keys)
     sort_cols = [*keys, ts, *tiebreak]
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         out = fn(df)
         return out.drop(columns=[BUCKET_COL], errors="ignore")
 
-    if exchange == "tasks":
+    if resolve_exchange(exchange) == "tasks":
         return bucket_exchange(ds, keys, per_bucket, num_buckets)
     bucketed = add_bucket(ds, keys, num_buckets)
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
 __all__ = ["BUCKET_COL", "key_hash", "add_bucket", "apply_sorted",
-           "bucket_exchange"]
+           "bucket_exchange", "default_num_buckets", "default_exchange",
+           "resolve_exchange"]

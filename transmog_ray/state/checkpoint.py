@@ -52,6 +52,19 @@ def input_lineage(paths: Sequence[str]) -> list[dict]:
     return out
 
 
+def _empty_stats() -> pd.DataFrame:
+    """Typed seed for the per-partition stats frame: a fully-empty
+    upstream yields a schemaless empty exchange result, so without this
+    seed the run_meta aggregation would KeyError on the stats columns."""
+    return pd.DataFrame({
+        "partition": pd.Series([], dtype="int64"),
+        "rows_in": pd.Series([], dtype="int64"),
+        "rows_out": pd.Series([], dtype="int64"),
+        "seconds": pd.Series([], dtype="float64"),
+        "skipped": pd.Series([], dtype="bool"),
+    })
+
+
 def _matching_manifest(out_dir: str, bucket: int, run_fingerprint: str):
     manifest_path = os.path.join(out_dir, f"part={bucket:05d}", "manifest.json")
     if os.path.exists(manifest_path):
@@ -71,7 +84,7 @@ def checkpointed_sorted_run(
     run_fingerprint: str,
     num_buckets: int = 64,
     tiebreak: Sequence[str] = (),
-    exchange: str = "groupby",
+    exchange: str | None = None,
 ) -> dict:
     """apply_sorted + per-partition parquet checkpointing in ONE pass.
 
@@ -115,7 +128,9 @@ def checkpointed_sorted_run(
              "seconds": [manifest["seconds"]], "skipped": [False]}
         )
 
-    if exchange == "tasks":
+    from ..stages.partition import resolve_exchange
+
+    if resolve_exchange(exchange) == "tasks":
         from ..stages.partition import bucket_exchange
 
         done = []
@@ -123,7 +138,8 @@ def checkpointed_sorted_run(
         for b in range(num_buckets):
             m = _matching_manifest(out_dir, b, run_fingerprint)
             (done if m else pending).append((b, m))
-        frames = [
+        frames = [_empty_stats()]
+        frames += [
             pd.DataFrame({"partition": [b], "rows_in": [m["rows_in"]],
                           "rows_out": [m["rows_out"]], "seconds": [0.0],
                           "skipped": [True]})
@@ -155,10 +171,14 @@ def checkpointed_sorted_run(
             return run_partition(df, bucket)
 
         bucketed = add_bucket(ds, keys, num_buckets)
-        stats = (
-            bucketed.groupby(BUCKET_COL)
-            .map_groups(per_bucket, batch_format="pandas")
-            .to_pandas()
+        stats = pd.concat(
+            [
+                _empty_stats(),
+                bucketed.groupby(BUCKET_COL)
+                .map_groups(per_bucket, batch_format="pandas")
+                .to_pandas(),
+            ],
+            ignore_index=True,
         )
     run_meta = {
         "run_fingerprint": run_fingerprint,
