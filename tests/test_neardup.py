@@ -132,3 +132,34 @@ def test_simhash_neardup_matches_bruteforce(ray_session):
     assert got_pairs == brute
     assert (got["hamming"] <= 3).all()
     assert len(brute) > 0  # planted dups guarantee hits
+
+
+def test_minhash_clusters_string_ids(ray_session):
+    """ADVICE r2: non-integer doc ids must work — the pipeline keeps ids
+    at the source dtype instead of coercing to int64."""
+    import ray.data as rd
+
+    docs = make_docs(40)
+    docs["doc_id"] = "doc-" + docs["doc_id"].astype(str).str.zfill(4)
+    got = (
+        minhash_clusters(rd.from_pandas(docs), n_perm=32, n_bands=8,
+                         jaccard_threshold=0.8, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(docs)
+    by_id = dict(zip(got["doc_id"], got["cluster"]))
+    # exact dup of doc-0000 lands in its cluster; labels are min string ids
+    assert by_id["doc-0001"] == by_id["doc-0000"] == "doc-0000"
+
+
+def test_simhash_neardup_string_ids(ray_session):
+    import ray.data as rd
+
+    docs = make_docs(30)
+    docs["doc_id"] = "d" + docs["doc_id"].astype(str)
+    out = simhash_neardup(rd.from_pandas(docs), max_hamming=3,
+                          num_buckets=4).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert ("d0", "d1") in pairs or ("d1", "d0") in pairs  # exact dup pair

@@ -151,3 +151,26 @@ def test_langid_latin_and_script_detection():
     assert got[10] == "und" and got[11] == "und" and got[12] == "und"
     # single-text wrapper agrees with the batch kernel
     assert lid.guess("the cat and the dog") == "en"
+
+
+def test_salted_agg_all_null_group_is_sql_null(ray_session):
+    """VERDICT r2 item 4: an all-null (key, value) group must merge to SQL
+    NULL (min_count=1 in the stage-2 salt merge), not pandas' 0.0."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 6,
+        "v": [1.0, 2.0, None, 3.0, 4.0, 5.0] + [None] * 6,
+    })
+    out = (
+        salted_grouped_agg(rd.from_pandas(df), ["k"],
+                           {"s": ("v", "sum"), "n": ("v", "count"),
+                            "m": ("v", "mean")},
+                           num_salts=4, num_buckets=4)
+        .to_pandas()
+        .set_index("k")
+    )
+    assert out.loc["a", "s"] == 15.0 and out.loc["a", "n"] == 5
+    assert pd.isna(out.loc["b", "s"])  # SQL SUM of all NULLs is NULL
+    assert out.loc["b", "n"] == 0
+    assert pd.isna(out.loc["b", "m"])

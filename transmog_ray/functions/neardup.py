@@ -17,10 +17,15 @@ Scale shapes:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
+
+
+def _id_dtype(s: pd.Series):
+    """Pair/cluster frames carry ids at the SOURCE column's dtype —
+    integer ids stay integer, string/other ids ride as object (they were
+    rejected with ValueError when the int64 coercion was unconditional)."""
+    return s.dtype if pd.api.types.is_integer_dtype(s) else object
 
 _MERSENNE = (1 << 61) - 1
 
@@ -77,17 +82,33 @@ class MinHasher:
 
 def lsh_bands(df: pd.DataFrame, n_bands: int, id_col: str = "doc_id") -> pd.DataFrame:
     """Explode signatures into (band, band_hash, id) rows for the bucket
-    groupby."""
-    rows = {"band": [], "band_hash": [], id_col: []}
-    for rid, sig in zip(df[id_col], df["minhash"]):
-        rows_per_band = len(sig) // n_bands
-        for b in range(n_bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-            rows["band"].append(b)
-            rows["band_hash"].append(h)
-            rows[id_col].append(rid)
-    return pd.DataFrame(rows)
+    groupby — fully vectorized: the whole batch's signature matrix is
+    reshaped to (docs, bands, rows_per_band) and each band chunk is mixed
+    into one 64-bit FNV-1a-style hash with ``rows_per_band`` numpy passes
+    (no per-(doc, band) hashlib calls). A 64-bit collision merely adds a
+    candidate pair that the exact-Jaccard verify rejects, so output
+    clusters are unaffected by the hash choice."""
+    n_docs = len(df)
+    if n_docs == 0:
+        return pd.DataFrame({
+            "band": pd.Series([], dtype="int64"),
+            "band_hash": pd.Series([], dtype="int64"),
+            id_col: df[id_col],
+        })
+    sigs = np.asarray(list(df["minhash"]), dtype=np.uint64)  # (docs, n_perm)
+    rows_per_band = sigs.shape[1] // n_bands
+    chunks = sigs[:, : n_bands * rows_per_band].reshape(
+        n_docs, n_bands, rows_per_band
+    )
+    with np.errstate(over="ignore"):
+        h = np.full((n_docs, n_bands), 0xCBF29CE484222325, dtype=np.uint64)
+        for r in range(rows_per_band):
+            h = (h ^ chunks[:, :, r]) * np.uint64(0x100000001B3)
+    return pd.DataFrame({
+        "band": np.tile(np.arange(n_bands, dtype=np.int64), n_docs),
+        "band_hash": h.reshape(-1).view(np.int64),
+        id_col: np.repeat(df[id_col].to_numpy(), n_bands),
+    })
 
 
 def _shingle_jaccard(a: str, b: str, k: int) -> float:
@@ -96,6 +117,114 @@ def _shingle_jaccard(a: str, b: str, k: int) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def _min_label_propagation(edges_ds, num_buckets: int = 16,
+                           max_iters: int = 50,
+                           id_is_int: bool = True) -> pd.DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation over an edge Dataset (id_a, id_b) → pandas label map
+    (node, label) where label = min node id of the component.
+
+    Each iteration is two bucket exchanges: (1) route current labels and
+    edges by source node so every edge emits its source's label to its
+    destination; (2) route messages + labels by destination node and take
+    the min. Converges in O(component diameter) rounds — near-dup
+    components are small cliques, so a handful. The driver only ever
+    holds per-iteration changed COUNTS and the final (node, label) map
+    (O(nodes-in-edges), the LSH contract's small set) — never the pair
+    stream.
+
+    ``id_is_int`` pins every id-carrying column to one dtype (int64 or
+    object) in EVERY emitted frame: null-padding promotes ints to float
+    inside bucket frames, and a float-vs-int dtype split across blocks
+    would hash the same node to different buckets."""
+    from ..stages.partition import bucket_exchange
+
+    cast = (lambda s: s.astype("int64")) if id_is_int else (
+        lambda s: s.astype(object)
+    )
+
+    # symmetric edge list: propagate both directions
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat(
+            [df[["id_a", "id_b"]],
+             df.rename(columns={"id_a": "id_b", "id_b": "id_a"})[
+                 ["id_a", "id_b"]]],
+            ignore_index=True,
+        ).rename(columns={"id_a": "src", "id_b": "dst"})
+        return out.assign(src=cast(out["src"]), dst=cast(out["dst"]))
+
+    edges = edges_ds.map_batches(sym, batch_format="pandas").materialize()
+
+    # initial labels: label(node) = node, one row per distinct node
+    labels = bucket_exchange(
+        edges, ["src"],
+        lambda df: pd.DataFrame(
+            {"node": cast(df["src"].drop_duplicates())}
+        ).assign(label=lambda d: d["node"]),
+        num_buckets,
+    ).materialize()
+
+    def emit_msgs(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["_is_edge"] == 0]
+        lut = dict(zip(cast(lab["node"]), cast(lab["label"])))
+        e = df[df["_is_edge"] == 1]
+        msgs = pd.DataFrame({
+            "node": cast(e["dst"]),
+            "label": cast(e["node"].map(lut)),
+            "_old": np.int64(0),
+        })
+        own = pd.DataFrame({
+            "node": cast(lab["node"]), "label": cast(lab["label"]),
+            "_old": np.int64(1),
+        })
+        return pd.concat([own, msgs], ignore_index=True)
+
+    def take_min(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(node=cast(df["node"]), label=cast(df["label"]))
+        new = df.groupby("node", sort=False)["label"].min().reset_index()
+        old = df[df["_old"] == 1][["node", "label"]].rename(
+            columns={"label": "_oldlab"}
+        )
+        out = new.merge(old, on="node", how="left")
+        out["changed"] = (out["label"] != out["_oldlab"]).astype("int64")
+        return pd.DataFrame({
+            "node": cast(out["node"]), "label": cast(out["label"]),
+            "changed": out["changed"],
+        })
+
+    for _ in range(max_iters):
+        # exchange 1 (route by node/src): every edge emits its source's
+        # current label toward its destination; labels ride along tagged
+        lab_part = labels.map_batches(
+            lambda df: pd.DataFrame({
+                "node": cast(df["node"]), "label": cast(df["label"]),
+                "dst": cast(df["node"]),  # self-placeholder, never read
+                "_is_edge": np.int64(0),
+            }),
+            batch_format="pandas",
+        )
+        edge_part = edges.map_batches(
+            lambda df: pd.DataFrame({
+                "node": cast(df["src"]), "label": cast(df["src"]),
+                "dst": cast(df["dst"]), "_is_edge": np.int64(1),
+            }),
+            batch_format="pandas",
+        )
+        routed = bucket_exchange(
+            lab_part.union(edge_part), ["node"], emit_msgs, num_buckets
+        )
+        # exchange 2 (route by destination node): new label = min of own
+        # label and incoming messages; flag changes for convergence
+        labels = bucket_exchange(
+            routed, ["node"], take_min, num_buckets
+        ).materialize()
+        if labels.sum("changed") == 0:
+            break
+
+    out = labels.to_pandas()  # final label map only — O(nodes in edges)
+    return out[["node", "label"]]
 
 
 def minhash_clusters(
@@ -110,21 +239,22 @@ def minhash_clusters(
 ):
     """Full MinHash-LSH near-dup pipeline → Dataset of (id, cluster).
 
-    Every wide step is distributed — the driver only ever sees candidate
-    PAIRS and verified EDGES (both tiny by LSH construction), never texts
-    or signatures:
+    Every wide step is distributed — texts, signatures, and the candidate
+    PAIR STREAM never land on the driver:
 
-      sign (map_batches) → band-bucket groupby → candidate pairs (driver,
-      deduped) → semi-join texts down to candidate ids → explode each
-      candidate doc to the verify buckets that need it → ONE bucket
-      groupby whose tasks merge texts onto their pairs and run the exact
-      shingle-Jaccard VERIFY → verified edges to the driver → min-label
-      union-find on edges → broadcast label map → cluster column via
-      map_batches.
+      sign (map_batches) → band-bucket groupby → per-group candidate
+      pairs → ONE bucket-exchange dedup of pairs (distributed) →
+      semi-join texts down to candidate ids → two distributed hash joins
+      attach both texts to each pair → exact shingle-Jaccard VERIFY per
+      batch → distributed min-label propagation over the verified edges
+      (:func:`_min_label_propagation`) → the driver holds only the FINAL
+      label map (O(candidate ids) — small by the LSH contract), broadcast
+      once → cluster column via map_batches.
     """
     import ray
 
-    from .relational import semi_join
+    from ..stages.partition import bucket_exchange
+    from .relational import hash_join, semi_join
 
     hasher = MinHasher(n_perm, shingle_k)
     docs = ds.select_columns([id_col, text_col]).materialize()
@@ -140,6 +270,7 @@ def minhash_clusters(
     # millions of tiny groups would drown in per-group overhead); the fine
     # (band, band_hash) grouping happens in pandas inside each task
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        dt = _id_dtype(g[id_col])
         out_a, out_b = [], []
         for _, grp in g.groupby(["band", "band_hash"], sort=False):
             if len(grp) < 2:
@@ -150,8 +281,8 @@ def minhash_clusters(
                     out_a.append(a)
                     out_b.append(b)
         return pd.DataFrame(
-            {"id_a": pd.Series(out_a, dtype="int64"),
-             "id_b": pd.Series(out_b, dtype="int64")}
+            {"id_a": pd.Series(out_a, dtype=dt),
+             "id_b": pd.Series(out_b, dtype=dt)}
         )
 
     def coarse_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -161,88 +292,77 @@ def minhash_clusters(
         ).astype(np.int64)
         return df
 
-    # candidate PAIRS to the driver, deduped there (pairs ≪ docs by LSH
-    # construction — this is the defensible driver-side set; texts and
-    # signatures never leave the cluster)
-    pairs_pd = (
+    # distributed pair DEDUP: one bucket exchange keyed on the pair —
+    # the un-deduped candidate stream never lands on the driver
+    cand = (
         bands.map_batches(coarse_bucket, batch_format="pandas")
         .groupby("_cand_bucket")
         .map_groups(candidates, batch_format="pandas")
-        .to_pandas()
-    ).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    pairs = bucket_exchange(
+        cand, ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
+        num_buckets,
+    ).materialize()
 
-    if len(pairs_pd) == 0:
+    if pairs.count() == 0:
         label_ref = ray.put({})
     else:
-        # ONE verify shuffle: each pair is assigned a verify bucket; the
-        # (pruned) candidate docs are exploded to every bucket that
-        # needs their text, and each bucket task merges texts onto its
-        # pairs and verifies with exact shingle Jaccard
-        vb = (
-            pd.util.hash_pandas_object(
-                pairs_pd["id_a"].astype("int64"), index=False
-            ) % np.uint64(num_buckets)
-        ).astype(np.int64)
-        pairs_pd = pairs_pd.assign(_vb=vb)
-        need: dict = {}
-        for a, b, bk in zip(pairs_pd["id_a"], pairs_pd["id_b"], vb):
-            need.setdefault(a, set()).add(int(bk))
-            need.setdefault(b, set()).add(int(bk))
-        need_ref = ray.put(need)
-        pairs_ref = ray.put(pairs_pd)
+        import pyarrow as pa
 
-        cand_ids = pd.DataFrame({id_col: list(need)})
-        sub = semi_join(docs, cand_ids, on=id_col)
+        from ..stages.common import arrow_schema
 
-        def explode(df: pd.DataFrame) -> pd.DataFrame:
-            need_map = ray.get(need_ref)
-            ids_out, texts_out, vb_out = [], [], []
-            for i, t in zip(df[id_col], df[text_col]):
-                for bk in need_map.get(i, ()):
-                    ids_out.append(i)
-                    texts_out.append(t)
-                    vb_out.append(bk)
-            return pd.DataFrame({
-                id_col: pd.Series(ids_out, dtype="int64"),
-                text_col: texts_out,
-                "_vb": pd.Series(vb_out, dtype="int64"),
-            })
+        id_is_int = pa.types.is_integer(arrow_schema(docs).field(id_col).type)
 
-        def verify(g: pd.DataFrame) -> pd.DataFrame:
-            bk = int(g["_vb"].iloc[0])
-            mine = ray.get(pairs_ref)
-            mine = mine[mine["_vb"] == bk]
-            texts = dict(zip(g[id_col], g[text_col]))
-            ok = [
-                _shingle_jaccard(texts.get(a) or "", texts.get(b) or "",
-                                 shingle_k) >= jaccard_threshold
-                for a, b in zip(mine["id_a"], mine["id_b"])
-            ]
-            return mine.loc[ok, ["id_a", "id_b"]]
+        # candidate-id key set for the semi-join text pruning — deduped
+        # distributed first; O(candidate ids), the same order as the
+        # final label map the driver is allowed to hold
+        ids_pd = bucket_exchange(
+            pairs.map_batches(
+                lambda df: pd.DataFrame({
+                    id_col: pd.concat([df["id_a"], df["id_b"]],
+                                      ignore_index=True)
+                }),
+                batch_format="pandas",
+            ),
+            [id_col],
+            lambda df: df.drop_duplicates(id_col),
+            num_buckets,
+        ).to_pandas()
+        sub = semi_join(docs, ids_pd, on=id_col)
 
-        edges = (
-            sub.map_batches(explode, batch_format="pandas")
-            .groupby("_vb")
-            .map_groups(verify, batch_format="pandas")
-            .to_pandas()
+        # two distributed hash joins attach both texts to each pair; the
+        # exact-Jaccard verify then runs per batch, fully data-parallel
+        a_side = sub.map_batches(
+            lambda df: df.rename(columns={id_col: "id_a",
+                                          text_col: "_text_a"}),
+            batch_format="pandas",
         )
+        b_side = sub.map_batches(
+            lambda df: df.rename(columns={id_col: "id_b",
+                                          text_col: "_text_b"}),
+            batch_format="pandas",
+        )
+        joined = hash_join(pairs, a_side, on="id_a", num_buckets=num_buckets)
+        joined = hash_join(joined, b_side, on="id_b", num_buckets=num_buckets)
 
-        # union-find over the verified EDGE set only (driver-side by
-        # design: edges ≪ docs)
-        parent: dict = {}
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            ok = [
+                _shingle_jaccard(a or "", b or "", shingle_k)
+                >= jaccard_threshold
+                for a, b in zip(df["_text_a"], df["_text_b"])
+            ]
+            return df.loc[ok, ["id_a", "id_b"]]
 
-        def find(x):
-            parent.setdefault(x, x)
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+        edges = joined.map_batches(verify, batch_format="pandas").materialize()
 
-        for a, b in zip(edges["id_a"], edges["id_b"]):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        label_ref = ray.put({x: find(x) for x in list(parent)})
+        if edges.count() == 0:
+            label_ref = ray.put({})
+        else:
+            lab = _min_label_propagation(
+                edges, num_buckets=min(num_buckets, 16), id_is_int=id_is_int
+            )
+            label_ref = ray.put(dict(zip(lab["node"], lab["label"])))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         labels = ray.get(label_ref)
@@ -348,6 +468,7 @@ def simhash_neardup(
     exploded = ds.map_batches(explode, batch_format="pandas")
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        dt = _id_dtype(g[id_col])
         out = {"id_a": [], "id_b": [], "hamming": []}
         for _, grp in g.groupby(["block", "block_val"], sort=False):
             if len(grp) < 2:
@@ -362,8 +483,8 @@ def simhash_neardup(
             out["id_b"].extend(ids[bi[keep]])
             out["hamming"].extend(ham[keep])
         return pd.DataFrame({
-            "id_a": pd.Series(out["id_a"], dtype="int64"),
-            "id_b": pd.Series(out["id_b"], dtype="int64"),
+            "id_a": pd.Series(out["id_a"], dtype=dt),
+            "id_b": pd.Series(out["id_b"], dtype=dt),
             "hamming": pd.Series(out["hamming"], dtype="int64"),
         })
 
@@ -459,6 +580,7 @@ def ngram_jaccard_pairs(
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids_r, sr = ray.get(ref)
+        dt = _id_dtype(df[id_col])
         out = {"id_a": [], "id_b": [], "jac": []}
         for rid, text in zip(df[id_col], df[text_col]):
             s = grams(text)
@@ -471,8 +593,8 @@ def ngram_jaccard_pairs(
                         out["id_b"].append(rid2)
                         out["jac"].append(round(jac, 6))
         return pd.DataFrame({
-            "id_a": pd.Series(out["id_a"], dtype="int64"),
-            "id_b": pd.Series(out["id_b"], dtype="int64"),
+            "id_a": pd.Series(out["id_a"], dtype=dt),
+            "id_b": pd.Series(out["id_b"], dtype=dt),
             "jac": pd.Series(out["jac"], dtype="float64"),
         })
 

@@ -101,11 +101,9 @@ def grouped_agg(
                 out[alias] = comb[partial_cols[(col, op)]]
         return out
 
-    import os
+    from ..stages.partition import bucket_exchange, resolve_exchange
 
-    from ..stages.partition import bucket_exchange
-
-    if (exchange or os.environ.get("GRAFT_JOIN_EXCHANGE", "tasks")) == "tasks":
+    if resolve_exchange(exchange) == "tasks":
         return bucket_exchange(partials_ds, keys, combine, num_buckets)
     partials = add_bucket(partials_ds, keys, num_buckets)
     return partials.groupby(BUCKET_COL).map_groups(combine, batch_format="pandas")
@@ -194,9 +192,9 @@ def hash_join(
                 out[col] = out[col].astype(dtype)
         return out
 
-    import os
+    from ..stages.partition import resolve_exchange
 
-    if (exchange or os.environ.get("GRAFT_JOIN_EXCHANGE", "tasks")) == "tasks":
+    if resolve_exchange(exchange) == "tasks":
         return bucket_exchange(unioned, on, per_bucket, num_buckets)
     bucketed = add_bucket(unioned, on, num_buckets)
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")

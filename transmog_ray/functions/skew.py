@@ -89,10 +89,12 @@ def salted_grouped_agg(
         for alias, (col, op) in specs.items():
             if op == "mean":
                 s = g[f"__sum_{alias}"].sum() / g[f"__count_{alias}"].sum()
-            elif op in ("sum", "count"):
-                s = g[f"__{op}_{alias}"].sum()
-                if op == "count":
-                    s = s.astype("int64")
+            elif op == "sum":
+                # min_count=1: an all-null group must stay SQL NULL when
+                # the per-salt partials merge, matching grouped_agg
+                s = g[f"__sum_{alias}"].sum(min_count=1)
+            elif op == "count":
+                s = g[f"__count_{alias}"].sum().astype("int64")
             else:
                 s = getattr(g[f"__{op}_{alias}"], op)()
             merged[alias] = s

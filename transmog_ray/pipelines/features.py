@@ -334,22 +334,53 @@ def page_features_pushdown_fused(
     bounded: above ``GRAFT_REDUCE_FANIN`` (64) shards, intermediate
     concat tasks tree-reduce the parts so no task ever takes more than
     the cap in arguments (10^5 shards → 3 bounded hops)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from ..stages.partition import DEFAULT_MAX_FANIN, _tree_concat
+
+    files = sorted(pages_files)
+    if not files:  # mirror bucket_exchange's empty-upstream guard
+        return rd.from_items([])
+    matrix = _fused_shard_matrix(files, plan, num_buckets, columns)
+    fn = page_feature_fn_pushdown(session_gap_s, rolling_window_s)
+
+    @ray.remote
+    def reduce(*parts):
+        live = [p for p in parts if p.num_rows]
+        t = (
+            next((p for p in parts if p.num_columns), parts[0])
+            if not live
+            else pa.concat_tables(live, promote_options="permissive")
+        )
+        return pa.Table.from_pandas(fn(t.to_pandas()), preserve_index=False)
+
+    outs = [
+        reduce.remote(
+            *_tree_concat([row[b] for row in matrix], DEFAULT_MAX_FANIN)
+        )
+        for b in range(num_buckets)
+    ]
+    return rd.from_arrow_refs(outs)
+
+
+def _fused_shard_matrix(files, plan, num_buckets, columns):
+    """Launch one fused read+flatten+bucket-split task per input shard;
+    returns the [shards × buckets] ref matrix. Shared by the streaming
+    and checkpointed fused flagship runners."""
     import numpy as np
     import pyarrow as pa
     import ray
     import ray.data as rd
 
     from ..stages.flatten import FlattenStage, plan_from_dataset
-    from ..stages.partition import DEFAULT_MAX_FANIN, _tree_concat, key_hash
+    from ..stages.partition import key_hash
 
-    files = sorted(pages_files)
-    if not files:  # mirror bucket_exchange's empty-upstream guard
-        return rd.from_items([])
     if plan is None:
         ds = rd.read_parquet(files, columns=list(columns))
         plan = plan_from_dataset(ds, PAGE_SPEC_PUSHDOWN)
     plan_ref = ray.put(plan)
-    fn = page_feature_fn_pushdown(session_gap_s, rolling_window_s)
 
     @ray.remote(num_returns=num_buckets)
     def map_shard(path, plan_obj):
@@ -370,26 +401,98 @@ def page_features_pushdown_fused(
         )
         return parts if num_buckets > 1 else parts[0]
 
-    @ray.remote
-    def reduce(*parts):
-        live = [p for p in parts if p.num_rows]
-        t = (
-            next((p for p in parts if p.num_columns), parts[0])
-            if not live
-            else pa.concat_tables(live, promote_options="permissive")
-        )
-        return pa.Table.from_pandas(fn(t.to_pandas()), preserve_index=False)
-
     matrix = [map_shard.remote(f, plan_ref) for f in files]
     if num_buckets == 1:
         matrix = [[refs] for refs in matrix]
-    outs = [
-        reduce.remote(
-            *_tree_concat([row[b] for row in matrix], DEFAULT_MAX_FANIN)
-        )
-        for b in range(num_buckets)
+    return matrix
+
+
+def checkpointed_page_features_fused(
+    pages_files,
+    out_dir: str,
+    run_fingerprint: str,
+    session_gap_s: float = 7 * 86400,
+    rolling_window_s: float = 30 * 86400,
+    num_buckets: int = 16,
+    plan=None,
+    columns=("url", "warc_ts", "text", "lang", "meta"),
+) -> dict:
+    """Resumable PEAK-path flagship: the fused map-side shuffle
+    (:func:`page_features_pushdown_fused`) executed through the
+    per-bucket checkpoint layer — each reduce task writes
+    ``part=<bucket>/data.parquet`` + manifest atomically, and a rerun
+    with the same ``run_fingerprint`` skips completed buckets
+    DRIVER-side: neither their reduce nor any map work they alone would
+    need is launched (map shards are shared across buckets, so maps run
+    iff ANY bucket is pending). Returns run metrics; read results with
+    ``ray.data.read_parquet(out_dir)``. Output is byte-identical to an
+    uninterrupted run — every kernel is deterministic."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import ray
+
+    from ..stages.partition import DEFAULT_MAX_FANIN, _tree_concat
+    from ..state.checkpoint import _matching_manifest, persist_partition
+
+    files = sorted(pages_files)
+    _os.makedirs(out_dir, exist_ok=True)
+    done, pending = [], []
+    for b in range(num_buckets):
+        m = _matching_manifest(out_dir, b, run_fingerprint)
+        (done if m else pending).append((b, m))
+
+    frames = [
+        pd.DataFrame({"partition": [b], "rows_in": [m["rows_in"]],
+                      "rows_out": [m["rows_out"]], "seconds": [0.0],
+                      "skipped": [True]})
+        for b, m in done
     ]
-    return rd.from_arrow_refs(outs)
+    if pending and files:
+        fn = page_feature_fn_pushdown(session_gap_s, rolling_window_s)
+        matrix = _fused_shard_matrix(files, plan, num_buckets, columns)
+
+        @ray.remote
+        def reduce_ckpt(bucket: int, *parts):
+            t0 = _time.time()
+            live = [p for p in parts if p.num_rows]
+            t = (
+                next((p for p in parts if p.num_columns), parts[0])
+                if not live
+                else pa.concat_tables(live, promote_options="permissive")
+            )
+            frame = t.to_pandas()
+            out = fn(frame)
+            return persist_partition(
+                out, len(frame), bucket, out_dir, run_fingerprint, t0
+            )
+
+        stat_refs = [
+            reduce_ckpt.remote(
+                b, *_tree_concat([row[b] for row in matrix],
+                                 DEFAULT_MAX_FANIN)
+            )
+            for b, _ in pending
+        ]
+        frames.extend(ray.get(stat_refs))
+
+    stats = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["partition", "rows_in", "rows_out", "seconds", "skipped"]
+    )
+    run_meta = {
+        "run_fingerprint": run_fingerprint,
+        "num_buckets": num_buckets,
+        "partitions_done": int(len(stats)),
+        "partitions_skipped": int(stats["skipped"].sum()) if len(stats) else 0,
+        "rows_in": int(stats["rows_in"].sum()) if len(stats) else 0,
+        "rows_out": int(stats["rows_out"].sum()) if len(stats) else 0,
+        "wall_seconds_sum": float(stats["seconds"].sum()) if len(stats) else 0.0,
+    }
+    with open(_os.path.join(out_dir, "_run.json"), "w") as f:
+        _json.dump(run_meta, f, indent=1)
+    return run_meta
 
 
 def checkpointed_page_features(
@@ -426,6 +529,7 @@ __all__ = [
     "page_feature_fn_pushdown",
     "tagged_pages",
     "checkpointed_page_features",
+    "checkpointed_page_features_fused",
     "PAGE_SPEC",
     "PAGE_SPEC_PUSHDOWN",
     "LINKS_TABLE",

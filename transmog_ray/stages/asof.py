@@ -138,9 +138,10 @@ def asof_join(
                 out[col] = out[col].astype(dtype)
         return out
 
-    import os
 
-    if (exchange or os.environ.get("GRAFT_JOIN_EXCHANGE", "tasks")) == "tasks":
+    from ..stages.partition import resolve_exchange
+
+    if resolve_exchange(exchange) == "tasks":
         from .partition import bucket_exchange
 
         return bucket_exchange(unioned, [key], per_bucket, num_buckets)

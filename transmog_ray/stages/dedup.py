@@ -34,7 +34,6 @@ def dedup_exact(
     REAL key columns, and rows of one key can never land in different
     buckets.
     """
-    import os
 
     keys = list(keys)
     order_by = list(order_by)
@@ -44,7 +43,9 @@ def dedup_exact(
         out = df.drop_duplicates(subset=keys, keep="first")
         return out.drop(columns=[BUCKET_COL], errors="ignore")
 
-    if (exchange or os.environ.get("GRAFT_JOIN_EXCHANGE", "tasks")) == "tasks":
+    from ..stages.partition import resolve_exchange
+
+    if resolve_exchange(exchange) == "tasks":
         from .partition import bucket_exchange
 
         return bucket_exchange(ds, keys, per_bucket, num_buckets)

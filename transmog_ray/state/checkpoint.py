@@ -65,6 +65,43 @@ def _empty_stats() -> pd.DataFrame:
     })
 
 
+def persist_partition(
+    out: pd.DataFrame,
+    rows_in: int,
+    bucket: int,
+    out_dir: str,
+    run_fingerprint: str,
+    t0: float,
+    extra: dict | None = None,
+) -> pd.DataFrame:
+    """Atomically write one partition's parquet + manifest (tmp + rename)
+    and return its one-row stats frame. Shared by the sorted checkpoint
+    runner and the fused-flagship checkpoint reduce tasks."""
+    part_dir = os.path.join(out_dir, f"part={bucket:05d}")
+    os.makedirs(part_dir, exist_ok=True)
+    tmp = os.path.join(part_dir, f".data.parquet.tmp.{os.getpid()}")
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+    manifest = {
+        "partition": bucket,
+        "run_fingerprint": run_fingerprint,
+        "rows_in": int(rows_in),
+        "rows_out": int(len(out)),
+        "seconds": round(time.time() - t0, 4),
+        **(extra or {}),
+    }
+    manifest_path = os.path.join(part_dir, "manifest.json")
+    tmp_m = manifest_path + f".tmp.{os.getpid()}"
+    with open(tmp_m, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp_m, manifest_path)
+    return pd.DataFrame(
+        {"partition": [bucket], "rows_in": [manifest["rows_in"]],
+         "rows_out": [manifest["rows_out"]],
+         "seconds": [manifest["seconds"]], "skipped": [False]}
+    )
+
+
 def _matching_manifest(out_dir: str, bucket: int, run_fingerprint: str):
     manifest_path = os.path.join(out_dir, f"part={bucket:05d}", "manifest.json")
     if os.path.exists(manifest_path):
@@ -102,30 +139,11 @@ def checkpointed_sorted_run(
 
     def run_partition(df: pd.DataFrame, bucket: int) -> pd.DataFrame:
         t0 = time.time()
-        part_dir = os.path.join(out_dir, f"part={bucket:05d}")
         df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         out = fn(df).drop(columns=[BUCKET_COL], errors="ignore")
-        os.makedirs(part_dir, exist_ok=True)
-        tmp = os.path.join(part_dir, f".data.parquet.tmp.{os.getpid()}")
-        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
-        os.replace(tmp, os.path.join(part_dir, "data.parquet"))
-        manifest = {
-            "partition": bucket,
-            "run_fingerprint": run_fingerprint,
-            "rows_in": int(len(df)),
-            "rows_out": int(len(out)),
-            "seconds": round(time.time() - t0, 4),
-            "sort_cols": sort_cols,
-        }
-        manifest_path = os.path.join(part_dir, "manifest.json")
-        tmp_m = manifest_path + f".tmp.{os.getpid()}"
-        with open(tmp_m, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp_m, manifest_path)
-        return pd.DataFrame(
-            {"partition": [bucket], "rows_in": [manifest["rows_in"]],
-             "rows_out": [manifest["rows_out"]],
-             "seconds": [manifest["seconds"]], "skipped": [False]}
+        return persist_partition(
+            out, len(df), bucket, out_dir, run_fingerprint, t0,
+            extra={"sort_cols": sort_cols},
         )
 
     from ..stages.partition import resolve_exchange
@@ -207,6 +225,7 @@ def load_metrics(out_dir: str) -> pd.DataFrame:
 
 __all__ = [
     "checkpointed_sorted_run",
+    "persist_partition",
     "load_metrics",
     "fingerprint",
     "input_lineage",

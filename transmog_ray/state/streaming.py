@@ -22,39 +22,102 @@ import pandas as pd
 
 class SessionState:
     """Incremental gap-sessionization core (plain object, wrapped in a Ray
-    actor by :class:`StreamingSessionizer`; kept separate for unit tests)."""
+    actor by :func:`streaming_sessionize`; kept separate for unit tests).
 
-    def __init__(self, key: str, ts: str, gap_seconds: float):
+    ``allowed_lateness_s`` arms a :class:`WatermarkTracker`: rows older
+    than (max seen ts − lateness) are DROPPED from the output and counted
+    in ``dropped_late`` instead of silently corrupting per-key session
+    state — the enforcement of the ordering contract, not just its
+    documentation. ``None`` disables the guard."""
+
+    def __init__(self, key: str, ts: str, gap_seconds: float,
+                 allowed_lateness_s: float | None = None):
         self.key = key
         self.ts = ts
         self.gap = pd.Timedelta(seconds=gap_seconds)
         # key -> (last_ts, session_start_ts, session_seq)
         self.state: dict = {}
+        self.tracker = (
+            WatermarkTracker(ts, allowed_lateness_s)
+            if allowed_lateness_s is not None else None
+        )
+        self.dropped_late = 0
 
     def process(self, df: pd.DataFrame) -> pd.DataFrame:
         """Assign session ids to a time-ordered batch, carrying state
-        across calls. Vectorized per key-run within the batch; state
-        touched once per key per batch."""
+        across calls. Fully vectorized: the batch `sessionize` segment
+        math (prefix sums over new-session flags) with a per-key carry-in
+        of (last_ts, session_start, seq) — state is touched once per key
+        per batch, never per row."""
+        if self.tracker is not None:
+            df, late = self.tracker.split(df)
+            self.dropped_late += len(late)
         df = df.sort_values([self.key, self.ts], kind="mergesort").reset_index(drop=True)
-        session_seq = np.empty(len(df), dtype=np.int64)
-        session_id: list[str] = [""] * len(df)
+        n = len(df)
+        if n == 0:
+            df["session_seq"] = pd.Series([], dtype="int64")
+            df["session_id"] = pd.Series([], dtype=object)
+            return df
 
-        for key_val, grp in df.groupby(self.key, sort=False):
-            last_ts, start_ts, seq = self.state.get(key_val, (None, None, -1))
-            times = grp[self.ts].tolist()
-            for pos, t in zip(grp.index, times):
-                if last_ts is None or (t - last_ts) > self.gap:
-                    seq += 1
-                    start_ts = t
-                last_ts = t
-                session_seq[pos] = seq
-                session_id[pos] = (
-                    f"{key_val}|{pd.Timestamp(start_ts).value // 1000}"
-                )
-            self.state[key_val] = (last_ts, start_ts, seq)
+        codes, uniques = pd.factorize(df[self.key], use_na_sentinel=False)
+        t = df[self.ts].to_numpy().astype("datetime64[ns]")
+        head = np.r_[True, codes[1:] != codes[:-1]]
+        seg_start = np.flatnonzero(head)
+        seg_len = np.diff(np.r_[seg_start, n])
+        carried = [
+            self.state.get(uniques[codes[s]], (None, None, -1))
+            for s in seg_start
+        ]
 
+        # previous-event time, with the carried last_ts at segment heads
+        prev = np.empty(n, dtype="datetime64[ns]")
+        prev[1:] = t[:-1]
+        prev[seg_start] = np.array(
+            [np.datetime64("NaT") if c[0] is None
+             else np.datetime64(pd.Timestamp(c[0]).to_datetime64(), "ns")
+             for c in carried],
+            dtype="datetime64[ns]",
+        )
+        gap_ns = np.timedelta64(int(self.gap.value), "ns")
+        new_sess = np.isnat(prev) | ((t - prev) > gap_ns)
+
+        # session_seq = carried_seq + running count of new-session flags
+        # within the segment (inclusive)
+        cs = np.cumsum(new_sess)
+        within = cs - np.repeat(cs[seg_start] - new_sess[seg_start], seg_len)
+        carried_seq = np.repeat(
+            np.array([c[2] for c in carried], dtype=np.int64), seg_len
+        )
+        session_seq = carried_seq + within
+
+        # session_start: the ts at new-session rows, else inherited — a
+        # segment head ALWAYS has a value (new session, or the carried
+        # start when continuing), so one global ffill fills the rest
+        start = np.where(new_sess, t, np.datetime64("NaT"))
+        cont = seg_start[~new_sess[seg_start]]
+        if len(cont):
+            start[cont] = np.array(
+                [np.datetime64(pd.Timestamp(carried[i][1]).to_datetime64(),
+                               "ns")
+                 for i in np.flatnonzero(~new_sess[seg_start])],
+                dtype="datetime64[ns]",
+            )
+        start = pd.Series(start).ffill().to_numpy()
+
+        epoch_us = start.astype("datetime64[ns]").astype(np.int64) // 1000
         df["session_seq"] = session_seq
-        df["session_id"] = session_id
+        df["session_id"] = (
+            df[self.key].astype(str) + "|"
+            + pd.Series(epoch_us, index=df.index).astype(str)
+        )
+
+        # carry state forward: last row of each segment
+        seg_end = seg_start + seg_len - 1
+        for i, e in enumerate(seg_end):
+            self.state[uniques[codes[e]]] = (
+                pd.Timestamp(t[e]), pd.Timestamp(start[e]),
+                int(session_seq[e]),
+            )
         return df
 
     def open_sessions(self) -> pd.DataFrame:
@@ -73,13 +136,17 @@ def streaming_sessionize(
     ts: str,
     gap_seconds: float,
     num_buckets: int = 8,
+    allowed_lateness_s: float | None = 0.0,
 ):
     """Feed a time-ordered iterable of pandas batches through a pool of
     session actors (hash-routed by key) and yield sessionized batches.
 
     The driver routes rows by key hash so each actor sees every row of
     its keys in order; actor calls per batch run concurrently across
-    buckets.
+    buckets. The ordering contract is ENFORCED by default: each actor
+    tracks an event-time watermark (max seen ts − ``allowed_lateness_s``)
+    and drops rows behind it (counted in the actor's ``dropped_late``)
+    rather than corrupting session state; pass ``None`` to disable.
     """
     import ray
 
@@ -87,7 +154,8 @@ def streaming_sessionize(
 
     ActorCls = ray.remote(SessionState)
     actors = [
-        ActorCls.remote(key, ts, gap_seconds) for _ in range(num_buckets)
+        ActorCls.remote(key, ts, gap_seconds, allowed_lateness_s)
+        for _ in range(num_buckets)
     ]
     for batch in ordered_batches:
         if batch.empty:
