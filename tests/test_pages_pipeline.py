@@ -272,3 +272,26 @@ def test_pushdown_kernel_property_vs_loop_oracle(ray_session):
                 assert abs(g[f"n_links_w{int(ROLL)}s_mean"] - w["rmean"]) < 1e-9
 
     check()
+
+
+def test_fixture_tie_groups_distinguishable_by_text():
+    """ADVICE r2: within any (url, warc_ts) group, rows are either
+    byte-identical duplicates or pairwise distinct in TEXT — so the dedup
+    winner is the same under the oracle SQL (ROW_NUMBER ORDER BY text),
+    the tagged path ((text, _fp) sort) and the pushdown path (text
+    re-rank): no unspecified-order peers exist."""
+    from transmog_ray.sources.pages import generate_pages_shard
+
+    for shard in range(4):
+        t = generate_pages_shard(shard, n_urls_per_shard=300, seed=7).to_pandas()
+        for (_, _), g in t.groupby(["url", "warc_ts"]):
+            if len(g) < 2:
+                continue
+            rows = g[["text", "lang", "meta"]].to_dict("records")
+            texts = [r["text"] for r in rows]
+            # any two rows: identical content, or distinct non-null texts
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    if rows[i] == rows[j]:
+                        continue
+                    assert texts[i] != texts[j], (g["url"].iloc[0], texts)

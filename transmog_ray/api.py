@@ -48,9 +48,27 @@ class FlattenResult:
     def all_tables(self) -> dict[str, list[dict]]:
         return {self.entity: self.main, **self.tables}
 
-    def save(self, path: str | Path, output_format: str | None = None) -> list[Path]:
+    def save(self, path, output_format: str | None = None) -> list:
         """Multi-table → directory of one file per table; single table →
-        one file. Format from extension when not given (parquet default)."""
+        one file. Format from extension when not given (parquet default).
+
+        *path* may also be an open FILE-LIKE object (reference writer
+        surface: CsvWriter/ParquetWriter accept file objects) — single
+        (main) table only, and ``output_format`` is then required since
+        there is no extension to sniff."""
+        if _is_file_like(path):
+            if self.tables:
+                raise ValueError(
+                    "file-like destinations hold ONE table; this result has "
+                    f"child tables {sorted(self.tables)} — save to a "
+                    "directory instead"
+                )
+            if not output_format:
+                raise ValueError(
+                    "output_format is required for file-like destinations"
+                )
+            _write_table(self.main, path, output_format)
+            return [path]
         path = Path(path)
         fmt = output_format or (path.suffix.lstrip(".") or "parquet")
         if self.tables:
@@ -65,12 +83,30 @@ class FlattenResult:
         return [_write_table(self.main, path, fmt)]
 
 
+_CSV_DANGEROUS = ("=", "+", "-", "@", "|", "\t", "\r")
+
+
 def _sanitize_csv_cell(v):
-    """Formula-injection guard (reference writers/csv.py:24-57): prefix a
-    quote when a cell starts with a spreadsheet-executable character."""
-    if isinstance(v, str) and v[:1] in ("=", "+", "-", "@", "|", "\t", "\r"):
-        return "'" + v
+    """CSV cell sanitizer, reference parity: non-finite floats (NaN/Inf)
+    normalize to ``""`` (writers/base.py:10-27 with null_replacement="",
+    applied by writers/csv.py:60-74), and a quote is prefixed when the
+    first character OR first non-whitespace character is
+    spreadsheet-executable (leading-space bypass guard, csv.py:40-57)."""
+    import math
+
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return ""
+    if isinstance(v, str) and v:
+        stripped = v.lstrip()
+        if v[0] in _CSV_DANGEROUS or (
+            stripped and stripped[0] in _CSV_DANGEROUS
+        ):
+            return "'" + v
     return v
+
+
+def _is_file_like(target) -> bool:
+    return hasattr(target, "write") and not isinstance(target, (str, Path))
 
 
 class MissingDependencyError(ImportError):
@@ -86,26 +122,41 @@ def _write_parquet_batch(rows: list[dict], path: Path) -> None:
     pq.write_table(rows_to_table(rows), path)
 
 
-def _write_csv_batch(rows: list[dict], path: Path) -> None:
+def _write_csv_batch(rows: list[dict], path) -> None:
+    """*path* may be a filesystem path or a text file-like object
+    (reference CsvWriter.write accepts both, csv.py + test_writers_csv
+    ``test_csv_writer_file_like_object``)."""
     keys = sorted({k for r in rows for k in r})
-    with open(path, "w", newline="") as f:
+
+    def emit(f):
         w = _csv.DictWriter(f, fieldnames=keys)
         w.writeheader()
         for r in rows:
             w.writerow({k: _sanitize_csv_cell(r.get(k)) for k in keys})
 
+    if _is_file_like(path):
+        emit(path)
+    else:
+        with open(path, "w", newline="") as f:
+            emit(f)
 
-def _write_json_batch(rows: list[dict], path: Path) -> None:
-    with open(path, "w") as f:
-        json.dump(rows, f, ensure_ascii=False, default=str)
+
+def _write_json_batch(rows: list[dict], path) -> None:
+    if _is_file_like(path):
+        json.dump(rows, path, ensure_ascii=False, default=str)
+    else:
+        with open(path, "w") as f:
+            json.dump(rows, f, ensure_ascii=False, default=str)
 
 
-def _write_orc_batch(rows: list[dict], path: Path) -> None:
+def _write_orc_batch(rows: list[dict], path) -> None:
     from pyarrow import orc
 
     from .stages.flatten import rows_to_table
 
-    orc.write_table(rows_to_table(rows), str(path))
+    orc.write_table(
+        rows_to_table(rows), path if _is_file_like(path) else str(path)
+    )
 
 
 def _write_avro_batch(rows: list[dict], path: Path) -> None:
@@ -358,23 +409,38 @@ class StreamingCsvWriter:
     schema drift handled per policy — ``"drop"`` silently drops unseen
     fields, ``"strict"`` raises."""
 
-    def __init__(self, out_dir: Path, drift: str = "drop"):
+    def __init__(self, out_dir, drift: str = "drop"):
         if drift not in ("drop", "strict"):
             raise ValueError("drift must be 'drop' or 'strict'")
+        # out_dir: directory Path, or an open TEXT file-like object —
+        # single-table mode (the reference's streaming writers accept
+        # file objects); the caller owns (and closes) a provided handle
         self.out_dir = out_dir
+        self._sink = out_dir if _is_file_like(out_dir) else None
         self.drift = drift
         self._writers: dict[str, _csv.DictWriter] = {}
         self._handles: dict[str, object] = {}
         self._fields: dict[str, list[str]] = {}
 
-    def write(self, table: str, rows: list[dict]) -> Path:
-        path = self.out_dir / f"{table}.csv"
+    def write(self, table: str, rows: list[dict]):
+        if self._sink is not None:
+            if table not in self._writers and self._writers:
+                raise ValueError(
+                    "a file-like streaming CSV destination holds ONE "
+                    f"table; already writing {sorted(self._writers)}, got "
+                    f"{table!r}"
+                )
+            path = self._sink
+        else:
+            path = self.out_dir / f"{table}.csv"
         if table not in self._writers:
             fields = sorted({k for r in rows for k in r})
-            f = open(path, "w", newline="")
+            f = path if self._sink is not None else open(path, "w", newline="")
             w = _csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
             w.writeheader()
-            self._writers[table], self._handles[table] = w, f
+            self._writers[table] = w
+            if self._sink is None:
+                self._handles[table] = f
             self._fields[table] = fields
         elif self.drift == "strict":
             unseen = {k for r in rows for k in r} - set(self._fields[table])

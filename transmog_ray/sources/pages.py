@@ -99,13 +99,21 @@ def generate_pages_shard(
         n_snap = min(20, 1 + int(rng.zipf(1.6)))
         # snapshot times: sorted then independently jittered; inject ties
         offsets = np.sort(rng.integers(0, 365 * DAY_US, n_snap))
-        if n_snap >= 3 and rng.random() < 0.3:
+        tie = n_snap >= 3 and rng.random() < 0.3
+        if tie:
             offsets[1] = offsets[0]  # warc_ts tie within a url
         base_text = _text_for(rng, int(rng.integers(20, 80)))
         for s, off in enumerate(offsets):
             ts = BASE_TS + np.int64(off)
-            # text evolves across snapshots but is deterministic per (url, ts)
-            text = None if rng.random() < 0.05 else f"{base_text} snap{s}"
+            # text evolves across snapshots but is deterministic per
+            # (url, ts). Tie-group invariant (keeps the engine/oracle
+            # dedup winner well-defined): rows sharing (url, warc_ts)
+            # either are byte-identical duplicates or differ in TEXT —
+            # so the tie pair (s 0/1) never nulls its text, since two
+            # NULL texts with different meta would make ROW_NUMBER()
+            # ORDER BY text unspecified in the oracle SQL
+            null_text = rng.random() < 0.05 and not (tie and s < 2)
+            text = None if null_text else f"{base_text} snap{s}"
             lang = None if rng.random() < 0.05 else str(rng.choice(LANGS))
             html = None
             if text is not None:
