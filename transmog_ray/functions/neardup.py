@@ -227,6 +227,132 @@ def _min_label_propagation(edges_ds, num_buckets: int = 16,
     return out[["node", "label"]]
 
 
+def _bucketed_text_verify(
+    pairs,
+    sub,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    jaccard_threshold: float,
+    num_buckets: int,
+):
+    """Distributed exact-Jaccard verify of candidate pairs: build a
+    bucketed TEXT TABLE once (candidate texts split by ``hash(id) % B``),
+    then probe it twice — pairs route by ``id_a`` to attach text_a, and
+    the same task re-splits its output by ``id_b`` so the second hop
+    attaches text_b and verifies. Texts cross the wire ONCE, pairs twice,
+    with no pad/union passes — cheaper than two generic hash joins and
+    the same asymptotics. Returns a Dataset of verified (id_a, id_b)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from ..stages.partition import DEFAULT_MAX_FANIN, _tree_concat, key_hash
+
+    def _split_table(t: pa.Table, col: str):
+        if t.num_rows == 0 or t.num_columns == 0:
+            return tuple(t for _ in range(num_buckets))
+        h = (
+            key_hash(t.select([col]).to_pandas(), [col])
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        taken = t.take(pa.array(order))
+        bounds = np.searchsorted(h[order], np.arange(num_buckets + 1))
+        return tuple(
+            taken.slice(bounds[b], bounds[b + 1] - bounds[b])
+            for b in range(num_buckets)
+        )
+
+    def _as_table(block):
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        return block
+
+    @ray.remote(num_returns=max(2, num_buckets))
+    def split_texts(block):
+        return _split_table(_as_table(block), id_col)
+
+    @ray.remote(num_returns=max(2, num_buckets))
+    def split_pairs(block):
+        return _split_table(_as_table(block), "id_a")
+
+    @ray.remote(num_returns=max(2, num_buckets))
+    def attach_a(texts: pa.Table, *parts: pa.Table):
+        live = [p for p in parts if p.num_rows]
+        if not live:
+            empty = pa.table({})
+            return tuple(empty for _ in range(num_buckets))
+        df = pa.concat_tables(live, promote_options="permissive").to_pandas()
+        tdf = texts.to_pandas().rename(
+            columns={id_col: "id_a", text_col: "_text_a"}
+        )
+        out = df.merge(tdf, on="id_a", how="inner")
+        return _split_table(
+            pa.Table.from_pandas(out, preserve_index=False), "id_b"
+        )
+
+    @ray.remote
+    def attach_b_verify(texts: pa.Table, *parts: pa.Table):
+        live = [p for p in parts if p.num_rows]
+        if not live:
+            return pa.table({"id_a": pa.array([]), "id_b": pa.array([])})
+        df = pa.concat_tables(live, promote_options="permissive").to_pandas()
+        tdf = texts.to_pandas().rename(
+            columns={id_col: "id_b", text_col: "_text_b"}
+        )
+        df = df.merge(tdf, on="id_b", how="inner")
+        ok = [
+            _shingle_jaccard(a or "", b or "", shingle_k)
+            >= jaccard_threshold
+            for a, b in zip(df["_text_a"], df["_text_b"])
+        ]
+        return pa.Table.from_pandas(
+            df.loc[ok, ["id_a", "id_b"]], preserve_index=False
+        )
+
+    # stage A: the text table, bucketed once
+    tmat = []
+    for bundle in sub.iter_internal_ref_bundles():
+        tmat.extend(split_texts.remote(r) for r in bundle.block_refs)
+
+    @ray.remote
+    def concat(*parts: pa.Table) -> pa.Table:
+        live = [p for p in parts if p.num_rows]
+        if not live:
+            return next((p for p in parts if p.num_columns), parts[0])
+        return pa.concat_tables(live, promote_options="permissive")
+
+    text_refs = [
+        concat.remote(
+            *_tree_concat([row[b] for row in tmat], DEFAULT_MAX_FANIN)
+        )
+        for b in range(num_buckets)
+    ]
+
+    # stage B: pairs split by id_a
+    pmat = []
+    for bundle in pairs.iter_internal_ref_bundles():
+        pmat.extend(split_pairs.remote(r) for r in bundle.block_refs)
+    # stage C: probe text_a, re-split by id_b (fused — no extra hop)
+    cmat = [
+        attach_a.remote(
+            text_refs[b],
+            *_tree_concat([row[b] for row in pmat], DEFAULT_MAX_FANIN),
+        )
+        for b in range(num_buckets)
+    ]
+    # stage D: probe text_b + verify
+    outs = [
+        attach_b_verify.remote(
+            text_refs[c],
+            *_tree_concat([row[c] for row in cmat], DEFAULT_MAX_FANIN),
+        )
+        for c in range(num_buckets)
+    ]
+    return rd.from_arrow_refs(outs)
+
+
 def minhash_clusters(
     ds,
     n_perm: int = 64,
@@ -254,7 +380,7 @@ def minhash_clusters(
     import ray
 
     from ..stages.partition import bucket_exchange
-    from .relational import hash_join, semi_join
+    from .relational import semi_join
 
     hasher = MinHasher(n_perm, shingle_k)
     docs = ds.select_columns([id_col, text_col]).materialize()
@@ -271,18 +397,22 @@ def minhash_clusters(
     # (band, band_hash) grouping happens in pandas inside each task
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
         dt = _id_dtype(g[id_col])
-        out_a, out_b = [], []
+        parts_a, parts_b = [], []
         for _, grp in g.groupby(["band", "band_hash"], sort=False):
             if len(grp) < 2:
                 continue
-            ids = sorted(grp[id_col].unique())
-            for i, a in enumerate(ids):
-                for b in ids[i + 1 :]:
-                    out_a.append(a)
-                    out_b.append(b)
+            ids = np.unique(grp[id_col].to_numpy())  # sorted + deduped
+            if len(ids) < 2:
+                continue
+            ai, bi = np.triu_indices(len(ids), k=1)  # vectorized all-pairs
+            parts_a.append(ids[ai])
+            parts_b.append(ids[bi])
+        if not parts_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=dt),
+                                 "id_b": pd.Series([], dtype=dt)})
         return pd.DataFrame(
-            {"id_a": pd.Series(out_a, dtype=dt),
-             "id_b": pd.Series(out_b, dtype=dt)}
+            {"id_a": pd.Series(np.concatenate(parts_a), dtype=dt),
+             "id_b": pd.Series(np.concatenate(parts_b), dtype=dt)}
         )
 
     def coarse_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -331,36 +461,25 @@ def minhash_clusters(
         ).to_pandas()
         sub = semi_join(docs, ids_pd, on=id_col)
 
-        # two distributed hash joins attach both texts to each pair; the
-        # exact-Jaccard verify then runs per batch, fully data-parallel
-        a_side = sub.map_batches(
-            lambda df: df.rename(columns={id_col: "id_a",
-                                          text_col: "_text_a"}),
-            batch_format="pandas",
-        )
-        b_side = sub.map_batches(
-            lambda df: df.rename(columns={id_col: "id_b",
-                                          text_col: "_text_b"}),
-            batch_format="pandas",
-        )
-        joined = hash_join(pairs, a_side, on="id_a", num_buckets=num_buckets)
-        joined = hash_join(joined, b_side, on="id_b", num_buckets=num_buckets)
+        # build-once / probe-twice bucketed text table: texts cross the
+        # exchange once, pairs twice, exact-Jaccard verify in the second
+        # probe — fully distributed, no pad/union generic-join overhead
+        edges = _bucketed_text_verify(
+            pairs, sub, id_col, text_col, shingle_k, jaccard_threshold,
+            num_buckets,
+        ).materialize()
 
-        def verify(df: pd.DataFrame) -> pd.DataFrame:
-            ok = [
-                _shingle_jaccard(a or "", b or "", shingle_k)
-                >= jaccard_threshold
-                for a, b in zip(df["_text_a"], df["_text_b"])
-            ]
-            return df.loc[ok, ["id_a", "id_b"]]
-
-        edges = joined.map_batches(verify, batch_format="pandas").materialize()
-
-        if edges.count() == 0:
+        n_edges = edges.count()
+        if n_edges == 0:
             label_ref = ray.put({})
         else:
+            # graph-size-adaptive parallelism: each propagation round is
+            # a fixed number of task waves, so a small edge set (the
+            # common case — LSH keeps edges ≪ docs) wants few buckets;
+            # a dup-saturated corpus scales the bucket count back up
+            nb = int(min(num_buckets, max(2, n_edges // 50_000 + 2)))
             lab = _min_label_propagation(
-                edges, num_buckets=min(num_buckets, 16), id_is_int=id_is_int
+                edges, num_buckets=nb, id_is_int=id_is_int
             )
             label_ref = ray.put(dict(zip(lab["node"], lab["label"])))
 
@@ -513,6 +632,52 @@ def simhash_neardup(
     )
 
 
+def cosine_neardup_clusters(
+    ds,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 16,
+):
+    """Embedding-cosine near-duplicate CLUSTERS → Dataset of
+    (id, cluster), cluster = min id of the connected component of the
+    cosine ≥ threshold graph.
+
+    Edge generation is the all-pairs cosine oracle
+    (:func:`cosine_pairs` — broadcast matmul; swap in the LSH/IVF ANN
+    paths for the billion-vector scale); component labels converge by
+    the same distributed min-label propagation as MinHash clustering,
+    so the driver holds only edge COUNTS and the final label map.
+    SQL-reproducible: a DuckDB recursive CTE computes the identical
+    min-label components (see SQL_COSINE_CLUSTERS)."""
+    import ray
+
+    from ..stages.common import arrow_schema
+
+    edges = cosine_pairs(ds, threshold, id_col, vec_col).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        label_ref = ray.put({})
+    else:
+        import pyarrow as pa
+
+        id_is_int = pa.types.is_integer(arrow_schema(ds).field(id_col).type)
+        nb = int(min(num_buckets, max(2, n_edges // 50_000 + 2)))
+        lab = _min_label_propagation(
+            edges.select_columns(["id_a", "id_b"]), nb, id_is_int=id_is_int
+        )
+        label_ref = ray.put(dict(zip(lab["node"], lab["label"])))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        labels = ray.get(label_ref)
+        ids = df[id_col]
+        return pd.DataFrame(
+            {id_col: ids, "cluster": [labels.get(i, i) for i in ids]}
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def char_jaccard_pairs(
     ds,
     threshold: float,
@@ -647,4 +812,5 @@ __all__ = [
     "simhash_neardup",
     "char_jaccard_pairs",
     "cosine_pairs",
+    "cosine_neardup_clusters",
 ]

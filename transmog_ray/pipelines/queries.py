@@ -838,6 +838,44 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def q_cosine_clusters(sf_dir: str):
+    """Embedding near-dup CLUSTERS: connected components of the cosine ≥
+    0.55 graph, labels = min vec_id per component — the distributed
+    min-label propagation pinned against a DuckDB recursive CTE."""
+    from ..functions.neardup import cosine_neardup_clusters
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_neardup_clusters(emb, threshold=0.55)
+    return out.map_batches(
+        lambda df: df.astype({"vec_id": "int64", "cluster": "int64"}),
+        batch_format="pandas",
+    )
+
+
+#: connected components as a recursive min-label fixpoint: `reach` holds
+#: every (node, label-of-a-node-that-reaches-it) pair — UNION dedups, so
+#: the recursion terminates — and MIN(label) per node is the component's
+#: minimum id, exactly the engine's propagation result
+SQL_COSINE_CLUSTERS = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.55
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS vec_id, MIN(label) AS cluster
+FROM reach GROUP BY node
+"""
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Character-set Jaccard duplicate pairs (== DuckDB jaccard())."""
     from ..functions.neardup import char_jaccard_pairs
@@ -1127,6 +1165,7 @@ QUERIES = {
     "dedup_docs": q_dedup_docs,
     "ann_topk": q_ann_topk,
     "cosine_pairs": q_cosine_pairs,
+    "cosine_clusters": q_cosine_clusters,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_dedup": q_minhash_dedup,
@@ -1166,6 +1205,7 @@ ORACLE_SQL = {
     "dedup_docs": SQL_DEDUP_DOCS,
     "ann_topk": SQL_ANN_TOPK,
     "cosine_pairs": SQL_COSINE_PAIRS,
+    "cosine_clusters": SQL_COSINE_CLUSTERS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "pages_features": SQL_PAGES_FEATURES,
