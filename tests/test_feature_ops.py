@@ -327,3 +327,96 @@ def test_hash_join_left_and_dtypes(ray_session):
         )
         assert list(outer["k"]) == [1, 2, 3, 4]
         assert outer["rv"].isna().sum() == 2
+
+
+def test_grouped_quantile_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import grouped_quantile
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 7, 500),
+                       "v": rng.normal(100, 20, 500)})
+    got = (
+        grouped_quantile(rd.from_pandas(df), ["k"], "v", (0.5, 0.9),
+                         num_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    expect = (
+        df.groupby("k")["v"]
+        .quantile([0.5, 0.9]).unstack()
+        .rename(columns={0.5: "v_p50", 0.9: "v_p90"}).reset_index()
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_hopping_window_matches_local(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import hopping_window_agg
+
+    rng = np.random.default_rng(6)
+    n = 800
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 9, n),
+        "event_id": np.arange(n),
+        "ts": pd.Timestamp("2024-03-01")
+        + pd.to_timedelta(rng.integers(0, 6 * 3600, n), unit="s"),
+        "value": rng.normal(10, 3, n),
+    })
+    got = (
+        hopping_window_agg(rd.from_pandas(df), "user_id", "ts", "value",
+                           window_seconds=3600, hop_seconds=1800,
+                           id_col="event_id", num_buckets=8)
+        .to_pandas().sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    # local reference: every event in the k=2 windows covering it
+    ts_s = df["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    rows = []
+    for k in (0, 1):
+        w = (ts_s // 1800) * 1800 - k * 1800
+        rows.append(df.assign(window_start=w))
+    local = (
+        pd.concat(rows).groupby(["user_id", "window_start"])
+        .agg(n_events=("event_id", "count"), sum_value=("value", "sum"))
+        .reset_index().sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, local, check_dtype=False)
+    # every window covers its member events: [ws, ws+3600)
+    assert ((got["window_start"] >= 0).all())
+
+
+def test_hopping_rejects_nondividing_hop(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import hopping_window_agg
+
+    with pytest.raises(ValueError):
+        hopping_window_agg(rd.from_items([]), "k", "ts", "v",
+                           window_seconds=3600, hop_seconds=700)
+
+
+def test_hll_approx_distinct_error_bound(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import HyperLogLog, approx_distinct
+
+    # sketch-level: deterministic and within ~2% at 50k cardinality
+    h = HyperLogLog(14)
+    h.add(pd.Series(np.arange(50_000)))
+    est = h.count()
+    assert abs(est - 50_000) / 50_000 < 0.02
+    # merge of disjoint halves == union estimate
+    a, b = HyperLogLog(14), HyperLogLog(14)
+    a.add(pd.Series(np.arange(0, 30_000)))
+    b.add(pd.Series(np.arange(20_000, 50_000)))
+    assert a.merge(b).count() == est
+    # distributed path pins against the exact distinct count
+    rng = np.random.default_rng(8)
+    vals = rng.integers(0, 4000, 20_000)
+    ds = rd.from_pandas(pd.DataFrame({"u": vals}), override_num_blocks=8)
+    exact = len(np.unique(vals))
+    got = approx_distinct(ds, "u")
+    assert abs(got - exact) / exact < 0.02

@@ -287,6 +287,151 @@ def bloom_prefilter(ds, keys: pd.Series, on: str, fp_rate: float = 0.01):
     return ds.map_batches(probe, batch_format="pandas")
 
 
+def grouped_quantile(
+    ds,
+    keys: Sequence[str],
+    col: str,
+    quantiles: Sequence[float] = (0.5,),
+    num_buckets: int | None = None,
+    aliases: Sequence[str] | None = None,
+):
+    """Exact per-key quantiles (linear interpolation == SQL
+    ``quantile_cont``). Quantiles are HOLISTIC — they cannot be
+    pre-aggregated — so the value column shuffles whole: one bucket
+    exchange co-locates each key's values and pandas computes the
+    quantiles per key. At 100 TB prefer an approximate sketch (t-digest)
+    upstream; this operator is the exact form for grading and for keys
+    whose groups fit a worker."""
+    from ..stages.partition import bucket_exchange
+
+    keys = list(keys)
+    quantiles = list(quantiles)
+    names = list(aliases) if aliases else [
+        f"{col}_p{int(q * 100)}" for q in quantiles
+    ]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)[col]
+        out = {}
+        for q, name in zip(quantiles, names):
+            out[name] = g.quantile(q, interpolation="linear")
+        return pd.DataFrame(out).reset_index()
+
+    return bucket_exchange(
+        ds.select_columns([*keys, col]), keys, per_bucket, num_buckets
+    )
+
+
+def hopping_window_agg(
+    ds,
+    key: str,
+    ts: str,
+    value: str,
+    window_seconds: int,
+    hop_seconds: int,
+    id_col: str | None = None,
+    num_buckets: int = 64,
+):
+    """Hopping (sliding) event-time windows: window length W, advancing
+    by hop H (H divides W); every row lands in W/H windows. The explode
+    is a vectorized ``np.repeat``/``tile`` inside ``map_batches`` —
+    shuffle volume grows by the overlap factor W/H, which is the
+    inherent cost of hopping windows — then the standard pre-aggregated
+    ``grouped_agg`` combine. ``window_start`` is emitted as epoch
+    SECONDS (int64) so results compare exactly across engines/SQL.
+    """
+    if window_seconds % hop_seconds:
+        raise ValueError("hop_seconds must divide window_seconds")
+    k = window_seconds // hop_seconds
+    count_col = id_col or value
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        ts_s = (
+            df[ts].to_numpy().astype("datetime64[ns]").astype(np.int64)
+            // 1_000_000_000
+        )
+        base = (ts_s // hop_seconds) * hop_seconds
+        offs = np.arange(k, dtype=np.int64) * hop_seconds
+        ws = np.repeat(base, k) - np.tile(offs, n)
+        out = df.loc[df.index.repeat(k), [key, count_col, value]].reset_index(
+            drop=True
+        )
+        out["window_start"] = ws
+        return out
+
+    exploded = ds.select_columns(
+        list(dict.fromkeys([key, ts, value, count_col]))
+    ).map_batches(explode, batch_format="pandas")
+    return grouped_agg(
+        exploded, [key, "window_start"],
+        {"n_events": (count_col, "count"), "sum_value": (value, "sum")},
+        num_buckets=num_buckets,
+    )
+
+
+class HyperLogLog:
+    """Vectorized numpy HyperLogLog (2^p registers, the standard bias
+    correction for the 64-bit-hash variant): a fixed-size mergeable
+    sketch for distinct counts — the scale path where COUNT(DISTINCT)'s
+    full shuffle is not worth it. Deterministic (fixed-key siphash)."""
+
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add(self, values: pd.Series) -> None:
+        h = pd.util.hash_pandas_object(values, index=False).to_numpy()
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)  # remaining 64-p bits, left-aligned
+        # rank = leading zeros of `rest` + 1, capped at 64-p+1
+        rank = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
+        nz = rest != 0
+        if nz.any():
+            # float64 log2 is exact for the leading-bit position
+            top = np.floor(np.log2(rest[nz].astype(np.float64))).astype(
+                np.int64
+            )
+            rank[nz] = (63 - top + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        self.registers = np.maximum(self.registers, other.registers)
+        return self
+
+    def count(self) -> int:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting, small range
+        return int(round(est))
+
+
+def approx_distinct(ds, col: str, p: int = 14) -> int:
+    """Approximate COUNT(DISTINCT col): per-batch HLL sketches (one
+    fixed-size register array each) merged on the driver — no shuffle,
+    O(2^p) driver state regardless of cardinality. Typical error
+    ~1.04/sqrt(2^p) ≈ 0.8% at p=14."""
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        h = HyperLogLog(p)
+        h.add(df[col].dropna())
+        return pd.DataFrame({"registers": [h.registers.tobytes()]})
+
+    parts = ds.select_columns([col]).map_batches(
+        sketch, batch_format="pandas"
+    ).to_pandas()
+    merged = HyperLogLog(p)
+    for raw in parts["registers"]:
+        merged.registers = np.maximum(
+            merged.registers, np.frombuffer(raw, dtype=np.uint8)
+        )
+    return merged.count()
+
+
 def topk(ds, by: Sequence[str] | str, k: int, descending: bool = True):
     """Global top-k: per-batch prune to k rows, then one tiny sort.
 
@@ -302,4 +447,5 @@ def topk(ds, by: Sequence[str] | str, k: int, descending: bool = True):
     return pruned.sort(by, descending=descending).limit(k)
 
 
-__all__ = ["grouped_agg", "broadcast_join", "topk"]
+__all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_quantile",
+           "hopping_window_agg", "HyperLogLog", "approx_distinct"]

@@ -661,6 +661,73 @@ FROM events GROUP BY user_id, window_start
 """
 
 
+def q_hopping_events(sf_dir: str):
+    """Hopping (sliding) windows: 1h windows advancing every 30min — each
+    event lands in 2 windows (vectorized explode + pre-aggregated
+    combine). window_start is epoch seconds for engine/SQL exactness."""
+    from ..functions.relational import hopping_window_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    agg = hopping_window_agg(ev, "user_id", "ts", "value",
+                             window_seconds=3600, hop_seconds=1800,
+                             id_col="event_id")
+    return agg.map_batches(
+        lambda df: df.assign(sum_value=round_half_away(df["sum_value"], 2)),
+        batch_format="pandas",
+    )
+
+
+SQL_HOPPING = """
+WITH hops AS (
+  SELECT user_id, event_id, value,
+         (epoch_us(ts) // 1000000 // 1800) * 1800 - k.k * 1800
+             AS window_start
+  FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+)
+SELECT user_id, window_start, COUNT(event_id) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM hops GROUP BY user_id, window_start
+"""
+
+
+def q_price_quantiles(sf_dir: str):
+    """Exact grouped quantiles (holistic aggregate — values co-located by
+    one bucket exchange): median and p90 extended price per return flag."""
+    from ..functions.relational import grouped_quantile
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_quantile(li, ["l_returnflag"], "l_extendedprice",
+                           quantiles=(0.5, 0.9),
+                           aliases=["p50_price", "p90_price"])
+    return out.map_batches(
+        lambda df: df.assign(p50_price=round_half_away(df["p50_price"], 4),
+                             p90_price=round_half_away(df["p90_price"], 4)),
+        batch_format="pandas",
+    )
+
+
+SQL_PRICE_QUANTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id) over events —
+    fixed-size mergeable sketches per batch, no shuffle (rows-only check;
+    the ±~0.8% p=14 error bound is pinned against the exact count in
+    tests)."""
+    from ..functions.relational import approx_distinct
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    n = approx_distinct(ev, "user_id")
+    return pd.DataFrame({"n_users_approx": pd.Series([n], dtype="int64")})
+
+
 def q_asof_purchase(sf_dir: str):
     """Point-in-time: latest purchase at or before each event (per user)."""
     from ..stages.asof import asof_join
@@ -1166,6 +1233,9 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "cosine_pairs": q_cosine_pairs,
     "cosine_clusters": q_cosine_clusters,
+    "hopping_events": q_hopping_events,
+    "price_quantiles": q_price_quantiles,
+    "approx_distinct_users": q_approx_distinct_users,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_dedup": q_minhash_dedup,
@@ -1206,6 +1276,8 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "cosine_clusters": SQL_COSINE_CLUSTERS,
+    "hopping_events": SQL_HOPPING,
+    "price_quantiles": SQL_PRICE_QUANTILES,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "pages_features": SQL_PAGES_FEATURES,
