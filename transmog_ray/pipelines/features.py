@@ -343,7 +343,7 @@ def page_features_pushdown_fused(
     files = sorted(pages_files)
     if not files:  # mirror bucket_exchange's empty-upstream guard
         return rd.from_items([])
-    matrix = _fused_shard_matrix(files, plan, num_buckets, columns)
+    cols = _fused_shard_matrix(files, plan, num_buckets, columns)
     fn = page_feature_fn_pushdown(session_gap_s, rolling_window_s)
 
     @ray.remote
@@ -357,9 +357,7 @@ def page_features_pushdown_fused(
         return pa.Table.from_pandas(fn(t.to_pandas()), preserve_index=False)
 
     outs = [
-        reduce.remote(
-            *_tree_concat([row[b] for row in matrix], DEFAULT_MAX_FANIN)
-        )
+        reduce.remote(*_tree_concat(cols[b], DEFAULT_MAX_FANIN))
         for b in range(num_buckets)
     ]
     return rd.from_arrow_refs(outs)
@@ -367,15 +365,19 @@ def page_features_pushdown_fused(
 
 def _fused_shard_matrix(files, plan, num_buckets, columns):
     """Launch one fused read+flatten+bucket-split task per input shard;
-    returns the [shards × buckets] ref matrix. Shared by the streaming
-    and checkpointed fused flagship runners."""
+    returns PER-BUCKET ref columns (full groups of GRAFT_REDUCE_FANIN
+    shards fold into one concat ref per bucket as they launch, so the
+    driver never holds the full [shards × buckets] matrix). Shared by
+    the streaming and checkpointed fused flagship runners."""
     import numpy as np
     import pyarrow as pa
     import ray
     import ray.data as rd
 
     from ..stages.flatten import FlattenStage, plan_from_dataset
-    from ..stages.partition import key_hash
+    from ..stages.partition import (
+        DEFAULT_MAX_FANIN, _GroupedColumns, key_hash,
+    )
 
     if plan is None:
         ds = rd.read_parquet(files, columns=list(columns))
@@ -401,10 +403,11 @@ def _fused_shard_matrix(files, plan, num_buckets, columns):
         )
         return parts if num_buckets > 1 else parts[0]
 
-    matrix = [map_shard.remote(f, plan_ref) for f in files]
-    if num_buckets == 1:
-        matrix = [[refs] for refs in matrix]
-    return matrix
+    grouped = _GroupedColumns(num_buckets, DEFAULT_MAX_FANIN)
+    for f in files:
+        refs = map_shard.remote(f, plan_ref)
+        grouped.add([refs] if num_buckets == 1 else refs)
+    return grouped.finish()
 
 
 def checkpointed_page_features_fused(
@@ -452,7 +455,7 @@ def checkpointed_page_features_fused(
     ]
     if pending and files:
         fn = page_feature_fn_pushdown(session_gap_s, rolling_window_s)
-        matrix = _fused_shard_matrix(files, plan, num_buckets, columns)
+        cols = _fused_shard_matrix(files, plan, num_buckets, columns)
 
         @ray.remote
         def reduce_ckpt(bucket: int, *parts):
@@ -470,10 +473,7 @@ def checkpointed_page_features_fused(
             )
 
         stat_refs = [
-            reduce_ckpt.remote(
-                b, *_tree_concat([row[b] for row in matrix],
-                                 DEFAULT_MAX_FANIN)
-            )
+            reduce_ckpt.remote(b, *_tree_concat(cols[b], DEFAULT_MAX_FANIN))
             for b, _ in pending
         ]
         frames.extend(ray.get(stat_refs))

@@ -99,27 +99,84 @@ def add_bucket(ds, keys: Sequence[str], num_buckets: int):
     return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
+_CONCAT_REMOTE = None
+
+
+def _concat_remote():
+    """Lazily-built shared concat task (module import must not require a
+    live Ray session)."""
+    global _CONCAT_REMOTE
+    if _CONCAT_REMOTE is None:
+        import pyarrow as pa
+        import ray
+
+        @ray.remote
+        def concat(*parts: pa.Table) -> pa.Table:
+            live = [p for p in parts if p.num_rows]
+            if not live:  # keep a schema-bearing empty if any part has one
+                return next((p for p in parts if p.num_columns), parts[0])
+            return pa.concat_tables(live, promote_options="permissive")
+
+        _CONCAT_REMOTE = concat
+    return _CONCAT_REMOTE
+
+
 def _tree_concat(refs: list, max_fanin: int):
     """Bound per-task fan-in: while more than ``max_fanin`` part refs
     remain for a bucket, concat them in groups of ``max_fanin`` via
     intermediate tasks (each level frees its inputs, so the object store
     never holds more than two levels). Returns ≤ ``max_fanin`` refs."""
-    import pyarrow as pa
-    import ray
-
-    @ray.remote
-    def concat(*parts: pa.Table) -> pa.Table:
-        live = [p for p in parts if p.num_rows]
-        if not live:  # keep a schema-bearing empty if any part has one
-            return next((p for p in parts if p.num_columns), parts[0])
-        return pa.concat_tables(live, promote_options="permissive")
-
+    concat = _concat_remote()
     while len(refs) > max_fanin:
         refs = [
             concat.remote(*refs[i : i + max_fanin])
             for i in range(0, len(refs), max_fanin)
         ]
     return refs
+
+
+class _GroupedColumns:
+    """Streaming collector for the [rows × buckets] shuffle matrix that
+    bounds DRIVER ref count: each full group of ``max_fanin`` rows is
+    eagerly folded into ONE concat ref per bucket as rows arrive (the
+    concat overlaps the still-running splits), so the driver holds
+    O(rows/max_fanin × buckets + max_fanin × buckets) refs instead of
+    O(rows × buckets) — at 10^5 shards × 16 buckets that is ~25k refs,
+    not 1.6M. A run that fits one group keeps raw refs (no extra hop —
+    the ≤max_fanin case is byte-for-byte the old flat path)."""
+
+    def __init__(self, num_buckets: int, max_fanin: int):
+        self.num_buckets = num_buckets
+        self.max_fanin = max_fanin
+        self.cols: list[list] = [[] for _ in range(num_buckets)]
+        self._group: list = []
+        self._flushed = False
+
+    def add(self, row_refs) -> None:
+        self._group.append(row_refs)
+        if len(self._group) >= self.max_fanin:
+            self._flush(final=False)
+
+    def _flush(self, final: bool) -> None:
+        if not self._group:
+            return
+        if final and not self._flushed:
+            # everything fit one group: raw refs, no extra hop
+            for row in self._group:
+                for b in range(self.num_buckets):
+                    self.cols[b].append(row[b])
+        else:
+            concat = _concat_remote()
+            for b in range(self.num_buckets):
+                self.cols[b].append(
+                    concat.remote(*[row[b] for row in self._group])
+                )
+            self._flushed = True
+        self._group.clear()
+
+    def finish(self) -> list[list]:
+        self._flush(final=True)
+        return self.cols
 
 
 def bucket_exchange(
@@ -205,19 +262,22 @@ def bucket_exchange(
 
     # stream split tasks as upstream blocks are produced — the split
     # stage overlaps the (possibly expensive) map stage feeding it; only
-    # the reduce barrier waits for everything
-    matrix = []
+    # the reduce barrier waits for everything. Completed groups fold
+    # into one ref per bucket as they fill (_GroupedColumns), bounding
+    # both driver ref count and per-task fan-in at any shard count.
+    grouped = _GroupedColumns(num_buckets, max_fanin)
+    empty = True
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
-            matrix.append(split.remote(block_ref))
-    if not matrix:  # upstream produced no blocks at all
+            refs = split.remote(block_ref)
+            grouped.add([refs] if num_buckets == 1 else refs)
+            empty = False
+    if empty:  # upstream produced no blocks at all
         return rd.from_items([])
-    if num_buckets == 1:
-        matrix = [[refs] for refs in matrix]
+    cols = grouped.finish()
     buckets = range(num_buckets) if only_buckets is None else only_buckets
     outs = [
-        reduce.remote(b, *_tree_concat([row[b] for row in matrix], max_fanin))
-        for b in buckets
+        reduce.remote(b, *_tree_concat(cols[b], max_fanin)) for b in buckets
     ]
     return rd.from_arrow_refs(outs)
 
