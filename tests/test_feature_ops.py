@@ -420,3 +420,109 @@ def test_hll_approx_distinct_error_bound(ray_session):
     exact = len(np.unique(vals))
     got = approx_distinct(ds, "u")
     assert abs(got - exact) / exact < 0.02
+
+
+# ----------------------------------------------------------- range join
+
+
+def _rj_frames():
+    # overlapping windows, inclusive bounds, a key with no intervals,
+    # an interval with no probes, and an inverted (end < start) interval
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 3],
+        "t": [0, 5, 10, 15, 7, 99],
+        "eid": [10, 11, 12, 13, 20, 30],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 1, 2, 4],
+        "lo": [0, 5, 12, 100, 8],
+        "hi": [5, 14, 11, 200, 2],  # third inverted→empty, fourth no probe
+        "wid": [100, 101, 102, 103, 104],
+    })
+    expect = {
+        (10, 100), (11, 100), (11, 101),  # t=5 hits [0,5] AND [5,14]
+        (12, 101), (13, None),            # t=15 matches nothing
+    }
+    expect = {(e, w) for (e, w) in expect if w is not None}
+    return left, right, expect
+
+
+def test_range_join_hand_case(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import range_join
+
+    left, right, expect = _rj_frames()
+    out = range_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", left_ts="t", right_start="lo", right_end="hi", num_buckets=3,
+    ).to_pandas()
+    got = set(zip(out["eid"], out["wid"]))
+    assert got == expect
+    # dtypes survive the padded union (ints stay ints)
+    assert out["eid"].dtype == np.int64 and out["wid"].dtype == np.int64
+
+
+def test_range_join_matches_pandas_bruteforce(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import range_join
+
+    rng = np.random.default_rng(7)
+    n, m = 400, 120
+    left = pd.DataFrame({
+        "k": rng.integers(0, 12, n), "t": rng.integers(0, 1000, n),
+        "eid": np.arange(n),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 12, m), "lo": rng.integers(0, 900, m),
+        "wid": np.arange(m),
+    })
+    right["hi"] = right["lo"] + rng.integers(0, 300, m)
+    out = range_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", left_ts="t", right_start="lo", right_end="hi", num_buckets=5,
+    ).to_pandas()
+    brute = left.merge(right, on="k")
+    brute = brute[(brute["t"] >= brute["lo"]) & (brute["t"] <= brute["hi"])]
+    assert sorted(zip(out["eid"], out["wid"])) == sorted(
+        zip(brute["eid"], brute["wid"])
+    )
+
+
+def test_range_join_empty_side(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import range_join
+
+    left, right, _ = _rj_frames()
+    out = range_join(
+        rd.from_pandas(left), rd.from_pandas(right.iloc[:0]),
+        on="k", left_ts="t", right_start="lo", right_end="hi", num_buckets=2,
+    )
+    assert out.count() == 0
+    # schema survives on the blocks even though every bucket is empty
+    # (ray's to_pandas() of an all-empty dataset drops columns)
+    assert set(out.schema().names) >= {"k", "t", "eid", "lo", "hi", "wid"}
+
+
+# ------------------------------------------------- repetition / sampling
+
+
+def test_repetition_stats_hand_case():
+    from transmog_ray.functions.text import repetition_stats
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b a", "x y z", "solo"],
+    })
+    out = repetition_stats(df).set_index("doc_id")
+    # doc 1 bigrams: "a b","b a","a b","b a" → all duplicated, top=2/4
+    assert out.loc[1, "n_bigrams"] == 4
+    assert out.loc[1, "top_bigram_frac"] == 0.5
+    assert out.loc[1, "dup_bigram_frac"] == 1.0
+    # doc 2: 2 unique bigrams, no dups
+    assert out.loc[2, "n_bigrams"] == 2
+    assert out.loc[2, "dup_bigram_frac"] == 0.0
+    # doc 3: single token → no row
+    assert 3 not in out.index

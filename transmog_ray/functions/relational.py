@@ -200,6 +200,135 @@ def hash_join(
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
+def range_join(
+    left_ds,
+    right_ds,
+    on: Sequence[str] | str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    num_buckets: int | None = None,
+    exchange: str | None = None,
+):
+    """Distributed interval (range) join: emit one output row per
+    ``(left, right)`` pair sharing the equi-key(s) *on* with
+    ``right.start <= left.ts <= right.end`` (SQL ``BETWEEN`` — both ends
+    inclusive). Intervals may OVERLAP arbitrarily; each probe matches
+    every interval that covers it.
+
+    Ray Data has no native interval join; this is the SURVEY.md §2
+    custom-operator composition: pad/tag/union both sides, ONE hash-bucket
+    exchange on the equi-key (each row moves exactly once), then a fully
+    vectorized per-bucket kernel. The kernel is two merge-ranks: probes
+    are lexsorted by ``(key, ts)``; each interval's start (resp. end) is
+    ranked into that order by one combined ``np.lexsort`` whose tie tag
+    places the bound before (resp. after) equal probes, yielding for every
+    interval the half-open probe index range ``[lo, hi)`` it covers; pairs
+    are then emitted with one ragged ``np.repeat``/``arange`` gather — no
+    per-key Python loop, O((n+m)·log(n+m) + output) per bucket.
+
+    Non-key column names must be disjoint between sides. ``left_ts``,
+    ``right_start`` and ``right_end`` must share a comparable dtype
+    (timestamps are compared in the left column's resolution).
+    """
+    import pyarrow as pa
+
+    from ..stages.common import arrow_schema, pad_to, union_schemas
+    from ..stages.partition import (
+        BUCKET_COL, add_bucket, bucket_exchange, default_num_buckets,
+        resolve_exchange,
+    )
+
+    on = [on] if isinstance(on, str) else list(on)
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    side = "_join_side"
+    left_schema = arrow_schema(left_ds)
+    right_schema = arrow_schema(right_ds)
+    overlap = (set(left_schema.names) & set(right_schema.names)) - set(on)
+    if overlap:
+        raise ValueError(f"non-key columns on both sides: {sorted(overlap)}")
+    target = union_schemas(left_schema, right_schema, side)
+
+    left_pad = left_ds.map_batches(pad_to(target, side, 0), batch_format="pyarrow")
+    right_pad = right_ds.map_batches(pad_to(target, side, 1), batch_format="pyarrow")
+    unioned = left_pad.union(right_pad)
+
+    left_cols = list(left_schema.names)
+    right_only = [n for n in right_schema.names if n not in left_schema.names]
+    int_cols = {
+        f.name: f.type.to_pandas_dtype()
+        for schema in (left_schema, right_schema)
+        for f in schema
+        if pa.types.is_integer(f.type)
+    }
+    out_cols = [*left_cols, *right_only]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
+        left = df[df[side] == 0][left_cols].reset_index(drop=True)
+        right = df[df[side] == 1][[*on, *right_only]].reset_index(drop=True)
+        if left.empty or right.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=df[c].dtype)
+                                 for c in out_cols})
+        # joint key factorization (vectorized, composite-key safe)
+        combined = pd.concat([left[on], right[on]], ignore_index=True)
+        codes = combined.groupby(on, sort=False).ngroup().to_numpy()
+        lc, rc = codes[: len(left)], codes[len(left):]
+        ts_dtype = left[left_ts].dtype
+        lt = left[left_ts].to_numpy()
+        rs = right[right_start].astype(ts_dtype).to_numpy()
+        re = right[right_end].astype(ts_dtype).to_numpy()
+
+        order_p = np.lexsort((lt, lc))
+        pc, pt = lc[order_p], lt[order_p]
+        n_p, n_r = len(pc), len(rc)
+
+        def merge_rank(bound, bound_after_equal_probes: bool):
+            # Rank each interval bound into the (key, ts)-sorted probe
+            # order; the tie tag decides whether probes EQUAL to the bound
+            # sort before it (end bound → counted) or after (start bound →
+            # not counted). At a bound's merged position the inclusive
+            # cumsum of is_probe IS the exclusive probe count (the bound
+            # itself contributes 0), which is exactly lo / hi.
+            mc = np.concatenate([pc, rc])
+            mt = np.concatenate([pt, bound])
+            bound_tag = np.int8(1 if bound_after_equal_probes else 0)
+            tag = np.concatenate([
+                np.full(n_p, np.int8(1) - bound_tag), np.full(n_r, bound_tag),
+            ])
+            order = np.lexsort((tag, mt, mc))
+            is_probe = (order < n_p)
+            pos = np.cumsum(is_probe)
+            out = np.empty(n_r, dtype=np.int64)
+            ivl_pos = np.nonzero(~is_probe)[0]
+            out[order[ivl_pos] - n_p] = pos[ivl_pos]
+            return out
+
+        lo = merge_rank(rs, bound_after_equal_probes=False)
+        hi = merge_rank(re, bound_after_equal_probes=True)
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=df[c].dtype)
+                                 for c in out_cols})
+        ridx = np.repeat(np.arange(n_r), counts)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pidx = np.arange(total) - np.repeat(offsets, counts) + np.repeat(lo, counts)
+        lrows = left.iloc[order_p[pidx]].reset_index(drop=True)
+        rrows = right.iloc[ridx][right_only].reset_index(drop=True)
+        out = pd.concat([lrows, rrows], axis=1)
+        for col, dtype in int_cols.items():
+            if col in out.columns and out[col].notna().all():
+                out[col] = out[col].astype(dtype)
+        return out
+
+    if resolve_exchange(exchange) == "tasks":
+        return bucket_exchange(unioned, on, per_bucket, num_buckets)
+    bucketed = add_bucket(unioned, on, num_buckets)
+    return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+
+
 def semi_join(ds, keys_df: pd.DataFrame, on: Sequence[str] | str,
               anti: bool = False):
     """Semi/anti join: keep rows whose key IS (or is NOT) in the broadcast
@@ -448,4 +577,5 @@ def topk(ds, by: Sequence[str] | str, k: int, descending: bool = True):
 
 
 __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_quantile",
-           "hopping_window_agg", "HyperLogLog", "approx_distinct"]
+           "hopping_window_agg", "HyperLogLog", "approx_distinct",
+           "range_join"]

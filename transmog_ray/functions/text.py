@@ -77,6 +77,56 @@ def quality_score(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return df
 
 
+def repetition_stats(
+    df: pd.DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> pd.DataFrame:
+    """Gopher-style repetition signals over word bigrams, per document:
+
+    * ``n_bigrams`` — total bigram occurrences (tokens - 1)
+    * ``top_bigram_frac`` — occurrences of the most frequent bigram / total
+    * ``dup_bigram_frac`` — occurrences whose bigram appears ≥ 2× / total
+
+    High values flag boilerplate / machine-generated repetition (the
+    Gopher quality-filter family). Tokenization is a single-space split
+    (DuckDB ``string_split(text, ' ')``) so the fractions — exact
+    integer-ratio float64 divisions — reproduce bit-identically in SQL.
+    Documents with fewer than two tokens emit no row (they have no
+    bigrams), matching the SQL inner self-join. Fully vectorized: explode
+    + within-doc shift builds bigrams, two groupbys aggregate them; each
+    document is independent, so this runs embarrassingly parallel in
+    ``map_batches``.
+    """
+    import numpy as np
+
+    toks = df[text_col].fillna("").str.split(" ")
+    ex = toks.explode()
+    nxt = ex.groupby(level=0).shift(-1)
+    mask = nxt.notna()
+    bg = ex[mask] + " " + nxt[mask]
+    if bg.empty:
+        return pd.DataFrame({
+            id_col: pd.Series([], dtype=df[id_col].dtype),
+            "n_bigrams": pd.Series([], dtype="int64"),
+            "top_bigram_frac": pd.Series([], dtype="float64"),
+            "dup_bigram_frac": pd.Series([], dtype="float64"),
+        })
+    pairs = pd.DataFrame({
+        id_col: df[id_col].loc[bg.index].to_numpy(),
+        "bg": bg.to_numpy(),
+    })
+    c = pairs.groupby([id_col, "bg"], sort=False).size().reset_index(name="c")
+    c["dup"] = np.where(c["c"] >= 2, c["c"], 0)
+    agg = (
+        c.groupby(id_col, sort=False)
+        .agg(n_bigrams=("c", "sum"), max_c=("c", "max"), dup_c=("dup", "sum"))
+        .reset_index()
+    )
+    agg["top_bigram_frac"] = agg["max_c"] / agg["n_bigrams"]
+    agg["dup_bigram_frac"] = agg["dup_c"] / agg["n_bigrams"]
+    agg["n_bigrams"] = agg["n_bigrams"].astype("int64")
+    return agg[[id_col, "n_bigrams", "top_bigram_frac", "dup_bigram_frac"]]
+
+
 def fingerprint(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """``fp`` = md5 hex of lower(trim(text)) — DuckDB ``md5(lower(trim(text)))``."""
     df["fp"] = [

@@ -1214,6 +1214,165 @@ WINDOW w  AS (PARTITION BY url ORDER BY warc_ts),
 
 # ================================================================ registry
 
+# ===================================== range join / ranks / corpus stats
+
+
+def q_range_join_events(sf_dir: str):
+    """Interval join: every event of a user that falls inside ANY 24 h
+    window opened by one of that user's purchase events (windows overlap —
+    the general interval-join case, not as-of). Both sides are the
+    distributed events table; they meet in ONE bucket exchange keyed on
+    user_id and a vectorized merge-rank kernel emits the pairs
+    (functions.relational.range_join)."""
+    from ..functions.relational import range_join
+
+    left = read_table(sf_dir, "events",
+                      columns=["event_id", "ts", "user_id", "event_type"])
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"]
+        return pd.DataFrame({
+            "user_id": p["user_id"].to_numpy(),
+            "win_id": p["event_id"].to_numpy(),
+            "win_start": p["ts"].to_numpy(),
+            "win_end": (p["ts"] + pd.Timedelta(hours=24)).to_numpy(),
+        })
+
+    right = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(windows, batch_format="pandas")
+    joined = range_join(left, right, on="user_id", left_ts="ts",
+                        right_start="win_start", right_end="win_end")
+    return joined.map_batches(
+        lambda df: df[["event_id", "ts", "event_type", "win_id"]],
+        batch_format="pandas",
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id, e.ts, e.event_type, p.event_id AS win_id
+FROM events e JOIN events p
+  ON e.user_id = p.user_id AND p.event_type = 'purchase'
+ AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 24 HOUR
+"""
+
+
+def q_rank_events(sf_dir: str):
+    """SQL window-rank functions per user: ROW_NUMBER over (ts, event_id),
+    running SUM(value), and RANK by value desc — one sorted-bucket pass."""
+    from ..stages.partition import apply_sorted
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)
+        df["rn"] = (g.cumcount() + 1).astype("int64")
+        df["running_value"] = round_half_away(g["value"].cumsum(), 2)
+        df["value_rank"] = (
+            g["value"].rank(method="min", ascending=False).astype("int64")
+        )
+        return df[["event_id", "rn", "running_value", "value_rank"]]
+
+    return apply_sorted(ev, ["user_id"], "ts", kernel, tiebreak=["event_id"])
+
+
+SQL_RANK_EVENTS = """
+SELECT event_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+       CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT)
+           AS value_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_repetition_docs(sf_dir: str):
+    """Gopher-style bigram repetition signals per document (boilerplate /
+    machine-repetition filter). Embarrassingly parallel map_batches."""
+    from ..functions.text import repetition_stats
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(repetition_stats, batch_format="pandas")
+
+
+SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+), bg AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+), counts AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac,
+       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(c) AS DOUBLE) AS dup_bigram_frac
+FROM counts GROUP BY doc_id
+"""
+
+
+def q_top_terms(sf_dir: str):
+    """Corpus-wide top-20 terms: per-batch partial counts (one row per
+    term per batch — rows never shuffle raw), distributed combine, then
+    the standard bounded top-k (each block prunes to 20, driver sees
+    ≤ 20 × blocks rows). Tie-broken by term for determinism."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].fillna("").str.split(" ").explode().value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy()})
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "term"], ascending=[False, True],
+                              kind="mergesort").head(20)
+
+    parts = docs.map_batches(partial, batch_format="pandas")
+    agg = grouped_agg(parts, ["term"], {"cnt": ("cnt", "sum")})
+    tops = agg.map_batches(local_top, batch_format="pandas")
+    out = local_top(tops.to_pandas()).reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["term", "cnt"]]
+
+
+SQL_TOP_TERMS = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+ORDER BY cnt DESC, term ASC LIMIT 20
+"""
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic 10% sample via a Knuth multiplicative hash of doc_id
+    — reproducible across engines/runs (unlike ``ds.random_sample``) and
+    embarrassingly parallel. Contract: ids < 2^33 so the BIGINT product
+    can't overflow on the SQL side (cast to HUGEINT beyond that)."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "source", "n_chars"])
+
+    def samp(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].to_numpy(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        return df[(h % np.uint64(100)) < 10]
+
+    return ds.map_batches(samp, batch_format="pandas")
+
+
+SQL_SAMPLE_DOCS = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1256,6 +1415,11 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "pages_features": q_pages_features,
     "pages_features_tagged": q_pages_features_tagged,
+    "range_join_events": q_range_join_events,
+    "rank_events": q_rank_events,
+    "repetition_docs": q_repetition_docs,
+    "top_terms": q_top_terms,
+    "sample_docs": q_sample_docs,
 }
 
 ORACLE_SQL = {
@@ -1292,6 +1456,11 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "pages_features": SQL_PAGES_FEATURES,
     "pages_features_tagged": SQL_PAGES_FEATURES,
+    "range_join_events": SQL_RANGE_JOIN,
+    "rank_events": SQL_RANK_EVENTS,
+    "repetition_docs": SQL_REPETITION,
+    "top_terms": SQL_TOP_TERMS,
+    "sample_docs": SQL_SAMPLE_DOCS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
