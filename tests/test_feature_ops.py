@@ -526,3 +526,45 @@ def test_repetition_stats_hand_case():
     assert out.loc[2, "dup_bigram_frac"] == 0.0
     # doc 3: single token → no row
     assert 3 not in out.index
+
+
+def test_pivot_count_matches_crosstab(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import pivot_count
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, 300),
+        "c": rng.choice(["a", "b", "z"], 300),
+    })
+    out = pivot_count(rd.from_pandas(df), "k", "c", ["a", "b", "missing"],
+                      num_buckets=4).to_pandas().sort_values("k").reset_index(drop=True)
+    ct = pd.crosstab(df["k"], df["c"])
+    assert (out["n_a"].to_numpy() == ct["a"].to_numpy()).all()
+    assert (out["n_b"].to_numpy() == ct["b"].to_numpy()).all()
+    assert (out["n_missing"] == 0).all()  # unseen category → zero column
+
+
+def test_grouped_corr_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import grouped_corr
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 500),
+        "x": rng.normal(size=500),
+    })
+    df["y"] = 2 * df["x"] + rng.normal(scale=0.5, size=500)
+    df.loc[3, "x"] = np.nan  # null pair dropped, SQL CORR semantics
+    out = grouped_corr(rd.from_pandas(df), "k", "x", "y", num_buckets=3) \
+        .to_pandas().set_index("k")["corr_xy"]
+    expected = df.dropna().groupby("k").apply(
+        lambda g: g["x"].corr(g["y"]), include_groups=False)
+    for k in expected.index:
+        assert abs(out.loc[k] - expected.loc[k]) < 1e-9
+    # constant-x group → NULL
+    cdf = pd.DataFrame({"k": [1, 1, 1], "x": [2.0, 2.0, 2.0], "y": [1., 2., 3.]})
+    cout = grouped_corr(rd.from_pandas(cdf), "k", "x", "y").to_pandas()
+    assert np.isnan(cout["corr_xy"]).all()

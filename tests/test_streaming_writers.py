@@ -264,3 +264,33 @@ def test_streaming_csv_to_file_like():
     w.close()
     lines = sink.getvalue().strip().splitlines()
     assert lines[0] == "a,b" and len(lines) == 3  # drift field dropped
+
+
+def test_avro_value_coercion_to_schema():
+    """Reference avro.py:160-231 parity: union members tried in order,
+    NaN/Inf → None, unconvertible → None — pure-python, no fastavro."""
+    from transmog_ray.api import avro_schema_for, coerce_rows_to_avro
+
+    rows = [
+        {"a": 1, "b": "x", "c": 1.5, "d": True},
+        {"a": "7", "b": 3, "c": float("nan"), "d": "yes"},
+        {"a": "abc", "c": float("inf")},
+    ]
+    schema = avro_schema_for(rows)
+    types = {f["name"]: f["type"] for f in schema["fields"]}
+    assert types["a"] == ["null", "long", "string"]
+    out = coerce_rows_to_avro(rows, schema)
+    # "7" matches long (first non-null member); "abc" falls through to string
+    assert out[1]["a"] == 7 and out[2]["a"] == "abc"
+    # b saw both str and int → union has long first, so 3 stays a long;
+    # a missing field fills None
+    assert out[1]["b"] == 3 and out[2]["b"] is None
+    # a string-ONLY field stringifies a stray int (reference
+    # _try_coerce_to_type: string → str(value))
+    s_only = {"type": "record", "name": "row",
+              "fields": [{"name": "b", "type": ["null", "string"]}]}
+    assert coerce_rows_to_avro([{"b": 3}], s_only)[0]["b"] == "3"
+    # NaN / Inf normalize to None before any coercion attempt
+    assert out[1]["c"] is None and out[2]["c"] is None
+    # boolean: "yes" is truthy per the reference's string-bool rule
+    assert out[0]["d"] is True and out[1]["d"] is True

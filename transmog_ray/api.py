@@ -200,19 +200,64 @@ def _write_table(rows: list[dict], path: Path, fmt: str) -> Path:
     return path
 
 
-def _write_avro(rows: list[dict], path: Path) -> None:  # pragma: no cover
-    """Avro with a union-typed inferred schema (the reference's Avro
-    writer shape, avro.py:64-140) — only reachable when fastavro exists."""
-    import fastavro
+def _avro_coerce_value(value, field_type):
+    """Coerce one value to an Avro field type (reference
+    avro.py:160-231 semantics, re-expressed): NaN/±Inf normalize to
+    None first; union types try each non-null member IN ORDER and the
+    first successful coercion wins (so a value mismatching the first
+    union member is not silently dropped); an unconvertible value
+    becomes None rather than raising."""
+    if value is None or (isinstance(value, float) and
+                         (value != value or value in (float("inf"), float("-inf")))):
+        return None
+    types = field_type if isinstance(field_type, list) else [field_type]
+    for t in types:
+        if t == "null":
+            continue
+        coerced = _avro_try_type(value, t)
+        if coerced is not None:
+            return coerced
+    return None
 
-    type_map = {bool: "boolean", int: "long", float: "double", str: "string"}
-    fields = {}
+
+def _avro_try_type(value, target: str):
+    """One coercion attempt; None = this union member can't hold it."""
+    if target == "string":
+        return value if isinstance(value, str) else str(value)
+    if target == "long":
+        try:
+            return int(value)
+        except (ValueError, TypeError):
+            return None
+    if target == "double":
+        try:
+            return float(value)
+        except (ValueError, TypeError):
+            return None
+    if target == "boolean":
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, str):
+            return value.lower() in ("true", "1", "yes")
+        return bool(value)
+    if target == "bytes":
+        return value if isinstance(value, bytes) else str(value).encode("utf-8")
+    return value
+
+
+def avro_schema_for(rows: list[dict]) -> dict:
+    """Union-typed Avro record schema inferred from *rows* (reference
+    avro.py:64-140 shape): every field nullable, observed python types
+    mapped to avro primitives, unseen-type values fall back to string."""
+    type_map = {bool: "boolean", int: "long", float: "double", str: "string",
+                bytes: "bytes"}
+    fields: dict[str, set] = {}
     for r in rows:
         for k, v in r.items():
             fields.setdefault(k, set())
             if v is not None:
                 fields[k].add(type_map.get(type(v), "string"))
-    schema = {
+    return {
         "type": "record",
         "name": "row",
         "fields": [
@@ -220,8 +265,29 @@ def _write_avro(rows: list[dict], path: Path) -> None:  # pragma: no cover
             for k, ts in fields.items()
         ],
     }
+
+
+def coerce_rows_to_avro(rows: list[dict], schema: dict) -> list[dict]:
+    """Coerce every row value to its field's (possibly union) schema type
+    and fill absent fields with None, so fastavro never sees a mismatch.
+    Pure python — testable without fastavro installed."""
+    field_types = {f["name"]: f["type"] for f in schema["fields"]}
+    return [
+        {name: _avro_coerce_value(r.get(name), t)
+         for name, t in field_types.items()}
+        for r in rows
+    ]
+
+
+def _write_avro(rows: list[dict], path: Path) -> None:  # pragma: no cover
+    """Avro with a union-typed inferred schema (the reference's Avro
+    writer shape, avro.py:64-140) — only reachable when fastavro exists."""
+    import fastavro
+
+    schema = avro_schema_for(rows)
     with open(path, "wb") as f:
-        fastavro.writer(f, fastavro.parse_schema(schema), rows)
+        fastavro.writer(f, fastavro.parse_schema(schema),
+                        coerce_rows_to_avro(rows, schema))
 
 
 # ---------------------------------------------------------------- inputs
@@ -573,6 +639,7 @@ class StreamingAvroWriter:  # pragma: no cover — fastavro absent in this env
             ) from exc
         self.out_dir = out_dir
         self._schemas: dict[str, object] = {}
+        self._raw_schemas: dict[str, dict] = {}
         self._fields: dict[str, set] = {}
 
     def write(self, table: str, rows: list[dict]) -> Path:
@@ -580,22 +647,13 @@ class StreamingAvroWriter:  # pragma: no cover — fastavro absent in this env
 
         path = self.out_dir / f"{table}.avro"
         if table not in self._schemas:
-            type_map = {bool: "boolean", int: "long", float: "double", str: "string"}
-            fields: dict[str, set] = {}
-            for r in rows:
-                for k, v in r.items():
-                    fields.setdefault(k, set())
-                    if v is not None:
-                        fields[k].add(type_map.get(type(v), "string"))
-            schema = {
-                "type": "record", "name": "row",
-                "fields": [{"name": k, "type": ["null", *sorted(ts or {"string"})]}
-                           for k, ts in fields.items()],
-            }
+            schema = avro_schema_for(rows)
             self._schemas[table] = fastavro.parse_schema(schema)
-            self._fields[table] = set(fields)
+            self._raw_schemas[table] = schema
+            self._fields[table] = {f["name"] for f in schema["fields"]}
             with open(path, "wb") as f:
-                fastavro.writer(f, self._schemas[table], rows)
+                fastavro.writer(f, self._schemas[table],
+                                coerce_rows_to_avro(rows, schema))
             return path
         unseen = {k for r in rows for k in r} - self._fields[table]
         if unseen:
@@ -603,7 +661,8 @@ class StreamingAvroWriter:  # pragma: no cover — fastavro absent in this env
                 f"schema drift in table {table!r}: new fields {sorted(unseen)}"
             )
         with open(path, "a+b") as f:
-            fastavro.writer(f, self._schemas[table], rows)
+            fastavro.writer(f, self._schemas[table],
+                            coerce_rows_to_avro(rows, self._raw_schemas[table]))
         return path
 
     def close(self) -> None:

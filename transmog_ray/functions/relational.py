@@ -200,6 +200,82 @@ def hash_join(
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
+def pivot_count(
+    ds,
+    keys: Sequence[str] | str,
+    col: str,
+    values: Sequence[str],
+    num_buckets: int = 64,
+    exchange: str | None = None,
+):
+    """Pivot *col*'s categorical values into per-key count columns
+    (``n_<value>``) — SQL conditional aggregation
+    ``SUM(CASE WHEN col = v THEN 1 ELSE 0 END)``. The category list is
+    caller-supplied so the output schema is static (no discovery pass);
+    unseen categories yield zero columns. One-hot encoding happens
+    vectorized per batch, then :func:`grouped_agg` compresses to one row
+    per key per batch before the bucket shuffle — at scale the exchange
+    moves |keys| × |values| ints, never raw rows."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def onehot(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys].copy()
+        for v in values:
+            out[f"n_{v}"] = df[col].eq(v).astype("int64")
+        return out
+
+    enc = ds.map_batches(onehot, batch_format="pandas")
+    return grouped_agg(enc, keys, {f"n_{v}": (f"n_{v}", "sum") for v in values},
+                       num_buckets=num_buckets, exchange=exchange)
+
+
+def grouped_corr(
+    ds,
+    keys: Sequence[str] | str,
+    x: str,
+    y: str,
+    out_col: str = "corr_xy",
+    num_buckets: int = 64,
+    exchange: str | None = None,
+):
+    """Pearson correlation of (*x*, *y*) per key group, computed
+    distributed from sufficient statistics: each batch contributes
+    ``(n, Σx, Σy, Σx², Σy², Σxy)`` per key (vectorized), the combine sums
+    them, and the closed form finishes on the combined row — rows never
+    shuffle, only six doubles per key per batch. Pairs where either side
+    is null are dropped (SQL ``CORR`` semantics); groups with < 2 pairs
+    or zero variance yield NULL."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df[x].notna() & df[y].notna()
+        d = df[ok]
+        xs = d[x].astype("float64")
+        ys = d[y].astype("float64")
+        g = pd.DataFrame({
+            **{k: d[k] for k in keys},
+            "_n": 1.0, "_sx": xs, "_sy": ys,
+            "_sxx": xs * xs, "_syy": ys * ys, "_sxy": xs * ys,
+        }).groupby(keys, sort=False, as_index=False).sum()
+        return g
+
+    stats_cols = ["_n", "_sx", "_sy", "_sxx", "_syy", "_sxy"]
+    parts = ds.map_batches(partial, batch_format="pandas")
+    combined = grouped_agg(parts, keys, {c: (c, "sum") for c in stats_cols},
+                           num_buckets=num_buckets, exchange=exchange)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n, sx, sy = df["_n"], df["_sx"], df["_sy"]
+        cov = df["_sxy"] - sx * sy / n
+        vx = df["_sxx"] - sx * sx / n
+        vy = df["_syy"] - sy * sy / n
+        denom = np.sqrt(vx * vy)
+        df[out_col] = np.where((n >= 2) & (denom > 0), cov / denom, np.nan)
+        return df[[*keys, out_col]]
+
+    return combined.map_batches(finish, batch_format="pandas")
+
+
 def range_join(
     left_ds,
     right_ds,
@@ -578,4 +654,4 @@ def topk(ds, by: Sequence[str] | str, k: int, descending: bool = True):
 
 __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_quantile",
            "hopping_window_agg", "HyperLogLog", "approx_distinct",
-           "range_join"]
+           "range_join", "pivot_count", "grouped_corr"]

@@ -1373,6 +1373,53 @@ WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(sf_dir: str):
+    """Per-user event-type pivot: one count column per type (static
+    schema from the known category list)."""
+    from ..functions.relational import pivot_count
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_count(ev, "user_id", "event_type", EVENT_TYPES)
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_corr_quantity_price(sf_dir: str):
+    """Pearson corr(l_quantity, l_extendedprice) per return flag from
+    distributed sufficient statistics (six doubles per key per batch move
+    through the shuffle, never rows). Rounded to 6 on both sides — the
+    naive-sums closed form and DuckDB's one-pass CORR differ in low-order
+    bits."""
+    from ..functions.relational import grouped_corr
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_corr(li, "l_returnflag", "l_quantity", "l_extendedprice",
+                       out_col="corr_qty_price")
+    return out.map_batches(
+        lambda df: df.assign(corr_qty_price=round_half_away(df["corr_qty_price"], 6)),
+        batch_format="pandas",
+    )
+
+
+SQL_CORR = """
+SELECT l_returnflag, ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1420,6 +1467,8 @@ QUERIES = {
     "repetition_docs": q_repetition_docs,
     "top_terms": q_top_terms,
     "sample_docs": q_sample_docs,
+    "pivot_events": q_pivot_events,
+    "corr_quantity_price": q_corr_quantity_price,
 }
 
 ORACLE_SQL = {
@@ -1461,6 +1510,8 @@ ORACLE_SQL = {
     "repetition_docs": SQL_REPETITION,
     "top_terms": SQL_TOP_TERMS,
     "sample_docs": SQL_SAMPLE_DOCS,
+    "pivot_events": SQL_PIVOT_EVENTS,
+    "corr_quantity_price": SQL_CORR,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
