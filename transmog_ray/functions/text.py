@@ -127,6 +127,71 @@ def repetition_stats(
     return agg[[id_col, "n_bigrams", "top_bigram_frac", "dup_bigram_frac"]]
 
 
+def tfidf_topk(
+    docs_ds,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    decimals: int = 6,
+):
+    """Top-*k* TF-IDF terms per document, fully distributed:
+
+    1. per-batch (doc, term, tf) pairs — documents never span batches, so
+       one vectorized explode+groupby per batch yields EXACT tf;
+    2. document frequency per term via the partial-agg combine (each
+       (doc, term) pair appears once, so summing per-batch pair counts IS
+       the distinct-doc count — no distinct shuffle needed);
+    3. a partitioned hash join on ``term`` attaches df (both sides stay
+       distributed — the vocabulary of a web corpus does not fit one
+       node);
+    4. ``tfidf = tf · ln(N/df)``, then per-doc top-k in one bucket pass
+       (sort by unrounded score desc, term asc — the tiebreak makes exact
+       ties deterministic; scores are rounded only for OUTPUT).
+
+    Three exchanges total; raw text never shuffles, only (doc, term, tf)
+    triples. ``n_docs`` is passed in (one cheap ``count()``) rather than
+    re-derived."""
+    import numpy as np
+
+    from ..functions.relational import grouped_agg, hash_join
+    from ..stages.partition import bucket_exchange
+    from ..pipelines.queries import round_half_away
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[text_col].fillna("").str.split(" ").explode()
+        t = pd.DataFrame({
+            id_col: df[id_col].loc[ex.index].to_numpy(),
+            "term": ex.to_numpy(dtype=object),
+        })
+        tf = t.groupby([id_col, "term"], sort=False).size().reset_index(name="tf")
+        tf["tf"] = tf["tf"].astype("int64")
+        return tf
+
+    tf_pairs = docs_ds.map_batches(pairs, batch_format="pandas").materialize()
+    dfreq = grouped_agg(
+        tf_pairs.map_batches(
+            lambda d: d.assign(df=np.int64(1))[["term", "df"]],
+            batch_format="pandas",
+        ),
+        ["term"], {"df": ("df", "sum")},
+    )
+    scored = hash_join(tf_pairs, dfreq, on="term")
+
+    def topk_per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            tfidf=df["tf"].to_numpy(np.float64)
+            * np.log(float(n_docs) / df["df"].to_numpy(np.float64))
+        )
+        df = df.sort_values([id_col, "tfidf", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        out = df.groupby(id_col, sort=False).head(k).copy()
+        out["tfidf"] = round_half_away(out["tfidf"], decimals)
+        return out[[id_col, "term", "tfidf"]]
+
+    return bucket_exchange(scored, [id_col], topk_per_doc)
+
+
 def fingerprint(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """``fp`` = md5 hex of lower(trim(text)) — DuckDB ``md5(lower(trim(text)))``."""
     df["fp"] = [

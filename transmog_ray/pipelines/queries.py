@@ -1420,6 +1420,33 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_tfidf_docs(sf_dir: str):
+    """Top-3 TF-IDF keywords per document (distributed tf/df/join/topk —
+    see functions.text.tfidf_topk)."""
+    from ..functions.text import tfidf_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(docs, n_docs=docs.count(), k=3)
+
+
+SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS raw
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, ROUND(raw, 6) AS tfidf FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw DESC, term ASC) <= 3
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1469,6 +1496,7 @@ QUERIES = {
     "sample_docs": q_sample_docs,
     "pivot_events": q_pivot_events,
     "corr_quantity_price": q_corr_quantity_price,
+    "tfidf_docs": q_tfidf_docs,
 }
 
 ORACLE_SQL = {
@@ -1512,6 +1540,7 @@ ORACLE_SQL = {
     "sample_docs": SQL_SAMPLE_DOCS,
     "pivot_events": SQL_PIVOT_EVENTS,
     "corr_quantity_price": SQL_CORR,
+    "tfidf_docs": SQL_TFIDF,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
