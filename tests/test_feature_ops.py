@@ -568,3 +568,56 @@ def test_grouped_corr_matches_pandas(ray_session):
     cdf = pd.DataFrame({"k": [1, 1, 1], "x": [2.0, 2.0, 2.0], "y": [1., 2., 3.]})
     cout = grouped_corr(rd.from_pandas(cdf), "k", "x", "y").to_pandas()
     assert np.isnan(cout["corr_xy"]).all()
+
+
+def test_grouped_count_distinct_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import grouped_count_distinct
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, 600),
+        "v": rng.choice(list("abcdefg"), 600),
+    })
+    out = (
+        grouped_count_distinct(rd.from_pandas(df), "k", "v", out_col="n",
+                               num_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    expect = df.groupby("k")["v"].nunique().reset_index(name="n")
+    pd.testing.assert_frame_equal(out, expect, check_dtype=False)
+
+
+def test_word_ngrams_hand_case():
+    from transmog_ray.functions.text import word_ngrams
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d", "x y", "p q r"],
+    })
+    out = word_ngrams(df, 3)
+    assert list(out["g"]) == ["a b c", "b c d", "p q r"]  # doc 2 too short
+    assert list(out["doc_id"]) == [1, 1, 3]
+
+
+def test_ngram_contamination(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.text import ngram_contamination
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat sat on the mat today",   # 4 distinct 5-grams
+                 "the cat sat on the mat",          # 2, both in doc 1's set
+                 "one two"],                        # too short → no row
+    })
+    ev = frozenset(["the cat sat on the", "cat sat on the mat"])
+    out = (
+        ngram_contamination(rd.from_pandas(df), ev, n=5)
+        .to_pandas().set_index("doc_id")
+    )
+    assert set(out.index) == {1, 2}
+    assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_contam"] == 2
+    assert out.loc[2, "n_grams"] == 2 and out.loc[2, "n_contam"] == 2
+    assert out.loc[2, "contam_frac"] == 1.0

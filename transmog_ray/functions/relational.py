@@ -109,6 +109,49 @@ def grouped_agg(
     return partials.groupby(BUCKET_COL).map_groups(combine, batch_format="pandas")
 
 
+def grouped_count_distinct(
+    ds,
+    keys: Sequence[str] | str,
+    col: str,
+    out_col: str | None = None,
+    num_buckets: int | None = None,
+    exchange: str | None = None,
+):
+    """Exact per-key ``COUNT(DISTINCT col)`` in ONE exchange.
+
+    Distinct counts are holistic (not pre-aggregable into scalars), but
+    the *pair set* is: each batch first reduces to its distinct
+    ``(keys, col)`` pairs, bounding shuffle volume at one row per
+    observed pair per batch — at web scale this is the difference
+    between shuffling every event and shuffling the (user, type)
+    lattice. The bucket exchange then co-locates each key's pairs and a
+    final per-bucket dedup + size() yields the exact count. Compare
+    :func:`approx_distinct` (HyperLogLog) for the sketch form when the
+    pair lattice itself is too wide.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out_col = out_col or f"n_distinct_{col}"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[*keys, col]].drop_duplicates()
+
+    pairs = ds.map_batches(partial, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates([*keys, col])
+        out = (
+            d.groupby(keys, sort=False, dropna=False)
+            .size()
+            .reset_index(name=out_col)
+        )
+        out[out_col] = out[out_col].astype("int64")
+        return out
+
+    from ..stages.partition import bucket_exchange
+
+    return bucket_exchange(pairs, keys, per_bucket, num_buckets)
+
+
 def broadcast_join(
     ds,
     small: pd.DataFrame,

@@ -127,6 +127,79 @@ def repetition_stats(
     return agg[[id_col, "n_bigrams", "top_bigram_frac", "dup_bigram_frac"]]
 
 
+def word_ngrams(
+    df: pd.DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text",
+) -> pd.DataFrame:
+    """All word *n*-gram occurrences per document as ``(id, g)`` rows
+    (duplicates preserved). Vectorized: one explode, then ``n-1``
+    within-doc shifts build each gram — no per-row Python. Documents
+    with fewer than *n* tokens emit nothing. Tokenization is the
+    single-space split shared with :func:`token_stats` so DuckDB
+    ``string_split(text, ' ')`` + list slicing reproduces it exactly."""
+    toks = df[text_col].fillna("").str.split(" ")
+    ex = toks.explode()
+    grp = ex.groupby(level=0)
+    parts = [ex]
+    for i in range(1, n):
+        parts.append(grp.shift(-i))
+    mask = parts[-1].notna()
+    g = parts[0][mask]
+    for p in parts[1:]:
+        g = g + " " + p[mask]
+    return pd.DataFrame({
+        id_col: df[id_col].loc[g.index].to_numpy(),
+        "g": g.to_numpy(),
+    })
+
+
+def ngram_contamination(
+    docs_ds,
+    eval_grams: frozenset,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Benchmark-contamination check: for every document, the fraction of
+    its DISTINCT word *n*-grams that appear in a broadcast evaluation
+    set (the standard decontamination primitive for training corpora —
+    e.g. 13-gram overlap vs. held-out benchmarks).
+
+    ``eval_grams`` is built once on the driver (benchmark suites are
+    small by contract) and ships to workers inside the task closure via
+    the object store — read once per task, never per batch. Per batch:
+    vectorized n-gram build, per-doc distinct, C-level set membership
+    (``Series.isin``), one groupby. Embarrassingly parallel — no
+    shuffle at all. Documents with fewer than *n* tokens emit no row
+    (they have no n-grams), matching the SQL inner form.
+
+    Output: ``id, n_grams`` (distinct), ``n_contam`` (distinct ∩ eval),
+    ``contam_frac`` — an exact integer-ratio float64, bit-identical in
+    SQL."""
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = word_ngrams(df, n, id_col, text_col)
+        if pairs.empty:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=df[id_col].dtype),
+                "n_grams": pd.Series([], dtype="int64"),
+                "n_contam": pd.Series([], dtype="int64"),
+                "contam_frac": pd.Series([], dtype="float64"),
+            })
+        d = pairs.drop_duplicates()
+        d["hit"] = d["g"].isin(eval_grams).astype("int64")
+        out = (
+            d.groupby(id_col, sort=False)
+            .agg(n_grams=("g", "size"), n_contam=("hit", "sum"))
+            .reset_index()
+        )
+        out["n_grams"] = out["n_grams"].astype("int64")
+        out["n_contam"] = out["n_contam"].astype("int64")
+        out["contam_frac"] = out["n_contam"] / out["n_grams"]
+        return out
+
+    return docs_ds.map_batches(per_batch, batch_format="pandas")
+
+
 def tfidf_topk(
     docs_ds,
     n_docs: int,

@@ -1447,6 +1447,171 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw DESC, term ASC) <= 3
 """
 
 
+def q_user_event_types(sf_dir: str):
+    """Exact per-user COUNT(DISTINCT event_type) — per-batch pair dedup
+    bounds the shuffle at the (user, type) lattice, one exchange."""
+    from ..functions.relational import grouped_count_distinct
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_count_distinct(ev, "user_id", "event_type",
+                                  out_col="n_types")
+
+
+SQL_USER_EVENT_TYPES = """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def q_customer_order_counts(sf_dir: str):
+    """LEFT join: every customer with their order count, zero for the
+    ~1/3 of customers with no orders — partial pre-agg below the join,
+    then a partitioned hash join with ``how='left'``."""
+    from ..functions.relational import grouped_agg, hash_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    agg = grouped_agg(
+        orders.map_batches(
+            lambda d: d.rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas",
+        ),
+        ["c_custkey"], {"n_orders": ("c_custkey", "count")},
+    )
+    joined = hash_join(cust, agg, on="c_custkey", how="left")
+    return joined.map_batches(
+        lambda d: d.assign(n_orders=d["n_orders"].fillna(0).astype("int64")),
+        batch_format="pandas",
+    )
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c.c_custkey, COALESCE(n.n_orders, 0) AS n_orders
+FROM customer c
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+           FROM orders GROUP BY o_custkey) n
+       ON c.c_custkey = n.o_custkey
+"""
+
+
+def q_events_orders_outer(sf_dir: str):
+    """FULL OUTER join of two aggregates keyed on disjoint-but-overlapping
+    id domains (event users vs order customers) — ``hash_join`` with
+    ``how='outer'``; missing sides coalesce to 0."""
+    from ..functions.relational import grouped_agg, hash_join
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    ne = grouped_agg(
+        ev.map_batches(lambda d: d.rename(columns={"user_id": "id"}),
+                       batch_format="pandas"),
+        ["id"], {"n_events": ("id", "count")},
+    )
+    no = grouped_agg(
+        orders.map_batches(lambda d: d.rename(columns={"o_custkey": "id"}),
+                           batch_format="pandas"),
+        ["id"], {"n_orders": ("id", "count")},
+    )
+    joined = hash_join(ne, no, on="id", how="outer")
+    return joined.map_batches(
+        lambda d: d.assign(
+            n_events=d["n_events"].fillna(0).astype("int64"),
+            n_orders=d["n_orders"].fillna(0).astype("int64"),
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_EVENTS_ORDERS_OUTER = """
+SELECT COALESCE(e.id, o.id) AS id,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(o.n_orders, 0) AS n_orders
+FROM (SELECT user_id AS id, COUNT(*) AS n_events
+      FROM events GROUP BY user_id) e
+FULL OUTER JOIN (SELECT o_custkey AS id, COUNT(*) AS n_orders
+                 FROM orders GROUP BY o_custkey) o
+  ON e.id = o.id
+"""
+
+
+def q_contamination_docs(sf_dir: str):
+    """Benchmark decontamination: distinct word 5-gram overlap of every
+    document against a broadcast eval set (docs with doc_id % 23 == 0
+    stand in for a held-out benchmark). Eval grams are built once on the
+    driver from the tiny eval slice; the sweep itself is shuffle-free."""
+    from ..functions.text import ngram_contamination, word_ngrams
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ev_df = docs.map_batches(
+        lambda d: d[d["doc_id"] % 23 == 0], batch_format="pandas"
+    ).to_pandas()
+    eval_grams = (
+        frozenset(word_ngrams(ev_df, 5)["g"]) if len(ev_df) else frozenset()
+    )
+    return ngram_contamination(docs, eval_grams, n=5)
+
+
+SQL_CONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+4], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) i
+  WHERE len(w) >= 5
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contam,
+       CAST(SUM(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS contam_frac
+FROM grams g LEFT JOIN eval_grams eg ON g.g = eg.g
+GROUP BY g.doc_id
+"""
+
+
+def q_length_filtered_docs(sf_dir: str):
+    """Quantile-based quality filter: keep documents whose length sits
+    inside the per-language [p05, p95] band. Two passes: exact grouped
+    quantiles (one exchange over a small per-lang stats read), bands
+    pulled to the driver (one row per language) and broadcast into a
+    shuffle-free filter sweep."""
+    from ..functions.relational import grouped_quantile
+
+    stats = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    bands = grouped_quantile(
+        stats, ["lang"], "n_chars", quantiles=(0.05, 0.95),
+        aliases=["lo", "hi"],
+    ).to_pandas()
+    lo = dict(zip(bands["lang"], bands["lo"]))
+    hi = dict(zip(bands["lang"], bands["hi"]))
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "n_chars"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        lo_v = df["lang"].map(lo).to_numpy(np.float64)
+        hi_v = df["lang"].map(hi).to_numpy(np.float64)
+        n = df["n_chars"].to_numpy(np.float64)
+        return df[(n >= lo_v) & (n <= hi_v)]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
+SQL_LENGTH_FILTERED = """
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN (SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY lang) b
+  ON d.lang = b.lang
+WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1497,6 +1662,11 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "corr_quantity_price": q_corr_quantity_price,
     "tfidf_docs": q_tfidf_docs,
+    "user_event_types": q_user_event_types,
+    "customer_order_counts": q_customer_order_counts,
+    "events_orders_outer": q_events_orders_outer,
+    "contamination_docs": q_contamination_docs,
+    "length_filtered_docs": q_length_filtered_docs,
 }
 
 ORACLE_SQL = {
@@ -1541,6 +1711,11 @@ ORACLE_SQL = {
     "pivot_events": SQL_PIVOT_EVENTS,
     "corr_quantity_price": SQL_CORR,
     "tfidf_docs": SQL_TFIDF,
+    "user_event_types": SQL_USER_EVENT_TYPES,
+    "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
+    "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
+    "contamination_docs": SQL_CONTAMINATION,
+    "length_filtered_docs": SQL_LENGTH_FILTERED,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
