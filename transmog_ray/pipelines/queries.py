@@ -1447,6 +1447,65 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw DESC, term ASC) <= 3
 """
 
 
+def q_domain_stats(sf_dir: str):
+    """Per-domain crawl stats over the Common-Crawl-style pages fixture:
+    page count, distinct-url count, non-null-text count. Vectorized host
+    extraction, then ONE exchange: per-batch partials collapse to the
+    (domain, url) lattice — so the two hot domains (~30% of rows) shuffle
+    one row per url per batch, not one per page — and the per-bucket
+    kernel folds url partials into exact per-domain counts."""
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "domain": df["url"].str.extract(r"^https?://([^/]+)",
+                                            expand=False),
+            "url": df["url"],
+            "has_text": df["text"].notna().astype("int64"),
+        })
+        out = (
+            g.groupby(["domain", "url"], sort=False)
+            .agg(n_pages=("url", "size"), n_text=("has_text", "sum"))
+            .reset_index()
+        )
+        out["n_pages"] = out["n_pages"].astype("int64")
+        out["n_text"] = out["n_text"].astype("int64")
+        return out
+
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = (
+            df.groupby(["domain", "url"], sort=False)
+            .agg(n_pages=("n_pages", "sum"), n_text=("n_text", "sum"))
+            .reset_index()
+        )
+        out = (
+            u.groupby("domain", sort=False)
+            .agg(n_pages=("n_pages", "sum"), n_urls=("url", "size"),
+                 n_text=("n_text", "sum"))
+            .reset_index()
+        )
+        for c in ("n_pages", "n_urls", "n_text"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucket_exchange(part, ["domain"], per_bucket)
+
+
+SQL_DOMAIN_STATS = f"""
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT url) AS n_urls,
+       COUNT(text) AS n_text
+FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+GROUP BY 1
+"""
+
+
 def q_user_event_types(sf_dir: str):
     """Exact per-user COUNT(DISTINCT event_type) — per-batch pair dedup
     bounds the shuffle at the (user, type) lattice, one exchange."""
@@ -1667,6 +1726,7 @@ QUERIES = {
     "events_orders_outer": q_events_orders_outer,
     "contamination_docs": q_contamination_docs,
     "length_filtered_docs": q_length_filtered_docs,
+    "domain_stats": q_domain_stats,
 }
 
 ORACLE_SQL = {
@@ -1716,6 +1776,7 @@ ORACLE_SQL = {
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "contamination_docs": SQL_CONTAMINATION,
     "length_filtered_docs": SQL_LENGTH_FILTERED,
+    "domain_stats": SQL_DOMAIN_STATS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
