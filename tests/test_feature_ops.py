@@ -350,6 +350,61 @@ def test_grouped_quantile_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
 
 
+def test_approx_grouped_quantile_exact_for_small_groups(ray_session):
+    """Every group <= sketch_size -> the sketch is the data and the
+    result is bit-exact vs the holistic grouped_quantile."""
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import (
+        approx_grouped_quantile, grouped_quantile)
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.integers(0, 40, 2000),
+                       "v": rng.normal(50, 30, 2000)})
+    # ~50 values per key, split across 8 blocks -> merge path exercised,
+    # compression path never (total per key < 256)
+    ds = rd.from_pandas(df).repartition(8)
+    got = (
+        approx_grouped_quantile(ds, ["k"], "v", (0.25, 0.5, 0.9),
+                                sketch_size=256, num_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exact = (
+        grouped_quantile(rd.from_pandas(df), ["k"], "v", (0.25, 0.5, 0.9),
+                         num_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exact, check_dtype=False)
+
+
+def test_approx_grouped_quantile_error_bound(ray_session):
+    """Groups far larger than the sketch: the estimate's TRUE rank must
+    sit within the documented 2n/m window of the target rank."""
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import approx_grouped_quantile
+
+    rng = np.random.default_rng(12)
+    n = 40_000
+    df = pd.DataFrame({"k": rng.integers(0, 3, n),
+                       "v": rng.lognormal(3.0, 1.0, n)})
+    m = 128
+    got = (
+        approx_grouped_quantile(rd.from_pandas(df).repartition(16),
+                                ["k"], "v", (0.1, 0.5, 0.99),
+                                sketch_size=m, num_buckets=4)
+        .to_pandas().set_index("k").sort_index()
+    )
+    for k, g in df.groupby("k"):
+        vals = np.sort(g["v"].to_numpy())
+        gn = len(vals)
+        for q, colname in [(0.1, "v_p10"), (0.5, "v_p50"), (0.99, "v_p99")]:
+            est = got.loc[k, colname]
+            true_rank = np.searchsorted(vals, est)
+            assert abs(true_rank - q * gn) <= 2.0 * gn / m + 1, (
+                k, q, est, true_rank, q * gn)
+
+
 def test_hopping_window_matches_local(ray_session):
     import ray.data as rd
 

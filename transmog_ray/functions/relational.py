@@ -570,6 +570,120 @@ def grouped_quantile(
     )
 
 
+def _quantile_from_centroids(v, w, qs):
+    """numpy-``linear`` quantiles of the multiset where centroid value
+    ``v[i]`` is repeated ``w[i]`` times — computed from the cumulative
+    weights, never expanding. Exact when the centroids ARE the data
+    (all weights 1)."""
+    cum = np.cumsum(w)
+    n = cum[-1]
+    out = []
+    for q in qs:
+        p = q * (n - 1)
+        lo, hi = int(np.floor(p)), int(np.ceil(p))
+        vlo = v[np.searchsorted(cum, lo, side="right")]
+        vhi = v[np.searchsorted(cum, hi, side="right")]
+        out.append(vlo + (p - lo) * (vhi - vlo))
+    return out
+
+
+def approx_grouped_quantile(
+    ds,
+    keys: Sequence[str],
+    col: str,
+    quantiles: Sequence[float] = (0.5,),
+    sketch_size: int = 256,
+    num_buckets: int | None = None,
+    aliases: Sequence[str] | None = None,
+):
+    """Per-key quantiles via a MERGEABLE equal-weight centroid sketch —
+    the 100 TB companion to :func:`grouped_quantile` (which shuffles the
+    whole value column because exact quantiles are holistic).
+
+    Two levels, both vectorized:
+
+    1. *Partial* (``map_batches``): per batch, sort ``(key, value)`` with
+       one lexsort, assign each value to one of ``sketch_size``
+       equal-count rank buckets inside its group (``floor((rank + 0.5)
+       * m / group_size)``), and emit the per-bucket weighted mean +
+       integer weight via two ``np.bincount`` calls. A group with ≤ m
+       values maps each value to its own bucket, so small groups pass
+       through EXACTLY. Shuffle volume is bounded at
+       ``min(rows, m × keys × batches)`` — centroids move, not rows.
+    2. *Combine* (one bucket exchange): per key, merge-sort the batch
+       sketches' centroids, recompress to ≤ m equal-weight buckets
+       (each centroid lands whole in one bucket, so weights stay
+       integral), and read the quantiles off the cumulative weights with
+       the same linear-interpolation convention as numpy / DuckDB
+       ``quantile_cont``.
+
+    Each compress pass merges values only within a ``total/m`` weight
+    window, so the rank error after both levels is ≤ ``2n/m`` per key —
+    and when every group has ≤ ``sketch_size`` values the result is
+    bit-exact (pinned against :func:`grouped_quantile` in tests).
+    """
+    from ..stages.partition import bucket_exchange
+
+    keys = list(keys)
+    quantiles = list(quantiles)
+    m = int(sketch_size)
+    names = list(aliases) if aliases else [
+        f"{col}_p{int(q * 100)}" for q in quantiles
+    ]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[col].notna()]
+        if not len(df):
+            return pd.DataFrame(
+                {**{k: pd.Series(dtype=df[k].dtype) for k in keys},
+                 "__qv": pd.Series(dtype="float64"),
+                 "__qw": pd.Series(dtype="int64")})
+        vals = df[col].to_numpy(dtype=np.float64)
+        # int group codes in first-appearance order (null-safe, multi-key)
+        codes = df.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+        firsts = np.flatnonzero(~pd.Series(codes).duplicated().to_numpy())
+        keyframe = df[keys].iloc[firsts]  # row i <-> code i
+        order = np.lexsort((vals, codes))
+        gc, v = codes[order], vals[order]
+        # within-group rank: position minus the group's start offset
+        starts = np.flatnonzero(np.r_[True, gc[1:] != gc[:-1]])
+        sizes = np.diff(np.r_[starts, len(gc)])
+        rank = np.arange(len(gc)) - np.repeat(starts, sizes)
+        bkt = ((rank + 0.5) * m // np.repeat(sizes, sizes)).astype(np.int64)
+        slot = gc * m + np.minimum(bkt, m - 1)
+        wsum = np.bincount(slot, minlength=len(sizes) * m)
+        vsum = np.bincount(slot, weights=v, minlength=len(sizes) * m)
+        nz = np.flatnonzero(wsum)
+        out = pd.DataFrame({"__qv": vsum[nz] / wsum[nz],
+                            "__qw": wsum[nz].astype(np.int64)})
+        kf = keyframe.iloc[nz // m].reset_index(drop=True)
+        return pd.concat([kf, out], axis=1)
+
+    partials = ds.select_columns([*keys, col]).map_batches(
+        partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in df.groupby(keys, sort=False, dropna=False):
+            v = g["__qv"].to_numpy()
+            w = g["__qw"].to_numpy(dtype=np.int64)
+            order = np.argsort(v, kind="mergesort")
+            v, w = v[order], w[order]
+            if len(v) > m:  # recompress: whole centroids into rank buckets
+                cum = np.cumsum(w)
+                mid = cum - w / 2.0
+                b = np.minimum((mid * m // cum[-1]).astype(np.int64), m - 1)
+                wm = np.bincount(b, weights=w, minlength=m)
+                vm = np.bincount(b, weights=v * w, minlength=m)
+                nz = np.flatnonzero(wm)
+                v, w = vm[nz] / wm[nz], wm[nz].astype(np.int64)
+            qs = _quantile_from_centroids(v, w, quantiles)
+            rows.append([*(kv if isinstance(kv, tuple) else (kv,)), *qs])
+        return pd.DataFrame(rows, columns=[*keys, *names])
+
+    return bucket_exchange(partials, keys, combine, num_buckets)
+
+
 def hopping_window_agg(
     ds,
     key: str,

@@ -738,6 +738,35 @@ def q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"n_users_approx": pd.Series([n], dtype="int64")})
 
 
+def q_customer_order_quantiles(sf_dir: str):
+    """Per-customer order-price quantiles via the MERGEABLE centroid
+    sketch (:func:`approx_grouped_quantile`) — the 100 TB quantile path
+    where sketches move through the shuffle, not raw value rows.
+    Per-customer order counts are bounded (a few dozen at ANY scale
+    factor), so every group rides the sketch's exact passthrough and the
+    result hash-matches SQL ``quantile_cont``; the compression path is
+    pinned separately by error-bound tests."""
+    from ..functions.relational import approx_grouped_quantile
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    out = approx_grouped_quantile(
+        orders, ["o_custkey"], "o_totalprice", quantiles=(0.5, 0.9),
+        sketch_size=256, aliases=["p50_order", "p90_order"])
+    return out.map_batches(
+        lambda df: df.assign(p50_order=round_half_away(df["p50_order"], 4),
+                             p90_order=round_half_away(df["p90_order"], 4)),
+        batch_format="pandas",
+    )
+
+
+SQL_CUSTOMER_ORDER_QUANTILES = """
+SELECT o_custkey,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_order,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_order
+FROM orders GROUP BY o_custkey
+"""
+
+
 def q_asof_purchase(sf_dir: str):
     """Point-in-time: latest purchase at or before each event (per user)."""
     from ..stages.asof import asof_join
@@ -1702,6 +1731,7 @@ QUERIES = {
     "cosine_clusters": q_cosine_clusters,
     "hopping_events": q_hopping_events,
     "price_quantiles": q_price_quantiles,
+    "customer_order_quantiles": q_customer_order_quantiles,
     "approx_distinct_users": q_approx_distinct_users,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1759,6 +1789,7 @@ ORACLE_SQL = {
     "cosine_clusters": SQL_COSINE_CLUSTERS,
     "hopping_events": SQL_HOPPING,
     "price_quantiles": SQL_PRICE_QUANTILES,
+    "customer_order_quantiles": SQL_CUSTOMER_ORDER_QUANTILES,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "pages_features": SQL_PAGES_FEATURES,
