@@ -405,6 +405,68 @@ def test_approx_grouped_quantile_error_bound(ray_session):
                 k, q, est, true_rank, q * gn)
 
 
+def test_stratified_sample_nested_and_rates(ray_session):
+    """A lower rate's sample must be a subset of a higher rate's (fixed
+    per-row hash), and unknown strata fall back to default_rate."""
+    import ray.data as rd
+
+    from transmog_ray.functions.sampling import stratified_sample
+
+    df = pd.DataFrame({"id": np.arange(5000),
+                       "s": np.tile(["a", "b", "c"], 5000)[:5000]})
+    ds = rd.from_pandas(df).repartition(4)
+    lo = stratified_sample(ds, "id", "s", {"a": 10, "b": 0}, 5).to_pandas()
+    hi = stratified_sample(ds, "id", "s", {"a": 40, "b": 0}, 50).to_pandas()
+    assert set(lo[lo["s"] == "a"]["id"]) <= set(hi[hi["s"] == "a"]["id"])
+    assert (lo["s"] != "b").all() and (hi["s"] != "b").all()
+    # rates land near nominal on uniform ids
+    n_a = (df["s"] == "a").sum()
+    assert abs((lo["s"] == "a").sum() / n_a - 0.10) < 0.03
+    assert abs((hi["s"] == "a").sum() / n_a - 0.40) < 0.05
+
+
+def test_stratified_topn_matches_rownumber(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.sampling import knuth_hash, stratified_topn
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"id": rng.permutation(3000),
+                       "s": rng.choice(["x", "y", "z"], 3000),
+                       "v": rng.normal(size=3000)})
+    got = (
+        stratified_topn(rd.from_pandas(df).repartition(6), "id", "s", n=15,
+                        num_buckets=4)
+        .to_pandas().sort_values(["s", "id"]).reset_index(drop=True)
+    )
+    ref = df.assign(__h=knuth_hash(df["id"].to_numpy()).astype(np.int64))
+    ref = (ref.sort_values(["__h", "id"], kind="mergesort")
+           .groupby("s", sort=False).head(15).drop(columns="__h")
+           .sort_values(["s", "id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["id", "s", "v"]], ref[["id", "s", "v"]],
+                                  check_dtype=False)
+    assert (got.groupby("s").size() == 15).all()
+
+
+def test_redact_pii_kinds_and_order():
+    from transmog_ray.functions.text import redact_pii
+
+    df = pd.DataFrame({"text": [
+        "mail a.b+c@sub.example.co.uk now",
+        "from 192.168.0.1 and 8.8.8.8",
+        "call +49 170 1234567 or +1 555-0042",
+        "user7@mail3.org ip 10.1.2.3 tel +1 555-0007",  # all three kinds
+        None,
+    ]})
+    out = redact_pii(df.copy())["text"]
+    assert out[0] == "mail [EMAIL] now"
+    assert out[1] == "from [IP] and [IP]"
+    assert out[2] == "call [PHONE] or [PHONE]"
+    # emails redacted before the phone pattern can eat their digits
+    assert out[3] == "[EMAIL] ip [IP] tel [PHONE]"
+    assert out[4] == ""
+
+
 def test_hopping_window_matches_local(ray_session):
     import ray.data as rd
 

@@ -1,0 +1,116 @@
+"""Deterministic sampling operators for corpus curation.
+
+All sampling here is HASH-driven, never ``random()``: the same row set
+in, the same sample out, on any cluster size, resumable mid-run — the
+property a 100 TB curation pipeline needs (a re-run after a failure
+must not re-draw the sample). The shared recipe is a Knuth
+multiplicative hash of the integer id, ``(id * 2654435761) % 2**32``,
+chosen because it is reproducible verbatim in ANSI SQL with plain
+BIGINT arithmetic (contract: ids < 2**33 so the product can't overflow
+BIGINT on the oracle side; cast to HUGEINT beyond that).
+
+Three levels:
+
+- :func:`hash_sample` — flat rate over the whole corpus; pure
+  ``map_batches`` filter, embarrassingly parallel, zero shuffle.
+- :func:`stratified_sample` — per-stratum rates (e.g. downsample
+  dominant languages, keep the tail); still zero shuffle — each batch
+  maps its strata to thresholds through one vectorized ``Series.map``.
+- :func:`stratified_topn` — EXACTLY ``n`` rows per stratum (a
+  deterministic distributed "reservoir"): the n smallest hash values
+  within each stratum. Per-batch partial top-n bounds shuffle volume at
+  ``n × strata × batches``; one bucket exchange finishes each stratum.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+
+KNUTH = np.uint64(2654435761)
+MOD32 = np.uint64(4294967296)
+
+
+def knuth_hash(ids) -> np.ndarray:
+    """``(id * 2654435761) % 2**32`` as uint64 — SQL-reproducible."""
+    return (np.asarray(ids, dtype=np.uint64) * KNUTH) % MOD32
+
+
+def hash_sample(ds, id_col: str, percent: int):
+    """Keep rows whose ``knuth_hash(id) % 100 < percent``."""
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = knuth_hash(df[id_col].to_numpy())
+        return df[(h % np.uint64(100)) < percent]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def stratified_sample(
+    ds,
+    id_col: str,
+    strata_col: str,
+    rates: Mapping[str, int],
+    default_rate: int = 0,
+):
+    """Per-stratum hash sampling: row kept iff
+    ``knuth_hash(id) % 100 < rates.get(stratum, default_rate)``.
+
+    The canonical corpus-rebalancing op (downsample the head language,
+    keep the tail): no shuffle, no state, deterministic, and each
+    stratum's sample is a SUBSET of any higher rate's sample (nested
+    samples for free, since the hash per row is fixed)."""
+    rates = dict(rates)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = knuth_hash(df[id_col].to_numpy()) % np.uint64(100)
+        thr = (
+            df[strata_col]
+            .map(rates)
+            .fillna(default_rate)
+            .to_numpy(dtype=np.uint64)
+        )
+        return df[h < thr]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def stratified_topn(
+    ds,
+    id_col: str,
+    strata_col: str,
+    n: int,
+    num_buckets: int | None = None,
+    extra_keys: Sequence[str] = (),
+):
+    """Exactly ``min(n, stratum size)`` rows per stratum — the ``n``
+    smallest ``(knuth_hash(id), id)`` pairs, i.e. a deterministic
+    uniform reservoir that any engine can reproduce
+    (``ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY hash, id) <= n``).
+
+    Two levels: per-batch partial top-n (vectorized sort + groupby
+    head), then one bucket exchange keyed on the stratum finishes each
+    group. Only candidate rows ever shuffle — volume is bounded at
+    ``n × strata × batches`` regardless of corpus size."""
+    from ..stages.partition import bucket_exchange
+
+    keys = [strata_col, *extra_keys]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df["__h"] = pd.Series([], dtype="int64")
+            return df
+        df = df.assign(__h=knuth_hash(df[id_col].to_numpy()).astype(np.int64))
+        df = df.sort_values(["__h", id_col], kind="mergesort")
+        return df.groupby(keys, sort=False, dropna=False).head(n)
+
+    candidates = ds.map_batches(partial, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__h", id_col], kind="mergesort")
+        out = df.groupby(keys, sort=False, dropna=False).head(n)
+        return out.drop(columns="__h")
+
+    return bucket_exchange(candidates, keys, finish, num_buckets)

@@ -265,6 +265,36 @@ def tfidf_topk(
     return bucket_exchange(scored, [id_col], topk_per_doc)
 
 
+# PII patterns deliberately restricted to the RE2-compatible subset
+# (no lookaround/backrefs) so the SAME pattern strings run verbatim in
+# DuckDB regexp_replace(..., 'g') for the oracle. Order matters:
+# emails first (their digits would otherwise feed the phone pattern),
+# then IPs, then phones.
+PII_PATTERNS = (
+    ("[EMAIL]", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("[IP]", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("[PHONE]", r"\+\d[\d -]{6,}\d"),
+)
+
+
+def redact_pii(
+    df: pd.DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    patterns=PII_PATTERNS,
+) -> pd.DataFrame:
+    """Replace emails / IPv4s / phone numbers with bracket tokens —
+    vectorized ``Series.str.replace`` sweeps (one compiled regex pass per
+    kind, no per-row Python). Sequential non-overlapping left-to-right
+    substitution matches DuckDB's ``regexp_replace(..., 'g')`` exactly,
+    so the op is oracle-checkable on synthetic PII."""
+    s = df[text_col].fillna("")
+    for token, pat in patterns:
+        s = s.str.replace(pat, token, regex=True)
+    df[out_col or text_col] = s
+    return df
+
+
 def fingerprint(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """``fp`` = md5 hex of lower(trim(text)) — DuckDB ``md5(lower(trim(text)))``."""
     df["fp"] = [

@@ -1385,20 +1385,97 @@ def q_sample_docs(sf_dir: str):
     — reproducible across engines/runs (unlike ``ds.random_sample``) and
     embarrassingly parallel. Contract: ids < 2^33 so the BIGINT product
     can't overflow on the SQL side (cast to HUGEINT beyond that)."""
+    from ..functions.sampling import hash_sample
+
     ds = read_table(sf_dir, "documents",
                     columns=["doc_id", "lang", "source", "n_chars"])
-
-    def samp(df: pd.DataFrame) -> pd.DataFrame:
-        h = (df["doc_id"].to_numpy(np.uint64) * np.uint64(2654435761)) \
-            % np.uint64(4294967296)
-        return df[(h % np.uint64(100)) < 10]
-
-    return ds.map_batches(samp, batch_format="pandas")
+    return hash_sample(ds, "doc_id", 10)
 
 
 SQL_SAMPLE_DOCS = """
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
+"""
+
+
+def q_stratified_docs(sf_dir: str):
+    """Corpus rebalancing: downsample the dominant language (en → 5%),
+    partially keep mid strata (zh → 30%), keep the tail at 60% — each
+    stratum a deterministic hash sample, zero shuffle."""
+    from ..functions.sampling import stratified_sample
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "source", "n_chars"])
+    return stratified_sample(ds, "doc_id", "lang",
+                             rates={"en": 5, "zh": 30}, default_rate=60)
+
+
+SQL_STRATIFIED_DOCS = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+      CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 30 ELSE 60 END
+"""
+
+
+def q_reservoir_docs(sf_dir: str):
+    """Exactly 20 docs per language — deterministic distributed
+    reservoir (n smallest Knuth hashes per stratum; per-batch partial
+    top-n bounds the shuffle at n × strata × batches)."""
+    from ..functions.sampling import stratified_topn
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_topn(ds, "doc_id", "lang", n=20)
+
+
+SQL_RESERVOIR_DOCS = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 20
+"""
+
+
+def q_pii_redacted_docs(sf_dir: str):
+    """PII redaction over synthetic-but-deterministic contact strings
+    (derived from doc_id so the oracle can rebuild them): emails →
+    [EMAIL], IPv4 → [IP], phones → [PHONE], one vectorized regex sweep
+    per kind. Pattern strings are RE2-compatible and run verbatim in
+    the DuckDB oracle's regexp_replace(..., 'g')."""
+    from ..functions.text import redact_pii
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype("int64")
+        df["text"] = (
+            df["text"].fillna("") + " contact user" + i.astype(str)
+            + "@mail" + (i % 7).astype(str) + ".org ip 10."
+            + (i % 256).astype(str) + "." + ((i * 7) % 256).astype(str)
+            + "." + (i % 100).astype(str) + " tel +1 555-"
+            + (i % 10000).astype(str).str.zfill(4)
+        )
+        return df
+
+    return ds.map_batches(synth, batch_format="pandas").map_batches(
+        redact_pii, batch_format="pandas")
+
+
+SQL_PII_REDACTED = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        COALESCE(text, '') || ' contact user' || doc_id || '@mail'
+          || (doc_id % 7) || '.org ip 10.' || (doc_id % 256) || '.'
+          || ((doc_id * 7) % 256) || '.' || (doc_id % 100)
+          || ' tel +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+    '\+\d[\d -]{6,}\d', '[PHONE]', 'g') AS text
+FROM documents
 """
 
 
@@ -1748,6 +1825,9 @@ QUERIES = {
     "repetition_docs": q_repetition_docs,
     "top_terms": q_top_terms,
     "sample_docs": q_sample_docs,
+    "stratified_docs": q_stratified_docs,
+    "reservoir_docs": q_reservoir_docs,
+    "pii_redacted_docs": q_pii_redacted_docs,
     "pivot_events": q_pivot_events,
     "corr_quantity_price": q_corr_quantity_price,
     "tfidf_docs": q_tfidf_docs,
@@ -1799,6 +1879,9 @@ ORACLE_SQL = {
     "repetition_docs": SQL_REPETITION,
     "top_terms": SQL_TOP_TERMS,
     "sample_docs": SQL_SAMPLE_DOCS,
+    "stratified_docs": SQL_STRATIFIED_DOCS,
+    "reservoir_docs": SQL_RESERVOIR_DOCS,
+    "pii_redacted_docs": SQL_PII_REDACTED,
     "pivot_events": SQL_PIVOT_EVENTS,
     "corr_quantity_price": SQL_CORR,
     "tfidf_docs": SQL_TFIDF,
