@@ -223,3 +223,44 @@ def test_checkpointed_fused_flagship_resume(ray_session, tmp_path):
     meta2 = checkpointed_page_features_fused(
         files, res_dir, "fp-r3-NEW", num_buckets=6)
     assert meta2["partitions_skipped"] == 0
+
+
+def test_training_shards_write_and_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from transmog_ray.functions.sampling import knuth_hash
+    from transmog_ray.state.checkpoint import write_training_shards
+
+    df = pd.DataFrame({"id": np.arange(1000), "v": np.arange(1000) * 1.5})
+    out = str(tmp_path / "shards")
+    meta = write_training_shards(
+        rd.from_pandas(df).repartition(5), out, "id", 8, "fp1")
+    assert meta["partitions_skipped"] == 0
+    assert meta["rows_out"] == 1000
+
+    parts = sorted(glob.glob(f"{out}/part=*/data.parquet"))
+    assert len(parts) == 8
+    baseline = {p: open(p, "rb").read() for p in parts}
+
+    # every row in its hash shard, intra-shard order = (knuth_hash, id)
+    for i, p in enumerate(parts):
+        sh = pq.read_table(p).to_pandas()
+        h = knuth_hash(sh["id"].to_numpy())
+        assert ((h % np.uint64(8)).astype(int) == i).all()
+        order = np.lexsort((sh["id"].to_numpy(), h))
+        assert (order == np.arange(len(sh))).all()
+
+    # kill three shards; resume recomputes ONLY those, byte-identical
+    for p in parts[2:5]:
+        shutil.rmtree(p.rsplit("/", 1)[0])
+    meta2 = write_training_shards(
+        rd.from_pandas(df).repartition(5), out, "id", 8, "fp1")
+    assert meta2["partitions_skipped"] == 5
+    assert meta2["rows_out"] == 1000
+    for p in parts:
+        assert open(p, "rb").read() == baseline[p], p
+
+    # changed fingerprint invalidates everything
+    meta3 = write_training_shards(
+        rd.from_pandas(df).repartition(5), out, "id", 8, "fp2")
+    assert meta3["partitions_skipped"] == 0

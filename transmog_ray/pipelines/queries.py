@@ -16,6 +16,8 @@ work:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -1438,6 +1440,48 @@ WHERE rn <= 20
 """
 
 
+def q_training_shards(sf_dir: str):
+    """Resumable training output: deterministic global shuffle of the
+    corpus into 16 hash shards (one atomic parquet + manifest per shard,
+    rows ordered by (knuth_hash, id) inside each), then a distributed
+    read-back that recovers the shard number from the partition path.
+    Re-running skips every completed shard driver-side; the oracle
+    recomputes the assignment arithmetically."""
+    import re
+
+    from ..state.checkpoint import (fingerprint, input_lineage,
+                                    write_training_shards)
+
+    src = f"{sf_dir}/documents.parquet"
+    key = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/transmog_ray_shards/{key}"
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    write_training_shards(
+        docs, out_dir, "doc_id", 16,
+        run_fingerprint=fingerprint({"inputs": input_lineage([src]),
+                                     "num_shards": 16}),
+    )
+    files = sorted(
+        f"{out_dir}/{d}/data.parquet"
+        for d in os.listdir(out_dir) if d.startswith("part=")
+    )
+    # hive-style part=NNNNN dirs surface as a partition column "part"
+    ds = _rd().read_parquet(files)
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df["shard"] = df["part"].astype("int64")
+        return df.drop(columns=["part"])
+
+    return ds.map_batches(add_shard, batch_format="pandas")
+
+
+SQL_TRAINING_SHARDS = """
+SELECT doc_id, lang,
+       CAST(((doc_id * 2654435761) % 4294967296) % 16 AS BIGINT) AS shard
+FROM documents
+"""
+
+
 def q_pii_redacted_docs(sf_dir: str):
     """PII redaction over synthetic-but-deterministic contact strings
     (derived from doc_id so the oracle can rebuild them): emails →
@@ -1828,6 +1872,7 @@ QUERIES = {
     "stratified_docs": q_stratified_docs,
     "reservoir_docs": q_reservoir_docs,
     "pii_redacted_docs": q_pii_redacted_docs,
+    "training_shards": q_training_shards,
     "pivot_events": q_pivot_events,
     "corr_quantity_price": q_corr_quantity_price,
     "tfidf_docs": q_tfidf_docs,
@@ -1882,6 +1927,7 @@ ORACLE_SQL = {
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "reservoir_docs": SQL_RESERVOIR_DOCS,
     "pii_redacted_docs": SQL_PII_REDACTED,
+    "training_shards": SQL_TRAINING_SHARDS,
     "pivot_events": SQL_PIVOT_EVENTS,
     "corr_quantity_price": SQL_CORR,
     "tfidf_docs": SQL_TFIDF,

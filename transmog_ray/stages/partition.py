@@ -187,6 +187,7 @@ def bucket_exchange(
     only_buckets: Sequence[int] | None = None,
     with_bucket: bool = False,
     max_fanin: int | None = None,
+    bucket_col: str | None = None,
 ):
     """Map-side bucket exchange on raw Ray tasks: each input block is
     split into per-bucket Arrow slices (one vectorized argsort, zero-copy
@@ -209,7 +210,10 @@ def bucket_exchange(
     (SURVEY.md §2 custom-operator rule c). ``only_buckets`` restricts
     the REDUCE side to a subset (checkpoint resume: completed buckets
     never launch a task); ``with_bucket=True`` calls
-    ``fn(frame, bucket_index)``.
+    ``fn(frame, bucket_index)``. ``bucket_col`` routes each row by a
+    PRECOMPUTED integer column in ``[0, num_buckets)`` instead of
+    hashing ``keys`` — the identity exchange a sharded writer needs
+    (bucket index == user-visible shard number, 1:1).
 
     EAGER at the upstream boundary: this function consumes
     ``ds.iter_internal_ref_bundles()`` at CALL time (that streaming
@@ -238,8 +242,12 @@ def bucket_exchange(
             # blocks from actor-pool stages; hashing would KeyError
             parts = tuple(block for _ in range(num_buckets))
             return parts if num_buckets > 1 else parts[0]
-        key_frame = block.select(keys).to_pandas()
-        h = (key_hash(key_frame, keys) % np.uint64(num_buckets)).astype(np.int64)
+        if bucket_col is not None:
+            h = block.column(bucket_col).to_numpy().astype(np.int64)
+        else:
+            key_frame = block.select(keys).to_pandas()
+            h = (key_hash(key_frame, keys)
+                 % np.uint64(num_buckets)).astype(np.int64)
         order = np.argsort(h, kind="stable")
         taken = block.take(pa.array(order))
         bounds = np.searchsorted(h[order], np.arange(num_buckets + 1))

@@ -212,6 +212,87 @@ def checkpointed_sorted_run(
     return run_meta
 
 
+def write_training_shards(
+    ds,
+    out_dir: str,
+    id_col: str,
+    num_shards: int,
+    run_fingerprint: str,
+    drop_cols: Sequence[str] = (),
+) -> dict:
+    """Deterministic globally-shuffled training output: row → shard
+    ``knuth_hash(id) % num_shards``, rows WITHIN each shard ordered by
+    ``(knuth_hash(id), id)`` — a reproducible corpus shuffle (same rows
+    in → byte-identical shards out, on any cluster size), the property
+    ``ds.random_shuffle()`` cannot give a resumable run.
+
+    One identity bucket exchange (``bucket_col`` routing, shard ==
+    output partition 1:1, no key hashing), one atomic
+    ``part=<shard>/data.parquet`` + manifest per shard via
+    :func:`persist_partition`; shards whose manifest matches
+    ``run_fingerprint`` are skipped DRIVER-side — their reduce task
+    never launches and their rows are dropped at the split stage.
+    Returns run metrics like :func:`checkpointed_sorted_run`."""
+    import numpy as np
+
+    from ..functions.sampling import knuth_hash
+    from ..stages.partition import bucket_exchange
+
+    os.makedirs(out_dir, exist_ok=True)
+    done, pending = [], []
+    for b in range(num_shards):
+        m = _matching_manifest(out_dir, b, run_fingerprint)
+        (done if m else pending).append((b, m))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = knuth_hash(df[id_col].to_numpy())
+        df["__h"] = h.astype(np.int64)
+        df["__shard"] = (h % np.uint64(num_shards)).astype(np.int64)
+        return df
+
+    def write_shard(df: pd.DataFrame, shard: int) -> pd.DataFrame:
+        t0 = time.time()
+        out = (
+            df.sort_values(["__h", id_col], kind="mergesort")
+            .drop(columns=["__h", "__shard", *drop_cols])
+            .reset_index(drop=True)
+        )
+        return persist_partition(
+            out, len(df), shard, out_dir, run_fingerprint, t0,
+            extra={"order": ["knuth_hash", id_col]},
+        )
+
+    frames = [_empty_stats()]
+    frames += [
+        pd.DataFrame({"partition": [b], "rows_in": [m["rows_in"]],
+                      "rows_out": [m["rows_out"]], "seconds": [0.0],
+                      "skipped": [True]})
+        for b, m in done
+    ]
+    if pending:
+        assigned = ds.map_batches(assign, batch_format="pandas")
+        frames.append(
+            bucket_exchange(
+                assigned, [], write_shard, num_shards,
+                only_buckets=[b for b, _ in pending],
+                with_bucket=True, bucket_col="__shard",
+            ).to_pandas()
+        )
+    stats = pd.concat(frames, ignore_index=True)
+    run_meta = {
+        "run_fingerprint": run_fingerprint,
+        "num_shards": num_shards,
+        "partitions_done": int(len(stats)),
+        "partitions_skipped": int(stats["skipped"].sum()),
+        "rows_in": int(stats["rows_in"].sum()),
+        "rows_out": int(stats["rows_out"].sum()),
+        "wall_seconds_sum": float(stats["seconds"].sum()),
+    }
+    with open(os.path.join(out_dir, "_run.json"), "w") as f:
+        json.dump(run_meta, f, indent=1)
+    return run_meta
+
+
 def load_metrics(out_dir: str) -> pd.DataFrame:
     """Per-partition manifests as a frame (lineage/metrics surface)."""
     rows = []
@@ -225,6 +306,7 @@ def load_metrics(out_dir: str) -> pd.DataFrame:
 
 __all__ = [
     "checkpointed_sorted_run",
+    "write_training_shards",
     "persist_partition",
     "load_metrics",
     "fingerprint",
