@@ -96,6 +96,26 @@ def test_minhash_clusters_distributed_matches_local(ray_session):
     assert by_id[1] == by_id[0]  # exact dup of doc 0
 
 
+def test_minhash_clusters_hybrid_paths_agree(ray_session):
+    """driver_edge_limit=0 forces the distributed label propagation;
+    the default rides the driver union-find — identical clusters."""
+    import ray.data as rd
+
+    docs = make_docs()
+    dist = (
+        minhash_clusters(rd.from_pandas(docs), n_perm=32, n_bands=8,
+                         jaccard_threshold=0.8, num_buckets=8,
+                         driver_edge_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    local = (
+        minhash_clusters(rd.from_pandas(docs), n_perm=32, n_bands=8,
+                         jaccard_threshold=0.8, num_buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, local, check_dtype=False)
+
+
 def test_minhasher_single_matches_batch():
     h = MinHasher(16)
     for t in ["", "ab", "abcd", "hello world this is a longer text", None]:
