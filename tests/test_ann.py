@@ -95,3 +95,26 @@ def test_kmeans_deterministic():
     b = kmeans_centroids(X, 16)
     assert np.array_equal(a, b)
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_assign_centroids_matches_local(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.ann import assign_centroids, quantize_embedding
+
+    rng = np.random.default_rng(31)
+    n, d, k = 400, 16, 6
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": list(emb)})
+    got = (
+        assign_centroids(rd.from_pandas(df).repartition(5), k=k)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    C = quantize_embedding(emb[:k])
+    Q = quantize_embedding(emb)
+    dist = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    expect = np.argmin(dist, axis=1)
+    assert (got["centroid"].to_numpy() == expect).all()
+    # every centroid row assigns to itself (distance zero)
+    assert (got["centroid"].to_numpy()[:k] == np.arange(k)).all()

@@ -233,3 +233,62 @@ def ivf_topk(
 
 
 __all__ = ["brute_topk", "lsh_topk", "ivf_topk", "kmeans_centroids"]
+
+
+def quantize_embedding(M: np.ndarray, scale: int = 1000) -> np.ndarray:
+    """float32 embedding → exact int64 grid: floor(x*scale + 0.5) in
+    float64. Integer arithmetic downstream makes nearest-centroid
+    argmins EXACT — bit-reproducible across engines (the SQL oracle
+    runs the identical formula), no float-tie risk."""
+    return np.floor(M.astype(np.float64) * scale + 0.5).astype(np.int64)
+
+
+def assign_centroids(
+    ds,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+):
+    """Nearest-centroid assignment (the E-step of distributed k-means,
+    exposed standalone): centroids are the embeddings of the ``k``
+    smallest ids (deterministic), broadcast once via ``ray.put``; each
+    batch computes integer squared-L2 against all centroids with one
+    matmul and takes the argmin (ties → smallest centroid id, which
+    argmin's first-minimum gives for id-ordered columns).
+
+    Shuffle volume: zero (map-only). Driver holds k×dim ints. The
+    centroid PULL is a per-batch k-smallest partial, bounded at
+    k × batches rows."""
+    import ray
+
+    def kmin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, id_col)[[id_col, vec_col]]
+
+    cpd = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(kmin, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(k, id_col)
+        .sort_values(id_col)
+    )
+    C = quantize_embedding(np.vstack(cpd[vec_col].to_numpy()), scale)
+    cids = cpd[id_col].to_numpy()
+    cref = ray.put((C, cids))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        C, cids = ray.get(cref)
+        Q = quantize_embedding(np.vstack(df[vec_col].to_numpy()), scale)
+        # exact int64 squared-L2: |q|^2 + |c|^2 - 2 q.c
+        d = (
+            (Q * Q).sum(axis=1, keepdims=True)
+            + (C * C).sum(axis=1)[None, :]
+            - 2 * (Q @ C.T)
+        )
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "centroid": cids[np.argmin(d, axis=1)],
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pandas")

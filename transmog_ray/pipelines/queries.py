@@ -1482,6 +1482,38 @@ FROM documents
 """
 
 
+def q_centroid_assign(sf_dir: str):
+    """Nearest-centroid assignment over the embedding column (the
+    E-step of distributed k-means): centroids = embeddings of the 8
+    smallest vec_ids, broadcast once; per-batch integer squared-L2
+    matmul + argmin. Embeddings quantized to an int grid on BOTH sides
+    so the argmin is exact (no float-tie divergence vs the oracle)."""
+    from ..functions.ann import assign_centroids
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return assign_centroids(emb, k=8)
+
+
+SQL_CENTROID_ASSIGN = """
+WITH qe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, q AS cq FROM qe ORDER BY vec_id LIMIT 8
+)
+SELECT vec_id, centroid FROM (
+  SELECT qe.vec_id, c.cid AS centroid,
+         ROW_NUMBER() OVER (
+           PARTITION BY qe.vec_id
+           ORDER BY list_sum(list_transform(list_zip(qe.q, c.cq),
+                     p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+  FROM qe CROSS JOIN c) t
+WHERE rn = 1
+"""
+
+
 def q_pii_redacted_docs(sf_dir: str):
     """PII redaction over synthetic-but-deterministic contact strings
     (derived from doc_id so the oracle can rebuild them): emails →
@@ -1873,6 +1905,7 @@ QUERIES = {
     "reservoir_docs": q_reservoir_docs,
     "pii_redacted_docs": q_pii_redacted_docs,
     "training_shards": q_training_shards,
+    "centroid_assign": q_centroid_assign,
     "pivot_events": q_pivot_events,
     "corr_quantity_price": q_corr_quantity_price,
     "tfidf_docs": q_tfidf_docs,
@@ -1928,6 +1961,7 @@ ORACLE_SQL = {
     "reservoir_docs": SQL_RESERVOIR_DOCS,
     "pii_redacted_docs": SQL_PII_REDACTED,
     "training_shards": SQL_TRAINING_SHARDS,
+    "centroid_assign": SQL_CENTROID_ASSIGN,
     "pivot_events": SQL_PIVOT_EVENTS,
     "corr_quantity_price": SQL_CORR,
     "tfidf_docs": SQL_TFIDF,
