@@ -118,3 +118,35 @@ def test_assign_centroids_matches_local(ray_session):
     assert (got["centroid"].to_numpy() == expect).all()
     # every centroid row assigns to itself (distance zero)
     assert (got["centroid"].to_numpy()[:k] == np.arange(k)).all()
+
+
+def test_kmeans_fit_recovers_blobs(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.ann import kmeans_fit
+
+    rng = np.random.default_rng(37)
+    centers = np.array([[10.0, 0.0], [-10.0, 10.0], [0.0, -12.0]])
+    n_per = 120
+    X = np.vstack([c + rng.normal(0, 0.5, size=(n_per, 2)) for c in centers])
+    # ids 0,1,2 land one per blob so the k-smallest-id init is spread
+    blob = np.repeat(np.arange(3), n_per)
+    ids = np.empty(3 * n_per, dtype=np.int64)
+    ids[[0, n_per, 2 * n_per]] = [0, 1, 2]
+    rest = np.setdiff1d(np.arange(3 * n_per), [0, n_per, 2 * n_per])
+    ids[rest] = 3 + np.arange(len(rest))
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X.astype(np.float32))})
+
+    C, assign_ds = kmeans_fit(rd.from_pandas(df).repartition(4), k=3,
+                              n_iter=20)
+    got = assign_ds.to_pandas().set_index("vec_id")
+
+    # centroids ≈ blob means (order = init ids 0,1,2 = blob 0,1,2)
+    for b in range(3):
+        mean_b = X[blob == b].mean(axis=0)
+        assert np.abs(C[b] - mean_b).max() < 0.2, (b, C[b], mean_b)
+    # every row assigned with its blob-mates
+    cl = got.loc[ids]["cluster"].to_numpy()
+    for b in range(3):
+        vals = np.unique(cl[blob == b])
+        assert len(vals) == 1

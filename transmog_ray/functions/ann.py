@@ -292,3 +292,78 @@ def assign_centroids(
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pandas")
+
+
+def kmeans_fit(
+    ds,
+    k: int = 8,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-6,
+):
+    """Distributed Lloyd k-means over the full corpus (vs
+    :func:`kmeans_centroids`, which trains on a driver-side sample).
+
+    Deterministic init: embeddings of the ``k`` smallest ids. Each
+    iteration is ONE map pass: centroids broadcast via ``ray.put``,
+    every batch assigns its rows (float64 L2 matmul + argmin) and emits
+    k partial rows (cluster, count, sum-vector) — the M-step combine the
+    driver does is O(k × batches), never O(rows). Dead centroids keep
+    their previous position. Stops early when max centroid movement
+    < ``tol``. Returns ``(centroids ndarray (k,d), assignment Dataset
+    (id_col, cluster))``."""
+    import ray
+
+    def kmin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, id_col)[[id_col, vec_col]]
+
+    base = ds.select_columns([id_col, vec_col]).materialize()
+    cpd = (
+        base.map_batches(kmin, batch_format="pandas")
+        .to_pandas().nsmallest(k, id_col).sort_values(id_col)
+    )
+    C = np.vstack(cpd[vec_col].to_numpy()).astype(np.float64)
+
+    for _ in range(n_iter):
+        cref = ray.put(C)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            Cb = ray.get(cref)
+            X = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
+            d = ((X * X).sum(axis=1, keepdims=True)
+                 + (Cb * Cb).sum(axis=1)[None, :] - 2.0 * (X @ Cb.T))
+            a = np.argmin(d, axis=1)
+            sums = np.zeros_like(Cb)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=len(Cb))
+            return pd.DataFrame({
+                "cluster": np.arange(len(Cb), dtype=np.int64),
+                "count": counts.astype(np.int64),
+                "vsum": list(sums),
+            })
+
+        parts = base.map_batches(partial, batch_format="pandas").to_pandas()
+        counts = parts.groupby("cluster")["count"].sum()
+        newC = C.copy()
+        for c, g in parts.groupby("cluster"):
+            n = counts.loc[c]
+            if n > 0:
+                newC[int(c)] = np.sum(np.vstack(g["vsum"].to_numpy()),
+                                      axis=0) / n
+        moved = float(np.abs(newC - C).max())
+        C = newC
+        if moved < tol:
+            break
+
+    cref = ray.put(C)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        Cb = ray.get(cref)
+        X = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
+        d = ((X * X).sum(axis=1, keepdims=True)
+             + (Cb * Cb).sum(axis=1)[None, :] - 2.0 * (X @ Cb.T))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "cluster": np.argmin(d, axis=1).astype(np.int64)})
+
+    return C, base.map_batches(assign, batch_format="pandas")

@@ -1514,6 +1514,19 @@ WHERE rn = 1
 """
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding corpus (iterative —
+    no SQL form; rows-only driver check, blob-recovery pinned in unit
+    tests). Each iteration: broadcast centroids, one map pass emitting
+    k partial (count, sum) rows per batch; driver combine is O(k ×
+    batches)."""
+    from ..functions.ann import kmeans_fit
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, assign = kmeans_fit(emb, k=8, n_iter=5)
+    return assign
+
+
 def q_pii_redacted_docs(sf_dir: str):
     """PII redaction over synthetic-but-deterministic contact strings
     (derived from doc_id so the oracle can rebuild them): emails →
@@ -1906,6 +1919,7 @@ QUERIES = {
     "pii_redacted_docs": q_pii_redacted_docs,
     "training_shards": q_training_shards,
     "centroid_assign": q_centroid_assign,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "pivot_events": q_pivot_events,
     "corr_quantity_price": q_corr_quantity_price,
     "tfidf_docs": q_tfidf_docs,
