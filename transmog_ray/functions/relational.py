@@ -186,6 +186,7 @@ def hash_join(
     how: str = "inner",
     num_buckets: int = 64,
     exchange: str | None = None,
+    post_fn=None,
 ):
     """Partitioned hash join, both sides large: pad to a common typed
     schema, tag, union, hash-bucket on the key(s), pandas merge per
@@ -193,7 +194,10 @@ def hash_join(
     disjoint between the sides. ``exchange="tasks"`` (default) runs the
     bucket exchange on raw Ray tasks (no sort coordination —
     stages.partition.bucket_exchange); ``"groupby"`` uses the Ray Data
-    sort-based groupby.
+    sort-based groupby. ``post_fn`` (frame → frame) runs INSIDE each
+    reduce task on that bucket's joined frame — join+aggregate fusion:
+    a decomposable rollup applied here means the joined rows never
+    leave the join task, only the partials do.
     """
     import pyarrow as pa
 
@@ -233,7 +237,7 @@ def hash_join(
         for col, dtype in int_cols.items():
             if col in out.columns and out[col].notna().all():
                 out[col] = out[col].astype(dtype)
-        return out
+        return post_fn(out) if post_fn is not None else out
 
     from ..stages.partition import resolve_exchange
 

@@ -133,8 +133,19 @@ def q_revenue_by_nation(sf_dir: str):
             "n_part": g["rev"].size(),
         }).reset_index()
 
+    # join+aggregate FUSION: the per-nation rollup decomposes, so it
+    # runs inside each join reduce task (post_fn) — only ≤25 partial
+    # rows per bucket ever leave the join; the joined rows never do
+    def per_nation_partial(out: pd.DataFrame) -> pd.DataFrame:
+        g = out.groupby("n_name", sort=False)
+        return pd.DataFrame({
+            "rev_part": g["rev_part"].sum(min_count=1),
+            "n_part": g["n_part"].sum(min_count=1),
+        }).reset_index()
+
     li_part = li.map_batches(per_order_partial, batch_format="pandas")
-    ds = hash_join(li_part, order_nation, on="l_orderkey", num_buckets=32)
+    ds = hash_join(li_part, order_nation, on="l_orderkey", num_buckets=32,
+                   post_fn=per_nation_partial)
     agg = grouped_agg(ds, ["n_name"], {"revenue": ("rev_part", "sum"),
                                        "n_items": ("n_part", "sum")})
     return agg.map_batches(

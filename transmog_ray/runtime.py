@@ -48,6 +48,23 @@ def configure_context(
             ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     except ImportError:  # pragma: no cover — older Ray
         pass
+    try:
+        # Ray's read-split default (200 blocks minimum) chops small-SF
+        # tables into ~1-3k-row blocks, and every downstream map task
+        # pays per-task overhead on a sliver of work. Blocks ≈ cluster
+        # CPUs is the measured sweet spot (BASELINE.md); it's only a
+        # MINIMUM, so 100 TB reads still split by file/row-group size.
+        env_min = os.environ.get("GRAFT_READ_MIN_BLOCKS")
+        if env_min is not None:
+            ctx.read_op_min_num_blocks = int(env_min)
+        else:
+            import ray
+
+            if ray.is_initialized():
+                cpus = int(ray.cluster_resources().get("CPU", 16))
+                ctx.read_op_min_num_blocks = max(16, cpus)
+    except (ImportError, AttributeError):  # pragma: no cover — older Ray
+        pass
     if os.environ.get("GRAFT_NO_RESERVATION") == "1":
         # ~20% faster for all-task pipelines (the 50% downstream
         # reservation idles half the cores under the flatten stage);
