@@ -155,3 +155,29 @@ def test_rolling_tied_timestamps_match_duckdb(ray_session):
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False, rtol=1e-9, atol=1e-9,
     )
+
+
+@settings(max_examples=80, deadline=None)
+@given(rows=FRAMES)
+def test_running_agg_matches_loop(rows):
+    from transmog_ray.stages.window import running_agg
+
+    df = build(rows)
+    out = running_agg(df.copy(), "k", "v", aggs=("sum", "count", "mean", "max", "min"))
+    for key, g in df.groupby("k"):
+        vals = g["v"].tolist()
+        seen: list[float] = []
+        for i, v in enumerate(vals):
+            if v is not None and not pd.isna(v):
+                seen.append(v)
+            row = out[out["k"] == key].iloc[i]
+            if not seen:  # all-null prefix: SQL NULL aggregates, count 0
+                assert row["v_run_count"] == 0
+                for c in ("v_run_sum", "v_run_mean", "v_run_max", "v_run_min"):
+                    assert pd.isna(row[c])
+            else:
+                assert row["v_run_count"] == len(seen)
+                assert np.isclose(row["v_run_sum"], sum(seen))
+                assert np.isclose(row["v_run_mean"], sum(seen) / len(seen))
+                assert row["v_run_max"] == max(seen)
+                assert row["v_run_min"] == min(seen)

@@ -656,6 +656,34 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_running_events(sf_dir: str):
+    """Expanding (cumulative) per-user aggregates: running sum / count /
+    max of value in deterministic (ts, event_id) order — the SQL ROWS
+    UNBOUNDED PRECEDING frame, computed in the same fused sorted pass as
+    the other window features."""
+    from ..stages.partition import apply_sorted
+    from ..stages.window import running_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return running_agg(df, "user_id", "value", aggs=("sum", "count", "max"))
+
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+                        tiebreak=["event_id"])
+
+
+SQL_RUNNING = """
+SELECT event_id, user_id, ts, value,
+       SUM(value) OVER w AS value_run_sum,
+       CAST(COUNT(value) OVER w AS BIGINT) AS value_run_count,
+       MAX(value) OVER w AS value_run_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_tumbling_hourly(sf_dir: str):
     """Event-time tumbling windows (1h) per user: vectorized floor +
     pre-aggregated groupby — the batch-engine form of a streaming
@@ -1896,6 +1924,7 @@ QUERIES = {
     "union_lang_counts": q_union_lang_counts,
     "backfill_events": q_backfill_events,
     "rolling_events": q_rolling_events,
+    "running_events": q_running_events,
     "tumbling_hourly": q_tumbling_hourly,
     "asof_purchase": q_asof_purchase,
     "dedup_user_type": q_dedup_user_type,
@@ -1960,6 +1989,7 @@ ORACLE_SQL = {
     "union_lang_counts": SQL_UNION_LANG,
     "backfill_events": SQL_BACKFILL,
     "rolling_events": SQL_ROLLING,
+    "running_events": SQL_RUNNING,
     "tumbling_hourly": SQL_TUMBLING,
     "asof_purchase": SQL_ASOF_PURCHASE,
     "dedup_user_type": SQL_DEDUP_USER_TYPE,

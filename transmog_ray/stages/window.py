@@ -141,6 +141,47 @@ def rolling_agg(
     return df
 
 
+def running_agg(
+    df: pd.DataFrame,
+    key: str,
+    col: str,
+    aggs: Sequence[str] = ("sum", "count"),
+    prefix: str | None = None,
+) -> pd.DataFrame:
+    """Expanding (cumulative) aggregates per key including the current
+    row, over the already-sorted frame. SQL: ``AGG(col) OVER (PARTITION
+    BY key ORDER BY ts, tiebreak ROWS BETWEEN UNBOUNDED PRECEDING AND
+    CURRENT ROW)`` — a ROWS frame, so the deterministic (ts, tiebreak)
+    sort order IS the accumulation order on both sides. SQL aggregate
+    NULL semantics: nulls are skipped, and a prefix with zero non-null
+    values yields NULL sum/mean/min/max and count 0.
+    """
+    prefix = prefix or f"{col}_run"
+    vals = pd.to_numeric(df[col], errors="coerce")
+    ok = vals.notna()
+    gkey = df[key]
+    cnt = ok.astype(np.int64).groupby(gkey, sort=False).cumsum()
+    seen = cnt > 0
+    for agg in aggs:
+        if agg == "count":
+            df[f"{prefix}_count"] = cnt
+        elif agg == "sum":
+            s = vals.fillna(0.0).groupby(gkey, sort=False).cumsum()
+            df[f"{prefix}_sum"] = s.where(seen)
+        elif agg == "mean":
+            s = vals.fillna(0.0).groupby(gkey, sort=False).cumsum()
+            df[f"{prefix}_mean"] = (s / cnt).where(seen)
+        elif agg in ("min", "max"):
+            g = vals.groupby(gkey, sort=False)
+            r = g.cummax() if agg == "max" else g.cummin()
+            # pandas leaves NaN at null rows; SQL carries the running
+            # extremum over them — forward-fill within the key
+            df[f"{prefix}_{agg}"] = r.groupby(gkey, sort=False).ffill()
+        else:  # pragma: no cover — caller error
+            raise ValueError(f"unsupported running agg: {agg}")
+    return df
+
+
 def _rolling_prefix_sums(
     df: pd.DataFrame,
     key: str,
@@ -191,4 +232,7 @@ def _rolling_prefix_sums(
     return df
 
 
-__all__ = ["with_lag", "with_lead", "sessionize", "backfill", "rolling_agg"]
+__all__ = [
+    "with_lag", "with_lead", "sessionize", "backfill", "rolling_agg",
+    "running_agg",
+]
