@@ -738,3 +738,27 @@ def test_ngram_contamination(ray_session):
     assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_contam"] == 2
     assert out.loc[2, "n_grams"] == 2 and out.loc[2, "n_contam"] == 2
     assert out.loc[2, "contam_frac"] == 1.0
+
+
+def test_line_dedup_hand_case(ray_session):
+    """Corpus-level line dedup: repeated lines survive only at the lowest
+    (doc_id, line_no); docs reassemble in original line order; a doc whose
+    every line lost disappears; both exchange paths agree."""
+    import ray.data as rd
+
+    from transmog_ray.stages.dedup import line_dedup
+
+    docs = [
+        {"doc_id": 1, "text": "alpha\nbeta\ngamma"},
+        {"doc_id": 2, "text": "beta\ndelta"},       # beta lost to doc 1
+        {"doc_id": 3, "text": "gamma\nbeta"},       # both lost
+        {"doc_id": 4, "text": None},                # null text dropped
+    ]
+    expect = {1: "alpha\nbeta\ngamma", 2: "delta"}
+    for exchange in ("tasks", "groupby"):
+        out = (
+            line_dedup(rd.from_items(docs), "doc_id", "text",
+                       num_buckets=3, exchange=exchange)
+            .to_pandas().set_index("doc_id")["text"].to_dict()
+        )
+        assert out == expect, exchange

@@ -1099,6 +1099,47 @@ def q_simhash_neardup(sf_dir: str):
     return simhash_neardup(docs, max_hamming=3)
 
 
+def q_line_dedup_docs(sf_dir: str):
+    """C4-style corpus-level line dedup: the documents text (word soup)
+    is first chunked into deterministic 3-word lines (one vectorized
+    regex, SQL-mirrored via list slicing), then every line that repeats
+    anywhere in the corpus survives only at its lowest (doc_id, line_no)
+    and documents are reassembled from their surviving lines."""
+    from ..stages.dedup import line_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    chunked = docs.map_batches(
+        lambda df: df.assign(
+            text=df["text"].str.replace(
+                r"((?:\S+ ){2}\S+) ", "\\1\n", regex=True
+            )
+        ),
+        batch_format="pandas",
+    )
+    return line_dedup(chunked, "doc_id", "text")
+
+
+SQL_LINE_DEDUP = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+), lines AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS line_no,
+         unnest(list_transform(
+             range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT)),
+             i -> array_to_string(ws[(i*3+1):(i*3+3)], ' '))) AS line
+  FROM w
+), keep AS (
+  SELECT doc_id, line_no, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM lines
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM keep WHERE rn = 1 GROUP BY doc_id
+"""
+
+
 def q_langid_docs(sf_dir: str):
     from ..functions.text import LangId
 
@@ -1925,6 +1966,7 @@ QUERIES = {
     "backfill_events": q_backfill_events,
     "rolling_events": q_rolling_events,
     "running_events": q_running_events,
+    "line_dedup_docs": q_line_dedup_docs,
     "tumbling_hourly": q_tumbling_hourly,
     "asof_purchase": q_asof_purchase,
     "dedup_user_type": q_dedup_user_type,
@@ -1990,6 +2032,7 @@ ORACLE_SQL = {
     "backfill_events": SQL_BACKFILL,
     "rolling_events": SQL_ROLLING,
     "running_events": SQL_RUNNING,
+    "line_dedup_docs": SQL_LINE_DEDUP,
     "tumbling_hourly": SQL_TUMBLING,
     "asof_purchase": SQL_ASOF_PURCHASE,
     "dedup_user_type": SQL_DEDUP_USER_TYPE,
