@@ -762,3 +762,28 @@ def test_line_dedup_hand_case(ray_session):
             .to_pandas().set_index("doc_id")["text"].to_dict()
         )
         assert out == expect, exchange
+
+
+def test_rollup_agg_hand_case(ray_session):
+    """ROLLUP levels: finest + per-k1 subtotal + grand total, rolled-up
+    keys NULL, counts merged by sum; non-decomposable ops rejected."""
+    import pytest
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import rollup_agg
+
+    rows = [
+        {"a": "x", "b": "p", "v": 1.0},
+        {"a": "x", "b": "q", "v": 2.0},
+        {"a": "y", "b": "p", "v": 4.0},
+    ]
+    ds = rd.from_items(rows)
+    out = rollup_agg(ds, ["a", "b"], {"s": ("v", "sum"), "n": ("v", "count")},
+                     num_buckets=4).to_pandas()
+    assert len(out) == 3 + 2 + 1
+    total = out[out["a"].isna()]
+    assert total["s"].iloc[0] == 7.0 and total["n"].iloc[0] == 3
+    xa = out[(out["a"] == "x") & (out["b"].isna())]
+    assert xa["s"].iloc[0] == 3.0 and xa["n"].iloc[0] == 2
+    with pytest.raises(ValueError, match="decomposable"):
+        rollup_agg(ds, ["a"], {"m": ("v", "mean")})

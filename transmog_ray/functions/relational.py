@@ -247,6 +247,70 @@ def hash_join(
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
+def rollup_agg(
+    ds,
+    keys: Sequence[str],
+    specs: Mapping[str, tuple[str, str]],
+    num_buckets: int = 64,
+    exchange: str | None = None,
+):
+    """``GROUP BY ROLLUP (k1, k2, ...)``: the finest grain plus every
+    key-prefix level plus the grand total, rolled-up key columns emitted
+    as typed SQL NULLs.
+
+    One full-data shuffle at the finest grain; every coarser level
+    re-aggregates the PREVIOUS level's already-aggregated result — the
+    classic aggregation lattice, so raw rows cross the wire exactly once
+    and each further exchange moves only group-cardinality rows. Ops are
+    restricted to the decomposable set (sum/count/min/max; derive mean
+    from sum+count downstream).
+    """
+    import numpy as np
+
+    from ..stages.common import arrow_schema, pad_to
+
+    keys = list(keys)
+    bad = [a for a, (_, op) in specs.items()
+           if op not in ("sum", "count", "min", "max")]
+    if bad:
+        raise ValueError(
+            f"rollup_agg needs decomposable ops (sum/count/min/max): {bad}"
+        )
+    # counts merge across levels by SUM; sum/min/max merge by themselves
+    respec = {a: (a, "sum" if op in ("sum", "count") else op)
+              for a, (_, op) in specs.items()}
+    count_aliases = [a for a, (_, op) in specs.items() if op == "count"]
+
+    def _int_counts(df: pd.DataFrame) -> pd.DataFrame:
+        for a in count_aliases:
+            df[a] = df[a].astype("int64")
+        return df
+
+    finest = grouped_agg(ds, keys, specs, num_buckets, exchange).materialize()
+    levels = [finest]
+    cur = finest
+    for i in range(len(keys) - 1, -1, -1):
+        sub = keys[:i]
+        if sub:
+            cur = grouped_agg(cur, sub, respec,
+                              num_buckets=min(num_buckets, 8), exchange=exchange)
+        else:
+            tagged = cur.map_batches(
+                lambda df: df.assign(__all=np.int64(0)), batch_format="pandas"
+            )
+            cur = grouped_agg(tagged, ["__all"], respec, num_buckets=1,
+                              exchange=exchange).map_batches(
+                lambda df: df.drop(columns="__all"), batch_format="pandas"
+            )
+        cur = cur.map_batches(_int_counts, batch_format="pandas").materialize()
+        levels.append(cur)
+    target = arrow_schema(finest)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl.map_batches(pad_to(target), batch_format="pyarrow"))
+    return out
+
+
 def pivot_count(
     ds,
     keys: Sequence[str] | str,

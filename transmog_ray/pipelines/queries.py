@@ -98,6 +98,34 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus): finest grain +
+    per-returnflag subtotals + grand total via the aggregation lattice
+    (raw rows shuffled once; subtotal levels re-aggregate partials)."""
+    from ..functions.relational import rollup_agg
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    out = rollup_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"), "n_items": ("l_quantity", "count")},
+    )
+    return out.map_batches(
+        lambda df: df.assign(sum_qty=round_half_away(df["sum_qty"], 2)),
+        batch_format="pandas",
+    )
+
+
+SQL_ROLLUP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)            AS sum_qty,
+       CAST(COUNT(l_quantity) AS BIGINT)    AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_revenue_by_nation(sf_dir: str):
     """lineitem ⋈ orders ⋈ customer ⋈ nation revenue rollup. Both FACT
     tables (lineitem, orders) stay distributed — they meet in a
@@ -1948,6 +1976,7 @@ WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
 
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "rollup_pricing": q_rollup_pricing,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
     "filter_high_value": q_filter_high_value,
@@ -2015,6 +2044,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "pricing_summary": SQL_PRICING,
+    "rollup_pricing": SQL_ROLLUP_PRICING,
     "revenue_by_nation": SQL_REVENUE_NATION,
     "top_customers": SQL_TOP_CUSTOMERS,
     "filter_high_value": SQL_FILTER_HIGH_VALUE,

@@ -23,7 +23,11 @@ def arrow_schema(ds, sample_rows: int = 1000) -> pa.Schema:
     schema = ds.schema()
     base = getattr(schema, "base_schema", None)
     if isinstance(base, pa.Schema):
-        return base
+        # a null-typed field means the first block was an empty/all-null
+        # slice (e.g. an empty bucket of the task exchange) — its schema
+        # is arrival-order dependent, so fall through to sampling
+        if not any(pa.types.is_null(f.type) for f in base):
+            return base
     sampled = [
         b.schema
         for b in ds.limit(sample_rows).iter_batches(
