@@ -247,6 +247,52 @@ def hash_join(
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
+def grouped_mode(
+    ds,
+    keys: Sequence[str],
+    col: str,
+    out_col: str | None = None,
+    count_col: str = "n",
+    num_buckets: int = 64,
+    exchange: str | None = None,
+):
+    """Most frequent value of *col* per key group (argmax of counts),
+    with a deterministic tie-break on the smaller value; null values are
+    ignored (SQL aggregate semantics).
+
+    Two bounded exchanges: per-batch partial counts at the (keys, col)
+    grain cap shuffle volume at one row per distinct pair per batch (hot
+    pairs self-salt), then the small count table re-keys by *keys* alone
+    and each bucket picks its winners with one vectorized sort."""
+    keys = list(keys)
+    out_col = out_col or f"{col}_mode"
+
+    filtered = ds.map_batches(
+        lambda df: df[df[col].notna()][[*keys, col]], batch_format="pandas"
+    )
+    cnt = grouped_agg(filtered, [*keys, col], {count_col: (col, "count")},
+                      num_buckets, exchange)
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([*keys, count_col, col],
+                            ascending=[*([True] * len(keys)), False, True],
+                            kind="mergesort")
+        out = df.drop_duplicates(subset=keys, keep="first")
+        out = out.rename(columns={col: out_col})
+        from ..stages.partition import BUCKET_COL
+
+        return out.drop(columns=[BUCKET_COL], errors="ignore")
+
+    from ..stages.partition import bucket_exchange, resolve_exchange
+
+    if resolve_exchange(exchange) == "tasks":
+        return bucket_exchange(cnt, keys, winner, num_buckets)
+    from ..stages.partition import BUCKET_COL, add_bucket
+
+    bucketed = add_bucket(cnt, keys, num_buckets)
+    return bucketed.groupby(BUCKET_COL).map_groups(winner, batch_format="pandas")
+
+
 def rollup_agg(
     ds,
     keys: Sequence[str],

@@ -98,6 +98,28 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_user_top_type(sf_dir: str):
+    """Per-user dominant event type: argmax of counts with a
+    deterministic smaller-value tie-break (grouped_mode)."""
+    from ..functions.relational import grouped_mode
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_mode(ev, ["user_id"], "event_type", out_col="top_type")
+
+
+SQL_USER_TOP_TYPE = """
+SELECT user_id, event_type AS top_type, CAST(cnt AS BIGINT) AS n
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY user_id, event_type
+)
+WHERE rn = 1
+"""
+
+
 def q_rollup_pricing(sf_dir: str):
     """GROUP BY ROLLUP (l_returnflag, l_linestatus): finest grain +
     per-returnflag subtotals + grand total via the aggregation lattice
@@ -1977,6 +1999,7 @@ WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "rollup_pricing": q_rollup_pricing,
+    "user_top_type": q_user_top_type,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
     "filter_high_value": q_filter_high_value,
@@ -2045,6 +2068,7 @@ QUERIES = {
 ORACLE_SQL = {
     "pricing_summary": SQL_PRICING,
     "rollup_pricing": SQL_ROLLUP_PRICING,
+    "user_top_type": SQL_USER_TOP_TYPE,
     "revenue_by_nation": SQL_REVENUE_NATION,
     "top_customers": SQL_TOP_CUSTOMERS,
     "filter_high_value": SQL_FILTER_HIGH_VALUE,
