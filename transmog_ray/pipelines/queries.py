@@ -35,6 +35,18 @@ def read_table(sf_dir: str, name: str, columns=None):
     return _rd().read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def read_small(sf_dir: str, name: str, columns=None) -> pd.DataFrame:
+    """Driver-side pandas load of a SMALL (dimension/broadcast) table via
+    pyarrow directly — no Dataset, no task launch. Only for sides that
+    are about to be broadcast (ray.put) anyway; fact tables go through
+    :func:`read_table` and stay distributed."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        f"{sf_dir}/{name}.parquet", columns=list(columns) if columns else None
+    ).to_pandas()
+
+
 def round_half_away(x, decimals: int):
     """DuckDB ROUND semantics (half away from zero)."""
     m = 10.0 ** decimals
@@ -157,8 +169,8 @@ def q_revenue_by_nation(sf_dir: str):
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
         ["c_custkey", "n_name"]
     ].rename(columns={"c_custkey": "o_custkey"})
@@ -364,8 +376,8 @@ def q_shipping_priority(sf_dir: str):
     with lineitem); only the customer key set is broadcast."""
     from ..functions.relational import grouped_agg, hash_join, semi_join, topk
 
-    cust = read_table(sf_dir, "customer",
-                      columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = read_small(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
     building = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]].rename(
         columns={"c_custkey": "o_custkey"}
     )
