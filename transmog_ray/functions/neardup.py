@@ -452,11 +452,12 @@ def minhash_clusters(
         return df
 
     # distributed pair DEDUP: one bucket exchange keyed on the pair —
-    # the un-deduped candidate stream never lands on the driver
-    cand = (
-        bands.map_batches(coarse_bucket, batch_format="pandas")
-        .groupby("_cand_bucket")
-        .map_groups(candidates, batch_format="pandas")
+    # the un-deduped candidate stream never lands on the driver. The
+    # coarse-bucket hop runs on the raw-task exchange (bucket_col routes
+    # by the precomputed bucket) — no sort coordination.
+    cand = bucket_exchange(
+        bands.map_batches(coarse_bucket, batch_format="pandas"),
+        ["_cand_bucket"], candidates, 64, bucket_col="_cand_bucket",
     )
     pairs = bucket_exchange(
         cand, ["id_a", "id_b"],
