@@ -653,21 +653,20 @@ def simhash_neardup(
         ).astype(np.int64)
         return df
 
-    cand = (
-        exploded.map_batches(coarse, batch_format="pandas")
-        .groupby("_nd_bucket")
-        .map_groups(candidates, batch_format="pandas")
+    from ..stages.partition import bucket_exchange
+
+    cand = bucket_exchange(
+        exploded.map_batches(coarse, batch_format="pandas"),
+        ["_nd_bucket"], candidates, num_buckets, bucket_col="_nd_bucket",
     )
     # same pair can match on several blocks → global dedup, one shuffle
-    return (
-        add_bucket(cand, ["id_a", "id_b"], num_buckets)
-        .groupby(BUCKET_COL)
-        .map_groups(
-            lambda df: df.drop_duplicates(["id_a", "id_b"]).drop(
-                columns=[BUCKET_COL]
-            ),
-            batch_format="pandas",
-        )
+    return bucket_exchange(
+        cand,
+        ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"]).drop(
+            columns=[BUCKET_COL, "_nd_bucket"], errors="ignore"
+        ),
+        num_buckets,
     )
 
 
