@@ -787,3 +787,29 @@ def test_rollup_agg_hand_case(ray_session):
     assert xa["s"].iloc[0] == 3.0 and xa["n"].iloc[0] == 2
     with pytest.raises(ValueError, match="decomposable"):
         rollup_agg(ds, ["a"], {"m": ("v", "mean")})
+
+
+def test_asof_forward_direction(ray_session):
+    """direction='forward' attaches the EARLIEST right row at/after the
+    left ts (label construction); exact matches allowed."""
+    import ray.data as rd
+
+    from transmog_ray.stages.asof import asof_join
+
+    left = rd.from_items([
+        {"k": "a", "ts": pd.Timestamp("2024-01-01 00:10"), "i": 1},
+        {"k": "a", "ts": pd.Timestamp("2024-01-01 01:00"), "i": 2},
+        {"k": "a", "ts": pd.Timestamp("2024-01-01 03:00"), "i": 3},
+    ])
+    right = rd.from_items([
+        {"k": "a", "fts": pd.Timestamp("2024-01-01 01:00"), "v": 10.0},
+        {"k": "a", "fts": pd.Timestamp("2024-01-01 02:00"), "v": 20.0},
+    ])
+    out = (
+        asof_join(left, right, key="k", left_ts="ts", right_ts="fts",
+                  right_cols=["v"], num_buckets=2, direction="forward")
+        .to_pandas().sort_values("i")
+    )
+    assert out["v"].tolist()[0] == 10.0      # next at/after 00:10
+    assert out["v"].tolist()[1] == 10.0      # exact match allowed
+    assert pd.isna(out["v"].tolist()[2])     # nothing after 03:00

@@ -899,6 +899,37 @@ ASOF LEFT JOIN (
 """
 
 
+def q_asof_next_purchase(sf_dir: str):
+    """FORWARD as-of: the earliest purchase at or after each event — the
+    look-ahead join that builds prediction TARGETS (time-to-next-purchase
+    labels), deliberately not a feature."""
+    from ..stages.asof import asof_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type", "value"]
+                    ).materialize()
+    purchases = ev.map_batches(
+        lambda df: df[df["event_type"] == "purchase"][["user_id", "ts", "value"]]
+        .rename(columns={"ts": "np_ts", "value": "np_value"}),
+        batch_format="pandas",
+    )
+    return asof_join(
+        ev, purchases,
+        key="user_id", left_ts="ts", right_ts="np_ts", right_cols=["np_value"],
+        num_buckets=32, direction="forward",
+    )
+
+
+SQL_ASOF_NEXT_PURCHASE = """
+SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value, p.np_ts, p.np_value
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts AS np_ts, value AS np_value FROM events
+  WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts <= p.np_ts
+"""
+
+
 def q_dedup_user_type(sf_dir: str):
     """Exact dedup: first event per (user, type) by time."""
     from ..stages.dedup import dedup_exact
@@ -1430,6 +1461,37 @@ FROM events e JOIN events p
 """
 
 
+def q_user_event_paths(sf_dir: str):
+    """Ordered event-sequence (collect-list) per user: the
+    comma-joined event types in deterministic (ts, event_id) order —
+    the sessions-to-sequences step of a behavioral feature pipeline.
+    One sorted-bucket pass; the aggregation happens inside the bucket."""
+    from ..stages.partition import apply_sorted
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].notna()]
+        g = df.groupby("user_id", sort=False)
+        out = g["event_type"].agg(",".join).reset_index()
+        out = out.rename(columns={"event_type": "path"})
+        out["n_events"] = g.size().to_numpy(dtype=np.int64)
+        return out
+
+    return apply_sorted(ev, ["user_id"], "ts", kernel, tiebreak=["event_id"])
+
+
+SQL_USER_EVENT_PATHS = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+       CAST(COUNT(event_type) AS BIGINT) AS n_events
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY user_id
+"""
+
+
 def q_rank_events(sf_dir: str):
     """SQL window-rank functions per user: ROW_NUMBER over (ts, event_id),
     running SUM(value), and RANK by value desc — one sorted-bucket pass."""
@@ -1439,13 +1501,37 @@ def q_rank_events(sf_dir: str):
                     columns=["event_id", "ts", "user_id", "value"])
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
         g = df.groupby("user_id", sort=False)
         df["rn"] = (g.cumcount() + 1).astype("int64")
         df["running_value"] = round_half_away(g["value"].cumsum(), 2)
-        df["value_rank"] = (
-            g["value"].rank(method="min", ascending=False).astype("int64")
+        rank_min = g["value"].rank(method="min", ascending=False)
+        df["value_rank"] = rank_min.astype("int64")
+        n = g["value"].transform("size").to_numpy(dtype=np.int64)
+        # PERCENT_RANK: (rank-1)/(n-1), single-row partitions pin to 0
+        df["value_pr"] = np.where(
+            n > 1, (rank_min.to_numpy() - 1) / np.maximum(n - 1, 1), 0.0
         )
-        return df[["event_id", "rn", "running_value", "value_rank"]]
+        # NTILE(4) under the deterministic (value DESC, event_id) order:
+        # position within the re-sorted key group, then the SQL bucket
+        # split (first n%k buckets get one extra row)
+        order_pos = df.sort_values(
+            ["user_id", "value", "event_id"], ascending=[True, False, True],
+            kind="mergesort",
+        ).index.to_numpy()
+        p = np.empty(len(df), dtype=np.int64)
+        p[order_pos] = (
+            df.iloc[order_pos].groupby("user_id", sort=False).cumcount().to_numpy()
+        )
+        base, rem = n // 4, n % 4
+        cut = rem * (base + 1)
+        df["value_ntile4"] = np.where(
+            p < cut,
+            p // np.maximum(base + 1, 1),
+            rem + (p - cut) // np.maximum(base, 1),
+        ) + 1
+        return df[["event_id", "rn", "running_value", "value_rank",
+                   "value_pr", "value_ntile4"]]
 
     return apply_sorted(ev, ["user_id"], "ts", kernel, tiebreak=["event_id"])
 
@@ -1456,7 +1542,12 @@ SELECT event_id,
        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING), 2) AS running_value,
        CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT)
-           AS value_rank
+           AS value_rank,
+       PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value DESC)
+           AS value_pr,
+       CAST(NTILE(4) OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id) AS BIGINT)
+           AS value_ntile4
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
@@ -2033,6 +2124,7 @@ QUERIES = {
     "line_dedup_docs": q_line_dedup_docs,
     "tumbling_hourly": q_tumbling_hourly,
     "asof_purchase": q_asof_purchase,
+    "asof_next_purchase": q_asof_next_purchase,
     "dedup_user_type": q_dedup_user_type,
     "token_stats": q_token_stats,
     "quality_docs": q_quality_docs,
@@ -2057,6 +2149,7 @@ QUERIES = {
     "pages_features_tagged": q_pages_features_tagged,
     "range_join_events": q_range_join_events,
     "rank_events": q_rank_events,
+    "user_event_paths": q_user_event_paths,
     "repetition_docs": q_repetition_docs,
     "top_terms": q_top_terms,
     "sample_docs": q_sample_docs,
@@ -2101,6 +2194,7 @@ ORACLE_SQL = {
     "line_dedup_docs": SQL_LINE_DEDUP,
     "tumbling_hourly": SQL_TUMBLING,
     "asof_purchase": SQL_ASOF_PURCHASE,
+    "asof_next_purchase": SQL_ASOF_NEXT_PURCHASE,
     "dedup_user_type": SQL_DEDUP_USER_TYPE,
     "token_stats": SQL_TOKEN_STATS,
     "quality_docs": SQL_QUALITY,
@@ -2118,6 +2212,7 @@ ORACLE_SQL = {
     "pages_features_tagged": SQL_PAGES_FEATURES,
     "range_join_events": SQL_RANGE_JOIN,
     "rank_events": SQL_RANK_EVENTS,
+    "user_event_paths": SQL_USER_EVENT_PATHS,
     "repetition_docs": SQL_REPETITION,
     "top_terms": SQL_TOP_TERMS,
     "sample_docs": SQL_SAMPLE_DOCS,

@@ -45,8 +45,9 @@ def _merge_asof(
     right_ts: str,
     right_cols: Sequence[str],
     tolerance_seconds: float | None,
+    direction: str = "backward",
 ) -> pd.DataFrame:
-    """Leakage-free backward merge; null-ts left rows pass through unmatched."""
+    """Sorted merge cursor; null-ts left rows pass through unmatched."""
     null_mask = left[left_ts].isna() | left[key].isna()
     left_ok = left[~null_mask].sort_values(left_ts, kind="mergesort")
     right_ok = right.dropna(subset=[key, right_ts]).sort_values(
@@ -58,7 +59,7 @@ def _merge_asof(
         left_on=left_ts,
         right_on=right_ts,
         by=key,
-        direction="backward",
+        direction=direction,
         allow_exact_matches=True,
         tolerance=(
             pd.Timedelta(seconds=tolerance_seconds)
@@ -86,8 +87,16 @@ def asof_join(
     num_buckets: int = 64,
     tolerance_seconds: float | None = None,
     exchange: str | None = None,
+    direction: str = "backward",
 ):
     """Shuffle-based as-of join of two Datasets (both sides large).
+
+    ``direction`` follows ``pd.merge_asof``: "backward" (default) is the
+    leakage-free point-in-time join (latest right row at or before the
+    left timestamp); "forward" attaches the EARLIEST right row at or
+    after it — an intentional look-ahead for building prediction
+    TARGETS (e.g. time-to-next-purchase labels), never features;
+    "nearest" picks the closer of the two.
 
     Output = every left row + ``right_ts`` + ``right_cols`` (null when no
     feature row exists at or before the left timestamp). ``left_ts`` and
@@ -131,7 +140,7 @@ def asof_join(
         else:
             out = _merge_asof(
                 left, right, key, left_ts, right_ts, right_cols,
-                tolerance_seconds,
+                tolerance_seconds, direction,
             )
         for col, dtype in left_int_cols.items():
             if col in out.columns and out[col].notna().all():
@@ -158,9 +167,11 @@ def asof_join_broadcast(
     right_cols: Sequence[str],
     tolerance_seconds: float | None = None,
     concurrency: int | None = None,
+    direction: str = "backward",
 ):
     """Broadcast as-of join: small feature side shipped once via ``ray.put``,
     looked up inside every left batch — no shuffle, left side streams.
+    ``direction`` as in :func:`asof_join`.
     """
     import ray
 
@@ -171,7 +182,8 @@ def asof_join_broadcast(
     def lookup(batch: pd.DataFrame) -> pd.DataFrame:
         right = ray.get(right_ref)  # zero-copy view from local object store
         return _merge_asof(
-            batch, right, key, left_ts, right_ts, right_cols, tolerance_seconds
+            batch, right, key, left_ts, right_ts, right_cols,
+            tolerance_seconds, direction,
         )
 
     kwargs = {"batch_format": "pandas"}
