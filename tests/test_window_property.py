@@ -181,3 +181,22 @@ def test_running_agg_matches_loop(rows):
                 assert np.isclose(row["v_run_mean"], sum(seen) / len(seen))
                 assert row["v_run_max"] == max(seen)
                 assert row["v_run_min"] == min(seen)
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=FRAMES)
+def test_ewma_matches_loop(rows):
+    from transmog_ray.stages.window import ewma
+
+    df = build(rows)
+    out = ewma(df.copy(), "k", "v", alpha=0.4)
+    for key, g in df.groupby("k"):
+        y = None
+        got = out[out["k"] == key]["v_ewma0.4"].tolist()
+        for i, v in enumerate(g["v"].tolist()):
+            if v is not None and not pd.isna(v):
+                y = v if y is None else 0.4 * v + 0.6 * y
+            if y is None:
+                assert pd.isna(got[i])
+            else:
+                assert np.isclose(got[i], y)

@@ -48,6 +48,30 @@ def hash_sample(ds, id_col: str, percent: int):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def assign_split(ds, key_col: str, splits, out_col: str = "split"):
+    """Leakage-safe train/valid/test split: EVERY row sharing *key_col*
+    (a user, url, document group...) lands in the same split — the
+    entity, not the row, is hashed, so no entity leaks across splits.
+    Deterministic (Knuth hash, SQL-reproducible), embarrassingly
+    parallel, no shuffle, no RNG state.
+
+    ``splits``: ordered mapping label -> integer percent, summing to
+    100; hash buckets [0,100) are assigned to labels in iteration order.
+    """
+    labels = list(splits)
+    cuts = np.cumsum(np.fromiter(splits.values(), dtype=np.int64))
+    if cuts[-1] != 100:
+        raise ValueError(f"split percents must sum to 100, got {cuts[-1]}")
+    label_arr = np.array(labels, dtype=object)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = (knuth_hash(df[key_col].to_numpy()) % np.uint64(100)).astype(np.int64)
+        df[out_col] = label_arr[np.searchsorted(cuts, h, side="right")]
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def stratified_sample(
     ds,
     id_col: str,

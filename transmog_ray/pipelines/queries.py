@@ -1461,6 +1461,42 @@ FROM events e JOIN events p
 """
 
 
+def q_ewma_events(sf_dir: str):
+    """Per-user EWMA of value in event-time order — a recursive decay
+    feature (y = a*x + (1-a)*y_prev), not ANSI-SQL expressible, so
+    rows-only here; pinned by the loop oracle in tests."""
+    from ..stages.partition import apply_sorted
+    from ..stages.window import ewma
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return ewma(df, "user_id", "value", alpha=0.3)
+
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+                        tiebreak=["event_id"])
+
+
+def q_user_split(sf_dir: str):
+    """Leakage-safe 90/5/5 split: the USER is hashed, not the row, so
+    every event of one user lands in the same split — the anti-leak
+    contract a training pipeline needs."""
+    from ..functions.sampling import assign_split
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    return assign_split(ev, "user_id", {"train": 90, "valid": 5, "test": 5})
+
+
+SQL_USER_SPLIT = """
+SELECT event_id, user_id,
+       CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 90 THEN 'train'
+            WHEN ((user_id * 2654435761) % 4294967296) % 100 < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM events
+"""
+
+
 def q_user_event_paths(sf_dir: str):
     """Ordered event-sequence (collect-list) per user: the
     comma-joined event types in deterministic (ts, event_id) order —
@@ -2150,6 +2186,8 @@ QUERIES = {
     "range_join_events": q_range_join_events,
     "rank_events": q_rank_events,
     "user_event_paths": q_user_event_paths,
+    "user_split": q_user_split,
+    "ewma_events": q_ewma_events,
     "repetition_docs": q_repetition_docs,
     "top_terms": q_top_terms,
     "sample_docs": q_sample_docs,
@@ -2213,6 +2251,7 @@ ORACLE_SQL = {
     "range_join_events": SQL_RANGE_JOIN,
     "rank_events": SQL_RANK_EVENTS,
     "user_event_paths": SQL_USER_EVENT_PATHS,
+    "user_split": SQL_USER_SPLIT,
     "repetition_docs": SQL_REPETITION,
     "top_terms": SQL_TOP_TERMS,
     "sample_docs": SQL_SAMPLE_DOCS,

@@ -182,6 +182,31 @@ def running_agg(
     return df
 
 
+def ewma(
+    df: pd.DataFrame,
+    key: str,
+    col: str,
+    alpha: float = 0.3,
+    out_col: str | None = None,
+) -> pd.DataFrame:
+    """Exponential moving average per key over the sorted frame:
+    ``y_t = alpha*x_t + (1-alpha)*y_{t-1}`` (``adjust=False`` recursion —
+    the streaming decay feature a trailing-window mean approximates).
+    Null inputs emit the carried state unchanged (``ignore_na=True``).
+    Inherently recursive, so not ANSI-SQL expressible — pinned by the
+    loop oracle in tests instead of a DuckDB twin."""
+    out_col = out_col or f"{col}_ewma{alpha}"
+    if not df.index.is_unique:
+        df = df.reset_index(drop=True)
+    r = (
+        df.groupby(key, sort=False)[col]
+        .ewm(alpha=alpha, adjust=False, ignore_na=True)
+        .mean()
+    )
+    df[out_col] = r.droplevel(0)  # aligns on the original row index
+    return df
+
+
 def _rolling_prefix_sums(
     df: pd.DataFrame,
     key: str,
@@ -234,5 +259,5 @@ def _rolling_prefix_sums(
 
 __all__ = [
     "with_lag", "with_lead", "sessionize", "backfill", "rolling_agg",
-    "running_agg",
+    "running_agg", "ewma",
 ]
