@@ -228,3 +228,56 @@ def test_session_state_vectorized_matches_unguarded():
         got = canon(pd.concat(outs, ignore_index=True))
         expect = canon(batch_expected(make_log(300, seed=12)))
         pd.testing.assert_frame_equal(got, expect)
+
+
+def _batch_hopping(df, key, ts, value, window_s, hop_s):
+    import numpy as np
+
+    ts_ns = df[ts].to_numpy().astype("datetime64[ns]").astype(np.int64)
+    win_ns, hop_ns = np.int64(window_s * 1e9), np.int64(hop_s * 1e9)
+    nw = int(win_ns // hop_ns)
+    win = (ts_ns // hop_ns) * hop_ns
+    win = (win[:, None] - hop_ns * np.arange(nw)[None, :]).reshape(-1)
+    rep = df.loc[df.index.repeat(nw)].reset_index(drop=True)
+    g = (
+        rep.assign(window_start=pd.to_datetime(win))
+        .groupby([key, "window_start"], sort=False)[value]
+        .agg(["count", "sum", "min", "max"])
+        .reset_index()
+        .rename(columns={"count": "n", "sum": "sum_value",
+                         "min": "min_value", "max": "max_value"})
+    )
+    g["n"] = g["n"].astype("int64")
+    return g.sort_values([key, "window_start"]).reset_index(drop=True)
+
+
+def test_streaming_hopping_matches_batch(ray_session):
+    import numpy as np
+
+    from transmog_ray.state.streaming import streaming_tumbling
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 8, n).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.sort(rng.integers(0, 30_000, n)), unit="s"),
+        "value": np.round(rng.uniform(0, 50, n), 3),
+    })
+    batches = [df.iloc[i:i + 200] for i in range(0, n, 200)]
+    out = pd.concat(
+        list(streaming_tumbling(batches, "user_id", "ts", "value", 3600,
+                                num_buckets=4, hop_seconds=900)),
+        ignore_index=True,
+    ).sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    want = _batch_hopping(df, "user_id", "ts", "value", 3600, 900)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_hopping_state_rejects_nondivisible_hop():
+    import pytest
+
+    from transmog_ray.state.streaming import TumblingWindowState
+
+    with pytest.raises(ValueError, match="multiple"):
+        TumblingWindowState("k", "ts", "v", window_seconds=60, hop_seconds=25)

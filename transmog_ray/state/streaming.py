@@ -205,24 +205,33 @@ class WatermarkTracker:
 
 
 class TumblingWindowState:
-    """Incremental event-time tumbling windows with watermark-driven
-    emission: per-(key, window) partial aggregates accumulate as batches
-    arrive; a window is FINALIZED and emitted once the watermark (max
-    seen ts − allowed lateness) passes its end, after which rows for it
-    are counted as dropped-late instead of corrupting an emitted result.
+    """Incremental event-time tumbling (or, with ``hop_seconds``,
+    HOPPING) windows with watermark-driven emission: per-(key, window)
+    partial aggregates accumulate as batches arrive; a window is
+    FINALIZED and emitted once the watermark (max seen ts − allowed
+    lateness) passes its end, after which rows for it are counted as
+    dropped-late instead of corrupting an emitted result. Hopping
+    windows overlap: each row lands in ``window/hop`` windows
+    (``window_seconds`` must be a multiple of ``hop_seconds``);
+    assignments to already-closed windows are discarded at accumulate
+    time so a late-but-not-fully-late row updates only its open windows.
 
     State is bounded by the number of OPEN windows (keys × windows inside
     the lateness horizon), not by the stream length — the defining
     property of a streaming window operator. Results over a fully
-    flushed, in-order stream are identical to the batch tumbling
-    aggregate (pinned by tests)."""
+    flushed, in-order stream are identical to the batch tumbling /
+    hopping aggregate (pinned by tests)."""
 
     def __init__(self, key: str, ts: str, value: str, window_seconds: float,
-                 allowed_lateness_s: float = 0.0):
+                 allowed_lateness_s: float = 0.0,
+                 hop_seconds: float | None = None):
         self.key = key
         self.ts = ts
         self.value = value
         self.win_ns = np.int64(window_seconds * 1e9)
+        self.hop_ns = np.int64((hop_seconds or window_seconds) * 1e9)
+        if self.win_ns % self.hop_ns:
+            raise ValueError("window_seconds must be a multiple of hop_seconds")
         self.tracker = WatermarkTracker(ts, allowed_lateness_s)
         # (key, window_start_ns) -> [count, sum, min, max]
         self.partials: dict = {}
@@ -231,10 +240,23 @@ class TumblingWindowState:
 
     def _accumulate(self, df: pd.DataFrame) -> None:
         ts_ns = df[self.ts].to_numpy().astype("datetime64[ns]").astype(np.int64)
-        win = (ts_ns // self.win_ns) * self.win_ns
+        nw = int(self.win_ns // self.hop_ns)
+        win = (ts_ns // self.hop_ns) * self.hop_ns
+        keys = df[self.key].to_numpy()
+        vals = df[self.value].to_numpy()
+        if nw > 1:  # hopping: replicate each row over its nw windows
+            win = (
+                win[:, None]
+                - self.hop_ns * np.arange(nw, dtype=np.int64)[None, :]
+            ).reshape(-1)
+            keys = np.repeat(keys, nw)
+            vals = np.repeat(vals, nw)
+            if self.emitted_before_ns is not None:
+                open_mask = win + self.win_ns > self.emitted_before_ns
+                win, keys, vals = win[open_mask], keys[open_mask], vals[open_mask]
         g = (
-            pd.DataFrame({"k": df[self.key].to_numpy(), "w": win,
-                          "v": df[self.value].to_numpy()})
+            pd.DataFrame({"k": keys, "w": win,
+                          "v": vals})
             .groupby(["k", "w"], sort=False)["v"]
             .agg(["count", "sum", "min", "max"])
         )
@@ -274,7 +296,11 @@ class TumblingWindowState:
             if self.emitted_before_ns is not None:
                 ts_ns = df[self.ts].to_numpy().astype(
                     "datetime64[ns]").astype(np.int64)
-                win = (ts_ns // self.win_ns) * self.win_ns
+                # a row is FULLY late only when even its latest window
+                # (start = floor(ts/hop)*hop) has closed; partially-late
+                # rows keep their open windows (_accumulate filters the
+                # closed assignments)
+                win = (ts_ns // self.hop_ns) * self.hop_ns
                 closed = win + self.win_ns <= self.emitted_before_ns
                 self.dropped_late += int(closed.sum())
                 df = df[~closed]
@@ -299,17 +325,20 @@ def streaming_tumbling(
     window_seconds: float,
     allowed_lateness_s: float = 0.0,
     num_buckets: int = 8,
+    hop_seconds: float | None = None,
 ):
     """Feed a time-ordered iterable of pandas batches through a pool of
     tumbling-window actors (hash-routed by key); yields finalized-window
-    frames as watermarks advance, then the end-of-stream flush."""
+    frames as watermarks advance, then the end-of-stream flush.
+    ``hop_seconds`` switches the pool to overlapping HOPPING windows."""
     import ray
 
     from ..stages.partition import key_hash
 
     ActorCls = ray.remote(TumblingWindowState)
     actors = [
-        ActorCls.remote(key, ts, value, window_seconds, allowed_lateness_s)
+        ActorCls.remote(key, ts, value, window_seconds, allowed_lateness_s,
+                        hop_seconds)
         for _ in range(num_buckets)
     ]
     for batch in ordered_batches:
