@@ -205,10 +205,31 @@ def run_scaling() -> dict:
     # windows (one-sided slowdown); run the levels INTERLEAVED over
     # best-of-N fresh processes per level (each itself warm + best-of-2)
     # so a bad window degrades all levels, not one side of a ratio
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts"))
+    from measure_cpu_ceiling import measure
+
     samples: dict[int, list] = {n: [] for n in levels}
+    per_repeat: list[dict] = []
     for _ in range(repeats):
+        sample = {}
         for n in levels:
-            samples[n].append(one(n))
+            sample[n] = one(n)
+            samples[n].append(sample[n])
+        # CO-MEASURED ceiling inside the same host window as this
+        # repeat's level samples — the per-repeat raw-vs-ceiling pair is
+        # the coherence signal (a repeat where they diverge spanned a
+        # throttle window; a repeat where they agree is recordable)
+        ceil_r = measure(tuple(levels))
+        row: dict = {"pages_per_sec": {str(n): sample[n]["pages_per_sec"]
+                                       for n in levels}}
+        for lo, hi in zip(levels, levels[1:]):
+            raw = (sample[hi]["pages_per_sec"] /
+                   sample[lo]["pages_per_sec"]) / (hi / lo)
+            row[f"raw_{lo}_to_{hi}"] = round(raw, 3)
+            row[f"ceiling_{lo}_to_{hi}"] = ceil_r.get(
+                f"ceiling_eff_{lo}_to_{hi}")
+        per_repeat.append(row)
     results = {n: min(runs, key=lambda r: r["sec"])
                for n, runs in samples.items()}
 
@@ -227,14 +248,11 @@ def run_scaling() -> dict:
         if not retried:
             break
 
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "scripts"))
-    from measure_cpu_ceiling import measure
-
     ceiling = measure(tuple(levels))
 
     out = {
-        "metric": "flagship pages/sec at num_cpus 2 / 8 / 32, same input",
+        "metric": ("flagship pages/sec at num_cpus "
+                   + " / ".join(map(str, levels)) + ", same input"),
         "rows": results[levels[0]]["rows"],
     }
     for n in levels:
@@ -251,6 +269,22 @@ def run_scaling() -> dict:
             out[f"normalized_eff_{lo}_to_{hi}"] = round(raw / ceil, 3)
     # headline pair for the north rule: the in-linear-region N→4N pair
     out["scaling_efficiency"] = out.get("scaling_efficiency_2_to_8")
+    # per-repeat co-measured diagnostics + the most COHERENT repeat per
+    # pair (raw closest to its own-window ceiling): the recordable one
+    out["repeats"] = per_repeat
+    for lo, hi in zip(levels, levels[1:]):
+        cands = [r for r in per_repeat
+                 if r.get(f"ceiling_{lo}_to_{hi}") is not None]
+        if cands:
+            best = min(cands, key=lambda r: abs(
+                r[f"raw_{lo}_to_{hi}"] - r[f"ceiling_{lo}_to_{hi}"]))
+            out[f"coherent_{lo}_to_{hi}"] = {
+                "raw": best[f"raw_{lo}_to_{hi}"],
+                "ceiling": best[f"ceiling_{lo}_to_{hi}"],
+                "normalized": round(
+                    best[f"raw_{lo}_to_{hi}"] / best[f"ceiling_{lo}_to_{hi}"],
+                    3),
+            }
     return out
 
 
