@@ -132,6 +132,41 @@ WHERE rn = 1
 """
 
 
+def q_suppliers_by_region(sf_dir: str):
+    """supplier ⋈ nation ⋈ region rollup: supplier count + mean account
+    balance per region. The two-hop dimension chain is merged driver-side
+    and broadcast once; the fact side streams through one tiny exchange."""
+    from ..functions.relational import broadcast_join, grouped_agg
+
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = read_small(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ].rename(columns={"n_nationkey": "s_nationkey"})
+    joined = broadcast_join(sup, dim, on="s_nationkey")
+    agg = grouped_agg(joined, ["r_name"], {
+        "n_suppliers": ("s_suppkey", "count"),
+        "avg_balance": ("s_acctbal", "mean"),
+    }, num_buckets=8)
+    return agg.map_batches(
+        lambda df: df.assign(avg_balance=round_half_away(df["avg_balance"], 2)),
+        batch_format="pandas",
+    )
+
+
+SQL_SUPPLIERS_BY_REGION = """
+SELECT r_name,
+       CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(s_acctbal) / COUNT(s_acctbal), 2) AS avg_balance
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_rollup_pricing(sf_dir: str):
     """GROUP BY ROLLUP (l_returnflag, l_linestatus): finest grain +
     per-returnflag subtotals + grand total via the aggregation lattice
@@ -1478,6 +1513,91 @@ def q_ewma_events(sf_dir: str):
                         tiebreak=["event_id"])
 
 
+def q_session_funnel(sf_dir: str):
+    """Per-user conversion funnel: of the user's gap-sessions, how many
+    contain the ordered view → click → purchase subsequence. One sorted
+    pass: sessionize + per-session path + vectorized subsequence flag +
+    per-user rollup, all inside the bucket."""
+    from ..stages.partition import apply_sorted
+    from ..stages.window import sessionize
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = sessionize(df, "user_id", "ts", SESSION_GAP_S)
+        paths = (
+            df.groupby(["user_id", "session_seq"], sort=False)["event_type"]
+            .agg(",".join)
+            .reset_index(name="path")
+        )
+        conv = paths["path"].str.contains(
+            "view.*click.*purchase", regex=True
+        ).astype("int64")
+        out = (
+            paths.assign(conv=conv)
+            .groupby("user_id", sort=False)
+            .agg(n_sessions=("path", "size"), n_converted=("conv", "sum"))
+            .reset_index()
+        )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_converted"] = out["n_converted"].astype("int64")
+        return out
+
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+                        tiebreak=["event_id"])
+
+
+SQL_SESSION_FUNNEL = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL {{gap}} SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(is_new) OVER w2 - 1 AS BIGINT) AS session_seq
+  FROM flagged
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+), paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+  FROM numbered GROUP BY user_id, session_seq
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN path LIKE '%view%click%purchase%'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM paths GROUP BY user_id
+""".replace("{gap}", str(SESSION_GAP_S))
+
+
+def q_histogram_chars(sf_dir: str):
+    """Corpus length-distribution histogram (fixed 100-char bins) — the
+    standard first diagnostic over a text corpus; map-side bin + partial
+    counts, one tiny exchange."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["n_chars"])
+    binned = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"bin": (df["n_chars"] // 100).astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    return grouped_agg(binned, ["bin"], {"n_docs": ("bin", "count")})
+
+
+SQL_HISTOGRAM_CHARS = """
+SELECT CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
 def q_user_split(sf_dir: str):
     """Leakage-safe 90/5/5 split: the USER is hashed, not the row, so
     every event of one user lands in the same split — the anti-leak
@@ -2139,6 +2259,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "rollup_pricing": q_rollup_pricing,
     "user_top_type": q_user_top_type,
+    "suppliers_by_region": q_suppliers_by_region,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
     "filter_high_value": q_filter_high_value,
@@ -2188,6 +2309,8 @@ QUERIES = {
     "user_event_paths": q_user_event_paths,
     "user_split": q_user_split,
     "ewma_events": q_ewma_events,
+    "session_funnel": q_session_funnel,
+    "histogram_chars": q_histogram_chars,
     "repetition_docs": q_repetition_docs,
     "top_terms": q_top_terms,
     "sample_docs": q_sample_docs,
@@ -2212,6 +2335,7 @@ ORACLE_SQL = {
     "pricing_summary": SQL_PRICING,
     "rollup_pricing": SQL_ROLLUP_PRICING,
     "user_top_type": SQL_USER_TOP_TYPE,
+    "suppliers_by_region": SQL_SUPPLIERS_BY_REGION,
     "revenue_by_nation": SQL_REVENUE_NATION,
     "top_customers": SQL_TOP_CUSTOMERS,
     "filter_high_value": SQL_FILTER_HIGH_VALUE,
@@ -2252,6 +2376,8 @@ ORACLE_SQL = {
     "rank_events": SQL_RANK_EVENTS,
     "user_event_paths": SQL_USER_EVENT_PATHS,
     "user_split": SQL_USER_SPLIT,
+    "session_funnel": SQL_SESSION_FUNNEL,
+    "histogram_chars": SQL_HISTOGRAM_CHARS,
     "repetition_docs": SQL_REPETITION,
     "top_terms": SQL_TOP_TERMS,
     "sample_docs": SQL_SAMPLE_DOCS,
