@@ -31,8 +31,17 @@ def _rd():
     return rd
 
 
-def read_table(sf_dir: str, name: str, columns=None):
-    return _rd().read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+def read_table(sf_dir: str, name: str, columns=None, num_blocks: int | None = None):
+    """``num_blocks`` caps the read split for SMALL tables where
+    per-block pipeline overhead exceeds the compute (measured: a
+    handful of chunky blocks is ~2-3x faster than the min-blocks
+    default on few-MB inputs). Leave unset for anything that grows
+    with scale — real reads split by bytes."""
+    kwargs = {}
+    if num_blocks is not None:
+        kwargs["override_num_blocks"] = num_blocks
+    return _rd().read_parquet(f"{sf_dir}/{name}.parquet", columns=columns,
+                              **kwargs)
 
 
 #: compiled flatten plans per (spec, scale dir) — discovery is a
@@ -72,6 +81,7 @@ def q_pricing_summary(sf_dir: str):
             "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
             "l_returnflag", "l_linestatus", "l_shipdate",
         ],
+        num_blocks=16,
     )
 
     def revenue(df: pd.DataFrame) -> pd.DataFrame:
@@ -80,6 +90,8 @@ def q_pricing_summary(sf_dir: str):
         return df
 
     ds = ds.map_batches(revenue, batch_format="pandas")
+    # 6 output groups: a handful of combine buckets beats 64 (the
+    # combine input is one row per key per upstream block)
     agg = grouped_agg(
         ds,
         ["l_returnflag", "l_linestatus"],
@@ -91,6 +103,7 @@ def q_pricing_summary(sf_dir: str):
             "avg_price": ("l_extendedprice", "mean"),
             "count_order": ("l_orderkey", "count"),
         },
+        num_buckets=8,
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -208,7 +221,8 @@ def q_revenue_by_nation(sf_dir: str):
     from ..functions.relational import broadcast_join, grouped_agg, hash_join
 
     li = read_table(sf_dir, "lineitem",
-                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"],
+                    num_blocks=16)
     cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
@@ -249,7 +263,8 @@ def q_revenue_by_nation(sf_dir: str):
     ds = hash_join(li_part, order_nation, on="l_orderkey", num_buckets=32,
                    post_fn=per_nation_partial)
     agg = grouped_agg(ds, ["n_name"], {"revenue": ("rev_part", "sum"),
-                                       "n_items": ("n_part", "sum")})
+                                       "n_items": ("n_part", "sum")},
+                      num_buckets=8)
     return agg.map_batches(
         lambda df: df.assign(revenue=round_half_away(df["revenue"], 2),
                              n_items=df["n_items"].astype("int64")),
@@ -927,7 +942,8 @@ def q_asof_purchase(sf_dir: str):
     from ..stages.asof import asof_join
 
     ev = read_table(sf_dir, "events",
-                    columns=["event_id", "user_id", "ts", "event_type", "value"]
+                    columns=["event_id", "user_id", "ts", "event_type", "value"],
+                    num_blocks=8,  # few-MB table: chunky blocks, see read_table
                     ).materialize()  # consumed twice: left side + purchase filter
     purchases = ev.map_batches(
         lambda df: df[df["event_type"] == "purchase"][["user_id", "ts", "value"]]
@@ -937,7 +953,7 @@ def q_asof_purchase(sf_dir: str):
     return asof_join(
         ev, purchases,
         key="user_id", left_ts="ts", right_ts="p_ts", right_cols=["p_value"],
-        num_buckets=32,
+        num_buckets=16,
     )
 
 
@@ -958,7 +974,8 @@ def q_asof_next_purchase(sf_dir: str):
     from ..stages.asof import asof_join
 
     ev = read_table(sf_dir, "events",
-                    columns=["event_id", "user_id", "ts", "event_type", "value"]
+                    columns=["event_id", "user_id", "ts", "event_type", "value"],
+                    num_blocks=8,
                     ).materialize()
     purchases = ev.map_batches(
         lambda df: df[df["event_type"] == "purchase"][["user_id", "ts", "value"]]
@@ -968,7 +985,7 @@ def q_asof_next_purchase(sf_dir: str):
     return asof_join(
         ev, purchases,
         key="user_id", left_ts="ts", right_ts="np_ts", right_cols=["np_value"],
-        num_buckets=32, direction="forward",
+        num_buckets=16, direction="forward",
     )
 
 
@@ -987,9 +1004,10 @@ def q_dedup_user_type(sf_dir: str):
     from ..stages.dedup import dedup_exact
 
     ev = read_table(sf_dir, "events",
-                    columns=["event_id", "user_id", "ts", "event_type", "value"])
+                    columns=["event_id", "user_id", "ts", "event_type", "value"],
+                    num_blocks=8)
     return dedup_exact(ev, keys=["user_id", "event_type"],
-                       order_by=["ts", "event_id"], num_buckets=32)
+                       order_by=["ts", "event_id"], num_buckets=16)
 
 
 SQL_DEDUP_USER_TYPE = """
@@ -1005,7 +1023,8 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
 def q_token_stats(sf_dir: str):
     from ..functions.text import token_stats
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
     return docs.map_batches(
         lambda df: token_stats(df)[["doc_id", "n_tokens", "n_chars_computed"]],
         batch_format="pandas",
@@ -1080,7 +1099,8 @@ def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-5 neighbors for the first 10 vectors."""
     from ..functions.ann import brute_topk
 
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                     num_blocks=8)
     queries = emb.map_batches(
         lambda df: df[df["vec_id"] < 10], batch_format="pandas"
     ).to_pandas().rename(columns={"vec_id": "query_id"})
