@@ -133,7 +133,7 @@ def q_user_top_type(sf_dir: str):
     deterministic smaller-value tie-break (grouped_mode)."""
     from ..functions.relational import grouped_mode
 
-    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"], num_blocks=8)
     return grouped_mode(ev, ["user_id"], "event_type", out_col="top_type")
 
 
@@ -222,14 +222,15 @@ def q_revenue_by_nation(sf_dir: str):
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount"],
-                    num_blocks=16)
+                    num_blocks=8)
     cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
         ["c_custkey", "n_name"]
     ].rename(columns={"c_custkey": "o_custkey"})
 
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                        num_blocks=8)
     order_nation = broadcast_join(orders, dim, on="o_custkey").map_batches(
         lambda df: df[["o_orderkey", "n_name"]].rename(
             columns={"o_orderkey": "l_orderkey"}
@@ -260,7 +261,7 @@ def q_revenue_by_nation(sf_dir: str):
         }).reset_index()
 
     li_part = li.map_batches(per_order_partial, batch_format="pandas")
-    ds = hash_join(li_part, order_nation, on="l_orderkey", num_buckets=32,
+    ds = hash_join(li_part, order_nation, on="l_orderkey", num_buckets=16,
                    post_fn=per_nation_partial)
     agg = grouped_agg(ds, ["n_name"], {"revenue": ("rev_part", "sum"),
                                        "n_items": ("n_part", "sum")},
@@ -588,13 +589,13 @@ def q_lag_lead_events(sf_dir: str):
     from ..stages.partition import apply_sorted
     from ..stages.window import with_lag, with_lead
 
-    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"], num_blocks=8)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = with_lag(df, "user_id", ["value"])
         return with_lead(df, "user_id", ["value"])
 
-    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=16,
                         tiebreak=["event_id"])
 
 
@@ -610,12 +611,12 @@ def q_sessionize_events(sf_dir: str):
     from ..stages.partition import apply_sorted
     from ..stages.window import sessionize
 
-    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"], num_blocks=8)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return sessionize(df, "user_id", "ts", gap_seconds=SESSION_GAP_S)
 
-    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=16,
                         tiebreak=["event_id"])
 
 
@@ -649,7 +650,7 @@ def q_session_summary(sf_dir: str):
     from ..stages.window import sessionize
 
     ev = read_table(sf_dir, "events",
-                    columns=["event_id", "user_id", "ts", "value"])
+                    columns=["event_id", "user_id", "ts", "value"], num_blocks=8)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = sessionize(df, "user_id", "ts", gap_seconds=SESSION_GAP_S)
@@ -668,7 +669,7 @@ def q_session_summary(sf_dir: str):
         out["sum_value"] = round_half_away(out["sum_value"], 2)
         return out
 
-    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=16,
                         tiebreak=["event_id"])
 
 
@@ -721,7 +722,7 @@ def q_backfill_events(sf_dir: str):
     from ..stages.window import backfill
 
     ev = read_table(sf_dir, "events",
-                    columns=["event_id", "user_id", "ts", "event_type", "value"])
+                    columns=["event_id", "user_id", "ts", "event_type", "value"], num_blocks=8)
     ev = ev.map_batches(
         lambda df: df.assign(x=df["value"].where(df["event_type"] != "error")),
         batch_format="pandas",
@@ -730,7 +731,7 @@ def q_backfill_events(sf_dir: str):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return backfill(df, "user_id", ["x"])
 
-    out = apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+    out = apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=16,
                        tiebreak=["event_id"])
     return out.map_batches(
         lambda df: df[["event_id", "user_id", "ts", "x", "x_filled"]],
@@ -756,7 +757,7 @@ def q_rolling_events(sf_dir: str):
     from ..stages.partition import apply_sorted
     from ..stages.window import rolling_agg
 
-    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"], num_blocks=8)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = rolling_agg(df, "user_id", "ts", "value", ROLL_WINDOW_S,
@@ -769,7 +770,7 @@ def q_rolling_events(sf_dir: str):
         )
         return df
 
-    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=16,
                         tiebreak=["event_id"])
 
 
@@ -793,12 +794,12 @@ def q_running_events(sf_dir: str):
     from ..stages.partition import apply_sorted
     from ..stages.window import running_agg
 
-    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"], num_blocks=8)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return running_agg(df, "user_id", "value", aggs=("sum", "count", "max"))
 
-    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=16,
                         tiebreak=["event_id"])
 
 
@@ -1242,8 +1243,10 @@ WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
 def q_minhash_dedup(sf_dir: str):
     from ..functions.neardup import minhash_clusters
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_clusters(docs, n_perm=32, n_bands=8, jaccard_threshold=0.8)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+    return minhash_clusters(docs, n_perm=32, n_bands=8, jaccard_threshold=0.8,
+                            num_buckets=16)
 
 
 def q_simhash_docs(sf_dir: str):
@@ -1551,12 +1554,12 @@ def q_ewma_events(sf_dir: str):
     from ..stages.window import ewma
 
     ev = read_table(sf_dir, "events",
-                    columns=["event_id", "user_id", "ts", "value"])
+                    columns=["event_id", "user_id", "ts", "value"], num_blocks=8)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return ewma(df, "user_id", "value", alpha=0.3)
 
-    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=16,
                         tiebreak=["event_id"])
 
 
@@ -1569,7 +1572,7 @@ def q_session_funnel(sf_dir: str):
     from ..stages.window import sessionize
 
     ev = read_table(sf_dir, "events",
-                    columns=["event_id", "user_id", "ts", "event_type"])
+                    columns=["event_id", "user_id", "ts", "event_type"], num_blocks=8)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = sessionize(df, "user_id", "ts", SESSION_GAP_S)
@@ -1591,7 +1594,7 @@ def q_session_funnel(sf_dir: str):
         out["n_converted"] = out["n_converted"].astype("int64")
         return out
 
-    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=32,
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=16,
                         tiebreak=["event_id"])
 
 
@@ -1651,7 +1654,7 @@ def q_user_split(sf_dir: str):
     contract a training pipeline needs."""
     from ..functions.sampling import assign_split
 
-    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"], num_blocks=8)
     return assign_split(ev, "user_id", {"train": 90, "valid": 5, "test": 5})
 
 
@@ -1672,7 +1675,7 @@ def q_user_event_paths(sf_dir: str):
     from ..stages.partition import apply_sorted
 
     ev = read_table(sf_dir, "events",
-                    columns=["user_id", "ts", "event_id", "event_type"])
+                    columns=["user_id", "ts", "event_id", "event_type"], num_blocks=8)
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["event_type"].notna()]
@@ -1701,7 +1704,7 @@ def q_rank_events(sf_dir: str):
     from ..stages.partition import apply_sorted
 
     ev = read_table(sf_dir, "events",
-                    columns=["event_id", "ts", "user_id", "value"])
+                    columns=["event_id", "ts", "user_id", "value"], num_blocks=8)
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
