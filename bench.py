@@ -270,11 +270,18 @@ def run_scaling() -> dict:
     # headline pair for the north rule: the in-linear-region N→4N pair
     out["scaling_efficiency"] = out.get("scaling_efficiency_2_to_8")
     # per-repeat co-measured diagnostics + the most COHERENT repeat per
-    # pair (raw closest to its own-window ceiling): the recordable one
+    # pair (raw closest to its own-window ceiling): the recordable one.
+    # A repeat is only eligible if BOTH its levels measured ≥80% of that
+    # level's best across repeats — a throttled LOW level inflates the
+    # pair ratio and would otherwise fake good scaling.
     out["repeats"] = per_repeat
+    best_by_level = {str(n): max(r["pages_per_sec"][str(n)]
+                                 for r in per_repeat) for n in levels}
     for lo, hi in zip(levels, levels[1:]):
         cands = [r for r in per_repeat
-                 if r.get(f"ceiling_{lo}_to_{hi}") is not None]
+                 if r.get(f"ceiling_{lo}_to_{hi}") is not None
+                 and all(r["pages_per_sec"][str(n)]
+                         >= 0.8 * best_by_level[str(n)] for n in (lo, hi))]
         if cands:
             best = min(cands, key=lambda r: abs(
                 r[f"raw_{lo}_to_{hi}"] - r[f"ceiling_{lo}_to_{hi}"]))

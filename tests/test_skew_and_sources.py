@@ -174,3 +174,26 @@ def test_salted_agg_all_null_group_is_sql_null(ray_session):
     assert pd.isna(out.loc["b", "s"])  # SQL SUM of all NULLs is NULL
     assert out.loc["b", "n"] == 0
     assert pd.isna(out.loc["b", "m"])
+
+
+def test_assign_split_entity_coherent(ray_session):
+    """Every row of one entity lands in the same split; percents must
+    sum to 100; proportions are roughly honored."""
+    import ray.data as rd
+
+    from transmog_ray.functions.sampling import assign_split
+
+    df = pd.DataFrame({
+        "row": np.arange(5000),
+        "user": np.repeat(np.arange(500), 10),
+    })
+    out = assign_split(
+        rd.from_pandas(df).repartition(6), "user",
+        {"train": 80, "valid": 10, "test": 10},
+    ).to_pandas()
+    per_user = out.groupby("user")["split"].nunique()
+    assert (per_user == 1).all()  # no entity straddles splits
+    frac = out[out["split"] == "train"].shape[0] / len(out)
+    assert 0.7 < frac < 0.9
+    with pytest.raises(ValueError, match="sum to 100"):
+        assign_split(rd.from_pandas(df), "user", {"train": 90, "test": 5})
