@@ -51,18 +51,14 @@ def configure_context(
     try:
         # Ray's read-split default (200 blocks minimum) chops small-SF
         # tables into ~1-3k-row blocks, and every downstream map task
-        # pays per-task overhead on a sliver of work. Blocks ≈ cluster
-        # CPUs is the measured sweet spot (BASELINE.md); it's only a
-        # MINIMUM, so 100 TB reads still split by file/row-group size.
+        # pays per-task overhead on a sliver of work. A LOW floor (8)
+        # lets Ray's native by-bytes splitting govern instead: few-MB
+        # tables get 8 chunky blocks (measured 2-4x faster per stage
+        # than 32-64 slivers, BASELINE.md round 3), while big inputs
+        # still split by file/row-group size — the floor is only a
+        # minimum, so the rule scales.
         env_min = os.environ.get("GRAFT_READ_MIN_BLOCKS")
-        if env_min is not None:
-            ctx.read_op_min_num_blocks = int(env_min)
-        else:
-            import ray
-
-            if ray.is_initialized():
-                cpus = int(ray.cluster_resources().get("CPU", 16))
-                ctx.read_op_min_num_blocks = max(16, cpus)
+        ctx.read_op_min_num_blocks = int(env_min) if env_min is not None else 8
     except (ImportError, AttributeError):  # pragma: no cover — older Ray
         pass
     if os.environ.get("GRAFT_NO_RESERVATION") == "1":
