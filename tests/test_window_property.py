@@ -200,3 +200,41 @@ def test_ewma_matches_loop(rows):
                 assert pd.isna(got[i])
             else:
                 assert np.isclose(got[i], y)
+
+
+@settings(max_examples=80, deadline=None)
+@given(rows=FRAMES)
+def test_target_encode_matches_loop(rows):
+    from transmog_ray.stages.window import target_encode
+
+    df = build(rows)
+    out = target_encode(df.copy(), "k", "v", out_col="pm")
+    for key, g in df.groupby("k"):
+        seen: list[float] = []
+        got = out[out["k"] == key]["pm"].tolist()
+        for i, v in enumerate(g["v"].tolist()):
+            if not seen:  # no non-null PRIOR value → NULL, never own value
+                assert pd.isna(got[i])
+            else:
+                assert np.isclose(got[i], sum(seen) / len(seen))
+            if v is not None and not pd.isna(v):
+                seen.append(v)
+
+
+@settings(max_examples=80, deadline=None)
+@given(rows=FRAMES)
+def test_first_touch_matches_loop(rows):
+    from transmog_ray.stages.window import first_touch
+
+    df = build(rows)
+    out = first_touch(df.copy(), "k", "v", "ts",
+                      value_out="vf", since_out="us")
+    for key, g in df.groupby("k"):
+        o = out[out["k"] == key]
+        first_v = g["v"].iloc[0]  # respects nulls: first ROW's value
+        first_t = g["ts"].iloc[0]
+        for i in range(len(g)):
+            a = o["vf"].iloc[i]
+            assert (pd.isna(a) and pd.isna(first_v)) or a == first_v
+            want_us = int((g["ts"].iloc[i] - first_t).total_seconds() * 1e6)
+            assert int(o["us"].iloc[i]) == want_us

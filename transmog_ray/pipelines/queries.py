@@ -814,6 +814,82 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_target_encode_events(sf_dir: str):
+    """Point-in-time target encoding: each event gets the mean of the
+    user's STRICTLY PRIOR values — the leakage-free mean-encoding a
+    training pipeline needs (a row never sees its own target or a
+    future one). Same fused sorted-bucket pass as the other windows."""
+    from ..stages.partition import apply_sorted
+    from ..stages.window import target_encode
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"],
+                    num_blocks=8)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        # mean = ROUND(sum, 2) / count: the inputs are 2-decimal, so the
+        # true prior sum is always ≥0.005 from a rounding boundary (the
+        # ~1e-8 accumulation-order skew can't flip it), and the division
+        # of identical float64s is bit-identical on both sides — rounding
+        # the MEAN instead can land exactly on a boundary and amplify a
+        # 1e-14 skew to 1e-4 (seen at sf0.01: 55.30625).
+        df = target_encode(df, "user_id", "value", out_col="value_prior_mean")
+        gkey = df["user_id"]
+        ok = df["value"].notna().astype(np.int64)
+        cnt = (
+            ok.groupby(gkey, sort=False).cumsum()
+            .groupby(gkey, sort=False).shift(1).fillna(0).to_numpy(np.int64)
+        )
+        psum = round_half_away(df["value_prior_mean"].to_numpy() * cnt, 2)
+        with np.errstate(invalid="ignore"):
+            df["value_prior_mean"] = np.where(cnt > 0, psum / cnt, np.nan)
+        return df
+
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=16,
+                        tiebreak=["event_id"])
+
+
+SQL_TARGET_ENCODE = """
+SELECT event_id, user_id, ts, value,
+       ROUND(SUM(value) OVER w, 2) / COUNT(value) OVER w
+           AS value_prior_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_first_touch_events(sf_dir: str):
+    """First-touch features per user: the value at the user's first
+    event (SQL FIRST_VALUE, respecting nulls) and integer microseconds
+    elapsed since that first event — the 'account age' / acquisition
+    features of a behavioral pipeline."""
+    from ..stages.partition import apply_sorted
+    from ..stages.window import first_touch
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"],
+                    num_blocks=8)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return first_touch(df, "user_id", "value", "ts",
+                           value_out="value_first",
+                           since_out="us_since_first")
+
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=16,
+                        tiebreak=["event_id"])
+
+
+SQL_FIRST_TOUCH = """
+SELECT event_id, user_id, ts, value,
+       FIRST_VALUE(value) OVER w AS value_first,
+       epoch_us(ts) - epoch_us(FIRST_VALUE(ts) OVER w) AS us_since_first
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_tumbling_hourly(sf_dir: str):
     """Event-time tumbling windows (1h) per user: vectorized floor +
     pre-aggregated groupby — the batch-engine form of a streaming
@@ -2328,6 +2404,8 @@ QUERIES = {
     "backfill_events": q_backfill_events,
     "rolling_events": q_rolling_events,
     "running_events": q_running_events,
+    "target_encode_events": q_target_encode_events,
+    "first_touch_events": q_first_touch_events,
     "line_dedup_docs": q_line_dedup_docs,
     "tumbling_hourly": q_tumbling_hourly,
     "asof_purchase": q_asof_purchase,
@@ -2403,6 +2481,8 @@ ORACLE_SQL = {
     "backfill_events": SQL_BACKFILL,
     "rolling_events": SQL_ROLLING,
     "running_events": SQL_RUNNING,
+    "target_encode_events": SQL_TARGET_ENCODE,
+    "first_touch_events": SQL_FIRST_TOUCH,
     "line_dedup_docs": SQL_LINE_DEDUP,
     "tumbling_hourly": SQL_TUMBLING,
     "asof_purchase": SQL_ASOF_PURCHASE,

@@ -207,6 +207,66 @@ def ewma(
     return df
 
 
+def target_encode(
+    df: pd.DataFrame,
+    key: str,
+    col: str,
+    out_col: str | None = None,
+) -> pd.DataFrame:
+    """Point-in-time target encoding: the expanding mean of *col* per key
+    over STRICTLY PRIOR rows in the sorted order — the leakage-free form
+    of mean/target encoding (a row never sees its own target, and never
+    a future one). SQL: ``AVG(col) OVER (PARTITION BY key ORDER BY ts,
+    tiebreak ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    A key's first row — or any prefix whose prior values are all null —
+    yields NULL (SQL AVG skips nulls; an empty frame is NULL)."""
+    out_col = out_col or f"{col}_prior_mean"
+    vals = pd.to_numeric(df[col], errors="coerce")
+    ok = vals.notna()
+    gkey = df[key]
+    csum = vals.fillna(0.0).groupby(gkey, sort=False).cumsum()
+    ccnt = ok.astype(np.int64).groupby(gkey, sort=False).cumsum()
+    # shift the running totals one row WITHIN the key: prior-rows frame
+    psum = csum.groupby(gkey, sort=False).shift(1)
+    pcnt = ccnt.groupby(gkey, sort=False).shift(1).fillna(0).astype(np.int64)
+    df[out_col] = (psum / pcnt).where(pcnt > 0)
+    return df
+
+
+def first_touch(
+    df: pd.DataFrame,
+    key: str,
+    col: str,
+    ts: str,
+    value_out: str | None = None,
+    since_out: str = "us_since_first",
+) -> pd.DataFrame:
+    """First-touch features per key over the sorted frame: the value at
+    the key's FIRST row (SQL ``FIRST_VALUE(col) OVER w`` — respects
+    nulls: it is the first ROW's value, null or not) and the elapsed
+    microseconds since the key's first timestamp
+    (``epoch_us(ts) - epoch_us(FIRST_VALUE(ts) OVER w)``). Integer
+    microseconds are the one encoding that compares exactly across
+    engine and SQL for sub-second timestamps."""
+    value_out = value_out or f"{col}_first"
+    n = len(df)
+    if n == 0:
+        df[value_out] = pd.Series([], dtype="float64")
+        df[since_out] = pd.Series([], dtype="int64")
+        return df
+    codes = pd.factorize(df[key], use_na_sentinel=False)[0]
+    seg_starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    seg_len = np.diff(np.r_[seg_starts, n])
+    first_pos = np.repeat(seg_starts, seg_len)
+    df[value_out] = df[col].to_numpy()[first_pos]
+    t_us = (
+        df[ts].to_numpy().astype("datetime64[ns]").astype(np.int64) // 1000
+    )
+    df[since_out] = t_us - t_us[first_pos]
+    return df
+
+
 def _rolling_prefix_sums(
     df: pd.DataFrame,
     key: str,
@@ -259,5 +319,5 @@ def _rolling_prefix_sums(
 
 __all__ = [
     "with_lag", "with_lead", "sessionize", "backfill", "rolling_agg",
-    "running_agg", "ewma",
+    "running_agg", "ewma", "target_encode", "first_touch",
 ]
