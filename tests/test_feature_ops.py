@@ -789,6 +789,37 @@ def test_rollup_agg_hand_case(ray_session):
         rollup_agg(ds, ["a"], {"m": ("v", "mean")})
 
 
+def test_cube_and_grouping_sets_hand_case(ray_session):
+    """CUBE emits all 2^m subsets (incl. the per-b level ROLLUP lacks);
+    explicit GROUPING SETS emits exactly the requested sets."""
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import cube_agg, grouping_sets_agg
+
+    rows = [
+        {"a": "x", "b": "p", "v": 1.0},
+        {"a": "x", "b": "q", "v": 2.0},
+        {"a": "y", "b": "p", "v": 4.0},
+    ]
+    ds = rd.from_items(rows)
+    out = cube_agg(ds, ["a", "b"], {"s": ("v", "sum"), "n": ("v", "count")},
+                   num_buckets=4).to_pandas()
+    # finest 3 + per-a 2 + per-b 2 + grand total 1
+    assert len(out) == 8
+    pb = out[out["a"].isna() & (out["b"] == "p")]
+    assert pb["s"].iloc[0] == 5.0 and pb["n"].iloc[0] == 2
+    total = out[out["a"].isna() & out["b"].isna()]
+    assert total["s"].iloc[0] == 7.0 and total["n"].iloc[0] == 3
+    assert out["n"].dtype == "int64"
+
+    only_b = grouping_sets_agg(
+        rd.from_items(rows), ["a", "b"], {"s": ("v", "sum")},
+        sets=[("b",)], num_buckets=4,
+    ).to_pandas()
+    assert len(only_b) == 2 and only_b["a"].isna().all()
+    assert sorted(only_b["s"]) == [2.0, 5.0]
+
+
 def test_asof_forward_direction(ray_session):
     """direction='forward' attaches the EARLIEST right row at/after the
     left ts (label construction); exact matches allowed."""

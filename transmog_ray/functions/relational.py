@@ -293,6 +293,91 @@ def grouped_mode(
     return bucketed.groupby(BUCKET_COL).map_groups(winner, batch_format="pandas")
 
 
+def grouping_sets_agg(
+    ds,
+    keys: Sequence[str],
+    specs: Mapping[str, tuple[str, str]],
+    sets: Sequence[Sequence[str]],
+    num_buckets: int = 64,
+    exchange: str | None = None,
+):
+    """SQL ``GROUP BY GROUPING SETS (...)`` over the aggregation
+    lattice, in exactly TWO exchanges regardless of how many sets:
+
+    1. raw rows shuffle once at the finest (all-``keys``) grain;
+    2. each finest row is replicated once per requested coarser set with
+       its rolled-up keys nulled plus a set-id salt, and ONE further
+       grouped aggregation combines them all — that exchange moves
+       finest-cardinality × n_sets rows, never raw rows.
+
+    Rolled-up key columns emit typed SQL NULLs. Ops are restricted to
+    the decomposable set (sum/count/min/max; counts merge across levels
+    by SUM). Caveat: a rolled-up INTEGER key column travels null-padded
+    (object/float) through the coarse exchange, so integer keys beyond
+    2^53 could lose precision in coarser levels; string dimension keys
+    (the common case) are exact.
+    """
+    import numpy as np
+
+    from ..stages.common import arrow_schema, pad_to
+
+    keys = list(keys)
+    sets = [tuple(s) for s in sets]
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise ValueError(f"grouping set {s} has non-key columns {unknown}")
+    bad = [a for a, (_, op) in specs.items()
+           if op not in ("sum", "count", "min", "max")]
+    if bad:
+        raise ValueError(
+            f"grouping-sets aggs must be decomposable (sum/count/min/max): {bad}"
+        )
+    respec = {a: (a, "sum" if op in ("sum", "count") else op)
+              for a, (_, op) in specs.items()}
+    count_aliases = [a for a, (_, op) in specs.items() if op == "count"]
+    aliases = list(specs)
+
+    def _int_counts(df: pd.DataFrame) -> pd.DataFrame:
+        for a in count_aliases:
+            df[a] = df[a].astype("int64")
+        return df
+
+    finest = grouped_agg(ds, keys, specs, num_buckets, exchange).materialize()
+    coarse_sets = [s for s in sets if set(s) != set(keys)]
+    include_finest = len(coarse_sets) != len(sets)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for i, s in enumerate(coarse_sets):
+            f = df[[*keys, *aliases]].copy()
+            for k in keys:
+                if k not in s:
+                    f[k] = None
+            f["__gs"] = np.int64(i)
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    parts = []
+    if include_finest:
+        parts.append(finest)
+    if coarse_sets:
+        exploded = finest.map_batches(explode, batch_format="pandas")
+        coarse = grouped_agg(exploded, ["__gs", *keys], respec,
+                             num_buckets=min(num_buckets, 8),
+                             exchange=exchange)
+        parts.append(coarse.map_batches(
+            lambda df: _int_counts(df.drop(columns="__gs")),
+            batch_format="pandas",
+        ))
+    target = arrow_schema(finest)
+    out = parts[0] if include_finest else None
+    for lvl in parts[1 if include_finest else 0:]:
+        lvl = lvl.map_batches(pad_to(target), batch_format="pyarrow")
+        out = lvl if out is None else out.union(lvl)
+    return out
+
+
 def rollup_agg(
     ds,
     keys: Sequence[str],
@@ -301,60 +386,36 @@ def rollup_agg(
     exchange: str | None = None,
 ):
     """``GROUP BY ROLLUP (k1, k2, ...)``: the finest grain plus every
-    key-prefix level plus the grand total, rolled-up key columns emitted
-    as typed SQL NULLs.
+    key-prefix level plus the grand total — the prefix grouping sets,
+    computed by :func:`grouping_sets_agg` in two exchanges total."""
+    keys = list(keys)
+    return grouping_sets_agg(
+        ds, keys, specs,
+        sets=[tuple(keys[:i]) for i in range(len(keys), -1, -1)],
+        num_buckets=num_buckets, exchange=exchange,
+    )
 
-    One full-data shuffle at the finest grain; every coarser level
-    re-aggregates the PREVIOUS level's already-aggregated result — the
-    classic aggregation lattice, so raw rows cross the wire exactly once
-    and each further exchange moves only group-cardinality rows. Ops are
-    restricted to the decomposable set (sum/count/min/max; derive mean
-    from sum+count downstream).
-    """
-    import numpy as np
 
-    from ..stages.common import arrow_schema, pad_to
+def cube_agg(
+    ds,
+    keys: Sequence[str],
+    specs: Mapping[str, tuple[str, str]],
+    num_buckets: int = 64,
+    exchange: str | None = None,
+):
+    """``GROUP BY CUBE (k1, ..., km)``: every subset of the keys (2^m
+    grouping sets), computed by :func:`grouping_sets_agg` in two
+    exchanges total — the coarse exchange moves finest-cardinality × 2^m
+    rows, never raw rows."""
+    import itertools
 
     keys = list(keys)
-    bad = [a for a, (_, op) in specs.items()
-           if op not in ("sum", "count", "min", "max")]
-    if bad:
-        raise ValueError(
-            f"rollup_agg needs decomposable ops (sum/count/min/max): {bad}"
-        )
-    # counts merge across levels by SUM; sum/min/max merge by themselves
-    respec = {a: (a, "sum" if op in ("sum", "count") else op)
-              for a, (_, op) in specs.items()}
-    count_aliases = [a for a, (_, op) in specs.items() if op == "count"]
-
-    def _int_counts(df: pd.DataFrame) -> pd.DataFrame:
-        for a in count_aliases:
-            df[a] = df[a].astype("int64")
-        return df
-
-    finest = grouped_agg(ds, keys, specs, num_buckets, exchange).materialize()
-    levels = [finest]
-    cur = finest
-    for i in range(len(keys) - 1, -1, -1):
-        sub = keys[:i]
-        if sub:
-            cur = grouped_agg(cur, sub, respec,
-                              num_buckets=min(num_buckets, 8), exchange=exchange)
-        else:
-            tagged = cur.map_batches(
-                lambda df: df.assign(__all=np.int64(0)), batch_format="pandas"
-            )
-            cur = grouped_agg(tagged, ["__all"], respec, num_buckets=1,
-                              exchange=exchange).map_batches(
-                lambda df: df.drop(columns="__all"), batch_format="pandas"
-            )
-        cur = cur.map_batches(_int_counts, batch_format="pandas").materialize()
-        levels.append(cur)
-    target = arrow_schema(finest)
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.union(lvl.map_batches(pad_to(target), batch_format="pyarrow"))
-    return out
+    all_sets = [
+        s for size in range(len(keys), -1, -1)
+        for s in itertools.combinations(keys, size)
+    ]
+    return grouping_sets_agg(ds, keys, specs, sets=all_sets,
+                             num_buckets=num_buckets, exchange=exchange)
 
 
 def pivot_count(

@@ -192,7 +192,8 @@ def q_rollup_pricing(sf_dir: str):
     from ..functions.relational import rollup_agg
 
     ds = read_table(sf_dir, "lineitem",
-                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"],
+                    num_blocks=16)
     out = rollup_agg(
         ds,
         ["l_returnflag", "l_linestatus"],
@@ -210,6 +211,37 @@ SELECT l_returnflag, l_linestatus,
        CAST(COUNT(l_quantity) AS BIGINT)    AS n_items
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_pricing(sf_dir: str):
+    """GROUP BY CUBE (l_returnflag, l_linestatus): all four grouping
+    sets via the aggregation lattice — raw rows shuffle once at the
+    finest grain; each subset re-aggregates a one-key-larger,
+    already-aggregated parent (the per-linestatus level costs a
+    group-cardinality exchange, not a second scan)."""
+    from ..functions.relational import cube_agg
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"],
+                    num_blocks=16)
+    out = cube_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"), "n_items": ("l_quantity", "count")},
+    )
+    return out.map_batches(
+        lambda df: df.assign(sum_qty=round_half_away(df["sum_qty"], 2)),
+        batch_format="pandas",
+    )
+
+
+SQL_CUBE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)            AS sum_qty,
+       CAST(COUNT(l_quantity) AS BIGINT)    AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
@@ -2384,6 +2416,7 @@ WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "rollup_pricing": q_rollup_pricing,
+    "cube_pricing": q_cube_pricing,
     "user_top_type": q_user_top_type,
     "suppliers_by_region": q_suppliers_by_region,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2462,6 +2495,7 @@ QUERIES = {
 ORACLE_SQL = {
     "pricing_summary": SQL_PRICING,
     "rollup_pricing": SQL_ROLLUP_PRICING,
+    "cube_pricing": SQL_CUBE_PRICING,
     "user_top_type": SQL_USER_TOP_TYPE,
     "suppliers_by_region": SQL_SUPPLIERS_BY_REGION,
     "revenue_by_nation": SQL_REVENUE_NATION,
