@@ -844,3 +844,35 @@ def test_asof_forward_direction(ray_session):
     assert out["v"].tolist()[0] == 10.0      # next at/after 00:10
     assert out["v"].tolist()[1] == 10.0      # exact match allowed
     assert pd.isna(out["v"].tolist()[2])     # nothing after 03:00
+
+
+def test_set_op_intersect_except(ray_session):
+    """Distinct set semantics, NULL-safe equality, both exchanges; an
+    empty result keeps its schema."""
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import set_op
+
+    a_rows = [{"k": "x", "v": 1}, {"k": "x", "v": 1}, {"k": "y", "v": 2},
+              {"k": None, "v": 3}, {"k": "z", "v": 9}]
+    b_rows = [{"k": "x", "v": 1}, {"k": None, "v": 3}, {"k": "w", "v": 7}]
+    for exchange in ("tasks", "groupby"):
+        a, b = rd.from_items(a_rows), rd.from_items(b_rows)
+        got = (set_op(a, b, "intersect", num_buckets=3, exchange=exchange)
+               .to_pandas().sort_values("v").reset_index(drop=True))
+        # distinct rows present in both; NULL == NULL
+        assert got["v"].tolist() == [1, 3], exchange
+        assert got["k"].tolist()[0] == "x" and pd.isna(got["k"].iloc[1])
+        a, b = rd.from_items(a_rows), rd.from_items(b_rows)
+        got = (set_op(a, b, "except", num_buckets=3, exchange=exchange)
+               .to_pandas().sort_values("v").reset_index(drop=True))
+        assert got["v"].tolist() == [2, 9], exchange
+    # empty intersect of disjoint inputs
+    a = rd.from_items([{"k": "x"}])
+    b = rd.from_items([{"k": "y"}])
+    empty = set_op(a, b, "intersect", num_buckets=2).to_pandas()
+    assert len(empty) == 0
+
+    import pytest
+    with pytest.raises(ValueError, match="intersect"):
+        set_op(a, b, "union")

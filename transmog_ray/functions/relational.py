@@ -623,6 +623,73 @@ def range_join(
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
+def set_op(
+    ds_a,
+    ds_b,
+    op: str,
+    num_buckets: int | None = None,
+    exchange: str | None = None,
+):
+    """Distributed SQL set operations with DISTINCT semantics:
+    ``op="intersect"`` (rows in both inputs) or ``op="except"`` (rows in
+    *ds_a* and not in *ds_b*), over full-row equality.
+
+    One exchange: both sides are projected to the shared column list,
+    side-tagged, and co-bucketed by the hash of ALL columns — every
+    occurrence of a given row value lands in the same bucket, so the
+    resolve is bucket-local: one vectorized groupby over the row columns
+    computes min/max of the side tag per distinct row (``min==0`` ⇒ in
+    A, ``max==1`` ⇒ in B). NULLs compare equal (SQL set-op semantics —
+    ``groupby(dropna=False)``), and the output is distinct rows, like
+    SQL ``INTERSECT`` / ``EXCEPT``."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+    from ..stages.common import arrow_schema
+    from ..stages.partition import (
+        BUCKET_COL, add_bucket, bucket_exchange, resolve_exchange,
+    )
+
+    cols = list(arrow_schema(ds_a).names)
+    cols_b = set(arrow_schema(ds_b).names)
+    if set(cols) != cols_b:
+        raise ValueError(
+            f"set_op inputs must share columns: {sorted(cols)} vs {sorted(cols_b)}"
+        )
+
+    def tag(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[cols].copy()
+            df["_side"] = np.int64(side)
+            return df
+        return f
+
+    unioned = ds_a.map_batches(tag(0), batch_format="pandas").union(
+        ds_b.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(cols, sort=False, dropna=False)["_side"]
+        mn, mx = g.min(), g.max()
+        keep = (mn == 0) & (mx == 1) if op == "intersect" else (mn == 0) & (mx == 0)
+        out = mn.index[keep.to_numpy()]
+        return pd.DataFrame(
+            {c: out.get_level_values(i) for i, c in enumerate(cols)}
+            if len(cols) > 1 else {cols[0]: out.to_numpy()}
+        )
+
+    if num_buckets is None:
+        from ..stages.partition import default_num_buckets
+
+        num_buckets = default_num_buckets()
+    if resolve_exchange(exchange) == "tasks":
+        return bucket_exchange(unioned, cols, resolve, num_buckets)
+    bucketed = add_bucket(unioned, cols, num_buckets)
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        lambda df: resolve(df.drop(columns=[BUCKET_COL])),
+        batch_format="pandas",
+    )
+
+
 def semi_join(ds, keys_df: pd.DataFrame, on: Sequence[str] | str,
               anti: bool = False):
     """Semi/anti join: keep rows whose key IS (or is NOT) in the broadcast
@@ -986,4 +1053,5 @@ def topk(ds, by: Sequence[str] | str, k: int, descending: bool = True):
 
 __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_quantile",
            "hopping_window_agg", "HyperLogLog", "approx_distinct",
-           "range_join", "pivot_count", "grouped_corr"]
+           "range_join", "pivot_count", "grouped_corr", "set_op",
+           "grouping_sets_agg", "rollup_agg", "cube_agg"]

@@ -748,6 +748,60 @@ GROUP BY lang
 """
 
 
+def _user_days_of_type(sf_dir: str, event_type: str):
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"],
+                    num_blocks=8)
+
+    def project(df: pd.DataFrame, t=event_type) -> pd.DataFrame:
+        df = df[df["event_type"] == t]
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "day": df["ts"].dt.floor("D"),
+        })
+
+    return ev.map_batches(project, batch_format="pandas")
+
+
+def q_intersect_users(sf_dir: str):
+    """Distributed INTERSECT (distinct set semantics) on a composite
+    row: (user, day) pairs with BOTH a click and a purchase — one
+    co-bucketed exchange, bucket-local min/max-of-side resolve."""
+    from ..functions.relational import set_op
+
+    return set_op(_user_days_of_type(sf_dir, "click"),
+                  _user_days_of_type(sf_dir, "purchase"),
+                  "intersect", num_buckets=8)
+
+
+SQL_INTERSECT_USERS = """
+SELECT user_id, date_trunc('day', ts) AS day FROM events
+WHERE event_type = 'click'
+INTERSECT
+SELECT user_id, date_trunc('day', ts) AS day FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+def q_except_users(sf_dir: str):
+    """Distributed EXCEPT: (user, day) pairs that clicked but did NOT
+    purchase that day — the churn/negative-cohort complement of the
+    INTERSECT query, same single exchange."""
+    from ..functions.relational import set_op
+
+    return set_op(_user_days_of_type(sf_dir, "click"),
+                  _user_days_of_type(sf_dir, "purchase"),
+                  "except", num_buckets=8)
+
+
+SQL_EXCEPT_USERS = """
+SELECT user_id, date_trunc('day', ts) AS day FROM events
+WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, date_trunc('day', ts) AS day FROM events
+WHERE event_type = 'purchase'
+"""
+
+
 def q_backfill_events(sf_dir: str):
     """Null out 'error' readings, forward-fill from the past per user."""
     from ..stages.partition import apply_sorted
@@ -2434,6 +2488,8 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "session_summary": q_session_summary,
     "union_lang_counts": q_union_lang_counts,
+    "intersect_users": q_intersect_users,
+    "except_users": q_except_users,
     "backfill_events": q_backfill_events,
     "rolling_events": q_rolling_events,
     "running_events": q_running_events,
@@ -2512,6 +2568,8 @@ ORACLE_SQL = {
     "sessionize_events": SQL_SESSIONIZE,
     "session_summary": SQL_SESSION_SUMMARY,
     "union_lang_counts": SQL_UNION_LANG,
+    "intersect_users": SQL_INTERSECT_USERS,
+    "except_users": SQL_EXCEPT_USERS,
     "backfill_events": SQL_BACKFILL,
     "rolling_events": SQL_ROLLING,
     "running_events": SQL_RUNNING,
