@@ -876,3 +876,27 @@ def test_set_op_intersect_except(ray_session):
     import pytest
     with pytest.raises(ValueError, match="intersect"):
         set_op(a, b, "union")
+
+
+def test_line_quality_filter_hand_case():
+    from transmog_ray.functions.text import line_quality_filter
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "good solid line\nbad the line\nok line too\nshort",
+            "lorem ipsum junk\nonly one good line here",  # 1 survivor → dropped
+            None,                                          # null text → dropped
+            "alpha beta gamma\ndelta epsilon zeta",
+        ],
+    })
+    out = line_quality_filter(
+        df, min_words=3, blocklist=("the", "lorem"), min_lines=2
+    ).sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 4]
+    assert out.loc[0, "text"] == "good solid line\nok line too"
+    assert out.loc[0, "n_lines"] == 2
+    assert out.loc[1, "n_lines"] == 2
+    # empty batch keeps schema
+    empty = line_quality_filter(df.iloc[:0])
+    assert list(empty.columns) == ["doc_id", "text", "n_lines"]

@@ -295,6 +295,50 @@ def redact_pii(
     return df
 
 
+def line_quality_filter(
+    df: pd.DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_words: int = 3,
+    blocklist: tuple[str, ...] = ("lorem", "ipsum"),
+    min_lines: int = 2,
+) -> pd.DataFrame:
+    """C4-style line-structured quality filter (the Raffel et al. 2020
+    §2.2 line rules, with corpus-appropriate predicates): drop lines
+    with fewer than *min_words* single-space-separated words or
+    containing a blocklisted token; drop documents with fewer than
+    *min_lines* surviving lines; reassemble survivors in original
+    order with ``n_lines`` kept-count.
+
+    Fully batch-local — a document is one row, so the explode
+    (vectorized split + repeat, no row loop) and the regroup never
+    leave the batch: zero shuffle at any corpus size."""
+    import numpy as np
+
+    df = df[[id_col, text_col]].dropna(subset=[text_col])
+    lines = df[text_col].str.split(line_sep)
+    lens = lines.str.len().to_numpy(dtype=np.int64, na_value=0)
+    e = pd.DataFrame({
+        id_col: np.repeat(df[id_col].to_numpy(), lens),
+        "line": lines.explode().to_numpy(dtype=object)
+        if lens.sum() else np.array([], dtype=object),
+    })
+    s = e["line"].astype(str)
+    keep = (s.str.count(" ") + 1) >= min_words
+    if blocklist:
+        padded = " " + s + " "
+        for tok in blocklist:  # token-exact, == SQL list_contains(ws, tok)
+            keep &= ~padded.str.contains(f" {tok} ", regex=False)
+    kept = e[keep]
+    g = kept.groupby(id_col, sort=False)["line"]
+    out = pd.DataFrame({
+        text_col: g.agg(line_sep.join),  # exploded order == original order
+        "n_lines": g.size().astype("int64"),
+    }).reset_index()
+    return out[out["n_lines"] >= min_lines].reset_index(drop=True)
+
+
 def fingerprint(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """``fp`` = md5 hex of lower(trim(text)) — DuckDB ``md5(lower(trim(text)))``."""
     df["fp"] = [
@@ -373,6 +417,7 @@ def rolling_fingerprint(text: str, window: int = 16, base: int = 257,
 __all__ = [
     "token_stats",
     "quality_score",
+    "line_quality_filter",
     "fingerprint",
     "LangId",
     "rolling_fingerprint",

@@ -1449,6 +1449,53 @@ def q_line_dedup_docs(sf_dir: str):
     return line_dedup(chunked, "doc_id", "text")
 
 
+def q_line_filtered_docs(sf_dir: str):
+    """C4-style line-quality filter: chunk each doc into deterministic
+    3-word lines (same chunking as line_dedup), drop short lines and
+    lines containing the blocklisted token, drop docs with < 2
+    surviving lines, reassemble — entirely batch-local (zero shuffle;
+    a document is one row)."""
+    from ..functions.text import line_quality_filter
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    chunked = docs.map_batches(
+        lambda df: df.assign(
+            text=df["text"].str.replace(
+                r"((?:\S+ ){2}\S+) ", "\\1\n", regex=True
+            )
+        ),
+        batch_format="pandas",
+    )
+    return chunked.map_batches(
+        lambda df: line_quality_filter(
+            df, min_words=3, blocklist=("the",), min_lines=2
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_LINE_FILTERED = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+), lines AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS line_no,
+         unnest(list_transform(
+             range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT)),
+             i -> array_to_string(ws[(i*3+1):(i*3+3)], ' '))) AS line
+  FROM w
+), kept AS (
+  SELECT doc_id, line_no, line FROM lines
+  WHERE len(string_split(line, ' ')) >= 3
+    AND NOT list_contains(string_split(line, ' '), 'the')
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM kept GROUP BY doc_id HAVING COUNT(*) >= 2
+"""
+
+
 SQL_LINE_DEDUP = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws
@@ -2496,6 +2543,7 @@ QUERIES = {
     "target_encode_events": q_target_encode_events,
     "first_touch_events": q_first_touch_events,
     "line_dedup_docs": q_line_dedup_docs,
+    "line_filtered_docs": q_line_filtered_docs,
     "tumbling_hourly": q_tumbling_hourly,
     "asof_purchase": q_asof_purchase,
     "asof_next_purchase": q_asof_next_purchase,
@@ -2576,6 +2624,7 @@ ORACLE_SQL = {
     "target_encode_events": SQL_TARGET_ENCODE,
     "first_touch_events": SQL_FIRST_TOUCH,
     "line_dedup_docs": SQL_LINE_DEDUP,
+    "line_filtered_docs": SQL_LINE_FILTERED,
     "tumbling_hourly": SQL_TUMBLING,
     "asof_purchase": SQL_ASOF_PURCHASE,
     "asof_next_purchase": SQL_ASOF_NEXT_PURCHASE,
