@@ -900,3 +900,32 @@ def test_line_quality_filter_hand_case():
     # empty batch keeps schema
     empty = line_quality_filter(df.iloc[:0])
     assert list(empty.columns) == ["doc_id", "text", "n_lines"]
+
+
+def test_standardizer_train_only_fit(ray_session):
+    """Stats come from the fitted subset only (leakage check), nulls
+    skipped, zero-variance column yields NULL z, all-null raises."""
+    import pytest
+    import ray.data as rd
+
+    from transmog_ray.functions.scaling import (
+        apply_standardizer, fit_standardizer,
+    )
+
+    train = rd.from_items([{"x": 1, "c": 5}, {"x": 3, "c": 5}])
+    stats = fit_standardizer(train, ["x", "c"])
+    assert stats["x"] == (2.0, 1.0)
+    assert stats["c"][1] == 0.0
+    allrows = rd.from_items(
+        [{"x": 1, "c": 5}, {"x": 3, "c": 5}, {"x": 100, "c": 5}]
+    )
+    out = apply_standardizer(allrows, stats).to_pandas()
+    # the x=100 holdout row is scaled by TRAIN stats, not its own
+    assert out["x_z"].tolist() == [-1.0, 1.0, 98.0]
+    assert out["c_z"].isna().all()
+
+    with_null = rd.from_items([{"x": 2.0, "y": None}, {"x": None, "y": None}])
+    s2 = fit_standardizer(with_null, ["x"])
+    assert s2["x"] == (2.0, 0.0)
+    with pytest.raises(ValueError, match="no values"):
+        fit_standardizer(with_null, ["y"])

@@ -1867,6 +1867,46 @@ def q_user_split(sf_dir: str):
     return assign_split(ev, "user_id", {"train": 90, "valid": 5, "test": 5})
 
 
+def q_scaled_docs(sf_dir: str):
+    """Leakage-safe standardization: split docs 80/10/10 by hashed
+    doc_id, fit mean/std_pop of n_chars on the TRAIN rows only (one
+    no-shuffle sufficient-statistics pass, exact integer sums), z-score
+    every row with the train stats — valid/test rows never influence
+    the transform applied to them."""
+    from ..functions.sampling import assign_split
+    from ..functions.scaling import apply_standardizer, fit_standardizer
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"],
+                      num_blocks=8)
+    split = assign_split(
+        docs, "doc_id", {"train": 80, "valid": 10, "test": 10}
+    ).materialize()  # consumed twice (fit + apply): pin the sub-DAG
+    train = split.map_batches(
+        lambda df: df[df["split"] == "train"], batch_format="pandas"
+    )
+    stats = fit_standardizer(train, ["n_chars"])
+    return apply_standardizer(split, stats)
+
+
+SQL_SCALED_DOCS = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+              WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+), t AS (
+  SELECT CAST(SUM(n_chars) AS DOUBLE)           AS sx,
+         CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx,
+         CAST(COUNT(*) AS DOUBLE)               AS n
+  FROM s WHERE split = 'train'
+)
+SELECT doc_id, n_chars, split,
+       (n_chars - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)) AS n_chars_z
+FROM s, t
+"""
+
+
 SQL_USER_SPLIT = """
 SELECT event_id, user_id,
        CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 90 THEN 'train'
@@ -2573,6 +2613,7 @@ QUERIES = {
     "rank_events": q_rank_events,
     "user_event_paths": q_user_event_paths,
     "user_split": q_user_split,
+    "scaled_docs": q_scaled_docs,
     "ewma_events": q_ewma_events,
     "session_funnel": q_session_funnel,
     "histogram_chars": q_histogram_chars,
@@ -2647,6 +2688,7 @@ ORACLE_SQL = {
     "rank_events": SQL_RANK_EVENTS,
     "user_event_paths": SQL_USER_EVENT_PATHS,
     "user_split": SQL_USER_SPLIT,
+    "scaled_docs": SQL_SCALED_DOCS,
     "session_funnel": SQL_SESSION_FUNNEL,
     "histogram_chars": SQL_HISTOGRAM_CHARS,
     "repetition_docs": SQL_REPETITION,
