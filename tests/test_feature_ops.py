@@ -929,3 +929,36 @@ def test_standardizer_train_only_fit(ray_session):
     assert s2["x"] == (2.0, 0.0)
     with pytest.raises(ValueError, match="no values"):
         fit_standardizer(with_null, ["y"])
+
+
+def test_pagerank_matches_dense_oracle(ray_session):
+    """Distributed power iteration == dense numpy iteration on a small
+    random digraph (duplicate edges collapse; asymmetric degrees)."""
+    import ray.data as rd
+
+    from transmog_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    n_nodes = 12
+    raw = [(int(a), int(b)) for a, b in rng.integers(0, n_nodes, (60, 2))
+           if a != b]
+    edges = pd.DataFrame(raw, columns=["src", "dst"]).drop_duplicates()
+    got = (
+        pagerank(rd.from_pandas(pd.DataFrame(raw, columns=["src", "dst"])),
+                 iterations=3, num_buckets=4)
+        .to_pandas().set_index("node")["pr"]
+    )
+    # dense oracle
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = edges.groupby("src").size()
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        nxt = np.full(n, 0.15 / n)
+        for s, d in edges.itertuples(index=False):
+            nxt[idx[d]] += 0.85 * r[idx[s]] / outdeg[s]
+        r = nxt
+    for v in nodes:
+        assert np.isclose(got[v], r[idx[v]], rtol=1e-9), v
+    assert np.isclose(got.sum(), r.sum())

@@ -802,6 +802,76 @@ WHERE event_type = 'purchase'
 """
 
 
+def q_pagerank_trade(sf_dir: str):
+    """Distributed PageRank (2 power iterations, d=0.85) over the
+    customer↔supplier trade graph derived from lineitem⋈orders (both
+    arc directions, so no dangling nodes). Every step is a partitioned
+    hash join + decomposable aggregation with join+agg fusion — ranks
+    never sit on the driver."""
+    from ..functions.graph import pagerank
+    from ..functions.relational import hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"],
+                    num_blocks=8)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                        num_blocks=8).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    joined = hash_join(li, orders, on="l_orderkey", num_buckets=16)
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        c = "c" + df["o_custkey"].astype(str)
+        s = "s" + df["l_suppkey"].astype(str)
+        fwd = pd.DataFrame({"src": c, "dst": s})
+        rev = pd.DataFrame({"src": s, "dst": c})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    edges = joined.map_batches(to_edges, batch_format="pandas")
+    out = pagerank(edges, iterations=2, damping=0.85, num_buckets=16)
+    return out.map_batches(
+        lambda df: df.assign(pr=round_half_away(df["pr"], 6)),
+        batch_format="pandas",
+    )
+
+
+SQL_PAGERANK_TRADE = """
+WITH base AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+           FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn),
+r1 AS (
+  SELECT nd.node,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * COALESCE(SUM(r0.r / od.deg), 0) AS r
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.node
+  LEFT JOIN r0 ON r0.node = e.src
+  LEFT JOIN outdeg od ON od.src = e.src
+  GROUP BY nd.node
+),
+r2 AS (
+  SELECT nd.node,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * COALESCE(SUM(r1.r / od.deg), 0) AS r
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.node
+  LEFT JOIN r1 ON r1.node = e.src
+  LEFT JOIN outdeg od ON od.src = e.src
+  GROUP BY nd.node
+)
+SELECT node, ROUND(r, 6) AS pr FROM r2
+"""
+
+
 def q_backfill_events(sf_dir: str):
     """Null out 'error' readings, forward-fill from the past per user."""
     from ..stages.partition import apply_sorted
@@ -2578,6 +2648,7 @@ QUERIES = {
     "intersect_users": q_intersect_users,
     "except_users": q_except_users,
     "backfill_events": q_backfill_events,
+    "pagerank_trade": q_pagerank_trade,
     "rolling_events": q_rolling_events,
     "running_events": q_running_events,
     "target_encode_events": q_target_encode_events,
@@ -2660,6 +2731,7 @@ ORACLE_SQL = {
     "intersect_users": SQL_INTERSECT_USERS,
     "except_users": SQL_EXCEPT_USERS,
     "backfill_events": SQL_BACKFILL,
+    "pagerank_trade": SQL_PAGERANK_TRADE,
     "rolling_events": SQL_ROLLING,
     "running_events": SQL_RUNNING,
     "target_encode_events": SQL_TARGET_ENCODE,
