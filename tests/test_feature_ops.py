@@ -962,3 +962,34 @@ def test_pagerank_matches_dense_oracle(ray_session):
     for v in nodes:
         assert np.isclose(got[v], r[idx[v]], rtol=1e-9), v
     assert np.isclose(got.sum(), r.sum())
+
+
+def test_pack_offsets_hand_case(ray_session):
+    """Boundary-start packing: prefix-before // budget, independent
+    per stream, deterministic across exchanges."""
+    import ray.data as rd
+
+    from transmog_ray.functions.packing import pack_offsets
+    from transmog_ray.functions.sampling import knuth_hash
+
+    docs = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
+                         "tok": np.full(20, 6, dtype=np.int64)})
+    outs = {}
+    for exchange in ("tasks", "groupby"):
+        out = (
+            pack_offsets(rd.from_pandas(docs), "doc_id", "tok", budget=10,
+                         num_streams=2, exchange=exchange)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        outs[exchange] = out
+        assert (out["stream"].to_numpy()
+                == (knuth_hash(out["doc_id"].to_numpy()) % 2).astype(int)).all()
+        for s, g in out.groupby("stream"):
+            g = g.sort_values("doc_id")
+            cum = np.cumsum(g["tok"].to_numpy()) - g["tok"].to_numpy()
+            assert (g["pack_no"].to_numpy() == cum // 10).all()
+            assert (g["pack_pos"].to_numpy() == cum % 10).all()
+    pd.testing.assert_frame_equal(
+        outs["tasks"][sorted(outs["tasks"].columns)],
+        outs["groupby"][sorted(outs["groupby"].columns)],
+    )

@@ -1,0 +1,72 @@
+"""Deterministic sequence packing for training-data assembly.
+
+LLM training consumes fixed-size token sequences; packing many short
+documents into each sequence (instead of padding) is the standard
+throughput fix. At corpus scale the packing itself must be
+deterministic and parallel: a re-run after a failure has to produce
+byte-identical packs, and no single worker can see the whole corpus.
+
+:func:`pack_offsets` uses the *boundary-start* assignment: documents are
+routed to independent packing streams by a Knuth hash of their id
+(embarrassingly parallel — each stream packs alone), ordered by id
+within the stream, and assigned ``pack_no = prefix_tokens_before //
+budget`` — a pure prefix sum, so the result is identical at any
+parallelism and exactly SQL-reproducible (unlike first-fit bin packing,
+which is inherently sequential). A document that straddles a boundary
+belongs to the pack where it starts (its tail spills into the next
+pack's stream — the "document-boundary-agnostic" packing most
+pretraining pipelines use anyway).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .sampling import knuth_hash
+
+
+def pack_offsets(
+    ds,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    num_streams: int = 8,
+    exchange: str | None = None,
+):
+    """Assign every row a ``(stream, pack_no, pack_pos)`` packing
+    address. One exchange: rows route by the precomputed stream id
+    (``knuth_hash(id) % num_streams``), each stream sorts by id and
+    runs one integer prefix sum — exact at any scale (int64 token
+    counts, no float accumulation)."""
+    from ..stages.partition import (
+        BUCKET_COL, bucket_exchange, resolve_exchange,
+    )
+
+    def add_stream(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["stream"] = (
+            knuth_hash(df[id_col].to_numpy()) % np.uint64(num_streams)
+        ).astype(np.int64)
+        return df
+
+    routed = ds.map_batches(add_stream, batch_format="pandas")
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        tok = df[tokens_col].to_numpy(np.int64)
+        cum = np.cumsum(tok) - tok  # prefix BEFORE each row
+        df["pack_no"] = cum // np.int64(budget)
+        df["pack_pos"] = cum % np.int64(budget)
+        return df.drop(columns=[BUCKET_COL], errors="ignore")
+
+    if resolve_exchange(exchange) == "tasks":
+        return bucket_exchange(routed, ["stream"], pack, num_streams,
+                               bucket_col="stream")
+    from ..stages.partition import add_bucket
+
+    bucketed = add_bucket(routed, ["stream"], num_streams)
+    return bucketed.groupby(BUCKET_COL).map_groups(pack, batch_format="pandas")
+
+
+__all__ = ["pack_offsets"]

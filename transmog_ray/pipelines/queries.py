@@ -1958,6 +1958,38 @@ def q_scaled_docs(sf_dir: str):
     return apply_standardizer(split, stats)
 
 
+def q_packed_docs(sf_dir: str):
+    """Deterministic training-sequence packing (boundary-start variant):
+    docs route to 8 independent packing streams by hashed id, each
+    stream orders by doc_id and assigns pack_no/pack_pos from one exact
+    integer prefix sum — byte-identical on re-run at any parallelism."""
+    from ..functions.packing import pack_offsets
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"],
+                      num_blocks=8)
+    return pack_offsets(docs, "doc_id", "n_chars", budget=2048,
+                        num_streams=8)
+
+
+SQL_PACKED_DOCS = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         ((doc_id * 2654435761) % 4294967296) % 8 AS stream
+  FROM documents
+), w AS (
+  SELECT doc_id, n_chars, stream,
+         CAST(COALESCE(SUM(n_chars) OVER (
+             PARTITION BY stream ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum
+  FROM s
+)
+SELECT doc_id, n_chars, stream,
+       cum // 2048 AS pack_no, cum % 2048 AS pack_pos
+FROM w
+"""
+
+
 SQL_SCALED_DOCS = """
 WITH s AS (
   SELECT doc_id, n_chars,
@@ -2685,6 +2717,7 @@ QUERIES = {
     "user_event_paths": q_user_event_paths,
     "user_split": q_user_split,
     "scaled_docs": q_scaled_docs,
+    "packed_docs": q_packed_docs,
     "ewma_events": q_ewma_events,
     "session_funnel": q_session_funnel,
     "histogram_chars": q_histogram_chars,
@@ -2761,6 +2794,7 @@ ORACLE_SQL = {
     "user_event_paths": SQL_USER_EVENT_PATHS,
     "user_split": SQL_USER_SPLIT,
     "scaled_docs": SQL_SCALED_DOCS,
+    "packed_docs": SQL_PACKED_DOCS,
     "session_funnel": SQL_SESSION_FUNNEL,
     "histogram_chars": SQL_HISTOGRAM_CHARS,
     "repetition_docs": SQL_REPETITION,
