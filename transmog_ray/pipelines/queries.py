@@ -1200,6 +1200,44 @@ ASOF LEFT JOIN (
 """
 
 
+def q_asof_purchase_tol(sf_dir: str):
+    """Tolerance-bounded point-in-time join: the latest purchase at or
+    before each event only counts when it is at most 1 hour old —
+    merge_asof tolerance semantics (the latest row IS the closest, so
+    nulling matches older than the bound is exact)."""
+    from ..stages.asof import asof_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type", "value"],
+                    num_blocks=8).materialize()
+    purchases = ev.map_batches(
+        lambda df: df[df["event_type"] == "purchase"][["user_id", "ts", "value"]]
+        .rename(columns={"ts": "p_ts", "value": "p_value"}),
+        batch_format="pandas",
+    )
+    return asof_join(
+        ev, purchases,
+        key="user_id", left_ts="ts", right_ts="p_ts", right_cols=["p_value"],
+        num_buckets=16, tolerance_seconds=3600,
+    )
+
+
+SQL_ASOF_PURCHASE_TOL = """
+SELECT event_id, user_id, ts, event_type, value,
+       CASE WHEN ts - p_ts <= INTERVAL 1 HOUR THEN p_ts END    AS p_ts,
+       CASE WHEN ts - p_ts <= INTERVAL 1 HOUR THEN p_value END AS p_value
+FROM (
+  SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
+         p.p_ts, p.p_value
+  FROM events e
+  ASOF LEFT JOIN (
+    SELECT user_id, ts AS p_ts, value AS p_value FROM events
+    WHERE event_type = 'purchase'
+  ) p ON e.user_id = p.user_id AND e.ts >= p.p_ts
+)
+"""
+
+
 def q_asof_next_purchase(sf_dir: str):
     """FORWARD as-of: the earliest purchase at or after each event — the
     look-ahead join that builds prediction TARGETS (time-to-next-purchase
@@ -2689,6 +2727,7 @@ QUERIES = {
     "line_filtered_docs": q_line_filtered_docs,
     "tumbling_hourly": q_tumbling_hourly,
     "asof_purchase": q_asof_purchase,
+    "asof_purchase_tol": q_asof_purchase_tol,
     "asof_next_purchase": q_asof_next_purchase,
     "dedup_user_type": q_dedup_user_type,
     "token_stats": q_token_stats,
@@ -2773,6 +2812,7 @@ ORACLE_SQL = {
     "line_filtered_docs": SQL_LINE_FILTERED,
     "tumbling_hourly": SQL_TUMBLING,
     "asof_purchase": SQL_ASOF_PURCHASE,
+    "asof_purchase_tol": SQL_ASOF_PURCHASE_TOL,
     "asof_next_purchase": SQL_ASOF_NEXT_PURCHASE,
     "dedup_user_type": SQL_DEDUP_USER_TYPE,
     "token_stats": SQL_TOKEN_STATS,
