@@ -993,3 +993,32 @@ def test_pack_offsets_hand_case(ray_session):
         outs["tasks"][sorted(outs["tasks"].columns)],
         outs["groupby"][sorted(outs["groupby"].columns)],
     )
+
+
+def test_heavy_hitters_exact_vs_brute(ray_session):
+    """Pigeonhole candidates + exact recount == brute-force HAVING, on
+    skewed data split across many blocks (a hitter need not be hot in
+    every block)."""
+    import ray.data as rd
+
+    from transmog_ray.functions.skew import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    # zipf-ish: a few hot users + a long uniform tail
+    keys = np.concatenate([
+        np.repeat([1, 2], [300, 120]),
+        rng.integers(100, 400, 600),
+    ])
+    rng.shuffle(keys)
+    df = pd.DataFrame({"user_id": keys.astype(np.int64)})
+    ds = rd.from_pandas(df).repartition(8).materialize()
+    t = 0.02
+    got = (heavy_hitters(ds, "user_id", share=t, num_buckets=4)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    brute = df.groupby("user_id").size().rename("n").reset_index()
+    brute = brute[brute["n"] >= t * len(df)].sort_values(
+        "user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n": "int64"}), brute.astype({"n": "int64"})
+    )
+    assert {1, 2} <= set(got["user_id"])

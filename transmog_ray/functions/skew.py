@@ -48,6 +48,52 @@ def detect_hot_keys(
     ).reset_index(drop=True)
 
 
+def heavy_hitters(
+    ds,
+    key: str,
+    share: float,
+    num_buckets: int = 16,
+    exchange: str | None = None,
+):
+    """EXACT share-threshold heavy hitters (keys with ≥ ``share`` of all
+    rows) without a full distinct-key shuffle — the deterministic
+    complement of the sampled :func:`detect_hot_keys`.
+
+    The pigeonhole guarantee: a key's global share is a weighted mean of
+    its per-batch local shares, so global share ≥ t implies local share
+    ≥ t in at least one batch. Pass 1 therefore emits, per batch, only
+    the keys with LOCAL share ≥ t (≤ 1/t candidates per batch, one
+    vectorized groupby) — no false negatives by construction. The driver
+    holds just the deduped candidate set (≤ batches/t before dedup —
+    tiny for any real t) plus the row count. Pass 2 recounts exactly:
+    a broadcast-set semi-join keeps candidate rows, a partial-pre-agg
+    grouped count gives exact totals (shuffle ≤ candidates × batches
+    partial rows), and the final filter applies ``n ≥ ceil(t·N)``
+    exactly as SQL ``HAVING COUNT(*) >= t * total``.
+
+    Two passes over *ds* — pass it materialized. Returns (key, n).
+    """
+    from .relational import grouped_agg, semi_join
+
+    def local_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(key, sort=False).size()
+        hot = c[c >= share * len(df)]
+        return hot.index.to_frame(index=False, name=key)
+
+    cand = (
+        ds.map_batches(local_candidates, batch_format="pandas")
+        .to_pandas().drop_duplicates()
+    )
+    n_total = ds.count()
+    counted = grouped_agg(
+        semi_join(ds, cand, on=key), [key], {"n": (key, "count")},
+        num_buckets=num_buckets, exchange=exchange,
+    )
+    return counted.map_batches(
+        lambda df: df[df["n"] >= share * n_total], batch_format="pandas"
+    )
+
+
 def salted_grouped_agg(
     ds,
     keys: Sequence[str],

@@ -802,6 +802,25 @@ WHERE event_type = 'purchase'
 """
 
 
+def q_heavy_users(sf_dir: str):
+    """Exact share-threshold heavy hitters: users owning ≥ 0.75% of all
+    events, found without a full distinct-key shuffle (per-batch
+    local-share candidates by pigeonhole, then an exact recount of the
+    candidate set only)."""
+    from ..functions.skew import heavy_hitters
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"],
+                    num_blocks=8).materialize()  # two passes by design
+    return heavy_hitters(ev, "user_id", share=0.0075, num_buckets=8)
+
+
+SQL_HEAVY_USERS = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+HAVING COUNT(*) >= 0.0075 * (SELECT COUNT(*) FROM events)
+"""
+
+
 def q_pagerank_trade(sf_dir: str):
     """Distributed PageRank (2 power iterations, d=0.85) over the
     customer↔supplier trade graph derived from lineitem⋈orders (both
@@ -2719,6 +2738,7 @@ QUERIES = {
     "except_users": q_except_users,
     "backfill_events": q_backfill_events,
     "pagerank_trade": q_pagerank_trade,
+    "heavy_users": q_heavy_users,
     "rolling_events": q_rolling_events,
     "running_events": q_running_events,
     "target_encode_events": q_target_encode_events,
@@ -2804,6 +2824,7 @@ ORACLE_SQL = {
     "except_users": SQL_EXCEPT_USERS,
     "backfill_events": SQL_BACKFILL,
     "pagerank_trade": SQL_PAGERANK_TRADE,
+    "heavy_users": SQL_HEAVY_USERS,
     "rolling_events": SQL_ROLLING,
     "running_events": SQL_RUNNING,
     "target_encode_events": SQL_TARGET_ENCODE,
