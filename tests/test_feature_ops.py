@@ -1022,3 +1022,19 @@ def test_heavy_hitters_exact_vs_brute(ray_session):
         got.astype({"n": "int64"}), brute.astype({"n": "int64"})
     )
     assert {1, 2} <= set(got["user_id"])
+
+
+def test_bpe_token_count_pattern():
+    """Mixed-content tokenization: letter/digit/punct runs with optional
+    leading space, matching the documented RE2-safe pattern."""
+    from transmog_ray.functions.text import BpeTokenCount
+
+    stage = BpeTokenCount()
+    df = pd.DataFrame({"text": [
+        "Hello, world! 42 foo_bar",   # Hello , _world !( ...) → 8
+        "",                            # empty → 0
+        None,                          # null → 0
+        "abc123def",                   # abc|123|def → 3
+    ]})
+    out = stage(df.copy())
+    assert out["n_bpe_tokens"].tolist() == [8, 0, 0, 3]

@@ -55,6 +55,30 @@ def token_stats(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return df
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to the common
+#: RE2 subset — no lookahead — so DuckDB regexp_extract_all reproduces
+#: the count exactly): letter runs, digit runs, punctuation runs, each
+#: with an optional leading space.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
+class BpeTokenCount:
+    """Regex token counter as an actor-pool stage: the pattern compiles
+    ONCE per actor in ``__init__`` (stateful-stage contract), each call
+    adds ``n_bpe_tokens`` via one ``str.count`` pass over the batch."""
+
+    def __init__(self, text_col: str = "text", pattern: str = BPE_PATTERN):
+        import re
+
+        self.text_col = text_col
+        self.pattern = re.compile(pattern)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].fillna("")
+        df["n_bpe_tokens"] = s.str.count(self.pattern).astype("int64")
+        return df
+
+
 def quality_score(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Length/word/stopword quality signals, SQL-reproducible:
 
@@ -418,6 +442,8 @@ __all__ = [
     "token_stats",
     "quality_score",
     "line_quality_filter",
+    "BpeTokenCount",
+    "BPE_PATTERN",
     "fingerprint",
     "LangId",
     "rolling_fingerprint",

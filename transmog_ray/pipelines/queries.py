@@ -1644,6 +1644,34 @@ FROM keep WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def q_bpe_token_docs(sf_dir: str):
+    """Token counting both ways: whitespace split + a BPE-ish
+    pre-tokenizer regex (GPT-2-style runs, RE2-safe so the oracle's
+    regexp_extract_all counts identically). The regex compiles once per
+    actor (actor-pool stage), not per batch."""
+    from ..functions.text import BpeTokenCount, token_stats
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(BpeTokenCount, batch_format="pandas",
+                           concurrency=2)
+    return out.map_batches(
+        lambda df: token_stats(df, "text")[
+            ["doc_id", "n_tokens", "n_bpe_tokens"]
+        ],
+        batch_format="pandas",
+    )
+
+
+SQL_BPE_TOKENS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(
+           text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS BIGINT)
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_langid_docs(sf_dir: str):
     from ..functions.text import LangId
 
@@ -2751,6 +2779,7 @@ QUERIES = {
     "asof_next_purchase": q_asof_next_purchase,
     "dedup_user_type": q_dedup_user_type,
     "token_stats": q_token_stats,
+    "bpe_token_docs": q_bpe_token_docs,
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "dedup_docs": q_dedup_docs,
@@ -2837,6 +2866,7 @@ ORACLE_SQL = {
     "asof_next_purchase": SQL_ASOF_NEXT_PURCHASE,
     "dedup_user_type": SQL_DEDUP_USER_TYPE,
     "token_stats": SQL_TOKEN_STATS,
+    "bpe_token_docs": SQL_BPE_TOKENS,
     "quality_docs": SQL_QUALITY,
     "fingerprint_docs": SQL_FINGERPRINT,
     "dedup_docs": SQL_DEDUP_DOCS,
