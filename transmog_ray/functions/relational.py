@@ -300,6 +300,7 @@ def grouping_sets_agg(
     sets: Sequence[Sequence[str]],
     num_buckets: int = 64,
     exchange: str | None = None,
+    coarse_buckets: int | None = None,
 ):
     """SQL ``GROUP BY GROUPING SETS (...)`` over the aggregation
     lattice, in exactly TWO exchanges regardless of how many sets:
@@ -312,10 +313,14 @@ def grouping_sets_agg(
 
     Rolled-up key columns emit typed SQL NULLs. Ops are restricted to
     the decomposable set (sum/count/min/max; counts merge across levels
-    by SUM). Caveat: a rolled-up INTEGER key column travels null-padded
-    (object/float) through the coarse exchange, so integer keys beyond
-    2^53 could lose precision in coarser levels; string dimension keys
-    (the common case) are exact.
+    by SUM). ``coarse_buckets`` sizes the second exchange — default
+    ``min(num_buckets, 8)``, right for low-cardinality dimension keys;
+    raise it toward ``num_buckets`` when the finest grain is
+    high-cardinality (the coarse exchange carries finest-cardinality ×
+    n_sets rows). Caveat: a rolled-up INTEGER key column travels
+    null-padded (object/float) through the coarse exchange, so integer
+    keys beyond 2^53 could lose precision in coarser levels; string
+    dimension keys (the common case) are exact.
     """
     import numpy as np
 
@@ -363,9 +368,12 @@ def grouping_sets_agg(
         parts.append(finest)
     if coarse_sets:
         exploded = finest.map_batches(explode, batch_format="pandas")
-        coarse = grouped_agg(exploded, ["__gs", *keys], respec,
-                             num_buckets=min(num_buckets, 8),
-                             exchange=exchange)
+        coarse = grouped_agg(
+            exploded, ["__gs", *keys], respec,
+            num_buckets=(coarse_buckets if coarse_buckets is not None
+                         else min(num_buckets, 8)),
+            exchange=exchange,
+        )
         parts.append(coarse.map_batches(
             lambda df: _int_counts(df.drop(columns="__gs")),
             batch_format="pandas",
