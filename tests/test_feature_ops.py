@@ -1038,3 +1038,25 @@ def test_bpe_token_count_pattern():
     ]})
     out = stage(df.copy())
     assert out["n_bpe_tokens"].tolist() == [8, 0, 0, 3]
+
+
+def test_rollup_integer_keys_roundtrip(ray_session):
+    """Integer grouping keys survive the null-padded coarse exchange:
+    values come back exact (within the documented 2^53 contract) and
+    subtotal rows carry real NULLs."""
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import rollup_agg
+
+    rows = [
+        {"k1": 1_000_000_007, "k2": 2, "v": 1.0},
+        {"k1": 1_000_000_007, "k2": 3, "v": 2.0},
+        {"k1": 4, "k2": 2, "v": 4.0},
+    ]
+    out = rollup_agg(rd.from_items(rows), ["k1", "k2"],
+                     {"s": ("v", "sum")}, num_buckets=4).to_pandas()
+    assert len(out) == 3 + 2 + 1
+    sub = out[out["k2"].isna() & out["k1"].notna()]
+    assert sorted(sub["k1"].astype("int64")) == [4, 1_000_000_007]
+    assert sorted(sub["s"]) == [3.0, 4.0]
+    assert out[out["k1"].isna()]["s"].iloc[0] == 7.0
