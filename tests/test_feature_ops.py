@@ -1060,3 +1060,25 @@ def test_rollup_integer_keys_roundtrip(ray_session):
     assert sorted(sub["k1"].astype("int64")) == [4, 1_000_000_007]
     assert sorted(sub["s"]) == [3.0, 4.0]
     assert out[out["k1"].isna()]["s"].iloc[0] == 7.0
+
+
+def test_global_percent_rank_ties_and_nulls(ray_session):
+    """Exact (rank-1)/(N-1) with tie groups sharing the min rank; nulls
+    rank NULL; single-row edge returns 0."""
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import global_percent_rank
+
+    df = pd.DataFrame({"x": [10.0, 10.0, 5.0, 20.0, None]})
+    out = global_percent_rank(
+        rd.from_pandas(df), "x", num_buckets=2
+    ).to_pandas()
+    m = out.set_index("x")["pct_rank"]
+    assert m[5.0] == 0.0
+    assert (out.loc[out["x"] == 10.0, "pct_rank"] == 1 / 3).all()
+    assert m[20.0] == 3 / 3
+    assert out.loc[out["x"].isna(), "pct_rank"].isna().all()
+    one = global_percent_rank(
+        rd.from_pandas(pd.DataFrame({"x": [7.0]})), "x", num_buckets=1
+    ).to_pandas()
+    assert one["pct_rank"].iloc[0] == 0.0

@@ -631,6 +631,50 @@ def range_join(
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
+def global_percent_rank(
+    ds,
+    col: str,
+    out_col: str = "pct_rank",
+    num_buckets: int = 16,
+    exchange: str | None = None,
+):
+    """``PERCENT_RANK() OVER (ORDER BY col)`` — a GLOBAL window — with
+    NO global sort: one grouped count by value builds the histogram
+    (tiny relative to the data whenever the value domain is bounded —
+    lengths, scores, counts), the cumulative distribution is assembled
+    once on the driver and broadcast, and each row maps to its
+    rows-below count. ``percent_rank = rows_below / (N - 1)`` is an
+    exact integer ratio — bit-identical to the SQL window, no rounding.
+
+    NULL values get a NULL rank and don't count toward N (pass a
+    non-null column for exact SQL parity — SQL windows order NULLs into
+    the frame). Caveat: the HISTOGRAM must fit the driver, not the
+    data; for unbounded real-valued columns use
+    :func:`approx_grouped_quantile` instead."""
+    import ray
+
+    hist = grouped_agg(
+        ds.map_batches(lambda df: df[[col]], batch_format="pandas"),
+        [col], {"n": (col, "count")},
+        num_buckets=num_buckets, exchange=exchange,
+    ).to_pandas()
+    # a NULL group would pollute the CDF (and NaN can match NaN in map)
+    hist = hist[hist[col].notna()].sort_values(col).reset_index(drop=True)
+    n_total = int(hist["n"].sum())
+    below = np.cumsum(hist["n"].to_numpy(np.int64)) - hist["n"].to_numpy(np.int64)
+    ref = ray.put(pd.Series(below, index=hist[col].to_numpy()))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        cdf = ray.get(ref)
+        b = df[col].map(cdf)
+        df[out_col] = (
+            b / (n_total - 1) if n_total > 1 else b.where(b.isna(), 0.0)
+        )
+        return df
+
+    return ds.map_batches(rank, batch_format="pandas")
+
+
 def set_op(
     ds_a,
     ds_b,

@@ -2022,6 +2022,25 @@ def q_user_split(sf_dir: str):
     return assign_split(ev, "user_id", {"train": 90, "valid": 5, "test": 5})
 
 
+def q_global_rank_docs(sf_dir: str):
+    """Corpus-global PERCENT_RANK of document length WITHOUT a global
+    sort: a value histogram aggregates in one exchange, the cumulative
+    distribution broadcasts, rows map to exact rows-below / (N-1)
+    integer ratios — bit-identical to the SQL window."""
+    from ..functions.relational import global_percent_rank
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"],
+                      num_blocks=8)
+    return global_percent_rank(docs, "n_chars", num_buckets=8)
+
+
+SQL_GLOBAL_RANK = """
+SELECT doc_id, n_chars,
+       PERCENT_RANK() OVER (ORDER BY n_chars) AS pct_rank
+FROM documents
+"""
+
+
 def q_scaled_docs(sf_dir: str):
     """Leakage-safe standardization: split docs 80/10/10 by hashed
     doc_id, fit mean/std_pop of n_chars on the TRAIN rows only (one
@@ -2805,6 +2824,7 @@ QUERIES = {
     "user_event_paths": q_user_event_paths,
     "user_split": q_user_split,
     "scaled_docs": q_scaled_docs,
+    "global_rank_docs": q_global_rank_docs,
     "packed_docs": q_packed_docs,
     "ewma_events": q_ewma_events,
     "session_funnel": q_session_funnel,
@@ -2885,6 +2905,7 @@ ORACLE_SQL = {
     "user_event_paths": SQL_USER_EVENT_PATHS,
     "user_split": SQL_USER_SPLIT,
     "scaled_docs": SQL_SCALED_DOCS,
+    "global_rank_docs": SQL_GLOBAL_RANK,
     "packed_docs": SQL_PACKED_DOCS,
     "session_funnel": SQL_SESSION_FUNNEL,
     "histogram_chars": SQL_HISTOGRAM_CHARS,
