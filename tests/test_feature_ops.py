@@ -972,18 +972,20 @@ def test_pack_offsets_hand_case(ray_session):
     from transmog_ray.functions.packing import pack_offsets
     from transmog_ray.functions.sampling import knuth_hash
 
-    docs = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
-                         "tok": np.full(20, 6, dtype=np.int64)})
+    docs = pd.DataFrame({"doc_id": np.arange(64, dtype=np.int64),
+                         "tok": np.full(64, 6, dtype=np.int64)})
     outs = {}
+    # num_streams=8: several stream ids hash to the SAME physical bucket
+    # on the groupby exchange — packing must still be per-stream
     for exchange in ("tasks", "groupby"):
         out = (
             pack_offsets(rd.from_pandas(docs), "doc_id", "tok", budget=10,
-                         num_streams=2, exchange=exchange)
+                         num_streams=8, exchange=exchange)
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
         outs[exchange] = out
         assert (out["stream"].to_numpy()
-                == (knuth_hash(out["doc_id"].to_numpy()) % 2).astype(int)).all()
+                == (knuth_hash(out["doc_id"].to_numpy()) % 8).astype(int)).all()
         for s, g in out.groupby("stream"):
             g = g.sort_values("doc_id")
             cum = np.cumsum(g["tok"].to_numpy()) - g["tok"].to_numpy()
@@ -1082,3 +1084,17 @@ def test_global_percent_rank_ties_and_nulls(ray_session):
         rd.from_pandas(pd.DataFrame({"x": [7.0]})), "x", num_buckets=1
     ).to_pandas()
     assert one["pct_rank"].iloc[0] == 0.0
+
+
+def test_standardizer_exact_beyond_int64_squares(ray_session):
+    """x² beyond int64 must not wrap: sums accumulate in Python ints
+    (shipped as strings through the Arrow boundary)."""
+    import ray.data as rd
+
+    from transmog_ray.functions.scaling import fit_standardizer
+
+    big = 4_000_000_000  # big² = 1.6e19 > int64 max
+    stats = fit_standardizer(
+        rd.from_items([{"x": big}, {"x": big + 2}]), ["x"]
+    )
+    assert stats["x"] == (big + 1.0, 1.0)

@@ -180,6 +180,8 @@ def pagerank(
         n_refs.append(t)
         counts.append(c)
     n = float(sum(ray.get(counts)))
+    if n == 0:  # blocks existed but carried no rows (e.g. filtered-out)
+        return rd.from_items([])
 
     r_refs = [init_ranks.remote(n_refs[b], n) for b in range(nb)]
     for _ in range(iterations):

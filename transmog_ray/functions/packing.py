@@ -53,9 +53,14 @@ def pack_offsets(
     routed = ds.map_batches(add_stream, batch_format="pandas")
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        tok = df[tokens_col].to_numpy(np.int64)
-        cum = np.cumsum(tok) - tok  # prefix BEFORE each row
+        # group by the STREAM, not the physical bucket: the groupby
+        # exchange hash-buckets the stream id, so one bucket frame can
+        # legitimately carry several streams — each must pack alone
+        df = df.sort_values(["stream", id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        tok = pd.Series(df[tokens_col].to_numpy(np.int64))
+        cum = (tok.groupby(df["stream"], sort=False).cumsum() - tok).to_numpy()
         df["pack_no"] = cum // np.int64(budget)
         df["pack_pos"] = cum % np.int64(budget)
         return df.drop(columns=[BUCKET_COL], errors="ignore")

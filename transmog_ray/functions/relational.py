@@ -328,6 +328,8 @@ def grouping_sets_agg(
 
     keys = list(keys)
     sets = [tuple(s) for s in sets]
+    if not sets:
+        raise ValueError("grouping_sets_agg needs at least one grouping set")
     for s in sets:
         unknown = set(s) - set(keys)
         if unknown:
@@ -653,6 +655,7 @@ def global_percent_rank(
     :func:`approx_grouped_quantile` instead."""
     import ray
 
+    ds = ds.materialize()  # consumed twice: histogram pass + rank pass
     hist = grouped_agg(
         ds.map_batches(lambda df: df[[col]], batch_format="pandas"),
         [col], {"n": (col, "count")},

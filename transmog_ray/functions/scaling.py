@@ -41,15 +41,23 @@ def fit_standardizer(ds, cols: Sequence[str]) -> dict[str, tuple[float, float]]:
         for c in cols:
             v = df[c].dropna()
             if pd.api.types.is_integer_dtype(v):
-                arr = v.to_numpy(dtype=np.int64)
-                sx, sxx = int(arr.sum()), int((arr * arr).sum())
+                # object dtype → Python-int arithmetic: the EXACTNESS
+                # guarantee must hold map-side too (int64 would silently
+                # wrap on x² for |x| ≥ ~3.04e9 or on large batch sums).
+                # Ship the unbounded ints as STRINGS — Arrow int64 would
+                # overflow at the block boundary for huge partials.
+                arr = v.to_numpy(dtype=np.int64).astype(object)
+                sx, sxx = str(int(arr.sum())), str(int((arr * arr).sum()))
             else:
-                arr = v.to_numpy(dtype=np.float64)
-                sx, sxx = float(arr.sum()), float((arr * arr).sum())
+                sx = float(v.to_numpy(dtype=np.float64).sum())
+                sxx = float((v.to_numpy(dtype=np.float64) ** 2).sum())
             out[f"{c}__n"] = [len(v)]
             out[f"{c}__sx"] = [sx]
             out[f"{c}__sxx"] = [sxx]
         return pd.DataFrame(out)
+
+    def _num(x):
+        return int(x) if isinstance(x, str) else x
 
     parts = ds.map_batches(partial, batch_format="pandas").take_all()
     stats: dict[str, tuple[float, float]] = {}
@@ -58,18 +66,18 @@ def fit_standardizer(ds, cols: Sequence[str]) -> dict[str, tuple[float, float]]:
         if n == 0:
             raise ValueError(f"fit_standardizer: column {c!r} has no values")
         # Python ints: exact at any scale for integer columns
-        sx = sum(
-            int(p[f"{c}__sx"]) if isinstance(p[f"{c}__sx"], (int, np.integer))
-            else p[f"{c}__sx"]
-            for p in parts
-        )
-        sxx = sum(
-            int(p[f"{c}__sxx"]) if isinstance(p[f"{c}__sxx"], (int, np.integer))
-            else p[f"{c}__sxx"]
-            for p in parts
-        )
-        mean = sx / n
-        var = sxx / n - mean * mean
+        sx = sum(_num(p[f"{c}__sx"]) for p in parts)
+        sxx = sum(_num(p[f"{c}__sxx"]) for p in parts)
+        mean = float(sx) / float(n)  # mirrors SQL DOUBLE division
+        if isinstance(sx, int) and isinstance(sxx, int):
+            # var = (n·Σx² - (Σx)²) / n² with the numerator in EXACT
+            # integer arithmetic — the closed form Σx²/n - mean² loses
+            # all precision to cancellation once mean² ≫ variance
+            # (e.g. values ~4e9: float64 ulp at 1.6e19 is ~2048)
+            var_num = n * sxx - sx * sx
+            var = float(var_num) / (float(n) * float(n))
+        else:
+            var = sxx / n - mean * mean
         stats[c] = (mean, math.sqrt(var) if var > 0 else 0.0)
     return stats
 

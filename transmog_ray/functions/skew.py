@@ -76,7 +76,8 @@ def heavy_hitters(
     from .relational import grouped_agg, semi_join
 
     def local_candidates(df: pd.DataFrame) -> pd.DataFrame:
-        c = df.groupby(key, sort=False).size()
+        # dropna=False: SQL GROUP BY counts the NULL key group too
+        c = df.groupby(key, sort=False, dropna=False).size()
         hot = c[c >= share * len(df)]
         return hot.index.to_frame(index=False, name=key)
 
@@ -85,8 +86,14 @@ def heavy_hitters(
         .to_pandas().drop_duplicates()
     )
     n_total = ds.count()
+    kept = semi_join(ds, cand, on=key)  # isin matches NaN keys too
+    # COUNT(*) semantics (counts rows of a NULL key) needs a non-null
+    # counter column — COUNT(key) would report 0 for the NULL group
+    ones = kept.map_batches(
+        lambda df: df.assign(__one=np.int64(1)), batch_format="pandas"
+    )
     counted = grouped_agg(
-        semi_join(ds, cand, on=key), [key], {"n": (key, "count")},
+        ones, [key], {"n": ("__one", "count")},
         num_buckets=num_buckets, exchange=exchange,
     )
     return counted.map_batches(

@@ -2030,14 +2030,18 @@ def q_global_rank_docs(sf_dir: str):
     from ..functions.relational import global_percent_rank
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"],
-                      num_blocks=8)
+                      num_blocks=8).map_batches(
+        # NULL guard on BOTH sides: the engine excludes NULLs from N
+        # while SQL PERCENT_RANK orders them into the frame
+        lambda df: df[df["n_chars"].notna()], batch_format="pandas",
+    )
     return global_percent_rank(docs, "n_chars", num_buckets=8)
 
 
 SQL_GLOBAL_RANK = """
 SELECT doc_id, n_chars,
        PERCENT_RANK() OVER (ORDER BY n_chars) AS pct_rank
-FROM documents
+FROM documents WHERE n_chars IS NOT NULL
 """
 
 
@@ -2102,13 +2106,19 @@ WITH s AS (
               ELSE 'test' END AS split
   FROM documents
 ), t AS (
-  SELECT CAST(SUM(n_chars) AS DOUBLE)           AS sx,
-         CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx,
-         CAST(COUNT(*) AS DOUBLE)               AS n
+  -- variance numerator in EXACT integer arithmetic (HUGEINT), the same
+  -- (n·Σx² - (Σx)²)/n² form the engine computes — the naive
+  -- Σx²/n - mean² form cancels catastrophically for large means
+  SELECT CAST(SUM(n_chars) AS DOUBLE) AS sx,
+         CAST(COUNT(*) AS DOUBLE)     AS n,
+         CAST(CAST(COUNT(*) AS HUGEINT)
+                * CAST(SUM(n_chars * n_chars) AS HUGEINT)
+              - CAST(SUM(n_chars) AS HUGEINT)
+                * CAST(SUM(n_chars) AS HUGEINT) AS DOUBLE) AS var_num
   FROM s WHERE split = 'train'
 )
 SELECT doc_id, n_chars, split,
-       (n_chars - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)) AS n_chars_z
+       (n_chars - sx / n) / sqrt(var_num / (n * n)) AS n_chars_z
 FROM s, t
 """
 
