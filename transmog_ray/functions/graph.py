@@ -56,7 +56,7 @@ def pagerank(
 
     from ..stages.partition import (
         DEFAULT_MAX_FANIN, _GroupedColumns, _tree_concat, default_num_buckets,
-        key_hash,
+        split_frame_by_hash,
     )
 
     if num_buckets is None:
@@ -64,18 +64,7 @@ def pagerank(
     nb = num_buckets
 
     def _hash_split(df: pd.DataFrame, col: str) -> tuple:
-        """Split a frame into nb Arrow slices by key hash (map-side
-        shuffle write; one stable argsort, zero-copy slices)."""
-        t = pa.Table.from_pandas(df, preserve_index=False)
-        if len(df) == 0:
-            return tuple(t for _ in range(nb))
-        h = (key_hash(df[[col]], [col]) % np.uint64(nb)).astype(np.int64)
-        order = np.argsort(h, kind="stable")
-        taken = t.take(pa.array(order))
-        bounds = np.searchsorted(h[order], np.arange(nb + 1))
-        return tuple(
-            taken.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(nb)
-        )
+        return split_frame_by_hash(df, col, nb)
 
     @ray.remote(num_returns=nb)
     def split_edges(block):

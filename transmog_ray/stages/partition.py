@@ -79,6 +79,26 @@ def key_hash(frame: pd.DataFrame, keys: Sequence[str]) -> np.ndarray:
     return h
 
 
+def split_frame_by_hash(df: pd.DataFrame, col: str, num_buckets: int):
+    """Split one pandas frame into ``num_buckets`` Arrow slices by key
+    hash — the map-side shuffle-write kernel (one stable argsort,
+    zero-copy slices). Shared by :func:`bucket_exchange`-style raw-task
+    stages that build their own exchange (e.g. the Pregel pagerank)."""
+    import pyarrow as pa
+
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    if len(df) == 0:
+        return tuple(t for _ in range(num_buckets))
+    h = (key_hash(df[[col]], [col]) % np.uint64(num_buckets)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    taken = t.take(pa.array(order))
+    bounds = np.searchsorted(h[order], np.arange(num_buckets + 1))
+    return tuple(
+        taken.slice(bounds[b], bounds[b + 1] - bounds[b])
+        for b in range(num_buckets)
+    )
+
+
 def add_bucket(ds, keys: Sequence[str], num_buckets: int):
     """Append the hash-bucket column (vectorized, stateless map).
 
