@@ -525,6 +525,47 @@ def q_media_features(sf_dir: str):
     return out[["id", "media_type", "decoder", "feature_dim", "feat0"]]
 
 
+def q_bloom_urgent_lineitems(sf_dir: str):
+    """Bloom pre-filter + exact verify: lineitems of URGENT orders,
+    rolled up per returnflag. The Bloom filter (fixed-size bit array
+    regardless of key-set size, zero false negatives) drops ~all
+    non-matching rows before the exact membership probe — the broadcast
+    shape when the key SET is too big to ship; the exact verify keeps
+    the result identical to a plain semi join."""
+    from ..functions.relational import (
+        bloom_prefilter, grouped_agg, semi_join,
+    )
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity", "l_returnflag"],
+                    num_blocks=8)
+    orders = read_small(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+    keys = orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_orderkey"]
+    pre = bloom_prefilter(li, keys, on="l_orderkey")
+    exact = semi_join(pre, keys.to_frame("l_orderkey"), on="l_orderkey")
+    agg = grouped_agg(
+        exact, ["l_returnflag"],
+        {"n_items": ("l_orderkey", "count"), "sum_qty": ("l_quantity", "sum")},
+        num_buckets=4,
+    )
+    return agg.map_batches(
+        lambda df: df.assign(sum_qty=round_half_away(df["sum_qty"], 2)),
+        batch_format="pandas",
+    )
+
+
+SQL_BLOOM_URGENT = """
+SELECT l_returnflag,
+       CAST(COUNT(l_orderkey) AS BIGINT) AS n_items,
+       ROUND(SUM(l_quantity), 2)         AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
 def q_semi_anti_purchasers(sf_dir: str):
     """Semi + anti join via a broadcast key set: each event is flagged
     semi/anti against the (small, deduped) purchaser key set inside
@@ -2786,6 +2827,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "media_features": q_media_features,
     "semi_anti_purchasers": q_semi_anti_purchasers,
+    "bloom_urgent_lineitems": q_bloom_urgent_lineitems,
     "flatten_events": q_flatten_events,
     "lag_lead_events": q_lag_lead_events,
     "sessionize_events": q_sessionize_events,
@@ -2874,6 +2916,7 @@ ORACLE_SQL = {
     "orders_by_month": SQL_ORDERS_BY_MONTH,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "semi_anti_purchasers": SQL_SEMI_ANTI,
+    "bloom_urgent_lineitems": SQL_BLOOM_URGENT,
     "flatten_events": SQL_FLATTEN_EVENTS,
     "lag_lead_events": SQL_LAG_LEAD,
     "sessionize_events": SQL_SESSIONIZE,
