@@ -197,3 +197,29 @@ def test_assign_split_entity_coherent(ray_session):
     assert 0.7 < frac < 0.9
     with pytest.raises(ValueError, match="sum to 100"):
         assign_split(rd.from_pandas(df), "user", {"train": 90, "test": 5})
+
+
+def test_weighted_sample_deterministic_and_monotone(ray_session):
+    """Same rows survive across runs/partitionings; p=1 keeps all,
+    p=0 keeps none; temperature flattens toward uniform."""
+    import ray.data as rd
+
+    from transmog_ray.functions.sampling import weighted_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                       "w": np.linspace(0, 1, 400)})
+    a = weighted_sample(rd.from_pandas(df), "doc_id",
+                        lambda d: d["w"]).to_pandas()
+    b = weighted_sample(rd.from_pandas(df).repartition(7), "doc_id",
+                        lambda d: d["w"]).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    ones = weighted_sample(rd.from_pandas(df), "doc_id",
+                           lambda d: pd.Series(np.ones(len(d)))).to_pandas()
+    assert len(ones) == len(df)
+    zeros = weighted_sample(rd.from_pandas(df), "doc_id",
+                            lambda d: pd.Series(np.zeros(len(d)))).to_pandas()
+    assert len(zeros) == 0
+    # high temperature pushes survival rate toward the p→1 uniform limit
+    hot = weighted_sample(rd.from_pandas(df), "doc_id",
+                          lambda d: d["w"], temperature=8.0).to_pandas()
+    assert len(hot) > len(a)

@@ -48,6 +48,29 @@ def hash_sample(ds, id_col: str, percent: int):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def weighted_sample(ds, id_col: str, prob_fn, temperature: float = 1.0):
+    """Deterministic per-row Bernoulli sampling with row-dependent keep
+    probability — the corpus-MIXING primitive (keep high-quality docs
+    at a higher rate; ``temperature`` flattens the mix: p^(1/T), T→∞ →
+    uniform). ``prob_fn(df) -> Series in [0, 1]`` computes the base
+    probability per row (e.g. from a quality score).
+
+    Keep iff ``knuth_hash(id)/2^32 < p^(1/T)`` — no RNG state, the same
+    rows survive on any cluster size and on re-run after failure, and
+    the uniform-hash comparison is reproducible verbatim in SQL
+    (``((id * 2654435761) % 4294967296) / 4294967296.0``). Zero
+    shuffle; embarrassingly parallel."""
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.clip(prob_fn(df).to_numpy(dtype=np.float64), 0.0, 1.0)
+        if temperature != 1.0:
+            p = p ** (1.0 / temperature)
+        u = knuth_hash(df[id_col].to_numpy()).astype(np.float64) / 2**32
+        return df[u < p]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def assign_split(ds, key_col: str, splits, out_col: str = "split"):
     """Leakage-safe train/valid/test split: EVERY row sharing *key_col*
     (a user, url, document group...) lands in the same split — the

@@ -2107,6 +2107,33 @@ def q_scaled_docs(sf_dir: str):
     return apply_standardizer(split, stats)
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Quality-weighted corpus mixing: keep each doc with probability
+    sqrt(min(n_chars/1000, 1)) — longer docs survive at a higher rate,
+    temperature-flattened. Deterministic Bernoulli via the Knuth hash
+    (no RNG state; same rows survive at any parallelism / on re-run).
+    sqrt (not pow) on both sides: IEEE sqrt is correctly rounded, so
+    the hash-uniform comparison is bit-identical to the SQL."""
+    from ..functions.sampling import weighted_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"],
+                      num_blocks=8)
+    return weighted_sample(
+        docs, "doc_id",
+        lambda df: pd.Series(
+            np.sqrt(np.minimum(df["n_chars"].to_numpy(np.float64) / 1000.0,
+                               1.0))
+        ),
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+      < sqrt(LEAST(n_chars / 1000.0, 1.0))
+"""
+
+
 def q_packed_docs(sf_dir: str):
     """Deterministic training-sequence packing (boundary-start variant):
     docs route to 8 independent packing streams by hashed id, each
@@ -2878,6 +2905,7 @@ QUERIES = {
     "scaled_docs": q_scaled_docs,
     "global_rank_docs": q_global_rank_docs,
     "packed_docs": q_packed_docs,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "ewma_events": q_ewma_events,
     "session_funnel": q_session_funnel,
     "histogram_chars": q_histogram_chars,
@@ -2960,6 +2988,7 @@ ORACLE_SQL = {
     "scaled_docs": SQL_SCALED_DOCS,
     "global_rank_docs": SQL_GLOBAL_RANK,
     "packed_docs": SQL_PACKED_DOCS,
+    "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "session_funnel": SQL_SESSION_FUNNEL,
     "histogram_chars": SQL_HISTOGRAM_CHARS,
     "repetition_docs": SQL_REPETITION,
