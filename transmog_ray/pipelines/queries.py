@@ -1664,6 +1664,112 @@ FROM kept GROUP BY doc_id HAVING COUNT(*) >= 2
 """
 
 
+def q_curate_docs(sf_dir: str):
+    """End-to-end corpus curation — the composed training-data pipeline,
+    every stage an existing operator: 3-word line chunking → C4-style
+    line-quality filter (zero shuffle) → corpus-level line dedup (two
+    bucket exchanges) → quality-weighted deterministic sampling →
+    leakage-safe entity split → boundary-start sequence packing (one
+    identity-routed exchange). The whole chain is reproduced in ONE
+    composed SQL oracle — stage interactions (filtered line positions
+    feeding the dedup winner rule, post-dedup lengths feeding the
+    sampler and packer) are pinned exactly, not just each stage alone."""
+    from ..functions.sampling import assign_split, weighted_sample
+    from ..functions.packing import pack_offsets
+    from ..functions.text import line_quality_filter
+    from ..stages.dedup import line_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    chunked = docs.map_batches(
+        lambda df: df.assign(
+            text=df["text"].str.replace(
+                r"((?:\S+ ){2}\S+) ", "\\1\n", regex=True
+            )
+        ),
+        batch_format="pandas",
+    )
+    filtered = chunked.map_batches(
+        lambda df: line_quality_filter(
+            df, min_words=3, blocklist=("the",), min_lines=2
+        ).drop(columns=["n_lines"]),
+        batch_format="pandas",
+    )
+    deduped = line_dedup(filtered, "doc_id", "text", num_buckets=8)
+    sized = deduped.map_batches(
+        lambda df: df.assign(
+            n_chars_final=df["text"].str.len().astype("int64")
+        ),
+        batch_format="pandas",
+    )
+    sampled = weighted_sample(
+        sized, "doc_id",
+        lambda df: pd.Series(np.sqrt(np.minimum(
+            df["n_chars_final"].to_numpy(np.float64) / 500.0, 1.0
+        ))),
+    )
+    split = assign_split(sampled, "doc_id",
+                         {"train": 90, "valid": 5, "test": 5})
+    packed = pack_offsets(split, "doc_id", "n_chars_final", budget=512,
+                          num_streams=4)
+    return packed.map_batches(
+        lambda df: df[["doc_id", "n_chars_final", "split", "stream",
+                       "pack_no", "pack_pos"]],
+        batch_format="pandas",
+    )
+
+
+SQL_CURATE_DOCS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+), lines AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS line_no,
+         unnest(list_transform(
+             range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT)),
+             i -> array_to_string(ws[(i*3+1):(i*3+3)], ' '))) AS line
+  FROM w
+), kept AS (
+  SELECT doc_id, line_no, line,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY line_no) - 1 AS fpos
+  FROM lines
+  WHERE len(string_split(line, ' ')) >= 3
+    AND NOT list_contains(string_split(line, ' '), 'the')
+), fdoc AS (  -- docs surviving the quality filter (>= 2 kept lines)
+  SELECT doc_id FROM kept GROUP BY doc_id HAVING COUNT(*) >= 2
+), winners AS (  -- corpus line dedup over FILTERED positions
+  SELECT k.doc_id, k.fpos, k.line,
+         ROW_NUMBER() OVER (PARTITION BY k.line
+                            ORDER BY k.doc_id, k.fpos) AS rn
+  FROM kept k JOIN fdoc USING (doc_id)
+), dedup AS (
+  SELECT doc_id,
+         length(string_agg(line, chr(10) ORDER BY fpos)) AS n_chars_final
+  FROM winners WHERE rn = 1 GROUP BY doc_id
+), sampled AS (
+  SELECT doc_id, n_chars_final,
+         CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+              THEN 'train'
+              WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95
+              THEN 'valid' ELSE 'test' END AS split,
+         ((doc_id * 2654435761) % 4294967296) % 4 AS stream
+  FROM dedup
+  WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+        < sqrt(LEAST(n_chars_final / 500.0, 1.0))
+), packed AS (
+  SELECT doc_id, n_chars_final, split, stream,
+         CAST(COALESCE(SUM(n_chars_final) OVER (
+             PARTITION BY stream ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum
+  FROM sampled
+)
+SELECT doc_id, n_chars_final, split, stream,
+       cum // 512 AS pack_no, cum % 512 AS pack_pos
+FROM packed
+"""
+
+
 SQL_LINE_DEDUP = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws
@@ -2871,6 +2977,7 @@ QUERIES = {
     "first_touch_events": q_first_touch_events,
     "line_dedup_docs": q_line_dedup_docs,
     "line_filtered_docs": q_line_filtered_docs,
+    "curate_docs": q_curate_docs,
     "tumbling_hourly": q_tumbling_hourly,
     "asof_purchase": q_asof_purchase,
     "asof_purchase_tol": q_asof_purchase_tol,
@@ -2961,6 +3068,7 @@ ORACLE_SQL = {
     "first_touch_events": SQL_FIRST_TOUCH,
     "line_dedup_docs": SQL_LINE_DEDUP,
     "line_filtered_docs": SQL_LINE_FILTERED,
+    "curate_docs": SQL_CURATE_DOCS,
     "tumbling_hourly": SQL_TUMBLING,
     "asof_purchase": SQL_ASOF_PURCHASE,
     "asof_purchase_tol": SQL_ASOF_PURCHASE_TOL,
