@@ -245,6 +245,102 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: promo-part revenue share per month — broadcast
+    part dimension (ray.put once), conditional partial aggregation below
+    the combine, exact to the SQL conditional-SUM form."""
+    from ..functions.relational import broadcast_join, grouped_agg
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"],
+                    num_blocks=8)
+    part = read_small(sf_dir, "part", columns=["p_partkey", "p_type"])
+    part = part.rename(columns={"p_partkey": "l_partkey"})
+    joined = broadcast_join(li, part, on="l_partkey")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        return pd.DataFrame({
+            "month": df["l_shipdate"].dt.strftime("%Y-%m"),
+            "rev": rev,
+            "promo_rev": rev.where(df["p_type"] == "PROMO", 0.0),
+        })
+
+    agg = grouped_agg(
+        joined.map_batches(prep, batch_format="pandas"),
+        ["month"],
+        {"sum_rev": ("rev", "sum"), "sum_promo": ("promo_rev", "sum")},
+        num_buckets=8,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "month": df["month"],
+            "promo_share": round_half_away(
+                100.0 * df["sum_promo"] / df["sum_rev"], 4
+            ),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_PROMO_REVENUE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY month
+"""
+
+
+def q_late_orders(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS → distributed semi join): orders with at
+    least one lineitem shipped more than 90 days after the order date,
+    counted per priority. The late-orderkey set comes from a
+    distributed join (order dates broadcast to the lineitem scan), is
+    distinct-compressed per batch, and drives a broadcast semi join."""
+    import ray
+
+    from ..functions.relational import broadcast_join, grouped_agg, semi_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"],
+                        num_blocks=8).materialize()
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"], num_blocks=8)
+    dates = read_small(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    dates = dates.rename(columns={"o_orderkey": "l_orderkey"})
+    tagged = broadcast_join(li, dates, on="l_orderkey")
+    late_keys = (
+        tagged.map_batches(
+            lambda df: df.loc[
+                df["l_shipdate"] > df["o_orderdate"] + pd.Timedelta(days=90),
+                ["l_orderkey"],
+            ].drop_duplicates().rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas",
+        ).to_pandas().drop_duplicates()
+    )
+    kept = semi_join(orders, late_keys, on="o_orderkey")
+    return grouped_agg(kept, ["o_orderpriority"],
+                       {"n_late": ("o_orderkey", "count")}, num_buckets=4)
+
+
+SQL_LATE_ORDERS = """
+SELECT o_orderpriority, CAST(COUNT(o_orderkey) AS BIGINT) AS n_late
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
 def q_revenue_by_nation(sf_dir: str):
     """lineitem ⋈ orders ⋈ customer ⋈ nation revenue rollup. Both FACT
     tables (lineitem, orders) stay distributed — they meet in a
@@ -2951,6 +3047,8 @@ QUERIES = {
     "user_top_type": q_user_top_type,
     "suppliers_by_region": q_suppliers_by_region,
     "revenue_by_nation": q_revenue_by_nation,
+    "promo_revenue": q_promo_revenue,
+    "late_orders": q_late_orders,
     "top_customers": q_top_customers,
     "filter_high_value": q_filter_high_value,
     "events_by_type": q_events_by_type,
@@ -3043,6 +3141,8 @@ ORACLE_SQL = {
     "user_top_type": SQL_USER_TOP_TYPE,
     "suppliers_by_region": SQL_SUPPLIERS_BY_REGION,
     "revenue_by_nation": SQL_REVENUE_NATION,
+    "promo_revenue": SQL_PROMO_REVENUE,
+    "late_orders": SQL_LATE_ORDERS,
     "top_customers": SQL_TOP_CUSTOMERS,
     "filter_high_value": SQL_FILTER_HIGH_VALUE,
     "events_by_type": SQL_EVENTS_BY_TYPE,
