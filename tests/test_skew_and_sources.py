@@ -223,3 +223,15 @@ def test_weighted_sample_deterministic_and_monotone(ray_session):
     hot = weighted_sample(rd.from_pandas(df), "doc_id",
                           lambda d: d["w"], temperature=8.0).to_pandas()
     assert len(hot) > len(a)
+
+
+def test_weighted_sample_rejects_bad_temperature(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.sampling import weighted_sample
+
+    ds = rd.from_items([{"doc_id": 1}])
+    for bad in (0.0, -1.0):
+        with pytest.raises(ValueError, match="temperature"):
+            weighted_sample(ds, "doc_id", lambda d: d["doc_id"],
+                            temperature=bad)

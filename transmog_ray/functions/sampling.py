@@ -59,7 +59,15 @@ def weighted_sample(ds, id_col: str, prob_fn, temperature: float = 1.0):
     rows survive on any cluster size and on re-run after failure, and
     the uniform-hash comparison is reproducible verbatim in SQL
     (``((id * 2654435761) % 4294967296) / 4294967296.0``). Zero
-    shuffle; embarrassingly parallel."""
+    shuffle; embarrassingly parallel.
+
+    SQL-exactness caveat: ``temperature != 1`` routes through ``pow``,
+    which is NOT correctly rounded and can differ by 1 ulp between
+    numpy and an oracle's libm — for a bit-exact SQL pair keep T=1 and
+    fold the exponent into *prob_fn* with correctly-rounded ops
+    (``sqrt`` is IEEE-exact; see ``q_weighted_sample_docs``)."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         p = np.clip(prob_fn(df).to_numpy(dtype=np.float64), 0.0, 1.0)

@@ -275,11 +275,15 @@ def q_promo_revenue(sf_dir: str):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # round each SUM, not the ratio: true revenue sums are exact
+        # 4-decimal multiples (2-dec price × 2-dec (1-discount)), so the
+        # ~1e-8 accumulation skew can never flip ROUND(sum, 4); the
+        # division of identical rounded float64s is then bit-identical
+        # on both sides — rounding the RATIO can land on a half boundary
         return pd.DataFrame({
             "month": df["month"],
-            "promo_share": round_half_away(
-                100.0 * df["sum_promo"] / df["sum_rev"], 4
-            ),
+            "promo_share": 100.0 * round_half_away(df["sum_promo"], 4)
+            / round_half_away(df["sum_rev"], 4),
         })
 
     return agg.map_batches(finish, batch_format="pandas")
@@ -287,10 +291,11 @@ def q_promo_revenue(sf_dir: str):
 
 SQL_PROMO_REVENUE = """
 SELECT strftime(l_shipdate, '%Y-%m') AS month,
-       ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+       100.0 * ROUND(SUM(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+                              ELSE 0.0 END), 4)
+             / ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+           AS promo_share
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY month
 """
@@ -309,7 +314,7 @@ def q_late_orders(sf_dir: str):
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_orderdate",
                                  "o_orderpriority"],
-                        num_blocks=8).materialize()
+                        num_blocks=8)
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_shipdate"], num_blocks=8)
     dates = read_small(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
@@ -1702,7 +1707,15 @@ def q_line_dedup_docs(sf_dir: str):
     from ..stages.dedup import line_dedup
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    chunked = docs.map_batches(
+    chunked = _chunk_3word_lines(docs)
+    return line_dedup(chunked, "doc_id", "text")
+
+
+def _chunk_3word_lines(docs):
+    """Rewrite every 3rd space to a newline — the deterministic 3-word
+    line chunking shared by ALL line-structured doc queries; the three
+    SQL oracles assume this exact regex, so there is ONE copy of it."""
+    return docs.map_batches(
         lambda df: df.assign(
             text=df["text"].str.replace(
                 r"((?:\S+ ){2}\S+) ", "\\1\n", regex=True
@@ -1710,7 +1723,6 @@ def q_line_dedup_docs(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    return line_dedup(chunked, "doc_id", "text")
 
 
 def q_line_filtered_docs(sf_dir: str):
@@ -1722,14 +1734,7 @@ def q_line_filtered_docs(sf_dir: str):
     from ..functions.text import line_quality_filter
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    chunked = docs.map_batches(
-        lambda df: df.assign(
-            text=df["text"].str.replace(
-                r"((?:\S+ ){2}\S+) ", "\\1\n", regex=True
-            )
-        ),
-        batch_format="pandas",
-    )
+    chunked = _chunk_3word_lines(docs)
     return chunked.map_batches(
         lambda df: line_quality_filter(
             df, min_words=3, blocklist=("the",), min_lines=2
@@ -1776,14 +1781,7 @@ def q_curate_docs(sf_dir: str):
     from ..stages.dedup import line_dedup
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    chunked = docs.map_batches(
-        lambda df: df.assign(
-            text=df["text"].str.replace(
-                r"((?:\S+ ){2}\S+) ", "\\1\n", regex=True
-            )
-        ),
-        batch_format="pandas",
-    )
+    chunked = _chunk_3word_lines(docs)
     filtered = chunked.map_batches(
         lambda df: line_quality_filter(
             df, min_words=3, blocklist=("the",), min_lines=2
