@@ -235,3 +235,33 @@ def test_weighted_sample_rejects_bad_temperature(ray_session):
         with pytest.raises(ValueError, match="temperature"):
             weighted_sample(ds, "doc_id", lambda d: d["doc_id"],
                             temperature=bad)
+
+
+def test_assign_folds_and_temporal_split(ray_session):
+    """Entity-coherent folds (every row of a user in ONE fold); purged
+    temporal split labels the embargo gap."""
+    import ray.data as rd
+
+    from transmog_ray.functions.sampling import assign_folds, temporal_split
+
+    ev = pd.DataFrame({
+        "user_id": np.repeat(np.arange(30, dtype=np.int64), 4),
+        "ts": pd.Timestamp("2024-01-18") + pd.to_timedelta(
+            np.tile(np.arange(4) * 86400, 30), unit="s"),
+    })
+    out = assign_folds(rd.from_pandas(ev), "user_id", k=3).to_pandas()
+    per_user = out.groupby("user_id")["fold"].nunique()
+    assert (per_user == 1).all()
+    assert set(out["fold"]) <= {0, 1, 2}
+    with pytest.raises(ValueError, match="k must be"):
+        assign_folds(rd.from_pandas(ev), "user_id", k=1)
+
+    ts = temporal_split(rd.from_pandas(ev), "ts", "2024-01-20",
+                        embargo_seconds=86400).to_pandas()
+    assert (ts.loc[ts["ts"] < pd.Timestamp("2024-01-19"), "split"]
+            == "train").all()
+    assert (ts.loc[ts["ts"] >= pd.Timestamp("2024-01-20"), "split"]
+            == "test").all()
+    gap = ts[(ts["ts"] >= pd.Timestamp("2024-01-19"))
+             & (ts["ts"] < pd.Timestamp("2024-01-20"))]
+    assert len(gap) and (gap["split"] == "embargo").all()

@@ -103,6 +103,49 @@ def assign_split(ds, key_col: str, splits, out_col: str = "split"):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def assign_folds(ds, key_col: str, k: int, out_col: str = "fold"):
+    """Leakage-safe k-fold assignment for cross-validation: the ENTITY
+    is hashed (``knuth_hash(key) % k``), so every row of one entity
+    lands in the same fold — no entity straddles train/holdout in any
+    CV round. Deterministic, zero shuffle, SQL-reproducible."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df[out_col] = (
+            knuth_hash(df[key_col].to_numpy()) % np.uint64(k)
+        ).astype(np.int64)
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def temporal_split(
+    ds,
+    ts_col: str,
+    cutoff,
+    embargo_seconds: float = 0.0,
+    out_col: str = "split",
+):
+    """Embargo-aware temporal (purged) split: rows strictly before
+    ``cutoff - embargo`` are ``train``, rows at/after ``cutoff`` are
+    ``test``, and rows inside the embargo gap are labeled ``embargo``
+    (drop them downstream). The gap prevents the classic temporal leak
+    where features computed with trailing windows at the end of train
+    overlap the start of test. Pure vectorized map — zero shuffle."""
+    cutoff = pd.Timestamp(cutoff)
+    lo = cutoff - pd.Timedelta(seconds=embargo_seconds)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[ts_col]
+        df[out_col] = np.where(
+            t < lo, "train", np.where(t >= cutoff, "test", "embargo")
+        )
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def stratified_sample(
     ds,
     id_col: str,

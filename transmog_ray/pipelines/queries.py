@@ -2400,6 +2400,44 @@ FROM events
 """
 
 
+def q_user_folds(sf_dir: str):
+    """Leakage-safe 5-fold CV assignment: the USER is hashed to a fold,
+    so no entity straddles train/holdout in any CV round."""
+    from ..functions.sampling import assign_folds
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"],
+                    num_blocks=8)
+    return assign_folds(ev, "user_id", k=5)
+
+
+SQL_USER_FOLDS = """
+SELECT event_id, user_id,
+       ((user_id * 2654435761) % 4294967296) % 5 AS fold
+FROM events
+"""
+
+
+def q_temporal_split_events(sf_dir: str):
+    """Embargo-aware temporal (purged) split: train strictly before
+    cutoff−1d, test at/after cutoff, a labeled 1-day embargo gap between
+    — the guard against trailing-window features at the end of train
+    overlapping the start of test."""
+    from ..functions.sampling import temporal_split
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+                    num_blocks=8)
+    return temporal_split(ev, "ts", "2024-01-20", embargo_seconds=86400)
+
+
+SQL_TEMPORAL_SPLIT = """
+SELECT event_id, user_id, ts,
+       CASE WHEN ts <  TIMESTAMP '2024-01-19' THEN 'train'
+            WHEN ts >= TIMESTAMP '2024-01-20' THEN 'test'
+            ELSE 'embargo' END AS split
+FROM events
+"""
+
+
 def q_user_event_paths(sf_dir: str):
     """Ordered event-sequence (collect-list) per user: the
     comma-joined event types in deterministic (ts, event_id) order —
@@ -3105,6 +3143,8 @@ QUERIES = {
     "rank_events": q_rank_events,
     "user_event_paths": q_user_event_paths,
     "user_split": q_user_split,
+    "user_folds": q_user_folds,
+    "temporal_split_events": q_temporal_split_events,
     "scaled_docs": q_scaled_docs,
     "global_rank_docs": q_global_rank_docs,
     "packed_docs": q_packed_docs,
@@ -3191,6 +3231,8 @@ ORACLE_SQL = {
     "rank_events": SQL_RANK_EVENTS,
     "user_event_paths": SQL_USER_EVENT_PATHS,
     "user_split": SQL_USER_SPLIT,
+    "user_folds": SQL_USER_FOLDS,
+    "temporal_split_events": SQL_TEMPORAL_SPLIT,
     "scaled_docs": SQL_SCALED_DOCS,
     "global_rank_docs": SQL_GLOBAL_RANK,
     "packed_docs": SQL_PACKED_DOCS,
