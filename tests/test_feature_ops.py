@@ -1098,3 +1098,21 @@ def test_standardizer_exact_beyond_int64_squares(ray_session):
         rd.from_items([{"x": big}, {"x": big + 2}]), ["x"]
     )
     assert stats["x"] == (big + 1.0, 1.0)
+
+
+def test_hashed_term_counts_hand_case():
+    """Bucket = md5-prefix % dim; counts per (doc, bucket); null text
+    and empty batch keep schema."""
+    import hashlib
+
+    from transmog_ray.functions.text import hashed_term_counts
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["web web page", None]})
+    out = hashed_term_counts(df, dim=8).sort_values("bucket")
+    b_web = int(hashlib.md5(b"web").hexdigest()[:8], 16) % 8
+    b_page = int(hashlib.md5(b"page").hexdigest()[:8], 16) % 8
+    got = out.set_index("bucket")["n"].to_dict()
+    assert got[b_web] == 2 and got[b_page] == 1
+    assert (out["doc_id"] == 1).all()
+    empty = hashed_term_counts(df.iloc[:0])
+    assert list(empty.columns) == ["doc_id", "bucket", "n"]

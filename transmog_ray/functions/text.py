@@ -319,6 +319,49 @@ def redact_pii(
     return df
 
 
+def hashed_term_counts(
+    df: pd.DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> pd.DataFrame:
+    """Hashing-trick term counts (the HashingVectorizer shape): every
+    word maps to ``md5-prefix(word) % dim`` and the output is the sparse
+    ``(id, bucket, n)`` count triple per document — fixed feature width
+    with NO vocabulary build, no shuffle (documents are rows, counts are
+    doc-local). md5 runs once per DISTINCT word per batch (bounded by
+    the batch vocabulary, not the token count); the 32-bit-prefix int is
+    exactly ``CAST(CONCAT('0x', substring(md5(w),1,8)) AS BIGINT)`` in
+    DuckDB, so the bucketing is oracle-reproducible."""
+    import hashlib
+
+    import numpy as np
+
+    toks = df[text_col].dropna().astype(str).str.split(" ")
+    ex = toks.explode()
+    if ex.empty:
+        return pd.DataFrame({
+            id_col: pd.Series([], dtype=df[id_col].dtype),
+            "bucket": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+        })
+    vocab = pd.unique(ex)
+    lut = {
+        w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % dim
+        for w in vocab
+    }
+    pairs = pd.DataFrame({
+        id_col: df[id_col].loc[ex.index].to_numpy(),
+        "bucket": ex.map(lut).to_numpy(dtype=np.int64),
+    })
+    out = (
+        pairs.groupby([id_col, "bucket"], sort=False)
+        .size().reset_index(name="n")
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def line_quality_filter(
     df: pd.DataFrame,
     id_col: str = "doc_id",
@@ -442,6 +485,7 @@ __all__ = [
     "token_stats",
     "quality_score",
     "line_quality_filter",
+    "hashed_term_counts",
     "BpeTokenCount",
     "BPE_PATTERN",
     "fingerprint",

@@ -1885,6 +1885,30 @@ FROM keep WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def q_hashed_terms_docs(sf_dir: str):
+    """Hashing-trick featurization: sparse (doc, bucket, count) triples
+    with md5-prefix bucketing — fixed feature width, no vocabulary
+    build, zero shuffle (counts are doc-local)."""
+    from ..functions.text import hashed_term_counts
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda df: hashed_term_counts(df, dim=64), batch_format="pandas"
+    )
+
+
+SQL_HASHED_TERMS = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(CONCAT('0x', substring(md5(w), 1, 8)) AS BIGINT) % 64 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM words GROUP BY doc_id, bucket
+"""
+
+
 def q_bpe_token_docs(sf_dir: str):
     """Token counting both ways: whitespace split + a BPE-ish
     pre-tokenizer regex (GPT-2-style runs, RE2-safe so the oracle's
@@ -3119,6 +3143,7 @@ QUERIES = {
     "dedup_user_type": q_dedup_user_type,
     "token_stats": q_token_stats,
     "bpe_token_docs": q_bpe_token_docs,
+    "hashed_terms_docs": q_hashed_terms_docs,
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "dedup_docs": q_dedup_docs,
@@ -3214,6 +3239,7 @@ ORACLE_SQL = {
     "dedup_user_type": SQL_DEDUP_USER_TYPE,
     "token_stats": SQL_TOKEN_STATS,
     "bpe_token_docs": SQL_BPE_TOKENS,
+    "hashed_terms_docs": SQL_HASHED_TERMS,
     "quality_docs": SQL_QUALITY,
     "fingerprint_docs": SQL_FINGERPRINT,
     "dedup_docs": SQL_DEDUP_DOCS,
