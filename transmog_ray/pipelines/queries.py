@@ -2067,6 +2067,44 @@ def q_pages_features_tagged(sf_dir: str):
     return out.map_batches(_pages_proj, batch_format="pandas")
 
 
+def q_page_changes(sf_dir: str):
+    """Crawl change detection (SCD-style delta flags): per url, snapshots
+    in (warc_ts, text) order — text is the tiebreak, making duplicate
+    (url, warc_ts) rows deterministically ordered — with ``changed=1``
+    when the text differs from the previous snapshot (first snapshot
+    counts as changed). One sorted bucket pass; the recrawl-delta /
+    skip-unchanged primitive of an incremental crawl pipeline."""
+    from ..stages.partition import apply_sorted
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts", "text"],
+                            override_num_blocks=16)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        prev = df.groupby("url", sort=False)["text"].shift(1)
+        same = prev.notna() & (df["text"] == prev)
+        # null text: SQL `text IS NOT DISTINCT FROM prev` — both null
+        # counts as unchanged
+        same |= prev.isna() & df["text"].isna() & (
+            df.groupby("url", sort=False).cumcount() > 0
+        )
+        df["changed"] = (~same).astype("int64")
+        return df
+
+    return apply_sorted(ds, ["url"], "warc_ts", fn, num_buckets=16,
+                        tiebreak=["text"])
+
+
+SQL_PAGE_CHANGES = f"""
+SELECT url, warc_ts, text,
+       CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+            WHEN text IS DISTINCT FROM LAG(text) OVER w THEN 1
+            ELSE 0 END AS changed
+FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+WINDOW w AS (PARTITION BY url ORDER BY warc_ts, text ASC NULLS LAST)
+"""
+
+
 SQL_PAGES_FEATURES = f"""
 WITH pages AS (
   SELECT url, warc_ts, text, lang, meta
@@ -3163,6 +3201,7 @@ QUERIES = {
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "pages_features": q_pages_features,
+    "page_changes": q_page_changes,
     "pages_features_tagged": q_pages_features_tagged,
     "range_join_events": q_range_join_events,
     "rank_events": q_rank_events,
@@ -3252,6 +3291,7 @@ ORACLE_SQL = {
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "pages_features": SQL_PAGES_FEATURES,
+    "page_changes": SQL_PAGE_CHANGES,
     "pages_features_tagged": SQL_PAGES_FEATURES,
     "range_join_events": SQL_RANGE_JOIN,
     "rank_events": SQL_RANK_EVENTS,
