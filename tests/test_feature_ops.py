@@ -1116,3 +1116,42 @@ def test_hashed_term_counts_hand_case():
     assert (out["doc_id"] == 1).all()
     empty = hashed_term_counts(df.iloc[:0])
     assert list(empty.columns) == ["doc_id", "bucket", "n"]
+
+
+def test_bm25_scores_match_loop(ray_session):
+    """Rational-idf BM25 == per-doc loop oracle; null docs skipped;
+    unmatched docs emit no row."""
+    import math
+
+    import ray.data as rd
+
+    from transmog_ray.functions.text import bm25_scores
+
+    docs = [
+        {"doc_id": 1, "text": "ray data ray engine"},
+        {"doc_id": 2, "text": "spark only here"},
+        {"doc_id": 3, "text": "nothing relevant"},
+        {"doc_id": 4, "text": None},
+    ]
+    terms = ("ray", "spark")
+    got = (bm25_scores(rd.from_items(docs).materialize(), terms)
+           .to_pandas().set_index("doc_id")["bm25"])
+    texts = {d["doc_id"]: d["text"] for d in docs if d["text"] is not None}
+    n = len(texts)
+    avglen = sum(len(t.split(" ")) for t in texts.values()) / n
+    dfreq = {t: sum(t in txt.split(" ") for txt in texts.values())
+             for t in terms}
+    for did, txt in texts.items():
+        ws = txt.split(" ")
+        expect = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            if tf:
+                idf = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+                expect += idf * tf * (1.2 + 1.0) / (
+                    tf + 1.2 * (1.0 - 0.75 + 0.75 * len(ws) / avglen))
+        if expect:
+            assert math.isclose(got[did], expect, rel_tol=1e-12), did
+        else:
+            assert did not in got.index
+    assert 4 not in got.index

@@ -319,6 +319,96 @@ def redact_pii(
     return df
 
 
+def bm25_scores(
+    ds,
+    terms: tuple,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Seed-query retrieval scoring for targeted corpus construction:
+    BM25-shaped relevance of every document against a small query-term
+    set (pick the docs "about" a topic without a model).
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))``
+    with the RATIONAL idf ``(N − df + 0.5)/(df + 0.5)`` instead of its
+    logarithm — same per-term monotonicity, but every operation is
+    +,×,÷ of exactly-agreed inputs, so a SQL oracle reproduces scores
+    bit-for-bit (libm ``ln`` is not correctly rounded across engines;
+    see CLAUDE.md pow/sqrt fact). Documented variant, not Robertson ln.
+
+    Two passes (pass *ds* materialized): (1) one no-shuffle
+    sufficient-statistics sweep — docs count, total words, per-term
+    document frequencies, combined with exact Python ints on the driver;
+    (2) a broadcast-idf scoring map — explode words, keep query terms,
+    count tf per (doc, term), sum contributions per doc. Only docs
+    matching ≥ 1 term emit a row (SQL inner GROUP BY)."""
+    terms = tuple(terms)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].dropna().astype(str)
+        toks = s.str.split(" ")
+        out = {
+            "__n": [len(s)],
+            "__words": [int(toks.str.len().sum()) if len(s) else 0],
+        }
+        padded = " " + s + " "
+        for t in terms:
+            out[f"__df_{t}"] = [int(
+                padded.str.contains(f" {t} ", regex=False).sum()
+            )]
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(stats, batch_format="pandas").take_all()
+    n_docs = sum(int(p["__n"]) for p in parts)
+    if n_docs == 0:
+        raise ValueError("bm25_scores: no documents with text")
+    avglen = sum(int(p["__words"]) for p in parts) / n_docs
+    idf = {}
+    for t in terms:
+        df_t = sum(int(p[f"__df_{t}"]) for p in parts)
+        idf[t] = (n_docs - df_t + 0.5) / (df_t + 0.5)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        d = df.dropna(subset=[text_col])
+        toks = d[text_col].astype(str).str.split(" ")
+        ex = toks.explode()
+        keep = ex.isin(terms)
+        if not keep.any():
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=df[id_col].dtype),
+                "bm25": pd.Series([], dtype="float64"),
+            })
+        pairs = pd.DataFrame({
+            id_col: d[id_col].loc[ex.index[keep]].to_numpy(),
+            "t": ex[keep].to_numpy(),
+        })
+        tf = (
+            pairs.groupby([id_col, "t"], sort=False)
+            .size().reset_index(name="tf")
+        )
+        doclen = pd.Series(
+            toks.str.len().to_numpy(np.float64),
+            index=d[id_col].to_numpy(),
+        )
+        tfv = tf["tf"].to_numpy(np.float64)
+        lens = doclen.loc[tf[id_col]].to_numpy(np.float64)
+        idfv = tf["t"].map(idf).to_numpy(np.float64)
+        contrib = idfv * tfv * (k1 + 1.0) / (
+            tfv + k1 * (1.0 - b + b * lens / avglen)
+        )
+        out = (
+            pd.DataFrame({id_col: tf[id_col], "bm25": contrib})
+            .groupby(id_col, sort=False)["bm25"].sum().reset_index()
+        )
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def hashed_term_counts(
     df: pd.DataFrame,
     id_col: str = "doc_id",

@@ -1885,6 +1885,51 @@ FROM keep WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def q_bm25_docs(sf_dir: str):
+    """Seed-query retrieval scoring: BM25-shaped relevance (rational-idf
+    variant — every op is +,×,÷ of exactly-agreed inputs, so the oracle
+    reproduces scores bit-for-bit) of each doc against a 3-term seed
+    query. Two passes: exact-int stats sweep, broadcast-idf scoring."""
+    from ..functions.text import bm25_scores
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8).materialize()  # two passes by design
+    out = bm25_scores(docs, ("spark", "ray", "query"))
+    return out.map_batches(
+        lambda df: df.assign(bm25=round_half_away(df["bm25"], 6)),
+        batch_format="pandas",
+    )
+
+
+SQL_BM25_DOCS = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+), st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(len(ws)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avglen
+  FROM d
+), tf AS (
+  SELECT doc_id, t.term,
+         CAST(len(list_filter(ws, x -> x = t.term)) AS DOUBLE) AS tf,
+         CAST(len(ws) AS DOUBLE) AS doclen
+  FROM d CROSS JOIN (VALUES ('spark'), ('ray'), ('query')) AS t(term)
+  WHERE list_contains(ws, t.term)
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfc FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ((SELECT n FROM st) - dfreq.dfc + 0.5) / (dfreq.dfc + 0.5)
+         * tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75
+                           + 0.75 * tf.doclen / (SELECT avglen FROM st)))
+       ), 6) AS bm25
+FROM tf JOIN dfreq USING (term)
+GROUP BY tf.doc_id
+"""
+
+
 def q_hashed_terms_docs(sf_dir: str):
     """Hashing-trick featurization: sparse (doc, bucket, count) triples
     with md5-prefix bucketing — fixed feature width, no vocabulary
@@ -3182,6 +3227,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "bpe_token_docs": q_bpe_token_docs,
     "hashed_terms_docs": q_hashed_terms_docs,
+    "bm25_docs": q_bm25_docs,
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "dedup_docs": q_dedup_docs,
@@ -3279,6 +3325,7 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "bpe_token_docs": SQL_BPE_TOKENS,
     "hashed_terms_docs": SQL_HASHED_TERMS,
+    "bm25_docs": SQL_BM25_DOCS,
     "quality_docs": SQL_QUALITY,
     "fingerprint_docs": SQL_FINGERPRINT,
     "dedup_docs": SQL_DEDUP_DOCS,
