@@ -150,3 +150,27 @@ def test_kmeans_fit_recovers_blobs(ray_session):
     for b in range(3):
         vals = np.unique(cl[blob == b])
         assert len(vals) == 1
+
+
+def test_int8_quantize_roundtrip_and_edges(ray_session):
+    """Dequantized values within scale/254 of the original; zero vector
+    emits q=0/scale=0; extremes hit ±127 exactly."""
+    import ray.data as rd
+
+    from transmog_ray.functions.ann import int8_quantize
+
+    vecs = [
+        {"vec_id": 1, "embedding": [1.0, -1.0, 0.5]},
+        {"vec_id": 2, "embedding": [0.0, 0.0, 0.0]},
+        {"vec_id": 3, "embedding": [-0.2, 0.1, 0.05]},
+    ]
+    out = int8_quantize(rd.from_items(vecs)).to_pandas()
+    assert len(out) == 9
+    v1 = out[out["vec_id"] == 1].sort_values("pos")
+    assert v1["q"].tolist() == [127, -127, 64]
+    assert (out[out["vec_id"] == 2]["q"] == 0).all()
+    assert (out[out["vec_id"] == 2]["scale"] == 0.0).all()
+    v3 = out[out["vec_id"] == 3].sort_values("pos")
+    orig = np.array([-0.2, 0.1, 0.05])
+    deq = v3["q"].to_numpy() * v3["scale"].to_numpy() / 127.0
+    assert np.abs(deq - orig).max() <= 0.2 / 254 + 1e-12

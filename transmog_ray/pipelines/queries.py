@@ -2055,6 +2055,39 @@ def _pages_proj(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def q_quantized_embeddings(sf_dir: str):
+    """Symmetric per-vector int8 quantization of the embedding table,
+    exploded to (id, pos, q, scale) rows for an exact oracle hash —
+    the 4× ANN-index memory cut; scale = max|x| is a pure selection,
+    so it compares bit-identically."""
+    from ..functions.ann import int8_quantize
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                     num_blocks=8)
+    return int8_quantize(emb)
+
+
+SQL_QUANTIZED_EMB = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), s AS (
+  SELECT vec_id, emb,
+         list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS scale
+  FROM e
+)
+SELECT vec_id,
+       unnest(range(0, len(emb))) AS pos,
+       unnest(list_transform(emb, x ->
+           CASE WHEN scale = 0 THEN 0
+                ELSE CAST(GREATEST(LEAST(ROUND(x * 127.0 / scale), 127),
+                                   -127) AS BIGINT) END)) AS q,
+       scale
+FROM s
+"""
+
+
 def q_ivf_ann(sf_dir: str):
     """IVF approximate top-k: spherical-kmeans codebook (driver sample,
     broadcast) + per-cell scoring; recall pinned vs brute in tests."""
@@ -3246,6 +3279,7 @@ QUERIES = {
     "langid_docs": q_langid_docs,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
+    "quantized_embeddings": q_quantized_embeddings,
     "pages_features": q_pages_features,
     "page_changes": q_page_changes,
     "pages_features_tagged": q_pages_features_tagged,
@@ -3330,6 +3364,7 @@ ORACLE_SQL = {
     "fingerprint_docs": SQL_FINGERPRINT,
     "dedup_docs": SQL_DEDUP_DOCS,
     "ann_topk": SQL_ANN_TOPK,
+    "quantized_embeddings": SQL_QUANTIZED_EMB,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "cosine_clusters": SQL_COSINE_CLUSTERS,
     "hopping_events": SQL_HOPPING,
