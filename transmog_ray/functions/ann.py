@@ -262,7 +262,18 @@ def int8_quantize(ds, id_col: str = "vec_id", emb_col: str = "embedding"):
                 "q": pd.Series([], dtype="int64"),
                 "scale": pd.Series([], dtype="float64"),
             })
-        M = np.asarray(list(df[emb_col]), dtype=np.float64)
+        try:
+            M = np.asarray(list(df[emb_col]), dtype=np.float64)
+        except ValueError as e:
+            raise ValueError(
+                f"int8_quantize needs fixed-dimension {emb_col!r} lists "
+                f"(ragged batch): {e}"
+            ) from None
+        if M.ndim != 2 or M.shape[1] == 0:
+            raise ValueError(
+                f"int8_quantize needs non-empty fixed-dimension "
+                f"{emb_col!r} lists, got shape {M.shape}"
+            )
         n, d = M.shape
         scale = np.abs(M).max(axis=1)
         safe = np.where(scale > 0, scale, 1.0)

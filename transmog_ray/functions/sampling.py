@@ -133,6 +133,11 @@ def temporal_split(
     (drop them downstream). The gap prevents the classic temporal leak
     where features computed with trailing windows at the end of train
     overlap the start of test. Pure vectorized map — zero shuffle."""
+    if embargo_seconds < 0:
+        raise ValueError(
+            f"embargo_seconds must be >= 0, got {embargo_seconds} "
+            "(a negative embargo would label post-cutoff rows 'train')"
+        )
     cutoff = pd.Timestamp(cutoff)
     lo = cutoff - pd.Timedelta(seconds=embargo_seconds)
 

@@ -334,17 +334,21 @@ def bm25_scores(
     ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))``
     with the RATIONAL idf ``(N − df + 0.5)/(df + 0.5)`` instead of its
     logarithm — same per-term monotonicity, but every operation is
-    +,×,÷ of exactly-agreed inputs, so a SQL oracle reproduces scores
-    bit-for-bit (libm ``ln`` is not correctly rounded across engines;
-    see CLAUDE.md pow/sqrt fact). Documented variant, not Robertson ln.
+    +,×,÷ of exactly-agreed inputs, so each TERM's contribution is
+    bit-identical to the SQL (libm ``ln`` is not correctly rounded
+    across engines; see CLAUDE.md pow/sqrt fact). The final ≤|terms|-
+    element per-doc SUM is float-order-sensitive at the 1-ulp level —
+    round scores on both sides. Documented variant, not Robertson ln.
 
-    Two passes (pass *ds* materialized): (1) one no-shuffle
+    Two passes (the input is materialized internally — consumed
+    twice): (1) one no-shuffle
     sufficient-statistics sweep — docs count, total words, per-term
     document frequencies, combined with exact Python ints on the driver;
     (2) a broadcast-idf scoring map — explode words, keep query terms,
     count tf per (doc, term), sum contributions per doc. Only docs
     matching ≥ 1 term emit a row (SQL inner GROUP BY)."""
     terms = tuple(terms)
+    ds = ds.materialize()  # consumed twice: stats sweep + scoring map
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         s = df[text_col].dropna().astype(str)
@@ -382,29 +386,28 @@ def bm25_scores(
                 id_col: pd.Series([], dtype=df[id_col].dtype),
                 "bm25": pd.Series([], dtype="float64"),
             })
+        # group by ROW position, not id: duplicate ids (re-crawls,
+        # unioned shards) score per row instance instead of colliding
         pairs = pd.DataFrame({
-            id_col: d[id_col].loc[ex.index[keep]].to_numpy(),
-            "t": ex[keep].to_numpy(),
+            "_row": ex.index[keep], "t": ex[keep].to_numpy(),
         })
         tf = (
-            pairs.groupby([id_col, "t"], sort=False)
+            pairs.groupby(["_row", "t"], sort=False)
             .size().reset_index(name="tf")
         )
-        doclen = pd.Series(
-            toks.str.len().to_numpy(np.float64),
-            index=d[id_col].to_numpy(),
-        )
+        doclen = toks.str.len().astype(np.float64)  # unique row index
         tfv = tf["tf"].to_numpy(np.float64)
-        lens = doclen.loc[tf[id_col]].to_numpy(np.float64)
+        lens = doclen.loc[tf["_row"]].to_numpy(np.float64)
         idfv = tf["t"].map(idf).to_numpy(np.float64)
         contrib = idfv * tfv * (k1 + 1.0) / (
             tfv + k1 * (1.0 - b + b * lens / avglen)
         )
         out = (
-            pd.DataFrame({id_col: tf[id_col], "bm25": contrib})
-            .groupby(id_col, sort=False)["bm25"].sum().reset_index()
+            pd.DataFrame({"_row": tf["_row"], "bm25": contrib})
+            .groupby("_row", sort=False)["bm25"].sum().reset_index()
         )
-        return out
+        out[id_col] = d[id_col].loc[out["_row"]].to_numpy()
+        return out[[id_col, "bm25"]]
 
     return ds.map_batches(score, batch_format="pandas")
 
@@ -576,6 +579,7 @@ __all__ = [
     "quality_score",
     "line_quality_filter",
     "hashed_term_counts",
+    "bm25_scores",
     "BpeTokenCount",
     "BPE_PATTERN",
     "fingerprint",
