@@ -1155,3 +1155,25 @@ def test_bm25_scores_match_loop(ray_session):
         else:
             assert did not in got.index
     assert 4 not in got.index
+
+
+def test_dup_ngram_fraction_hand_case(ray_session):
+    """Trigram corpus counts: a doc fully made of corpus-repeated
+    trigrams scores 1.0; a unique doc scores 0; short docs emit no row."""
+    import ray.data as rd
+
+    from transmog_ray.functions.text import dup_ngram_fraction
+
+    docs = [
+        {"doc_id": 1, "text": "a b c d"},     # grams: 'a b c', 'b c d'
+        {"doc_id": 2, "text": "a b c"},       # gram: 'a b c' (shared)
+        {"doc_id": 3, "text": "x y z w"},     # unique grams
+        {"doc_id": 4, "text": "too short"},   # < 3 tokens → no row
+    ]
+    out = (dup_ngram_fraction(rd.from_items(docs), n=3, num_buckets=3)
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[1, "n_grams"] == 2 and out.loc[1, "n_dup"] == 1
+    assert out.loc[1, "dup_frac"] == 0.5
+    assert out.loc[2, "dup_frac"] == 1.0
+    assert out.loc[3, "dup_frac"] == 0.0
+    assert 4 not in out.index

@@ -319,6 +319,66 @@ def redact_pii(
     return df
 
 
+def dup_ngram_fraction(
+    ds,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+):
+    """Corpus-level duplicate-n-gram fraction per document (the Lee et
+    al. *Deduplicating Training Data* signal): the share of a doc's
+    n-gram OCCURRENCES whose gram appears ≥ 2 times anywhere in the
+    corpus — high values mark boilerplate and templated spam that
+    exact-doc dedup misses.
+
+    Three bounded exchanges: (1) gram occurrences → corpus counts
+    (partial pre-agg inside :func:`~transmog_ray.functions.relational.
+    grouped_agg` bounds the shuffle at distinct-grams × batches);
+    (2) a partitioned hash join of occurrences against counts whose
+    ``post_fn`` (join+aggregate fusion) reduces each join bucket to
+    per-doc partials — joined gram rows never leave the task;
+    (3) a tiny per-doc combine. ``dup_frac`` is an exact integer-ratio
+    float64 (bit-identical in SQL). Docs with < n tokens emit no row."""
+    from .relational import grouped_agg, hash_join
+
+    if num_buckets is None:
+        from ..stages.partition import default_num_buckets
+
+        num_buckets = default_num_buckets()
+
+    grams = ds.map_batches(
+        lambda df: word_ngrams(df.dropna(subset=[text_col]), n,
+                               id_col, text_col),
+        batch_format="pandas",
+    ).materialize()  # consumed twice: corpus counts + the join
+    counts = grouped_agg(grams, ["g"], {"c": ("g", "count")},
+                         num_buckets=num_buckets)
+
+    def per_doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ng = df.groupby(id_col, sort=False).size()
+        nd = df[df["c"] >= 2].groupby(id_col, sort=False).size()
+        out = pd.DataFrame({"ng_part": ng})
+        out["nd_part"] = nd.reindex(ng.index, fill_value=0)
+        return out.reset_index()
+
+    joined = hash_join(grams, counts, on="g", num_buckets=num_buckets,
+                       post_fn=per_doc_partial)
+    agg = grouped_agg(
+        joined, [id_col],
+        {"n_grams": ("ng_part", "sum"), "n_dup": ("nd_part", "sum")},
+        num_buckets=min(num_buckets, 8),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_grams"] = df["n_grams"].astype("int64")
+        df["n_dup"] = df["n_dup"].astype("int64")
+        df["dup_frac"] = df["n_dup"] / df["n_grams"]
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def bm25_scores(
     ds,
     terms: tuple,

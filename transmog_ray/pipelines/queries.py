@@ -3176,6 +3176,40 @@ GROUP BY g.doc_id
 """
 
 
+def q_dup_ngram_docs(sf_dir: str):
+    """Corpus-level duplicate-trigram fraction per doc (the Lee et al.
+    dedup signal): occurrences → corpus counts → join with per-doc
+    aggregation FUSED into the join reduce tasks. dup_frac is an exact
+    integer ratio."""
+    from ..functions.text import dup_ngram_fraction
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+    return dup_ngram_fraction(docs, n=3, num_buckets=8)
+
+
+SQL_DUP_NGRAM = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+  WHERE len(w) >= 3
+), counts AS (
+  SELECT g, COUNT(*) AS c FROM grams GROUP BY g
+)
+SELECT grams.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN counts.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup,
+       CAST(SUM(CASE WHEN counts.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS dup_frac
+FROM grams JOIN counts USING (g)
+GROUP BY grams.doc_id
+"""
+
+
 def q_length_filtered_docs(sf_dir: str):
     """Quantile-based quality filter: keep documents whose length sits
     inside the per-language [p05, p95] band. Two passes: exact grouped
@@ -3312,6 +3346,7 @@ QUERIES = {
     "customer_order_counts": q_customer_order_counts,
     "events_orders_outer": q_events_orders_outer,
     "contamination_docs": q_contamination_docs,
+    "dup_ngram_docs": q_dup_ngram_docs,
     "length_filtered_docs": q_length_filtered_docs,
     "domain_stats": q_domain_stats,
 }
@@ -3402,6 +3437,7 @@ ORACLE_SQL = {
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
     "events_orders_outer": SQL_EVENTS_ORDERS_OUTER,
     "contamination_docs": SQL_CONTAMINATION,
+    "dup_ngram_docs": SQL_DUP_NGRAM,
     "length_filtered_docs": SQL_LENGTH_FILTERED,
     "domain_stats": SQL_DOMAIN_STATS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
