@@ -2173,6 +2173,54 @@ def q_page_changes(sf_dir: str):
                         tiebreak=["text"])
 
 
+def q_recrawl_cadence(sf_dir: str):
+    """Recrawl-cadence features per url: snapshot count and the
+    mean/max inter-snapshot gap (µs, exact integers) — the crawl
+    scheduler's priority signal. One sorted bucket pass; the gaps are
+    integer diffs so mean = Σgap/n is an exact ratio on both sides."""
+    from ..stages.partition import apply_sorted
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts", "text"],
+                            override_num_blocks=16)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (
+            df["warc_ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+            // 1000
+        )
+        work = pd.DataFrame({"url": df["url"], "t": t_us})
+        gap = work.groupby("url", sort=False)["t"].diff()
+        work["gap"] = gap
+        g = work.groupby("url", sort=False)
+        out = pd.DataFrame({
+            "n_snaps": g.size().astype("int64"),
+            "mean_gap_us": g["gap"].sum() / g["gap"].count(),
+            # nullable Int64: single-snapshot urls have no gap, and the
+            # oracle's MAX(gap) is a nullable BIGINT
+            "max_gap_us": g["gap"].max().astype("Int64"),
+        }).reset_index()
+        return out
+
+    return apply_sorted(ds, ["url"], "warc_ts", fn, num_buckets=16,
+                        tiebreak=["text"])
+
+
+SQL_RECRAWL_CADENCE = f"""
+WITH s AS (
+  SELECT url,
+         epoch_us(warc_ts) - epoch_us(LAG(warc_ts) OVER (
+             PARTITION BY url ORDER BY warc_ts, text ASC NULLS LAST)) AS gap
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+)
+SELECT url,
+       CAST(COUNT(*) AS BIGINT) AS n_snaps,
+       CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS mean_gap_us,
+       MAX(gap) AS max_gap_us
+FROM s GROUP BY url
+"""
+
+
 SQL_PAGE_CHANGES = f"""
 SELECT url, warc_ts, text,
        CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
@@ -3316,6 +3364,7 @@ QUERIES = {
     "quantized_embeddings": q_quantized_embeddings,
     "pages_features": q_pages_features,
     "page_changes": q_page_changes,
+    "recrawl_cadence": q_recrawl_cadence,
     "pages_features_tagged": q_pages_features_tagged,
     "range_join_events": q_range_join_events,
     "rank_events": q_rank_events,
@@ -3409,6 +3458,7 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "pages_features": SQL_PAGES_FEATURES,
     "page_changes": SQL_PAGE_CHANGES,
+    "recrawl_cadence": SQL_RECRAWL_CADENCE,
     "pages_features_tagged": SQL_PAGES_FEATURES,
     "range_join_events": SQL_RANGE_JOIN,
     "rank_events": SQL_RANK_EVENTS,
