@@ -281,3 +281,34 @@ def test_hopping_state_rejects_nondivisible_hop():
 
     with pytest.raises(ValueError, match="multiple"):
         TumblingWindowState("k", "ts", "v", window_seconds=60, hop_seconds=25)
+
+
+def test_streaming_dedup_equals_batch_within_horizon():
+    """In-order stream, all dups inside the horizon: output == batch
+    keep-first dedup; beyond-horizon repeats re-admit (the documented
+    bounded-state tradeoff); late rows are dropped and counted."""
+    from transmog_ray.stages.dedup import dedup_exact  # noqa: F401 (parity context)
+    from transmog_ray.state.streaming import StreamingDedupState
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame({
+        "k": ["a", "b", "a", "c", "b", "a"],
+        "ts": [t0, t0 + pd.Timedelta(seconds=10),
+               t0 + pd.Timedelta(seconds=20),   # dup of a → suppressed
+               t0 + pd.Timedelta(seconds=30),
+               t0 + pd.Timedelta(seconds=40),   # dup of b → suppressed
+               t0 + pd.Timedelta(seconds=5000)],  # a beyond horizon → re-admitted
+    })
+    st = StreamingDedupState("k", "ts", horizon_seconds=100)
+    out = pd.concat([st.process(rows.iloc[i:i + 2]) for i in range(0, 6, 2)])
+    assert out["k"].tolist() == ["a", "b", "c", "a"]
+    # batch keep-first over the first 5 rows (all within horizon) agrees
+    assert out.iloc[:3]["k"].tolist() == (
+        rows.iloc[:5].drop_duplicates("k")["k"].tolist()
+    )
+    # eviction bounded the state: only the recent 'a' survives
+    assert set(st.seen.keys()) == {"a"}
+    # a late row (behind the watermark) is dropped, not re-emitted
+    late = pd.DataFrame({"k": ["z"], "ts": [t0]})
+    assert len(st.process(late)) == 0
+    assert st.dropped_late == 1

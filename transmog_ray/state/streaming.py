@@ -204,6 +204,77 @@ class WatermarkTracker:
         return df[~late_mask], df[late_mask]
 
 
+class StreamingDedupState:
+    """Incremental exact dedup over an unbounded stream with BOUNDED
+    state: a row passes iff its key was not seen within the
+    ``horizon_seconds`` event-time window; seen-keys older than
+    ``watermark − horizon`` are evicted, so state holds only the keys
+    active inside the horizon — never the stream history.
+
+    Semantics are session-gap ("touch-on-access"): ANY occurrence of a
+    key — emitted or suppressed — refreshes its suppression window, so
+    a near-continuous duplicate stream stays suppressed, and a key is
+    re-admitted only after a full ``horizon`` of silence (exactly the
+    first row of each (key, horizon-gap) session — the prefix-summable
+    form, so the kernel is fully vectorized like :class:`SessionState`).
+    Eviction is safe by construction: a key silent past
+    ``watermark − horizon`` would be novel anyway."""
+
+    def __init__(self, keys, ts: str, horizon_seconds: float,
+                 allowed_lateness_s: float = 0.0):
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.ts = ts
+        self.horizon = pd.Timedelta(seconds=horizon_seconds)
+        self.tracker = WatermarkTracker(ts, allowed_lateness_s)
+        self.seen: dict = {}  # key (tuple) -> last SEEN ts (any occurrence)
+        self.dropped_late = 0
+
+    def _key_series(self, df: pd.DataFrame) -> pd.Series:
+        if len(self.keys) == 1:
+            return df[self.keys[0]]
+        return pd.Series(
+            list(map(tuple, df[self.keys].itertuples(index=False))),
+            index=df.index,
+        )
+
+    def process(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Feed one batch, return its NOVEL rows. Late rows (behind the
+        watermark) are counted and dropped — admitting them could
+        contradict an already-emitted dedup decision."""
+        df, late = self.tracker.split(df)
+        self.dropped_late += len(late)
+        if len(df) == 0:
+            return df
+        df = df.sort_values([*self.keys, self.ts], kind="mergesort")
+        k = self._key_series(df)
+        t = df[self.ts].to_numpy().astype("datetime64[ns]")
+        prev = np.empty(len(df), dtype="datetime64[ns]")
+        prev[1:] = t[:-1]
+        heads = np.r_[True, (k.to_numpy()[1:] != k.to_numpy()[:-1])]
+        head_pos = np.flatnonzero(heads)
+        prev[head_pos] = np.array(
+            [np.datetime64(pd.Timestamp(c).to_datetime64(), "ns")
+             if (c := self.seen.get(hk)) is not None else np.datetime64("NaT")
+             for hk in k.to_numpy()[head_pos]],
+            dtype="datetime64[ns]",
+        )
+        gap_ns = np.timedelta64(int(self.horizon.value), "ns")
+        novel_mask = np.isnat(prev) | ((t - prev) > gap_ns)
+        novel = df[novel_mask]
+        # touch-on-access: the LAST occurrence per key refreshes state
+        last_pos = np.r_[head_pos[1:] - 1, len(df) - 1]
+        self.seen.update(
+            zip(k.to_numpy()[last_pos].tolist(),
+                pd.Series(t[last_pos]).tolist())
+        )
+        wm = self.tracker.watermark
+        if wm is not None:
+            cut = wm - self.horizon
+            self.seen = {key: ts_ for key, ts_ in self.seen.items()
+                         if ts_ >= cut}
+        return novel
+
+
 class TumblingWindowState:
     """Incremental event-time tumbling (or, with ``hop_seconds``,
     HOPPING) windows with watermark-driven emission: per-(key, window)
@@ -362,6 +433,7 @@ __all__ = [
     "SessionState",
     "WatermarkTracker",
     "TumblingWindowState",
+    "StreamingDedupState",
     "streaming_sessionize",
     "streaming_tumbling",
 ]
