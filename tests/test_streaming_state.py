@@ -312,3 +312,28 @@ def test_streaming_dedup_equals_batch_within_horizon():
     late = pd.DataFrame({"k": ["z"], "ts": [t0]})
     assert len(st.process(late)) == 0
     assert st.dropped_late == 1
+
+
+def test_streaming_dedup_no_rewind_and_null_keys():
+    """An on-time OUT-OF-ORDER occurrence must not rewind the
+    suppression window; null keys dedup like any other key."""
+    from transmog_ray.state.streaming import StreamingDedupState
+
+    t0 = pd.Timestamp("2024-01-01")
+    st = StreamingDedupState("k", "ts", horizon_seconds=60,
+                             allowed_lateness_s=60)
+    b1 = pd.DataFrame({"k": ["a"], "ts": [t0 + pd.Timedelta(seconds=100)]})
+    assert len(st.process(b1)) == 1
+    # on-time (within lateness) but BEFORE the emission: suppressed,
+    # and must not rewind seen[a] from 100 to 50
+    b2 = pd.DataFrame({"k": ["a"], "ts": [t0 + pd.Timedelta(seconds=50)]})
+    assert len(st.process(b2)) == 0
+    b3 = pd.DataFrame({"k": ["a"], "ts": [t0 + pd.Timedelta(seconds=120)]})
+    assert len(st.process(b3)) == 0  # 20s after emission — still inside
+
+    st2 = StreamingDedupState("k", "ts", horizon_seconds=1000)
+    n1 = pd.DataFrame({"k": [None, None],
+                       "ts": [t0, t0 + pd.Timedelta(seconds=1)]})
+    assert len(st2.process(n1)) == 1  # nulls group: one novel row
+    n2 = pd.DataFrame({"k": [None], "ts": [t0 + pd.Timedelta(seconds=2)]})
+    assert len(st2.process(n2)) == 0  # still suppressed across batches

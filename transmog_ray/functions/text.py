@@ -354,6 +354,13 @@ def dup_ngram_fraction(
     ).materialize()  # consumed twice: corpus counts + the join
     counts = grouped_agg(grams, ["g"], {"c": ("g", "count")},
                          num_buckets=num_buckets)
+    # only duplicated grams can affect the result: in a mostly-unique
+    # corpus this shrinks the join's right side from ALL distinct grams
+    # to the duplicated ones; the left join leaves unmatched occurrences
+    # with NaN c, which the >= 2 test already treats as unique
+    dup_counts = counts.map_batches(
+        lambda df: df[df["c"] >= 2], batch_format="pandas"
+    )
 
     def per_doc_partial(df: pd.DataFrame) -> pd.DataFrame:
         ng = df.groupby(id_col, sort=False).size()
@@ -362,8 +369,8 @@ def dup_ngram_fraction(
         out["nd_part"] = nd.reindex(ng.index, fill_value=0)
         return out.reset_index()
 
-    joined = hash_join(grams, counts, on="g", num_buckets=num_buckets,
-                       post_fn=per_doc_partial)
+    joined = hash_join(grams, dup_counts, on="g", how="left",
+                       num_buckets=num_buckets, post_fn=per_doc_partial)
     agg = grouped_agg(
         joined, [id_col],
         {"n_grams": ("ng_part", "sum"), "n_dup": ("nd_part", "sum")},

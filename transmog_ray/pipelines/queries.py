@@ -2181,7 +2181,10 @@ def q_recrawl_cadence(sf_dir: str):
     from ..stages.partition import apply_sorted
 
     pages_dir = _pages_fixture(sf_dir)
-    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts", "text"],
+    # no text column / tiebreak: the per-url gap MULTISET is fully
+    # determined by the warc_ts sort (ties give 0-gaps in any order),
+    # so the fixture's fattest column never leaves storage
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts"],
                             override_num_blocks=16)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -2202,15 +2205,14 @@ def q_recrawl_cadence(sf_dir: str):
         }).reset_index()
         return out
 
-    return apply_sorted(ds, ["url"], "warc_ts", fn, num_buckets=16,
-                        tiebreak=["text"])
+    return apply_sorted(ds, ["url"], "warc_ts", fn, num_buckets=16)
 
 
 SQL_RECRAWL_CADENCE = f"""
 WITH s AS (
   SELECT url,
          epoch_us(warc_ts) - epoch_us(LAG(warc_ts) OVER (
-             PARTITION BY url ORDER BY warc_ts, text ASC NULLS LAST)) AS gap
+             PARTITION BY url ORDER BY warc_ts)) AS gap
   FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
 )
 SELECT url,

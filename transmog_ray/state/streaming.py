@@ -250,23 +250,37 @@ class StreamingDedupState:
         t = df[self.ts].to_numpy().astype("datetime64[ns]")
         prev = np.empty(len(df), dtype="datetime64[ns]")
         prev[1:] = t[:-1]
-        heads = np.r_[True, (k.to_numpy()[1:] != k.to_numpy()[:-1])]
+        # factorize like SessionState: NaN/pd.NA keys group into ONE code
+        # (a raw != scan would make every null row its own head and null
+        # dict keys never match across batches)
+        codes, uniques = pd.factorize(k, use_na_sentinel=False)
+        heads = np.r_[True, codes[1:] != codes[:-1]]
         head_pos = np.flatnonzero(heads)
+
+        def norm(u):
+            # dict-safe key: null scalars/components → None (a singleton)
+            if isinstance(u, tuple):
+                return tuple(None if pd.isna(x) else x for x in u)
+            return None if pd.isna(u) else u
+
+        head_keys = [norm(uniques[codes[p]]) for p in head_pos]
         prev[head_pos] = np.array(
             [np.datetime64(pd.Timestamp(c).to_datetime64(), "ns")
              if (c := self.seen.get(hk)) is not None else np.datetime64("NaT")
-             for hk in k.to_numpy()[head_pos]],
+             for hk in head_keys],
             dtype="datetime64[ns]",
         )
         gap_ns = np.timedelta64(int(self.horizon.value), "ns")
         novel_mask = np.isnat(prev) | ((t - prev) > gap_ns)
         novel = df[novel_mask]
-        # touch-on-access: the LAST occurrence per key refreshes state
+        # touch-on-access: the latest occurrence per key refreshes state;
+        # max() so an on-time OUT-OF-ORDER row (allowed lateness > 0)
+        # can't rewind the suppression window
         last_pos = np.r_[head_pos[1:] - 1, len(df) - 1]
-        self.seen.update(
-            zip(k.to_numpy()[last_pos].tolist(),
-                pd.Series(t[last_pos]).tolist())
-        )
+        for hk, p in zip(head_keys, last_pos):
+            ts_ = pd.Timestamp(t[p])
+            old = self.seen.get(hk)
+            self.seen[hk] = ts_ if old is None or ts_ > old else old
         wm = self.tracker.watermark
         if wm is not None:
             cut = wm - self.horizon
