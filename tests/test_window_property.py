@@ -238,3 +238,21 @@ def test_first_touch_matches_loop(rows):
             assert (pd.isna(a) and pd.isna(first_v)) or a == first_v
             want_us = int((g["ts"].iloc[i] - first_t).total_seconds() * 1e6)
             assert int(o["us"].iloc[i]) == want_us
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=FRAMES)
+def test_running_distinct_matches_loop(rows):
+    from transmog_ray.stages.window import running_distinct
+
+    df = build(rows)
+    # reuse v as a small categorical so duplicates are likely
+    df["cat"] = df["v"].fillna(-1).astype(int) % 3
+    out = running_distinct(df.copy(), "k", "cat", out_col="nd")
+    for key, g in df.groupby("k"):
+        seen: set = set()
+        expect = []
+        for c in g["cat"]:
+            seen.add(c)
+            expect.append(len(seen))
+        assert out[out["k"] == key]["nd"].tolist() == expect

@@ -1131,6 +1131,38 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_novelty_events(sf_dir: str):
+    """Behavioral novelty: expanding COUNT(DISTINCT event_type) per user
+    — not a SQL window aggregate, but equal to the running SUM of
+    first-occurrence flags, computed in the same fused sorted pass."""
+    from ..stages.partition import apply_sorted
+    from ..stages.window import running_distinct
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"],
+                    num_blocks=8)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return running_distinct(df, "user_id", "event_type",
+                                out_col="n_types_seen")
+
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=16,
+                        tiebreak=["event_id"])
+
+
+SQL_NOVELTY = """
+SELECT event_id, user_id, ts, event_type,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+)
+"""
+
+
 def q_target_encode_events(sf_dir: str):
     """Point-in-time target encoding: each event gets the mean of the
     user's STRICTLY PRIOR values — the leakage-free mean-encoding a
@@ -3332,6 +3364,7 @@ QUERIES = {
     "rolling_events": q_rolling_events,
     "running_events": q_running_events,
     "target_encode_events": q_target_encode_events,
+    "novelty_events": q_novelty_events,
     "first_touch_events": q_first_touch_events,
     "line_dedup_docs": q_line_dedup_docs,
     "line_filtered_docs": q_line_filtered_docs,
@@ -3433,6 +3466,7 @@ ORACLE_SQL = {
     "rolling_events": SQL_ROLLING,
     "running_events": SQL_RUNNING,
     "target_encode_events": SQL_TARGET_ENCODE,
+    "novelty_events": SQL_NOVELTY,
     "first_touch_events": SQL_FIRST_TOUCH,
     "line_dedup_docs": SQL_LINE_DEDUP,
     "line_filtered_docs": SQL_LINE_FILTERED,

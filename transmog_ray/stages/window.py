@@ -267,6 +267,26 @@ def first_touch(
     return df
 
 
+def running_distinct(
+    df: pd.DataFrame,
+    key: str,
+    col: str,
+    out_col: str | None = None,
+) -> pd.DataFrame:
+    """Expanding COUNT(DISTINCT col) per key over the sorted frame —
+    the behavioral NOVELTY feature (how many distinct event types /
+    pages / products the entity has touched up to each row). Window
+    ``COUNT(DISTINCT)`` isn't a SQL window aggregate, but it equals the
+    running SUM of first-occurrence flags — one ``duplicated`` pass plus
+    one grouped cumsum, fully vectorized. Null values count as one
+    distinct value (pandas ``duplicated`` semantics; mirror with a
+    COALESCE in SQL if nulls exist)."""
+    out_col = out_col or f"{col}_n_distinct"
+    first = (~df.duplicated([key, col])).astype(np.int64)
+    df[out_col] = first.groupby(df[key], sort=False).cumsum()
+    return df
+
+
 def _rolling_prefix_sums(
     df: pd.DataFrame,
     key: str,
@@ -320,4 +340,5 @@ def _rolling_prefix_sums(
 __all__ = [
     "with_lag", "with_lead", "sessionize", "backfill", "rolling_agg",
     "running_agg", "ewma", "target_encode", "first_touch",
+    "running_distinct",
 ]
