@@ -256,3 +256,33 @@ def test_running_distinct_matches_loop(rows):
             seen.add(c)
             expect.append(len(seen))
         assert out[out["k"] == key]["nd"].tolist() == expect
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    a=st.lists(st.tuples(st.sampled_from(["x", "y", None]),
+                         st.integers(0, 3)), max_size=12),
+    b=st.lists(st.tuples(st.sampled_from(["x", "y", None]),
+                         st.integers(0, 3)), max_size=12),
+)
+def test_set_op_matches_null_safe_oracle(ray_session, a, b):
+    """INTERSECT/EXCEPT on random frames with nulls == a sentinel-based
+    pandas oracle (NULL compares equal, distinct output)."""
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import set_op
+
+    fa = pd.DataFrame(a, columns=["k", "v"])
+    fb = pd.DataFrame(b, columns=["k", "v"])
+
+    def canon(df):
+        return set(map(tuple, df.fillna("␀").itertuples(index=False)))
+
+    sa, sb = canon(fa), canon(fb)
+    for op, expect in (("intersect", sa & sb), ("except", sa - sb)):
+        if len(fa) == 0:
+            continue  # empty upstream: exchange returns empty, trivially right
+        got = set_op(rd.from_pandas(fa), rd.from_pandas(fb), op,
+                     num_buckets=2).to_pandas()
+        assert canon(got) == expect, op
+        assert len(got) == len(expect), op  # distinct rows only

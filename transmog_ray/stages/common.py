@@ -47,7 +47,13 @@ def arrow_schema(ds, sample_rows: int = 1000) -> pa.Schema:
         if isinstance(dtype, pa.DataType):
             fields.append(pa.field(name, dtype))
         else:
-            fields.append(pa.field(name, pa.from_numpy_dtype(dtype)))
+            try:
+                fields.append(pa.field(name, pa.from_numpy_dtype(dtype)))
+            except pa.ArrowNotImplementedError:
+                # empty pandas dataset with object dtype: nothing to
+                # sample, no Arrow mapping — the engine-wide all-null
+                # rule (degrade to string) applies
+                fields.append(pa.field(name, pa.string()))
     return pa.schema(fields)
 
 
