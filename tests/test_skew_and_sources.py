@@ -265,3 +265,30 @@ def test_assign_folds_and_temporal_split(ray_session):
     gap = ts[(ts["ts"] >= pd.Timestamp("2024-01-19"))
              & (ts["ts"] < pd.Timestamp("2024-01-20"))]
     assert len(gap) and (gap["split"] == "embargo").all()
+
+
+def test_plan_mixture_budget_and_saturation(ray_session):
+    """Rates hit the weighted budget; an undersupplied source saturates
+    at 1.0 and reports its shortfall; unknown sources raise."""
+    import ray.data as rd
+
+    from transmog_ray.functions.sampling import plan_mixture
+
+    rows = (
+        [{"source": "big", "tok": 100}] * 50      # 5000 available
+        + [{"source": "small", "tok": 100}] * 2   # 200 available
+    )
+    plan = plan_mixture(rd.from_items(rows), "source", "tok",
+                        target_tokens=2000,
+                        weights={"big": 1.0, "small": 1.0})
+    p = plan.set_index("source")
+    # small wants 1000 but only has 200 → rate 1.0, planned 200
+    assert p.loc["small", "rate"] == 1.0
+    assert p.loc["small", "planned_tokens"] == 200.0
+    assert p.loc["big", "rate"] == 1000 / 5000
+    assert p.loc["big", "planned_tokens"] == 1000.0
+
+    import pytest
+    with pytest.raises(ValueError, match="no mixture weight"):
+        plan_mixture(rd.from_items(rows), "source", "tok", 100,
+                     weights={"big": 1.0})

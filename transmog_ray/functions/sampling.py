@@ -151,6 +151,43 @@ def temporal_split(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def plan_mixture(
+    ds,
+    source_col: str,
+    tokens_col: str,
+    target_tokens: int,
+    weights: Mapping[str, float],
+):
+    """Corpus mixture planning: the per-source sampling rates that hit a
+    global token budget under target mixture weights —
+    ``rate_s = min(1, target·(w_s/Σw) / available_s)`` (a source without
+    enough tokens saturates at 1.0; its shortfall is reported, not
+    silently reallocated). One distributed grouped aggregation (exact
+    integer token sums via partial pre-agg) + driver arithmetic over the
+    tiny per-source table. Returns a pandas frame
+    ``(source, available_tokens, rate, planned_tokens)`` — feed the
+    rates to :func:`stratified_sample` / :func:`weighted_sample` to
+    EXECUTE the plan deterministically."""
+    from .relational import grouped_agg
+
+    avail = grouped_agg(
+        ds, [source_col], {"available_tokens": (tokens_col, "sum")},
+        num_buckets=8,
+    ).to_pandas()
+    missing = set(avail[source_col]) - set(weights)
+    if missing:
+        raise ValueError(f"no mixture weight for sources: {sorted(missing)}")
+    total_w = float(sum(weights.values()))
+    avail = avail.sort_values(source_col).reset_index(drop=True)
+    avail["available_tokens"] = avail["available_tokens"].astype("int64")
+    wt = avail[source_col].map(weights).to_numpy(np.float64)
+    a = avail["available_tokens"].to_numpy(np.float64)
+    rate = np.minimum(1.0, target_tokens * wt / total_w / a)
+    avail["rate"] = rate
+    avail["planned_tokens"] = rate * a
+    return avail
+
+
 def stratified_sample(
     ds,
     id_col: str,

@@ -2529,6 +2529,41 @@ def q_scaled_docs(sf_dir: str):
     return apply_standardizer(split, stats)
 
 
+def q_mixture_plan(sf_dir: str):
+    """Data-mixing plan: per-source sampling rates hitting a 60k-token
+    budget under deterministic weights (1 + source_number % 3). Exact
+    integer token sums; the rate arithmetic is the same float ops on
+    both sides, so no rounding is needed."""
+    from ..functions.sampling import plan_mixture
+
+    docs = read_table(sf_dir, "documents", columns=["source", "n_chars"],
+                      num_blocks=8)
+    sources = read_small(sf_dir, "documents", columns=["source"])
+    weights = {
+        s: float(int(s[3:]) % 3 + 1) for s in sources["source"].unique()
+    }
+    return plan_mixture(docs, "source", "n_chars",
+                        target_tokens=60000, weights=weights)
+
+
+SQL_MIXTURE_PLAN = """
+WITH avail AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, available_tokens,
+         CAST(CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS DOUBLE) AS wt
+  FROM avail
+), tot AS (SELECT SUM(wt) AS W FROM w)
+SELECT source, available_tokens,
+       LEAST(1.0, 60000 * wt / (SELECT W FROM tot) / available_tokens)
+           AS rate,
+       LEAST(1.0, 60000 * wt / (SELECT W FROM tot) / available_tokens)
+           * available_tokens AS planned_tokens
+FROM w
+"""
+
+
 def q_weighted_sample_docs(sf_dir: str):
     """Quality-weighted corpus mixing: keep each doc with probability
     sqrt(min(n_chars/1000, 1)) — longer docs survive at a higher rate,
@@ -3411,6 +3446,7 @@ QUERIES = {
     "global_rank_docs": q_global_rank_docs,
     "packed_docs": q_packed_docs,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "mixture_plan": q_mixture_plan,
     "ewma_events": q_ewma_events,
     "session_funnel": q_session_funnel,
     "histogram_chars": q_histogram_chars,
@@ -3506,6 +3542,7 @@ ORACLE_SQL = {
     "global_rank_docs": SQL_GLOBAL_RANK,
     "packed_docs": SQL_PACKED_DOCS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
+    "mixture_plan": SQL_MIXTURE_PLAN,
     "session_funnel": SQL_SESSION_FUNNEL,
     "histogram_chars": SQL_HISTOGRAM_CHARS,
     "repetition_docs": SQL_REPETITION,
