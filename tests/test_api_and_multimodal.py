@@ -114,6 +114,46 @@ def test_media_features_pipeline(ray_session):
     ]
 
 
+def test_byte_histogram_stage_matches_loop_reference():
+    from transmog_ray.stages.multimodal import ByteHistogramStage
+
+    df = synth_media_table(16)
+    out = ByteHistogramStage()(df)
+    # per-blob python-loop reference
+    for rid, payload in zip(df["id"], df["payload"]):
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        want = {b: int(c) for b, c in enumerate(np.bincount(arr >> 4, minlength=16)) if c}
+        got = out[out["id"] == rid]
+        assert dict(zip(got["bucket"], got["count"])) == want
+        assert (got["blob_len"] == len(payload)).all()
+    # zero-row filler block (actor-pool artifact) → typed empty frame
+    empty = ByteHistogramStage()(df.iloc[0:0])
+    assert list(empty.columns) == list(out.columns)
+    assert empty["id"].dtype == np.int64 and len(empty) == 0
+
+
+def test_write_media_fixture_roundtrip(tmp_path):
+    import pyarrow.parquet as pq
+
+    from transmog_ray.stages.multimodal import write_media
+
+    d = write_media(str(tmp_path / "m"), n=8)
+    media = pq.read_table(f"{d}/media.parquet")
+    bytes_tbl = pq.read_table(f"{d}/media_bytes.parquet")
+    assert media.num_rows == 8
+    # exploded rows reassemble each blob's length exactly
+    lens = dict(
+        zip(
+            bytes_tbl["id"].to_pandas().value_counts().index,
+            bytes_tbl["id"].to_pandas().value_counts().values,
+        )
+    )
+    for rid, payload in zip(media["id"].to_pylist(), media["payload"].to_pylist()):
+        assert lens[rid] == len(payload)
+    # idempotent: second call keeps files
+    assert write_media(str(tmp_path / "m"), n=8) == d
+
+
 def test_frame_sample_plan():
     df = synth_media_table(9)
     out = FrameSampleStage(every_n_seconds=1.0, max_frames=4)(df)

@@ -91,13 +91,16 @@ def lsh_topk(
     planes = rng.normal(size=(dim, n_planes))
     qbits = (Q @ planes > 0).astype(np.uint8)
     qcodes = np.packbits(qbits, axis=1, bitorder="little")[:, 0].astype(np.int64)
-    # multi-probe: accept codes within hamming distance
-    accept: set[tuple[int, int]] = set()
-    for qi, code in enumerate(qcodes):
-        accept.add((qi, int(code)))
-        if multiprobe >= 1:
-            for b in range(n_planes):
-                accept.add((qi, int(code) ^ (1 << b)))
+    # multi-probe acceptance as a dense (n_queries × 2^n_planes) bool matrix:
+    # per-batch candidate filtering is then one fancy-index gather,
+    # accept[qi, ccodes] — no per-row Python membership test. n_planes is
+    # small by construction (8 default), so 2^n_planes columns are cheap.
+    qrows = np.arange(len(qcodes))
+    accept = np.zeros((len(qcodes), 1 << n_planes), dtype=bool)
+    accept[qrows, qcodes] = True
+    if multiprobe >= 1:
+        for b in range(n_planes):
+            accept[qrows, qcodes ^ (1 << b)] = True
     qids = queries[query_id_col].to_numpy()
     ref = ray.put((qids, Q, planes, accept))
 
@@ -109,9 +112,7 @@ def lsh_topk(
         ccodes = np.packbits(cbits, axis=1, bitorder="little")[:, 0].astype(np.int64)
         out = {"query_id": [], "neighbor_id": [], "cos_sim": []}
         for qi in range(Q_.shape[0]):
-            mask = np.fromiter(
-                ((qi, int(c)) in accept_ for c in ccodes), bool, len(ccodes)
-            )
+            mask = accept_[qi, ccodes]
             if not mask.any():
                 continue
             sims = Q_[qi] @ C[mask].T

@@ -614,16 +614,52 @@ LIMIT 10
 """
 
 
-def q_media_features(sf_dir: str):
-    """Multimodal plumbing: byte-histogram features over a deterministic
-    synthetic media table via the actor-pool decode stage (codec stubbed
-    — rows-only check)."""
-    from ..stages.multimodal import media_features, synth_media_table
+MEDIA_FIXTURE_ROOT = "/tmp/transmog_ray_media"
+MEDIA_CURRENT = f"{MEDIA_FIXTURE_ROOT}/current"
 
-    media = _rd().from_pandas(synth_media_table(n=256))
-    out = media_features(media, concurrency=2, batch_size=32).to_pandas()
-    out["feat0"] = [float(f[0]) for f in out["features"]]
-    return out[["id", "media_type", "decoder", "feature_dim", "feat0"]]
+
+def _media_fixture(sf_dir: str) -> str:
+    """Scale-keyed deterministic media fixture + stable symlink the static
+    oracle SQL reads (same pattern as the pages fixture)."""
+    import os
+
+    from ..stages.multimodal import write_media
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(scale, 64)
+    media_dir = write_media(f"{MEDIA_FIXTURE_ROOT}/{scale}", n=n)
+    tmp = f"{MEDIA_CURRENT}.tmp.{os.getpid()}"
+    if os.path.islink(tmp) or os.path.exists(tmp):
+        os.remove(tmp)
+    os.symlink(media_dir, tmp)
+    os.replace(tmp, MEDIA_CURRENT)
+    return media_dir
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: exact byte-histogram sufficient statistics over
+    the media BLOB table via the actor-pool decode stage (codec stubbed;
+    the integer histogram IS the deterministic fallback decode). Exploded
+    all-integer rows hash-compare against a DuckDB oracle that recomputes
+    the histogram from per-byte fixture rows."""
+    from ..stages.multimodal import media_histogram
+
+    media_dir = _media_fixture(sf_dir)
+    media = _rd().read_parquet(f"{media_dir}/media.parquet")
+    return media_histogram(media, concurrency=2, batch_size=32)
+
+
+SQL_MEDIA_FEATURES = f"""
+SELECT b.id,
+       m.media_type,
+       'byte-histogram-stub' AS decoder,
+       b.byteval // 16 AS bucket,
+       COUNT(*) AS count,
+       octet_length(m.payload) AS blob_len
+FROM read_parquet('{MEDIA_CURRENT}/media_bytes.parquet') b
+JOIN read_parquet('{MEDIA_CURRENT}/media.parquet') m USING (id)
+GROUP BY b.id, m.media_type, octet_length(m.payload), b.byteval // 16
+"""
 
 
 def q_bloom_urgent_lineitems(sf_dir: str):
@@ -3487,6 +3523,7 @@ ORACLE_SQL = {
     "distinct_sources": SQL_DISTINCT_LANGS,
     "orders_by_month": SQL_ORDERS_BY_MONTH,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "media_features": SQL_MEDIA_FEATURES,
     "semi_anti_purchasers": SQL_SEMI_ANTI,
     "bloom_urgent_lineitems": SQL_BLOOM_URGENT,
     "flatten_events": SQL_FLATTEN_EVENTS,

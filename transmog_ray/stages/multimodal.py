@@ -116,6 +116,106 @@ class FrameSampleStage:
         return pd.DataFrame(rows)
 
 
+class ByteHistogramStage:
+    """Actor-pool stage emitting the EXACT integer sufficient statistics of
+    the byte-histogram decode — exploded (id, media_type, decoder, bucket,
+    count, blob_len) rows, one per non-empty bucket. All-integer output makes
+    the stage hash-comparable against a DuckDB oracle over per-byte rows
+    (unlike the float features, which divide/log). Fully vectorized: all
+    blobs in a batch concatenate into ONE uint8 array, ids repeat by length,
+    and a single ``bincount`` over ``row*nbuckets + (byte>>shift)`` produces
+    every histogram at once."""
+
+    OUT_COLS = ("id", "media_type", "decoder", "bucket", "count", "blob_len")
+
+    def __init__(self, bucket_bits: int = 4):
+        self.shift = 8 - bucket_bits
+        self.nbuckets = 1 << bucket_bits
+
+    def _empty(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": pd.Series(dtype="int64"),
+                "media_type": pd.Series(dtype="object"),
+                "decoder": pd.Series(dtype="object"),
+                "bucket": pd.Series(dtype="int64"),
+                "count": pd.Series(dtype="int64"),
+                "blob_len": pd.Series(dtype="int64"),
+            }
+        )
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return self._empty()
+        payloads = df["payload"].tolist()
+        lens = np.array(
+            [0 if b is None else len(b) for b in payloads], dtype=np.int64
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return self._empty()
+        arr = np.frombuffer(b"".join(b for b in payloads if b), dtype=np.uint8)
+        row_idx = np.repeat(np.arange(len(payloads), dtype=np.int64), lens)
+        key = row_idx * self.nbuckets + (arr >> self.shift)
+        counts = np.bincount(
+            key, minlength=len(payloads) * self.nbuckets
+        ).reshape(len(payloads), self.nbuckets)
+        rows, buckets = np.nonzero(counts)
+        return pd.DataFrame(
+            {
+                "id": df["id"].to_numpy()[rows],
+                "media_type": df["media_type"].to_numpy()[rows],
+                "decoder": "byte-histogram-stub",
+                "bucket": buckets.astype(np.int64),
+                "count": counts[rows, buckets].astype(np.int64),
+                "blob_len": lens[rows],
+            }
+        )
+
+
+def media_histogram(ds, concurrency: int = 2, batch_size: int = 64):
+    """Exploded exact byte-histogram features over a media table (actor
+    pool, small batches for fat rows, payload dropped inside the stage so
+    bytes never shuffle). Oracle-pairable: every output column is an
+    integer or constant string."""
+    return ds.map_batches(
+        ByteHistogramStage,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def write_media(out_dir: str, n: int = 256, seed: int = 9) -> str:
+    """Write the deterministic media fixture: ``media.parquet`` (id,
+    media_type, payload BLOB, meta) + ``media_bytes.parquet`` — the same
+    payloads exploded to (id, byteval) rows so ANSI SQL can recompute the
+    byte histogram exactly. Idempotent per directory."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    mpath = os.path.join(out_dir, "media.parquet")
+    bpath = os.path.join(out_dir, "media_bytes.parquet")
+    if os.path.exists(mpath) and os.path.exists(bpath):
+        return out_dir
+    df = synth_media_table(n=n, seed=seed)
+    lens = np.array([len(b) for b in df["payload"]], dtype=np.int64)
+    ids = np.repeat(df["id"].to_numpy(np.int64), lens)
+    byteval = np.frombuffer(b"".join(df["payload"]), dtype=np.uint8)
+    bytes_tbl = pa.table(
+        {"id": ids, "byteval": byteval.astype(np.int64)}
+    )
+    media_tbl = pa.Table.from_pandas(df, preserve_index=False)
+    for path, tbl in ((mpath, media_tbl), (bpath, bytes_tbl)):
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return out_dir
+
+
 def media_features(ds, concurrency: int = 2, batch_size: int = 64):
     """Image-feature pipeline over a media table (actor pool, small
     batches for fat rows, payload dropped before any shuffle)."""
@@ -149,8 +249,11 @@ def synth_media_table(n: int = 64, seed: int = 9) -> pd.DataFrame:
 __all__ = [
     "ImageDecodeStage",
     "FrameSampleStage",
+    "ByteHistogramStage",
     "media_features",
+    "media_histogram",
     "byte_histogram_features",
     "synth_media_table",
+    "write_media",
     "FEATURE_DIM",
 ]
