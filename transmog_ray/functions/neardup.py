@@ -670,30 +670,153 @@ def simhash_neardup(
     )
 
 
+def _lsh_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Random hyperplanes, pure in (seed, dim, n_planes) — every task can
+    regenerate them locally (cheaper than a broadcast for 16 KB)."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, dim, n_planes]))
+    return rng.normal(size=(dim, n_planes))
+
+
+def lsh_cosine_pairs(
+    ds,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes_per_band: int = 8,
+    n_bands: int = 32,
+    seed: int = 37,
+    num_buckets: int = 16,
+):
+    """Banded random-hyperplane LSH near-dup pairs with EXACT in-bucket
+    verify → Dataset of (id_a, id_b, cos_sim), id_a < id_b.
+
+    The corpus-scale replacement for :func:`cosine_pairs`: each vector
+    emits one (band, code) key per band (code = its r sign bits on that
+    band's hyperplanes); candidates co-bucket by key and are verified
+    with an exact float64 cosine, so precision is 1 by construction.
+    Per-pair recall is 1-(1-p^r)^b with p = 1-θ/π — at r=8, b=32 a
+    0.93-similar pair is missed w.p. ~7e-7; tune (r, b) per threshold.
+
+    Scale shape: NO all-pairs stage. Vectors cross the wire n_bands
+    times (band fan-out) into one bucketed exchange; in-bucket work is
+    pairwise only WITHIN a (band, code) group, whose expected size is
+    n/2^r — raise r for bigger corpora (and b with it to hold recall).
+    A second small exchange dedups (id_a, id_b) across bands."""
+    from ..stages.partition import bucket_exchange
+
+    r, b = n_planes_per_band, n_bands
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            # keep the id column's SOURCE dtype (a null-typed empty block
+            # poisons downstream Arrow concat — round-3 lesson)
+            return pd.DataFrame(
+                {
+                    "band": pd.Series(dtype="int64"),
+                    "code": pd.Series(dtype="int64"),
+                    id_col: df[id_col] if id_col in df.columns
+                    else pd.Series(dtype="int64"),
+                    vec_col: pd.Series(dtype="object"),
+                }
+            )
+        V = np.array(df[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        V = V / np.where(norms == 0, 1.0, norms)
+        planes = _lsh_planes(V.shape[1], r * b, seed)
+        bits = (V @ planes) > 0  # n × (r·b)
+        codes = (
+            bits.reshape(len(V), b, r) << np.arange(r, dtype=np.int64)
+        ).sum(axis=2)  # n × b ints in [0, 2^r)
+        n = len(V)
+        return pd.DataFrame(
+            {
+                "band": np.repeat(np.arange(b, dtype=np.int64), n),
+                "code": codes.T.reshape(-1),
+                id_col: np.tile(df[id_col].to_numpy(), b),
+                vec_col: [v for _ in range(b) for v in V],
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        dt = _id_dtype(g[id_col])
+        out_a, out_b, out_s = [], [], []
+        # MUST group by the true key inside the kernel: distinct
+        # (band, code) keys hash-collide into one bucket frame
+        for _, grp in g.groupby(["band", "code"], sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.drop_duplicates(id_col).sort_values(id_col)
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            M = np.array(grp[vec_col].tolist(), dtype=np.float64)
+            S = M @ M.T  # rows already unit-norm from explode
+            ai, bi = np.triu_indices(len(ids), k=1)
+            keep = S[ai, bi] >= threshold
+            out_a.extend(ids[ai[keep]])
+            out_b.extend(ids[bi[keep]])
+            out_s.extend(S[ai[keep], bi[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype=dt),
+                "id_b": pd.Series(out_b, dtype=dt),
+                "cos_sim": pd.Series(out_s, dtype="float64"),
+            }
+        )
+
+    cand = bucket_exchange(
+        exploded, ["band", "code"], verify, num_buckets
+    )
+    # a pair can match in several bands → one global (id_a, id_b) dedup
+    from ..stages.partition import BUCKET_COL
+
+    return bucket_exchange(
+        cand,
+        ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"]).drop(
+            columns=[BUCKET_COL], errors="ignore"
+        ),
+        num_buckets,
+    )
+
+
 def cosine_neardup_clusters(
     ds,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_buckets: int = 16,
+    edges: str = "lsh",
+    **lsh_kwargs,
 ):
     """Embedding-cosine near-duplicate CLUSTERS → Dataset of
     (id, cluster), cluster = min id of the connected component of the
     cosine ≥ threshold graph.
 
-    Edge generation is the all-pairs cosine oracle
-    (:func:`cosine_pairs` — broadcast matmul; swap in the LSH/IVF ANN
-    paths for the billion-vector scale); component labels converge by
-    the same distributed min-label propagation as MinHash clustering,
-    so the driver holds only edge COUNTS and the final label map.
-    SQL-reproducible: a DuckDB recursive CTE computes the identical
-    min-label components (see SQL_COSINE_CLUSTERS)."""
+    Edge generation defaults to the bucketed banded-LSH + exact-verify
+    path (:func:`lsh_cosine_pairs` — the corpus-scale route; tune
+    ``n_planes_per_band``/``n_bands`` to the threshold);
+    ``edges="allpairs"`` keeps the guarded broadcast-matmul oracle
+    (:func:`cosine_pairs`) that pins LSH recall at small scale.
+    Component labels converge by the same distributed min-label
+    propagation as MinHash clustering, so the driver holds only edge
+    COUNTS and the final label map. SQL-reproducible: a DuckDB
+    recursive CTE computes the identical min-label components (see
+    SQL_COSINE_CLUSTERS)."""
     import ray
 
     from ..stages.common import arrow_schema
 
-    edges = cosine_pairs(ds, threshold, id_col, vec_col).materialize()
-    n_edges = edges.count()
+    if edges == "allpairs":
+        edge_ds = cosine_pairs(ds, threshold, id_col, vec_col)
+    else:
+        edge_ds = lsh_cosine_pairs(
+            ds, threshold, id_col, vec_col, num_buckets=num_buckets, **lsh_kwargs
+        )
+    edge_mat = edge_ds.materialize()
+    n_edges = edge_mat.count()
     if n_edges == 0:
         label_ref = ray.put({})
     else:
@@ -702,18 +825,34 @@ def cosine_neardup_clusters(
         id_is_int = pa.types.is_integer(arrow_schema(ds).field(id_col).type)
         nb = int(min(num_buckets, max(2, n_edges // 50_000 + 2)))
         lab = _min_label_propagation(
-            edges.select_columns(["id_a", "id_b"]), nb, id_is_int=id_is_int
+            edge_mat.select_columns(["id_a", "id_b"]), nb, id_is_int=id_is_int
         )
         label_ref = ray.put(dict(zip(lab["node"], lab["label"])))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         labels = ray.get(label_ref)
         ids = df[id_col]
-        return pd.DataFrame(
-            {id_col: ids, "cluster": [labels.get(i, i) for i in ids]}
-        )
+        # vectorized label lookup; ids are non-null (NaN-matching Series.map
+        # semantics therefore can't bite), unlabeled ids are their own cluster
+        cluster = ids.map(labels).fillna(ids).astype(ids.dtype)
+        return pd.DataFrame({id_col: ids, "cluster": cluster})
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+#: all-pairs oracles are quadratic BY DESIGN (they pin LSH/MinHash recall at
+#: small scale); refuse corpora where that shape stops being an oracle
+ALLPAIRS_MAX_ROWS = 100_000
+
+
+def _allpairs_guard(n_rows: int, fn_name: str) -> None:
+    if n_rows > ALLPAIRS_MAX_ROWS:
+        raise ValueError(
+            f"{fn_name} is an ALL-PAIRS small-scale oracle "
+            f"(O(n²) similarity) and refuses {n_rows} rows "
+            f"(cap {ALLPAIRS_MAX_ROWS}); use minhash_clusters / "
+            "simhash_neardup / cosine_neardup_clusters for real corpora"
+        )
 
 
 def char_jaccard_pairs(
@@ -725,29 +864,51 @@ def char_jaccard_pairs(
     """All-pairs character-set Jaccard ≥ threshold (id_a < id_b).
 
     Definition == DuckDB ``jaccard(a, b)``: case-sensitive distinct-char
-    sets. Right side broadcast once; left streams per batch — the exact
-    small-scale baseline that pins the LSH path.
+    sets. Right side broadcast once as a (rows × char-vocab) membership
+    matrix; each batch computes every intersection with ONE matmul — no
+    per-row Python set ops. Guarded: this is the exact small-scale
+    baseline that pins the LSH path, not a corpus-scale operator.
     """
     import ray
 
     full = ds.select_columns([id_col, text_col]).to_pandas()
-    charsets = [frozenset(t or "") for t in full[text_col]]
-    ref = ray.put((full[id_col].to_numpy(), charsets))
+    _allpairs_guard(len(full), "char_jaccard_pairs")
+    sets_r = [set(t or "") for t in full[text_col]]
+    vocab = {c: i for i, c in enumerate(sorted(set().union(*sets_r) if sets_r else []))}
+    R = np.zeros((len(full), max(len(vocab), 1)), dtype=np.int32)
+    for j, s in enumerate(sets_r):
+        if s:
+            R[j, [vocab[c] for c in s]] = 1
+    sizes_r = R.sum(axis=1)
+    ref = ray.put((full[id_col].to_numpy(), vocab, R, sizes_r))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids_r, sets_r = ray.get(ref)
-        out = {"id_a": [], "id_b": [], "jac": []}
-        for rid, text in zip(df[id_col], df[text_col]):
-            s = frozenset(text or "")
-            for rid2, s2 in zip(ids_r, sets_r):
-                if rid < rid2:
-                    union = len(s | s2)
-                    jac = (len(s & s2) / union) if union else 1.0
-                    if jac >= threshold:
-                        out["id_a"].append(rid)
-                        out["id_b"].append(rid2)
-                        out["jac"].append(round(jac, 6))
-        return pd.DataFrame(out)
+        ids_r, vocab_, R_, sizes_r_ = ray.get(ref)
+        ids_l = df[id_col].to_numpy()
+        L = np.zeros((len(df), R_.shape[1]), dtype=np.int32)
+        sizes_l = np.zeros(len(df), dtype=np.int64)
+        for i, text in enumerate(df[text_col]):
+            s = set(text or "")
+            sizes_l[i] = len(s)  # includes chars outside the right vocab
+            idx = [vocab_[c] for c in s if c in vocab_]
+            if idx:
+                L[i, idx] = 1
+        inter = L @ R_.T
+        union = sizes_l[:, None] + sizes_r_[None, :] - inter
+        with np.errstate(invalid="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        qi, ri = np.where((jac >= threshold) & (ids_l[:, None] < ids_r[None, :]))
+        return pd.DataFrame(
+            {
+                "id_a": ids_l[qi],
+                "id_b": ids_r[ri],
+                # python round on the few survivors only (decimal-correct,
+                # matches the oracle's ROUND semantics for these values)
+                "jac": pd.Series(
+                    [round(float(v), 6) for v in jac[qi, ri]], dtype="float64"
+                ),
+            }
+        )
 
     return ds.map_batches(pairs, batch_format="pandas")
 
@@ -762,10 +923,13 @@ def ngram_jaccard_pairs(
     """All-pairs word n-gram Jaccard ≥ threshold (id_a < id_b).
 
     Token n-grams over single-space splits (SQL-reproducible: DuckDB
-    list comprehension + list_intersect/list_distinct). Right side's
-    n-gram sets are built once and broadcast; the left streams per
-    batch — the exact small-scale oracle; MinHash-LSH is the scale path
-    (its shingles are the character analogue of these n-grams).
+    list comprehension + list_intersect/list_distinct). Right side is
+    broadcast once as an INVERTED INDEX (gram → array of right-row
+    positions); per left row, one ``bincount`` over the concatenated
+    posting hits yields every intersection size at once — sparse-set
+    intersection instead of a per-row × corpus Python loop. Guarded:
+    the exact small-scale oracle; MinHash-LSH is the scale path (its
+    shingles are the character analogue of these n-grams).
     """
     import ray
 
@@ -778,27 +942,40 @@ def ngram_jaccard_pairs(
         )
 
     full = ds.select_columns([id_col, text_col]).to_pandas()
+    _allpairs_guard(len(full), "ngram_jaccard_pairs")
     sets_r = [grams(t) for t in full[text_col]]
-    ref = ray.put((full[id_col].to_numpy(), sets_r))
+    postings_lists: dict[str, list[int]] = {}
+    for j, s in enumerate(sets_r):
+        for g in s:
+            postings_lists.setdefault(g, []).append(j)
+    postings = {g: np.asarray(v, dtype=np.int64) for g, v in postings_lists.items()}
+    sizes_r = np.array([len(s) for s in sets_r], dtype=np.int64)
+    ref = ray.put((full[id_col].to_numpy(), postings, sizes_r))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids_r, sr = ray.get(ref)
+        ids_r, postings_, sizes_r_ = ray.get(ref)
+        n_r = len(ids_r)
         dt = _id_dtype(df[id_col])
-        out = {"id_a": [], "id_b": [], "jac": []}
+        out_a, out_b, out_j = [], [], []
         for rid, text in zip(df[id_col], df[text_col]):
             s = grams(text)
-            for rid2, s2 in zip(ids_r, sr):
-                if rid < rid2:
-                    union = len(s | s2)
-                    jac = (len(s & s2) / union) if union else 1.0
-                    if jac >= threshold:
-                        out["id_a"].append(rid)
-                        out["id_b"].append(rid2)
-                        out["jac"].append(round(jac, 6))
+            hits = [postings_[g] for g in s if g in postings_]
+            inter = (
+                np.bincount(np.concatenate(hits), minlength=n_r)
+                if hits
+                else np.zeros(n_r, dtype=np.int64)
+            )
+            union = len(s) + sizes_r_ - inter
+            with np.errstate(invalid="ignore"):
+                jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+            sel = np.where((jac >= threshold) & (rid < ids_r))[0]
+            out_a.extend([rid] * len(sel))
+            out_b.extend(ids_r[sel])
+            out_j.extend(round(float(v), 6) for v in jac[sel])
         return pd.DataFrame({
-            "id_a": pd.Series(out["id_a"], dtype=dt),
-            "id_b": pd.Series(out["id_b"], dtype=dt),
-            "jac": pd.Series(out["jac"], dtype="float64"),
+            "id_a": pd.Series(out_a, dtype=dt),
+            "id_b": pd.Series(out_b, dtype=dt),
+            "jac": pd.Series(out_j, dtype="float64"),
         })
 
     return ds.map_batches(pairs, batch_format="pandas")
@@ -813,10 +990,13 @@ def cosine_pairs(
     """All-pairs embedding cosine ≥ threshold (id_a < id_b), float64 math
     (== DuckDB ``list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])``).
 
-    Right matrix broadcast once (normalized); per-batch numpy matmul."""
+    Right matrix broadcast once (normalized); per-batch numpy matmul.
+    Guarded like the Jaccard oracles — the LSH-bucketed edge path in
+    :func:`cosine_neardup_clusters` is the corpus-scale route."""
     import ray
 
     full = ds.select_columns([id_col, vec_col]).to_pandas()
+    _allpairs_guard(len(full), "cosine_pairs")
     M = np.array(full[vec_col].tolist(), dtype=np.float64)
     M /= np.linalg.norm(M, axis=1, keepdims=True)
     ref = ray.put((full[id_col].to_numpy(), M))
@@ -849,6 +1029,8 @@ __all__ = [
     "add_simhash",
     "simhash_neardup",
     "char_jaccard_pairs",
+    "ngram_jaccard_pairs",
     "cosine_pairs",
+    "lsh_cosine_pairs",
     "cosine_neardup_clusters",
 ]
