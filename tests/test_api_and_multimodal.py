@@ -194,3 +194,78 @@ def test_progress_callbacks():
                       batch_size=10,
                       progress_callback=lambda d, t: calls2.append((d, t)))
     assert calls2 == [(10, 25), (20, 25), (25, 25)]
+
+
+def test_jsonl_bad_line_raises_validation_error(tmp_path):
+    """VERDICT r3 #8: non-object / invalid JSONL lines must fail at parse
+    time with the line number (reference iterators.py:372-400), not later
+    as a TypeError inside flattening."""
+    from transmog_ray.api import ValidationError, iter_records
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"a": 1}\n[1, 2, 3]\n{"a": 2}\n')
+    with pytest.raises(ValidationError, match="line 2"):
+        list(iter_records(str(p)))
+    p2 = tmp_path / "invalid.jsonl"
+    p2.write_text('{"a": 1}\n{"a": 1}\n{not json\n')
+    with pytest.raises(ValidationError, match="line 3"):
+        list(iter_records(str(p2)))
+    # string input goes through the same validation
+    with pytest.raises(ValidationError, match="line 2"):
+        list(iter_records('{"a": 1}\n42\n{"a": 3}'))
+
+
+def test_flatten_progress_callback_streams_generator():
+    """VERDICT r3 #6: a callback must not defeat the streaming input —
+    the generator is consumed batch by batch (total=None), never list()ed."""
+    calls = []
+
+    def gen():
+        for i in range(25):
+            yield {"a": i}
+
+    res = tm.flatten(
+        gen(), config=tm.FlattenConfig(batch_size=10, id_generation="hash"),
+        progress_callback=lambda done, total: calls.append((done, total)),
+    )
+    assert len(res.main) == 25
+    assert calls == [(10, None), (20, None), (25, None)]
+    # sized input reports its total
+    calls.clear()
+    tm.flatten(
+        [{"a": i} for i in range(25)],
+        config=tm.FlattenConfig(batch_size=10, id_generation="hash"),
+        progress_callback=lambda done, total: calls.append((done, total)),
+    )
+    assert calls == [(10, 25), (20, 25), (25, 25)]
+
+
+def test_parquet_writer_options_roundtrip(tmp_path):
+    """VERDICT r3 #7: compression / row_group_size reach the parquet
+    writers (reference defaults snappy/10000, writers/parquet.py:38-66)."""
+    import pyarrow.parquet as pq
+
+    res = tm.flatten(
+        [{"a": i, "kids": [{"k": i}]} for i in range(250)],
+        config=tm.FlattenConfig(id_generation="hash"),
+    )
+    out = res.save(tmp_path / "opt", output_format="parquet",
+                   compression="gzip", row_group_size=100)
+    for path in out:
+        meta = pq.ParquetFile(path).metadata
+        assert meta.row_group(0).column(0).compression == "GZIP"
+        assert meta.row_group(0).num_rows == 100
+    # default save stays on the reference defaults (snappy)
+    out2 = res.save(tmp_path / "dflt", output_format="parquet")
+    meta2 = pq.ParquetFile(out2[0]).metadata
+    assert meta2.row_group(0).column(0).compression == "SNAPPY"
+    # streaming writer honors the same knobs
+    files = tm.flatten_stream(
+        [{"a": i} for i in range(300)], tmp_path / "stream", name="r",
+        output_format="parquet", batch_size=300,
+        config=tm.FlattenConfig(id_generation="hash"),
+        compression="gzip", row_group_size=150,
+    )
+    m = pq.ParquetFile(files[0]).metadata
+    assert m.row_group(0).column(0).compression == "GZIP"
+    assert m.row_group(0).num_rows == 150

@@ -48,14 +48,19 @@ class FlattenResult:
     def all_tables(self) -> dict[str, list[dict]]:
         return {self.entity: self.main, **self.tables}
 
-    def save(self, path, output_format: str | None = None) -> list:
+    def save(self, path, output_format: str | None = None, **writer_options) -> list:
         """Multi-table → directory of one file per table; single table →
         one file. Format from extension when not given (parquet default).
 
         *path* may also be an open FILE-LIKE object (reference writer
         surface: CsvWriter/ParquetWriter accept file objects) — single
         (main) table only, and ``output_format`` is then required since
-        there is no extension to sniff."""
+        there is no extension to sniff.
+
+        ``**writer_options`` pass through to the format's batch writer
+        (parquet: ``compression`` — default snappy — ``row_group_size``
+        — default 10000 — and any ``pq.write_table`` kwarg; reference
+        writers/parquet.py:38-66)."""
         if _is_file_like(path):
             if self.tables:
                 raise ValueError(
@@ -67,7 +72,7 @@ class FlattenResult:
                 raise ValueError(
                     "output_format is required for file-like destinations"
                 )
-            _write_table(self.main, path, output_format)
+            _write_table(self.main, path, output_format, **writer_options)
             return [path]
         path = Path(path)
         fmt = output_format or (path.suffix.lstrip(".") or "parquet")
@@ -75,12 +80,14 @@ class FlattenResult:
             path.mkdir(parents=True, exist_ok=True)
             out = []
             for name, rows in self.all_tables.items():
-                out.append(_write_table(rows, path / f"{name}.{fmt}", fmt))
+                out.append(
+                    _write_table(rows, path / f"{name}.{fmt}", fmt, **writer_options)
+                )
             return out
         if not path.suffix:
             path = path.with_suffix(f".{fmt}")
         path.parent.mkdir(parents=True, exist_ok=True)
-        return [_write_table(self.main, path, fmt)]
+        return [_write_table(self.main, path, fmt, **writer_options)]
 
 
 _CSV_DANGEROUS = ("=", "+", "-", "@", "|", "\t", "\r")
@@ -114,12 +121,32 @@ class MissingDependencyError(ImportError):
     (the reference's writer-factory UX, writers/__init__.py:46-130)."""
 
 
-def _write_parquet_batch(rows: list[dict], path: Path) -> None:
+class ValidationError(ValueError):
+    """Malformed input detected at PARSE time with its location — the
+    reference's error surface (iterators.py:372-400): a bad JSONL line
+    fails here with its line number, not later as an opaque TypeError
+    deep inside flattening."""
+
+
+def _write_parquet_batch(
+    rows: list[dict],
+    path: Path,
+    compression: str = "snappy",
+    row_group_size: int = 10_000,
+    **options,
+) -> None:
+    """Reference writer defaults (writers/parquet.py:38-66): snappy
+    compression, 10k-row row groups; both user-overridable so a tuned
+    writer config migrates without silently reverting to pyarrow
+    defaults."""
     import pyarrow.parquet as pq
 
     from .stages.flatten import rows_to_table
 
-    pq.write_table(rows_to_table(rows), path)
+    pq.write_table(
+        rows_to_table(rows), path,
+        compression=compression, row_group_size=row_group_size, **options,
+    )
 
 
 def _write_csv_batch(rows: list[dict], path) -> None:
@@ -192,11 +219,11 @@ def register_writer(fmt: str, batch_fn=None, streaming_factory=None) -> None:
         STREAMING_WRITERS[fmt] = streaming_factory
 
 
-def _write_table(rows: list[dict], path: Path, fmt: str) -> Path:
+def _write_table(rows: list[dict], path: Path, fmt: str, **options) -> Path:
     writer = BATCH_WRITERS.get(fmt)
     if writer is None:
         raise ValueError(f"unsupported output format: {fmt!r}")
-    writer(rows, path)
+    writer(rows, path, **options)
     return path
 
 
@@ -320,13 +347,33 @@ def _parse_optional(text: str, fmt: str):
     return mod.loads(text)
 
 
+def _iter_jsonl_lines(lines: Iterable[str], source: str) -> Iterable[dict]:
+    """Line-streamed JSONL with parse-time validation (reference
+    iterators.py:372-400): invalid JSON or a non-object line raises
+    :class:`ValidationError` naming the 1-based line number and source."""
+    for index, raw in enumerate(lines, 1):
+        line = raw.strip()
+        if not line:
+            continue
+        try:
+            record = _loads(line)
+        except ValueError as exc:
+            raise ValidationError(
+                f"Invalid JSON on line {index} in {source}: {exc}"
+            ) from exc
+        if not isinstance(record, dict):
+            raise ValidationError(
+                f"Expected JSON object on line {index} in {source}, "
+                f"got {type(record).__name__}"
+            )
+        yield record
+
+
 def _iter_jsonl_file(p: Path) -> Iterable[dict]:
     """Line-streamed JSONL: one line parsed at a time, never the whole
     file (reference iterators.py:227-243)."""
     with open(p, "r") as f:
-        for ln in f:
-            if ln.strip():
-                yield _loads(ln)
+        yield from _iter_jsonl_lines(f, str(p))
 
 
 def _iter_json_array_file(p: Path, chunk_size: int = 1 << 18) -> Iterable[dict]:
@@ -429,7 +476,7 @@ def iter_records(data: Any, streaming: bool = True) -> Iterable[dict]:
             return _iter_json_array_file(p)
         text = data.decode() if isinstance(data, bytes) else data
         if _sniff_format(text) == "jsonl":
-            return (_loads(ln) for ln in text.splitlines() if ln.strip())
+            return _iter_jsonl_lines(text.splitlines(), "<string>")
         parsed = _loads(text)
         return parsed if isinstance(parsed, list) else [parsed]
     if hasattr(data, "__iter__"):
@@ -449,6 +496,8 @@ def flatten(
     """In-memory flatten (reference api.py:182-281 semantics);
     ``progress_callback(processed, total_or_None)`` fires per config
     batch_size records."""
+    from itertools import islice
+
     cfg = config or FlattenConfig()
     flattener = Flattener(cfg, name)
     ts = run_timestamp() if cfg.time_field else None
@@ -457,15 +506,23 @@ def flatten(
         rows, children = flattener.flatten_batch(records, extract_time=ts)
         return FlattenResult(entity=flattener.entity, main=rows, tables=children)
 
-    records = list(records)
+    # batch FROM the iterator — never list() it (a callback must not defeat
+    # the streaming input path; reference buffers per batch and reports
+    # total=None for unsized inputs, api.py:238-273)
+    total = len(records) if isinstance(records, (list, tuple)) else None
     result = FlattenResult(entity=flattener.entity)
-    for start in range(0, len(records), cfg.batch_size):
-        chunk = records[start : start + cfg.batch_size]
+    processed = 0
+    it = iter(records)
+    while True:
+        chunk = list(islice(it, cfg.batch_size))
+        if not chunk:
+            break
         rows, children = flattener.flatten_batch(chunk, extract_time=ts)
         result.main.extend(rows)
         for tname, trows in children.items():
             result.tables.setdefault(tname, []).extend(trows)
-        progress_callback(min(start + cfg.batch_size, len(records)), len(records))
+        processed += len(chunk)
+        progress_callback(processed, total)
     return result
 
 
@@ -535,12 +592,22 @@ class StreamingArrowPartWriter:
     schema even when the record stream drifts (the reference freezes on
     first batch too, arrow_base.py:364-369)."""
 
-    def __init__(self, out_dir: Path, fmt: str = "parquet", drift: str = "conform"):
+    def __init__(
+        self,
+        out_dir: Path,
+        fmt: str = "parquet",
+        drift: str = "conform",
+        compression: str = "snappy",
+        row_group_size: int = 10_000,
+    ):
         if drift not in ("conform", "strict"):
             raise ValueError("drift must be 'conform' or 'strict'")
         self.out_dir = out_dir
         self.fmt = fmt
         self.drift = drift
+        # reference streaming-writer defaults (writers/parquet.py:45-66)
+        self.compression = compression
+        self.row_group_size = row_group_size
         self._schemas: dict[str, object] = {}
         self._parts: dict[str, int] = {}
 
@@ -563,7 +630,10 @@ class StreamingArrowPartWriter:
     def _emit(self, table, arrow_table, path):
         import pyarrow.parquet as pq
 
-        pq.write_table(arrow_table, path)
+        pq.write_table(
+            arrow_table, path,
+            compression=self.compression, row_group_size=self.row_group_size,
+        )
 
     def write(self, table: str, rows: list[dict]) -> Path:
         t = self._conform_rows(table, rows)
@@ -673,7 +743,9 @@ class StreamingAvroWriter:  # pragma: no cover — fastavro absent in this env
 #: point shared with :func:`register_writer`
 STREAMING_WRITERS = {
     "parquet": lambda out_dir, **o: StreamingArrowPartWriter(
-        out_dir, "parquet", o.get("drift", "conform")),
+        out_dir, "parquet", o.get("drift", "conform"),
+        compression=o.get("compression", "snappy"),
+        row_group_size=o.get("row_group_size", 10_000)),
     "orc": lambda out_dir, **o: StreamingOrcWriter(out_dir, o.get("drift", "conform")),
     "json": lambda out_dir, **o: StreamingJsonPartWriter(out_dir),
     "csv": lambda out_dir, **o: StreamingCsvWriter(out_dir, o.get("drift", "drop")),
@@ -698,6 +770,7 @@ def flatten_stream(
     progress_callback=None,
     csv_drift: str = "drop",
     drift: str | None = None,
+    **writer_options,
 ) -> list[Path]:
     """File/iterator → files without holding tables in memory.
 
@@ -706,7 +779,9 @@ def flatten_stream(
     the registry — parquet/json part files per flush, single-file ORC and
     CSV — with each table's schema frozen from its first batch.
     ``progress_callback(processed, total_or_None)`` fires per flush
-    (reference ProgressCallback shape, types.py:9).
+    (reference ProgressCallback shape, types.py:9). ``**writer_options``
+    reach the streaming writer factory (parquet: ``compression``,
+    ``row_group_size`` — reference defaults snappy/10000).
     """
     cfg = config or FlattenConfig()
     flattener = Flattener(cfg, name)
@@ -719,6 +794,7 @@ def flatten_stream(
     writer = create_streaming_writer(
         output_format, out_dir,
         drift=(drift or (csv_drift if output_format == "csv" else "conform")),
+        **writer_options,
     )
 
     processed = 0
@@ -753,6 +829,7 @@ __all__ = [
     "FlattenResult",
     "FlattenConfig",
     "MissingDependencyError",
+    "ValidationError",
     "StreamingCsvWriter",
     "StreamingArrowPartWriter",
     "StreamingOrcWriter",

@@ -345,16 +345,21 @@ class TumblingWindowState:
             .groupby(["k", "w"], sort=False)["v"]
             .agg(["count", "sum", "min", "max"])
         )
-        for (k, w), row in g.iterrows():
-            cur = self.partials.get((k, w))
+        # vectorized batch aggregation above; merging the (bounded) set of
+        # touched (key, window) partials below iterates TUPLES, not a
+        # pandas row view per group (itertuples is ~50× iterrows)
+        partials = self.partials
+        for kw, c, s, mn, mx in g.itertuples(name=None):
+            cur = partials.get(kw)
             if cur is None:
-                self.partials[(k, w)] = [int(row["count"]), row["sum"],
-                                         row["min"], row["max"]]
+                partials[kw] = [int(c), s, mn, mx]
             else:
-                cur[0] += int(row["count"])
-                cur[1] += row["sum"]
-                cur[2] = min(cur[2], row["min"])
-                cur[3] = max(cur[3], row["max"])
+                cur[0] += int(c)
+                cur[1] += s
+                if mn < cur[2]:
+                    cur[2] = mn
+                if mx > cur[3]:
+                    cur[3] = mx
 
     def _finalize(self, boundary_ns) -> pd.DataFrame:
         """Emit every window whose END ≤ boundary."""
