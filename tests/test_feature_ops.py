@@ -1177,3 +1177,30 @@ def test_dup_ngram_fraction_hand_case(ray_session):
     assert out.loc[2, "dup_frac"] == 1.0
     assert out.loc[3, "dup_frac"] == 0.0
     assert 4 not in out.index
+
+
+def test_gopher_rules_hand_case():
+    from transmog_ray.functions.text import gopher_rules
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # passes every rule: 30 short DISTINCT words (no repeated
+            # bigrams) incl. 2 distinct stopwords
+            " ".join(["a", "the"] + [f"w{i}" for i in range(28)]),
+            # too short
+            "the a short one",
+            # enough words but only 1 distinct stopword
+            " ".join(["the"] + [f"x{i}" for i in range(35)]),
+            # repetition: one bigram dominates
+            " ".join(["a", "the"] + ["dup"] * 40),
+        ],
+    })
+    out = gopher_rules(df).set_index("doc_id")
+    assert out.loc[1, "keep"] == 1
+    assert out.loc[2, "keep"] == 0 and out.loc[2, "n_words"] == 4
+    assert out.loc[3, "keep"] == 0 and out.loc[3, "n_stop_distinct"] == 1
+    assert out.loc[4, "keep"] == 0 and out.loc[4, "dup_bigram_frac"] > 0.9
+    # null text → empty-string semantics, never a crash
+    out2 = gopher_rules(pd.DataFrame({"doc_id": [9], "text": [None]}))
+    assert out2["keep"].tolist() == [0] and out2["dup_bigram_frac"].tolist() == [0.0]

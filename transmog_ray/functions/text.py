@@ -151,6 +151,60 @@ def repetition_stats(
     return agg[[id_col, "n_bigrams", "top_bigram_frac", "dup_bigram_frac"]]
 
 
+def gopher_rules(
+    df: pd.DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 90,
+    max_mean_word_len: float = 4.6,
+    min_stop_distinct: int = 2,
+    max_dup_bigram_frac: float = 0.08,
+) -> pd.DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1 family,
+    re-parameterized for the fixture corpus): word-count bounds, mean
+    word length bound, a minimum number of DISTINCT stopwords, and a
+    duplicate-bigram-mass bound. Emits the per-rule signals plus
+    ``keep`` (1/0) so downstream filtering and audits share one pass.
+
+    Every signal is an exact count or integer-ratio float64 — the whole
+    gate reproduces bit-identically in ANSI SQL. Per-document and
+    map-only: zero shuffle at any corpus size.
+    """
+    import numpy as np
+
+    s = df[text_col].fillna("")
+    n_words = (s.str.count(" ") + 1).astype("int64")
+    n_chars = s.str.len()
+    n_spaces = s.str.count(" ")
+    mean_word_len = (n_chars - n_spaces) / n_words
+    stop_distinct = s.str.split(" ").map(
+        lambda ws: len(set(w for w in ws if w in STOPWORDS))
+    ).astype("int64")
+    rep = repetition_stats(df, id_col=id_col, text_col=text_col)
+    out = pd.DataFrame(
+        {
+            id_col: df[id_col].to_numpy(),
+            "n_words": n_words.to_numpy(),
+            "mean_word_len": mean_word_len.to_numpy(),
+            "n_stop_distinct": stop_distinct.to_numpy(),
+        }
+    )
+    out = out.merge(
+        rep[[id_col, "dup_bigram_frac"]], on=id_col, how="left"
+    )
+    # a doc with < 2 tokens has no bigrams → repetition can't disqualify
+    out["dup_bigram_frac"] = out["dup_bigram_frac"].fillna(0.0)
+    out["keep"] = (
+        (out["n_words"] >= min_words)
+        & (out["n_words"] <= max_words)
+        & (out["mean_word_len"] <= max_mean_word_len)
+        & (out["n_stop_distinct"] >= min_stop_distinct)
+        & (out["dup_bigram_frac"] <= max_dup_bigram_frac)
+    ).astype("int64")
+    return out
+
+
 def word_ngrams(
     df: pd.DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text",
 ) -> pd.DataFrame:
