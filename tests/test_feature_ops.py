@@ -1204,3 +1204,20 @@ def test_gopher_rules_hand_case():
     # null text → empty-string semantics, never a crash
     out2 = gopher_rules(pd.DataFrame({"doc_id": [9], "text": [None]}))
     assert out2["keep"].tolist() == [0] and out2["dup_bigram_frac"].tolist() == [0.0]
+
+
+def test_heavy_hitters_empty_result_keeps_schema(ray_session):
+    """sf0.1 regression: when NO key reaches the local threshold in any
+    batch, the result must be a typed empty (key, n) frame — a zero-row
+    Ray Dataset loses its columns through to_pandas(), so the provably-
+    empty case returns pandas directly."""
+    import ray.data as rd
+
+    from transmog_ray.functions.skew import heavy_hitters
+
+    df = pd.DataFrame({"user_id": np.arange(1000) % 500, "v": 1.0})
+    ds = rd.from_pandas(df).materialize()
+    out = heavy_hitters(ds, "user_id", share=0.5, num_buckets=4)
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert list(out.columns) == ["user_id", "n"]
+    assert len(out) == 0 and out["user_id"].dtype == np.int64

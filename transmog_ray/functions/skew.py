@@ -85,6 +85,18 @@ def heavy_hitters(
         ds.map_batches(local_candidates, batch_format="pandas")
         .to_pandas().drop_duplicates()
     )
+    if cand.empty or key not in cand.columns:
+        # no key reached the local threshold in ANY batch → by the
+        # pigeonhole bound the global result is exactly empty. Return a
+        # TYPED empty pandas frame directly: a zero-row Ray Dataset
+        # loses its columns through to_pandas() even when the schema is
+        # known, which breaks both the recount path and schema compare.
+        from ..stages.common import arrow_schema
+
+        kdt = arrow_schema(ds).field(key).type.to_pandas_dtype()
+        return pd.DataFrame(
+            {key: pd.Series(dtype=kdt), "n": pd.Series(dtype="int64")}
+        )
     n_total = ds.count()
     kept = semi_join(ds, cand, on=key)  # isin matches NaN keys too
     # COUNT(*) semantics (counts rows of a NULL key) needs a non-null

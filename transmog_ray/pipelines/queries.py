@@ -166,10 +166,16 @@ def q_suppliers_by_region(sf_dir: str):
     joined = broadcast_join(sup, dim, on="s_nationkey")
     agg = grouped_agg(joined, ["r_name"], {
         "n_suppliers": ("s_suppkey", "count"),
-        "avg_balance": ("s_acctbal", "mean"),
+        "sum_balance": ("s_acctbal", "sum"),
     }, num_buckets=8)
+    # round the SUM, not the mean: acctbal is fixed-2-decimal, so the true
+    # sum sits ON the 0.01 grid and a ≤1e-4 accumulation-order skew can't
+    # cross a rounding boundary — whereas the mean can land exactly on a
+    # half boundary and flip between engines (seen at sf0.1)
     return agg.map_batches(
-        lambda df: df.assign(avg_balance=round_half_away(df["avg_balance"], 2)),
+        lambda df: df.assign(
+            avg_balance=round_half_away(df["sum_balance"], 2) / df["n_suppliers"]
+        ).drop(columns=["sum_balance"]),
         batch_format="pandas",
     )
 
@@ -177,7 +183,7 @@ def q_suppliers_by_region(sf_dir: str):
 SQL_SUPPLIERS_BY_REGION = """
 SELECT r_name,
        CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
-       ROUND(SUM(s_acctbal) / COUNT(s_acctbal), 2) AS avg_balance
+       ROUND(SUM(s_acctbal), 2) / COUNT(s_acctbal) AS avg_balance
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
