@@ -654,8 +654,10 @@ class StreamingOrcWriter(StreamingArrowPartWriter):
     appends a stripe per flush — reference orc.py:43-79 shape), frozen
     first-batch schema like the parquet part writer."""
 
-    def __init__(self, out_dir: Path, drift: str = "conform"):
+    def __init__(self, out_dir: Path, drift: str = "conform",
+                 compression: str | None = None):
         super().__init__(out_dir, "orc", drift)
+        self._orc_compression = compression
         self._writers: dict[str, object] = {}
 
     def write(self, table: str, rows: list[dict]) -> Path:
@@ -664,7 +666,10 @@ class StreamingOrcWriter(StreamingArrowPartWriter):
         t = self._conform_rows(table, rows)
         path = self.out_dir / f"{table}.orc"
         if table not in self._writers:
-            self._writers[table] = orc.ORCWriter(str(path))
+            kw = {}
+            if self._orc_compression is not None:
+                kw["compression"] = self._orc_compression
+            self._writers[table] = orc.ORCWriter(str(path), **kw)
         self._writers[table].write(t)
         return path
 
@@ -739,17 +744,42 @@ class StreamingAvroWriter:  # pragma: no cover — fastavro absent in this env
         pass
 
 
+def _known_opts(fmt: str, o: dict, allowed: tuple) -> dict:
+    """A writer option the format cannot honor is an ERROR, not a silent
+    drop — the exact silent-revert the parquet options were added to
+    prevent."""
+    unknown = set(o) - set(allowed)
+    if unknown:
+        raise ValueError(
+            f"{fmt} streaming writer does not support options "
+            f"{sorted(unknown)} (supported: {sorted(allowed)})"
+        )
+    return o
+
+
 #: format name → streaming writer factory(out_dir, **opts); extension
 #: point shared with :func:`register_writer`
 STREAMING_WRITERS = {
     "parquet": lambda out_dir, **o: StreamingArrowPartWriter(
-        out_dir, "parquet", o.get("drift", "conform"),
+        out_dir, "parquet",
+        _known_opts("parquet", o, ("drift", "compression", "row_group_size"))
+        .get("drift", "conform"),
         compression=o.get("compression", "snappy"),
         row_group_size=o.get("row_group_size", 10_000)),
-    "orc": lambda out_dir, **o: StreamingOrcWriter(out_dir, o.get("drift", "conform")),
-    "json": lambda out_dir, **o: StreamingJsonPartWriter(out_dir),
-    "csv": lambda out_dir, **o: StreamingCsvWriter(out_dir, o.get("drift", "drop")),
-    "avro": lambda out_dir, **o: StreamingAvroWriter(out_dir),
+    "orc": lambda out_dir, **o: StreamingOrcWriter(
+        out_dir,
+        _known_opts("orc", o, ("drift", "compression")).get("drift", "conform"),
+        compression=o.get("compression")),
+    # "drift" is pipeline-level plumbing flatten_stream always passes;
+    # schema-free sinks accept and ignore it
+    "json": lambda out_dir, **o: (
+        _known_opts("json", o, ("drift",)), StreamingJsonPartWriter(out_dir)
+    )[1],
+    "csv": lambda out_dir, **o: StreamingCsvWriter(
+        out_dir, _known_opts("csv", o, ("drift",)).get("drift", "drop")),
+    "avro": lambda out_dir, **o: (
+        _known_opts("avro", o, ("drift",)), StreamingAvroWriter(out_dir)
+    )[1],
 }
 
 

@@ -91,15 +91,18 @@ def lsh_topk(
     planes = rng.normal(size=(dim, n_planes))
     qbits = (Q @ planes > 0).astype(np.uint8)
     qcodes = np.packbits(qbits, axis=1, bitorder="little")[:, 0].astype(np.int64)
-    # multi-probe acceptance as a dense (n_queries × 2^n_planes) bool matrix:
-    # per-batch candidate filtering is then one fancy-index gather,
-    # accept[qi, ccodes] — no per-row Python membership test. n_planes is
-    # small by construction (8 default), so 2^n_planes columns are cheap.
+    # multi-probe acceptance as a dense (n_queries × 2^code_bits) bool
+    # matrix: per-batch candidate filtering is then one fancy-index
+    # gather, accept[qi, ccodes] — no per-row Python membership test.
+    # Codes are the FIRST BYTE of the packed sign bits (packbits[:, 0]),
+    # so at most 8 bits ever appear in a code regardless of n_planes —
+    # size the matrix (and the probe flips) to that effective width.
+    code_bits = min(n_planes, 8)
     qrows = np.arange(len(qcodes))
-    accept = np.zeros((len(qcodes), 1 << n_planes), dtype=bool)
+    accept = np.zeros((len(qcodes), 1 << code_bits), dtype=bool)
     accept[qrows, qcodes] = True
     if multiprobe >= 1:
-        for b in range(n_planes):
+        for b in range(code_bits):
             accept[qrows, qcodes ^ (1 << b)] = True
     qids = queries[query_id_col].to_numpy()
     ref = ray.put((qids, Q, planes, accept))

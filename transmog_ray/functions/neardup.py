@@ -702,9 +702,25 @@ def lsh_cosine_pairs(
     pairwise only WITHIN a (band, code) group, whose expected size is
     n/2^r — raise r for bigger corpora (and b with it to hold recall).
     A second small exchange dedups (id_a, id_b) across bands."""
+    import math
+
     from ..stages.partition import bucket_exchange
 
     r, b = n_planes_per_band, n_bands
+    # fail LOUDLY when (r, b) cannot see threshold-grazing pairs: a pair
+    # at exactly `threshold` collides with probability 1-(1-p^r)^b; below
+    # ~99.9% the edge set visibly diverges from all-pairs and clusters
+    # silently split. Hyperplane LSH simply cannot serve low thresholds —
+    # callers there want edges="allpairs" (guarded) or a bigger b.
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    recall_at_threshold = 1.0 - (1.0 - p**r) ** b
+    if recall_at_threshold < 0.999:
+        raise ValueError(
+            f"lsh_cosine_pairs(threshold={threshold}, r={r}, b={b}) has "
+            f"per-pair recall {recall_at_threshold:.4f} < 0.999 at the "
+            "threshold; raise n_bands / lower n_planes_per_band, use a "
+            "higher threshold, or fall back to the all-pairs oracle"
+        )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -810,6 +826,11 @@ def cosine_neardup_clusters(
     from ..stages.common import arrow_schema
 
     if edges == "allpairs":
+        if lsh_kwargs:
+            raise ValueError(
+                f"LSH tuning options {sorted(lsh_kwargs)} have no effect "
+                "with edges='allpairs' — refusing to silently drop them"
+            )
         edge_ds = cosine_pairs(ds, threshold, id_col, vec_col)
     else:
         edge_ds = lsh_cosine_pairs(
@@ -832,9 +853,14 @@ def cosine_neardup_clusters(
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         labels = ray.get(label_ref)
         ids = df[id_col]
-        # vectorized label lookup; ids are non-null (NaN-matching Series.map
-        # semantics therefore can't bite), unlabeled ids are their own cluster
-        cluster = ids.map(labels).fillna(ids).astype(ids.dtype)
+        # vectorized label lookup that never round-trips through float64:
+        # map only the rows that HAVE a label (no NaN → dtype preserved),
+        # so int64 ids above 2^53 can't be silently rounded. Unlabeled ids
+        # are their own cluster.
+        cluster = ids.copy()
+        mask = ids.isin(labels)
+        if mask.any():
+            cluster[mask] = ids[mask].map(labels)
         return pd.DataFrame({id_col: ids, "cluster": cluster})
 
     return ds.map_batches(assign, batch_format="pandas")
@@ -871,8 +897,8 @@ def char_jaccard_pairs(
     """
     import ray
 
+    _allpairs_guard(ds.count(), "char_jaccard_pairs")  # BEFORE materializing
     full = ds.select_columns([id_col, text_col]).to_pandas()
-    _allpairs_guard(len(full), "char_jaccard_pairs")
     sets_r = [set(t or "") for t in full[text_col]]
     vocab = {c: i for i, c in enumerate(sorted(set().union(*sets_r) if sets_r else []))}
     R = np.zeros((len(full), max(len(vocab), 1)), dtype=np.int32)
@@ -941,8 +967,8 @@ def ngram_jaccard_pairs(
             " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
         )
 
+    _allpairs_guard(ds.count(), "ngram_jaccard_pairs")  # BEFORE materializing
     full = ds.select_columns([id_col, text_col]).to_pandas()
-    _allpairs_guard(len(full), "ngram_jaccard_pairs")
     sets_r = [grams(t) for t in full[text_col]]
     postings_lists: dict[str, list[int]] = {}
     for j, s in enumerate(sets_r):
@@ -995,8 +1021,8 @@ def cosine_pairs(
     :func:`cosine_neardup_clusters` is the corpus-scale route."""
     import ray
 
+    _allpairs_guard(ds.count(), "cosine_pairs")  # BEFORE materializing
     full = ds.select_columns([id_col, vec_col]).to_pandas()
-    _allpairs_guard(len(full), "cosine_pairs")
     M = np.array(full[vec_col].tolist(), dtype=np.float64)
     M /= np.linalg.norm(M, axis=1, keepdims=True)
     ref = ray.put((full[id_col].to_numpy(), M))

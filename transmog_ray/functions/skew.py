@@ -71,7 +71,11 @@ def heavy_hitters(
     partial rows), and the final filter applies ``n ≥ ceil(t·N)``
     exactly as SQL ``HAVING COUNT(*) >= t * total``.
 
-    Two passes over *ds* — pass it materialized. Returns (key, n).
+    Two passes over *ds* — pass it materialized. Returns (key, n) as a
+    Ray Dataset — EXCEPT when the candidate pass proves the result empty,
+    where a typed empty pandas DataFrame is returned instead (a zero-row
+    Dataset loses its columns through ``to_pandas``); callers chaining
+    Dataset ops must handle the DataFrame case.
     """
     from .relational import grouped_agg, semi_join
 

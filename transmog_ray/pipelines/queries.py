@@ -183,7 +183,7 @@ def q_suppliers_by_region(sf_dir: str):
 SQL_SUPPLIERS_BY_REGION = """
 SELECT r_name,
        CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
-       ROUND(SUM(s_acctbal), 2) / COUNT(s_acctbal) AS avg_balance
+       ROUND(SUM(s_acctbal), 2) / COUNT(s_suppkey) AS avg_balance
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -634,11 +634,7 @@ def _media_fixture(sf_dir: str) -> str:
     scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(scale, 64)
     media_dir = write_media(f"{MEDIA_FIXTURE_ROOT}/{scale}", n=n)
-    tmp = f"{MEDIA_CURRENT}.tmp.{os.getpid()}"
-    if os.path.islink(tmp) or os.path.exists(tmp):
-        os.remove(tmp)
-    os.symlink(media_dir, tmp)
-    os.replace(tmp, MEDIA_CURRENT)
+    _repoint_current(media_dir, MEDIA_CURRENT)
     return media_dir
 
 
@@ -1721,11 +1717,7 @@ def _neardup_emb_fixture(sf_dir: str) -> str:
     emb_dir = write_neardup_embeddings(
         f"{NEARDUP_EMB_ROOT}/{scale}", n_groups=n_groups, n_background=n_bg
     )
-    tmp = f"{NEARDUP_EMB_CURRENT}.tmp.{os.getpid()}"
-    if os.path.islink(tmp) or os.path.exists(tmp):
-        os.remove(tmp)
-    os.symlink(emb_dir, tmp)
-    os.replace(tmp, NEARDUP_EMB_CURRENT)
+    _repoint_current(emb_dir, NEARDUP_EMB_CURRENT)
     return emb_dir
 
 
@@ -2209,6 +2201,19 @@ def q_lsh_ann(sf_dir: str):
     return lsh_topk(emb, queries, k=5)
 
 
+
+def _repoint_current(target_dir: str, current_link: str) -> None:
+    """Atomically re-point a stable symlink (which static oracle SQL
+    reads) at a scale-keyed fixture directory."""
+    import os
+
+    tmp = f"{current_link}.tmp.{os.getpid()}"
+    if os.path.islink(tmp) or os.path.exists(tmp):
+        os.remove(tmp)
+    os.symlink(target_dir, tmp)
+    os.replace(tmp, current_link)
+
+
 PAGES_FIXTURE_ROOT = "/tmp/transmog_ray_pages"
 #: stable alias the static oracle SQL reads — repointed (atomically) at the
 #: scale-specific fixture dir each time a pages query runs, so one SQL
@@ -2228,11 +2233,7 @@ def _pages_fixture(sf_dir: str) -> str:
     urls = {"sf0.001": 50, "sf0.01": 250, "sf0.1": 1500}.get(scale, 50)
     pages_dir = write_pages(f"{PAGES_FIXTURE_ROOT}/{scale}", n_shards=shards,
                             n_urls_per_shard=urls)
-    tmp = f"{PAGES_CURRENT}.tmp.{os.getpid()}"
-    if os.path.islink(tmp) or os.path.exists(tmp):
-        os.remove(tmp)
-    os.symlink(pages_dir, tmp)
-    os.replace(tmp, PAGES_CURRENT)
+    _repoint_current(pages_dir, PAGES_CURRENT)
     return pages_dir
 
 
