@@ -292,3 +292,15 @@ def test_cosine_clusters_lsh_default_matches_allpairs(ray_session):
     # planted groups of 3 → at least 20 non-singleton clusters
     sizes = a.groupby("cluster").size()
     assert (sizes >= 3).sum() >= 20
+
+
+def test_lsh_cosine_pairs_refuses_low_threshold():
+    """Hyperplane LSH cannot see threshold-grazing pairs at low cosine
+    thresholds — the function must fail loudly (before any Ray work)
+    instead of silently splitting clusters."""
+    import pytest
+
+    from transmog_ray.functions.neardup import lsh_cosine_pairs
+
+    with pytest.raises(ValueError, match="recall"):
+        lsh_cosine_pairs(None, threshold=0.55)  # ds untouched: raises first
