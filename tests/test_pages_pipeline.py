@@ -295,3 +295,73 @@ def test_fixture_tie_groups_distinguishable_by_text():
                     if rows[i] == rows[j]:
                         continue
                     assert texts[i] != texts[j], (g["url"].iloc[0], texts)
+
+
+def test_incremental_ingest_matches_batch_and_prunes_buckets(
+    ray_session, pages_dir, tmp_path
+):
+    """Incremental snapshot ingest: (a) features after two ingests equal
+    the batch flagship over all shards; (b) a delta touching one url
+    recomputes ONLY that url's bucket — every other feature partition is
+    byte-untouched (the 100-TB refresh contract)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from transmog_ray.pipelines.features import (
+        ingest_pages_increment,
+        page_features_pushdown_fused,
+    )
+
+    files = sorted(glob.glob(f"{pages_dir}/*.parquet"))
+    out = str(tmp_path / "store")
+
+    # ingest 1: the base corpus
+    m1 = ingest_pages_increment(out, files, num_buckets=8)
+    assert m1["files_ingested"] == len(files)
+
+    # delta: NEW snapshots for exactly one url (ts shifted past the max)
+    base = pq.read_table(files[0])
+    url0 = base["url"][0].as_py()
+    one = base.filter(pa.compute.equal(base["url"], url0))
+    shifted = one.set_column(
+        one.schema.get_field_index("warc_ts"), "warc_ts",
+        pa.compute.add(one["warc_ts"], pa.scalar(86_400_000_000, pa.duration("us"))),
+    )
+    delta = str(tmp_path / "delta-00000.parquet")
+    pq.write_table(shifted, delta)
+
+    before = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{out}/features/part=*/data.parquet")
+    }
+    m2 = ingest_pages_increment(out, [delta], num_buckets=8)
+    assert m2["files_ingested"] == 1
+    assert m2["buckets_touched"] == 1
+    assert m2["buckets_reused"] == 7
+    # untouched partitions are byte-untouched (same inode mtime)
+    changed = [
+        p for p, t in before.items() if os.stat(p).st_mtime_ns != t
+    ]
+    assert len(changed) == 1
+
+    # re-ingesting the same file is a no-op
+    m3 = ingest_pages_increment(out, [delta], num_buckets=8)
+    assert m3["files_ingested"] == 0 and m3["buckets_touched"] == 0
+
+    # equality with the batch flagship over ALL shards
+    import ray.data as rd
+
+    inc_df = rd.read_parquet(
+        sorted(glob.glob(f"{out}/features/part=*/data.parquet"))
+    ).to_pandas()
+    # Ray infers a hive-partition column from the part=N dirs — not data
+    inc = canon(inc_df.drop(columns=[c for c in ("part",) if c in inc_df]))
+    full = canon(
+        page_features_pushdown_fused(files + [delta], num_buckets=8).to_pandas()
+    )
+    drop = [c for c in ("meta_tags",) if c in inc.columns]
+    pd.testing.assert_frame_equal(
+        inc.drop(columns=drop), full.drop(columns=drop), check_dtype=False
+    )

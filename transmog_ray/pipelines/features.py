@@ -495,6 +495,174 @@ def checkpointed_page_features_fused(
     return run_meta
 
 
+def ingest_pages_increment(
+    out_dir: str,
+    new_files,
+    session_gap_s: float = 7 * 86400,
+    rolling_window_s: float = 30 * 86400,
+    num_buckets: int = 16,
+    columns=("url", "warc_ts", "text", "lang", "meta"),
+) -> dict:
+    """Incremental crawl-snapshot ingest: feature-store refresh that
+    touches only the url-hash buckets the NEW shards hit.
+
+    Layout under ``out_dir``:
+
+    * ``input/part=<b>/ingest-<seq>-<i>.parquet`` — append-only cache of
+      FLATTENED rows, bucketed by ``hash(url)`` at ingest time (the same
+      fused read+flatten+split map as the batch flagship, run only over
+      the new shards);
+    * ``features/part=<b>/data.parquet`` + manifest — per-bucket feature
+      output, recomputed ONLY for touched buckets from that bucket's
+      accumulated input parts (dedup → as-of → windows need the bucket's
+      full history, which is already flattened and co-located — history
+      is never re-flattened);
+    * ``_state.json`` — ingested file list (re-ingesting a file is a
+      no-op) and the frozen flatten plan fingerprint;
+    * ``_plan.pkl`` — the flatten plan FROZEN at first ingest so every
+      increment emits the same schema (a later shard with extra meta
+      keys must not fork the cache schema).
+
+    Per-ingest cost is O(new data) map work + O(touched buckets'
+    accumulated rows) reduce work — at web scale an increment touching
+    k of B buckets leaves the other B−k feature partitions byte-
+    untouched (asserted by tests). Equivalent by construction to the
+    batch flagship over ALL ingested shards: the feature kernel is
+    order-independent over each bucket frame (the tree-concat of the
+    batch path already relies on that).
+
+    Returns ingest metrics (files ingested, buckets touched/skipped,
+    rows). Read features with ``ray.data.read_parquet(out_dir +
+    "/features")``.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import pickle as _pickle
+    import time as _time
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from ..stages.flatten import FlattenStage, plan_from_dataset
+    from ..stages.partition import key_hash
+    from ..state.checkpoint import fingerprint, persist_partition
+
+    _os.makedirs(out_dir, exist_ok=True)
+    state_path = _os.path.join(out_dir, "_state.json")
+    plan_path = _os.path.join(out_dir, "_plan.pkl")
+    state = {"ingested": [], "num_buckets": num_buckets, "seq": 0}
+    if _os.path.exists(state_path):
+        with open(state_path) as f:
+            state = _json.load(f)
+        if state["num_buckets"] != num_buckets:
+            raise ValueError(
+                f"out_dir was bucketed with num_buckets="
+                f"{state['num_buckets']}, got {num_buckets}"
+            )
+    todo = sorted(set(map(str, new_files)) - set(state["ingested"]))
+    if not todo:
+        return {"files_ingested": 0, "buckets_touched": 0,
+                "buckets_reused": num_buckets,
+                "rows_in": 0, "rows_out": 0}
+
+    if _os.path.exists(plan_path):
+        with open(plan_path, "rb") as f:
+            plan = _pickle.load(f)
+    else:  # first ingest freezes the schema for every later increment
+        plan = plan_from_dataset(
+            rd.read_parquet(todo, columns=list(columns)), PAGE_SPEC_PUSHDOWN
+        )
+        tmp = plan_path + f".tmp.{_os.getpid()}"
+        with open(tmp, "wb") as f:
+            _pickle.dump(plan, f)
+        _os.replace(tmp, plan_path)
+    plan_ref = ray.put(plan)
+    seq = int(state["seq"])
+
+    @ray.remote
+    def map_ingest(path: str, i: int, plan_obj) -> list:
+        """Fused read+flatten+split over ONE new shard; appends each
+        non-empty bucket slice to that bucket's input cache. Returns the
+        touched bucket ids."""
+        import pyarrow.parquet as pq
+
+        block = pq.read_table(path, columns=list(columns))
+        flat = FlattenStage(plan_obj, emit="main")(block)
+        h = (
+            key_hash(flat.select(["url"]).to_pandas(), ["url"])
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        taken = flat.take(pa.array(order))
+        bounds = np.searchsorted(h[order], np.arange(num_buckets + 1))
+        touched = []
+        for b in range(num_buckets):
+            part = taken.slice(bounds[b], bounds[b + 1] - bounds[b])
+            if part.num_rows == 0:
+                continue
+            pdir = _os.path.join(out_dir, "input", f"part={b}")
+            _os.makedirs(pdir, exist_ok=True)
+            dest = _os.path.join(pdir, f"ingest-{seq:05d}-{i:05d}.parquet")
+            tmp = dest + f".tmp.{_os.getpid()}"
+            pq.write_table(part, tmp)
+            _os.replace(tmp, dest)
+            touched.append(b)
+        return touched
+
+    touched_lists = ray.get(
+        [map_ingest.remote(p, i, plan_ref) for i, p in enumerate(todo)]
+    )
+    touched = sorted({b for lst in touched_lists for b in lst})
+
+    state["ingested"] = sorted(set(state["ingested"]) | set(todo))
+    state["seq"] = seq + 1
+    run_fp = fingerprint(tuple(state["ingested"]))
+    fn = page_feature_fn_pushdown(session_gap_s, rolling_window_s)
+    feat_dir = _os.path.join(out_dir, "features")
+    _os.makedirs(feat_dir, exist_ok=True)
+
+    @ray.remote
+    def reduce_bucket(b: int, part_files: tuple):
+        import pyarrow.parquet as pq
+
+        t0 = _time.time()
+        t = pa.concat_tables(
+            [pq.read_table(p) for p in part_files],
+            promote_options="permissive",
+        )
+        frame = t.to_pandas()
+        return persist_partition(
+            fn(frame), len(frame), b, feat_dir, run_fp, t0
+        )
+
+    stat_refs = []
+    for b in touched:
+        parts = tuple(sorted(_glob.glob(
+            _os.path.join(out_dir, "input", f"part={b}", "ingest-*.parquet")
+        )))
+        stat_refs.append(reduce_bucket.remote(b, parts))
+    stats = ray.get(stat_refs)
+
+    tmp = state_path + f".tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump(state, f, indent=1)
+    _os.replace(tmp, state_path)
+
+    rows_in = int(sum(s["rows_in"].iloc[0] for s in stats)) if stats else 0
+    rows_out = int(sum(s["rows_out"].iloc[0] for s in stats)) if stats else 0
+    return {
+        "files_ingested": len(todo),
+        "buckets_touched": len(touched),
+        "buckets_reused": num_buckets - len(touched),
+        "rows_in": rows_in,
+        "rows_out": rows_out,
+        "run_fingerprint": run_fp,
+    }
+
+
 def checkpointed_page_features(
     pages_ds,
     out_dir: str,
@@ -530,6 +698,7 @@ __all__ = [
     "tagged_pages",
     "checkpointed_page_features",
     "checkpointed_page_features_fused",
+    "ingest_pages_increment",
     "PAGE_SPEC",
     "PAGE_SPEC_PUSHDOWN",
     "LINKS_TABLE",

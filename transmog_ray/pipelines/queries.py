@@ -2354,6 +2354,40 @@ def q_pages_features_tagged(sf_dir: str):
     return out.map_batches(_pages_proj, batch_format="pandas")
 
 
+def q_pages_features_incremental(sf_dir: str):
+    """Incremental feature-store ingest: the fixture's shards arrive in
+    TWO batches; the second ingest recomputes only the url-hash buckets
+    its shards touch and reuses every other feature partition
+    byte-untouched. The accumulated store must equal the batch flagship
+    — pinned to the SAME oracle SQL as pages_features."""
+    import glob
+    import os
+    import shutil
+
+    from ..pipelines.features import ingest_pages_increment
+    from ..state.checkpoint import fingerprint
+
+    pages_dir = _pages_fixture(sf_dir)
+    files = sorted(glob.glob(f"{pages_dir}/pages-*.parquet"))
+    # store keyed by the input set: a fixture change rebuilds from scratch
+    out = f"/tmp/transmog_ray_incr/{fingerprint(tuple(files))}"
+    if not os.path.exists(f"{out}/_state.json"):
+        shutil.rmtree(out, ignore_errors=True)
+        ingest_pages_increment(out, files[: max(1, len(files) // 2)],
+                               num_buckets=16)
+    ingest_pages_increment(out, files, num_buckets=16)  # rest (dedup-safe)
+    feats = _rd().read_parquet(
+        sorted(glob.glob(f"{out}/features/part=*/data.parquet"))
+    )
+    return feats.map_batches(
+        # Ray infers a hive-partition column from part=N dirs — drop it
+        lambda df: _pages_proj(
+            df.drop(columns=[c for c in ("part",) if c in df.columns])
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_page_changes(sf_dir: str):
     """Crawl change detection (SCD-style delta flags): per url, snapshots
     in (warc_ts, text) order — text is the tiebreak, making duplicate
@@ -3557,6 +3591,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "cosine_clusters": q_cosine_clusters,
     "curate_docs": q_curate_docs,
+    "pages_features_incremental": q_pages_features_incremental,
     "ewma_events": q_ewma_events,
     "gopher_docs": q_gopher_docs,
     "semdedup_embeddings": q_semdedup_embeddings,
@@ -3719,6 +3754,7 @@ ORACLE_SQL = {
     "page_changes": SQL_PAGE_CHANGES,
     "recrawl_cadence": SQL_RECRAWL_CADENCE,
     "pages_features_tagged": SQL_PAGES_FEATURES,
+    "pages_features_incremental": SQL_PAGES_FEATURES,
     "range_join_events": SQL_RANGE_JOIN,
     "rank_events": SQL_RANK_EVENTS,
     "user_event_paths": SQL_USER_EVENT_PATHS,
