@@ -337,3 +337,78 @@ def test_streaming_dedup_no_rewind_and_null_keys():
     assert len(st2.process(n1)) == 1  # nulls group: one novel row
     n2 = pd.DataFrame({"k": [None], "ts": [t0 + pd.Timedelta(seconds=2)]})
     assert len(st2.process(n2)) == 0  # still suppressed across batches
+
+
+# ------------------------------------------------------ streaming as-of
+
+
+def ts(seconds):
+    return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=seconds)
+
+
+def test_streaming_asof_matches_batch():
+    """Events + features replayed in interleaved in-order batches; the
+    concatenated emissions (+ flush) must equal the batch as-of join,
+    with zero temporal leakage at every emission."""
+    from itertools import zip_longest
+
+    from transmog_ray.stages.asof import _merge_asof
+    from transmog_ray.state.streaming import StreamingAsofState
+
+    rng = np.random.default_rng(17)
+    feats = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 60),
+        "ft": [ts(int(s)) for s in rng.integers(0, 2000, 60)],
+        "v": rng.normal(size=60),
+    }).drop_duplicates(["k", "ft"]).sort_values("ft").reset_index(drop=True)
+    events = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 200),
+        "t": [ts(int(s)) for s in rng.integers(0, 2200, 200)],
+    }).sort_values("t").reset_index(drop=True)
+
+    st = StreamingAsofState("k", "t", "ft", ["v"])
+    fbatches = [feats.iloc[i:i + 10] for i in range(0, len(feats), 10)]
+    ebatches = [events.iloc[i:i + 25] for i in range(0, len(events), 25)]
+    outs = []
+    for fb, eb in zip_longest(fbatches, ebatches):
+        if fb is not None:
+            st.add_features(fb)
+        out = st.process(eb)
+        if len(out):
+            # leakage check at EVERY emission, not just the end state
+            m = out["ft"].notna()
+            assert (out.loc[m, "ft"] <= out.loc[m, "t"]).all()
+            outs.append(out)
+    outs.append(st.flush())
+    got = (
+        pd.concat(outs, ignore_index=True)
+        .sort_values(["k", "t"], kind="mergesort").reset_index(drop=True)
+    )
+    want = _merge_asof(events, feats, "k", "t", "ft", ["v"], None).sort_values(
+        ["k", "t"], kind="mergesort"
+    ).reset_index(drop=True)
+    assert len(got) == len(want) == len(events)
+    assert np.allclose(
+        got["v"].to_numpy(float), want["v"].to_numpy(float), equal_nan=True
+    )
+
+
+def test_streaming_asof_bounded_state_and_late_drops():
+    from transmog_ray.state.streaming import StreamingAsofState
+
+    st = StreamingAsofState("k", "t", "ft", ["v"], event_horizon_s=5.0)
+    st.add_features(pd.DataFrame({
+        "k": ["a"] * 5, "ft": [ts(i) for i in range(5)],
+        "v": [float(i) for i in range(5)],
+    }))
+    # watermark jumps to 100: everything before 95 is event-late
+    st.add_features(pd.DataFrame({"k": ["a"], "ft": [ts(100)], "v": [99.0]}))
+    out = st.process(pd.DataFrame({"k": ["a", "a"], "t": [ts(1), ts(97)]}))
+    assert st.dropped_late_events == 1  # t=1 behind the horizon
+    assert list(out["t"]) == [ts(97)]
+    assert out["v"].iloc[0] == 4.0  # latest feature <= 97 is ft=4
+    # eviction: only the latest pre-bound feature per key survives
+    assert len(st._consolidated()) == 2  # ft=4 (kept as latest old) + ft=100
+    # a late FEATURE behind the watermark is dropped and counted
+    st.add_features(pd.DataFrame({"k": ["a"], "ft": [ts(50)], "v": [50.0]}))
+    assert st.dropped_late_features == 1

@@ -1431,6 +1431,45 @@ ASOF LEFT JOIN (
 """
 
 
+def q_asof_purchase_streaming(sf_dir: str):
+    """The SAME point-in-time join under STREAMING ingest: events and
+    purchase-feature batches replayed in event-time order through
+    actor-held StreamingAsofState shards (hash-routed by user). Each
+    event is emitted only once the feature watermark passes its
+    timestamp — zero leakage and zero missed features — and the
+    concatenated emissions are pinned to the SAME ASOF SQL oracle as
+    the batch path."""
+    from ..state.streaming import streaming_asof
+
+    ev = read_table(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+        num_blocks=8,
+    ).to_pandas()  # the stream SIMULATION: chop the table into batches
+    ev = ev.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    purchases = (
+        ev[ev["event_type"] == "purchase"][["user_id", "ts", "value"]]
+        .rename(columns={"ts": "p_ts", "value": "p_value"})
+        .reset_index(drop=True)
+    )
+    n_chunks = 16
+    fb = np.array_split(purchases, n_chunks)
+    eb = np.array_split(ev, n_chunks)
+    # interleave in event-time order: each round delivers the features
+    # first, so an event's same-round features are already in state
+    stream = []
+    for f, e in zip(fb, eb):
+        stream.append(("feature", f))
+        stream.append(("event", e))
+    out = pd.concat(
+        list(streaming_asof(stream, "user_id", "ts", "p_ts", ["p_value"],
+                            num_shards=8)),
+        ignore_index=True,
+    )
+    return out[["event_id", "user_id", "ts", "event_type", "value",
+                "p_ts", "p_value"]]
+
+
 def q_asof_purchase_tol(sf_dir: str):
     """Tolerance-bounded point-in-time join: the latest purchase at or
     before each event only counts when it is at most 1 hour old —
@@ -3592,6 +3631,7 @@ QUERIES = {
     "cosine_clusters": q_cosine_clusters,
     "curate_docs": q_curate_docs,
     "pages_features_incremental": q_pages_features_incremental,
+    "asof_purchase_streaming": q_asof_purchase_streaming,
     "ewma_events": q_ewma_events,
     "gopher_docs": q_gopher_docs,
     "semdedup_embeddings": q_semdedup_embeddings,
@@ -3729,6 +3769,7 @@ ORACLE_SQL = {
     "curate_docs": SQL_CURATE_DOCS,
     "tumbling_hourly": SQL_TUMBLING,
     "asof_purchase": SQL_ASOF_PURCHASE,
+    "asof_purchase_streaming": SQL_ASOF_PURCHASE,
     "asof_purchase_tol": SQL_ASOF_PURCHASE_TOL,
     "asof_next_purchase": SQL_ASOF_NEXT_PURCHASE,
     "dedup_user_type": SQL_DEDUP_USER_TYPE,

@@ -448,11 +448,202 @@ def streaming_tumbling(
             yield out
 
 
+class StreamingAsofState:
+    """Streaming point-in-time (as-of) join: FEATURE rows and EVENT rows
+    arrive in interleaved batches; each event joins the latest feature
+    with ``feature_ts <= ts`` for its key — but is emitted only once the
+    FEATURE-side watermark has passed its timestamp, i.e. once every
+    feature at-or-before it is guaranteed to have arrived. That gives
+    both halves of point-in-time correctness under streaming ingest:
+    zero temporal leakage (never a future feature) and zero missed
+    features (never an emit before the past is complete).
+
+    State is bounded when ``event_horizon_s`` is set: events older than
+    ``feature_watermark − event_horizon`` are counted dropped-late, and
+    features per key are evicted once no admissible event can reach
+    them (everything strictly older than the key's latest feature at or
+    below that bound). Without a horizon, features accumulate (the
+    caller owns the trade-off).
+
+    Results over fully flushed streams are identical to the batch
+    :func:`~transmog_ray.stages.asof.asof_join` (pinned by tests).
+    Deploy per key shard inside an actor pool exactly like
+    :class:`SessionState` — hash-route batches by key so a key never
+    spans actors.
+    """
+
+    def __init__(self, key: str, left_ts: str, right_ts: str,
+                 right_cols, allowed_lateness_s: float = 0.0,
+                 event_horizon_s: float | None = None):
+        self.key = key
+        self.lts = left_ts
+        self.rts = right_ts
+        self.rcols = list(right_cols)
+        self.tracker = WatermarkTracker(right_ts, allowed_lateness_s)
+        self.event_horizon = (
+            pd.Timedelta(seconds=event_horizon_s)
+            if event_horizon_s is not None else None
+        )
+        self._feat_parts: list[pd.DataFrame] = []
+        self._feat: pd.DataFrame | None = None  # consolidated, sorted
+        self._pending: list[pd.DataFrame] = []
+        self.dropped_late_features = 0
+        self.dropped_late_events = 0
+
+    def add_features(self, df: pd.DataFrame) -> None:
+        """Ingest a feature batch; rows behind the watermark are dropped
+        (events at their timestamps may already have been emitted)."""
+        ok, late = self.tracker.split(df)
+        self.dropped_late_features += len(late)
+        if len(ok):
+            # consolidation happens lazily; the existing consolidated
+            # frame stays live and merges with these parts on next use
+            self._feat_parts.append(
+                ok[[self.key, self.rts, *self.rcols]].copy()
+            )
+
+    def _consolidated(self) -> pd.DataFrame:
+        """Lazy single sorted feature frame (re-sorted only after new
+        feature batches arrive)."""
+        if self._feat is None or self._feat_parts:
+            live = [p for p in ([self._feat] + self._feat_parts)
+                    if p is not None and len(p)]
+            self._feat = (
+                pd.concat(live, ignore_index=True)
+                .sort_values([self.key, self.rts], kind="mergesort")
+                .reset_index(drop=True)
+                if live
+                else pd.DataFrame(
+                    {self.key: [], self.rts: [],
+                     **{c: [] for c in self.rcols}}
+                )
+            )
+            self._feat_parts = []
+        return self._feat
+
+    def _evict(self, bound) -> None:
+        """Drop features no admissible event (ts ≥ bound) can join: all
+        but the latest per key among rows strictly below the bound."""
+        feat = self._consolidated()
+        if not len(feat):
+            return
+        old = (feat[self.rts] < bound).to_numpy()
+        if not old.any():
+            return
+        # sorted by (key, ts): an old row is evictable iff the NEXT row
+        # exists, is the same key, and is also old (a newer feature that
+        # every admissible event would match instead)
+        keys = feat[self.key].to_numpy()
+        next_same_key_old = np.zeros(len(feat), dtype=bool)
+        next_same_key_old[:-1] = old[1:] & (keys[:-1] == keys[1:])
+        self._feat = feat[~(old & next_same_key_old)].reset_index(drop=True)
+
+    def process(self, events_df: pd.DataFrame | None = None) -> pd.DataFrame:
+        """Buffer an event batch (optional) and emit every buffered event
+        whose timestamp the feature watermark has passed."""
+        wm = self.tracker.watermark
+        if events_df is not None and len(events_df):
+            if self.event_horizon is not None and wm is not None:
+                bound = wm - self.event_horizon
+                late = events_df[self.lts] < bound
+                self.dropped_late_events += int(late.sum())
+                events_df = events_df[~late]
+            if len(events_df):
+                self._pending.append(events_df)
+        if wm is None or not self._pending:
+            return self._empty_out()
+        pending = pd.concat(self._pending, ignore_index=True)
+        # STRICTLY behind the watermark: a feature with ts == watermark
+        # is not yet late (late is strict <) and could still arrive, so
+        # an equal-ts event emitted now might miss it
+        ready_mask = pending[self.lts] < wm
+        ready = pending[ready_mask]
+        self._pending = (
+            [pending[~ready_mask]] if (~ready_mask).any() else []
+        )
+        if self.event_horizon is not None:
+            self._evict(wm - self.event_horizon)
+        return self._join(ready)
+
+    def flush(self) -> pd.DataFrame:
+        """End of both streams: emit every still-buffered event against
+        the full feature state."""
+        if not self._pending:
+            return self._empty_out()
+        pending = pd.concat(self._pending, ignore_index=True)
+        self._pending = []
+        return self._join(pending)
+
+    def _join(self, events: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.asof import _merge_asof
+
+        if not len(events):
+            return self._empty_out()
+        return _merge_asof(
+            events, self._consolidated(), self.key, self.lts, self.rts,
+            self.rcols, tolerance_seconds=None,
+        )
+
+    def _empty_out(self) -> pd.DataFrame:
+        cols = {self.key: [], self.lts: [], self.rts: [],
+                **{c: [] for c in self.rcols}}
+        return pd.DataFrame(cols)
+
+
+def streaming_asof(
+    stream,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols,
+    num_shards: int = 8,
+    allowed_lateness_s: float = 0.0,
+    event_horizon_s: float | None = None,
+):
+    """Distributed streaming point-in-time join: replay an interleaved
+    stream of ``("feature", df)`` / ``("event", df)`` batches through
+    ``num_shards`` actor-held :class:`StreamingAsofState` shards
+    (hash-routed by key — a key never spans shards, the same contract as
+    :func:`streaming_sessionize`). Yields joined event frames as the
+    feature watermark releases them; flushes at end of stream."""
+    import ray
+
+    from ..stages.partition import key_hash
+
+    state_cls = ray.remote(StreamingAsofState)
+    actors = [
+        state_cls.remote(key, left_ts, right_ts, right_cols,
+                         allowed_lateness_s, event_horizon_s)
+        for _ in range(num_shards)
+    ]
+    for kind, batch in stream:
+        if batch.empty:
+            continue
+        buckets = key_hash(batch, [key]) % np.uint64(num_shards)
+        refs = []
+        for b in range(num_shards):
+            part = batch[buckets == b]
+            if not len(part):
+                continue
+            if kind == "feature":
+                refs.append(actors[b].add_features.remote(part))
+            else:
+                refs.append(actors[b].process.remote(part))
+        for out in ray.get(refs):
+            if out is not None and len(out):
+                yield out
+    for out in ray.get([a.flush.remote() for a in actors]):
+        if len(out):
+            yield out
+
+
 __all__ = [
     "SessionState",
     "WatermarkTracker",
     "TumblingWindowState",
     "StreamingDedupState",
+    "StreamingAsofState",
     "streaming_sessionize",
+    "streaming_asof",
     "streaming_tumbling",
 ]
