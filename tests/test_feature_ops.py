@@ -1221,3 +1221,56 @@ def test_heavy_hitters_empty_result_keeps_schema(ray_session):
     out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
     assert list(out.columns) == ["user_id", "n"]
     assert len(out) == 0 and out["user_id"].dtype == np.int64
+
+
+def test_ordered_scan_range_peer_semantics(ray_session):
+    """Global prefix sum with SQL RANGE-frame ties: equal order values
+    all carry the sum through the WHOLE peer group."""
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import ordered_scan
+
+    rng = np.random.default_rng(23)
+    keys = rng.permutation(np.repeat(np.arange(200), rng.integers(1, 4, 200)))
+    df = pd.DataFrame({
+        "k": keys,
+        "v": rng.integers(1, 10, len(keys)).astype("int64"),
+    })
+    out = (
+        ordered_scan(rd.from_pandas(df), "k", "v", out_col="run",
+                     num_buckets=5)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    # oracle: pandas sort + cumsum, then peer-group max
+    want = df.sort_values("k", kind="mergesort").reset_index(drop=True)
+    want["run"] = want["v"].cumsum()
+    want["run"] = want.groupby("k")["run"].transform("max")
+    want = want.sort_values(["k", "v"]).reset_index(drop=True)
+    assert len(out) == len(want)
+    assert (out["run"].to_numpy() == want["run"].to_numpy()).all()
+
+
+def test_concat_block_spans_hand_case(ray_session):
+    """Docs of 30/50/40 tokens into 60-token blocks: doc 2 crosses the
+    first boundary (spans blocks 0 and 1), doc 3 crosses the second."""
+    import ray.data as rd
+
+    from transmog_ray.functions.packing import concat_block_spans
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "n": [30, 50, 40]})
+    out = (
+        concat_block_spans(rd.from_pandas(df), "doc_id", "n",
+                           block_tokens=60, num_buckets=2)
+        .to_pandas().sort_values(["doc_id", "block_id"]).reset_index(drop=True)
+    )
+    rows = list(zip(out["doc_id"], out["block_id"], out["tok_start"], out["tok_end"]))
+    assert rows == [
+        (1, 0, 0, 30),          # tokens 0-30
+        (2, 0, 0, 30), (2, 1, 30, 50),   # tokens 30-80 cross block 0|1
+        (3, 1, 0, 40),          # tokens 80-120 fit block 1 exactly
+    ]
+    # spans tile each doc completely
+    spans = out.groupby("doc_id").apply(
+        lambda g: (g["tok_end"] - g["tok_start"]).sum(), include_groups=False
+    )
+    assert dict(spans) == {1: 30, 2: 50, 3: 40}

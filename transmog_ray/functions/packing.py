@@ -74,4 +74,68 @@ def pack_offsets(
     return bucketed.groupby(BUCKET_COL).map_groups(pack, batch_format="pandas")
 
 
-__all__ = ["pack_offsets"]
+def concat_block_spans(
+    ds,
+    id_col: str,
+    tokens_col: str,
+    block_tokens: int,
+    num_buckets: int = 16,
+):
+    """GPT-style concat-and-chunk packing: documents concatenate in
+    ``id_col`` order into one global token stream that is cut into
+    fixed ``block_tokens`` blocks; emits one span row per
+    (document, block) overlap — ``(id, block_id, tok_start, tok_end)``,
+    token offsets LOCAL to the document (half-open). Documents crossing
+    a block boundary emit one span per block (the complement of the
+    boundary-start :func:`pack_offsets` form, where no document ever
+    crosses).
+
+    The global cumulative token offset comes from the distributed
+    ordered scan (:func:`~transmog_ray.functions.relational.ordered_scan`
+    — range partition + broadcast offsets, NO global sort); the span
+    explode is a pure vectorized map. All-integer output — SQL-exact
+    (``SUM OVER (ORDER BY)`` + zipped unnest(range)).
+
+    ``id_col`` must be unique and non-null (it defines the stream
+    order)."""
+    import numpy as np
+
+    from .relational import ordered_scan
+
+    scanned = ordered_scan(ds, id_col, tokens_col, out_col="_cend",
+                           num_buckets=num_buckets)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[tokens_col] > 0]
+        if not len(df):
+            return pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "block_id": pd.Series(dtype="int64"),
+                "tok_start": pd.Series(dtype="int64"),
+                "tok_end": pd.Series(dtype="int64"),
+            })
+        cend = df["_cend"].to_numpy(np.int64)
+        n = df[tokens_col].to_numpy(np.int64)
+        cstart = cend - n
+        b0 = cstart // block_tokens
+        b1 = (cend - 1) // block_tokens
+        reps = (b1 - b0 + 1).astype(np.int64)
+        row = np.repeat(np.arange(len(df), dtype=np.int64), reps)
+        # per-row block sequence: b0[row] + position-within-row
+        pos = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        block = b0[row] + pos
+        lo = np.maximum(block * block_tokens, cstart[row])
+        hi = np.minimum((block + 1) * block_tokens, cend[row])
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[row],
+            "block_id": block,
+            "tok_start": lo - cstart[row],
+            "tok_end": hi - cstart[row],
+        })
+
+    return scanned.map_batches(explode, batch_format="pandas")
+
+
+__all__ = ["pack_offsets", "concat_block_spans"]

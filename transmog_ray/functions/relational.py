@@ -678,6 +678,85 @@ def global_percent_rank(
     return ds.map_batches(rank, batch_format="pandas")
 
 
+def ordered_scan(
+    ds,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    num_buckets: int = 16,
+    exchange: str | None = None,
+):
+    """``SUM(value) OVER (ORDER BY order_col)`` — a GLOBAL ordered prefix
+    sum — without a global sort: the classic distributed scan.
+
+    1. deterministic range CUTS from a thin per-block sample of
+       ``order_col`` (cuts only affect balance, never the result);
+    2. one cheap pass computes per-range totals; the driver folds them
+       into per-range OFFSETS (num_buckets values — broadcast);
+    3. one range exchange; each range sorts locally and emits its local
+       cumulative sum plus its offset.
+
+    Tie semantics match the SQL default RANGE frame: rows with equal
+    ``order_col`` all carry the cumulative sum through ALL their peers.
+    Integer inputs stay integer (int64 cumsum — exact, SQL-hashable).
+    ``order_col`` must be non-null. The building block for global
+    cumulative totals and concat-and-chunk block assignment."""
+    import ray
+
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    ds = ds.materialize()  # three consumers: sample, totals, exchange
+    sample = ds.map_batches(
+        lambda df: df[[order_col]].iloc[:: max(1, len(df) // 32)],
+        batch_format="pandas",
+    ).to_pandas()
+    keys = np.sort(sample[order_col].to_numpy())
+    if len(keys) > 1:
+        qpos = (np.linspace(0, 1, num_buckets + 1)[1:-1]
+                * (len(keys) - 1)).astype(int)
+        cuts = np.unique(keys[qpos])
+    else:
+        cuts = keys[:0]
+    nb = len(cuts) + 1
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.searchsorted(cuts, df[order_col].to_numpy(), side="right")
+        return df.assign(_scan_bucket=b.astype(np.int64))
+
+    bucketed = ds.map_batches(with_bucket, batch_format="pandas").materialize()
+
+    # per-range totals → driver offsets (num_buckets scalars, never rows)
+    totals = bucketed.map_batches(
+        lambda df: df.groupby("_scan_bucket", sort=False)[value_col]
+        .sum().rename("_s").reset_index(),
+        batch_format="pandas",
+    ).to_pandas()
+    per_range = (
+        totals.groupby("_scan_bucket")["_s"].sum()
+        .reindex(range(nb), fill_value=0).to_numpy()
+    )
+    offsets = np.concatenate([per_range[:1] * 0, np.cumsum(per_range)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        df = df.sort_values(order_col, kind="mergesort")
+        cum = df[value_col].cumsum() + offs[int(df["_scan_bucket"].iloc[0])]
+        df[out_col] = cum
+        # SQL RANGE frame: every peer of an order value carries the sum
+        # through the WHOLE peer group
+        df[out_col] = df.groupby(order_col, sort=False)[out_col].transform(
+            "max"
+        )
+        return df.drop(columns=["_scan_bucket", BUCKET_COL],
+                       errors="ignore")
+
+    return bucket_exchange(
+        bucketed, ["_scan_bucket"], kernel, nb,
+        bucket_col="_scan_bucket",
+    )
+
+
 def set_op(
     ds_a,
     ds_b,
@@ -1109,4 +1188,4 @@ def topk(ds, by: Sequence[str] | str, k: int, descending: bool = True):
 __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_quantile",
            "hopping_window_agg", "HyperLogLog", "approx_distinct",
            "range_join", "pivot_count", "grouped_corr", "set_op",
-           "grouping_sets_agg", "rollup_agg", "cube_agg"]
+           "grouping_sets_agg", "rollup_agg", "cube_agg", "ordered_scan"]

@@ -1603,6 +1603,68 @@ FROM documents
 """
 
 
+def q_running_quantity(sf_dir: str):
+    """GLOBAL ordered prefix sum (SUM OVER (ORDER BY l_orderkey)) with NO
+    global sort — the distributed scan: deterministic range cuts from a
+    sample, one cheap per-range-totals pass, broadcast offsets, one
+    range exchange. l_orderkey repeats across lineitems, so SQL RANGE
+    peer semantics (all peers carry the group's full sum) are exercised;
+    quantities cast to int64 keep the sum exact in any order."""
+    from ..functions.relational import ordered_scan
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_quantity"],
+                    num_blocks=8)
+    li = li.map_batches(
+        lambda df: df.assign(qty=df["l_quantity"].astype("int64")).drop(
+            columns=["l_quantity"]
+        ),
+        batch_format="pandas",
+    )
+    return ordered_scan(li, "l_orderkey", "qty", out_col="running_qty",
+                        num_buckets=16)
+
+
+SQL_RUNNING_QUANTITY = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS BIGINT) AS qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT))
+            OVER (ORDER BY l_orderkey) AS BIGINT) AS running_qty
+FROM lineitem
+"""
+
+
+def q_block_spans_docs(sf_dir: str):
+    """GPT-style concat-and-chunk packing: documents concatenate in
+    doc_id order into one token stream cut into 1000-token blocks; one
+    span row per (doc, block) overlap, offsets local to the doc.
+    Global offsets come from the distributed ordered scan; the explode
+    is a pure vectorized map. All-integer — SQL-exact."""
+    from ..functions.packing import concat_block_spans
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"],
+                      num_blocks=8)
+    return concat_block_spans(docs, "doc_id", "n_chars",
+                              block_tokens=1000, num_buckets=16)
+
+
+SQL_BLOCK_SPANS = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cend
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars AS n, cend - n_chars AS cstart, cend
+  FROM c WHERE n_chars > 0
+)
+SELECT doc_id,
+       u.b AS block_id,
+       GREATEST(u.b * 1000, cstart) - cstart AS tok_start,
+       LEAST((u.b + 1) * 1000, cend) - cstart AS tok_end
+FROM s, unnest(range(cstart // 1000, (cend - 1) // 1000 + 1)) AS u(b)
+"""
+
+
 def q_gopher_docs(sf_dir: str):
     """Gopher-style quality gate: word-count bounds + mean-word-length
     bound + distinct-stopword minimum + duplicate-bigram-mass bound,
@@ -3634,6 +3696,8 @@ QUERIES = {
     "asof_purchase_streaming": q_asof_purchase_streaming,
     "ewma_events": q_ewma_events,
     "gopher_docs": q_gopher_docs,
+    "running_quantity": q_running_quantity,
+    "block_spans_docs": q_block_spans_docs,
     "semdedup_embeddings": q_semdedup_embeddings,
     "mixture_plan": q_mixture_plan,
     "packed_docs": q_packed_docs,
@@ -3779,6 +3843,8 @@ ORACLE_SQL = {
     "bm25_docs": SQL_BM25_DOCS,
     "quality_docs": SQL_QUALITY,
     "gopher_docs": SQL_GOPHER_DOCS,
+    "running_quantity": SQL_RUNNING_QUANTITY,
+    "block_spans_docs": SQL_BLOCK_SPANS,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "fingerprint_docs": SQL_FINGERPRINT,
     "dedup_docs": SQL_DEDUP_DOCS,
