@@ -2517,6 +2517,90 @@ def q_page_changes(sf_dir: str):
                         tiebreak=["text"])
 
 
+def q_retention_pages(sf_dir: str):
+    """Snapshot retention policy: keep the latest 3 snapshots per url
+    (crawl-store compaction). One sorted bucket pass; rank ties resolve
+    by text DESC so the engine's reversed ascending sort and the SQL
+    ROW_NUMBER order are the same total order."""
+    from ..stages.partition import apply_sorted
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts", "text"],
+                            override_num_blocks=16)
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("url", sort=False)
+        rn_desc = (g["url"].transform("size")
+                   - g.cumcount()).astype("int64")
+        out = df[rn_desc <= 3].copy()
+        out["rn_desc"] = rn_desc[rn_desc <= 3]
+        return out
+
+    return apply_sorted(ds, ["url"], "warc_ts", keep_latest,
+                        num_buckets=16, tiebreak=["text"])
+
+
+SQL_RETENTION_PAGES = f"""
+SELECT url, warc_ts, text,
+       CAST(ROW_NUMBER() OVER (PARTITION BY url
+                               ORDER BY warc_ts DESC, text DESC)
+            AS BIGINT) AS rn_desc
+FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+QUALIFY rn_desc <= 3
+"""
+
+
+#: robots-style disallow rules (host, path-prefix) — a deterministic
+#: constant mirrored verbatim in the SQL oracle's VALUES list
+ROBOTS_RULES = (
+    ("hot0.example.com", "/p/1"),
+    ("hot1.example.com", "/p/3"),
+    ("site40.example.org", "/p/40"),
+)
+
+
+def q_robots_filtered_pages(sf_dir: str):
+    """Robots-style disallow filtering: drop pages whose (host, path)
+    matches any disallow prefix rule. Rules broadcast (tiny side never
+    shuffles); host/path split by plain string slicing so the engine and
+    SQL decompose urls identically; per-rule vectorized startswith."""
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts"],
+                            override_num_blocks=16)
+    rules = ROBOTS_RULES
+
+    def allowed(df: pd.DataFrame) -> pd.DataFrame:
+        rest = df["url"].str.split("//", n=1).str[1]
+        host = rest.str.split("/", n=1).str[0]
+        path = "/" + rest.str.split("/", n=1).str[1].fillna("")
+        blocked = pd.Series(False, index=df.index)
+        for rhost, rprefix in rules:
+            blocked |= (host == rhost) & path.str.startswith(rprefix)
+        return df[~blocked][["url", "warc_ts"]]
+
+    return ds.map_batches(allowed, batch_format="pandas")
+
+
+SQL_ROBOTS_FILTERED = f"""
+WITH rules(rhost, rprefix) AS (
+  VALUES ('hot0.example.com', '/p/1'),
+         ('hot1.example.com', '/p/3'),
+         ('site40.example.org', '/p/40')
+), p AS (
+  SELECT url, warc_ts,
+         split_part(split_part(url, '//', 2), '/', 1) AS host,
+         substr(url, 9 + length(split_part(split_part(url, '//', 2),
+                                           '/', 1))) AS path
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+)
+SELECT url, warc_ts FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM rules r
+  WHERE p.host = r.rhost AND starts_with(p.path, r.rprefix)
+)
+"""
+
+
 def q_recrawl_cadence(sf_dir: str):
     """Recrawl-cadence features per url: snapshot count and the
     mean/max inter-snapshot gap (µs, exact integers) — the crawl
@@ -3698,6 +3782,8 @@ QUERIES = {
     "gopher_docs": q_gopher_docs,
     "running_quantity": q_running_quantity,
     "block_spans_docs": q_block_spans_docs,
+    "retention_pages": q_retention_pages,
+    "robots_filtered_pages": q_robots_filtered_pages,
     "semdedup_embeddings": q_semdedup_embeddings,
     "mixture_plan": q_mixture_plan,
     "packed_docs": q_packed_docs,
@@ -3845,6 +3931,8 @@ ORACLE_SQL = {
     "gopher_docs": SQL_GOPHER_DOCS,
     "running_quantity": SQL_RUNNING_QUANTITY,
     "block_spans_docs": SQL_BLOCK_SPANS,
+    "retention_pages": SQL_RETENTION_PAGES,
+    "robots_filtered_pages": SQL_ROBOTS_FILTERED,
     "semdedup_embeddings": SQL_SEMDEDUP,
     "fingerprint_docs": SQL_FINGERPRINT,
     "dedup_docs": SQL_DEDUP_DOCS,
