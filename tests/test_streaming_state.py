@@ -412,3 +412,60 @@ def test_streaming_asof_bounded_state_and_late_drops():
     # a late FEATURE behind the watermark is dropped and counted
     st.add_features(pd.DataFrame({"k": ["a"], "ft": [ts(50)], "v": [50.0]}))
     assert st.dropped_late_features == 1
+
+
+def test_streaming_asof_property_random_replays():
+    """Property: for ANY chop of in-watermark-order streams into batches
+    (random sizes, random feature/event interleaving), the union of
+    emissions + flush equals the batch as-of join."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from transmog_ray.stages.asof import _merge_asof
+    from transmog_ray.state.streaming import StreamingAsofState
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.large_base_example,
+                                     HealthCheck.data_too_large])
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 10_000)))
+        nf, ne = rng.integers(5, 40), rng.integers(10, 80)
+        feats = pd.DataFrame({
+            "k": rng.choice(["a", "b"], nf),
+            "ft": [ts(int(s)) for s in rng.integers(0, 500, nf)],
+            "v": rng.normal(size=nf),
+        }).drop_duplicates(["k", "ft"]).sort_values("ft").reset_index(drop=True)
+        events = pd.DataFrame({
+            "k": rng.choice(["a", "b"], ne),
+            "t": [ts(int(s)) for s in rng.integers(0, 550, ne)],
+        }).sort_values("t").reset_index(drop=True)
+
+        st_obj = StreamingAsofState("k", "t", "ft", ["v"])
+        outs = []
+        fi = ei = 0
+        while fi < len(feats) or ei < len(events):
+            if data.draw(st.booleans()) and fi < len(feats):
+                step = data.draw(st.integers(1, 12))
+                st_obj.add_features(feats.iloc[fi:fi + step])
+                fi += step
+            elif ei < len(events):
+                step = data.draw(st.integers(1, 20))
+                out = st_obj.process(events.iloc[ei:ei + step])
+                ei += step
+                if len(out):
+                    m = out["ft"].notna()
+                    assert (out.loc[m, "ft"] <= out.loc[m, "t"]).all()
+                    outs.append(out)
+        outs.append(st_obj.flush())
+        got = (
+            pd.concat(outs, ignore_index=True)
+            .sort_values(["k", "t"], kind="mergesort").reset_index(drop=True)
+        )
+        want = _merge_asof(
+            events, feats, "k", "t", "ft", ["v"], None
+        ).sort_values(["k", "t"], kind="mergesort").reset_index(drop=True)
+        assert len(got) == len(events)
+        assert np.allclose(got["v"].to_numpy(float), want["v"].to_numpy(float),
+                           equal_nan=True)
+
+    run()
