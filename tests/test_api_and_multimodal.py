@@ -139,7 +139,7 @@ def test_write_media_fixture_roundtrip(tmp_path):
 
     d = write_media(str(tmp_path / "m"), n=8)
     media = pq.read_table(f"{d}/media.parquet")
-    bytes_tbl = pq.read_table(f"{d}/media_bytes.parquet")
+    bytes_tbl = pq.read_table(f"{d}/media_bytes_v2.parquet")
     assert media.num_rows == 8
     # exploded rows reassemble each blob's length exactly
     lens = dict(
@@ -269,3 +269,28 @@ def test_parquet_writer_options_roundtrip(tmp_path):
     m = pq.ParquetFile(files[0]).metadata
     assert m.row_group(0).column(0).compression == "GZIP"
     assert m.row_group(0).num_rows == 150
+
+
+def test_audio_frame_stage_matches_loop_reference():
+    from transmog_ray.stages.multimodal import AudioFrameStage
+
+    df = synth_media_table(12)
+    df.loc[3, "payload"] = b"\x07"  # single trailing byte → no samples
+    out = AudioFrameStage(window=64)(df)
+    for rid, payload in zip(df["id"], df["payload"]):
+        samples = np.frombuffer(payload[: len(payload) // 2 * 2], "<i2")
+        got = out[out["id"] == rid].sort_values("window_id")
+        if len(samples) == 0:
+            assert len(got) == 0
+            continue
+        want_n = [len(samples[i:i + 64]) for i in range(0, len(samples), 64)]
+        want_sum = [int(np.abs(samples[i:i + 64].astype(np.int64)).sum())
+                    for i in range(0, len(samples), 64)]
+        want_max = [int(np.abs(samples[i:i + 64].astype(np.int64)).max())
+                    for i in range(0, len(samples), 64)]
+        assert list(got["n_samples"]) == want_n
+        assert list(got["sum_abs"]) == want_sum
+        assert list(got["max_abs"]) == want_max
+    # zero-row filler block → typed empty frame
+    empty = AudioFrameStage()(df.iloc[0:0])
+    assert list(empty.columns) == list(AudioFrameStage.OUT)

@@ -693,9 +693,51 @@ SELECT b.id,
        b.byteval // 16 AS bucket,
        COUNT(*) AS count,
        octet_length(m.payload) AS blob_len
-FROM read_parquet('{MEDIA_CURRENT}/media_bytes.parquet') b
+FROM read_parquet('{MEDIA_CURRENT}/media_bytes_v2.parquet') b
 JOIN read_parquet('{MEDIA_CURRENT}/media.parquet') m USING (id)
 GROUP BY b.id, m.media_type, octet_length(m.payload), b.byteval // 16
+"""
+
+
+def q_audio_features(sf_dir: str):
+    """Multimodal AUDIO path: windowed energy statistics per 256-sample
+    int16 window over audio-typed payloads (actor-pool stage; the
+    'decode' is the deterministic PCM interpretation — real codecs are
+    stubbed). All-integer exploded rows hash-compare against a DuckDB
+    oracle that re-decodes the same samples from per-byte fixture rows
+    (byte parity → int16, two's complement)."""
+    from ..stages.multimodal import audio_features
+
+    media_dir = _media_fixture(sf_dir)
+    media = _rd().read_parquet(f"{media_dir}/media.parquet")
+    audio = media.map_batches(
+        lambda df: df[df["media_type"] == "audio"], batch_format="pandas"
+    )
+    return audio_features(audio, window=256, concurrency=2, batch_size=32)
+
+
+SQL_AUDIO_FEATURES = f"""
+WITH b AS (
+  SELECT t.id, t.pos, t.byteval
+  FROM read_parquet('{MEDIA_CURRENT}/media_bytes_v2.parquet') t
+  JOIN read_parquet('{MEDIA_CURRENT}/media.parquet') m USING (id)
+  WHERE m.media_type = 'audio'
+), lo AS (
+  SELECT id, pos // 2 AS si, byteval AS v FROM b WHERE pos % 2 = 0
+), hi AS (
+  SELECT id, pos // 2 AS si, byteval AS v FROM b WHERE pos % 2 = 1
+), s AS (
+  SELECT lo.id, lo.si,
+         lo.v + 256 * hi.v
+         - CASE WHEN hi.v >= 128 THEN 65536 ELSE 0 END AS sample
+  FROM lo JOIN hi ON lo.id = hi.id AND lo.si = hi.si
+)
+SELECT id,
+       si // 256 AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(ABS(sample)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(sample)) AS BIGINT) AS max_abs
+FROM s GROUP BY id, si // 256
 """
 
 
@@ -3808,6 +3850,7 @@ WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
 #: maximizes green correctness rows before the budget ends
 QUERIES = {
     "media_features": q_media_features,
+    "audio_features": q_audio_features,
     "pages_features": q_pages_features,
     "pages_features_tagged": q_pages_features_tagged,
     "minhash_dedup": q_minhash_dedup,
@@ -3935,6 +3978,7 @@ ORACLE_SQL = {
     "orders_by_month": SQL_ORDERS_BY_MONTH,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "media_features": SQL_MEDIA_FEATURES,
+    "audio_features": SQL_AUDIO_FEATURES,
     "semi_anti_purchasers": SQL_SEMI_ANTI,
     "bloom_urgent_lineitems": SQL_BLOOM_URGENT,
     "flatten_events": SQL_FLATTEN_EVENTS,

@@ -189,8 +189,9 @@ def media_histogram(ds, concurrency: int = 2, batch_size: int = 64):
 def write_media(out_dir: str, n: int = 256, seed: int = 9) -> str:
     """Write the deterministic media fixture: ``media.parquet`` (id,
     media_type, payload BLOB, meta) + ``media_bytes.parquet`` — the same
-    payloads exploded to (id, byteval) rows so ANSI SQL can recompute the
-    byte histogram exactly. Idempotent per directory."""
+    payloads exploded to (id, pos, byteval) rows so ANSI SQL can
+    recompute byte-level features (histograms, int16 sample decoding)
+    exactly. Idempotent per directory."""
     import os
 
     import pyarrow as pa
@@ -198,15 +199,18 @@ def write_media(out_dir: str, n: int = 256, seed: int = 9) -> str:
 
     os.makedirs(out_dir, exist_ok=True)
     mpath = os.path.join(out_dir, "media.parquet")
-    bpath = os.path.join(out_dir, "media_bytes.parquet")
+    # v2: per-byte rows carry their POSITION (audio sample decoding
+    # needs byte parity); the name bump invalidates stale v1 fixtures
+    bpath = os.path.join(out_dir, "media_bytes_v2.parquet")
     if os.path.exists(mpath) and os.path.exists(bpath):
         return out_dir
     df = synth_media_table(n=n, seed=seed)
     lens = np.array([len(b) for b in df["payload"]], dtype=np.int64)
     ids = np.repeat(df["id"].to_numpy(np.int64), lens)
+    pos = np.concatenate([np.arange(ln, dtype=np.int64) for ln in lens])
     byteval = np.frombuffer(b"".join(df["payload"]), dtype=np.uint8)
     bytes_tbl = pa.table(
-        {"id": ids, "byteval": byteval.astype(np.int64)}
+        {"id": ids, "pos": pos, "byteval": byteval.astype(np.int64)}
     )
     media_tbl = pa.Table.from_pandas(df, preserve_index=False)
     for path, tbl in ((mpath, media_tbl), (bpath, bytes_tbl)):
@@ -214,6 +218,68 @@ def write_media(out_dir: str, n: int = 256, seed: int = 9) -> str:
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
     return out_dir
+
+
+class AudioFrameStage:
+    """Actor-pool stage: windowed energy statistics over audio payloads.
+
+    The 'decode' interprets the opaque payload as little-endian int16
+    PCM samples (a trailing odd byte is dropped) and emits one row per
+    ``window`` samples: (id, window_id, n_samples, sum_abs, max_abs) —
+    all integers, so the stage hash-compares against a DuckDB oracle
+    that re-decodes the samples from per-byte fixture rows. A real
+    audio codec would slot in front of the same windowing (the codec
+    layer stays stubbed — no audio libs in this container); bytes never
+    leave the stage."""
+
+    OUT = ("id", "window_id", "n_samples", "sum_abs", "max_abs")
+
+    def __init__(self, window: int = 256):
+        self.window = window
+
+    def _empty(self) -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in self.OUT})
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return self._empty()
+        out = []
+        for rid, payload in zip(df["id"], df["payload"]):
+            if payload is None or len(payload) < 2:
+                continue
+            samples = np.frombuffer(
+                payload[: len(payload) // 2 * 2], dtype="<i2"
+            ).astype(np.int64)
+            a = np.abs(samples)
+            n = len(a)
+            n_win = (n + self.window - 1) // self.window
+            wid = np.arange(n, dtype=np.int64) // self.window
+            sums = np.bincount(wid, weights=a, minlength=n_win).astype(np.int64)
+            counts = np.bincount(wid, minlength=n_win).astype(np.int64)
+            maxs = np.maximum.reduceat(
+                a, np.arange(0, n, self.window, dtype=np.int64)
+            )
+            out.append(pd.DataFrame({
+                "id": np.int64(rid),
+                "window_id": np.arange(n_win, dtype=np.int64),
+                "n_samples": counts,
+                "sum_abs": sums,
+                "max_abs": maxs,
+            }))
+        return pd.concat(out, ignore_index=True) if out else self._empty()
+
+
+def audio_features(ds, window: int = 256, concurrency: int = 2,
+                   batch_size: int = 64):
+    """Windowed audio-energy pipeline over a media table (actor pool,
+    small batches for fat rows)."""
+    return ds.map_batches(
+        AudioFrameStage,
+        fn_constructor_kwargs={"window": window},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def media_features(ds, concurrency: int = 2, batch_size: int = 64):
@@ -250,8 +316,10 @@ __all__ = [
     "ImageDecodeStage",
     "FrameSampleStage",
     "ByteHistogramStage",
+    "AudioFrameStage",
     "media_features",
     "media_histogram",
+    "audio_features",
     "byte_histogram_features",
     "synth_media_table",
     "write_media",
