@@ -741,6 +741,48 @@ FROM s GROUP BY id, si // 256
 """
 
 
+def q_video_frame_plan(sf_dir: str):
+    """Multimodal VIDEO path: the frame-sampling PLAN (which frames a
+    real decoder would extract, from the meta JSON sidecar's duration
+    and fps) for video-typed media — one row per sampled frame. Exact
+    integer/float arithmetic on both sides (durations are whole
+    seconds, fps 25.0), so the plan hash-matches a DuckDB oracle that
+    parses the same JSON."""
+    from ..stages.multimodal import FrameSampleStage
+
+    media_dir = _media_fixture(sf_dir)
+    media = _rd().read_parquet(f"{media_dir}/media.parquet")
+    video = media.map_batches(
+        lambda df: df[df["media_type"] == "video"], batch_format="pandas"
+    )
+    return video.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every_n_seconds": 1.0, "max_frames": 8},
+        batch_format="pandas",
+        batch_size=32,
+        concurrency=2,
+    )
+
+
+SQL_VIDEO_FRAME_PLAN = f"""
+WITH v AS (
+  SELECT id,
+         CAST(json_extract(meta, '$.duration_s') AS DOUBLE) AS duration,
+         CAST(json_extract(meta, '$.fps') AS DOUBLE) AS fps
+  FROM read_parquet('{MEDIA_CURRENT}/media.parquet')
+  WHERE media_type = 'video'
+), n AS (
+  SELECT id, fps,
+         LEAST(8, GREATEST(1, CAST(FLOOR(duration / 1.0) AS BIGINT))) AS nf
+  FROM v
+)
+SELECT id,
+       CAST(FLOOR(u.k * 1.0 * fps) AS BIGINT) AS frame_index,
+       u.k * 1.0 AS frame_ts_s
+FROM n, unnest(range(0, nf)) AS u(k)
+"""
+
+
 def q_bloom_urgent_lineitems(sf_dir: str):
     """Bloom pre-filter + exact verify: lineitems of URGENT orders,
     rolled up per returnflag. The Bloom filter (fixed-size bit array
@@ -3851,6 +3893,7 @@ WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
 QUERIES = {
     "media_features": q_media_features,
     "audio_features": q_audio_features,
+    "video_frame_plan": q_video_frame_plan,
     "pages_features": q_pages_features,
     "pages_features_tagged": q_pages_features_tagged,
     "minhash_dedup": q_minhash_dedup,
@@ -3979,6 +4022,7 @@ ORACLE_SQL = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "media_features": SQL_MEDIA_FEATURES,
     "audio_features": SQL_AUDIO_FEATURES,
+    "video_frame_plan": SQL_VIDEO_FRAME_PLAN,
     "semi_anti_purchasers": SQL_SEMI_ANTI,
     "bloom_urgent_lineitems": SQL_BLOOM_URGENT,
     "flatten_events": SQL_FLATTEN_EVENTS,

@@ -103,6 +103,12 @@ class FrameSampleStage:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         rows = {"id": [], "frame_index": [], "frame_ts_s": []}
+        if len(df) == 0:  # typed empty (actor pools emit filler blocks)
+            return pd.DataFrame({
+                "id": pd.Series(dtype="int64"),
+                "frame_index": pd.Series(dtype="int64"),
+                "frame_ts_s": pd.Series(dtype="float64"),
+            })
         for rid, meta in zip(df["id"], df["meta"]):
             info = json.loads(meta) if meta else {}
             duration = float(info.get("duration_s", 0.0))
