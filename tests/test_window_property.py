@@ -286,3 +286,33 @@ def test_set_op_matches_null_safe_oracle(ray_session, a, b):
                      num_buckets=2).to_pandas()
         assert canon(got) == expect, op
         assert len(got) == len(expect), op  # distinct rows only
+
+
+def test_rows_window_agg_matches_loop_oracle():
+    """ROWS k-PRECEDING frame vs a naive per-row window scan, incl. null
+    values (skipped) and all-null windows (NULL sum/mean, count 0)."""
+    import numpy as np
+    import pandas as pd
+
+    from transmog_ray.stages.window import rows_window_agg
+
+    rng = np.random.default_rng(31)
+    n = 300
+    df = pd.DataFrame({
+        "k": np.sort(rng.choice(["a", "b", "c"], n)),   # key-contiguous
+        "v": np.where(rng.random(n) < 0.3, np.nan, rng.integers(0, 100, n)),
+    })
+    out = rows_window_agg(df.copy(), "k", "v", preceding=3,
+                          aggs=("count", "sum", "mean"))
+    pos = df.groupby("k").cumcount().to_numpy()
+    for i in range(n):
+        lo = i - min(pos[i], 3)
+        w = df["v"].iloc[lo:i + 1]
+        cnt, s = int(w.notna().sum()), w.sum()
+        assert out["v_rows3_count"].iloc[i] == cnt
+        if cnt == 0:
+            assert pd.isna(out["v_rows3_sum"].iloc[i])
+            assert pd.isna(out["v_rows3_mean"].iloc[i])
+        else:
+            assert abs(out["v_rows3_sum"].iloc[i] - s) < 1e-9
+            assert abs(out["v_rows3_mean"].iloc[i] - s / cnt) < 1e-9

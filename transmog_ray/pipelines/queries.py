@@ -1522,6 +1522,45 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def q_rows_window_events(sf_dir: str):
+    """Count-based sliding window (ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW) per user — the fixed-ROWS complement of the time-RANGE rolling
+    window, via prefix-sum differences in one sorted bucket pass. The
+    SUM is rounded at 2 (fixed-decimal inputs → grid-safe) and the mean
+    derived from it, per the half-boundary lesson."""
+    from ..stages.partition import apply_sorted
+    from ..stages.window import rows_window_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"],
+                    num_blocks=8)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = rows_window_agg(df, "user_id", "value", preceding=3,
+                             aggs=("count", "sum", "mean"))
+        s = round_half_away(df["value_rows3_sum"], 2)
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "w_count": df["value_rows3_count"].astype("int64"),
+            "w_sum": s,
+            "w_mean": s / df["value_rows3_count"],
+        })
+
+    return apply_sorted(ev, ["user_id"], "ts", fn, num_buckets=16,
+                        tiebreak=["event_id"])
+
+
+SQL_ROWS_WINDOW = """
+SELECT event_id,
+       CAST(COUNT(value) OVER w AS BIGINT) AS w_count,
+       ROUND(SUM(value) OVER w, 2) AS w_sum,
+       ROUND(SUM(value) OVER w, 2) / COUNT(value) OVER w AS w_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_asof_purchase(sf_dir: str):
     """Point-in-time: latest purchase at or before each event (per user)."""
     from ..stages.asof import asof_join
@@ -3894,6 +3933,7 @@ QUERIES = {
     "media_features": q_media_features,
     "audio_features": q_audio_features,
     "video_frame_plan": q_video_frame_plan,
+    "rows_window_events": q_rows_window_events,
     "pages_features": q_pages_features,
     "pages_features_tagged": q_pages_features_tagged,
     "minhash_dedup": q_minhash_dedup,
@@ -4023,6 +4063,7 @@ ORACLE_SQL = {
     "media_features": SQL_MEDIA_FEATURES,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_plan": SQL_VIDEO_FRAME_PLAN,
+    "rows_window_events": SQL_ROWS_WINDOW,
     "semi_anti_purchasers": SQL_SEMI_ANTI,
     "bloom_urgent_lineitems": SQL_BLOOM_URGENT,
     "flatten_events": SQL_FLATTEN_EVENTS,

@@ -182,6 +182,53 @@ def running_agg(
     return df
 
 
+def rows_window_agg(
+    df: pd.DataFrame,
+    key: str,
+    col: str,
+    preceding: int,
+    aggs: Sequence[str] = ("count", "sum", "mean"),
+    prefix: str | None = None,
+) -> pd.DataFrame:
+    """Count-based sliding window per key over the already-sorted frame:
+    SQL ``AGG(col) OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS
+    BETWEEN preceding PRECEDING AND CURRENT ROW)`` — the fixed-ROWS
+    complement of the time-RANGE :func:`rolling_agg`. Prefix-sum
+    differences (cumsum[i] − cumsum[i−k−1]) instead of a per-row window
+    scan; SQL aggregate NULL semantics (nulls skipped, all-null window →
+    NULL sum/mean, count 0)."""
+    prefix = prefix or f"{col}_rows{preceding}"
+    vals = pd.to_numeric(df[col], errors="coerce")
+    ok = vals.notna()
+    gkey = df[key]
+    pos = df.groupby(gkey, sort=False).cumcount().to_numpy()
+    csum = vals.fillna(0.0).groupby(gkey, sort=False).cumsum().to_numpy()
+    ccnt = ok.astype(np.int64).groupby(gkey, sort=False).cumsum().to_numpy()
+    # value of the running totals k+1 rows earlier WITHIN the key:
+    # positional shift is safe because the frame is key-contiguous
+    # (sorted by key first) — rows with pos <= k have no subtrahend
+    k = preceding
+    idx = np.arange(len(df)) - (k + 1)
+    has_prev = pos > k
+    prev_sum = np.where(has_prev, csum[np.maximum(idx, 0)], 0.0)
+    prev_cnt = np.where(has_prev, ccnt[np.maximum(idx, 0)], 0)
+    wsum = csum - prev_sum
+    wcnt = (ccnt - prev_cnt).astype(np.int64)
+    nz = wcnt > 0
+    for agg in aggs:
+        if agg == "count":
+            df[f"{prefix}_count"] = wcnt
+        elif agg == "sum":
+            df[f"{prefix}_sum"] = pd.Series(wsum, index=df.index).where(nz)
+        elif agg == "mean":
+            df[f"{prefix}_mean"] = pd.Series(
+                wsum / np.maximum(wcnt, 1), index=df.index
+            ).where(nz)
+        else:  # pragma: no cover — caller error
+            raise ValueError(f"unsupported rows-window agg: {agg}")
+    return df
+
+
 def ewma(
     df: pd.DataFrame,
     key: str,
