@@ -1274,3 +1274,30 @@ def test_concat_block_spans_hand_case(ray_session):
         lambda g: (g["tok_end"] - g["tok_start"]).sum(), include_groups=False
     )
     assert dict(spans) == {1: 30, 2: 50, 3: 40}
+
+
+def test_triangle_counts_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from transmog_ray.functions.graph import triangle_counts
+
+    rng = np.random.default_rng(41)
+    n = 40
+    # random graph incl. duplicate + reversed edges (function canonicalizes)
+    raw = rng.integers(0, n, size=(400, 2))
+    raw = raw[raw[:, 0] != raw[:, 1]]
+    edges = pd.DataFrame({"src": raw[:, 0], "dst": raw[:, 1]})
+    got = (
+        triangle_counts(rd.from_pandas(edges), num_buckets=4)
+        .to_pandas().set_index("node")["n_triangles"].to_dict()
+    )
+    eset = {tuple(sorted(e)) for e in raw}
+    want: dict = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+    assert sum(want.values()) > 0  # the graph really has triangles

@@ -1103,6 +1103,79 @@ WHERE event_type = 'purchase'
 """
 
 
+def q_triangle_suppliers(sf_dir: str):
+    """Distributed triangle counting (node-iterator / wedge closure)
+    over the supplier co-occurrence graph: suppliers are connected when
+    they supply the same order (URGENT orders of 1995-H1 keep the graph
+    sparse). Three bounded exchanges — edge dedup, wedge generation by
+    center node, wedge closure co-bucketed with the edge set — and only
+    O(nodes) partials reach the final combine. Oracle: a 3-way SQL
+    self-join over the same distinct edge list."""
+    from ..functions.graph import triangle_counts
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    sel = read_small(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+    sel = sel[(sel["o_orderpriority"] == "1-URGENT")
+              & (sel["o_orderdate"] >= pd.Timestamp("1995-01-01"))
+              & (sel["o_orderdate"] < pd.Timestamp("1995-07-01"))]
+    keys = set(sel["o_orderkey"])
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"],
+                    num_blocks=8)
+    li = li.map_batches(
+        lambda df: df[df["l_orderkey"].isin(keys)], batch_format="pandas"
+    )
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in df.groupby("l_orderkey", sort=False):
+            sup = np.unique(grp["l_suppkey"].to_numpy())
+            if len(sup) < 2:
+                continue
+            ai, bi = np.triu_indices(len(sup), k=1)
+            out_a.append(sup[ai])
+            out_b.append(sup[bi])
+        if not out_a:
+            return pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                 "dst": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "src": np.concatenate(out_a).astype(np.int64),
+            "dst": np.concatenate(out_b).astype(np.int64),
+        }).drop_duplicates()
+
+    edges = bucket_exchange(li, ["l_orderkey"], order_pairs, 16)
+    return triangle_counts(edges, num_buckets=16)
+
+
+SQL_TRIANGLE_SUPPLIERS = """
+WITH sel AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1995-07-01'
+), pairs AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+  JOIN sel ON a.l_orderkey = sel.o_orderkey
+), tri AS (
+  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.s1 = e1.s2
+  JOIN pairs e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+"""
+
+
 def q_heavy_users(sf_dir: str):
     """Exact share-threshold heavy hitters: users owning ≥ 0.75% of all
     events, found without a full distinct-key shuffle (per-batch
@@ -3934,6 +4007,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frame_plan": q_video_frame_plan,
     "rows_window_events": q_rows_window_events,
+    "triangle_suppliers": q_triangle_suppliers,
     "pages_features": q_pages_features,
     "pages_features_tagged": q_pages_features_tagged,
     "minhash_dedup": q_minhash_dedup,
@@ -4064,6 +4138,7 @@ ORACLE_SQL = {
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_plan": SQL_VIDEO_FRAME_PLAN,
     "rows_window_events": SQL_ROWS_WINDOW,
+    "triangle_suppliers": SQL_TRIANGLE_SUPPLIERS,
     "semi_anti_purchasers": SQL_SEMI_ANTI,
     "bloom_urgent_lineitems": SQL_BLOOM_URGENT,
     "flatten_events": SQL_FLATTEN_EVENTS,
