@@ -678,6 +678,81 @@ def global_percent_rank(
     return ds.map_batches(rank, batch_format="pandas")
 
 
+def profile_table(ds, columns, distinct_cap: int = 100_000):
+    """ANALYZE-style column profile → pandas
+    (column, n_rows, n_null, n_distinct, min_value, max_value).
+
+    Three bounded passes over a materialized Dataset:
+    * null/row counts — per-batch partials, driver sums scalars;
+    * min/max — ONE Dataset aggregate pass (all columns together),
+      computed on the RAW typed values (string rendering happens only
+      at the end, so '9' < '10' string traps can't bite) and rendered
+      with ``str()`` (== DuckDB ``CAST(x AS VARCHAR)`` for BIGINT and
+      VARCHAR; profile timestamp/float columns at your own rendering
+      risk);
+    * EXACT distinct counts — per-batch value dedup then one column
+      exchange (shuffle bounded by the value lattice, same contract as
+      grouped_count_distinct); a column whose per-batch distinct set
+      exceeds ``distinct_cap`` raises — use :func:`approx_distinct`
+      for unbounded cardinalities."""
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.partition import bucket_exchange
+
+    ds = ds.materialize()  # three consumers
+    counts = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "column": pd.Series(list(columns), dtype="object"),
+            "n_rows": np.int64(len(df)),
+            "n_null": [np.int64(df[c].isna().sum()) for c in columns],
+        }),
+        batch_format="pandas",
+    ).to_pandas().groupby("column", sort=False).agg(
+        n_rows=("n_rows", "sum"), n_null=("n_null", "sum")
+    ).reset_index()
+
+    aggs = []
+    for c in columns:
+        aggs.extend([Min(c), Max(c)])
+    mm = ds.aggregate(*aggs)
+    minmax = pd.DataFrame({
+        "column": list(columns),
+        "min_value": [str(mm[f"min({c})"]) for c in columns],
+        "max_value": [str(mm[f"max({c})"]) for c in columns],
+    })
+
+    def value_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            vals = df[c].dropna().unique()
+            if len(vals) > distinct_cap:
+                raise ValueError(
+                    f"profile_table: column {c!r} exceeds distinct_cap="
+                    f"{distinct_cap} in one batch; use approx_distinct"
+                )
+            rows.append(pd.DataFrame(
+                {"column": c, "value": pd.Series(vals).astype(str)}
+            ))
+        return pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+            {"column": pd.Series(dtype="object"),
+             "value": pd.Series(dtype="object")}
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("column", sort=False)["value"]
+        return g.nunique().rename("n_distinct").reset_index()
+
+    distinct = bucket_exchange(
+        ds.map_batches(value_partial, batch_format="pandas"),
+        ["column"], finish, min(8, max(2, len(list(columns)))),
+    ).to_pandas()
+    out = counts.merge(distinct, on="column").merge(minmax, on="column")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out[["column", "n_rows", "n_null", "n_distinct",
+                "min_value", "max_value"]].sort_values(
+        "column").reset_index(drop=True)
+
+
 def ordered_scan(
     ds,
     order_col: str,
@@ -1188,4 +1263,4 @@ def topk(ds, by: Sequence[str] | str, k: int, descending: bool = True):
 __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_quantile",
            "hopping_window_agg", "HyperLogLog", "approx_distinct",
            "range_join", "pivot_count", "grouped_corr", "set_op",
-           "grouping_sets_agg", "rollup_agg", "cube_agg", "ordered_scan"]
+           "grouping_sets_agg", "rollup_agg", "cube_agg", "ordered_scan", "profile_table"]

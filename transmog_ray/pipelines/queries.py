@@ -1103,6 +1103,92 @@ WHERE event_type = 'purchase'
 """
 
 
+def q_profile_orders(sf_dir: str):
+    """ANALYZE-style column profile of the orders table (row/null
+    counts, exact distinct counts via the value-lattice exchange, raw
+    typed min/max rendered to VARCHAR at the end). BIGINT and VARCHAR
+    columns only — their str() rendering is DuckDB-CAST-exact."""
+    from ..functions.relational import profile_table
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+        num_blocks=8,
+    )
+    return profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderpriority"]
+    )
+
+
+SQL_PROFILE_ORDERS = """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS "column",
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+)
+ORDER BY "column"
+"""
+
+
+def q_big_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds 250, with the customer key attached —
+    join+aggregate fusion computes per-order sums INSIDE the join
+    reduce tasks, the HAVING filter runs on the tiny aggregate."""
+    from ..functions.relational import hash_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity"], num_blocks=8)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"],
+                        num_blocks=8).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            df.groupby(["l_orderkey", "o_custkey"], sort=False)["l_quantity"]
+            .agg(["sum", "size"]).reset_index()
+        )
+        agg = agg[agg["sum"] > 250]
+        return pd.DataFrame({
+            "o_orderkey": agg["l_orderkey"].astype("int64"),
+            "o_custkey": agg["o_custkey"].astype("int64"),
+            "total_qty": agg["sum"].astype("int64"),
+            "n_items": agg["size"].astype("int64"),
+        })
+
+    return hash_join(li, orders, on="l_orderkey", num_buckets=16,
+                     post_fn=per_order)
+
+
+SQL_BIG_ORDERS = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_custkey
+HAVING SUM(l_quantity) > 250
+"""
+
+
 def q_triangle_suppliers(sf_dir: str):
     """Distributed triangle counting (node-iterator / wedge closure)
     over the supplier co-occurrence graph: suppliers are connected when
@@ -4008,6 +4094,8 @@ QUERIES = {
     "video_frame_plan": q_video_frame_plan,
     "rows_window_events": q_rows_window_events,
     "triangle_suppliers": q_triangle_suppliers,
+    "profile_orders": q_profile_orders,
+    "big_orders": q_big_orders,
     "pages_features": q_pages_features,
     "pages_features_tagged": q_pages_features_tagged,
     "minhash_dedup": q_minhash_dedup,
@@ -4139,6 +4227,8 @@ ORACLE_SQL = {
     "video_frame_plan": SQL_VIDEO_FRAME_PLAN,
     "rows_window_events": SQL_ROWS_WINDOW,
     "triangle_suppliers": SQL_TRIANGLE_SUPPLIERS,
+    "profile_orders": SQL_PROFILE_ORDERS,
+    "big_orders": SQL_BIG_ORDERS,
     "semi_anti_purchasers": SQL_SEMI_ANTI,
     "bloom_urgent_lineitems": SQL_BLOOM_URGENT,
     "flatten_events": SQL_FLATTEN_EVENTS,
