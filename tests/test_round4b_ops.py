@@ -1,0 +1,239 @@
+"""Round-4 second-batch operators: grouped top-k, unpivot, exact
+global quantiles (histogram refinement), skew-aware join, per-group
+boilerplate removal, grid resample/ffill."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from transmog_ray.functions.relational import (
+    exact_quantiles,
+    grouped_topk,
+    unpivot,
+)
+from transmog_ray.functions.skew import skew_join
+from transmog_ray.stages.dedup import boilerplate_removal
+from transmog_ray.stages.window import resample_ffill
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+# ---------------------------------------------------------------- topk
+
+
+def _pandas_grouped_topk(df, keys, by, k, tiebreak):
+    df = df[df[by].notna()]
+    df = df.sort_values([by, *tiebreak], ascending=[False] + [True] * len(tiebreak))
+    return df.groupby(keys, sort=False).head(k)
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 40, n),
+        "v": rng.integers(0, 50, n).astype(float),  # many ties
+        "id": np.arange(n),
+    })
+    df.loc[rng.choice(n, 100, replace=False), "v"] = np.nan
+    ds = _rd().from_pandas(df).repartition(6)
+    got = (
+        grouped_topk(ds, ["g"], "v", k=3, tiebreak=["id"], num_buckets=4)
+        .to_pandas()
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        _pandas_grouped_topk(df, ["g"], "v", 3, ["id"])
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "v", "id"]], want[["g", "v", "id"]])
+
+
+def test_grouped_topk_small_groups(ray_session):
+    df = pd.DataFrame({"g": [1, 1, 2], "v": [5.0, 3.0, 9.0], "id": [0, 1, 2]})
+    ds = _rd().from_pandas(df)
+    got = grouped_topk(ds, ["g"], "v", k=10, tiebreak=["id"]).to_pandas()
+    assert len(got) == 3  # groups smaller than k survive whole
+
+
+# -------------------------------------------------------------- unpivot
+
+
+def test_unpivot_roundtrip(ray_session):
+    df = pd.DataFrame({"k": ["a", "b"], "x": [1.0, 2.0], "y": [3.0, 4.0]})
+    got = (
+        unpivot(_rd().from_pandas(df), ["k"], ["x", "y"],
+                var_name="m", value_name="val")
+        .to_pandas().sort_values(["k", "m"]).reset_index(drop=True)
+    )
+    assert list(got.columns) == ["k", "m", "val"]
+    assert got["val"].tolist() == [1.0, 3.0, 2.0, 4.0]
+    assert got["m"].tolist() == ["x", "y", "x", "y"]
+
+
+# ------------------------------------------------------ exact_quantiles
+
+
+def test_exact_quantiles_matches_sorted_selection(ray_session):
+    rng = np.random.default_rng(11)
+    v = np.r_[rng.normal(100, 30, 20_000), rng.integers(0, 5, 5_000)].astype(float)
+    df = pd.DataFrame({"x": v})
+    ds = _rd().from_pandas(df).repartition(8)
+    qs = (0.1, 0.5, 0.9)
+    got = exact_quantiles(ds, "x", qs, num_bins=64, driver_cap=500)
+    s = np.sort(v)
+    want = [float(s[int(np.floor(q * (len(s) - 1)))]) for q in qs]
+    assert got == want  # bit-exact: actual elements
+
+
+def test_exact_quantiles_heavy_duplicates(ray_session):
+    # one value owns 90% of rows: the rank bin never narrows below the
+    # duplicate mass, so the candidate pull must resolve it
+    v = np.r_[np.full(9000, 7.0), np.arange(1000).astype(float)]
+    ds = _rd().from_pandas(pd.DataFrame({"x": v})).repartition(4)
+    got = exact_quantiles(ds, "x", (0.5,), num_bins=32, driver_cap=20_000)
+    assert got == [7.0]
+
+
+def test_exact_quantiles_nulls_ignored(ray_session):
+    df = pd.DataFrame({"x": [1.0, np.nan, 3.0, np.nan, 2.0]})
+    got = exact_quantiles(_rd().from_pandas(df), "x", (0.5,))
+    assert got == [2.0]
+
+
+# ------------------------------------------------------------ skew_join
+
+
+def test_skew_join_matches_pandas_merge(ray_session):
+    rng = np.random.default_rng(3)
+    n = 20_000
+    # one key owns ~40% of the probe side
+    k = np.where(rng.random(n) < 0.4, 0, rng.integers(1, 200, n))
+    left = pd.DataFrame({"k": k, "v": rng.normal(size=n)})
+    right = pd.DataFrame({"k": np.arange(150), "tag": [f"t{i}" for i in range(150)]})
+    got = (
+        skew_join(_rd().from_pandas(left).repartition(6),
+                  _rd().from_pandas(right).repartition(2),
+                  on="k", sample_fraction=0.3, hot_share=0.05,
+                  num_buckets=4)
+        .to_pandas()
+    )
+    want = left.merge(right, on="k")
+    assert len(got) == len(want)
+    # identical multiset of joined rows
+    c = ["k", "v", "tag"]
+    got_s = got[c].sort_values(c).reset_index(drop=True)
+    want_s = want[c].sort_values(c).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s)
+
+
+def test_skew_join_explicit_hot_keys_both_paths(ray_session):
+    left = pd.DataFrame({"k": [0] * 50 + [1, 2, 3] * 10,
+                         "v": np.arange(80).astype(float)})
+    right = pd.DataFrame({"k": [0, 1, 2, 3], "tag": list("abcd")})
+    got = (
+        skew_join(_rd().from_pandas(left), _rd().from_pandas(right),
+                  on="k", hot_keys=[0], num_buckets=2)
+        .to_pandas()
+    )
+    want = left.merge(right, on="k")
+    assert sorted(got["v"].tolist()) == sorted(want["v"].tolist())
+    assert set(got[got["k"] == 0]["tag"]) == {"a"}  # hot path produced rows
+    assert set(got[got["k"] != 0]["tag"]) == {"b", "c", "d"}  # cold path too
+
+
+# -------------------------------------------------- boilerplate_removal
+
+
+def test_boilerplate_removal_planted_template(ray_session):
+    tpl = "COOKIE BANNER"
+    docs = []
+    for i in range(10):
+        body = f"unique line {i}\nsecond unique {i}"
+        text = f"{tpl}\n{body}" if i < 6 else body
+        docs.append({"doc_id": i, "source": "hostA", "text": text})
+    # a doc that is ONLY boilerplate must drop out entirely
+    docs.append({"doc_id": 99, "source": "hostA", "text": tpl})
+    # another host where the same line is NOT frequent enough
+    docs.append({"doc_id": 100, "source": "hostB", "text": f"{tpl}\nother"})
+    docs.append({"doc_id": 101, "source": "hostB", "text": "plain"})
+    ds = _rd().from_pandas(pd.DataFrame(docs)).repartition(3)
+    out = (
+        boilerplate_removal(ds, "doc_id", "text", "source",
+                            min_df=2, min_frac=0.5, num_buckets=4)
+        .to_pandas().set_index("doc_id")
+    )
+    assert 99 not in out.index
+    for i in range(10):
+        assert tpl not in out.loc[i, "text"]
+        assert f"unique line {i}" in out.loc[i, "text"]
+        assert out.loc[i, "n_kept"] == 2
+    # hostB: df=1 of 2 docs → (min_df=2 fails) banner survives
+    assert tpl in out.loc[100, "text"]
+
+
+# --------------------------------------------------------- resample_ffill
+
+
+def test_resample_ffill_kernel():
+    ts = pd.to_datetime([
+        "2024-01-01 00:07:00", "2024-01-01 00:31:00",
+        "2024-01-01 00:31:00",  # duplicate ts: higher id wins
+        "2024-01-01 01:20:00",
+    ])
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1],
+        "ts": ts,
+        "v": [10.0, 20.0, 25.0, 40.0],
+        "id": [0, 1, 2, 3],
+    }).sort_values(["u", "ts", "id"])
+    out = resample_ffill(df, "u", "ts", "v", every_s=900, order_col="id")
+    # grid: 00:00, 00:15, 00:30, 00:45, 01:00, 01:15 (floor of 01:20)
+    assert len(out) == 6
+    base = pd.Timestamp("2024-01-01").value // 10**9
+    assert out["grid_ts_s"].tolist() == [base + 900 * i for i in range(6)]
+    vals = out["v"].tolist()
+    assert np.isnan(vals[0])          # nothing at/before 00:00
+    assert vals[1] == 10.0            # 00:15 ← 00:07
+    assert vals[2] == 10.0            # 00:30 < 00:31
+    assert vals[3] == 25.0            # 00:45 ← dup ts resolved to id=2
+    assert vals[5] == 25.0            # 01:15 < 01:20
+
+
+def test_resample_ffill_multi_key_vectorized():
+    rng = np.random.default_rng(5)
+    rows = []
+    for u in range(20):
+        t0 = pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(rng.integers(0, 86_400)))
+        for j in range(int(rng.integers(1, 30))):
+            rows.append({
+                "u": u,
+                "ts": t0 + pd.Timedelta(seconds=int(rng.integers(0, 7200))),
+                "v": float(rng.integers(0, 100)),
+                "id": len(rows),
+            })
+    df = pd.DataFrame(rows).sort_values(["u", "ts", "id"]).reset_index(drop=True)
+    out = resample_ffill(df, "u", "ts", "v", every_s=600, order_col="id")
+    # per-key oracle via pandas asof, looped (the slow reference shape)
+    obs = df.drop_duplicates(["u", "ts"], keep="last")
+    for u, g in obs.groupby("u"):
+        t = g["ts"].astype("datetime64[ns]").astype(np.int64) // 1000
+        lo = (t.min() // 600_000_000) * 600_000_000
+        hi = (t.max() // 600_000_000) * 600_000_000
+        grid = np.arange(lo, hi + 1, 600_000_000)
+        sub = out[out["u"] == u]
+        assert sub["grid_ts_s"].tolist() == (grid // 1_000_000).tolist()
+        for g_us, got_v in zip(grid, sub["v"]):
+            prior = g[t.to_numpy() <= g_us]
+            if prior.empty:
+                assert np.isnan(got_v)
+            else:
+                assert got_v == prior["v"].iloc[-1]

@@ -1260,7 +1260,185 @@ def topk(ds, by: Sequence[str] | str, k: int, descending: bool = True):
     return pruned.sort(by, descending=descending).limit(k)
 
 
-__all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_quantile",
+def grouped_topk(
+    ds,
+    keys: Sequence[str] | str,
+    by: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: Sequence[str] = (),
+    num_buckets: int | None = None,
+    exchange: str | None = None,
+):
+    """Top-k rows PER GROUP without a global sort (SQL ``ROW_NUMBER()
+    OVER (PARTITION BY keys ORDER BY by) <= k``).
+
+    Two-stage: each batch prunes every group it sees to its local top-k
+    (so the shuffle carries at most ``k`` rows per group per batch —
+    grouped-agg-style partial pre-aggregation, but for a holistic
+    order statistic), then ONE bucket exchange co-locates each group's
+    survivors and the same prune runs once more per bucket. No stage
+    ever sorts more than a batch/bucket.
+
+    NULL ``by`` values are dropped (SQL ``WHERE by IS NOT NULL`` —
+    avoids engine-specific NULL-ordering divergence). Pass a total-order
+    ``tiebreak`` (always ascending) for deterministic results under ties.
+    """
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order = [by, *tiebreak]
+    ascending = [not descending] + [True] * len(tiebreak)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[by].notna()]
+        df = df.sort_values(order, ascending=ascending, kind="mergesort")
+        out = df.groupby(keys, sort=False, dropna=False).head(k)
+        return out.drop(columns=[BUCKET_COL], errors="ignore")
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return bucket_exchange(pruned, keys, prune, num_buckets)
+
+
+def unpivot(
+    ds,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+):
+    """Wide → long melt (SQL ``UNPIVOT``): each input row becomes
+    ``len(value_cols)`` rows of (ids..., variable, value). Pure
+    ``map_batches`` — zero shuffle, output streams at ``n × len(value_
+    cols)`` rows regardless of scale."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.melt(id_vars=id_cols, value_vars=value_cols,
+                       var_name=var_name, value_name=value_name)
+
+    return ds.map_batches(melt, batch_format="pandas")
+
+
+def exact_quantiles(
+    ds,
+    col: str,
+    qs: Sequence[float],
+    num_bins: int = 4096,
+    driver_cap: int = 1_000_000,
+    max_rounds: int = 8,
+) -> list[float]:
+    """EXACT global order statistics (DuckDB ``quantile_disc``: the
+    element at 0-indexed rank ``floor(q·(n-1))``) without a global sort.
+
+    Iterative histogram refinement: a first pass computes (n, min, max);
+    each refinement pass streams the column once, counting values below
+    the current search range and a ``num_bins`` histogram inside it, so
+    the driver narrows each rank's candidate range by ~``num_bins``× per
+    round while only ever receiving O(num_bins) counters per batch.
+    When a range's candidate count fits ``driver_cap`` the (small)
+    candidate values are pulled and selected exactly. Selecting an
+    ACTUAL element makes the result float-bit-exact against SQL — no
+    interpolation, no rounding pact needed.
+
+    Cost: O(rounds) streaming scans of one column (typically 3 total:
+    min/max, one histogram, one candidate pull). NaN/NULL are ignored,
+    like SQL aggregates.
+    """
+    qs = list(qs)
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pd.DataFrame({"lo": [], "hi": [], "n": []})
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()],
+                             "n": [np.int64(len(v))]})
+
+    mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    if mm.empty or mm["n"].sum() == 0:
+        return [float("nan")] * len(qs)
+    n = int(mm["n"].sum())
+    glo, ghi = float(mm["lo"].min()), float(mm["hi"].max())
+    # 0-indexed target ranks (quantile_disc convention)
+    ranks = [min(int(np.floor(q * (n - 1))), n - 1) for q in qs]
+
+    def _hist_pass(lo: float, hi: float):
+        """One scan: (#values < lo, per-bin counts of values in
+        [lo, hi]); the bin rule (floor((v-lo)/width) clipped) is shared
+        with the candidate pull below so membership is identical."""
+        width = (hi - lo) / num_bins or 1.0
+
+        def hist(df: pd.DataFrame) -> pd.DataFrame:
+            v = df[col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            below = np.int64((v < lo).sum())
+            inr = v[(v >= lo) & (v <= hi)]
+            b = np.minimum((inr - lo) / width, num_bins - 1).astype(np.int64)
+            cnt = np.bincount(b, minlength=num_bins)
+            nz = np.flatnonzero(cnt)
+            return pd.DataFrame({
+                "bin": np.r_[np.int64(-1), nz],
+                "cnt": np.r_[below, cnt[nz]],
+            })
+
+        parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+        agg = parts.groupby("bin")["cnt"].sum()
+        below = int(agg.get(-1, 0))
+        counts = np.zeros(num_bins, dtype=np.int64)
+        present = agg.index[agg.index >= 0].to_numpy()
+        counts[present] = agg.loc[present].to_numpy()
+        return below, counts, width
+
+    out: list[float] = []
+    for rank in ranks:
+        lo, hi = glo, ghi
+        prev_in_range = None
+        for _ in range(max_rounds):
+            # candidate pull once the range is small enough
+            lo_, hi_ = lo, hi
+
+            def pull(df: pd.DataFrame) -> pd.DataFrame:
+                v = df[col].to_numpy(dtype=np.float64)
+                v = v[~np.isnan(v)]
+                return pd.DataFrame({col: v[(v >= lo_) & (v <= hi_)]})
+
+            below, counts, width = _hist_pass(lo, hi)
+            in_range = int(counts.sum())
+            # a stalled range (no meaningful narrowing) means one
+            # duplicated value owns the rank's neighborhood — bins can
+            # never split a single value, so pull now: the pull is
+            # bounded by that duplicate mass, which IS the candidate set
+            stalled = (prev_in_range is not None
+                       and in_range >= 0.9 * prev_in_range)
+            prev_in_range = in_range
+            if in_range <= driver_cap or stalled:
+                cand = np.sort(
+                    ds.map_batches(pull, batch_format="pandas")
+                    .to_pandas()[col].to_numpy()
+                )
+                out.append(float(cand[rank - below]))
+                break
+            # locate the bin holding the rank; widen one bin each side —
+            # the trunc-rule bin assignment and the next pass's
+            # comparison-rule range test can disagree by one ulp at a
+            # bin edge, and the slack makes that harmless
+            cum = below + np.cumsum(counts)
+            b = int(np.searchsorted(cum, rank + 1))
+            new_lo = lo + (b - 1) * width if b > 0 else lo
+            new_hi = lo + (b + 2) * width if b < num_bins - 1 else hi
+            lo, hi = max(lo, new_lo), min(hi, new_hi)
+        else:
+            raise RuntimeError(
+                f"exact_quantiles: range did not converge under "
+                f"driver_cap={driver_cap} after {max_rounds} rounds "
+                f"(heavily duplicated values?) — raise driver_cap"
+            )
+    return out
+
+
+__all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_topk",
+           "unpivot", "exact_quantiles", "grouped_quantile",
            "hopping_window_agg", "HyperLogLog", "approx_distinct",
            "range_join", "pivot_count", "grouped_corr", "set_op",
            "grouping_sets_agg", "rollup_agg", "cube_agg", "ordered_scan", "profile_table"]

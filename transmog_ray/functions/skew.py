@@ -177,4 +177,66 @@ def salted_grouped_agg(
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
-__all__ = ["detect_hot_keys", "salted_grouped_agg"]
+def skew_join(
+    left_ds,
+    right_ds,
+    on: str,
+    hot_keys: Sequence | None = None,
+    sample_fraction: float = 0.05,
+    hot_share: float = 0.01,
+    num_buckets: int | None = None,
+    exchange: str | None = None,
+):
+    """Skew-aware inner hash join: hot keys bypass the shuffle.
+
+    A partitioned hash join sends every row of a key to ONE reducer — a
+    key owning 30% of the probe side melts that reducer. Here the hot
+    keys (detected by :func:`detect_hot_keys` on a sample of the LEFT /
+    probe side, or passed explicitly) take a BROADCAST path: the right
+    side's hot-key rows are collected once, ``ray.put`` by
+    :func:`~..functions.relational.broadcast_join`, and hot probe rows
+    join map-side with no shuffle at all. The cold remainder goes
+    through the regular partitioned
+    :func:`~..functions.relational.hash_join`. Results are identical to
+    a plain join regardless of which keys get classified hot — the
+    split is a pure routing decision.
+
+    Scale contract: the right side's HOT-key row set must fit in one
+    worker's memory (hot keys are few by definition; a dimension-like
+    or bounded-dup-factor right side). Inner joins only — an outer join
+    would need cross-path bookkeeping for unmatched rows.
+    """
+    from .relational import broadcast_join, hash_join
+
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(
+            left_ds, on, sample_fraction=sample_fraction,
+            hot_share=hot_share,
+        )[on].tolist()
+    hot = np.asarray(list(hot_keys))
+    if len(hot) == 0:
+        return hash_join(left_ds, right_ds, on=on,
+                         num_buckets=num_buckets or 64, exchange=exchange)
+
+    def keep_hot(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[on].isin(hot)]
+
+    def drop_hot(df: pd.DataFrame) -> pd.DataFrame:
+        return df[~df[on].isin(hot)]
+
+    right_hot = right_ds.map_batches(
+        keep_hot, batch_format="pandas").to_pandas()
+    hot_joined = broadcast_join(
+        left_ds.map_batches(keep_hot, batch_format="pandas"),
+        right_hot, on=on, how="inner",
+    )
+    cold_joined = hash_join(
+        left_ds.map_batches(drop_hot, batch_format="pandas"),
+        right_ds.map_batches(drop_hot, batch_format="pandas"),
+        on=on, num_buckets=num_buckets or 64, exchange=exchange,
+    )
+    return hot_joined.union(cold_joined)
+
+
+__all__ = ["detect_hot_keys", "salted_grouped_agg", "skew_join",
+           "heavy_hitters"]

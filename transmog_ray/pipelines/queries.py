@@ -4083,6 +4083,296 @@ WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
 """
 
 
+def q_user_top_events(sf_dir: str):
+    """Grouped top-k: each user's 3 highest-value events, via per-batch
+    per-group pruning + ONE bucket exchange (never a global sort)."""
+    from ..functions.relational import grouped_topk
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "value"], num_blocks=8)
+    return grouped_topk(ev, ["user_id"], "value", k=3,
+                        tiebreak=["event_id"], num_buckets=16)
+
+
+SQL_USER_TOP_EVENTS = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+) WHERE rn <= 3
+"""
+
+
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20. lineitem(R) ⋈ orders is the fact-fact task exchange with a
+    per-custkey partial rollup FUSED into the join reduce (joined rows
+    never leave the task); the tiny customer dimension broadcasts."""
+    import pyarrow.compute as pc
+
+    from ..functions.relational import broadcast_join, grouped_agg, \
+        hash_join, topk
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], "R"))
+        .drop_columns(["l_returnflag"]),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda df: df.assign(
+            rev=df["l_extendedprice"] * (1.0 - df["l_discount"])
+        )[["l_orderkey", "rev"]],
+        batch_format="pandas",
+    )
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_custkey", sort=False)["rev"]
+                .sum(min_count=1).reset_index())
+
+    partials = hash_join(li, orders, on="l_orderkey", num_buckets=16,
+                         post_fn=rollup)
+    per_cust = grouped_agg(partials, ["o_custkey"],
+                           {"revenue": ("rev", "sum")}, num_buckets=8)
+    per_cust = per_cust.map_batches(
+        lambda df: df.assign(
+            revenue=round_half_away(df["revenue"], 2),
+            # descending custkey tiebreak under one descending topk sort
+            __tb=-df["o_custkey"],
+        ),
+        batch_format="pandas",
+    )
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    out = broadcast_join(per_cust, cust, on="o_custkey")
+    out = topk(out, ["revenue", "__tb"], k=20)
+    return out.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"})[
+            ["c_custkey", "c_name", "revenue"]
+        ],
+        batch_format="pandas",
+    )
+
+
+SQL_RETURNED_REVENUE = """
+SELECT c_custkey, c_name, revenue FROM (
+  SELECT c_custkey, c_name,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name
+) ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_resampled_events(sf_dir: str):
+    """Feature-store grid regularization: each user's irregular event
+    values resampled onto a 15-minute grid with as-of forward fill —
+    one exchange by user, then a fully vectorized per-bucket kernel
+    (repeat/arange grid + ONE merge_asof; no per-key loop)."""
+    from ..stages.partition import apply_sorted
+    from ..stages.window import resample_ffill
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"],
+                    num_blocks=8)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        return resample_ffill(df, "user_id", "ts", "value", every_s=900,
+                              order_col="event_id")
+
+    return apply_sorted(ev, ["user_id"], "ts", kernel, num_buckets=16,
+                        tiebreak=["event_id"])
+
+
+SQL_RESAMPLED_EVENTS = """
+WITH dedup AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, arg_max(value, event_id) AS value
+  FROM events GROUP BY user_id, epoch_us(ts)
+), bounds AS (
+  SELECT user_id,
+         (MIN(ts_us) // 900000000) * 900000000 AS g0,
+         (MAX(ts_us) // 900000000) * 900000000 AS g1
+  FROM dedup GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(range(g0, g1 + 1, 900000000)) AS g_us
+  FROM bounds
+)
+SELECT g.user_id, g.g_us // 1000000 AS grid_ts_s, d.value AS value
+FROM grid g ASOF LEFT JOIN dedup d
+  ON g.user_id = d.user_id AND g.g_us >= d.ts_us
+"""
+
+
+def q_unpivot_pricing(sf_dir: str):
+    """Wide → long melt (SQL UNPIVOT): per-flag quantity/price sums
+    unpivoted to (flag, metric, amount) rows — the melt itself is a
+    zero-shuffle map stage usable on any Dataset."""
+    from ..functions.relational import grouped_agg, unpivot
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    s = grouped_agg(li, ["l_returnflag"],
+                    {"sum_qty": ("l_quantity", "sum"),
+                     "sum_price": ("l_extendedprice", "sum")},
+                    num_buckets=4)
+    s = s.map_batches(
+        lambda df: df.assign(sum_qty=round_half_away(df["sum_qty"], 2),
+                             sum_price=round_half_away(df["sum_price"], 2)),
+        batch_format="pandas",
+    )
+    return unpivot(s, ["l_returnflag"], ["sum_qty", "sum_price"],
+                   var_name="metric", value_name="amount")
+
+
+SQL_UNPIVOT_PRICING = """
+WITH s AS (
+  SELECT l_returnflag,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, amount
+FROM s UNPIVOT (amount FOR metric IN (sum_qty, sum_price))
+"""
+
+
+def q_skew_join_orders(sf_dir: str):
+    """Skew-aware fact join: orders ⋈ customer where sampled hot
+    custkeys take a broadcast path (no shuffle for the heavy rows) and
+    the cold remainder rides the partitioned hash join — identical
+    result either route, so the oracle is the plain join."""
+    from ..functions.relational import grouped_agg
+    from ..functions.skew import skew_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
+    )
+    joined = skew_join(orders, cust, on="o_custkey",
+                       sample_fraction=0.2, hot_share=0.002,
+                       num_buckets=16)
+    out = grouped_agg(joined, ["c_mktsegment"],
+                      {"n_orders": ("o_totalprice", "count"),
+                       "revenue": ("o_totalprice", "sum")}, num_buckets=4)
+    return out.map_batches(
+        lambda df: df.assign(revenue=round_half_away(df["revenue"], 2)),
+        batch_format="pandas",
+    )
+
+
+SQL_SKEW_JOIN_ORDERS = """
+SELECT c_mktsegment,
+       CAST(COUNT(o_totalprice) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_boilerplate_docs(sf_dir: str):
+    """Per-source template-line (boilerplate) removal: after the shared
+    3-word chunking, any line present in ≥2 docs and ≥5% of a source's
+    docs is stripped from EVERY doc of that source (keep-none — the
+    crawl-cleanup complement of line_dedup's keep-first)."""
+    from ..stages.dedup import boilerplate_removal
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text"])
+    chunked = _chunk_3word_lines(docs)
+    return boilerplate_removal(chunked, "doc_id", "text", "source",
+                               min_df=2, min_frac=0.05, num_buckets=16)
+
+
+SQL_BOILERPLATE_DOCS = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+), lines AS (
+  SELECT doc_id, source,
+         unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS line_no,
+         unnest(list_transform(
+             range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT)),
+             i -> array_to_string(ws[(i*3+1):(i*3+3)], ' '))) AS line
+  FROM w
+), totals AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), freq AS (
+  SELECT source, line, COUNT(DISTINCT doc_id) AS df
+  FROM lines GROUP BY source, line
+), boiler AS (
+  SELECT f.source, f.line
+  FROM freq f JOIN totals t USING (source)
+  WHERE f.df >= 2 AND CAST(f.df AS DOUBLE) / t.n >= 0.05
+)
+SELECT l.doc_id,
+       string_agg(l.line, chr(10) ORDER BY l.line_no) AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM lines l
+LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+WHERE b.line IS NULL
+GROUP BY l.doc_id
+"""
+
+
+def q_sessionize_streaming(sf_dir: str):
+    """The SAME gap-sessionization under STREAMING ingest: event-time
+    ordered batches replayed through hash-routed SessionState actors
+    (state carries across batches); the concatenated emissions are
+    pinned to the SAME window SQL oracle as the batch path."""
+    from ..state.streaming import streaming_sessionize
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts"],
+                    num_blocks=8).to_pandas()
+    ev = ev.sort_values(["ts", "event_id"],
+                        kind="mergesort").reset_index(drop=True)
+    batches = np.array_split(ev, 16)
+    out = pd.concat(
+        list(streaming_sessionize(batches, "user_id", "ts",
+                                  SESSION_GAP_S, num_buckets=8)),
+        ignore_index=True,
+    )
+    return out[["event_id", "user_id", "ts", "session_seq", "session_id"]]
+
+
+def q_exact_price_quantiles(sf_dir: str):
+    """EXACT global order statistics with NO global sort: iterative
+    histogram refinement over streaming scans (drivers see only
+    O(num_bins) counters per batch), final in-bin selection of the
+    actual element — float-bit-exact vs SQL quantile_disc."""
+    from ..functions.relational import exact_quantiles
+
+    li = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    p25, p50, p75, p90 = exact_quantiles(
+        li, "l_extendedprice", (0.25, 0.5, 0.75, 0.9), num_bins=4096)
+    return pd.DataFrame({"p25": [p25], "p50": [p50],
+                         "p75": [p75], "p90": [p90]})
+
+
+SQL_EXACT_PRICE_QUANTILES = """
+SELECT quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.5)  AS p50,
+       quantile_disc(l_extendedprice, 0.75) AS p75,
+       quantile_disc(l_extendedprice, 0.9)  AS p90
+FROM lineitem
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -4204,6 +4494,14 @@ QUERIES = {
     "tfidf_docs": q_tfidf_docs,
     "events_orders_outer": q_events_orders_outer,
     "shipping_priority": q_shipping_priority,
+    "user_top_events": q_user_top_events,
+    "returned_revenue": q_returned_revenue,
+    "resampled_events": q_resampled_events,
+    "unpivot_pricing": q_unpivot_pricing,
+    "skew_join_orders": q_skew_join_orders,
+    "boilerplate_docs": q_boilerplate_docs,
+    "sessionize_streaming": q_sessionize_streaming,
+    "exact_price_quantiles": q_exact_price_quantiles,
 }
 
 ORACLE_SQL = {
@@ -4313,6 +4611,14 @@ ORACLE_SQL = {
     "dup_ngram_docs": SQL_DUP_NGRAM,
     "length_filtered_docs": SQL_LENGTH_FILTERED,
     "domain_stats": SQL_DOMAIN_STATS,
+    "user_top_events": SQL_USER_TOP_EVENTS,
+    "returned_revenue": SQL_RETURNED_REVENUE,
+    "resampled_events": SQL_RESAMPLED_EVENTS,
+    "unpivot_pricing": SQL_UNPIVOT_PRICING,
+    "skew_join_orders": SQL_SKEW_JOIN_ORDERS,
+    "boilerplate_docs": SQL_BOILERPLATE_DOCS,
+    "sessionize_streaming": SQL_SESSIONIZE,
+    "exact_price_quantiles": SQL_EXACT_PRICE_QUANTILES,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }

@@ -119,4 +119,81 @@ def line_dedup(
     )
 
 
-__all__ = ["dedup_exact", "line_dedup"]
+def boilerplate_removal(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_df: int = 2,
+    min_frac: float = 0.05,
+    line_sep: str = "\n",
+    num_buckets: int | None = None,
+):
+    """Per-group (host / source / template) boilerplate LINE removal —
+    the crawl-cleanup complement of :func:`line_dedup`: a line that
+    appears in ≥ ``min_df`` documents AND ≥ ``min_frac`` of the group's
+    documents is a template line (nav bars, footers, cookie banners)
+    and is removed from EVERY document of that group (keep-none, where
+    line_dedup is keep-first). Documents whose every line is
+    boilerplate drop out. Output: (id, text, n_kept).
+
+    Distributed shape: (0) per-group doc totals — a tiny count
+    aggregate, ``ray.put`` once; (1) vectorized line explode; (2) ONE
+    exchange by (group, line): a bucket holds every occurrence of each
+    of its lines, so document frequency, the boilerplate test, and the
+    filtering of occurrence rows all happen IN-bucket — no second join
+    to mark rows; (3) one exchange by doc id to reassemble. Only (id,
+    line_no, line) triples ever shuffle, never whole documents.
+    """
+    import ray
+
+    from .partition import bucket_exchange
+
+    # (0) per-group document totals: tiny (one row per group)
+    def count_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(group_col, sort=False)[id_col].nunique()
+            .rename("n").reset_index()
+        )
+
+    # exact because a document is exactly ONE input row (nunique per
+    # batch can never split an id across batches)
+    parts = ds.map_batches(count_docs, batch_format="pandas").to_pandas()
+    totals_ref = ray.put(parts.groupby(group_col)["n"].sum().to_dict())
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, group_col, text_col]].dropna(subset=[text_col])
+        lines = df[text_col].str.split(line_sep)
+        lens = lines.str.len().to_numpy(dtype=np.int64, na_value=0)
+        total = int(lens.sum())
+        offs = np.repeat(np.cumsum(lens) - lens, lens)
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), lens),
+            group_col: np.repeat(df[group_col].to_numpy(), lens),
+            "line_no": np.arange(total, dtype=np.int64) - offs,
+            "line": lines.explode().to_numpy(dtype=object)
+            if total else np.array([], dtype=object),
+        })
+
+    def drop_boiler(df: pd.DataFrame) -> pd.DataFrame:
+        totals = ray.get(totals_ref)
+        g = df.groupby([group_col, "line"], sort=False)
+        dfreq = g[id_col].transform("nunique")
+        n_docs = df[group_col].map(totals)
+        boiler = (dfreq >= min_df) & (dfreq / n_docs >= min_frac)
+        return df.loc[~boiler, [id_col, "line_no", "line"]]
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "line_no"], kind="mergesort")
+        g = df.groupby(id_col, sort=False)
+        out = g["line"].agg(line_sep.join).rename(text_col).reset_index()
+        out["n_kept"] = g.size().to_numpy().astype(np.int64)
+        return out
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    kept = bucket_exchange(exploded, [group_col, "line"], drop_boiler,
+                           num_buckets)
+    return bucket_exchange(kept, [id_col], reassemble, num_buckets)
+
+
+__all__ = ["dedup_exact", "line_dedup", "boilerplate_removal"]

@@ -384,8 +384,68 @@ def _rolling_prefix_sums(
     return df
 
 
+def resample_ffill(
+    df: pd.DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    every_s: int,
+    order_col: str,
+    out_ts: str = "grid_ts_s",
+) -> pd.DataFrame:
+    """Regularize each key's irregular series onto a fixed time grid
+    with as-of forward fill (the feature-store "resample" step: one
+    feature row per key per grid tick).
+
+    For each key the grid runs from ``floor(min ts)`` to ``floor(max
+    ts)`` in ``every_s`` steps (epoch-µs floor — mirrors SQL integer
+    division); each grid point carries the value of the key's LAST
+    observation at-or-before it (NULL when none — only the first tick
+    can be null by construction). Duplicate (key, ts) observations
+    resolve to the highest ``order_col`` (SQL ``arg_max(value,
+    order_col)``). Grid timestamps are emitted as epoch-SECONDS int64
+    (``every_s`` grids are always whole seconds) — the one encoding
+    that hash-compares exactly across engine and SQL.
+
+    Input frame must be sorted by (key, ts, order_col) — an
+    ``apply_sorted`` kernel. Fully vectorized: grid construction is
+    repeat/arange arithmetic over per-key bounds and the as-of is ONE
+    ``merge_asof(by=key)`` over the ts-ordered grid, no per-key loop.
+    """
+    every_us = int(every_s) * 1_000_000
+    obs = df.drop_duplicates([key, ts], keep="last")
+    ts_us = (
+        obs[ts].astype("datetime64[ns]").astype(np.int64) // 1000
+    )
+    obs = pd.DataFrame({
+        key: obs[key].to_numpy(),
+        "__ts_us": ts_us.to_numpy(),
+        value_col: obs[value_col].to_numpy(),
+    })
+
+    bounds = obs.groupby(key, sort=False)["__ts_us"].agg(["min", "max"])
+    g0 = (bounds["min"].to_numpy() // every_us) * every_us
+    g1 = (bounds["max"].to_numpy() // every_us) * every_us
+    counts = (g1 - g0) // every_us + 1
+    total = int(counts.sum())
+    offs = np.repeat(np.cumsum(counts) - counts, counts)
+    ticks = np.arange(total, dtype=np.int64) - offs
+    grid = pd.DataFrame({
+        key: np.repeat(bounds.index.to_numpy(), counts),
+        "__ts_us": np.repeat(g0, counts) + ticks * every_us,
+    })
+
+    # merge_asof needs a global on-column sort on BOTH sides
+    grid = grid.sort_values("__ts_us", kind="mergesort")
+    obs = obs.sort_values("__ts_us", kind="mergesort")
+    out = pd.merge_asof(grid, obs, on="__ts_us", by=key,
+                        direction="backward", allow_exact_matches=True)
+    out[out_ts] = out["__ts_us"] // 1_000_000
+    return out[[key, out_ts, value_col]].reset_index(drop=True)
+
+
 __all__ = [
     "with_lag", "with_lead", "sessionize", "backfill", "rolling_agg",
     "running_agg", "ewma", "target_encode", "first_touch",
-    "running_distinct",
+    "running_distinct", "resample_ffill",
 ]
