@@ -237,3 +237,112 @@ def test_resample_ffill_multi_key_vectorized():
                 assert np.isnan(got_v)
             else:
                 assert got_v == prior["v"].iloc[-1]
+
+
+# ---------------------------------------------------- grouped MAD outliers
+
+
+def test_grouped_mad_outliers(ray_session):
+    from transmog_ray.functions.relational import grouped_mad_outliers
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(10, 1, 500)
+    df = pd.DataFrame({
+        "g": ["a"] * 250 + ["b"] * 250 + ["a", "b"],
+        "v": np.r_[base, [1000.0, -1000.0]],
+        "id": np.arange(502),
+    })
+    got = (
+        grouped_mad_outliers(_rd().from_pandas(df).repartition(4),
+                             ["g"], "v", thresh=3.0, num_buckets=2)
+        .to_pandas()
+    )
+    # pandas oracle with lower-median selection
+    want_ids = []
+    for _, g in df.groupby("g"):
+        v = g["v"].to_numpy()
+        med = np.sort(v)[(len(v) - 1) // 2]
+        ad = np.abs(v - med)
+        mad = np.sort(ad)[(len(ad) - 1) // 2]
+        want_ids += g.loc[ad > 3.0 * mad, "id"].tolist()
+    assert sorted(got["id"]) == sorted(want_ids)
+    assert {500, 501} <= set(got["id"])  # the planted outliers
+
+
+def test_grouped_mad_outliers_null_values_ignored(ray_session):
+    from transmog_ray.functions.relational import grouped_mad_outliers
+
+    df = pd.DataFrame({"g": ["a"] * 6, "v": [1.0, 1.0, 1.0, 1.0, 50.0, np.nan]})
+    got = grouped_mad_outliers(_rd().from_pandas(df), ["g"], "v").to_pandas()
+    assert got["v"].tolist() == [50.0]
+
+
+# --------------------------------------------------------- asof_join_multi
+
+
+def test_asof_join_multi_matches_chained(ray_session):
+    from transmog_ray.stages.asof import asof_join, asof_join_multi
+
+    rng = np.random.default_rng(4)
+    n = 3000
+    ev = pd.DataFrame({
+        "id": np.arange(n),
+        "u": rng.integers(0, 30, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        "kind": rng.choice(["a", "b", "c"], n),
+        "v": rng.normal(size=n),
+    })
+    fa = (ev[ev["kind"] == "a"][["u", "ts", "v"]]
+          .rename(columns={"ts": "a_ts", "v": "a_v"}))
+    fb = (ev[ev["kind"] == "b"][["u", "ts", "v"]]
+          .rename(columns={"ts": "b_ts", "v": "b_v"}))
+    ds = _rd().from_pandas(ev).repartition(4)
+    dsa = _rd().from_pandas(fa).repartition(3)
+    dsb = _rd().from_pandas(fb).repartition(2)
+    got = (
+        asof_join_multi(ds, [(dsa, "a_ts", ["a_v"]), (dsb, "b_ts", ["b_v"])],
+                        key="u", left_ts="ts", num_buckets=4)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # oracle: two chained single-table as-of joins
+    step1 = asof_join(ds, dsa, key="u", left_ts="ts", right_ts="a_ts",
+                      right_cols=["a_v"], num_buckets=4)
+    want = (
+        asof_join(step1, dsb, key="u", left_ts="ts", right_ts="b_ts",
+                  right_cols=["b_v"], num_buckets=4)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    cols = ["id", "u", "ts", "kind", "v", "a_ts", "a_v", "b_ts", "b_v"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+
+
+# -------------------------------------------------------- pmi_collocations
+
+
+def test_pmi_collocations_hand_computed(ray_session):
+    from transmog_ray.functions.text import pmi_collocations
+
+    # "x y" appears 4x and x,y appear ONLY together; "p q" appears 4x
+    # but p and q each appear 8x → lift(x y) > lift(p q)
+    docs = pd.DataFrame({"text": [
+        "x y f1 p q p r q s", "x y f2 p q p r q s",
+        "x y f3 p q p r q s", "x y f4 p q p r q s",
+    ]})
+    got = pmi_collocations(_rd().from_pandas(docs), "text",
+                           min_count=4, k=5, num_buckets=2).to_pandas()
+    got = got.set_index(got["w1"] + " " + got["w2"])
+    n_bigrams = 4 * 8  # 9 tokens per doc → 8 bigrams, 4 docs
+    assert got.loc["x y", "n_xy"] == 4
+    assert got.loc["x y", "lift"] == (n_bigrams * 4.0) / (4.0 * 4.0)
+    assert got.loc["p q", "lift"] == (n_bigrams * 4.0) / (8.0 * 8.0)
+    assert got.index[0] == "x y"  # highest lift first
+
+
+def test_topk_mixed_directions(ray_session):
+    from transmog_ray.functions.relational import topk
+
+    df = pd.DataFrame({"s": [1.0, 1.0, 2.0, 2.0], "t": list("badc")})
+    got = topk(_rd().from_pandas(df).repartition(2), ["s", "t"], k=3,
+               descending=[True, False]).to_pandas()
+    assert list(zip(got["s"], got["t"])) == [(2.0, "c"), (2.0, "d"), (1.0, "a")]

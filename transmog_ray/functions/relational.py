@@ -986,6 +986,50 @@ def bloom_prefilter(ds, keys: pd.Series, on: str, fp_rate: float = 0.01):
     return ds.map_batches(probe, batch_format="pandas")
 
 
+def grouped_mad_outliers(
+    ds,
+    keys: Sequence[str] | str,
+    col: str,
+    thresh: float = 3.0,
+    num_buckets: int | None = None,
+):
+    """Robust per-group outlier rows: ``|v − median| > thresh · MAD``
+    (median absolute deviation — the robust z-score that a few extreme
+    values cannot drag, unlike mean/std).
+
+    Median and MAD are holistic, so each group's values are co-located
+    by ONE bucket exchange (the grouped_quantile contract: per-group
+    row counts bound task memory); median, deviations, MAD, and the
+    outlier filter all run inside the same kernel — rows cross the
+    wire once and only outliers come back. Both medians use the
+    lower-median SELECTION (DuckDB ``quantile_disc`` rank
+    ``(n-1)//2``), so every comparison is float-bit-exact against SQL.
+    NULL values are ignored (they are never outliers).
+
+    Groups are re-grouped INSIDE the kernel — small-domain keys hash
+    into shared buckets and must never be treated as one group.
+    """
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
+        out = []
+        for _, g in df.groupby(keys, sort=False, dropna=False):
+            g = g[g[col].notna()]
+            if g.empty:
+                continue
+            v = g[col].to_numpy(dtype=np.float64)
+            med = np.sort(v)[(len(v) - 1) // 2]
+            ad = np.abs(v - med)
+            mad = np.sort(ad)[(len(ad) - 1) // 2]
+            out.append(g[ad > thresh * mad])
+        return pd.concat(out) if out else df.iloc[0:0]
+
+    return bucket_exchange(ds, keys, kernel, num_buckets)
+
+
 def grouped_quantile(
     ds,
     keys: Sequence[str],
@@ -1245,19 +1289,25 @@ def approx_distinct(ds, col: str, p: int = 14) -> int:
     return merged.count()
 
 
-def topk(ds, by: Sequence[str] | str, k: int, descending: bool = True):
+def topk(ds, by: Sequence[str] | str, k: int,
+         descending: bool | Sequence[bool] = True):
     """Global top-k: per-batch prune to k rows, then one tiny sort.
 
     The shuffle sees at most ``k × num_batches`` rows regardless of input
-    size.
+    size. ``descending`` may be per-column (e.g. score DESC with an
+    ascending string tiebreak).
     """
     by = [by] if isinstance(by, str) else list(by)
+    desc = ([descending] * len(by) if isinstance(descending, bool)
+            else list(descending))
+    ascending = [not d for d in desc]
 
     def local_prune(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(by, ascending=not descending, kind="mergesort").head(k)
+        return df.sort_values(by, ascending=ascending,
+                              kind="mergesort").head(k)
 
     pruned = ds.map_batches(local_prune, batch_format="pandas")
-    return pruned.sort(by, descending=descending).limit(k)
+    return pruned.sort(by, descending=desc).limit(k)
 
 
 def grouped_topk(
@@ -1438,7 +1488,8 @@ def exact_quantiles(
 
 
 __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_topk",
-           "unpivot", "exact_quantiles", "grouped_quantile",
+           "unpivot", "exact_quantiles", "grouped_mad_outliers",
+           "grouped_quantile",
            "hopping_window_agg", "HyperLogLog", "approx_distinct",
            "range_join", "pivot_count", "grouped_corr", "set_op",
            "grouping_sets_agg", "rollup_agg", "cube_agg", "ordered_scan", "profile_table"]

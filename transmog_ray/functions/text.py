@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 
 STOPWORDS = ("the", "a", "and", "of", "to")
@@ -695,6 +696,93 @@ def rolling_fingerprint(text: str, window: int = 16, base: int = 257,
     return best if best is not None else h
 
 
+def pmi_collocations(
+    ds,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+    num_buckets: int | None = None,
+):
+    """Corpus collocations by pointwise-mutual-information LIFT: for
+    every adjacent word pair, ``lift = (N · c_xy) / (c_x · c_y)`` —
+    the RATIONAL form of PMI (its log is monotonic, so the top-k by
+    lift IS the top-k by PMI) because ``log`` is libm-unreproducible
+    across engines while +,×,÷ of exact integer counts is bit-exact.
+
+    Fully distributed: per-batch vectorized bigram/unigram partial
+    counts (rows never shuffle raw), grouped combines, then TWO hash
+    joins attach c_x and c_y to the min_count-pruned bigram table — no
+    driver-side vocabulary, no broadcast of unbounded state. N (total
+    bigrams) is the one scalar pulled to the driver. Returns the
+    global top-k by (lift desc, w1, w2).
+    """
+    from .relational import grouped_agg, hash_join, topk
+
+    docs = ds.materialize()  # three consumers by design (uni/big/N)
+
+    def _flat(df: pd.DataFrame):
+        toks = df[text_col].fillna("").str.split(" ")
+        flat = toks.explode().to_numpy(dtype=object)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        return flat, lens
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = _flat(df)
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"wd": vc.index.to_numpy(dtype=object),
+                             "c": vc.to_numpy()})
+
+    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _flat(df)
+        total = int(lens.sum())
+        if total < 2:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "n_xy": pd.Series([], dtype="int64")})
+        # drop each doc's final token position: no bigram starts there
+        not_last = np.ones(total, dtype=bool)
+        not_last[np.cumsum(lens) - 1] = False
+        keep = not_last[:-1]
+        pairs = pd.DataFrame({"w1": flat[:-1][keep], "w2": flat[1:][keep]})
+        out = pairs.groupby(["w1", "w2"], sort=False).size()
+        return out.rename("n_xy").reset_index()
+
+    def n_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, lens = _flat(df)
+        return pd.DataFrame({"nb": [np.int64((lens - 1).sum())]})
+
+    n_big = int(docs.map_batches(n_partial, batch_format="pandas")
+                .to_pandas()["nb"].sum())
+    uni = grouped_agg(docs.map_batches(uni_partial, batch_format="pandas"),
+                      ["wd"], {"c": ("c", "sum")}, num_buckets=num_buckets or 16)
+    big = grouped_agg(docs.map_batches(big_partial, batch_format="pandas"),
+                      ["w1", "w2"], {"n_xy": ("n_xy", "sum")},
+                      num_buckets=num_buckets or 16)
+    big = big.map_batches(
+        lambda df: df[df["n_xy"] >= min_count].astype({"n_xy": "int64"}),
+        batch_format="pandas",
+    )
+    c1 = uni.map_batches(
+        lambda df: df.rename(columns={"wd": "w1", "c": "c1"}),
+        batch_format="pandas")
+    c2 = uni.map_batches(
+        lambda df: df.rename(columns={"wd": "w2", "c": "c2"}),
+        batch_format="pandas")
+    joined = hash_join(big, c1, on="w1", num_buckets=num_buckets or 16)
+    joined = hash_join(joined, c2, on="w2", num_buckets=num_buckets or 16)
+
+    nf = float(n_big)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lift = (nf * df["n_xy"].astype(float)) / (
+            df["c1"].astype(float) * df["c2"].astype(float))
+        return df.assign(lift=lift)[["w1", "w2", "n_xy", "lift"]]
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return topk(scored, ["lift", "w1", "w2"], k=k,
+                descending=[True, False, False])
+
+
 __all__ = [
     "token_stats",
     "quality_score",
@@ -706,5 +794,6 @@ __all__ = [
     "fingerprint",
     "LangId",
     "rolling_fingerprint",
+    "pmi_collocations",
     "STOPWORDS",
 ]

@@ -4373,6 +4373,153 @@ FROM lineitem
 """
 
 
+def q_mad_outlier_events(sf_dir: str):
+    """Robust per-type outliers: |value − median| > 3·MAD — median
+    absolute deviation, the robust z-score. One exchange co-locates
+    each type's values; median/MAD/filter run in-kernel and only the
+    outlier rows come back. Lower-median SELECTION keeps every
+    comparison float-bit-exact vs SQL quantile_disc."""
+    from ..functions.relational import grouped_mad_outliers
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"],
+                    num_blocks=8)
+    return grouped_mad_outliers(ev, ["event_type"], "value", thresh=3.0,
+                                num_buckets=8)
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, ABS(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
+), mad AS (
+  SELECT event_type, quantile_disc(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.ad > 3.0 * m.mad
+"""
+
+
+def q_collocations_docs(sf_dir: str):
+    """Top-50 corpus collocations by PMI lift (rational form —
+    (N·c_xy)/(c_x·c_y); log is libm-unreproducible, its argument is
+    bit-exact). Distributed unigram/bigram counting + two hash joins;
+    no driver-side vocabulary."""
+    from ..functions.text import pmi_collocations
+
+    docs = read_table(sf_dir, "documents", columns=["text"], num_blocks=8)
+    return pmi_collocations(docs, "text", min_count=5, k=50,
+                            num_buckets=8)
+
+
+SQL_COLLOCATIONS = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+uni AS (SELECT unnest(ws) AS wd FROM w),
+cx AS (SELECT wd, COUNT(*) AS c FROM uni GROUP BY wd),
+big AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+  FROM w
+), bg AS (
+  SELECT w1, w2, COUNT(*) AS n_xy FROM big GROUP BY w1, w2
+  HAVING COUNT(*) >= 5
+), tot AS (SELECT COUNT(*) AS n FROM big)
+SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
+       (CAST(t.n AS DOUBLE) * n_xy) / (CAST(c1.c AS DOUBLE) * c2.c) AS lift
+FROM bg CROSS JOIN tot t
+JOIN cx c1 ON bg.w1 = c1.wd
+JOIN cx c2 ON bg.w2 = c2.wd
+ORDER BY lift DESC, w1, w2 LIMIT 50
+"""
+
+
+def q_pit_features_multi(sf_dir: str):
+    """Feature-store multi-table point-in-time read: every event gets
+    the latest purchase AND the latest view feature in ONE exchange
+    (asof_join_multi) — chaining per-table as-of joins would shuffle
+    the growing left side once per feature table."""
+    from ..stages.asof import asof_join_multi
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"],
+                    num_blocks=8).materialize()  # left + two filters
+    purchases = ev.map_batches(
+        lambda df: df[df["event_type"] == "purchase"][
+            ["user_id", "ts", "value"]
+        ].rename(columns={"ts": "p_ts", "value": "p_value"}),
+        batch_format="pandas",
+    )
+    views = ev.map_batches(
+        lambda df: df[df["event_type"] == "view"][
+            ["user_id", "ts", "value"]
+        ].rename(columns={"ts": "v_ts", "value": "v_value"}),
+        batch_format="pandas",
+    )
+    return asof_join_multi(
+        ev,
+        [(purchases, "p_ts", ["p_value"]), (views, "v_ts", ["v_value"])],
+        key="user_id", left_ts="ts", num_buckets=16,
+    )
+
+
+SQL_PIT_MULTI = """
+SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
+       p.p_ts, p.p_value, v.v_ts, v.v_value
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts AS p_ts, value AS p_value FROM events
+  WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts >= p.p_ts
+ASOF LEFT JOIN (
+  SELECT user_id, ts AS v_ts, value AS v_value FROM events
+  WHERE event_type = 'view'
+) v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+"""
+
+
+def q_weighted_avg_discount(sf_dir: str):
+    """Revenue-weighted mean discount per flag: ratio of two
+    decomposable sums (Σ d·p / Σ p), each rounded on its own exact
+    decimal grid BEFORE the division so the ratio is bit-identical
+    across engines (rounding a MEAN directly can land on a half
+    boundary — round the SUMS, divide after)."""
+    from ..functions.relational import grouped_agg
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice",
+                             "l_discount"])
+    li = li.map_batches(
+        lambda df: df.assign(dp=df["l_discount"] * df["l_extendedprice"]),
+        batch_format="pandas",
+    )
+    agg = grouped_agg(li, ["l_returnflag"],
+                      {"dsum": ("dp", "sum"),
+                       "psum": ("l_extendedprice", "sum")}, num_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = round_half_away(df["dsum"], 4)
+        p = round_half_away(df["psum"], 2)
+        return pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                             "w_avg_discount": d / p})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_WEIGHTED_AVG_DISCOUNT = """
+SELECT l_returnflag,
+       ROUND(SUM(l_discount * l_extendedprice), 4)
+           / ROUND(SUM(l_extendedprice), 2) AS w_avg_discount
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -4502,6 +4649,10 @@ QUERIES = {
     "boilerplate_docs": q_boilerplate_docs,
     "sessionize_streaming": q_sessionize_streaming,
     "exact_price_quantiles": q_exact_price_quantiles,
+    "mad_outlier_events": q_mad_outlier_events,
+    "collocations_docs": q_collocations_docs,
+    "pit_features_multi": q_pit_features_multi,
+    "weighted_avg_discount": q_weighted_avg_discount,
 }
 
 ORACLE_SQL = {
@@ -4619,6 +4770,10 @@ ORACLE_SQL = {
     "boilerplate_docs": SQL_BOILERPLATE_DOCS,
     "sessionize_streaming": SQL_SESSIONIZE,
     "exact_price_quantiles": SQL_EXACT_PRICE_QUANTILES,
+    "mad_outlier_events": SQL_MAD_OUTLIERS,
+    "collocations_docs": SQL_COLLOCATIONS,
+    "pit_features_multi": SQL_PIT_MULTI,
+    "weighted_avg_discount": SQL_WEIGHTED_AVG_DISCOUNT,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }

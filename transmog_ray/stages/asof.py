@@ -192,4 +192,87 @@ def asof_join_broadcast(
     return left_ds.map_batches(lookup, **kwargs)
 
 
-__all__ = ["asof_join", "asof_join_broadcast"]
+def asof_join_multi(
+    left_ds,
+    rights: Sequence[tuple],
+    key: str,
+    left_ts: str,
+    num_buckets: int = 64,
+    tolerance_seconds: float | None = None,
+    exchange: str | None = None,
+):
+    """Feature-store point-in-time join against SEVERAL feature tables
+    in ONE exchange (the multi-table PIT read every feature platform
+    serves): ``rights`` is a sequence of ``(right_ds, right_ts,
+    right_cols)``; the output is every left row + each table's latest
+    at-or-before feature columns.
+
+    Chaining :func:`asof_join` once per table would shuffle the
+    (growing) left side N times; here all sides are padded to one
+    union schema, tagged 0..N, unioned, and hash-bucketed by ``key``
+    ONCE — each feature row and each left row crosses the wire exactly
+    once, and the per-bucket kernel runs N sorted merge cursors
+    locally. Column names must be pairwise disjoint across all sides
+    (except ``key``).
+    """
+    rights = [(rds, rts, list(rcols)) for rds, rts, rcols in rights]
+    left_schema = arrow_schema(left_ds)
+    fields = list(left_schema)
+    seen = set(left_schema.names)
+    right_schemas = []
+    for rds, rts, rcols in rights:
+        rs = arrow_schema(rds)
+        right_schemas.append(rs)
+        for name in (rts, *rcols):
+            if name in seen:
+                raise ValueError(
+                    f"column {name!r} appears on more than one side; "
+                    "rename first")
+            seen.add(name)
+            fields.append(rs.field(name))
+    fields.append(pa.field(_SIDE, pa.int8()))
+    target = pa.schema(fields)
+
+    unioned = left_ds.map_batches(pad_to(target, _SIDE, 0),
+                                  batch_format="pyarrow")
+    for i, (rds, _, _) in enumerate(rights):
+        unioned = unioned.union(
+            rds.map_batches(pad_to(target, _SIDE, i + 1),
+                            batch_format="pyarrow"))
+
+    left_int_cols = {
+        f.name: f.type.to_pandas_dtype()
+        for f in left_schema
+        if pa.types.is_integer(f.type)
+    }
+    feat_cols = [c for _, rts, rcols in rights for c in (rts, *rcols)]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
+        out = df[df[_SIDE] == 0].drop(columns=[_SIDE, *feat_cols])
+        if out.empty:
+            out = df.iloc[0:0].drop(columns=[_SIDE])
+        else:
+            for i, (_, rts, rcols) in enumerate(rights):
+                right = df[df[_SIDE] == i + 1]
+                out = _merge_asof(
+                    out, right, key, left_ts, rts, rcols,
+                    tolerance_seconds,
+                )
+        for col, dtype in left_int_cols.items():
+            if col in out.columns and out[col].notna().all():
+                out[col] = out[col].astype(dtype)
+        return out
+
+    from ..stages.partition import resolve_exchange
+
+    if resolve_exchange(exchange) == "tasks":
+        from .partition import bucket_exchange
+
+        return bucket_exchange(unioned, [key], per_bucket, num_buckets)
+    bucketed = add_bucket(unioned, [key], num_buckets)
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        per_bucket, batch_format="pandas")
+
+
+__all__ = ["asof_join", "asof_join_broadcast", "asof_join_multi"]
