@@ -346,3 +346,46 @@ def test_topk_mixed_directions(ray_session):
     got = topk(_rd().from_pandas(df).repartition(2), ["s", "t"], k=3,
                descending=[True, False]).to_pandas()
     assert list(zip(got["s"], got["t"])) == [(2.0, "c"), (2.0, "d"), (1.0, "a")]
+
+
+# ------------------------------------------------------------ merge_upsert
+
+
+def test_merge_upsert_tombstones_and_order(ray_session):
+    from transmog_ray.stages.dedup import merge_upsert
+
+    base = pd.DataFrame({
+        "k": [1, 2, 3, 4],
+        "v": ["b1", "b2", "b3", "b4"],
+    })
+    delta = pd.DataFrame({
+        "k":   [1,    1,    2,        5,    5,        3],
+        "seq": [10,   20,   5,        1,    2,        7],
+        "v":   ["x",  "y",  "dead",   "n1", "dead2",  "z"],
+        "op":  ["upsert", "upsert", "delete", "upsert", "delete", "upsert"],
+    })
+    got = (
+        merge_upsert(_rd().from_pandas(base), _rd().from_pandas(delta),
+                     key="k", seq="seq", op_col="op", num_buckets=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    # k=1: latest delta seq=20 → y; k=2: tombstone → gone;
+    # k=3: delta beats base → z; k=4: base survives untouched;
+    # k=5: last op is delete → never appears
+    assert got["k"].tolist() == [1, 3, 4]
+    assert got["v"].tolist() == ["y", "z", "b4"]
+    assert "op" not in got.columns and "_upsert_rank" not in got.columns
+
+
+def test_merge_upsert_bootstrap_no_base(ray_session):
+    from transmog_ray.stages.dedup import merge_upsert
+
+    delta = pd.DataFrame({
+        "k": [1, 1, 2], "seq": [1, 2, 1], "v": ["a", "b", "c"],
+    })
+    got = (
+        merge_upsert(None, _rd().from_pandas(delta), key="k", seq="seq",
+                     num_buckets=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["v"].tolist() == ["b", "c"]

@@ -20,6 +20,8 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 SESSION_GAP_S = 1800
 ROLL_WINDOW_S = 3600
@@ -4520,6 +4522,82 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_upsert_user_state(sf_dir: str):
+    """CDC compaction: a per-user state snapshot is built from the
+    pre-cutoff half of the change log (merge_upsert bootstrap), then
+    the post-cutoff log is APPLIED to it (merge_upsert with tombstones:
+    'click' = delete). The two-stage composition equals the latest-op
+    rule over the whole log — which is exactly the SQL oracle."""
+    from ..stages.dedup import merge_upsert
+
+    def tag_op(t: pa.Table) -> pa.Table:
+        op = pc.if_else(pc.equal(t["event_type"], "click"),
+                        pa.scalar("delete"), pa.scalar("upsert"))
+        return t.drop_columns(["event_type"]).append_column("op", op)
+
+    # pyarrow batches throughout: zero-row pandas object blocks trip
+    # Ray's block size estimator (np.vectorize on size-0 input)
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"],
+                    num_blocks=8).map_batches(
+        tag_op, batch_format="pyarrow",
+    ).materialize()  # consumed by both halves
+    cutoff = pa.scalar(pd.Timestamp("2024-01-16"), type=pa.timestamp("us"))
+    pre = ev.map_batches(lambda t: t.filter(pc.less(t["ts"], cutoff)),
+                         batch_format="pyarrow")
+    post = ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], cutoff)),
+        batch_format="pyarrow")
+    base = merge_upsert(None, pre, key="user_id",
+                        seq=["ts", "event_id"], num_buckets=8)
+    state = merge_upsert(base, post, key="user_id",
+                         seq=["ts", "event_id"], op_col="op",
+                         num_buckets=8)
+    return state.map_batches(
+        lambda df: df[["user_id", "ts", "value"]], batch_format="pandas")
+
+
+SQL_UPSERT_USER_STATE = """
+SELECT user_id, ts, value FROM (
+  SELECT user_id, ts, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'click'
+"""
+
+
+def q_fixed_n_per_lang(sf_dir: str):
+    """EXACT-n stratified sample: 5 docs per language, chosen by
+    deterministic knuth-hash order (not a rate — a fixed budget per
+    stratum). grouped_topk machinery, ascending by hash."""
+    from ..functions.relational import grouped_topk
+    from ..functions.sampling import knuth_hash
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    hashed = docs.map_batches(
+        lambda df: df.assign(
+            h=knuth_hash(df["doc_id"].to_numpy()).astype("int64")),
+        batch_format="pandas",
+    )
+    out = grouped_topk(hashed, ["lang"], "h", k=5, descending=False,
+                       tiebreak=["doc_id"], num_buckets=4)
+    return out.map_batches(lambda df: df[["doc_id", "lang"]],
+                           batch_format="pandas")
+
+
+SQL_FIXED_N_PER_LANG = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -4653,6 +4731,8 @@ QUERIES = {
     "collocations_docs": q_collocations_docs,
     "pit_features_multi": q_pit_features_multi,
     "weighted_avg_discount": q_weighted_avg_discount,
+    "upsert_user_state": q_upsert_user_state,
+    "fixed_n_per_lang": q_fixed_n_per_lang,
 }
 
 ORACLE_SQL = {
@@ -4774,6 +4854,8 @@ ORACLE_SQL = {
     "collocations_docs": SQL_COLLOCATIONS,
     "pit_features_multi": SQL_PIT_MULTI,
     "weighted_avg_discount": SQL_WEIGHTED_AVG_DISCOUNT,
+    "upsert_user_state": SQL_UPSERT_USER_STATE,
+    "fixed_n_per_lang": SQL_FIXED_N_PER_LANG,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }

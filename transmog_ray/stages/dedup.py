@@ -196,4 +196,62 @@ def boilerplate_removal(
     return bucket_exchange(kept, [id_col], reassemble, num_buckets)
 
 
-__all__ = ["dedup_exact", "line_dedup", "boilerplate_removal"]
+def merge_upsert(
+    base_ds,
+    delta_ds,
+    key: Sequence[str] | str,
+    seq: Sequence[str] | str,
+    op_col: str | None = None,
+    delete_value: str = "delete",
+    num_buckets: int | None = None,
+):
+    """CDC log compaction: apply a change log (*delta*) to a snapshot
+    (*base*) — the crawl-store / feature-store refresh primitive.
+
+    Winner per key = the LATEST row: base rows rank below every delta
+    row of the same key (a snapshot is by definition older than its
+    log), delta rows order by ``seq`` (pass a composite, e.g.
+    ``["ts", "event_id"]``, for a total order). ``base_ds=None``
+    compacts the log alone (bootstrap). If ``op_col`` is given
+    and the winning row carries ``delete_value`` there, the key
+    disappears from the output (tombstone). Base-won rows keep their
+    state untouched.
+
+    ONE exchange: both sides pad to a union schema, tag, union, and
+    hash-bucket by key; the per-bucket kernel is a sort +
+    ``drop_duplicates(keep="last")`` — each row crosses the wire once,
+    the output is one row per surviving key.
+    """
+    from .common import arrow_schema, pad_to, union_schemas
+    from .partition import bucket_exchange
+
+    key = [key] if isinstance(key, str) else list(key)
+    seq = [seq] if isinstance(seq, str) else list(seq)
+    rank = "_upsert_rank"
+
+    delta_schema = arrow_schema(delta_ds)
+    base_schema = arrow_schema(base_ds) if base_ds is not None else delta_schema
+    target = union_schemas(base_schema, delta_schema, rank)
+    out_cols = [f.name for f in target if f.name != rank
+                and f.name != op_col]
+
+    unioned = delta_ds.map_batches(pad_to(target, rank, 1),
+                                   batch_format="pyarrow")
+    if base_ds is not None:
+        unioned = base_ds.map_batches(
+            pad_to(target, rank, 0), batch_format="pyarrow"
+        ).union(unioned)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([*key, rank, *seq], kind="mergesort")
+        out = df.drop_duplicates(subset=key, keep="last")
+        if op_col is not None:
+            # base winners have a padded-null op: never tombstones
+            out = out[out[op_col].astype(object).fillna("") != delete_value]
+        return out[out_cols]
+
+    return bucket_exchange(unioned, key, per_bucket, num_buckets)
+
+
+__all__ = ["dedup_exact", "line_dedup", "boilerplate_removal",
+           "merge_upsert"]
