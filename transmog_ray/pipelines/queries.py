@@ -4598,6 +4598,152 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_domain_capped_pages(sf_dir: str):
+    """Per-domain quota cap — the CommonCrawl curation move that stops
+    two hot domains owning the corpus: distinct urls, ≤3 per domain,
+    chosen by deterministic md5 order (so the cap is reproducible
+    across runs/shards, not first-seen). dedup + grouped_topk: two
+    bucketed exchanges, no global sort; the text/html columns never
+    leave storage."""
+    import hashlib
+
+    from ..functions.relational import grouped_topk
+    from ..stages.dedup import dedup_exact
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url"],
+                            override_num_blocks=16)
+    urls = dedup_exact(ds, ["url"], num_buckets=16)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        rest = df["url"].str.split("//", n=1).str[1]
+        df = df.assign(
+            domain=rest.str.split("/", n=1).str[0],
+            # rows are distinct post-dedup → one md5 per row is the
+            # floor; int(hex[:8],16) == DuckDB CAST(CONCAT('0x',...))
+            h=[int(hashlib.md5(u.encode()).hexdigest()[:8], 16)
+               for u in df["url"]],
+        )
+        df["h"] = df["h"].astype("int64")
+        return df
+
+    tagged = urls.map_batches(tag, batch_format="pandas")
+    out = grouped_topk(tagged, ["domain"], "h", k=3, descending=False,
+                       tiebreak=["url"], num_buckets=16)
+    return out.map_batches(lambda df: df[["domain", "url"]],
+                           batch_format="pandas")
+
+
+SQL_DOMAIN_CAPPED = f"""
+WITH u AS (
+  SELECT DISTINCT url FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), d AS (
+  SELECT url,
+         split_part(split_part(url, '//', 2), '/', 1) AS domain,
+         CAST(CONCAT('0x', substring(md5(url), 1, 8)) AS BIGINT) AS h
+  FROM u
+)
+SELECT domain, url FROM (
+  SELECT domain, url,
+         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, url) AS rn
+  FROM d
+) WHERE rn <= 3
+"""
+
+
+def q_decontam_exact_docs(sf_dir: str):
+    """EXACT-substring benchmark decontamination (the strict variant of
+    the n-gram check): needles = 40-char prefixes of a deterministic
+    doc subset, broadcast once; a doc is contaminated if ANY needle
+    occurs verbatim anywhere in its text. Returns (doc_id, n_hits) for
+    contaminated docs. Zero shuffle: needles ride the closure, the
+    corpus streams; per-needle vectorized str.contains(regex=False)."""
+    needles_df = read_small(sf_dir, "documents", columns=["doc_id", "text"])
+    needles_df = needles_df[
+        (needles_df["doc_id"] % 97 == 0)
+        & needles_df["text"].notna()
+        & (needles_df["text"].str.len() >= 40)
+    ]
+    needles = [t[:40] for t in needles_df["text"]]
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        ok = text.notna()
+        n = np.zeros(len(df), dtype=np.int64)
+        for s in needles:
+            n[ok.to_numpy()] += (
+                text[ok].str.contains(s, regex=False).to_numpy(np.int64)
+            )
+        out = df.loc[n > 0, ["doc_id"]].copy()
+        out["n_hits"] = n[n > 0]
+        return out
+
+    return docs.map_batches(hits, batch_format="pandas")
+
+
+SQL_DECONTAM_EXACT = """
+WITH needles AS (
+  SELECT substring(text, 1, 40) AS s FROM documents
+  WHERE doc_id % 97 = 0 AND text IS NOT NULL AND length(text) >= 40
+)
+SELECT d.doc_id, COUNT(*) AS n_hits
+FROM documents d, needles n
+WHERE d.text IS NOT NULL AND position(n.s IN d.text) > 0
+GROUP BY d.doc_id
+"""
+
+
+def q_transition_counts(sf_dir: str):
+    """Event-type Markov transition matrix: global count of each
+    (prev_type → type) pair under per-user (ts, event_id) order — the
+    behavioral-model sufficient statistic. One exchange co-locates each
+    user's history; per-bucket partial counts (≤ |types|² rows) combine
+    in a second, tiny exchange — full rows never re-shuffle."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8)
+
+    def per_user_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["event_type"].shift(1)
+        pairs = pd.DataFrame({"prev_type": prev,
+                              "event_type": df["event_type"]})
+        pairs = pairs[pairs["prev_type"].notna()]
+        out = (pairs.groupby(["prev_type", "event_type"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = bucket_exchange(ev, ["user_id"], per_user_bucket,
+                               num_buckets=8)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["prev_type", "event_type"], sort=False)["n"]
+               .sum().astype("int64").reset_index())
+        return out
+
+    return bucket_exchange(partials, ["prev_type", "event_type"], combine,
+                           num_buckets=2)
+
+
+SQL_TRANSITION_COUNTS = """
+WITH t AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -4733,6 +4879,9 @@ QUERIES = {
     "weighted_avg_discount": q_weighted_avg_discount,
     "upsert_user_state": q_upsert_user_state,
     "fixed_n_per_lang": q_fixed_n_per_lang,
+    "domain_capped_pages": q_domain_capped_pages,
+    "decontam_exact_docs": q_decontam_exact_docs,
+    "transition_counts": q_transition_counts,
 }
 
 ORACLE_SQL = {
@@ -4856,6 +5005,9 @@ ORACLE_SQL = {
     "weighted_avg_discount": SQL_WEIGHTED_AVG_DISCOUNT,
     "upsert_user_state": SQL_UPSERT_USER_STATE,
     "fixed_n_per_lang": SQL_FIXED_N_PER_LANG,
+    "domain_capped_pages": SQL_DOMAIN_CAPPED,
+    "decontam_exact_docs": SQL_DECONTAM_EXACT,
+    "transition_counts": SQL_TRANSITION_COUNTS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
