@@ -82,15 +82,20 @@ def test_unpivot_roundtrip(ray_session):
 # ------------------------------------------------------ exact_quantiles
 
 
-def test_exact_quantiles_matches_sorted_selection(ray_session):
+def test_exact_quantiles_matches_duckdb(ray_session):
+    import duckdb
+
     rng = np.random.default_rng(11)
-    v = np.r_[rng.normal(100, 30, 20_000), rng.integers(0, 5, 5_000)].astype(float)
+    # deliberately non-round n: q·n is NOT an integer, so the
+    # ceil(q·n)−1 and floor(q·(n−1)) conventions pick DIFFERENT ranks
+    v = np.r_[rng.normal(100, 30, 19_993), rng.integers(0, 5, 5_004)].astype(float)
     df = pd.DataFrame({"x": v})
     ds = _rd().from_pandas(df).repartition(8)
     qs = (0.1, 0.5, 0.9)
     got = exact_quantiles(ds, "x", qs, num_bins=64, driver_cap=500)
-    s = np.sort(v)
-    want = [float(s[int(np.floor(q * (len(s) - 1)))]) for q in qs]
+    con = duckdb.connect()
+    want = [con.execute("SELECT quantile_disc(x, ?) FROM df", [q]).fetchone()[0]
+            for q in qs]
     assert got == want  # bit-exact: actual elements
 
 

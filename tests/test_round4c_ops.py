@@ -32,7 +32,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize(
-    "name", ["domain_capped_pages", "decontam_exact_docs", "transition_counts"]
+    "name", ["domain_capped_pages", "decontam_exact_docs", "transition_counts",
+             "lang_length_quantiles", "systematic_sample_events"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

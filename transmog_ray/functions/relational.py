@@ -1379,7 +1379,9 @@ def exact_quantiles(
     max_rounds: int = 8,
 ) -> list[float]:
     """EXACT global order statistics (DuckDB ``quantile_disc``: the
-    element at 0-indexed rank ``floor(q·(n-1))``) without a global sort.
+    element at 0-indexed rank ``ceil(q·n)−1`` — probed empirically
+    against DuckDB 1.x; NOT ``floor(q·(n−1))``, which only coincides
+    when ``q·n`` is an integer) without a global sort.
 
     Iterative histogram refinement: a first pass computes (n, min, max);
     each refinement pass streams the column once, counting values below
@@ -1411,7 +1413,7 @@ def exact_quantiles(
     n = int(mm["n"].sum())
     glo, ghi = float(mm["lo"].min()), float(mm["hi"].max())
     # 0-indexed target ranks (quantile_disc convention)
-    ranks = [min(int(np.floor(q * (n - 1))), n - 1) for q in qs]
+    ranks = [min(max(int(np.ceil(q * n)) - 1, 0), n - 1) for q in qs]
 
     def _hist_pass(lo: float, hi: float):
         """One scan: (#values < lo, per-bin counts of values in

@@ -4744,6 +4744,82 @@ GROUP BY prev_type, event_type
 """
 
 
+def q_lang_length_quantiles(sf_dir: str):
+    """PER-GROUP exact order statistics (quantile_disc semantics:
+    element at 0-indexed rank ceil(q·n)−1, probed empirically — NOT
+    the floor(q·(n−1)) convention) — doc-length quartiles
+    per language, the per-stratum length-filter calibration. One
+    exchange co-locates each language's lengths; the kernel selects
+    ranks from a single sort per group. Selecting ACTUAL elements keeps
+    int64 exactness — no interpolation, no rounding pact."""
+    from ..stages.partition import bucket_exchange
+
+    QS = [0.25, 0.5, 0.75]
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["lang"].is_valid(),
+                                   t["n_chars"].is_valid())),
+        batch_format="pyarrow",
+    )
+
+    def per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang", sort=False):
+            v = np.sort(g["n_chars"].to_numpy(np.int64))
+            for q in QS:
+                rows.append((lang, q,
+                             v[min(int(np.ceil(q * len(v))) - 1,
+                                   len(v) - 1)]))
+        return pd.DataFrame(rows, columns=["lang", "q", "v"]).astype(
+            {"q": "float64", "v": "int64"})
+
+    return bucket_exchange(docs, ["lang"], per_lang, num_buckets=4)
+
+
+SQL_LANG_LENGTH_QUANTILES = """
+SELECT lang,
+       unnest([0.25, 0.5, 0.75]) AS q,
+       unnest(quantile_disc(n_chars, [0.25, 0.5, 0.75])) AS v
+FROM documents
+WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+GROUP BY lang
+"""
+
+
+def q_systematic_sample_events(sf_dir: str):
+    """Systematic (every k-th in GLOBAL order) sampling — the classic
+    survey design, and a determinism stress test: global ROW_NUMBER
+    without a global sort, via the distributed ordered scan (range cuts
+    + broadcast offsets). event_id is unique so the scan's RANGE-frame
+    peer rule degenerates to exact row positions."""
+    from ..functions.relational import ordered_scan
+
+    K = 50
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts"],
+                    num_blocks=8).map_batches(
+        lambda t: t.append_column("one", pa.array([1] * t.num_rows,
+                                                  pa.int64())),
+        batch_format="pyarrow",
+    )
+    scanned = ordered_scan(ev, "event_id", "one", out_col="rn",
+                           num_buckets=8)
+    return scanned.map_batches(
+        lambda df: df.loc[df["rn"] % K == 1,
+                          ["event_id", "user_id", "ts", "rn"]],
+        batch_format="pandas",
+    )
+
+
+SQL_SYSTEMATIC_SAMPLE = """
+SELECT event_id, user_id, ts, rn FROM (
+  SELECT event_id, user_id, ts,
+         ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn % 50 = 1
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -4882,6 +4958,8 @@ QUERIES = {
     "domain_capped_pages": q_domain_capped_pages,
     "decontam_exact_docs": q_decontam_exact_docs,
     "transition_counts": q_transition_counts,
+    "lang_length_quantiles": q_lang_length_quantiles,
+    "systematic_sample_events": q_systematic_sample_events,
 }
 
 ORACLE_SQL = {
@@ -5008,6 +5086,8 @@ ORACLE_SQL = {
     "domain_capped_pages": SQL_DOMAIN_CAPPED,
     "decontam_exact_docs": SQL_DECONTAM_EXACT,
     "transition_counts": SQL_TRANSITION_COUNTS,
+    "lang_length_quantiles": SQL_LANG_LENGTH_QUANTILES,
+    "systematic_sample_events": SQL_SYSTEMATIC_SAMPLE,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
