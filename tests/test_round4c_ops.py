@@ -44,6 +44,33 @@ def test_new_query_matches_oracle(ray_session, name):
     assert len(got) > 0
 
 
+def test_table_diff_statuses_and_null_safety(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import table_diff
+
+    a = pd.DataFrame({
+        "k": [1, 2, 3, 4, 5],
+        "x": [1.0, 2.0, np.nan, 4.0, 5.0],
+        "s": ["a", "b", "c", None, "e"],
+    })
+    b = pd.DataFrame({
+        "k": [1, 2, 3, 4, 6],
+        "x": [1.0, 2.5, np.nan, 4.0, 6.0],   # k=2 changed; k=3 NULL==NULL
+        "s": ["a", "b", "c", "d", "f"],      # k=4: NULL -> 'd' counts
+    })
+    got = (
+        table_diff(rd.from_pandas(a).repartition(2),
+                   rd.from_pandas(b).repartition(3), keys="k", num_buckets=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [2, 4, 5, 6]
+    assert got["status"].tolist() == ["changed", "changed", "only_a", "only_b"]
+    assert got["n_cols_changed"].tolist() == [1, 1, 0, 0]
+    # k=1 (identical) and k=3 (NULL==NULL) emit nothing
+
+
 def test_domain_cap_is_three_per_domain(ray_session):
     from transmog_ray.pipelines.queries import QUERIES
 

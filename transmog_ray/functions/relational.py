@@ -899,6 +899,77 @@ def set_op(
     )
 
 
+def table_diff(
+    ds_a,
+    ds_b,
+    keys: Sequence[str] | str,
+    num_buckets: int | None = None,
+):
+    """Distributed table reconciliation — the cross-run regression check:
+    compare two runs of a pipeline (or a snapshot vs a rebuild) on a
+    unique key and emit ONE row per differing key with
+    ``status ∈ {'only_a', 'only_b', 'changed'}`` and
+    ``n_cols_changed`` (count of non-key columns that differ, NULL-safe
+    ``IS DISTINCT FROM`` semantics; 0 for one-sided keys). Matching keys
+    with identical rows emit nothing, so the output is small whenever
+    the tables mostly agree — the common case this exists for.
+
+    Both sides must share a schema and have at most one row per key.
+    ONE exchange: side-tag, union, hash-bucket by key; the per-bucket
+    kernel does a vectorized outer merge + column-wise NULL-safe
+    compare. Each row crosses the wire once.
+    """
+    from ..stages.common import arrow_schema
+    from ..stages.partition import bucket_exchange, default_num_buckets
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cols = list(arrow_schema(ds_a).names)
+    if set(cols) != set(arrow_schema(ds_b).names):
+        raise ValueError("table_diff inputs must share columns")
+    val_cols = [c for c in cols if c not in keys]
+
+    def tag(side: int):
+        # pyarrow, not pandas: a filtered-empty upstream block with an
+        # object column would spam Ray's pandas block size estimator
+        def f(t):
+            import pyarrow as pa
+
+            return t.select(cols).append_column(
+                "_side", pa.array(np.full(t.num_rows, side, np.int64))
+            )
+
+        return f
+
+    unioned = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["_side"] == 0]
+        b = df[df["_side"] == 1]
+        m = a.merge(b, on=keys, how="outer", suffixes=("_a", "_b"),
+                    indicator=True)
+        status = m["_merge"].map(
+            {"left_only": "only_a", "right_only": "only_b", "both": "changed"}
+        ).astype(object)
+        n_changed = np.zeros(len(m), dtype=np.int64)
+        both = (m["_merge"] == "both").to_numpy()
+        for c in val_cols:
+            va, vb = m[f"{c}_a"], m[f"{c}_b"]
+            na, nb = va.isna().to_numpy(), vb.isna().to_numpy()
+            # IS DISTINCT FROM: NULL==NULL, NULL!=value, else !=
+            same = (va == vb).to_numpy() | (na & nb)
+            n_changed += (both & ~same).astype(np.int64)
+        out = m[keys].copy()
+        out["status"] = status
+        out["n_cols_changed"] = n_changed
+        # identical both-side rows are NOT differences
+        return out[(~both) | (n_changed > 0)]
+
+    return bucket_exchange(unioned, keys, diff,
+                           num_buckets or default_num_buckets())
+
+
 def semi_join(ds, keys_df: pd.DataFrame, on: Sequence[str] | str,
               anti: bool = False):
     """Semi/anti join: keep rows whose key IS (or is NOT) in the broadcast
@@ -1494,4 +1565,5 @@ __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_topk",
            "grouped_quantile",
            "hopping_window_agg", "HyperLogLog", "approx_distinct",
            "range_join", "pivot_count", "grouped_corr", "set_op",
-           "grouping_sets_agg", "rollup_agg", "cube_agg", "ordered_scan", "profile_table"]
+           "grouping_sets_agg", "rollup_agg", "cube_agg", "ordered_scan", "profile_table",
+           "table_diff"]

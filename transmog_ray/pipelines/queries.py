@@ -4820,6 +4820,71 @@ SELECT event_id, user_id, ts, rn FROM (
 """
 
 
+def q_table_diff_orders(sf_dir: str):
+    """Cross-run reconciliation: diff two runs of a pipeline on a unique
+    key (here: orders vs a deterministically perturbed rebuild — 1/997
+    keys dropped, 1/61 prices bumped, 1/991 rows added under new keys).
+    One co-bucketed exchange; output is one row per DIFFERING key only,
+    so it stays tiny when the runs mostly agree — the regression-check
+    shape a 100-TB rebuild needs."""
+    from ..functions.relational import table_diff
+
+    base = read_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+                      num_blocks=8).map_batches(
+        lambda t: t.rename_columns(["k", "status_c", "price"]),
+        batch_format="pyarrow",
+    ).materialize()  # consumed as side A and twice for building side B
+
+    def perturb(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        t = t.filter(pa.array(k % 997 != 0))
+        k = t["k"].to_numpy()
+        price = t["price"].to_numpy(zero_copy_only=False).copy()
+        price[k % 61 == 0] += 1.0
+        return t.set_column(t.schema.get_field_index("price"), "price",
+                            pa.array(price, pa.float64()))
+
+    def extra(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t["k"].to_numpy() % 991 == 0))
+        return t.set_column(t.schema.get_field_index("k"), "k",
+                            pc.add(t["k"], pa.scalar(900_000_000,
+                                                     pa.int64())))
+
+    b = base.map_batches(perturb, batch_format="pyarrow").union(
+        base.map_batches(extra, batch_format="pyarrow"))
+    return table_diff(base, b, keys="k", num_buckets=8)
+
+
+SQL_TABLE_DIFF_ORDERS = """
+WITH a AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status_c,
+         o_totalprice AS price
+  FROM orders
+), b0 AS (
+  SELECT k, status_c,
+         CASE WHEN k % 61 = 0 THEN price + 1.0 ELSE price END AS price
+  FROM a WHERE k % 997 <> 0
+), bx AS (
+  SELECT k + 900000000 AS k, status_c, price FROM a WHERE k % 991 = 0
+), b AS (
+  SELECT * FROM b0 UNION ALL SELECT * FROM bx
+)
+SELECT COALESCE(a.k, b.k) AS k,
+       CASE WHEN a.k IS NULL THEN 'only_b'
+            WHEN b.k IS NULL THEN 'only_a'
+            ELSE 'changed' END AS status,
+       CASE WHEN a.k IS NULL OR b.k IS NULL THEN 0
+            ELSE CAST(a.status_c IS DISTINCT FROM b.status_c AS BIGINT)
+               + CAST(a.price IS DISTINCT FROM b.price AS BIGINT)
+       END AS n_cols_changed
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL
+   OR a.status_c IS DISTINCT FROM b.status_c
+   OR a.price IS DISTINCT FROM b.price
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -4960,6 +5025,7 @@ QUERIES = {
     "transition_counts": q_transition_counts,
     "lang_length_quantiles": q_lang_length_quantiles,
     "systematic_sample_events": q_systematic_sample_events,
+    "table_diff_orders": q_table_diff_orders,
 }
 
 ORACLE_SQL = {
@@ -5088,6 +5154,7 @@ ORACLE_SQL = {
     "transition_counts": SQL_TRANSITION_COUNTS,
     "lang_length_quantiles": SQL_LANG_LENGTH_QUANTILES,
     "systematic_sample_events": SQL_SYSTEMATIC_SAMPLE,
+    "table_diff_orders": SQL_TABLE_DIFF_ORDERS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
