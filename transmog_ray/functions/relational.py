@@ -982,20 +982,19 @@ def semi_join(ds, keys_df: pd.DataFrame, on: Sequence[str] | str,
     on = [on] if isinstance(on, str) else list(on)
     key_set = keys_df[on].drop_duplicates()
     ref = ray.put(
-        set(map(tuple, key_set.itertuples(index=False)))
-        if len(on) > 1
-        else set(key_set[on[0]])
+        key_set if len(on) > 1 else set(key_set[on[0]])
     )
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         keys = ray.get(ref)
         if len(on) == 1:
-            mask = df[on[0]].isin(keys)
+            mask = df[on[0]].isin(keys).to_numpy()
         else:
-            mask = pd.Series(
-                [t in keys for t in map(tuple, df[on].itertuples(index=False))],
-                index=df.index,
-            )
+            # vectorized membership: left merge against the (unique) key
+            # frame preserves left row order, so the hit flag aligns
+            # positionally — no per-row tuple loop
+            hit = df[on].merge(keys.assign(_hit=True), on=on, how="left")
+            mask = hit["_hit"].notna().to_numpy()
         return df[~mask] if anti else df[mask]
 
     return ds.map_batches(probe, batch_format="pandas")

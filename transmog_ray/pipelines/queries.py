@@ -4885,6 +4885,41 @@ WHERE a.k IS NULL OR b.k IS NULL
 """
 
 
+def q_winsorized_events(sf_dir: str):
+    """Winsorization at EXACT global p05/p95 (actual elements via the
+    histogram-refinement quantile pass — no global sort), then a
+    map-only clip. Selecting real elements keeps the clip float-bit-
+    exact against SQL; NULL values pass through untouched."""
+    from ..functions.relational import exact_quantiles
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"],
+                    num_blocks=8).materialize()  # quantile scans + clip
+    lo, hi = exact_quantiles(ev, "value", (0.05, 0.95))
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = t["value"]
+        w = pc.if_else(pc.less(v, lo), pa.scalar(lo, pa.float64()),
+                       pc.if_else(pc.greater(v, hi),
+                                  pa.scalar(hi, pa.float64()), v))
+        return t.drop_columns(["value"]).append_column("value_w", w)
+
+    return ev.map_batches(clip, batch_format="pyarrow")
+
+
+SQL_WINSORIZED_EVENTS = """
+WITH q AS (
+  SELECT quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN value < lo THEN lo
+            WHEN value > hi THEN hi
+            ELSE value END AS value_w
+FROM events, q
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5026,6 +5061,7 @@ QUERIES = {
     "lang_length_quantiles": q_lang_length_quantiles,
     "systematic_sample_events": q_systematic_sample_events,
     "table_diff_orders": q_table_diff_orders,
+    "winsorized_events": q_winsorized_events,
 }
 
 ORACLE_SQL = {
@@ -5155,6 +5191,7 @@ ORACLE_SQL = {
     "lang_length_quantiles": SQL_LANG_LENGTH_QUANTILES,
     "systematic_sample_events": SQL_SYSTEMATIC_SAMPLE,
     "table_diff_orders": SQL_TABLE_DIFF_ORDERS,
+    "winsorized_events": SQL_WINSORIZED_EVENTS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
