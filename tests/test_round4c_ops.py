@@ -5,6 +5,7 @@ oracle at sf0.001 (the driver re-checks at sf0.01)."""
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -21,6 +22,15 @@ def _oracle(sql: str) -> pd.DataFrame:
         return con.execute(sql).df()
     finally:
         con.close()
+
+
+def _fetch(ds, cols) -> pd.DataFrame:
+    """to_pandas with the zero-row guard: an empty Ray Dataset loses its
+    columns through to_pandas() even when ds.schema() is intact."""
+    df = ds.to_pandas()
+    if df.empty and not set(cols) <= set(df.columns):
+        return pd.DataFrame({c: [] for c in cols})
+    return df[list(cols)]
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -69,6 +79,106 @@ def test_table_diff_statuses_and_null_safety(ray_session):
     assert got["status"].tolist() == ["changed", "changed", "only_a", "only_b"]
     assert got["n_cols_changed"].tolist() == [1, 1, 0, 0]
     # k=1 (identical) and k=3 (NULL==NULL) emit nothing
+
+
+class TestMergeUpsertProperty:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    logs = st.lists(
+        st.tuples(st.integers(0, 6),            # key
+                  st.integers(0, 20),           # seq (ties allowed)
+                  st.integers(0, 99),           # payload
+                  st.booleans()),               # delete?
+        min_size=1, max_size=40,
+    )
+    bases = st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 99)),
+        max_size=8, unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(log=logs, base=bases)
+    def test_matches_latest_op_rule(self, ray_session, log, base):
+        import ray.data as rd
+
+        from transmog_ray.stages.dedup import merge_upsert
+
+        delta = pd.DataFrame(log, columns=["k", "seq", "v", "is_del"])
+        delta["rid"] = np.arange(len(delta))  # total-order tiebreak
+        delta["op"] = np.where(delta["is_del"], "delete", "upsert").astype(object)
+        delta = delta.drop(columns=["is_del"])
+        base_df = pd.DataFrame(base, columns=["k", "v"])
+
+        got = _fetch(
+            merge_upsert(
+                rd.from_pandas(base_df).repartition(2) if len(base_df) else None,
+                rd.from_pandas(delta).repartition(2),
+                key="k", seq=["seq", "rid"], op_col="op", num_buckets=2,
+            ),
+            ["k", "v"],
+        ).sort_values("k").reset_index(drop=True)
+
+        # oracle: base rows rank below all delta rows; latest op wins;
+        # delete tombstones the key
+        d = delta.sort_values(["seq", "rid"]).drop_duplicates("k", keep="last")
+        want = {}
+        for k, v in zip(base_df["k"], base_df["v"]):
+            want[k] = v
+        for row in d.itertuples(index=False):
+            if row.op == "delete":
+                want.pop(row.k, None)
+            else:
+                want[row.k] = row.v
+        want_df = (pd.DataFrame(sorted(want.items()), columns=["k", "v"])
+                   if want else pd.DataFrame(columns=["k", "v"]))
+        assert got["k"].tolist() == want_df["k"].tolist()
+        assert got["v"].tolist() == want_df["v"].tolist()
+
+
+class TestTableDiffProperty:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frames = st.lists(
+        st.tuples(st.integers(0, 9),
+                  st.one_of(st.none(), st.integers(0, 3)),
+                  st.one_of(st.none(), st.sampled_from("abc"))),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(a=frames, b=frames)
+    def test_matches_outer_merge_oracle(self, ray_session, a, b):
+        import ray.data as rd
+
+        from transmog_ray.functions.relational import table_diff
+
+        adf = pd.DataFrame(a, columns=["k", "x", "s"])
+        bdf = pd.DataFrame(b, columns=["k", "x", "s"])
+        got = _fetch(
+            table_diff(rd.from_pandas(adf).repartition(2),
+                       rd.from_pandas(bdf).repartition(2),
+                       keys="k", num_buckets=2),
+            ["k", "status", "n_cols_changed"],
+        ).sort_values("k").reset_index(drop=True)
+        amap = {r.k: (r.x, r.s) for r in adf.itertuples(index=False)}
+        bmap = {r.k: (r.x, r.s) for r in bdf.itertuples(index=False)}
+        want = []
+        for k in sorted(set(amap) | set(bmap)):
+            if k not in bmap:
+                want.append((k, "only_a", 0))
+            elif k not in amap:
+                want.append((k, "only_b", 0))
+            else:
+                n = sum(
+                    not (pd.isna(va) and pd.isna(vb)) and va != vb
+                    for va, vb in zip(amap[k], bmap[k])
+                )
+                if n:
+                    want.append((k, "changed", n))
+        assert list(map(tuple, got[["k", "status", "n_cols_changed"]]
+                        .itertuples(index=False))) == want
 
 
 def test_domain_cap_is_three_per_domain(ray_session):

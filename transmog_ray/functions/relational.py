@@ -918,6 +918,10 @@ def table_diff(
     ONE exchange: side-tag, union, hash-bucket by key; the per-bucket
     kernel does a vectorized outer merge + column-wise NULL-safe
     compare. Each row crosses the wire once.
+
+    When the tables are IDENTICAL the result Dataset is empty, and a
+    zero-row Ray Dataset loses its columns through ``to_pandas()`` —
+    callers selecting columns from the diff must guard that case.
     """
     from ..stages.common import arrow_schema
     from ..stages.partition import bucket_exchange, default_num_buckets

@@ -221,6 +221,10 @@ def merge_upsert(
     hash-bucket by key; the per-bucket kernel is a sort +
     ``drop_duplicates(keep="last")`` — each row crosses the wire once,
     the output is one row per surviving key.
+
+    If every key is tombstoned the result Dataset is empty, and a
+    zero-row Ray Dataset loses its columns through ``to_pandas()`` —
+    callers selecting columns must guard that case.
     """
     from .common import arrow_schema, pad_to, union_schemas
     from .partition import bucket_exchange
