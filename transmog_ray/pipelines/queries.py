@@ -4658,16 +4658,23 @@ def q_decontam_exact_docs(sf_dir: str):
     occurs verbatim anywhere in its text. Returns (doc_id, n_hits) for
     contaminated docs. Zero shuffle: needles ride the closure, the
     corpus streams; per-needle vectorized str.contains(regex=False)."""
-    needles_df = read_small(sf_dir, "documents", columns=["doc_id", "text"])
-    needles_df = needles_df[
-        (needles_df["doc_id"] % 97 == 0)
-        & needles_df["text"].notna()
-        & (needles_df["text"].str.len() >= 40)
-    ]
-    needles = [t[:40] for t in needles_df["text"]]
-
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
-                      num_blocks=8)
+                      num_blocks=8).materialize()  # needle pass + scan
+
+    def pick_needles(df: pd.DataFrame) -> pa.Table:
+        m = ((df["doc_id"] % 97 == 0) & df["text"].notna()
+             & (df["text"].str.len() >= 40))
+        # typed arrow output: a zero-needle batch as a pandas object
+        # column would trip Ray's block size estimator
+        return pa.Table.from_arrays(
+            [pa.array(df.loc[m, "text"].str[:40].tolist(), pa.string())],
+            names=["s"])
+
+    # needle extraction runs DISTRIBUTED; only the tiny needle set
+    # (1/97 of doc ids) is pulled driver-side for the broadcast
+    needles = docs.map_batches(pick_needles,
+                               batch_format="pandas").to_pandas()
+    needles = [] if needles.empty else needles["s"].tolist()
 
     def hits(df: pd.DataFrame) -> pd.DataFrame:
         text = df["text"]
@@ -4920,6 +4927,62 @@ FROM events, q
 """
 
 
+def q_scd2_user_tier(sf_dir: str):
+    """SCD-2 validity-interval lookup — the feature-store dimension
+    join: each user's purchases define tier versions with
+    [valid_from, valid_to) intervals (tier = purchase ordinal,
+    valid_to = next purchase); every click joins the tier valid AT its
+    timestamp. One exchange co-locates a user's full history; the
+    kernel is fully vectorized: sort with purchases BEFORE clicks at
+    equal ts (interval start is inclusive), cumsum purchase flags, take
+    clicks. Clicks before any purchase drop out (inner join)."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"],
+                                    pa.array(["click", "purchase"]))),
+        batch_format="pyarrow",
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        is_click = (df["event_type"] == "click").to_numpy()
+        # purchases sort BEFORE clicks at equal (user, ts): a purchase
+        # at exactly a click's ts starts an interval the click is in
+        df = df.assign(_c=is_click.astype(np.int8)).sort_values(
+            ["user_id", "ts", "_c", "event_id"], kind="mergesort")
+        is_p = (df["event_type"] == "purchase").to_numpy(np.int64)
+        tier = (pd.Series(is_p, index=df.index)
+                .groupby(df["user_id"], sort=False).cumsum())
+        out = df[(df["_c"] == 1)].assign(tier=tier[df["_c"] == 1])
+        out = out[out["tier"] > 0]
+        return out[["event_id", "user_id", "ts", "tier"]].astype(
+            {"tier": "int64"})
+
+    return bucket_exchange(ev, ["user_id"], kernel, num_buckets=8)
+
+
+SQL_SCD2_USER_TIER = """
+WITH purch AS (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS tier
+  FROM events WHERE event_type = 'purchase'
+), dim AS (
+  SELECT user_id, tier, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM purch
+)
+SELECT c.event_id, c.user_id, c.ts, d.tier
+FROM events c JOIN dim d
+  ON c.user_id = d.user_id AND c.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+WHERE c.event_type = 'click'
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5062,6 +5125,7 @@ QUERIES = {
     "systematic_sample_events": q_systematic_sample_events,
     "table_diff_orders": q_table_diff_orders,
     "winsorized_events": q_winsorized_events,
+    "scd2_user_tier": q_scd2_user_tier,
 }
 
 ORACLE_SQL = {
@@ -5192,6 +5256,7 @@ ORACLE_SQL = {
     "systematic_sample_events": SQL_SYSTEMATIC_SAMPLE,
     "table_diff_orders": SQL_TABLE_DIFF_ORDERS,
     "winsorized_events": SQL_WINSORIZED_EVENTS,
+    "scd2_user_tier": SQL_SCD2_USER_TIER,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
