@@ -181,6 +181,38 @@ class TestTableDiffProperty:
                         .itertuples(index=False))) == want
 
 
+def test_weighted_quantiles_matches_cumweight_rule(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import weighted_quantiles
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(50, 20, 4001)
+    w = rng.integers(1, 9, 4001)
+    ds = rd.from_pandas(pd.DataFrame({"v": v, "w": w})).repartition(4)
+    got = weighted_quantiles(ds, "v", "w", (0.25, 0.5, 0.9),
+                             num_bins=64, driver_cap=500)
+    order = np.argsort(v)
+    cw = np.cumsum(w[order])
+    tot = cw[-1]
+    want = [float(v[order][np.searchsorted(cw, q * tot, side="left")])
+            for q in (0.25, 0.5, 0.9)]
+    assert got == want
+
+
+def test_weighted_quantiles_duplicate_mass(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import weighted_quantiles
+
+    # one value carries 90% of the weight: refinement stalls and must
+    # resolve through the candidate pull
+    df = pd.DataFrame({"v": np.r_[np.full(50, 7.0), np.arange(50.0)],
+                       "w": np.r_[np.full(50, 100), np.full(50, 1)]})
+    ds = rd.from_pandas(df).repartition(3)
+    assert weighted_quantiles(ds, "v", "w", (0.5,), num_bins=16) == [7.0]
+
+
 def test_domain_cap_is_three_per_domain(ray_session):
     from transmog_ray.pipelines.queries import QUERIES
 

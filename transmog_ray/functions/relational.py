@@ -1563,10 +1563,116 @@ def exact_quantiles(
     return out
 
 
+def weighted_quantiles(
+    ds,
+    col: str,
+    weight: str,
+    qs: Sequence[float],
+    num_bins: int = 4096,
+    driver_cap: int = 1_000_000,
+    max_rounds: int = 8,
+) -> list[float]:
+    """EXACT weighted quantiles without a global sort: the smallest
+    value ``v`` whose cumulative weight reaches ``q·Σw`` (the standard
+    weighted-median generalization; SQL mirror is
+    ``MIN(v) WHERE SUM(w) OVER (ORDER BY v) >= q * total``).
+
+    Same histogram-refinement scheme as :func:`exact_quantiles`, with
+    weight MASS in place of row counts: each pass streams (col, weight)
+    once and ships O(num_bins) weight sums; the candidate pull selects
+    on an exact integer cumsum. Weights must be non-negative integers
+    (int64 sums stay exact; the ``q·Σw`` threshold compare is exact in
+    float for totals < 2^53). NULL values / weights are ignored.
+    """
+    qs = list(qs)
+
+    def prep(df: pd.DataFrame):
+        v = df[col].to_numpy(dtype=np.float64)
+        w = df[weight].to_numpy(dtype=np.float64)
+        ok = ~(np.isnan(v) | np.isnan(w))
+        return v[ok], w[ok].astype(np.int64)
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        v, w = prep(df)
+        if not len(v):
+            return pd.DataFrame({"lo": [], "hi": [], "wsum": []})
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()],
+                             "wsum": [np.int64(w.sum())]})
+
+    mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    if mm.empty or mm["wsum"].sum() == 0:
+        return [float("nan")] * len(qs)
+    total = int(mm["wsum"].sum())
+    glo, ghi = float(mm["lo"].min()), float(mm["hi"].max())
+    thresholds = [q * total for q in qs]
+
+    def _hist_pass(lo: float, hi: float):
+        width = (hi - lo) / num_bins or 1.0
+
+        def hist(df: pd.DataFrame) -> pd.DataFrame:
+            v, w = prep(df)
+            below = np.int64(w[v < lo].sum())
+            m = (v >= lo) & (v <= hi)
+            inr, winr = v[m], w[m]
+            b = np.minimum((inr - lo) / width, num_bins - 1).astype(np.int64)
+            cnt = np.bincount(b, weights=winr, minlength=num_bins).astype(
+                np.int64)
+            nz = np.flatnonzero(cnt)
+            return pd.DataFrame({
+                "bin": np.r_[np.int64(-1), nz],
+                "cnt": np.r_[below, cnt[nz]],
+            })
+
+        parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+        agg = parts.groupby("bin")["cnt"].sum()
+        below = int(agg.get(-1, 0))
+        counts = np.zeros(num_bins, dtype=np.int64)
+        present = agg.index[agg.index >= 0].to_numpy()
+        counts[present] = agg.loc[present].to_numpy()
+        return below, counts, width
+
+    out: list[float] = []
+    for t in thresholds:
+        lo, hi = glo, ghi
+        prev_in_range = None
+        for _ in range(max_rounds):
+            lo_, hi_ = lo, hi
+
+            def pull(df: pd.DataFrame) -> pd.DataFrame:
+                v, w = prep(df)
+                m = (v >= lo_) & (v <= hi_)
+                return pd.DataFrame({col: v[m], weight: w[m]})
+
+            below, counts, width = _hist_pass(lo, hi)
+            in_rows = int((counts > 0).sum())  # proxy; pull is row-bounded
+            stalled = (prev_in_range is not None
+                       and int(counts.sum()) >= 0.9 * prev_in_range)
+            prev_in_range = int(counts.sum())
+            if in_rows <= 2 or int(counts.sum()) <= driver_cap or stalled:
+                cand = (ds.map_batches(pull, batch_format="pandas")
+                        .to_pandas().sort_values(col))
+                cw = below + cand[weight].cumsum().to_numpy()
+                idx = int(np.searchsorted(cw, t, side="left"))
+                out.append(float(cand[col].to_numpy()[min(idx,
+                                                          len(cw) - 1)]))
+                break
+            cum = below + np.cumsum(counts)
+            b = int(np.searchsorted(cum, t, side="left"))
+            new_lo = lo + (b - 1) * width if b > 0 else lo
+            new_hi = lo + (b + 2) * width if b < num_bins - 1 else hi
+            lo, hi = max(lo, new_lo), min(hi, new_hi)
+        else:
+            raise RuntimeError(
+                "weighted_quantiles: range did not converge — raise "
+                "driver_cap"
+            )
+    return out
+
+
 __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_topk",
            "unpivot", "exact_quantiles", "grouped_mad_outliers",
            "grouped_quantile",
            "hopping_window_agg", "HyperLogLog", "approx_distinct",
            "range_join", "pivot_count", "grouped_corr", "set_op",
            "grouping_sets_agg", "rollup_agg", "cube_agg", "ordered_scan", "profile_table",
-           "table_diff"]
+           "table_diff", "weighted_quantiles"]

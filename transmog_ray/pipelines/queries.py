@@ -4983,6 +4983,83 @@ WHERE c.event_type = 'click'
 """
 
 
+CHUNK_W, CHUNK_S = 32, 24  # window / stride (8-word overlap)
+
+
+def q_chunked_docs(sf_dir: str):
+    """RAG-style overlapping word-window chunking: each doc splits into
+    windows of CHUNK_W words at stride CHUNK_S (trailing partial window
+    kept). Map-only — zero shuffle; chunk text is assembled per chunk
+    (inherent: the output string must be built), everything else rides
+    the split list. Output (doc_id, chunk_no, chunk)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+
+    def chunk(df: pd.DataFrame) -> pa.Table:
+        df = df[df["text"].notna() & (df["text"].str.len() > 0)]
+        ids, nos, chunks = [], [], []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"]):
+            words = txt.split(" ")
+            for ci, start in enumerate(range(0, len(words), CHUNK_S)):
+                ids.append(did)
+                nos.append(ci)
+                chunks.append(" ".join(words[start:start + CHUNK_W]))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(nos, pa.int64()),
+             pa.array(chunks, pa.string())],
+            names=["doc_id", "chunk_no", "chunk"])
+
+    return docs.map_batches(chunk, batch_format="pandas")
+
+
+SQL_CHUNKED_DOCS = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, i // {CHUNK_S} AS chunk_no, chunk FROM (
+  SELECT doc_id,
+         unnest(range(0, len(words), {CHUNK_S})) AS i,
+         unnest(list_transform(range(0, len(words), {CHUNK_S}),
+                i -> array_to_string(list_slice(words, i + 1,
+                                                i + {CHUNK_W}), ' ')))
+           AS chunk
+  FROM w
+)
+"""
+
+
+def q_weighted_price_quantiles(sf_dir: str):
+    """Quantity-WEIGHTED price quantiles (weighted median + quartiles):
+    the smallest price whose cumulative quantity reaches q·Σqty — what
+    'median price per unit sold' actually means. Exact via the weighted
+    histogram-refinement pass; int64 weight sums, actual elements."""
+    from ..functions.relational import weighted_quantiles
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_extendedprice", "l_quantity"],
+                    num_blocks=8).materialize()  # multi-pass refinement
+    p25, p50, p75 = weighted_quantiles(
+        li, "l_extendedprice", "l_quantity", (0.25, 0.5, 0.75))
+    return pd.DataFrame({"wp25": [p25], "wp50": [p50], "wp75": [p75]})
+
+
+SQL_WEIGHTED_PRICE_QUANTILES = """
+WITH c AS (
+  SELECT l_extendedprice AS v, SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY v
+), cum AS (
+  SELECT v, SUM(w) OVER (ORDER BY v) AS cw,
+         SUM(w) OVER () AS tot
+  FROM c
+)
+SELECT MIN(CASE WHEN cw >= 0.25 * tot THEN v END) AS wp25,
+       MIN(CASE WHEN cw >= 0.50 * tot THEN v END) AS wp50,
+       MIN(CASE WHEN cw >= 0.75 * tot THEN v END) AS wp75
+FROM cum
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5126,6 +5203,8 @@ QUERIES = {
     "table_diff_orders": q_table_diff_orders,
     "winsorized_events": q_winsorized_events,
     "scd2_user_tier": q_scd2_user_tier,
+    "chunked_docs": q_chunked_docs,
+    "weighted_price_quantiles": q_weighted_price_quantiles,
 }
 
 ORACLE_SQL = {
@@ -5257,6 +5336,8 @@ ORACLE_SQL = {
     "table_diff_orders": SQL_TABLE_DIFF_ORDERS,
     "winsorized_events": SQL_WINSORIZED_EVENTS,
     "scd2_user_tier": SQL_SCD2_USER_TIER,
+    "chunked_docs": SQL_CHUNKED_DOCS,
+    "weighted_price_quantiles": SQL_WEIGHTED_PRICE_QUANTILES,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
