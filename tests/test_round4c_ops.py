@@ -213,6 +213,31 @@ def test_weighted_quantiles_duplicate_mass(ray_session):
     assert weighted_quantiles(ds, "v", "w", (0.5,), num_bins=16) == [7.0]
 
 
+def test_edit_distance_pairs_fastss(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.neardup import edit_distance_pairs
+
+    words = ["cat", "cut", "cats", "at", "dog", "ab", "ba", "dig", "dug"]
+    ds = rd.from_pandas(pd.DataFrame({"w": words})).repartition(3)
+    got = set(map(tuple, edit_distance_pairs(ds, "w", num_buckets=2)
+                  .to_pandas()[["w_a", "w_b"]].itertuples(index=False)))
+    # brute-force oracle
+    def d1(a, b):
+        if abs(len(a) - len(b)) > 1 or a == b:
+            return False
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) == 1
+        s, l = (a, b) if len(a) < len(b) else (b, a)
+        return any(l[:i] + l[i + 1:] == s for i in range(len(l)))
+    want = {tuple(sorted((a, b))) for i, a in enumerate(words)
+            for b in words[i + 1:] if d1(a, b)}
+    assert got == want
+    assert ("ab", "ba") not in got  # distance-2 blocking collision removed
+    assert ("cat", "cut") in got and ("at", "cat") in got
+    assert ("cat", "cats") in got and ("dig", "dug") in got
+
+
 def test_domain_cap_is_three_per_domain(ray_session):
     from transmog_ray.pipelines.queries import QUERIES
 

@@ -1046,6 +1046,85 @@ def cosine_pairs(
     return ds.map_batches(pairs, batch_format="pandas")
 
 
+def _is_edit1(a: str, b: str) -> bool:
+    """Exact edit-distance == 1 check (lengths within 1 by construction)."""
+    if a == b:
+        return False
+    if len(a) == len(b):
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if len(a) > len(b):
+        a, b = b, a  # a shorter
+    # b must equal a with ONE insertion: advance past the single skip
+    i = 0
+    while i < len(a) and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit_distance_pairs(
+    ds,
+    col: str,
+    num_buckets: int | None = None,
+):
+    """Distance-1 string similarity join (typo/variant detection) via
+    FastSS deletion-variant blocking — NO all-pairs compare at any
+    stage: two strings at edit distance ≤ 1 share a deletion variant
+    (delete the differing/inserted position; a string is also its own
+    variant), so candidate pairs come from ONE exchange keyed by
+    variant. Per-bucket pair generation touches only same-variant
+    groups; a second tiny exchange dedups pairs found under multiple
+    shared variants; the exact distance==1 verify (vectorized-safe,
+    per-candidate) removes the distance-2 false positives blocking
+    admits (e.g. 'ab'/'ba'). Output (w_a, w_b), w_a < w_b.
+
+    Input: one DISTINCT string per row in *col* (dedupe upstream).
+    Scale shape: variants per string = O(len); candidates are bounded
+    by true near-pairs plus same-variant collisions — linear in the
+    vocabulary, never quadratic.
+    """
+    from ..stages.partition import bucket_exchange
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        ws, vs = [], []
+        for w in df[col]:
+            if w is None:
+                continue
+            ws.append(w)
+            vs.append(w)  # identity variant: catches pure insertions
+            for i in range(len(w)):
+                ws.append(w)
+                vs.append(w[:i] + w[i + 1:])
+        return pd.DataFrame({"w": pd.array(ws, dtype=object),
+                             "v": pd.array(vs, dtype=object)})
+
+    var = ds.map_batches(variants, batch_format="pandas")
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("v", sort=False):
+            ws = sorted(set(g["w"]))
+            if len(ws) < 2:
+                continue
+            for i in range(len(ws)):
+                for j in range(i + 1, len(ws)):
+                    # same-variant strings differ in length by ≤ 2;
+                    # cheap length gate before the exact check
+                    if abs(len(ws[i]) - len(ws[j])) <= 1:
+                        out_a.append(ws[i])
+                        out_b.append(ws[j])
+        return pd.DataFrame({"w_a": pd.array(out_a, dtype=object),
+                             "w_b": pd.array(out_b, dtype=object)})
+
+    cand = bucket_exchange(var, ["v"], pairs_in_bucket, num_buckets)
+
+    def dedup_verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["w_a", "w_b"])
+        keep = [_is_edit1(a, b) for a, b in zip(df["w_a"], df["w_b"])]
+        return df[np.asarray(keep, dtype=bool)] if len(df) else df
+
+    return bucket_exchange(cand, ["w_a", "w_b"], dedup_verify, num_buckets)
+
+
 __all__ = [
     "MinHasher",
     "lsh_bands",
@@ -1059,4 +1138,5 @@ __all__ = [
     "cosine_pairs",
     "lsh_cosine_pairs",
     "cosine_neardup_clusters",
+    "edit_distance_pairs",
 ]

@@ -5060,6 +5060,45 @@ FROM cum
 """
 
 
+def q_typo_pairs_docs(sf_dir: str):
+    """Distance-1 string similarity join over the corpus vocabulary
+    (typo/variant detection) on FastSS deletion-variant blocking — no
+    all-pairs compare. The vocabulary is augmented with deterministic
+    first-char-dropped forms (len>3) on BOTH sides so the fixture
+    actually contains distance-1 pairs; the oracle is a literal
+    levenshtein()=1 join."""
+    from ..functions.neardup import edit_distance_pairs
+    from ..stages.dedup import dedup_exact
+
+    docs = read_table(sf_dir, "documents", columns=["text"], num_blocks=8)
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        words = df["text"].dropna().str.split(" ").explode().dropna()
+        u = set(words.unique())
+        u |= {w[1:] for w in u if len(w) > 3}
+        return pa.Table.from_arrays(
+            [pa.array(sorted(u), pa.string())], names=["w"])
+
+    toks = dedup_exact(docs.map_batches(explode, batch_format="pandas"),
+                       ["w"], num_buckets=8)
+    return edit_distance_pairs(toks, "w", num_buckets=8)
+
+
+SQL_TYPO_PAIRS = """
+WITH base AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+), tok AS (
+  SELECT DISTINCT w FROM (
+    SELECT w FROM base
+    UNION ALL SELECT substring(w, 2) FROM base WHERE length(w) > 3
+  )
+)
+SELECT a.w AS w_a, b.w AS w_b
+FROM tok a JOIN tok b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5205,6 +5244,7 @@ QUERIES = {
     "scd2_user_tier": q_scd2_user_tier,
     "chunked_docs": q_chunked_docs,
     "weighted_price_quantiles": q_weighted_price_quantiles,
+    "typo_pairs_docs": q_typo_pairs_docs,
 }
 
 ORACLE_SQL = {
@@ -5338,6 +5378,7 @@ ORACLE_SQL = {
     "scd2_user_tier": SQL_SCD2_USER_TIER,
     "chunked_docs": SQL_CHUNKED_DOCS,
     "weighted_price_quantiles": SQL_WEIGHTED_PRICE_QUANTILES,
+    "typo_pairs_docs": SQL_TYPO_PAIRS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
