@@ -238,6 +238,27 @@ def test_edit_distance_pairs_fastss(ray_session):
     assert ("cat", "cats") in got and ("dig", "dug") in got
 
 
+def test_duplicate_span_stats_hand_case(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.text import duplicate_span_stats
+
+    shared = "a b c d e"  # the planted duplicated 5-gram
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            f"x1 x2 {shared} x3 x4",       # covered positions 2..6 (5)
+            f"y1 {shared} y2 y3 y4 y5",    # covered positions 1..5 (5)
+            "z1 z2 z3 z4 z5 z6",           # nothing duplicated
+        ],
+    })
+    got = (duplicate_span_stats(rd.from_pandas(docs).repartition(2),
+                                n=5, num_buckets=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["n_words"].tolist() == [9, 10, 6]
+    assert got["n_covered"].tolist() == [5, 5, 0]
+
+
 def test_domain_cap_is_three_per_domain(ray_session):
     from transmog_ray.pipelines.queries import QUERIES
 

@@ -441,6 +441,91 @@ def dup_ngram_fraction(
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def duplicate_span_stats(
+    ds,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+):
+    """Exact duplicate-SPAN coverage per document (the marking pass of
+    Lee et al.-style exact substring deduplication): a word position is
+    *covered* when ANY corpus-duplicated n-gram window contains it;
+    output is ``(doc_id, n_words, n_covered)`` — the per-doc mass a
+    span-removal pass would cut. Unlike :func:`dup_ngram_fraction`
+    (which counts duplicated gram occurrences) this measures the union
+    of overlapping duplicated windows, i.e. the actual text to remove.
+
+    Three bounded exchanges, no text ever re-shuffles: (1) gram
+    occurrences → corpus counts (partial pre-agg); (2) occurrences
+    hash-join the (pruned) duplicated-gram counts, emitting only
+    ``(doc_id, pos, dup)`` integer triples; (3) one exchange by doc
+    co-locates a doc's triples and a difference-array kernel computes
+    the covered-position union in O(n_words) per doc. Docs with fewer
+    than *n* tokens emit no row (no gram can exist)."""
+    from .relational import grouped_agg, hash_join
+    from ..stages.partition import bucket_exchange
+
+    if num_buckets is None:
+        from ..stages.partition import default_num_buckets
+
+        num_buckets = default_num_buckets()
+
+    def grams_pos(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[text_col])
+        toks = df[text_col].str.split(" ")
+        ex = toks.explode()
+        grp = ex.groupby(level=0)
+        pos = grp.cumcount()
+        parts = [ex]
+        for i in range(1, n):
+            parts.append(grp.shift(-i))
+        mask = parts[-1].notna()
+        g = parts[0][mask]
+        for p in parts[1:]:
+            g = g + " " + p[mask]
+        return pd.DataFrame({
+            id_col: df[id_col].loc[g.index].to_numpy(),
+            "pos": pos[mask].to_numpy(np.int64),
+            "g": g.to_numpy(),
+        })
+
+    grams = ds.map_batches(grams_pos, batch_format="pandas").materialize()
+    counts = grouped_agg(grams, ["g"], {"c": ("g", "count")},
+                         num_buckets=num_buckets)
+    dup_counts = counts.map_batches(
+        lambda df: df[df["c"] >= 2], batch_format="pandas"
+    )
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "pos": df["pos"].to_numpy(np.int64),
+            "dup": (df["c"] >= 2).to_numpy(np.int64),
+        })
+
+    triples = hash_join(grams, dup_counts, on="g", how="left",
+                        num_buckets=num_buckets, post_fn=to_triples)
+
+    def coverage(df: pd.DataFrame) -> pd.DataFrame:
+        ids, nw, nc = [], [], []
+        for did, grp in df.groupby(id_col, sort=False):
+            n_words = int(grp["pos"].max()) + n  # all starts present
+            starts = grp.loc[grp["dup"] == 1, "pos"].to_numpy(np.int64)
+            diff = np.zeros(n_words + 1, dtype=np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, starts + n, -1)
+            ids.append(did)
+            nw.append(n_words)
+            nc.append(int((np.cumsum(diff[:-1]) > 0).sum()))
+        return pd.DataFrame({id_col: ids, "n_words": nw,
+                             "n_covered": nc}).astype(
+            {id_col: "int64", "n_words": "int64", "n_covered": "int64"})
+
+    return bucket_exchange(triples, [id_col], coverage,
+                           min(num_buckets, 16))
+
+
 def bm25_scores(
     ds,
     terms: tuple,
@@ -795,5 +880,6 @@ __all__ = [
     "LangId",
     "rolling_fingerprint",
     "pmi_collocations",
+    "duplicate_span_stats",
     "STOPWORDS",
 ]

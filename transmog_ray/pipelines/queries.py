@@ -5099,6 +5099,51 @@ FROM tok a JOIN tok b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
 """
 
 
+DUPSPAN_N = 5
+
+
+def q_dup_span_docs(sf_dir: str):
+    """Exact duplicate-span coverage (the Lee-et-al. marking pass):
+    per doc, how many word positions fall inside ANY corpus-duplicated
+    5-gram window — the union mass a span-removal pass would cut."""
+    from ..functions.text import duplicate_span_stats
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+    return duplicate_span_stats(docs, n=DUPSPAN_N, num_buckets=8)
+
+
+SQL_DUP_SPAN_DOCS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), d AS (
+  SELECT doc_id, len(w) AS n_words, w FROM t WHERE len(w) >= {DUPSPAN_N}
+), g AS (
+  SELECT doc_id,
+         unnest(range(0, n_words - {DUPSPAN_N} + 1)) AS s,
+         unnest(list_transform(range(0, n_words - {DUPSPAN_N} + 1),
+                i -> array_to_string(list_slice(w, i + 1,
+                                                i + {DUPSPAN_N}), ' ')))
+           AS gram
+  FROM d
+), dupstarts AS (
+  SELECT doc_id, s FROM g
+  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2)
+), covered AS (
+  SELECT DISTINCT p.doc_id, p.p FROM
+    (SELECT doc_id, unnest(range(0, n_words)) AS p FROM d) p
+    JOIN dupstarts s
+      ON p.doc_id = s.doc_id AND p.p >= s.s AND p.p < s.s + {DUPSPAN_N}
+)
+SELECT d.doc_id, d.n_words, COALESCE(c.n, 0) AS n_covered
+FROM d LEFT JOIN (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM covered GROUP BY doc_id
+) c USING (doc_id)
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5245,6 +5290,7 @@ QUERIES = {
     "chunked_docs": q_chunked_docs,
     "weighted_price_quantiles": q_weighted_price_quantiles,
     "typo_pairs_docs": q_typo_pairs_docs,
+    "dup_span_docs": q_dup_span_docs,
 }
 
 ORACLE_SQL = {
@@ -5379,6 +5425,7 @@ ORACLE_SQL = {
     "chunked_docs": SQL_CHUNKED_DOCS,
     "weighted_price_quantiles": SQL_WEIGHTED_PRICE_QUANTILES,
     "typo_pairs_docs": SQL_TYPO_PAIRS,
+    "dup_span_docs": SQL_DUP_SPAN_DOCS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
