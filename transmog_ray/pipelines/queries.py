@@ -5144,6 +5144,51 @@ FROM d LEFT JOIN (
 """
 
 
+def q_incremental_event_totals(sf_dir: str):
+    """Materialized-aggregate maintenance: per-user totals built from
+    the pre-cutoff log are REFRESHED with the post-cutoff delta by
+    merging decomposable partials (sum adds, count adds, max maxes) —
+    the base log is never rescanned. The merged view equals the
+    full-log GROUP BY, which is exactly the oracle. Sum rounded on the
+    0.01 input grid (boundary-safe; see events_by_type)."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"],
+                    num_blocks=8).materialize()
+    cutoff = pa.scalar(pd.Timestamp("2024-01-16"), type=pa.timestamp("us"))
+    pre = ev.map_batches(lambda t: t.filter(pc.less(t["ts"], cutoff)),
+                         batch_format="pyarrow")
+    post = ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], cutoff)),
+        batch_format="pyarrow")
+    spec = {"sum_value": ("value", "sum"), "n": ("event_id", "count"),
+            "max_value": ("value", "max")}
+    base = grouped_agg(pre, ["user_id"], spec, num_buckets=8)
+    delta = grouped_agg(post, ["user_id"], spec, num_buckets=8)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)
+        out = pd.DataFrame({
+            "sum_value": round_half_away(g["sum_value"].sum(), 2),
+            "n": g["n"].sum().astype("int64"),
+            "max_value": g["max_value"].max(),
+        }).reset_index()
+        return out
+
+    return bucket_exchange(base.union(delta), ["user_id"], merge,
+                           num_buckets=8)
+
+
+SQL_INCREMENTAL_EVENT_TOTALS = """
+SELECT user_id, ROUND(SUM(value), 2) AS sum_value,
+       CAST(COUNT(event_id) AS BIGINT) AS n,
+       MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5291,6 +5336,7 @@ QUERIES = {
     "weighted_price_quantiles": q_weighted_price_quantiles,
     "typo_pairs_docs": q_typo_pairs_docs,
     "dup_span_docs": q_dup_span_docs,
+    "incremental_event_totals": q_incremental_event_totals,
 }
 
 ORACLE_SQL = {
@@ -5426,6 +5472,7 @@ ORACLE_SQL = {
     "weighted_price_quantiles": SQL_WEIGHTED_PRICE_QUANTILES,
     "typo_pairs_docs": SQL_TYPO_PAIRS,
     "dup_span_docs": SQL_DUP_SPAN_DOCS,
+    "incremental_event_totals": SQL_INCREMENTAL_EVENT_TOTALS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
