@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 
 def _oracle(sql: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("events", "documents"):
+    for t in ("events", "documents", "lineitem", "orders"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -43,12 +43,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name", ["domain_capped_pages", "decontam_exact_docs", "transition_counts",
-             "lang_length_quantiles", "systematic_sample_events"]
+             "lang_length_quantiles", "systematic_sample_events",
+             "table_diff_orders", "winsorized_events", "scd2_user_tier",
+             "chunked_docs", "weighted_price_quantiles", "typo_pairs_docs",
+             "dup_span_docs", "incremental_event_totals",
+             "linear_score_docs"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
-    got = _canon(QUERIES[name](SF).to_pandas())
+    res = QUERIES[name](SF)
+    got = _canon(res if isinstance(res, pd.DataFrame) else res.to_pandas())
     want = _canon(_oracle(ORACLE_SQL[name]))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) > 0

@@ -5189,6 +5189,54 @@ FROM events GROUP BY user_id
 """
 
 
+def q_linear_score_docs(sf_dir: str):
+    """Broadcast-model batch inference, SQL-paired: a 64-dim
+    integer-weight linear classifier over hashing-trick features scores
+    every doc in one map pass — the weight vector rides the task
+    closure (at real scale: ray.put once), the corpus streams, the
+    margin is an exact int64 dot product (no sigmoid — monotone in the
+    margin, and libm-free so the oracle compares bit-exactly)."""
+    from ..functions.text import hashed_term_counts
+
+    dim = 64
+    # deterministic "trained" weights, mirrored literally in the SQL
+    weights = np.array([(b * 7) % 13 - 6 for b in range(dim)],
+                       dtype=np.int64)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        feats = hashed_term_counts(df, dim=dim)
+        m = (feats["n"].to_numpy(np.int64)
+             * weights[feats["bucket"].to_numpy(np.int64)])
+        margin = (pd.Series(m).groupby(feats["doc_id"].to_numpy())
+                  .sum())
+        return pa.Table.from_arrays(
+            [pa.array(margin.index.to_numpy(np.int64)),
+             pa.array(margin.to_numpy(np.int64))],
+            names=["doc_id", "margin"])
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+SQL_LINEAR_SCORE_DOCS = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+), feats AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substring(md5(w), 1, 8)) AS BIGINT) % 64
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM words GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       CAST(SUM(n * ((bucket * 7) % 13 - 6)) AS BIGINT) AS margin
+FROM feats GROUP BY doc_id
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5337,6 +5385,7 @@ QUERIES = {
     "typo_pairs_docs": q_typo_pairs_docs,
     "dup_span_docs": q_dup_span_docs,
     "incremental_event_totals": q_incremental_event_totals,
+    "linear_score_docs": q_linear_score_docs,
 }
 
 ORACLE_SQL = {
@@ -5473,6 +5522,7 @@ ORACLE_SQL = {
     "typo_pairs_docs": SQL_TYPO_PAIRS,
     "dup_span_docs": SQL_DUP_SPAN_DOCS,
     "incremental_event_totals": SQL_INCREMENTAL_EVENT_TOTALS,
+    "linear_score_docs": SQL_LINEAR_SCORE_DOCS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
