@@ -5237,6 +5237,44 @@ FROM feats GROUP BY doc_id
 """
 
 
+def q_epoch_order_docs(sf_dir: str):
+    """Deterministic global TRAINING ORDER (epoch shuffle): every doc's
+    position under knuth-hash order for an epoch salt — reproducible
+    across runs and resumable mid-epoch, with NO global sort: the
+    distributed ordered scan ranks a collision-free composite key
+    (hash·2³¹ + doc_id, lexicographically equal to ORDER BY hash,
+    doc_id)."""
+    from ..functions.relational import ordered_scan
+    from ..functions.sampling import knuth_hash
+
+    EPOCH = 1
+    docs = read_table(sf_dir, "documents", columns=["doc_id"],
+                      num_blocks=8)
+
+    def key(df: pd.DataFrame) -> pa.Table:
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = knuth_hash(ids + EPOCH).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ids),
+             pa.array(h * (1 << 31) + ids),
+             pa.array(np.ones(len(ids), np.int64))],
+            names=["doc_id", "k", "one"])
+
+    scanned = ordered_scan(docs.map_batches(key, batch_format="pandas"),
+                           "k", "one", out_col="pos", num_buckets=8)
+    return scanned.map_batches(lambda df: df[["doc_id", "pos"]],
+                               batch_format="pandas")
+
+
+SQL_EPOCH_ORDER_DOCS = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY ((doc_id + 1) * 2654435761) % 4294967296, doc_id
+       ) AS pos
+FROM documents
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5386,6 +5424,7 @@ QUERIES = {
     "dup_span_docs": q_dup_span_docs,
     "incremental_event_totals": q_incremental_event_totals,
     "linear_score_docs": q_linear_score_docs,
+    "epoch_order_docs": q_epoch_order_docs,
 }
 
 ORACLE_SQL = {
@@ -5523,6 +5562,7 @@ ORACLE_SQL = {
     "dup_span_docs": SQL_DUP_SPAN_DOCS,
     "incremental_event_totals": SQL_INCREMENTAL_EVENT_TOTALS,
     "linear_score_docs": SQL_LINEAR_SCORE_DOCS,
+    "epoch_order_docs": SQL_EPOCH_ORDER_DOCS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
