@@ -5275,6 +5275,98 @@ FROM documents
 """
 
 
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization — the crawl-frontier normalizer: strip
+    fragments, drop utm_* tracking params (keeping the rest, order
+    preserved), lowercase the host. The fixture's clean urls are first
+    deterministically messified (md5-hash-gated fragment / tracking
+    query / uppercased host) so the op is non-vacuous; the SQL oracle
+    mirrors BOTH the messify and the canonicalize, string-op for
+    string-op. Param filtering is explode-based (vectorized per param,
+    not per url); zero shuffle after the distinct."""
+    import hashlib
+
+    from ..stages.dedup import dedup_exact
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url"],
+                            override_num_blocks=16)
+    urls = dedup_exact(ds, ["url"], num_buckets=16)
+
+    def messify_canon(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["url"]
+        h = pd.Series(
+            [int(hashlib.md5(x.encode()).hexdigest()[:8], 16) for x in u],
+            index=df.index, dtype="int64")
+        rest = u.str.split("//", n=1).str[1]
+        host = rest.str.split("/", n=1).str[0]
+        path = "/" + rest.str.split("/", n=1).str[1].fillna("")
+        q = pd.Series("", index=df.index, dtype=object)
+        q[h % 5 == 0] = "?utm_source=x&id=" + (h % 10).astype(str)
+        q[h % 11 == 0] = "?id=" + (h % 10).astype(str)  # priority branch
+        frag = pd.Series("", index=df.index, dtype=object)
+        frag[h % 3 == 0] = "#frag"
+        mhost = host.where(h % 7 != 0, host.str.upper())
+        messy = "https://" + mhost + path + q + frag
+
+        # --- canonicalize (receives only `messy`) ---
+        nofrag = messy.str.split("#", n=1).str[0]
+        base = nofrag.str.split("?", n=1).str[0]
+        qs = nofrag.str.split("?", n=1).str[1].fillna("")
+        params = qs.str.split("&").explode()
+        kept = params[~params.str.startswith("utm_")]
+        kq = kept.groupby(level=0).agg("&".join).reindex(
+            df.index, fill_value="")
+        rest2 = base.str.split("//", n=1).str[1]
+        host2 = rest2.str.split("/", n=1).str[0].str.lower()
+        path2 = "/" + rest2.str.split("/", n=1).str[1].fillna("")
+        canon = "https://" + host2 + path2 + np.where(kq != "", "?" + kq,
+                                                      "")
+        return pd.DataFrame({"url_in": messy.astype(object),
+                             "url_canonical": canon.astype(object)})
+
+    return urls.map_batches(messify_canon, batch_format="pandas")
+
+
+SQL_CANONICAL_URLS = f"""
+WITH u AS (
+  SELECT DISTINCT url FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), hh AS (
+  SELECT url,
+         CAST(CONCAT('0x', substring(md5(url), 1, 8)) AS BIGINT) AS h,
+         split_part(split_part(url, '//', 2), '/', 1) AS host,
+         substr(url, 9 + length(split_part(split_part(url, '//', 2),
+                                           '/', 1))) AS path
+  FROM u
+), m AS (
+  SELECT 'https://'
+         || CASE WHEN h % 7 = 0 THEN upper(host) ELSE host END || path
+         || CASE WHEN h % 11 = 0 THEN '?id=' || CAST(h % 10 AS VARCHAR)
+                 WHEN h % 5 = 0
+                   THEN '?utm_source=x&id=' || CAST(h % 10 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN h % 3 = 0 THEN '#frag' ELSE '' END AS url_in
+  FROM hh
+), c AS (
+  SELECT url_in,
+         split_part(split_part(url_in, '#', 1), '?', 1) AS base,
+         array_to_string(
+           list_filter(
+             string_split(split_part(split_part(url_in, '#', 1), '?', 2),
+                          '&'),
+             p -> NOT starts_with(p, 'utm_')), '&') AS kq
+  FROM m
+)
+SELECT url_in,
+       'https://'
+       || lower(split_part(split_part(base, '//', 2), '/', 1))
+       || substr(base, 9 + length(split_part(split_part(base, '//', 2),
+                                             '/', 1)))
+       || CASE WHEN kq <> '' THEN '?' || kq ELSE '' END AS url_canonical
+FROM c
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5425,6 +5517,7 @@ QUERIES = {
     "incremental_event_totals": q_incremental_event_totals,
     "linear_score_docs": q_linear_score_docs,
     "epoch_order_docs": q_epoch_order_docs,
+    "canonical_urls": q_canonical_urls,
 }
 
 ORACLE_SQL = {
@@ -5563,6 +5656,7 @@ ORACLE_SQL = {
     "incremental_event_totals": SQL_INCREMENTAL_EVENT_TOTALS,
     "linear_score_docs": SQL_LINEAR_SCORE_DOCS,
     "epoch_order_docs": SQL_EPOCH_ORDER_DOCS,
+    "canonical_urls": SQL_CANONICAL_URLS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
