@@ -1467,9 +1467,10 @@ def exact_quantiles(
     ACTUAL element makes the result float-bit-exact against SQL — no
     interpolation, no rounding pact needed.
 
-    Cost: O(rounds) streaming scans of one column (typically 3 total:
-    min/max, one histogram, one candidate pull). NaN/NULL are ignored,
-    like SQL aggregates.
+    Cost: O(rounds) streaming scans of one column SHARED by all ranks
+    (every round runs ONE scan computing per-rank histograms — k
+    quantiles cost the same number of passes as one). NaN/NULL are
+    ignored, like SQL aggregates.
     """
     qs = list(qs)
 
@@ -1489,78 +1490,102 @@ def exact_quantiles(
     # 0-indexed target ranks (quantile_disc convention)
     ranks = [min(max(int(np.ceil(q * n)) - 1, 0), n - 1) for q in qs]
 
-    def _hist_pass(lo: float, hi: float):
-        """One scan: (#values < lo, per-bin counts of values in
-        [lo, hi]); the bin rule (floor((v-lo)/width) clipped) is shared
-        with the candidate pull below so membership is identical."""
-        width = (hi - lo) / num_bins or 1.0
+    states = [{"lo": glo, "hi": ghi, "prev": None, "done": False,
+               "val": float("nan")} for _ in ranks]
+
+    def _multi_hist(ranges):
+        """ONE scan serving every active rank: per range (idx, lo, hi)
+        emit (#values < lo, per-bin counts in [lo, hi]); the bin rule
+        (trunc((v-lo)/width) clipped) is shared with the candidate pull
+        so membership is identical."""
+        specs = [(i, lo, hi, (hi - lo) / num_bins or 1.0)
+                 for i, lo, hi in ranges]
 
         def hist(df: pd.DataFrame) -> pd.DataFrame:
             v = df[col].to_numpy(dtype=np.float64)
             v = v[~np.isnan(v)]
-            below = np.int64((v < lo).sum())
-            inr = v[(v >= lo) & (v <= hi)]
-            b = np.minimum((inr - lo) / width, num_bins - 1).astype(np.int64)
-            cnt = np.bincount(b, minlength=num_bins)
-            nz = np.flatnonzero(cnt)
-            return pd.DataFrame({
-                "bin": np.r_[np.int64(-1), nz],
-                "cnt": np.r_[below, cnt[nz]],
-            })
+            idxs, bins, cnts = [], [], []
+            for i, lo, hi, width in specs:
+                below = np.int64((v < lo).sum())
+                inr = v[(v >= lo) & (v <= hi)]
+                b = np.minimum((inr - lo) / width,
+                               num_bins - 1).astype(np.int64)
+                cnt = np.bincount(b, minlength=num_bins)
+                nz = np.flatnonzero(cnt)
+                idxs.append(np.full(len(nz) + 1, i, dtype=np.int64))
+                bins.append(np.r_[np.int64(-1), nz])
+                cnts.append(np.r_[below, cnt[nz]])
+            return pd.DataFrame({"i": np.concatenate(idxs),
+                                 "bin": np.concatenate(bins),
+                                 "cnt": np.concatenate(cnts)})
 
         parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
-        agg = parts.groupby("bin")["cnt"].sum()
-        below = int(agg.get(-1, 0))
-        counts = np.zeros(num_bins, dtype=np.int64)
-        present = agg.index[agg.index >= 0].to_numpy()
-        counts[present] = agg.loc[present].to_numpy()
-        return below, counts, width
+        out = {}
+        for i, lo, hi, width in specs:
+            agg = parts[parts["i"] == i].groupby("bin")["cnt"].sum()
+            below = int(agg.get(-1, 0))
+            counts = np.zeros(num_bins, dtype=np.int64)
+            present = agg.index[agg.index >= 0].to_numpy()
+            counts[present] = agg.loc[present].to_numpy()
+            out[i] = (below, counts, width)
+        return out
 
-    out: list[float] = []
-    for rank in ranks:
-        lo, hi = glo, ghi
-        prev_in_range = None
-        for _ in range(max_rounds):
-            # candidate pull once the range is small enough
-            lo_, hi_ = lo, hi
-
-            def pull(df: pd.DataFrame) -> pd.DataFrame:
-                v = df[col].to_numpy(dtype=np.float64)
-                v = v[~np.isnan(v)]
-                return pd.DataFrame({col: v[(v >= lo_) & (v <= hi_)]})
-
-            below, counts, width = _hist_pass(lo, hi)
+    for _ in range(max_rounds):
+        active = [(i, s["lo"], s["hi"]) for i, s in enumerate(states)
+                  if not s["done"]]
+        if not active:
+            break
+        hists = _multi_hist(active)
+        pulls = []  # (idx, lo, hi, below) ready for exact selection
+        for i, lo, hi in active:
+            s = states[i]
+            below, counts, width = hists[i]
             in_range = int(counts.sum())
             # a stalled range (no meaningful narrowing) means one
             # duplicated value owns the rank's neighborhood — bins can
             # never split a single value, so pull now: the pull is
             # bounded by that duplicate mass, which IS the candidate set
-            stalled = (prev_in_range is not None
-                       and in_range >= 0.9 * prev_in_range)
-            prev_in_range = in_range
+            stalled = (s["prev"] is not None
+                       and in_range >= 0.9 * s["prev"])
+            s["prev"] = in_range
             if in_range <= driver_cap or stalled:
-                cand = np.sort(
-                    ds.map_batches(pull, batch_format="pandas")
-                    .to_pandas()[col].to_numpy()
-                )
-                out.append(float(cand[rank - below]))
-                break
+                pulls.append((i, lo, hi, below))
+                continue
             # locate the bin holding the rank; widen one bin each side —
             # the trunc-rule bin assignment and the next pass's
             # comparison-rule range test can disagree by one ulp at a
             # bin edge, and the slack makes that harmless
             cum = below + np.cumsum(counts)
-            b = int(np.searchsorted(cum, rank + 1))
+            b = int(np.searchsorted(cum, ranks[i] + 1))
             new_lo = lo + (b - 1) * width if b > 0 else lo
             new_hi = lo + (b + 2) * width if b < num_bins - 1 else hi
-            lo, hi = max(lo, new_lo), min(hi, new_hi)
-        else:
-            raise RuntimeError(
-                f"exact_quantiles: range did not converge under "
-                f"driver_cap={driver_cap} after {max_rounds} rounds "
-                f"(heavily duplicated values?) — raise driver_cap"
-            )
-    return out
+            s["lo"], s["hi"] = max(lo, new_lo), min(hi, new_hi)
+        if pulls:
+            pspecs = [(i, lo, hi) for i, lo, hi, _ in pulls]
+
+            def pull(df: pd.DataFrame) -> pd.DataFrame:
+                v = df[col].to_numpy(dtype=np.float64)
+                v = v[~np.isnan(v)]
+                iarr, varr = [], []
+                for i, lo, hi in pspecs:
+                    m = (v >= lo) & (v <= hi)
+                    iarr.append(np.full(int(m.sum()), i, dtype=np.int64))
+                    varr.append(v[m])
+                return pd.DataFrame({"i": np.concatenate(iarr),
+                                     "v": np.concatenate(varr)})
+
+            cands = ds.map_batches(pull, batch_format="pandas").to_pandas()
+            for i, lo, hi, below in pulls:
+                cv = np.sort(cands.loc[cands["i"] == i, "v"].to_numpy())
+                states[i]["val"] = float(cv[ranks[i] - below])
+                states[i]["done"] = True
+    if any(not s["done"] for s in states):
+        raise RuntimeError(
+            f"exact_quantiles: range did not converge under "
+            f"driver_cap={driver_cap} after {max_rounds} rounds "
+            f"(heavily duplicated values?) — raise driver_cap"
+        )
+    return [s["val"] for s in states]
 
 
 def weighted_quantiles(
