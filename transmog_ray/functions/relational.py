@@ -1631,67 +1631,96 @@ def weighted_quantiles(
     glo, ghi = float(mm["lo"].min()), float(mm["hi"].max())
     thresholds = [q * total for q in qs]
 
-    def _hist_pass(lo: float, hi: float):
-        width = (hi - lo) / num_bins or 1.0
+    states = [{"lo": glo, "hi": ghi, "prev": None, "done": False,
+               "val": float("nan")} for _ in thresholds]
+
+    def _multi_hist(ranges):
+        """ONE scan serving every active threshold: per range
+        (idx, lo, hi) emit (weight below lo, per-bin weight sums)."""
+        specs = [(i, lo, hi, (hi - lo) / num_bins or 1.0)
+                 for i, lo, hi in ranges]
 
         def hist(df: pd.DataFrame) -> pd.DataFrame:
             v, w = prep(df)
-            below = np.int64(w[v < lo].sum())
-            m = (v >= lo) & (v <= hi)
-            inr, winr = v[m], w[m]
-            b = np.minimum((inr - lo) / width, num_bins - 1).astype(np.int64)
-            cnt = np.bincount(b, weights=winr, minlength=num_bins).astype(
-                np.int64)
-            nz = np.flatnonzero(cnt)
-            return pd.DataFrame({
-                "bin": np.r_[np.int64(-1), nz],
-                "cnt": np.r_[below, cnt[nz]],
-            })
+            idxs, bins, cnts = [], [], []
+            for i, lo, hi, width in specs:
+                below = np.int64(w[v < lo].sum())
+                m = (v >= lo) & (v <= hi)
+                inr, winr = v[m], w[m]
+                b = np.minimum((inr - lo) / width,
+                               num_bins - 1).astype(np.int64)
+                cnt = np.bincount(b, weights=winr,
+                                  minlength=num_bins).astype(np.int64)
+                nz = np.flatnonzero(cnt)
+                idxs.append(np.full(len(nz) + 1, i, dtype=np.int64))
+                bins.append(np.r_[np.int64(-1), nz])
+                cnts.append(np.r_[below, cnt[nz]])
+            return pd.DataFrame({"i": np.concatenate(idxs),
+                                 "bin": np.concatenate(bins),
+                                 "cnt": np.concatenate(cnts)})
 
         parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
-        agg = parts.groupby("bin")["cnt"].sum()
-        below = int(agg.get(-1, 0))
-        counts = np.zeros(num_bins, dtype=np.int64)
-        present = agg.index[agg.index >= 0].to_numpy()
-        counts[present] = agg.loc[present].to_numpy()
-        return below, counts, width
+        out = {}
+        for i, lo, hi, width in specs:
+            agg = parts[parts["i"] == i].groupby("bin")["cnt"].sum()
+            below = int(agg.get(-1, 0))
+            counts = np.zeros(num_bins, dtype=np.int64)
+            present = agg.index[agg.index >= 0].to_numpy()
+            counts[present] = agg.loc[present].to_numpy()
+            out[i] = (below, counts, width)
+        return out
 
-    out: list[float] = []
-    for t in thresholds:
-        lo, hi = glo, ghi
-        prev_in_range = None
-        for _ in range(max_rounds):
-            lo_, hi_ = lo, hi
+    for _ in range(max_rounds):
+        active = [(i, s["lo"], s["hi"]) for i, s in enumerate(states)
+                  if not s["done"]]
+        if not active:
+            break
+        hists = _multi_hist(active)
+        pulls = []
+        for i, lo, hi in active:
+            s = states[i]
+            below, counts, width = hists[i]
+            mass = int(counts.sum())
+            stalled = s["prev"] is not None and mass >= 0.9 * s["prev"]
+            s["prev"] = mass
+            if mass <= driver_cap or stalled:
+                pulls.append((i, lo, hi, below))
+                continue
+            cum = below + np.cumsum(counts)
+            b = int(np.searchsorted(cum, thresholds[i], side="left"))
+            new_lo = lo + (b - 1) * width if b > 0 else lo
+            new_hi = lo + (b + 2) * width if b < num_bins - 1 else hi
+            s["lo"], s["hi"] = max(lo, new_lo), min(hi, new_hi)
+        if pulls:
+            pspecs = [(i, lo, hi) for i, lo, hi, _ in pulls]
 
             def pull(df: pd.DataFrame) -> pd.DataFrame:
                 v, w = prep(df)
-                m = (v >= lo_) & (v <= hi_)
-                return pd.DataFrame({col: v[m], weight: w[m]})
+                iarr, varr, warr = [], [], []
+                for i, lo, hi in pspecs:
+                    m = (v >= lo) & (v <= hi)
+                    iarr.append(np.full(int(m.sum()), i, dtype=np.int64))
+                    varr.append(v[m])
+                    warr.append(w[m])
+                return pd.DataFrame({"i": np.concatenate(iarr),
+                                     "v": np.concatenate(varr),
+                                     "w": np.concatenate(warr)})
 
-            below, counts, width = _hist_pass(lo, hi)
-            in_rows = int((counts > 0).sum())  # proxy; pull is row-bounded
-            stalled = (prev_in_range is not None
-                       and int(counts.sum()) >= 0.9 * prev_in_range)
-            prev_in_range = int(counts.sum())
-            if in_rows <= 2 or int(counts.sum()) <= driver_cap or stalled:
-                cand = (ds.map_batches(pull, batch_format="pandas")
-                        .to_pandas().sort_values(col))
-                cw = below + cand[weight].cumsum().to_numpy()
-                idx = int(np.searchsorted(cw, t, side="left"))
-                out.append(float(cand[col].to_numpy()[min(idx,
-                                                          len(cw) - 1)]))
-                break
-            cum = below + np.cumsum(counts)
-            b = int(np.searchsorted(cum, t, side="left"))
-            new_lo = lo + (b - 1) * width if b > 0 else lo
-            new_hi = lo + (b + 2) * width if b < num_bins - 1 else hi
-            lo, hi = max(lo, new_lo), min(hi, new_hi)
-        else:
-            raise RuntimeError(
-                "weighted_quantiles: range did not converge — raise "
-                "driver_cap"
-            )
-    return out
+            cands = ds.map_batches(pull, batch_format="pandas").to_pandas()
+            for i, lo, hi, below in pulls:
+                cand = (cands[cands["i"] == i]
+                        .sort_values("v"))
+                cw = below + cand["w"].cumsum().to_numpy()
+                idx = int(np.searchsorted(cw, thresholds[i], side="left"))
+                states[i]["val"] = float(
+                    cand["v"].to_numpy()[min(idx, len(cw) - 1)])
+                states[i]["done"] = True
+    if any(not s["done"] for s in states):
+        raise RuntimeError(
+            "weighted_quantiles: range did not converge — raise "
+            "driver_cap"
+        )
+    return [s["val"] for s in states]
 
 
 __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_topk",
