@@ -5367,6 +5367,48 @@ FROM c
 """
 
 
+def q_user_type_gini(sf_dir: str):
+    """Behavioral diversity per user as GINI impurity of the event-type
+    distribution (1 − Σp²) — the libm-free stand-in for entropy (ln is
+    not reproducible across engines; Σn²/N² is exact integer arithmetic
+    plus one correctly-rounded division on both sides). Two-level
+    aggregation: (user, type) counts from one pre-aggregated exchange,
+    then a per-user combine of ≤|types| rows."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type"], num_blocks=8)
+    counts = grouped_agg(ev, ["user_id", "event_type"],
+                         {"n": ("event_type", "count")}, num_buckets=8)
+
+    def gini(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype("int64")
+        g = pd.DataFrame({"user_id": df["user_id"], "n": n,
+                          "nn": n * n}).groupby("user_id", sort=False)
+        ss, tot = g["nn"].sum(), g["n"].sum()
+        out = pd.DataFrame({
+            "gini": 1.0 - ss.to_numpy(np.float64)
+            / (tot * tot).to_numpy(np.float64),
+        }, index=ss.index).reset_index()
+        return out
+
+    return bucket_exchange(counts, ["user_id"], gini, num_buckets=8)
+
+
+SQL_USER_TYPE_GINI = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+), g AS (
+  SELECT user_id, SUM(n * n) AS ss, SUM(n) AS tot FROM c GROUP BY user_id
+)
+SELECT user_id,
+       1.0 - CAST(ss AS DOUBLE) / CAST(tot * tot AS DOUBLE) AS gini
+FROM g
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5518,6 +5560,7 @@ QUERIES = {
     "linear_score_docs": q_linear_score_docs,
     "epoch_order_docs": q_epoch_order_docs,
     "canonical_urls": q_canonical_urls,
+    "user_type_gini": q_user_type_gini,
 }
 
 ORACLE_SQL = {
@@ -5657,6 +5700,7 @@ ORACLE_SQL = {
     "linear_score_docs": SQL_LINEAR_SCORE_DOCS,
     "epoch_order_docs": SQL_EPOCH_ORDER_DOCS,
     "canonical_urls": SQL_CANONICAL_URLS,
+    "user_type_gini": SQL_USER_TYPE_GINI,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
