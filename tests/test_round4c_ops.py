@@ -265,6 +265,26 @@ def test_duplicate_span_stats_hand_case(ray_session):
     assert got["n_covered"].tolist() == [5, 5, 0]
 
 
+def test_sorted_neighborhood_pairs_boundaries(ray_session):
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"id": np.arange(30, dtype=np.int64),
+                       "k": rng.integers(0, 10, 30)})
+    # tiny block forces many range buckets and cross-boundary borrows
+    got = (sorted_neighborhood_pairs(
+        rd.from_pandas(df).repartition(3), "k", "id", window=4, block=8,
+        num_buckets=3).to_pandas())
+    got_set = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    order = df.sort_values(["k", "id"])["id"].to_numpy()
+    want = {(order[i], order[j]) for i in range(len(order))
+            for j in range(i + 1, min(i + 4, len(order)))}
+    assert got_set == want
+    assert len(got) == len(got_set)  # no duplicate pairs
+
+
 def test_domain_cap_is_three_per_domain(ray_session):
     from transmog_ray.pipelines.queries import QUERIES
 

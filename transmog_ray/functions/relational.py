@@ -1588,6 +1588,88 @@ def exact_quantiles(
     return [s["val"] for s in states]
 
 
+def sorted_neighborhood_pairs(
+    ds,
+    key_col: str,
+    id_col: str,
+    window: int,
+    block: int = 4096,
+    num_buckets: int | None = None,
+):
+    """Sorted-neighborhood blocking — the classic entity-resolution
+    windowed SELF-JOIN: all (a, b) id pairs whose GLOBAL rank distance
+    under ``ORDER BY key_col, id_col`` is < *window*, with no global
+    sort and no all-pairs stage.
+
+    Ranks come from the distributed ordered scan on a collision-free
+    composite key (``key·2³¹ + id`` — both must be non-negative int64
+    with ``id < 2³¹``); rows then route to rank-range buckets of size
+    *block*, with the first ``window−1`` rows of each range ALSO
+    borrowed by the previous bucket so cross-boundary pairs exist in
+    exactly one bucket (pairs are generated only where the LOWER-rank
+    row is bucket-owned — no pair dedup pass needed). The per-bucket
+    kernel is vectorized: ranks inside a bucket are dense, so the
+    off-by-k pair lists are plain array slices.
+    """
+    from ..stages.partition import bucket_exchange
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        k = df[key_col].to_numpy(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)
+                         or k.min() < 0):
+            raise ValueError(
+                "sorted_neighborhood_pairs needs 0 <= id < 2**31 and "
+                "key >= 0 for the collision-free composite rank key"
+            )
+        return pd.DataFrame({
+            id_col: ids,
+            "_k": k * (1 << 31) + ids,
+            "_one": np.ones(len(ids), np.int64),
+        })
+
+    scanned = ordered_scan(ds.map_batches(key, batch_format="pandas"),
+                           "_k", "_one", out_col="_rn",
+                           num_buckets=num_buckets or 16)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df["_rn"].to_numpy(np.int64)
+        prim = rn // block
+        out = [pd.DataFrame({id_col: df[id_col], "_rn": rn, "_nb": prim,
+                             "_own": np.int8(1)})]
+        borrow = (rn % block) < (window - 1)
+        if borrow.any():
+            out.append(pd.DataFrame({
+                id_col: df[id_col][borrow], "_rn": rn[borrow],
+                "_nb": prim[borrow] - 1, "_own": np.int8(0)}))
+        res = pd.concat(out, ignore_index=True)
+        return res[res["_nb"] >= 0]
+
+    routed = scanned.map_batches(assign, batch_format="pandas")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        # distinct _nb ranges can hash-collide into one bucket frame:
+        # the dense-rank slicing below is only valid WITHIN one range
+        for _, g in df.groupby("_nb", sort=False):
+            g = g.sort_values("_rn", kind="mergesort")
+            ids = g[id_col].to_numpy()
+            own = g["_own"].to_numpy()
+            for off in range(1, window):
+                if off >= len(ids):
+                    break
+                m = own[:-off] == 1  # pair owned by the lower-rank row
+                out_a.append(ids[:-off][m])
+                out_b.append(ids[off:][m])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    return bucket_exchange(routed, ["_nb"], pairs, num_buckets or 16)
+
+
 def weighted_quantiles(
     ds,
     col: str,
@@ -1729,4 +1811,4 @@ __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_topk",
            "hopping_window_agg", "HyperLogLog", "approx_distinct",
            "range_join", "pivot_count", "grouped_corr", "set_op",
            "grouping_sets_agg", "rollup_agg", "cube_agg", "ordered_scan", "profile_table",
-           "table_diff", "weighted_quantiles"]
+           "table_diff", "weighted_quantiles", "sorted_neighborhood_pairs"]

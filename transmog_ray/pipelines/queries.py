@@ -5409,6 +5409,32 @@ FROM g
 """
 
 
+def q_neighbor_pairs_docs(sf_dir: str):
+    """Sorted-neighborhood ER blocking: candidate pairs of docs within
+    rank distance < 3 in global (n_chars, doc_id) order — overlapping
+    rank-range buckets, no global sort, no all-pairs."""
+    from ..functions.relational import sorted_neighborhood_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(t["n_chars"].is_valid()),
+        batch_format="pyarrow",
+    )
+    return sorted_neighborhood_pairs(docs, "n_chars", "doc_id", window=3,
+                                     num_buckets=8)
+
+
+SQL_NEIGHBOR_PAIRS_DOCS = """
+WITH r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 3
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5561,6 +5587,7 @@ QUERIES = {
     "epoch_order_docs": q_epoch_order_docs,
     "canonical_urls": q_canonical_urls,
     "user_type_gini": q_user_type_gini,
+    "neighbor_pairs_docs": q_neighbor_pairs_docs,
 }
 
 ORACLE_SQL = {
@@ -5701,6 +5728,7 @@ ORACLE_SQL = {
     "epoch_order_docs": SQL_EPOCH_ORDER_DOCS,
     "canonical_urls": SQL_CANONICAL_URLS,
     "user_type_gini": SQL_USER_TYPE_GINI,
+    "neighbor_pairs_docs": SQL_NEIGHBOR_PAIRS_DOCS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
