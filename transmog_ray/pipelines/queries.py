@@ -5435,6 +5435,96 @@ FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 3
 """
 
 
+def q_assoc_rules_sessions(sf_dir: str):
+    """Market-basket association rules over gap-sessionized events:
+    support = #sessions containing BOTH types, confidence =
+    support / #sessions containing the antecedent — exact integer
+    counts plus one correctly-rounded division. One exchange
+    co-locates each user's history; the kernel sessionizes (the same
+    gap rule as sessionize_events), builds distinct (session, type)
+    pairs via a vectorized self-merge, and emits partial counts; a
+    tiny second exchange combines ≤|types|² rows."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        gap = df.groupby("user_id", sort=False)["ts"].diff()
+        is_new = (gap.isna()
+                  | (gap > pd.Timedelta(seconds=SESSION_GAP_S)))
+        sid = is_new.cumsum()  # globally unique within this bucket
+        d = pd.DataFrame({"sid": sid, "t": df["event_type"]})
+        d = d.drop_duplicates()
+        pairs = d.merge(d, on="sid")
+        pairs = pairs[pairs["t_x"] < pairs["t_y"]]
+        pc_ = (pairs.groupby(["t_x", "t_y"], sort=False).size()
+               .rename("n_pair").reset_index())
+        ac = (d.groupby("t", sort=False).size()
+              .rename("n_ante").reset_index())
+        pc_["kind"] = "p"
+        ac = ac.rename(columns={"t": "t_x"})
+        ac["t_y"] = ""
+        ac["kind"] = "a"
+        ac["n_pair"] = ac.pop("n_ante")
+        return pd.concat([pc_[["t_x", "t_y", "n_pair", "kind"]],
+                          ac[["t_x", "t_y", "n_pair", "kind"]]],
+                         ignore_index=True)
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (df.groupby(["kind", "t_x", "t_y"], sort=False)["n_pair"]
+               .sum().reset_index())
+        ante = tot[tot["kind"] == "a"].set_index("t_x")["n_pair"]
+        out = tot[tot["kind"] == "p"].copy()
+        out["support"] = out["n_pair"].astype("int64")
+        out["confidence"] = (out["support"].to_numpy(np.float64)
+                             / ante.reindex(out["t_x"]).to_numpy(
+                                 np.float64))
+        return out[["t_x", "t_y", "support", "confidence"]].rename(
+            columns={"t_x": "type_a", "t_y": "type_b"})
+
+    # single combine bucket: the lattice is ≤ |types|² rows and the
+    # antecedent totals must be co-located with every pair row
+    return bucket_exchange(partials, ["kind"], combine, 1)
+
+
+SQL_ASSOC_RULES = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_type,
+         SUM(is_new) OVER w2 AS session_seq
+  FROM flagged
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+), d AS (
+  SELECT DISTINCT user_id, session_seq, event_type FROM numbered
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM d a JOIN d b
+    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), ante AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+)
+SELECT p.type_a, p.type_b, p.support,
+       CAST(p.support AS DOUBLE) / CAST(a.n AS DOUBLE) AS confidence
+FROM pairs p JOIN ante a ON a.event_type = p.type_a
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5588,6 +5678,7 @@ QUERIES = {
     "canonical_urls": q_canonical_urls,
     "user_type_gini": q_user_type_gini,
     "neighbor_pairs_docs": q_neighbor_pairs_docs,
+    "assoc_rules_sessions": q_assoc_rules_sessions,
 }
 
 ORACLE_SQL = {
@@ -5729,6 +5820,7 @@ ORACLE_SQL = {
     "canonical_urls": SQL_CANONICAL_URLS,
     "user_type_gini": SQL_USER_TYPE_GINI,
     "neighbor_pairs_docs": SQL_NEIGHBOR_PAIRS_DOCS,
+    "assoc_rules_sessions": SQL_ASSOC_RULES,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
