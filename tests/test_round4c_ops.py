@@ -48,7 +48,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "chunked_docs", "weighted_price_quantiles", "typo_pairs_docs",
              "dup_span_docs", "incremental_event_totals",
              "linear_score_docs", "epoch_order_docs", "canonical_urls",
-             "user_type_gini"]
+             "user_type_gini", "neighbor_pairs_docs",
+             "assoc_rules_sessions"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
