@@ -1,0 +1,100 @@
+"""Round-4 fourth-batch operators: Pareto skyline, data-quality audit,
+cohort retention, token-budget corpus selection — each pinned to its
+DuckDB oracle at sf0.001 (the driver re-checks at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem", "orders", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "name", ["skyline_lineitems", "audit_orders", "cohort_retention",
+             "token_budget_docs"]
+)
+def test_new_query_matches_oracle(ray_session, name):
+    from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    res = QUERIES[name](SF)
+    got = _canon(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _canon(_oracle(ORACLE_SQL[name]))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pareto_frontier_matches_bruteforce(ray_session):
+    """Property: the distributed frontier equals the O(n²) brute-force
+    dominance filter on a small random frame with planted ties and
+    duplicate frontier points."""
+    import ray
+
+    from transmog_ray.functions.relational import pareto_frontier
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "id": np.arange(400),
+        "x": rng.randint(0, 40, 400).astype(float),
+        "y": rng.randint(0, 40, 400).astype(float),
+    })
+    # plant an exact duplicate of the best point — both must survive
+    best = df.loc[(df.x + df.y).idxmax()]
+    df = pd.concat([df, pd.DataFrame({"id": [999], "x": [best.x],
+                                      "y": [best.y]})], ignore_index=True)
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = pareto_frontier(ds, "x", "y").sort_values("id").reset_index(drop=True)
+
+    xv, yv = df["x"].to_numpy(), df["y"].to_numpy()
+    keep = []
+    for i in range(len(df)):
+        dom = ((xv >= xv[i]) & (yv >= yv[i])
+               & ((xv > xv[i]) | (yv > yv[i])))
+        keep.append(not dom.any())
+    want = df[np.array(keep)].sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["id", "x", "y"]], want[["id", "x", "y"]], check_dtype=False)
+    assert (got["id"] == 999).any()
+
+
+def test_audit_table_counts(ray_session):
+    """audit_table violation counts on a frame with planted defects."""
+    import ray
+
+    from transmog_ray.functions.relational import audit_table
+
+    df = pd.DataFrame({
+        "k": [1, 2, 2, 3, 3, 3, 4],
+        "v": [5.0, -1.0, None, 200.0, 7.0, 8.0, 9.0],
+        "s": ["a", "b", "zz", "a", None, "a", "b"],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = audit_table(ds, null_cols=["v", "s"],
+                      range_checks={"v": (0.0, 100.0)},
+                      set_checks={"s": ["a", "b"]},
+                      unique_cols=["k"])
+    got = dict(zip(out["check_name"], out["violations"]))
+    assert got == {"null:v": 1, "null:s": 1, "range:v": 2,
+                   "in_set:s": 1, "unique:k": 3}

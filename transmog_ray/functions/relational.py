@@ -1805,10 +1805,130 @@ def weighted_quantiles(
     return [s["val"] for s in states]
 
 
+def _frontier_2d(df: pd.DataFrame, x_col: str, y_col: str) -> pd.DataFrame:
+    """Vectorized exact 2-D Pareto frontier (maximize both columns) of
+    one in-memory frame. A row survives iff its ``y`` equals the max
+    ``y`` among rows with the SAME ``x`` AND strictly exceeds the max
+    ``y`` among rows with strictly GREATER ``x`` — duplicates of a
+    frontier point all survive (neither dominates the other: dominance
+    requires strict improvement in at least one dimension)."""
+    if df.empty:
+        return df
+    d = df.sort_values([x_col, y_col], ascending=False, kind="mergesort")
+    xv = d[x_col].to_numpy()
+    yv = d[y_col].to_numpy()
+    n = len(d)
+    new_x = np.empty(n, dtype=bool)
+    new_x[0] = True
+    new_x[1:] = xv[1:] != xv[:-1]
+    # y of the first row of each x-group == per-group max (sorted desc)
+    gmax = yv[np.maximum.accumulate(np.where(new_x, np.arange(n), 0))]
+    # running max of y over all rows of strictly-greater x-groups
+    starts = np.flatnonzero(new_x)
+    m1_group = np.full(len(starts), -np.inf)
+    m1_group[1:] = np.maximum.accumulate(yv)[starts[1:] - 1]
+    m1 = m1_group[np.cumsum(new_x) - 1]
+    return d[(yv == gmax) & (yv > m1)]
+
+
+def pareto_frontier(ds, x_col: str, y_col: str):
+    """Exact distributed 2-D Pareto frontier: the rows not dominated by
+    any other row, maximizing both *x_col* and *y_col*.
+
+    Dominance is transitive, so a globally non-dominated row is also
+    non-dominated inside its own block — the per-block vectorized
+    frontier filter (:func:`_frontier_2d` in ``map_batches``) is a
+    LOSSLESS prefilter that keeps ~O(log n) of n random rows per block.
+    The exact frontier of the union of the local frontiers IS the
+    global frontier, and that union is tiny (blocks × frontier size),
+    so the final pass runs driver-side on the collected candidates —
+    no shuffle, no all-pairs. NULLs in either column are dropped
+    (SQL ``NOT EXISTS`` dominance treats them as incomparable; we
+    exclude them like the oracle's WHERE clause)."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[x_col].notna() & df[y_col].notna()]
+        return _frontier_2d(df, x_col, y_col)
+
+    cand = ds.map_batches(local, batch_format="pandas").to_pandas()
+    return _frontier_2d(cand, x_col, y_col).reset_index(drop=True)
+
+
+def audit_table(
+    ds,
+    null_cols: Sequence[str] = (),
+    range_checks: Mapping[str, tuple] = None,
+    set_checks: Mapping[str, Sequence] = None,
+    unique_cols: Sequence[str] = (),
+    num_buckets: int = 8,
+):
+    """Deequ-style single-pass data-quality audit: one row per check
+    with its exact violation count.
+
+    * ``null_cols`` — completeness: count of NULLs per column.
+    * ``range_checks`` — ``{col: (lo, hi)}`` (either bound may be
+      None): count of non-null values outside ``[lo, hi]``.
+    * ``set_checks`` — ``{col: allowed_values}``: count of non-null
+      values outside the allowed set.
+    * ``unique_cols`` — uniqueness: ``COUNT(*) − COUNT(DISTINCT col)``
+      (NULLs excluded from both, SQL COUNT semantics).
+
+    Scale shape: every scalar check is a per-batch vectorized partial
+    count (map-only — ONE pass over the data covers all of them
+    together); uniqueness needs per-key counts, so each audited unique
+    column adds one pre-aggregated exchange of (key, count) partials
+    via :func:`grouped_agg`, never rows. The result is ≤ a few dozen
+    rows regardless of input size."""
+    range_checks = dict(range_checks or {})
+    set_checks = {k: set(v) for k, v in (set_checks or {}).items()}
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        names, counts = [], []
+        for c in null_cols:
+            names.append(f"null:{c}")
+            counts.append(int(df[c].isna().sum()))
+        for c, (lo, hi) in range_checks.items():
+            v = df[c].dropna()
+            bad = pd.Series(False, index=v.index)
+            if lo is not None:
+                bad |= v < lo
+            if hi is not None:
+                bad |= v > hi
+            names.append(f"range:{c}")
+            counts.append(int(bad.sum()))
+        for c, allowed in set_checks.items():
+            v = df[c].dropna()
+            names.append(f"in_set:{c}")
+            counts.append(int((~v.isin(list(allowed))).sum()))
+        return pd.DataFrame({"check_name": names,
+                             "violations": np.asarray(counts, np.int64)})
+
+    out = grouped_agg(ds.map_batches(partials, batch_format="pandas"),
+                      ["check_name"], {"violations": ("violations", "sum")},
+                      num_buckets=num_buckets).to_pandas()
+    frames = [out[["check_name", "violations"]]]
+    for c in unique_cols:
+        per_key = grouped_agg(
+            ds.map_batches(lambda df, c=c: df[[c]].dropna(),
+                           batch_format="pandas"),
+            [c], {"n": (c, "count")}, num_buckets=num_buckets)
+        extra = per_key.map_batches(
+            lambda df: pd.DataFrame(
+                {"v": [int((df["n"] - 1).clip(lower=0).sum())]}),
+            batch_format="pandas",
+        ).to_pandas()["v"].sum()
+        frames.append(pd.DataFrame({"check_name": [f"unique:{c}"],
+                                    "violations": [int(extra)]}))
+    res = pd.concat(frames, ignore_index=True)
+    res["violations"] = res["violations"].astype("int64")
+    return res.sort_values("check_name").reset_index(drop=True)
+
+
 __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_topk",
            "unpivot", "exact_quantiles", "grouped_mad_outliers",
            "grouped_quantile",
            "hopping_window_agg", "HyperLogLog", "approx_distinct",
            "range_join", "pivot_count", "grouped_corr", "set_op",
            "grouping_sets_agg", "rollup_agg", "cube_agg", "ordered_scan", "profile_table",
-           "table_diff", "weighted_quantiles", "sorted_neighborhood_pairs"]
+           "table_diff", "weighted_quantiles", "sorted_neighborhood_pairs",
+           "pareto_frontier", "audit_table"]

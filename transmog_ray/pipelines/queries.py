@@ -5525,6 +5525,190 @@ FROM pairs p JOIN ante a ON a.event_type = p.type_a
 """
 
 
+def q_skyline_lineitems(sf_dir: str):
+    """Distributed exact 2-D Pareto frontier (skyline) of lineitems,
+    maximizing extended price AND discount: per-block vectorized
+    frontier prefilter (lossless — dominance is transitive), then an
+    exact pass over the tiny candidate union. No shuffle, no all-pairs;
+    the oracle's NOT-EXISTS semantics via an O(n log n) window rewrite."""
+    from ..functions.relational import pareto_frontier
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_extendedprice", "l_discount"], num_blocks=8)
+    out = pareto_frontier(li, "l_extendedprice", "l_discount")
+    out["l_linenumber"] = out["l_linenumber"].astype("int64")
+    return out
+
+
+SQL_SKYLINE_LINEITEMS = """
+WITH p AS (
+  SELECT l_extendedprice AS price, MAX(l_discount) AS gmax
+  FROM lineitem GROUP BY 1
+), r AS (
+  SELECT price, gmax,
+         MAX(gmax) OVER (ORDER BY price DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS m1
+  FROM p
+)
+SELECT a.l_orderkey, CAST(a.l_linenumber AS BIGINT) AS l_linenumber,
+       a.l_extendedprice, a.l_discount
+FROM lineitem a JOIN r ON a.l_extendedprice = r.price
+WHERE a.l_discount = r.gmax AND (r.m1 IS NULL OR r.m1 < a.l_discount)
+"""
+
+
+def q_audit_orders(sf_dir: str):
+    """Deequ-style data-quality audit over orders: NULL completeness,
+    range bounds, allowed-value sets, and key uniqueness — exact
+    violation counts, all scalar checks fused into ONE map-only pass
+    (per-batch vectorized partials), uniqueness as one pre-aggregated
+    (key, count) exchange. Output is ≤ a handful of rows at any scale."""
+    from ..functions.relational import audit_table
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                                 "o_totalprice", "o_orderdate"], num_blocks=8)
+    return audit_table(
+        orders,
+        null_cols=["o_custkey", "o_orderdate"],
+        range_checks={"o_totalprice": (0.01, 300000.0)},
+        set_checks={"o_orderstatus": ["O", "F", "P"]},
+        unique_cols=["o_orderkey"],
+    )
+
+
+SQL_AUDIT_ORDERS = """
+SELECT 'null:o_custkey' AS check_name,
+       CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS violations
+FROM orders
+UNION ALL
+SELECT 'null:o_orderdate',
+       CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'range:o_totalprice',
+       CAST(COUNT(*) FILTER (o_totalprice IS NOT NULL
+            AND (o_totalprice < 0.01 OR o_totalprice > 300000.0)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'in_set:o_orderstatus',
+       CAST(COUNT(*) FILTER (o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: distinct users per (first-seen week ×
+    active week). Weeks are integer epoch-µs // 604800e6 (the only
+    timestamp encoding that hash-compares exactly across engine/SQL).
+    Map-side thinning to distinct (user, week) pairs, ONE exchange by
+    user computes each user's cohort and re-emits its distinct pairs as
+    (cohort, week) partial counts; a tiny second combine sums them —
+    rows never cross the wire twice."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"],
+                    num_blocks=8)
+
+    def thin(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "wk": us // 604800000000}).drop_duplicates()
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()  # re-dedup across batch partials
+        cohort = df.groupby("user_id", sort=False)["wk"].transform("min")
+        return (pd.DataFrame({"cohort_week": cohort,
+                              "active_week": df["wk"]})
+                .groupby(["cohort_week", "active_week"], sort=False)
+                .size().rename("n_users").reset_index())
+
+    pairs = ev.map_batches(thin, batch_format="pandas")
+    part = bucket_exchange(pairs, ["user_id"], per_user, num_buckets=8)
+    return grouped_agg(part, ["cohort_week", "active_week"],
+                       {"n_users": ("n_users", "sum")}, num_buckets=8)
+
+
+SQL_COHORT_RETENTION = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+), f AS (
+  SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY user_id
+), a AS (
+  SELECT DISTINCT w.user_id, f.cohort_week, w.wk AS active_week
+  FROM w JOIN f USING (user_id)
+)
+SELECT cohort_week, active_week, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort_week, active_week
+"""
+
+
+#: fixed absolute token budget for q_token_budget_docs: the deterministic
+#: md5 order is uniform, so a fixed budget admits ~budget/avg_tokens docs
+#: at EVERY scale (a proper subset at sf0.001 and up)
+DOC_TOKEN_BUDGET = 15_000
+
+
+def q_token_budget_docs(sf_dir: str):
+    """Token-budget corpus selection: take documents in a deterministic
+    md5-shuffled order until the cumulative token count reaches a fixed
+    budget — the 'cut a uniform 10B-token subset' curation op. Tokens
+    are \\S+ runs (regexp-exact on both sides); the cumulative count is
+    the distributed ordered scan (range cuts + broadcast offsets — no
+    global sort), and the 48-bit md5 prefix of doc_id is the
+    collision-free order key."""
+    import hashlib
+
+    from ..functions.relational import ordered_scan
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+             for i in df["doc_id"]), np.int64, len(df))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": df["text"].str.count(r"\S+").astype("int64"),
+            "h": h,
+        })
+
+    t = docs.map_batches(prep, batch_format="pandas")
+    scanned = ordered_scan(t, "h", "n_tokens", out_col="cum_tokens",
+                           num_buckets=8)
+    return scanned.map_batches(
+        lambda df: df[df["cum_tokens"] <= DOC_TOKEN_BUDGET][
+            ["doc_id", "n_tokens", "cum_tokens"]],
+        batch_format="pandas",
+    )
+
+
+SQL_TOKEN_BUDGET_DOCS = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+             AS n_tokens,
+         CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY h) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens FROM s
+WHERE cum_tokens <= {DOC_TOKEN_BUDGET}
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5679,6 +5863,10 @@ QUERIES = {
     "user_type_gini": q_user_type_gini,
     "neighbor_pairs_docs": q_neighbor_pairs_docs,
     "assoc_rules_sessions": q_assoc_rules_sessions,
+    "skyline_lineitems": q_skyline_lineitems,
+    "audit_orders": q_audit_orders,
+    "cohort_retention": q_cohort_retention,
+    "token_budget_docs": q_token_budget_docs,
 }
 
 ORACLE_SQL = {
@@ -5821,6 +6009,10 @@ ORACLE_SQL = {
     "user_type_gini": SQL_USER_TYPE_GINI,
     "neighbor_pairs_docs": SQL_NEIGHBOR_PAIRS_DOCS,
     "assoc_rules_sessions": SQL_ASSOC_RULES,
+    "skyline_lineitems": SQL_SKYLINE_LINEITEMS,
+    "audit_orders": SQL_AUDIT_ORDERS,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "token_budget_docs": SQL_TOKEN_BUDGET_DOCS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
