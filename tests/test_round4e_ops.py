@@ -34,7 +34,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name", ["skyline_lineitems", "audit_orders", "cohort_retention",
-             "token_budget_docs"]
+             "token_budget_docs", "winnow_docs", "projected_embeddings",
+             "peak_concurrency"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -77,6 +78,28 @@ def test_pareto_frontier_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got[["id", "x", "y"]], want[["id", "x", "y"]], check_dtype=False)
     assert (got["id"] == 999).any()
+
+
+def test_winnow_shared_run_guarantee():
+    """Winnowing's core property (Schleimer et al. 2003): two documents
+    sharing a run of ≥ w+k−1 = 6 words are guaranteed to share at least
+    one selected fingerprint hash."""
+    from transmog_ray.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [f"one two {shared} three four",
+                 f"nine eight seven {shared} six"],
+    })
+    out = winnow_fingerprints(df)
+    h1 = set(out.loc[out.doc_id == 1, "h"])
+    h2 = set(out.loc[out.doc_id == 2, "h"])
+    assert h1 & h2
+    # a short doc (< 6 words) emits nothing — no full window exists
+    short = winnow_fingerprints(
+        pd.DataFrame({"doc_id": [3], "text": ["only five words right here"]}))
+    assert len(short) == 0
 
 
 def test_audit_table_counts(ray_session):

@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 
@@ -236,7 +238,8 @@ def ivf_topk(
     return topk
 
 
-__all__ = ["brute_topk", "lsh_topk", "ivf_topk", "kmeans_centroids"]
+__all__ = ["brute_topk", "lsh_topk", "ivf_topk", "kmeans_centroids",
+           "int8_quantize", "random_project_int8", "achlioptas_matrix"]
 
 
 def quantize_embedding(M: np.ndarray, scale: int = 1000) -> np.ndarray:
@@ -245,6 +248,84 @@ def quantize_embedding(M: np.ndarray, scale: int = 1000) -> np.ndarray:
     argmins EXACT — bit-reproducible across engines (the SQL oracle
     runs the identical formula), no float-tie risk."""
     return np.floor(M.astype(np.float64) * scale + 0.5).astype(np.int64)
+
+
+def _quantize_rows(M: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The symmetric int8 rule shared by :func:`int8_quantize` and
+    :func:`random_project_int8`: ``q = clip(round(x·127/scale), ±127)``
+    with ``scale = max|x|`` per row, half-away-from-zero rounding
+    (DuckDB ROUND semantics), all-zero rows → q=0."""
+    scale = np.abs(M).max(axis=1)
+    safe = np.where(scale > 0, scale, 1.0)
+    v = M * 127.0 / safe[:, None]
+    q = np.clip(np.trunc(v + np.copysign(0.5, v)), -127, 127).astype(np.int64)
+    q[scale == 0] = 0
+    return q, scale
+
+
+def achlioptas_matrix(d_in: int, d_out: int) -> np.ndarray:
+    """Deterministic Achlioptas (2003) sparse random-projection matrix:
+    entry (i, j) is +1 / −1 / 0 with probability 1/6 / 1/6 / 2/3, drawn
+    from the 32-bit md5 prefix of ``"{i}_{j}"`` mod 6 (0→+1, 1→−1) —
+    the same md5-derivation DuckDB can replay, so the projection is
+    SQL-exact."""
+    R = np.zeros((d_in, d_out), dtype=np.int64)
+    for i in range(d_in):
+        for j in range(d_out):
+            hm = int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:8],
+                     16) % 6
+            if hm == 0:
+                R[i, j] = 1
+            elif hm == 1:
+                R[i, j] = -1
+    return R
+
+
+def random_project_int8(ds, d_out: int = 8, id_col: str = "vec_id",
+                        emb_col: str = "embedding"):
+    """Sparse random projection (Achlioptas 2003, ±1 integer weights)
+    of int8-quantized embeddings — the JL-style dimensionality cut for
+    cheap pre-filtering, kept EXACT across engines by doing all the
+    arithmetic in integers: quantize each vector with the shared int8
+    rule (:func:`_quantize_rows`), then ``y = q @ R`` with the
+    deterministic ±1/0 matrix — sums of ints are order-independent, so
+    the oracle hash matches bit-for-bit (float matmuls would not).
+
+    The (d_in × d_out) matrix is built ONCE driver-side and broadcast
+    via ``ray.put``; each batch is one int matmul. Output is exploded
+    ``(id, out_dim, y)`` rows for the oracle hash. Map-only, zero
+    shuffle."""
+    import ray
+
+    first = ds.take(1)
+    if not first:
+        return ds.map_batches(lambda df: pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "out_dim": pd.Series([], dtype="int64"),
+            "y": pd.Series([], dtype="int64"),
+        }), batch_format="pandas")
+    d_in = len(first[0][emb_col])
+    r_ref = ray.put(achlioptas_matrix(d_in, d_out))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "out_dim": pd.Series([], dtype="int64"),
+                "y": pd.Series([], dtype="int64"),
+            })
+        R = ray.get(r_ref)
+        M = np.asarray(list(df[emb_col]), dtype=np.float64)
+        q, _ = _quantize_rows(M)
+        y = q @ R
+        n = len(df)
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), d_out),
+            "out_dim": np.tile(np.arange(d_out, dtype=np.int64), n),
+            "y": y.reshape(-1),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 def int8_quantize(ds, id_col: str = "vec_id", emb_col: str = "embedding"):
@@ -279,13 +360,7 @@ def int8_quantize(ds, id_col: str = "vec_id", emb_col: str = "embedding"):
                 f"{emb_col!r} lists, got shape {M.shape}"
             )
         n, d = M.shape
-        scale = np.abs(M).max(axis=1)
-        safe = np.where(scale > 0, scale, 1.0)
-        v = M * 127.0 / safe[:, None]
-        q = np.clip(np.trunc(v + np.copysign(0.5, v)), -127, 127).astype(
-            np.int64
-        )
-        q[scale == 0] = 0
+        q, scale = _quantize_rows(M)
         return pd.DataFrame({
             id_col: np.repeat(df[id_col].to_numpy(), d),
             "pos": np.tile(np.arange(d, dtype=np.int64), n),

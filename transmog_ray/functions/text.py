@@ -763,6 +763,59 @@ class LangId:
         return self(pd.DataFrame({"text": [text]}))["lang_guess"].iloc[0]
 
 
+def winnow_fingerprints(
+    df: pd.DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> pd.DataFrame:
+    """MOSS-style winnowing fingerprint selection (Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003): hash every *k*-word shingle, slide a window
+    of *w* hashes, and in each full window select the minimum hash
+    (RIGHTMOST on ties — the canonical winnowing tie rule); the
+    distinct selected (pos, hash) pairs are the document's
+    position-robust fingerprints, guaranteed to share a selection with
+    any other document containing the same ≥(w+k−1)-word run.
+
+    Words are ``\\S+`` runs; shingle hash is the 32-bit md5 prefix of
+    the space-joined shingle (``md5(w1||' '||w2||' '||w3)`` — the
+    SQL-exact convention shared with the hashing trick). Window min is
+    vectorized (``sliding_window_view`` + reversed argmin for the
+    rightmost tie); only the md5-per-shingle loop is Python, bounded by
+    words per doc. Documents with fewer than w+k−1 words emit nothing
+    (no full window). Map-only: zero shuffle."""
+    import re
+
+    ids_out, pos_out, h_out = [], [], []
+    for did, text in zip(df[id_col].to_numpy(), df[text_col].to_numpy()):
+        words = re.findall(r"\S+", text or "")
+        n = len(words) - k + 1
+        if n < w:
+            continue
+        h = np.fromiter(
+            (int(hashlib.md5(" ".join(words[i:i + k]).encode())
+                 .hexdigest()[:8], 16) for i in range(n)),
+            np.int64, n)
+        win = np.lib.stride_tricks.sliding_window_view(h, w)
+        rightmost_min = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+        pos = np.unique(np.arange(len(win)) + rightmost_min)
+        ids_out.append(np.full(len(pos), did, dtype=np.int64))
+        pos_out.append(pos.astype(np.int64))
+        h_out.append(h[pos])
+    if not ids_out:
+        return pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "pos": pd.Series([], dtype="int64"),
+            "h": pd.Series([], dtype="int64"),
+        })
+    return pd.DataFrame({
+        id_col: np.concatenate(ids_out),
+        "pos": np.concatenate(pos_out),
+        "h": np.concatenate(h_out),
+    })
+
+
 def rolling_fingerprint(text: str, window: int = 16, base: int = 257,
                         mod: int = (1 << 61) - 1) -> int:
     """Deterministic rolling-hash document fingerprint (min of window
@@ -879,6 +932,7 @@ __all__ = [
     "fingerprint",
     "LangId",
     "rolling_fingerprint",
+    "winnow_fingerprints",
     "pmi_collocations",
     "duplicate_span_stats",
     "STOPWORDS",

@@ -5709,6 +5709,164 @@ WHERE cum_tokens <= {DOC_TOKEN_BUDGET}
 """
 
 
+def q_winnow_docs(sf_dir: str):
+    """MOSS winnowing fingerprints over documents: k=3-word shingles,
+    w=4 hash windows, rightmost-min selection — distinct (doc, pos,
+    hash) triples that any shared ≥6-word run is guaranteed to expose.
+    Map-only (zero shuffle); the SQL oracle replays the shingle md5 and
+    the rightmost-min via window MIN + a positional join-back."""
+    from ..functions.text import winnow_fingerprints
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+    return docs.map_batches(winnow_fingerprints, batch_format="pandas")
+
+
+SQL_WINNOW_DOCS = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(range(0, len(ws) - 2)) AS pos,
+         unnest(list_transform(range(0, len(ws) - 2),
+             i -> CAST(CONCAT('0x', substring(md5(
+                  ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]),
+                  1, 8)) AS BIGINT))) AS h
+  FROM w WHERE len(ws) >= 3
+), m AS (
+  SELECT doc_id, pos AS e,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh
+  FROM g
+  QUALIFY pos >= 3
+), sel AS (
+  SELECT m.doc_id, MAX(g.pos) AS pos
+  FROM m JOIN g ON g.doc_id = m.doc_id
+               AND g.pos BETWEEN m.e - 3 AND m.e AND g.h = m.mh
+  GROUP BY m.doc_id, m.e
+)
+SELECT DISTINCT s.doc_id, s.pos, g.h
+FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.pos
+"""
+
+
+def q_projected_embeddings(sf_dir: str):
+    """Achlioptas ±1 sparse random projection of int8-quantized
+    embeddings to 8 dims — integer-exact JL-style reduction (sums of
+    ints are order-independent; a float matmul would not hash-compare).
+    One broadcast matrix + one int matmul per batch; exploded output."""
+    from ..functions.ann import random_project_int8
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                     num_blocks=8)
+    return random_project_int8(emb, d_out=8)
+
+
+SQL_PROJECTED_EMB = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), s AS (
+  SELECT vec_id, emb,
+         list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS scale
+  FROM e
+), q AS (
+  SELECT vec_id,
+         unnest(range(0, len(emb))) AS pos,
+         unnest(list_transform(emb, x ->
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(GREATEST(LEAST(ROUND(x * 127.0 / scale), 127),
+                                     -127) AS BIGINT) END)) AS qv
+  FROM s
+), d AS (
+  SELECT unnest(range(0, 8)) AS out_dim
+), r AS (
+  SELECT q.vec_id, d.out_dim, q.qv,
+         CAST(CONCAT('0x', substring(md5(
+              CAST(q.pos AS VARCHAR) || '_' || CAST(d.out_dim AS VARCHAR)),
+              1, 8)) AS BIGINT) % 6 AS hm
+  FROM q CROSS JOIN d
+)
+SELECT vec_id, out_dim,
+       CAST(SUM(CASE WHEN hm = 0 THEN qv
+                     WHEN hm = 1 THEN -qv ELSE 0 END) AS BIGINT) AS y
+FROM r GROUP BY vec_id, out_dim
+"""
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions per hour, sampled at session starts
+    (concurrency only increases at a start, so start-point samples
+    capture every peak): sessionize per user (one sorted-partition
+    pass), emit ±1 sweep-line points keyed by epoch-µs·2 (+1 for
+    starts, ends at ·2+1 so a start at t counts a session ending at t
+    as still open), run the distributed ordered scan over the points,
+    and take the max running sum per hour of the start. Only two tiny
+    rows per session ever re-shuffle."""
+    from ..functions.relational import grouped_agg, ordered_scan
+    from ..stages.partition import apply_sorted
+    from ..stages.window import sessionize
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts"], num_blocks=8)
+
+    def sess_points(df: pd.DataFrame) -> pd.DataFrame:
+        df = sessionize(df, "user_id", "ts", gap_seconds=SESSION_GAP_S)
+        g = df.groupby(["user_id", "session_id"], sort=False)["ts"]
+        st = g.min().astype("datetime64[ns]").astype("int64") // 1000
+        en = g.max().astype("datetime64[ns]").astype("int64") // 1000
+        return pd.DataFrame({
+            "k": np.concatenate([st.to_numpy() * 2,
+                                 en.to_numpy() * 2 + 1]),
+            "d": np.concatenate([np.ones(len(st), np.int64),
+                                 -np.ones(len(en), np.int64)]),
+        })
+
+    points = apply_sorted(ev, ["user_id"], "ts", sess_points,
+                          num_buckets=16, tiebreak=["event_id"])
+    scanned = ordered_scan(points, "k", "d", out_col="conc", num_buckets=8)
+    starts = scanned.map_batches(
+        lambda df: pd.DataFrame(
+            {"hour": (df.loc[df["d"] == 1, "k"] // 2) // 3600000000,
+             "conc": df.loc[df["d"] == 1, "conc"]}),
+        batch_format="pandas",
+    )
+    return grouped_agg(starts, ["hour"],
+                       {"peak_concurrency": ("conc", "max")}, num_buckets=8)
+
+
+SQL_PEAK_CONCURRENCY = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         MAX(CASE WHEN is_new = 1 THEN ts END) OVER w2 AS session_start
+  FROM flagged
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+), sess AS (
+  SELECT user_id, session_start,
+         epoch_us(MIN(ts)) AS st, epoch_us(MAX(ts)) AS en
+  FROM numbered GROUP BY user_id, session_start
+), pts AS (
+  SELECT st * 2 AS k, 1 AS d FROM sess
+  UNION ALL
+  SELECT en * 2 + 1, -1 FROM sess
+), run AS (
+  SELECT k, d, CAST(SUM(d) OVER (ORDER BY k) AS BIGINT) AS conc FROM pts
+)
+SELECT (k // 2) // 3600000000 AS hour,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+FROM run WHERE d = 1 GROUP BY 1
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -5867,6 +6025,9 @@ QUERIES = {
     "audit_orders": q_audit_orders,
     "cohort_retention": q_cohort_retention,
     "token_budget_docs": q_token_budget_docs,
+    "winnow_docs": q_winnow_docs,
+    "projected_embeddings": q_projected_embeddings,
+    "peak_concurrency": q_peak_concurrency,
 }
 
 ORACLE_SQL = {
@@ -6013,6 +6174,9 @@ ORACLE_SQL = {
     "audit_orders": SQL_AUDIT_ORDERS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "token_budget_docs": SQL_TOKEN_BUDGET_DOCS,
+    "winnow_docs": SQL_WINNOW_DOCS,
+    "projected_embeddings": SQL_PROJECTED_EMB,
+    "peak_concurrency": SQL_PEAK_CONCURRENCY,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
