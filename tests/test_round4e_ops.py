@@ -35,7 +35,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name", ["skyline_lineitems", "audit_orders", "cohort_retention",
              "token_budget_docs", "winnow_docs", "projected_embeddings",
-             "peak_concurrency"]
+             "peak_concurrency", "trend_per_customer", "rrf_docs",
+             "join_delta_orders"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -121,3 +122,79 @@ def test_audit_table_counts(ray_session):
     got = dict(zip(out["check_name"], out["violations"]))
     assert got == {"null:v": 1, "null:s": 1, "range:v": 2,
                    "in_set:s": 1, "unique:k": 3}
+
+
+def test_grouped_linear_trend_exact_beyond_int64(ray_session):
+    """Slope rational is exact even when n·Σxy overflows int64: y values
+    near 2^61 with n=3 make n·Σxy ≈ 1.4e19 > int64 max; the string
+    rational must equal the unbounded-int ground truth."""
+    import ray
+
+    from transmog_ray.functions.relational import grouped_linear_trend
+
+    x = [10, 20, 30]
+    y = [2**61, 2**61 + 7, 2**61 - 5]
+    df = pd.DataFrame({"g": [1, 1, 1], "x": x, "y": y})
+    out = grouped_linear_trend(
+        ray.data.from_pandas(df).repartition(3), ["g"], "x", "y",
+        num_buckets=2).to_pandas()
+    n, sx, sy = 3, sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx = sum(a * a for a in x)
+    assert int(out["slope_num"].iloc[0]) == n * sxy - sx * sy
+    assert int(out["slope_den"].iloc[0]) == n * sxx - sx * sx
+    # a constant-x group reports den = 0, not a crash
+    df2 = pd.DataFrame({"g": [2, 2], "x": [5, 5], "y": [1, 2]})
+    out2 = grouped_linear_trend(ray.data.from_pandas(df2), ["g"], "x", "y",
+                                num_buckets=2).to_pandas()
+    assert out2["slope_den"].iloc[0] == "0"
+
+
+def test_rrf_fuse_known_ranking(ray_session):
+    """Hand-computed RRF: item ranks r1/r2 known, k=60, top_n bounds."""
+    import ray
+
+    from transmog_ray.functions.relational import rrf_fuse
+
+    df = pd.DataFrame({
+        "g": ["a"] * 3,
+        "id": [1, 2, 3],
+        "m1": [30, 20, 10],   # ranks: 1→1, 2→2, 3→3
+        "m2": [5, 50, 40],    # ranks: 2→1, 3→2, 1→3
+    })
+    out = rrf_fuse(ray.data.from_pandas(df).repartition(2), ["g"], "id",
+                   ["m1", "m2"], k=60, top_n=2, num_buckets=2).to_pandas()
+    exp = {1: 1.0 / 61 + 1.0 / 63, 2: 1.0 / 62 + 1.0 / 61,
+           3: 1.0 / 63 + 1.0 / 62}
+    top2 = sorted(exp, key=lambda i: (-exp[i], i))[:2]
+    assert list(out.sort_values("rrf_score", ascending=False)["id"]) == top2
+    for _, row in out.iterrows():
+        assert row["rrf_score"] == exp[row["id"]]
+
+
+def test_join_delta_equals_full_minus_old(ray_session):
+    """join_delta == (A_new⋈B_new) − (A_old⋈B_old) as multisets on a
+    random insert-only tick."""
+    import ray
+
+    from transmog_ray.functions.relational import join_delta
+
+    rng = np.random.RandomState(7)
+    a = pd.DataFrame({"k": rng.randint(0, 20, 60),
+                      "av": np.arange(60, dtype=np.int64)})
+    b = pd.DataFrame({"k": rng.randint(0, 20, 80),
+                      "bv": np.arange(80, dtype=np.int64)})
+    a_old, a_delta = a.iloc[:40], a.iloc[40:]
+    b_old, b_delta = b.iloc[:50], b.iloc[50:]
+    got = join_delta(
+        ray.data.from_pandas(a_old.reset_index(drop=True)).repartition(3),
+        a_delta,
+        ray.data.from_pandas(b.reset_index(drop=True)).repartition(3),
+        b_delta, on="k").to_pandas()
+    full = a.merge(b, on="k")
+    old = a_old.merge(b_old, on="k")
+    key = lambda df: sorted(map(tuple, df[["k", "av", "bv"]].to_numpy()))
+    from collections import Counter
+    want = Counter(key(full))
+    want.subtract(Counter(key(old)))
+    assert Counter(key(got)) == +want

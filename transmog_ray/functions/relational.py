@@ -1924,6 +1924,182 @@ def audit_table(
     return res.sort_values("check_name").reset_index(drop=True)
 
 
+def grouped_linear_trend(
+    ds,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    num_buckets: int | None = None,
+):
+    """Per-group least-squares TREND (slope of y over x) in EXACT
+    integer arithmetic — the feature-engineering primitive ("is this
+    customer's spend rising?") that naive float sums get wrong two ways
+    at scale: catastrophic cancellation (``n·Σxy − Σx·Σy`` with
+    ``Σx·Σy ≫ covariance``) and accumulation-order skew across blocks.
+
+    Both inputs must be INTEGER columns (epoch days, cents). The slope
+    is emitted as an exact rational — ``slope_num = n·Σxy − Σx·Σy`` and
+    ``slope_den = n·Σx² − (Σx)²`` — as STRINGS (the values outgrow
+    int64; the SQL mirror is HUGEINT cast to VARCHAR). A group with all
+    x equal has ``slope_den = '0'`` (undefined trend, caller's choice).
+
+    Distributed shape: each batch emits ONE sufficient-statistics row
+    per group present (n, Σx, Σy, Σxy, Σx² — computed with Python
+    unbounded ints so the map side is as overflow-proof as the
+    combine), then one bucket exchange over the partials — shuffle
+    volume is rows-per-key-per-batch, never data rows."""
+    from ..stages.partition import bucket_exchange
+
+    group_cols = list(group_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {**{c: df[c] for c in group_cols},
+                 "n": pd.Series([], dtype="int64"),
+                 **{c: pd.Series([], dtype=object)
+                    for c in ("sx", "sy", "sxy", "sxx")}}
+            )
+        x = df[x_col].to_numpy(dtype=np.int64).astype(object)
+        y = df[y_col].to_numpy(dtype=np.int64).astype(object)
+        tmp = pd.DataFrame({
+            **{c: df[c].to_numpy() for c in group_cols},
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+        })
+        g = tmp.groupby(group_cols, sort=False)
+        agg = g.agg(n=("sx", "size"), sx=("sx", "sum"), sy=("sy", "sum"),
+                    sxy=("sxy", "sum"), sxx=("sxx", "sum")).reset_index()
+        agg["n"] = agg["n"].astype("int64")
+        for c in ("sx", "sy", "sxy", "sxx"):
+            agg[c] = agg[c].map(lambda v: str(int(v)))
+        return agg
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {**{c: df[c] for c in group_cols},
+                 "n": pd.Series([], dtype="int64"),
+                 "slope_num": pd.Series([], dtype=object),
+                 "slope_den": pd.Series([], dtype=object)}
+            )
+        tmp = df.assign(**{c: df[c].map(int).astype(object)
+                           for c in ("sx", "sy", "sxy", "sxx")})
+        g = tmp.groupby(group_cols, sort=False)
+        agg = g.agg(n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+                    sxy=("sxy", "sum"), sxx=("sxx", "sum")).reset_index()
+        n = agg["n"].astype(object)
+        num = n * agg["sxy"] - agg["sx"] * agg["sy"]
+        den = n * agg["sxx"] - agg["sx"] * agg["sx"]
+        out = agg[group_cols].copy()
+        out["n"] = agg["n"].astype("int64")
+        out["slope_num"] = num.map(lambda v: str(int(v)))
+        out["slope_den"] = den.map(lambda v: str(int(v)))
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucket_exchange(partials, group_cols, combine, num_buckets)
+
+
+def rrf_fuse(
+    ds,
+    group_cols: Sequence[str],
+    id_col: str,
+    metric_cols: Sequence[str],
+    k: int = 60,
+    top_n: int = 10,
+    num_buckets: int | None = None,
+):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of several ranked
+    views of the same items: within each group, rank items by every
+    metric independently (descending, ties broken by ascending id —
+    ROW_NUMBER semantics) and fuse as ``score = Σ_m 1/(k + rank_m)``,
+    keeping the ``top_n`` per group.
+
+    Cross-engine float exactness: each term ``1.0/(k+rank)`` is ONE
+    IEEE division of small ints and the terms are added strictly
+    left-to-right in metric order — DuckDB evaluates the identical
+    expression tree, so the binary64 score (and therefore the ordering
+    and the driver value-hash) match bit-for-bit. ONE exchange keyed by
+    group; only (group, id, metrics) tuples shuffle."""
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    group_cols = list(group_cols)
+    metric_cols = list(metric_cols)
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
+        if len(df) == 0:
+            return pd.DataFrame({
+                **{c: df[c] for c in group_cols}, id_col: df[id_col],
+                "rrf_score": pd.Series([], dtype="float64"),
+            })
+        df = df.reset_index(drop=True)
+        score = np.zeros(len(df), dtype=np.float64)
+        for m in metric_cols:
+            s = df.sort_values(
+                [*group_cols, m, id_col],
+                ascending=[*([True] * len(group_cols)), False, True],
+                kind="mergesort",
+            )
+            rank_sorted = (
+                s.groupby(group_cols, sort=False).cumcount().to_numpy() + 1
+            )
+            rank = np.empty(len(df), dtype=np.int64)
+            rank[s.index.to_numpy()] = rank_sorted
+            score = score + 1.0 / (k + rank)
+        out = df[[*group_cols, id_col]].copy()
+        out["rrf_score"] = score
+        out = out.sort_values(
+            [*group_cols, "rrf_score", id_col],
+            ascending=[*([True] * len(group_cols)), False, True],
+            kind="mergesort",
+        )
+        return out.groupby(group_cols, sort=False).head(top_n)
+
+    return bucket_exchange(ds, group_cols, per_group, num_buckets)
+
+
+def join_delta(
+    a_old,
+    a_delta: pd.DataFrame,
+    b_new,
+    b_delta: pd.DataFrame,
+    on: Sequence[str] | str,
+):
+    """Incremental JOIN view maintenance (insert-only IVM): given the
+    PREVIOUS state of side A, this tick's inserts ΔA, the NEW state of
+    side B and its inserts ΔB, emit exactly the join rows that are new
+    this tick — ``ΔA ⋈ B_new  ∪  A_old ⋈ ΔB`` (the standard delta-rule
+    identity: equals ``A_new⋈B_new − A_old⋈B_old`` for insert-only
+    ticks, and the two parts are disjoint because every part-1 row has
+    a new A and every part-2 row an old A). The maintained view is
+    refreshed by appending the result — the old join NEVER re-runs.
+
+    Scale shape: the deltas are the small sides — each is ``ray.put``
+    once and probed inside ``map_batches`` while the big sides
+    (``b_new``, ``a_old``) STREAM through map-only stages. Zero
+    shuffle; the 100 TB base tables never move. Deltas must fit in a
+    worker heap (they are one tick's inserts, not history).
+
+    Key columns must carry the same names on both sides (rename
+    upstream); non-key column names must be disjoint."""
+    import ray
+
+    on = [on] if isinstance(on, str) else list(on)
+    a_ref = ray.put(a_delta)
+    b_ref = ray.put(b_delta)
+
+    def probe_with_a_delta(df: pd.DataFrame) -> pd.DataFrame:
+        return ray.get(a_ref).merge(df, on=on)
+
+    def probe_with_b_delta(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(b_ref), on=on)
+
+    part1 = b_new.map_batches(probe_with_a_delta, batch_format="pandas")
+    part2 = a_old.map_batches(probe_with_b_delta, batch_format="pandas")
+    return part1.union(part2)
+
+
 __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_topk",
            "unpivot", "exact_quantiles", "grouped_mad_outliers",
            "grouped_quantile",
@@ -1931,4 +2107,5 @@ __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_topk",
            "range_join", "pivot_count", "grouped_corr", "set_op",
            "grouping_sets_agg", "rollup_agg", "cube_agg", "ordered_scan", "profile_table",
            "table_diff", "weighted_quantiles", "sorted_neighborhood_pairs",
-           "pareto_frontier", "audit_table"]
+           "pareto_frontier", "audit_table", "grouped_linear_trend",
+           "rrf_fuse", "join_delta"]

@@ -5867,6 +5867,173 @@ FROM run WHERE d = 1 GROUP BY 1
 """
 
 
+def q_trend_per_customer(sf_dir: str):
+    """Per-customer spend TREND: least-squares slope of order value
+    (cents) over order date (epoch days), emitted as an exact rational
+    (slope_num/slope_den strings — the values outgrow int64; HUGEINT in
+    the oracle). Naive float covariance sums cancel catastrophically
+    (Σx·Σy ≫ covariance); the engine keeps every sum an unbounded
+    Python int. One partial pass + one tiny exchange of per-group
+    sufficient statistics."""
+    from ..functions.relational import grouped_linear_trend
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+                        num_blocks=8)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["o_orderdate"].astype("datetime64[ns]").astype("int64")
+             // 86_400_000_000_000)
+        y = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype("int64")
+        return pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"),
+                             "x": x.astype("int64"), "y": y})
+
+    return grouped_linear_trend(
+        orders.map_batches(prep, batch_format="pandas"),
+        ["o_custkey"], "x", "y", num_buckets=8)
+
+
+SQL_TREND_PER_CUSTOMER = """
+WITH q AS (
+  SELECT o_custkey,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS HUGEINT) AS x,
+         CAST(ROUND(o_totalprice * 100) AS HUGEINT) AS y
+  FROM orders
+), s AS (
+  SELECT o_custkey, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM q GROUP BY o_custkey
+)
+SELECT o_custkey, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+       CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den
+FROM s
+"""
+
+
+def q_rrf_docs(sf_dir: str):
+    """Reciprocal-rank fusion per language: documents ranked by
+    n_chars and by token count independently (ROW_NUMBER ties → lowest
+    doc_id), fused as 1/(60+r1) + 1/(60+r2), top 10 per lang. Each term
+    is one IEEE division of small ints added left-to-right, so the
+    float score hash-matches DuckDB bit-for-bit. One exchange by lang."""
+    from ..functions.relational import rrf_fuse
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang", "n_chars"],
+                      num_blocks=8)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_chars": df["n_chars"].astype("int64"),
+            "n_tokens": df["text"].str.count(r"\S+").fillna(0).astype("int64"),
+        })
+
+    return rrf_fuse(docs.map_batches(prep, batch_format="pandas"),
+                    ["lang"], "doc_id", ["n_chars", "n_tokens"],
+                    k=60, top_n=10, num_buckets=8)
+
+
+SQL_RRF_DOCS = """
+WITH t AS (
+  SELECT lang, doc_id, n_chars,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS r1,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_tokens DESC, doc_id) AS r2
+  FROM t
+), s AS (
+  SELECT lang, doc_id,
+         CAST(1 AS DOUBLE) / (60 + r1)
+         + CAST(1 AS DOUBLE) / (60 + r2) AS rrf_score
+  FROM r
+)
+SELECT lang, doc_id, rrf_score FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY rrf_score DESC, doc_id) <= 10
+"""
+
+
+JOIN_DELTA_CUTOFF = "2000-01-01"
+
+
+def q_join_delta_orders(sf_dir: str):
+    """Insert-only incremental JOIN maintenance: the orders⋈lineitem
+    view is refreshed by computing ONLY this tick's new join rows —
+    ΔA⋈B_new (new orders probe the full lineitem stream) ∪ A_old⋈ΔB
+    (newly-shipped lineitems probe the old-order stream). Both deltas
+    broadcast once via ray.put; both base tables stream map-only (zero
+    shuffle). The oracle is the definitional multiset difference
+    full-join EXCEPT ALL old-join."""
+    from ..functions.relational import join_delta
+
+    cutoff = np.datetime64(JOIN_DELTA_CUTOFF)
+
+    def order_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_custkey": df["o_custkey"].astype("int64"),
+        })
+
+    def line_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["l_orderkey"].astype("int64"),
+            "line_no": df["l_linenumber"].astype("int64"),
+            "qty": df["l_quantity"].astype("int64"),
+            "ship_day": (df["l_shipdate"].astype("datetime64[ns]")
+                         .astype("int64") // 86_400_000_000_000),
+        })
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                        num_blocks=8)
+    a_old = orders.map_batches(
+        lambda df: order_cols(df[df["o_orderdate"] < cutoff]),
+        batch_format="pandas")
+    a_delta = order_cols(
+        read_small(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .query("o_orderdate >= @cutoff"))
+    line = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"],
+        num_blocks=8)
+    b_new = line.map_batches(line_cols, batch_format="pandas")
+    b_delta = line_cols(
+        read_small(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_linenumber", "l_quantity",
+                            "l_shipdate"])
+        .query("l_shipdate >= @cutoff"))
+    return join_delta(a_old, a_delta, b_new, b_delta, on="o_orderkey")
+
+
+SQL_JOIN_DELTA_ORDERS = f"""
+WITH b AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS ship_day,
+         l_shipdate
+  FROM lineitem
+)
+SELECT o_orderkey, o_custkey, line_no, qty, ship_day
+FROM orders JOIN b ON o_orderkey = l_orderkey
+EXCEPT ALL
+SELECT o_orderkey, o_custkey, line_no, qty, ship_day
+FROM orders JOIN b ON o_orderkey = l_orderkey
+WHERE o_orderdate < DATE '{JOIN_DELTA_CUTOFF}'
+  AND l_shipdate < DATE '{JOIN_DELTA_CUTOFF}'
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -6028,6 +6195,9 @@ QUERIES = {
     "winnow_docs": q_winnow_docs,
     "projected_embeddings": q_projected_embeddings,
     "peak_concurrency": q_peak_concurrency,
+    "trend_per_customer": q_trend_per_customer,
+    "rrf_docs": q_rrf_docs,
+    "join_delta_orders": q_join_delta_orders,
 }
 
 ORACLE_SQL = {
@@ -6177,6 +6347,9 @@ ORACLE_SQL = {
     "winnow_docs": SQL_WINNOW_DOCS,
     "projected_embeddings": SQL_PROJECTED_EMB,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
+    "trend_per_customer": SQL_TREND_PER_CUSTOMER,
+    "rrf_docs": SQL_RRF_DOCS,
+    "join_delta_orders": SQL_JOIN_DELTA_ORDERS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
