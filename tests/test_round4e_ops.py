@@ -36,7 +36,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     "name", ["skyline_lineitems", "audit_orders", "cohort_retention",
              "token_budget_docs", "winnow_docs", "projected_embeddings",
              "peak_concurrency", "trend_per_customer", "rrf_docs",
-             "join_delta_orders"]
+             "join_delta_orders", "grid_clusters"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -198,3 +198,50 @@ def test_join_delta_equals_full_minus_old(ray_session):
     want = Counter(key(full))
     want.subtract(Counter(key(old)))
     assert Counter(key(got)) == +want
+
+
+def test_grid_clusters_matches_bruteforce(ray_session):
+    """Engine output equals a pure-numpy reference implementation
+    (quantize → project → bin → core cells → brute-force components →
+    assign) on random vectors — exercises multi-cell components, noise,
+    and isolated core cells."""
+    import ray
+
+    from transmog_ray.functions.ann import (_quantize_rows,
+                                            achlioptas_matrix,
+                                            grid_density_clusters)
+
+    rng = np.random.RandomState(11)
+    M = rng.randn(200, 16) * 3
+    rows = [{"vec_id": i, "embedding": M[i].tolist()} for i in range(200)]
+    cell, min_pts, shift, enc = 60, 2, 1 << 20, np.int64(1) << 22
+    out = grid_density_clusters(
+        ray.data.from_items(rows).repartition(4), cell=cell,
+        min_pts=min_pts).to_pandas().sort_values("vec_id")
+
+    q, _ = _quantize_rows(M.astype(np.float64))
+    y = q @ achlioptas_matrix(16, 2)
+    cx, cy = (y[:, 0] + shift) // cell, (y[:, 1] + shift) // cell
+    from collections import Counter
+    cnt = Counter(zip(cx.tolist(), cy.tolist()))
+    core = sorted(c for c, n in cnt.items() if n >= min_pts)
+    # brute-force components over 8-neighborhood adjacency
+    label = {c: c for c in core}
+    changed = True
+    while changed:
+        changed = False
+        for a in core:
+            for b in core:
+                if (abs(a[0] - b[0]) <= 1 and abs(a[1] - b[1]) <= 1
+                        and label[a] != label[b]):
+                    m = min(label[a], label[b])
+                    label[a] = label[b] = m
+                    changed = True
+    exp = [int(label[(x, yv)][0] * enc + label[(x, yv)][1])
+           if (x, yv) in label else -1
+           for x, yv in zip(cx.tolist(), cy.tolist())]
+    assert list(out["cx"]) == list(cx)
+    assert list(out["cy"]) == list(cy)
+    assert list(out["cluster"]) == exp
+    assert (out["cluster"] == -1).any()           # some noise present
+    assert out.loc[out.cluster >= 0, "cluster"].nunique() >= 2

@@ -239,7 +239,8 @@ def ivf_topk(
 
 
 __all__ = ["brute_topk", "lsh_topk", "ivf_topk", "kmeans_centroids",
-           "int8_quantize", "random_project_int8", "achlioptas_matrix"]
+           "int8_quantize", "random_project_int8", "achlioptas_matrix",
+           "grid_density_clusters"]
 
 
 def quantize_embedding(M: np.ndarray, scale: int = 1000) -> np.ndarray:
@@ -495,3 +496,143 @@ def kmeans_fit(
                              "cluster": np.argmin(d, axis=1).astype(np.int64)})
 
     return C, base.map_batches(assign, batch_format="pandas")
+
+
+def grid_density_clusters(
+    ds,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cell: int = 100,
+    min_pts: int = 3,
+    d_out: int = 2,
+    shift: int = 1 << 20,
+    num_buckets: int | None = None,
+):
+    """Grid-density clustering of an embedding column — the GriDBSCAN /
+    cell-based DBSCAN family: project each vector to ``d_out``=2 integer
+    coordinates (int8-quantize + the deterministic Achlioptas ±1 matmul
+    — all-integer, so the grid is SQL-exact), bin into square cells of
+    side *cell*, call a cell CORE when it holds ≥ *min_pts* points, and
+    cluster = connected component of core cells under 8-neighborhood
+    adjacency (label = MIN cell id of the component). Points in
+    non-core cells are noise (cluster = −1).
+
+    Scale shape (the reason grid DBSCAN exists): points are touched by
+    map-only stages — one projection pass, one partial-count pass, one
+    broadcast-lookup assignment. Everything that shuffles is CELL-sized:
+    the count aggregate (one row per occupied cell per batch), the
+    neighbor-probe exchange (9 rows per core cell), and the min-label
+    propagation over the core-cell graph (`_min_label_propagation`, the
+    same distributed component engine the near-dup clusters use). The
+    final (cid → label) map is O(core cells) and broadcasts via
+    ``ray.put``. Coordinates are shifted by *shift* before the floor
+    division so the SQL mirror's `//` (which TRUNCATES toward zero on
+    negatives, unlike numpy's floor) only ever sees non-negative ints.
+    """
+    import ray
+
+    from .relational import grouped_agg
+    from ..functions.neardup import _union_find_labels
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    first = ds.take(1)
+    if not first:
+        return ds.map_batches(lambda df: pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "cx": pd.Series([], dtype="int64"),
+            "cy": pd.Series([], dtype="int64"),
+            "cluster": pd.Series([], dtype="int64"),
+        }), batch_format="pandas")
+    d_in = len(first[0][emb_col])
+    r_ref = ray.put(achlioptas_matrix(d_in, d_out))
+    enc = np.int64(1) << 22  # cid = cx·2^22 + cy (shifted coords ≥ 0)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cx": pd.Series([], dtype="int64"),
+                                 "cy": pd.Series([], dtype="int64")})
+        M = np.asarray(list(df[emb_col]), dtype=np.float64)
+        q, _ = _quantize_rows(M)
+        y = q @ ray.get(r_ref)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy().astype(np.int64),
+            "cx": (y[:, 0] + shift) // cell,
+            "cy": (y[:, 1] + shift) // cell,
+        })
+
+    pts = ds.map_batches(project, batch_format="pandas").materialize()
+
+    import pyarrow.compute as pc
+
+    cells = grouped_agg(pts, ["cx", "cy"], {"n": (id_col, "count")},
+                        num_buckets=num_buckets or 8)
+    core = cells.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_pts)),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # neighbor-probe exchange: each core cell posts presence at its own
+    # cell and probes its 8 neighbors; an in-bucket merge yields edges
+    dxy = np.array([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                    if (dx, dy) != (0, 0)], dtype=np.int64)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("cx", "cy", "origin", "tag")})
+        cx = df["cx"].to_numpy(dtype=np.int64)
+        cy = df["cy"].to_numpy(dtype=np.int64)
+        cid = cx * enc + cy
+        n = len(df)
+        probes = pd.DataFrame({
+            "cx": np.repeat(cx, 8) + np.tile(dxy[:, 0], n),
+            "cy": np.repeat(cy, 8) + np.tile(dxy[:, 1], n),
+            "origin": np.repeat(cid, 8),
+            "tag": np.int64(0),
+        })
+        pres = pd.DataFrame({"cx": cx, "cy": cy, "origin": cid,
+                             "tag": np.int64(1)})
+        return pd.concat([pres, probes], ignore_index=True)
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
+        pres = df[df["tag"] == 1][["cx", "cy", "origin"]].rename(
+            columns={"origin": "id_b"})
+        pro = df[df["tag"] == 0][["cx", "cy", "origin"]].rename(
+            columns={"origin": "id_a"})
+        e = pro.merge(pres, on=["cx", "cy"])
+        return e[["id_a", "id_b"]].astype("int64")
+
+    probed = core.map_batches(emit, batch_format="pandas")
+    edges = bucket_exchange(probed, ["cx", "cy"], match, num_buckets)
+
+    core_pd = core.to_pandas()  # O(core cells): the broadcast side
+    core_cids = (core_pd["cx"].to_numpy(dtype=np.int64) * enc
+                 + core_pd["cy"].to_numpy(dtype=np.int64))
+    # components DRIVER-SIDE: the (cid → label) map must come to the
+    # driver for the broadcast assignment anyway, so union-find over
+    # the same O(core cells) edge set costs nothing extra — unlike the
+    # point-count-sized graphs where _min_label_propagation is required
+    edges_pd = edges.to_pandas()
+    if len(edges_pd):
+        label_map = {int(k): int(v) for k, v in _union_find_labels(
+            edges_pd["id_a"].to_numpy(dtype=np.int64).tolist(),
+            edges_pd["id_b"].to_numpy(dtype=np.int64).tolist()).items()}
+    else:
+        label_map = {}
+    for c in core_cids:  # isolated core cells: their own component
+        label_map.setdefault(int(c), int(c))
+    map_ref = ray.put(label_map)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(map_ref)
+        cid = (df["cx"].to_numpy(dtype=np.int64) * enc
+               + df["cy"].to_numpy(dtype=np.int64))
+        lab = np.fromiter((lut.get(int(c), -1) for c in cid), np.int64,
+                          len(cid))
+        out = df[[id_col, "cx", "cy"]].copy()
+        out["cluster"] = lab
+        return out
+
+    return pts.map_batches(assign, batch_format="pandas")

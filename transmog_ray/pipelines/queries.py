@@ -6034,6 +6034,79 @@ WHERE o_orderdate < DATE '{JOIN_DELTA_CUTOFF}'
 """
 
 
+def q_grid_clusters(sf_dir: str):
+    """Grid-density (cell-DBSCAN) clustering of embeddings: int8
+    quantize + Achlioptas ±1 project to 2 integer dims, bin into
+    100-unit cells, core cell = ≥3 points, clusters = 8-neighborhood
+    components of core cells (label = min cell id), non-core points are
+    noise (−1). Points only ever stream through map stages; everything
+    that shuffles is CELL-sized. Oracle: the same integer projection +
+    a recursive-CTE component closure."""
+    from ..functions.ann import grid_density_clusters
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                     num_blocks=8)
+    return grid_density_clusters(emb, cell=100, min_pts=3, num_buckets=8)
+
+
+SQL_GRID_CLUSTERS = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), s AS (
+  SELECT vec_id, emb,
+         list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS scale
+  FROM e
+), q AS (
+  SELECT vec_id,
+         unnest(range(0, len(emb))) AS pos,
+         unnest(list_transform(emb, x ->
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(GREATEST(LEAST(ROUND(x * 127.0 / scale), 127),
+                                     -127) AS BIGINT) END)) AS qv
+  FROM s
+), d AS (
+  SELECT unnest(range(0, 2)) AS out_dim
+), r AS (
+  SELECT q.vec_id, d.out_dim, q.qv,
+         CAST(CONCAT('0x', substring(md5(
+              CAST(q.pos AS VARCHAR) || '_' || CAST(d.out_dim AS VARCHAR)),
+              1, 8)) AS BIGINT) % 6 AS hm
+  FROM q CROSS JOIN d
+), y AS (
+  SELECT vec_id, out_dim,
+         CAST(SUM(CASE WHEN hm = 0 THEN qv
+                       WHEN hm = 1 THEN -qv ELSE 0 END) AS BIGINT) AS yv
+  FROM r GROUP BY vec_id, out_dim
+), pts AS (
+  SELECT vec_id,
+         MAX(CASE WHEN out_dim = 0 THEN (yv + 1048576) // 100 END) AS cx,
+         MAX(CASE WHEN out_dim = 1 THEN (yv + 1048576) // 100 END) AS cy
+  FROM y GROUP BY vec_id
+), cells AS (
+  SELECT cx, cy, cx * 4194304 + cy AS cid, COUNT(*) AS n
+  FROM pts GROUP BY cx, cy
+), core AS (
+  SELECT cx, cy, cid FROM cells WHERE n >= 3
+), edges AS (
+  SELECT a.cid AS src, b.cid AS dst
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.cid <> b.cid
+), reach(node, label) AS (
+  SELECT cid, cid FROM core
+  UNION
+  SELECT ed.dst, rc.label FROM reach rc JOIN edges ed ON ed.src = rc.node
+), labels AS (
+  SELECT node, MIN(label) AS label FROM reach GROUP BY node
+)
+SELECT p.vec_id, p.cx, p.cy,
+       COALESCE(l.label, CAST(-1 AS BIGINT)) AS cluster
+FROM pts p
+LEFT JOIN core c ON c.cx = p.cx AND c.cy = p.cy
+LEFT JOIN labels l ON l.node = c.cid
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -6198,6 +6271,7 @@ QUERIES = {
     "trend_per_customer": q_trend_per_customer,
     "rrf_docs": q_rrf_docs,
     "join_delta_orders": q_join_delta_orders,
+    "grid_clusters": q_grid_clusters,
 }
 
 ORACLE_SQL = {
@@ -6350,6 +6424,7 @@ ORACLE_SQL = {
     "trend_per_customer": SQL_TREND_PER_CUSTOMER,
     "rrf_docs": SQL_RRF_DOCS,
     "join_delta_orders": SQL_JOIN_DELTA_ORDERS,
+    "grid_clusters": SQL_GRID_CLUSTERS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
