@@ -36,7 +36,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     "name", ["skyline_lineitems", "audit_orders", "cohort_retention",
              "token_budget_docs", "winnow_docs", "projected_embeddings",
              "peak_concurrency", "trend_per_customer", "rrf_docs",
-             "join_delta_orders", "grid_clusters"]
+             "join_delta_orders", "grid_clusters", "cms_user_counts",
+             "seasonal_backtest", "attribution_events"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -245,3 +246,80 @@ def test_grid_clusters_matches_bruteforce(ray_session):
     assert list(out["cluster"]) == exp
     assert (out["cluster"] == -1).any()           # some noise present
     assert out.loc[out.cluster >= 0, "cluster"].nunique() >= 2
+
+
+def test_count_min_sketch_properties(ray_session):
+    """CMS estimate ≥ exact count for every key, equals the exact count
+    when width ≫ keys (no collisions), and n matches a direct count."""
+    import ray
+
+    from transmog_ray.functions.skew import count_min_sketch
+
+    rng = np.random.RandomState(5)
+    keys = rng.randint(0, 30, 500)
+    df = pd.DataFrame({"k": keys})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = count_min_sketch(ds, "k", depth=4, width=8,
+                           num_buckets=4).to_pandas()
+    true = pd.Series(keys).value_counts()
+    assert len(out) == len(true)
+    for _, r in out.iterrows():
+        assert r["n"] == true[r["k"]]
+        assert r["cms_est"] >= r["n"]          # narrow grid: collisions
+    wide = count_min_sketch(ds, "k", depth=4, width=4096,
+                            num_buckets=4).to_pandas()
+    assert (wide["cms_est"] == wide["n"]).all()
+
+
+def test_attribute_linear_credit_conservation(ray_session):
+    """Per purchase: credits sum exactly to FLOOR(value·100) and spread
+    is ≤ 1 cent (largest-remainder); purchases with no touches emit
+    nothing; touches at the purchase instant are excluded."""
+    from transmog_ray.stages.window import attribute_linear
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+        "2024-01-01 03:00",           # purchase with 3 touches
+        "2024-01-05 00:00",           # purchase: 3 touches aged out? no — within 7d
+        "2024-02-01 00:00",           # purchase with nothing in window
+    ])
+    df = pd.DataFrame({
+        "user_id": [1] * 6,
+        "event_id": [10, 11, 12, 13, 14, 15],
+        "ts": ts,
+        "event_type": ["click", "view", "click", "purchase", "purchase",
+                        "purchase"],
+        "value": [0.0, 0.0, 0.0, 1.00, 0.05, 9.99],
+    }).sort_values(["user_id", "ts", "event_id"])
+    out = attribute_linear(df)
+    # purchase 13: 100 cents over 3 touches → 34, 33, 33 (earliest +1)
+    p13 = out[out.purchase_id == 13].sort_values("touch_id")
+    assert p13["credit_cents"].sum() == 100
+    assert list(p13["credit_cents"]) == [34, 33, 33]
+    # purchase 14: 5 cents over 3 touches → 2, 2, 1
+    p14 = out[out.purchase_id == 14].sort_values("touch_id")
+    assert list(p14["credit_cents"]) == [2, 2, 1]
+    # purchase 15: no touches in its 7-day window → unattributed
+    assert (out.purchase_id == 15).sum() == 0
+
+
+def test_seasonal_naive_backtest_known_series(ray_session):
+    """Gaps skip pairs; errors are |y_t − y_{t−period}| summed per key."""
+    import ray
+
+    from transmog_ray.functions.relational import seasonal_naive_backtest
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 2,
+        "t": [0, 1, 24, 25, 49, 0, 24],
+        "y": [10, 20, 13, 26, 7, 5, 5],
+    })
+    out = seasonal_naive_backtest(
+        ray.data.from_pandas(df).repartition(2), ["k"], "t", "y",
+        period=24, num_buckets=2).to_pandas().set_index("k")
+    # a: pairs (24,0):|13-10|=3, (25,1):|26-20|=6; 49 has no t=25? yes 25
+    #    exists → (49,25):|7-26|=19
+    assert out.loc["a", "n_pairs"] == 3
+    assert out.loc["a", "sae"] == 3 + 6 + 19
+    assert out.loc["a", "max_ae"] == 19
+    assert out.loc["b", "n_pairs"] == 1 and out.loc["b", "sae"] == 0

@@ -2100,6 +2100,54 @@ def join_delta(
     return part1.union(part2)
 
 
+def seasonal_naive_backtest(
+    ds,
+    key_cols: Sequence[str],
+    t_col: str,
+    y_col: str,
+    period: int,
+    num_buckets: int | None = None,
+):
+    """Backtest of the seasonal-naive forecast ŷ(t) = y(t − period) on
+    an integer-indexed series (key, t, y): per key, pair every point
+    with the point one period earlier (JOIN on t − period, so gaps in
+    the series skip a pair rather than silently comparing misaligned
+    rows) and report n_pairs / sum-of-absolute-errors / max error —
+    all exact BIGINT arithmetic (MAE = sae/n_pairs is the caller's one
+    division). ONE exchange keyed by *key_cols*; the kernel groups by
+    key internally, so a small key domain colliding into one bucket
+    stays correct."""
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    key_cols = list(key_cols)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
+        empty = pd.DataFrame({
+            **{c: df[c][:0] for c in key_cols},
+            "n_pairs": pd.Series([], dtype="int64"),
+            "sae": pd.Series([], dtype="int64"),
+            "max_ae": pd.Series([], dtype="int64"),
+        })
+        if len(df) == 0:
+            return empty
+        cur = df[[*key_cols, t_col, y_col]]
+        prev = cur.assign(**{t_col: cur[t_col] + period}).rename(
+            columns={y_col: "_f"})
+        j = cur.merge(prev, on=[*key_cols, t_col])
+        if len(j) == 0:
+            return empty
+        j = j.assign(_ae=(j[y_col] - j["_f"]).abs().astype("int64"))
+        out = (j.groupby(key_cols, sort=False)
+               .agg(n_pairs=("_ae", "size"), sae=("_ae", "sum"),
+                    max_ae=("_ae", "max")).reset_index())
+        for c in ("n_pairs", "sae", "max_ae"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucket_exchange(ds, key_cols, kernel, num_buckets)
+
+
 __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_topk",
            "unpivot", "exact_quantiles", "grouped_mad_outliers",
            "grouped_quantile",
@@ -2108,4 +2156,4 @@ __all__ = ["grouped_agg", "broadcast_join", "topk", "grouped_topk",
            "grouping_sets_agg", "rollup_agg", "cube_agg", "ordered_scan", "profile_table",
            "table_diff", "weighted_quantiles", "sorted_neighborhood_pairs",
            "pareto_frontier", "audit_table", "grouped_linear_trend",
-           "rrf_fuse", "join_delta"]
+           "rrf_fuse", "join_delta", "seasonal_naive_backtest"]

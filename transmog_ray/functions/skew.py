@@ -239,4 +239,93 @@ def skew_join(
 
 
 __all__ = ["detect_hot_keys", "salted_grouped_agg", "skew_join",
-           "heavy_hitters"]
+           "heavy_hitters", "count_min_sketch"]
+
+
+class _CmsHasher:
+    """Per-actor md5 bucket hasher with a key cache — the stateful part
+    of the CMS map stage (``map_batches(Cls, concurrency=N)``): hash
+    values are computed once per distinct key per actor, not per row."""
+
+    def __init__(self, depth: int, width: int):
+        import hashlib
+
+        self._md5 = hashlib.md5
+        self.depth = depth
+        self.width = width
+        self._cache: dict = {}
+
+    def buckets(self, key) -> np.ndarray:
+        got = self._cache.get(key)
+        if got is None:
+            got = np.array(
+                [int(self._md5(f"{j}_{key}".encode()).hexdigest()[:8], 16)
+                 % self.width for j in range(self.depth)],
+                dtype=np.int64,
+            )
+            self._cache[key] = got
+        return got
+
+
+def count_min_sketch(
+    ds,
+    key: str,
+    depth: int = 4,
+    width: int = 512,
+    num_buckets: int = 8,
+):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates: a ``depth × width`` counter grid where row *j* buckets
+    key *k* at ``md5("{j}_{k}")[:8] % width`` — the repo's SQL-exact
+    hash convention, so an oracle can replay the sketch cell-for-cell.
+    Returns one row per distinct key: the EXACT count ``n`` and the
+    sketch estimate ``cms_est = min_j cell[j][h_j(k)]`` (always ≥ n;
+    equality iff no collision on some row).
+
+    Scale shape — the reason sketches exist: the map side carries
+    O(depth × width) fixed state per batch (never O(keys)); partial
+    grids merge by addition through one tiny grouped exchange of
+    (j, bucket, count) triples. The estimate pass broadcasts the merged
+    grid (depth·width ints) via ``ray.put`` and maps over the distinct
+    keys. Distinct keys come from the same exchange that computes the
+    exact counts — at 100 TB the only key-proportional traffic is one
+    pre-aggregated count per key per batch."""
+    import ray
+
+    from .relational import grouped_agg
+
+    hasher = _CmsHasher(depth, width)
+
+    def partial_grid(df: pd.DataFrame) -> pd.DataFrame:
+        grid = np.zeros((depth, width), dtype=np.int64)
+        counts = df.groupby(key, sort=False).size()
+        for k, c in counts.items():
+            grid[np.arange(depth), hasher.buckets(k)] += int(c)
+        j, b = np.nonzero(grid)
+        return pd.DataFrame({"j": j.astype(np.int64),
+                             "b": b.astype(np.int64),
+                             "cell": grid[j, b]})
+
+    grid_ds = grouped_agg(
+        ds.map_batches(partial_grid, batch_format="pandas"),
+        ["j", "b"], {"cell": ("cell", "sum")}, num_buckets=num_buckets)
+    grid_pd = grid_ds.to_pandas()
+    merged = np.zeros((depth, width), dtype=np.int64)
+    merged[grid_pd["j"].to_numpy(), grid_pd["b"].to_numpy()] = (
+        grid_pd["cell"].to_numpy())
+    grid_ref = ray.put(merged)
+
+    exact = grouped_agg(ds, [key], {"n": (key, "count")},
+                        num_buckets=num_buckets)
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        g = ray.get(grid_ref)
+        h = _CmsHasher(depth, width)
+        est = np.fromiter(
+            (g[np.arange(depth), h.buckets(k)].min() for k in df[key]),
+            np.int64, len(df))
+        out = df[[key, "n"]].copy()
+        out["cms_est"] = est
+        return out
+
+    return exact.map_batches(estimate, batch_format="pandas")

@@ -6107,6 +6107,116 @@ LEFT JOIN labels l ON l.node = c.cid
 """
 
 
+def q_cms_user_counts(sf_dir: str):
+    """Count-min sketch frequency estimates for every user (depth 4 ×
+    width 512, md5 row-hashes): exact count n next to the sketch
+    estimate cms_est = min over rows of the user's cell — always ≥ n.
+    Map side carries fixed O(d·w) state per batch; the merged grid
+    broadcasts once. The oracle replays the sketch cell-for-cell."""
+    from ..functions.skew import count_min_sketch
+
+    ev = read_table(sf_dir, "events", columns=["user_id"], num_blocks=8)
+    return count_min_sketch(ev, "user_id", depth=4, width=512,
+                            num_buckets=8)
+
+
+SQL_CMS_USER_COUNTS = """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+), rows_ AS (
+  SELECT unnest(range(0, 4)) AS j
+), hashed AS (
+  SELECT c.user_id, c.n, r.j,
+         CAST(CONCAT('0x', substring(md5(
+              CAST(r.j AS VARCHAR) || '_' || CAST(c.user_id AS VARCHAR)),
+              1, 8)) AS BIGINT) % 512 AS b
+  FROM counts c CROSS JOIN rows_ r
+), cells AS (
+  SELECT j, b, SUM(n) AS cell FROM hashed GROUP BY j, b
+)
+SELECT h.user_id, h.n, CAST(MIN(cells.cell) AS BIGINT) AS cms_est
+FROM hashed h JOIN cells ON cells.j = h.j AND cells.b = h.b
+GROUP BY h.user_id, h.n
+"""
+
+
+def q_seasonal_backtest(sf_dir: str):
+    """Seasonal-naive forecast backtest: hourly event counts per type,
+    forecast = same hour yesterday (period 24), exact integer error
+    sums per type. Hourly counts from one partial-agg exchange; the
+    pairing join is per-key inside a second exchange."""
+    from ..functions.relational import grouped_agg, seasonal_naive_backtest
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"],
+                    num_blocks=8)
+
+    def hours(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "h": (df["ts"].astype("datetime64[ns]").astype("int64")
+                  // 3_600_000_000_000),
+        })
+
+    hourly = grouped_agg(
+        ev.map_batches(hours, batch_format="pandas"),
+        ["event_type", "h"], {"y": ("h", "count")}, num_buckets=8)
+    return seasonal_naive_backtest(hourly, ["event_type"], "h", "y",
+                                   period=24, num_buckets=8)
+
+
+SQL_SEASONAL_BACKTEST = """
+WITH c AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type, abs(a.y - b.y) AS ae
+  FROM c a JOIN c b ON a.event_type = b.event_type AND b.h = a.h - 24
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ae) AS BIGINT) AS sae, CAST(MAX(ae) AS BIGINT) AS max_ae
+FROM j GROUP BY event_type
+"""
+
+
+def q_attribution_events(sf_dir: str):
+    """Linear multi-touch attribution: each purchase's cents split
+    equally (largest-remainder, integer-exact) over the user's
+    non-purchase events in the preceding 7 days. One user-keyed sorted
+    exchange; per-purchase ranges explode vectorized."""
+    from ..stages.partition import apply_sorted
+    from ..stages.window import attribute_linear
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"], num_blocks=8)
+    return apply_sorted(ev, ["user_id"], "ts", attribute_linear,
+                        num_buckets=16, tiebreak=["event_id"])
+
+
+SQL_ATTRIBUTION_EVENTS = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type <> 'purchase'
+), j AS (
+  SELECT p.event_id AS purchase_id, t.event_id AS touch_id, p.cents,
+         COUNT(*) OVER (PARTITION BY p.event_id) AS n,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY t.ts, t.event_id) AS rn
+  FROM p JOIN t ON t.user_id = p.user_id
+       AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
+)
+SELECT purchase_id, touch_id,
+       CAST(cents // n + CASE WHEN rn <= cents % n THEN 1 ELSE 0 END
+            AS BIGINT) AS credit_cents
+FROM j
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -6272,6 +6382,9 @@ QUERIES = {
     "rrf_docs": q_rrf_docs,
     "join_delta_orders": q_join_delta_orders,
     "grid_clusters": q_grid_clusters,
+    "cms_user_counts": q_cms_user_counts,
+    "seasonal_backtest": q_seasonal_backtest,
+    "attribution_events": q_attribution_events,
 }
 
 ORACLE_SQL = {
@@ -6425,6 +6538,9 @@ ORACLE_SQL = {
     "rrf_docs": SQL_RRF_DOCS,
     "join_delta_orders": SQL_JOIN_DELTA_ORDERS,
     "grid_clusters": SQL_GRID_CLUSTERS,
+    "cms_user_counts": SQL_CMS_USER_COUNTS,
+    "seasonal_backtest": SQL_SEASONAL_BACKTEST,
+    "attribution_events": SQL_ATTRIBUTION_EVENTS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }

@@ -444,8 +444,73 @@ def resample_ffill(
     return out[[key, out_ts, value_col]].reset_index(drop=True)
 
 
+def attribute_linear(
+    df: pd.DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+    window_seconds: int = 7 * 86400,
+) -> pd.DataFrame:
+    """Linear (equal-split) multi-touch attribution kernel for one
+    sorted partition (the :func:`~transmog_ray.stages.partition.apply_sorted`
+    contract: sorted by (user, ts, id); groups by user internally, so
+    hash-collided users stay correct). For each purchase, its touches
+    are the user's NON-purchase events in [ts − window, ts); the
+    purchase's integer cents split by LARGEST-REMAINDER: every touch
+    gets cents // n and the first cents % n touches (by ts, id) get one
+    extra cent — allocation is exact (credits sum to cents) and
+    integer-only, so the SQL mirror (ROW_NUMBER + // and %) matches
+    bit-for-bit. Cents = FLOOR(value·100) — both engines floor the SAME
+    IEEE double, so no half-boundary risk on non-fixed-decimal values.
+    Purchases with zero touches in window emit nothing (unattributed).
+    Vectorized: per-purchase ranges explode via repeat + cumsum offsets,
+    never a per-touch Python loop."""
+    out_frames = []
+    for _, g in df.groupby(user_col, sort=False):
+        is_p = (g[type_col] == purchase_type).to_numpy()
+        ts_ns = g[ts_col].astype("datetime64[ns]").astype("int64").to_numpy()
+        ids = g[id_col].to_numpy()
+        t_ts, t_ids = ts_ns[~is_p], ids[~is_p]
+        p_ts, p_ids = ts_ns[is_p], ids[is_p]
+        if len(p_ts) == 0 or len(t_ts) == 0:
+            continue
+        cents = np.floor(
+            g.loc[is_p, value_col].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        lo = np.searchsorted(t_ts, p_ts - window_seconds * 1_000_000_000,
+                             side="left")
+        hi = np.searchsorted(t_ts, p_ts, side="left")
+        n = hi - lo
+        keep = n > 0
+        lo, n, p_ids_k, cents_k = lo[keep], n[keep], p_ids[keep], cents[keep]
+        if len(n) == 0:
+            continue
+        total = int(n.sum())
+        # explode ranges lo_i .. lo_i + n_i - 1
+        offs = np.repeat(np.cumsum(n) - n, n)
+        pos = np.repeat(lo, n) + (np.arange(total) - offs)
+        rank = np.arange(total) - offs + 1  # 1-based within purchase
+        base = np.repeat(cents_k // n, n)
+        rem = np.repeat(cents_k % n, n)
+        out_frames.append(pd.DataFrame({
+            "purchase_id": np.repeat(p_ids_k, n).astype(np.int64),
+            "touch_id": t_ids[pos].astype(np.int64),
+            "credit_cents": (base + (rank <= rem)).astype(np.int64),
+        }))
+    if not out_frames:
+        return pd.DataFrame({
+            "purchase_id": pd.Series([], dtype="int64"),
+            "touch_id": pd.Series([], dtype="int64"),
+            "credit_cents": pd.Series([], dtype="int64"),
+        })
+    return pd.concat(out_frames, ignore_index=True)
+
+
 __all__ = [
     "with_lag", "with_lead", "sessionize", "backfill", "rolling_agg",
     "running_agg", "ewma", "target_encode", "first_touch",
-    "running_distinct", "resample_ffill",
+    "running_distinct", "resample_ffill", "attribute_linear",
 ]
