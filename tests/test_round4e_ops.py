@@ -37,7 +37,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "token_budget_docs", "winnow_docs", "projected_embeddings",
              "peak_concurrency", "trend_per_customer", "rrf_docs",
              "join_delta_orders", "grid_clusters", "cms_user_counts",
-             "seasonal_backtest", "attribution_events"]
+             "seasonal_backtest", "attribution_events", "temperature_mix_docs",
+             "t5_spans_docs"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -323,3 +324,49 @@ def test_seasonal_naive_backtest_known_series(ray_session):
     assert out.loc["a", "sae"] == 3 + 6 + 19
     assert out.loc["a", "max_ae"] == 19
     assert out.loc["b", "n_pairs"] == 1 and out.loc["b", "sae"] == 0
+
+
+def test_span_corruption_plan_invariants():
+    """Spans never overlap, stay inside their block, rate ≈ span/block;
+    short docs (< block tokens) emit nothing."""
+    from transmog_ray.functions.text import span_corruption_plan
+
+    text = " ".join(f"w{i}" for i in range(95))   # 4 full blocks of 20
+    out = span_corruption_plan(
+        pd.DataFrame({"doc_id": [1, 2], "text": [text, "too short"]}))
+    assert set(out["doc_id"]) == {1}
+    assert len(out) == 4
+    for _, r in out.iterrows():
+        blk_lo = r["block_no"] * 20
+        assert blk_lo <= r["start_tok"] <= blk_lo + 17
+        assert r["mask_len"] == 3
+    # non-overlap: sorted starts separated by ≥ 3 (they live in
+    # disjoint blocks, so by ≥ 20 - 17 = 3 at minimum)
+    s = np.sort(out["start_tok"].to_numpy())
+    assert (np.diff(s) >= 3).all()
+
+
+def test_temperature_resample_rates(ray_session):
+    """Tail source keeps a HIGHER fraction of its rows than its corpus
+    share would give under proportional sampling, and kept sets are
+    deterministic (re-run identical)."""
+    import ray
+
+    from transmog_ray.functions.sampling import temperature_resample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(1, 2001),
+        "src": ["big"] * 1900 + ["tail"] * 100,
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    out1 = temperature_resample(ds, "src", "doc_id").to_pandas()
+    out2 = temperature_resample(ds, "src", "doc_id").to_pandas()
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+    kept = out1.groupby("src").size()
+    # rates: big = .5*sqrt(.95) ≈ .487, tail = .5*sqrt(.05) ≈ .112 —
+    # tail keep-rate relative to its size is ~2.1% vs ~0.5% under a
+    # uniform budget of the same total: assert the flattening direction
+    frac_big = kept.get("big", 0) / 1900
+    frac_tail = kept.get("tail", 0) / 100
+    assert frac_tail > 0
+    assert frac_tail / frac_big > 0.15 / 0.487 * 0.5  # flattened vs prop.

@@ -254,3 +254,40 @@ def stratified_topn(
         return out.drop(columns="__h")
 
     return bucket_exchange(candidates, keys, finish, num_buckets)
+
+
+def temperature_resample(
+    ds,
+    group_col: str,
+    id_col: str,
+    coef: float = 0.5,
+    num_buckets: int = 8,
+):
+    """Temperature-based (T=2, i.e. √-share) corpus-mix resampling —
+    the multilingual-curation standard for up-weighting tail sources:
+    source *l* with corpus share *s_l* keeps rows at rate
+    ``p_l = min(1, coef · sqrt(s_l))``, flattening the mix toward the
+    tail (p/s grows as 1/sqrt(s)). T=2 is the one temperature that is
+    SQL-bit-exact: sqrt is IEEE correctly rounded everywhere, while
+    general ``pow`` differs by 1 ulp across libms (see
+    :func:`weighted_sample`'s caveat).
+
+    Two passes: a count aggregate (one partial row per source per
+    batch) derives the per-source rates driver-side — tiny,
+    broadcast in the task closure — then a zero-shuffle deterministic
+    Bernoulli filter via :func:`weighted_sample` (knuth-hash uniform,
+    same rows survive at any cluster size)."""
+    import math
+
+    from .relational import grouped_agg
+
+    counts = grouped_agg(ds, [group_col], {"n": (group_col, "count")},
+                         num_buckets=num_buckets).to_pandas()
+    total = float(int(counts["n"].sum()))
+    rates = {
+        g: min(1.0, coef * math.sqrt(float(int(n)) / total))
+        for g, n in zip(counts[group_col], counts["n"])
+    }
+
+    return weighted_sample(
+        ds, id_col, lambda df: df[group_col].map(rates), temperature=1.0)

@@ -933,7 +933,55 @@ __all__ = [
     "LangId",
     "rolling_fingerprint",
     "winnow_fingerprints",
+    "span_corruption_plan",
     "pmi_collocations",
     "duplicate_span_stats",
     "STOPWORDS",
 ]
+
+
+def span_corruption_plan(
+    df: pd.DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 20,
+    span: int = 3,
+) -> pd.DataFrame:
+    """Deterministic T5-style span-corruption PLAN: the doc's tokens
+    (``\\S+`` runs) partition into fixed blocks of *block* tokens and
+    every FULL block masks one *span*-token run starting at
+    ``md5("{doc}_{blk}")[:8] % (block − span + 1)`` — ≈ span/block
+    corruption (15% at 3/20), spans non-overlapping BY CONSTRUCTION
+    (one per block, always inside it), no RNG state, the same mask on
+    every re-run and any cluster size, and the md5 rule replays in SQL.
+    A trailing partial block masks nothing. Output: exploded
+    (id, block_no, start_tok, mask_len) rows. Map-only, zero shuffle —
+    the downstream packer gathers mask positions per shard."""
+    width = block - span + 1
+    ids_out, blk_out, start_out = [], [], []
+    ids = df[id_col].to_numpy()
+    ntok = df[text_col].fillna("").str.count(r"\S+").to_numpy(dtype=np.int64)
+    for did, nt in zip(ids, ntok):
+        nb = int(nt) // block
+        if nb <= 0:
+            continue
+        offs = np.fromiter(
+            (int(hashlib.md5(f"{did}_{i}".encode()).hexdigest()[:8], 16)
+             % width for i in range(nb)), np.int64, nb)
+        ids_out.append(np.full(nb, did, dtype=np.int64))
+        blk_out.append(np.arange(nb, dtype=np.int64))
+        start_out.append(np.arange(nb, dtype=np.int64) * block + offs)
+    if not ids_out:
+        return pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "block_no": pd.Series([], dtype="int64"),
+            "start_tok": pd.Series([], dtype="int64"),
+            "mask_len": pd.Series([], dtype="int64"),
+        })
+    out_ids = np.concatenate(ids_out)
+    return pd.DataFrame({
+        id_col: out_ids,
+        "block_no": np.concatenate(blk_out),
+        "start_tok": np.concatenate(start_out),
+        "mask_len": np.full(len(out_ids), span, dtype=np.int64),
+    })

@@ -6217,6 +6217,66 @@ FROM j
 """
 
 
+def q_temperature_mix_docs(sf_dir: str):
+    """√-share (T=2) temperature resampling of the corpus mix: source
+    share s keeps rows at min(1, 0.5·sqrt(s)) — tail sources up-weight.
+    sqrt is the ONE temperature exponent that is IEEE-exact on both
+    engines. Count pass → broadcast rates → zero-shuffle knuth-hash
+    Bernoulli filter."""
+    from ..functions.sampling import temperature_resample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"],
+                      num_blocks=8)
+    return temperature_resample(docs, "source", "doc_id", coef=0.5,
+                                num_buckets=8)
+
+
+SQL_TEMPERATURE_MIX = """
+WITH c AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n) AS total FROM c
+), r AS (
+  SELECT source,
+         LEAST(1.0, 0.5 * sqrt(n / CAST(total AS DOUBLE))) AS p
+  FROM c, tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < r.p
+"""
+
+
+def q_t5_spans_docs(sf_dir: str):
+    """Deterministic T5 span-corruption plan: every full 20-token block
+    masks a 3-token span at md5-derived offset — 15% corruption,
+    non-overlapping by construction, reproducible on any cluster size.
+    Map-only."""
+    from ..functions.text import span_corruption_plan
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+    return docs.map_batches(span_corruption_plan, batch_format="pandas")
+
+
+SQL_T5_SPANS = """
+WITH w AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+')) // 20 AS nb
+  FROM documents
+)
+SELECT doc_id,
+       unnest(range(0, nb)) AS block_no,
+       unnest(list_transform(range(0, nb), i ->
+           i * 20 + CAST(CONCAT('0x', substring(md5(
+               CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)),
+               1, 8)) AS BIGINT) % 18)) AS start_tok,
+       unnest(list_transform(range(0, nb), i -> CAST(3 AS BIGINT)))
+           AS mask_len
+FROM w WHERE nb > 0
+"""
+
+
 #: ordered for a budget-bounded driver sweep: the flagship pair + the
 #: near-dup family first (the r3 verification gap — they MUST get driver
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
@@ -6385,6 +6445,8 @@ QUERIES = {
     "cms_user_counts": q_cms_user_counts,
     "seasonal_backtest": q_seasonal_backtest,
     "attribution_events": q_attribution_events,
+    "temperature_mix_docs": q_temperature_mix_docs,
+    "t5_spans_docs": q_t5_spans_docs,
 }
 
 ORACLE_SQL = {
@@ -6541,6 +6603,8 @@ ORACLE_SQL = {
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "seasonal_backtest": SQL_SEASONAL_BACKTEST,
     "attribution_events": SQL_ATTRIBUTION_EVENTS,
+    "temperature_mix_docs": SQL_TEMPERATURE_MIX,
+    "t5_spans_docs": SQL_T5_SPANS,
     # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
     # rows-only (no faithful ANSI-SQL form)
 }
