@@ -1,0 +1,145 @@
+"""Round-4 fifth-batch operators: md5 SimHash (SQL-replayable
+fingerprints), md5-HLL register sketches, BPE merge-pair counts,
+inverted-index build, boolean conjunctive search — each pinned to its
+DuckDB oracle at sf0.001 plus semantic/brute-force checks."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem", "orders", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "name", ["simhash_docs", "approx_distinct_users", "bpe_pairs_docs",
+             "inverted_index_docs", "boolean_search_docs"]
+)
+def test_new_query_matches_oracle(ray_session, name):
+    from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    res = QUERIES[name](SF)
+    got = _canon(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _canon(_oracle(ORACLE_SQL[name]))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_simhash_md5_matches_bruteforce():
+    """Per-doc brute force: token md5 → ±1 per bit → sign, including the
+    ''-token edge for empty/None text."""
+    from transmog_ray.functions.neardup import simhash_md5_batch
+
+    texts = ["the quick fox", "the the the", "", None, "solo"]
+    got = simhash_md5_batch(texts)
+
+    def brute(t):
+        toks = (t if isinstance(t, str) else "").split(" ")
+        acc = [0] * 64
+        for tok in toks:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        return sum((1 << b) for b in range(64) if acc[b] > 0)
+
+    assert [int(s) for s in got] == [brute(t) for t in texts]
+    # identical token multisets => identical signature
+    assert int(simhash_md5_batch(["a b a"])[0]) == int(
+        simhash_md5_batch(["b a a"])[0])
+
+
+def test_hll_md5_estimate_accuracy(ray_session):
+    """The estimate derived from the md5 register sketch lands within
+    the standard ~1.04/sqrt(m) HLL error of the exact distinct count."""
+    import ray
+
+    from transmog_ray.functions.relational import (
+        hll_estimate_from_registers, hll_md5_registers)
+
+    n = 5000
+    df = pd.DataFrame({"v": [f"user-{i % 3700}" for i in range(n)]})
+    ds = ray.data.from_pandas(df)
+    regs = hll_md5_registers(ds, "v", p=12)
+    est = hll_estimate_from_registers(regs, p=12)
+    assert abs(est - 3700) / 3700 < 0.05
+    # register ids are within range and ranks within cap
+    assert regs["register"].between(0, (1 << 12) - 1).all()
+    assert regs["max_rank"].between(1, 53).all()
+
+
+def test_bpe_pair_counts_matches_counter(ray_session):
+    """Brute force: Counter over every adjacent char pair of every token
+    occurrence equals the two-exchange distributed counts."""
+    from collections import Counter
+
+    import ray
+
+    from transmog_ray.functions.text import bpe_pair_counts
+
+    texts = ["hello hello world", "ab ab ba", "x yz hello", ""]
+    want = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                want[w[i:i + 2]] += 1
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    got = bpe_pair_counts(ds, k=100).to_pandas()
+    got_map = dict(zip(got["pair"], got["n"]))
+    assert got_map == dict(want)
+    # ordering: count desc then pair asc
+    key = list(zip(-got["n"], got["pair"]))
+    assert key == sorted(key)
+
+
+def test_boolean_search_token_not_substring(ray_session):
+    """'join' inside 'joining' must NOT match — whole-token semantics."""
+    import ray
+
+    from transmog_ray.functions.text import boolean_search
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["data the join", "data the joining", "join the", None],
+    })
+    ds = ray.data.from_pandas(df)
+    out = boolean_search(ds, ["data", "the", "join"]).to_pandas()
+    assert sorted(out["doc_id"]) == [1]
+
+
+def test_inverted_index_postings_sorted(ray_session):
+    import ray
+
+    from transmog_ray.functions.text import inverted_index
+
+    df = pd.DataFrame({
+        "doc_id": [30, 10, 20],
+        "text": ["a b", "b c", "b"],
+    })
+    out = inverted_index(ray.data.from_pandas(df)).to_pandas()
+    row = out[out["tok"] == "b"].iloc[0]
+    assert row["df"] == 3 and row["postings"] == "10,20,30"
+    assert set(out["tok"]) == {"a", "b", "c"}

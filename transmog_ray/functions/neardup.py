@@ -580,6 +580,45 @@ def add_simhash(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return df
 
 
+def simhash_md5_batch(texts) -> np.ndarray:
+    """64-bit SimHash with the token hash = first 8 bytes of md5 —
+    bit-for-bit replayable in ANSI SQL (DuckDB:
+    ``CAST(CONCAT('0x', substring(md5(tok),1,16)) AS UBIGINT)``), unlike
+    the siphash kernel above. Semantics mirror SQL ``string_split``:
+    NULL text is treated as ``''`` and ``''.split(' ')`` yields one
+    empty token (md5('') is well-defined on both sides), so every input
+    row gets a signature. md5 runs once per UNIQUE token in the batch;
+    the bit-matrix accumulation is the same vectorized ``reduceat`` as
+    :func:`simhash_batch`."""
+    import hashlib
+
+    toks: list[str] = []
+    starts: list[int] = []
+    for t in texts:
+        starts.append(len(toks))
+        toks.extend((t if isinstance(t, str) else "").split(" "))
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+    h_uniq = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+            for u in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    hashed = h_uniq[inv]
+    bits = ((hashed[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)).astype(
+        np.int32
+    ) * 2 - 1
+    acc = np.add.reduceat(bits, np.asarray(starts), axis=0)
+    return ((acc > 0).astype(np.uint64) << _SIMHASH_SHIFTS[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Per-element popcount of a uint64 array (numpy-1.x compatible)."""
     v = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)

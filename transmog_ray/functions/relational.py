@@ -1363,6 +1363,77 @@ def approx_distinct(ds, col: str, p: int = 14) -> int:
     return merged.count()
 
 
+def hll_md5_registers(ds, col: str, p: int = 12):
+    """HyperLogLog register table with an md5 token hash — the sketch
+    STATE itself is SQL-replayable (integer-exact), so the distributed
+    sketch build gets a real DuckDB oracle instead of a rows-only check.
+
+    Hash: first 8 bytes of ``md5(str(value))`` big-endian (DuckDB
+    ``CAST(CONCAT('0x', substring(md5(v),1,16)) AS UBIGINT)``);
+    ``register = h >> (64-p)``; ``rest = (h & (2^(64-p)-1)) << p`` (the
+    masked form — identical on both sides, no wraparound semantics to
+    trust); ``rank`` = leading-zero count of ``rest`` + 1, capped at
+    ``64-p+1``, found by an exact vectorized bit scan (NOT float log2 —
+    values within 2^11 of 2^64 round UP to 2^64 in float64 and misplace
+    the leading bit). Returns a pandas frame of the NONZERO registers
+    ``(register, max_rank)`` sorted by register; per-batch partial
+    registers merge with a tiny ``max`` exchange (≤2^p rows per batch).
+    The derived cardinality estimate is pinned separately in tests —
+    its bias-correction branch needs ``ln``, which is not
+    cross-engine-exact."""
+    mask = np.uint64((1 << (64 - p)) - 1)
+    cap = 64 - p + 1
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        vals = df[col].dropna()
+        uniq = pd.unique(vals.astype(str))
+        if len(uniq) == 0:
+            return pd.DataFrame(
+                {"register": pd.Series([], dtype="int64"),
+                 "max_rank": pd.Series([], dtype="int64")}
+            )
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+             for u in uniq),
+            dtype=np.uint64, count=len(uniq),
+        )
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h & mask) << np.uint64(p)
+        # exact leading-bit scan: rank = first set bit position + 1
+        rank = np.full(len(h), cap, dtype=np.int64)
+        unset = np.ones(len(h), dtype=bool)
+        for b in range(64 - p):
+            hit = unset & (((rest >> np.uint64(63 - b)) & np.uint64(1)) == 1)
+            rank[hit] = b + 1
+            unset &= ~hit
+            if not unset.any():
+                break
+        out = pd.DataFrame({"register": reg, "max_rank": rank})
+        return out.groupby("register", as_index=False)["max_rank"].max()
+
+    parts = ds.select_columns([col]).map_batches(sketch, batch_format="pandas")
+    merged = grouped_agg(
+        parts, ["register"], {"max_rank": ("max_rank", "max")}
+    ).to_pandas()
+    return merged.sort_values("register").reset_index(drop=True)
+
+
+def hll_estimate_from_registers(regs: pd.DataFrame, p: int = 12) -> int:
+    """Standard HLL estimate (with linear-counting small-range branch)
+    from a :func:`hll_md5_registers` frame — driver-side, O(2^p)."""
+    m = 1 << p
+    registers = np.zeros(m, dtype=np.int64)
+    registers[regs["register"].to_numpy()] = regs["max_rank"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** -registers.astype(np.float64))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
 def topk(ds, by: Sequence[str] | str, k: int,
          descending: bool | Sequence[bool] = True):
     """Global top-k: per-batch prune to k rows, then one tiny sort.

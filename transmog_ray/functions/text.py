@@ -985,3 +985,117 @@ def span_corruption_plan(
         "start_tok": np.concatenate(start_out),
         "mask_len": np.full(len(out_ids), span, dtype=np.int64),
     })
+
+
+def bpe_pair_counts(docs_ds, text_col: str = "text", k: int = 20):
+    """Top-*k* BPE merge candidates — corpus-wide adjacent character-pair
+    counts within whitespace words, the statistic the first iteration of
+    byte-pair-encoding tokenizer training maximises (Sennrich 2016).
+
+    Two bounded exchanges, raw text never shuffles:
+
+    1. per-batch word counts (vectorized split+explode+value_counts)
+       combine into corpus word counts — one exchange of (word, count)
+       partials, vocabulary-sized not token-sized;
+    2. each UNIQUE word explodes into its ``len(w)-1`` adjacent pairs
+       weighted by the word's corpus count (a python loop over the
+       already-deduplicated vocabulary, not over tokens), pair partials
+       combine in a second tiny exchange;
+    3. global top-k by (count DESC, pair ASC) — the ascending pair
+       tiebreak makes boundary ties deterministic cross-engine.
+
+    SQL twin: ``substring(w, i+1, 2)`` over a correlated
+    ``unnest(range(length(w)-1))``."""
+    import numpy as np
+
+    from .relational import grouped_agg, topk
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[text_col].fillna("").str.split(" ").explode()
+        vc = ex.value_counts()
+        return pd.DataFrame({"w": vc.index.to_numpy(dtype=object),
+                             "c": vc.to_numpy(dtype=np.int64)})
+
+    wc = grouped_agg(
+        docs_ds.map_batches(word_counts, batch_format="pandas"),
+        ["w"], {"c": ("c", "sum")},
+    )
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        pairs: list[str] = []
+        counts: list[int] = []
+        for w, c in zip(df["w"], df["c"]):
+            for i in range(len(w) - 1):
+                pairs.append(w[i:i + 2])
+                counts.append(c)
+        out = pd.DataFrame({"pair": pd.Series(pairs, dtype=object),
+                            "n": pd.Series(counts, dtype="int64")})
+        return out.groupby("pair", as_index=False)["n"].sum()
+
+    pc = grouped_agg(
+        wc.map_batches(pair_partials, batch_format="pandas"),
+        ["pair"], {"n": ("n", "sum")},
+    )
+    return topk(pc, ["n", "pair"], k, descending=[True, False])
+
+
+def inverted_index(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Search-index build: token → document frequency + the sorted
+    posting list (comma-joined doc ids — a STRING so the driver's
+    value-hash compares it exactly; DuckDB twin is
+    ``string_agg(id, ',' ORDER BY id)`` over distinct pairs).
+
+    Per-batch distinct (doc, token) pairs explode vectorized, then ONE
+    exchange partitions by token and each bucket emits (token, df,
+    postings). Only id/token pairs cross the wire — never text. The
+    posting list is joined INSIDE the bucket kernel after an int sort,
+    so ordering is engine-independent."""
+    import numpy as np
+
+    from ..stages.partition import bucket_exchange
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[text_col].fillna("").str.split(" ").explode()
+        t = pd.DataFrame({
+            id_col: df[id_col].loc[ex.index].to_numpy(),
+            "tok": ex.to_numpy(dtype=object),
+        })
+        return t.drop_duplicates()
+
+    pair_ds = docs_ds.select_columns([id_col, text_col]).map_batches(
+        pairs, batch_format="pandas")
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()  # same pair may arrive from many batches
+        df = df.sort_values([("tok"), id_col], kind="mergesort")
+        g = df.groupby("tok", sort=False)[id_col]
+        out = pd.DataFrame({
+            "tok": g.size().index.to_numpy(dtype=object),
+            "df": g.size().to_numpy(np.int64),
+            "postings": g.apply(
+                lambda s: ",".join(str(int(v)) for v in s)).to_numpy(
+                dtype=object),
+        })
+        return out
+
+    return bucket_exchange(pair_ds, ["tok"], build)
+
+
+def boolean_search(docs_ds, terms, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Conjunctive (AND) token search: documents containing EVERY query
+    term as a whole whitespace token. Terms broadcast in the task
+    closure; the filter is a vectorized padded-substring test
+    (``' '+text+' '`` contains ``' term '``) — zero shuffle, map-only,
+    exactly DuckDB ``POSITION(' '||term||' ' IN ' '||text||' ') > 0``."""
+    terms = list(terms)
+
+    def hit(df: pd.DataFrame) -> pd.DataFrame:
+        padded = " " + df[text_col].fillna("") + " "
+        m = pd.Series(True, index=df.index)
+        for t in terms:
+            m &= padded.str.contains(f" {t} ", regex=False)
+        return df.loc[m, [id_col]]
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        hit, batch_format="pandas")

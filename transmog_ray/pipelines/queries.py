@@ -1643,15 +1643,43 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_approx_distinct_users(sf_dir: str):
-    """HyperLogLog approximate COUNT(DISTINCT user_id) over events —
-    fixed-size mergeable sketches per batch, no shuffle (rows-only check;
-    the ±~0.8% p=14 error bound is pinned against the exact count in
-    tests)."""
-    from ..functions.relational import approx_distinct
+    """HyperLogLog SKETCH over events.user_id, md5-hashed so the final
+    register table (the mergeable distributed state an approximate
+    COUNT(DISTINCT) actually ships) is integer-exact and SQL-replayable
+    — register = top p hash bits, max_rank = max leading-zero rank.
+    Per-batch partials (≤2^p nonzero rows each) merge with one tiny
+    ``max`` exchange; the derived cardinality estimate (whose
+    bias-correction branch needs ``ln``) is pinned vs the exact count in
+    tests instead."""
+    from ..functions.relational import hll_md5_registers
 
     ev = read_table(sf_dir, "events", columns=["user_id"])
-    n = approx_distinct(ev, "user_id")
-    return pd.DataFrame({"n_users_approx": pd.Series([n], dtype="int64")})
+    return hll_md5_registers(ev, "user_id", p=12)
+
+
+SQL_APPROX_DISTINCT_USERS = """
+WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid
+           FROM events WHERE user_id IS NOT NULL),
+h AS (SELECT CAST(CONCAT('0x', substring(md5(uid), 1, 16)) AS UBIGINT) AS h
+      FROM u),
+parts AS (
+  SELECT CAST(h >> 52 AS BIGINT) AS register,
+         -- masked-then-scaled (DuckDB << is BIGINT-bound; UBIGINT * stays
+         -- UBIGINT): rest = (h mod 2^52) * 2^12, the low 52 bits
+         -- left-aligned — identical to the engine's (h & mask) << p
+         (h % CAST(4503599627370496 AS UBIGINT)) * CAST(4096 AS UBIGINT)
+             AS rest
+  FROM h
+), ranked AS (
+  SELECT register, rest,
+         COALESCE(MIN(CASE WHEN ((rest >> (63 - b)) & 1) = 1
+                           THEN b + 1 END), 53) AS rank
+  FROM parts CROSS JOIN unnest(range(52)) t(b)
+  GROUP BY register, rest
+)
+SELECT register, CAST(MAX(rank) AS BIGINT) AS max_rank
+FROM ranked GROUP BY register
+"""
 
 
 def q_customer_order_quantiles(sf_dir: str):
@@ -2303,12 +2331,47 @@ def q_minhash_dedup(sf_dir: str):
 
 
 def q_simhash_docs(sf_dir: str):
-    from ..functions.neardup import add_simhash
+    """Per-doc 64-bit SimHash with the md5 token hash — the signature is
+    SQL-replayable (token md5 → ±1 bit matrix → sign), so the whole
+    fingerprint computation gets a value-hash oracle instead of the
+    rows-only check the siphash kernel needs. Emitted as a decimal
+    STRING (uint64 exceeds int64). Map-only, zero shuffle."""
+    from ..functions.neardup import simhash_md5_batch
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(
-        lambda df: add_simhash(df)[["doc_id", "simhash"]], batch_format="pandas"
-    )
+
+    def sig(df):
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "simhash": [str(int(s))
+                        for s in simhash_md5_batch(list(df["text"]))],
+        })
+
+    return docs.map_batches(sig, batch_format="pandas")
+
+
+SQL_SIMHASH_DOCS = """
+WITH RECURSIVE pow2(b, v) AS (
+  SELECT 0, CAST(1 AS UBIGINT)
+  UNION ALL
+  SELECT b + 1, v * CAST(2 AS UBIGINT) FROM pow2 WHERE b < 63
+), th AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substring(md5(tok), 1, 16)) AS UBIGINT) AS h
+  FROM (SELECT doc_id,
+               unnest(string_split(COALESCE(text, ''), ' ')) AS tok
+        FROM documents)
+), acc AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN unnest(range(64)) AS t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(CAST(SUM(CASE WHEN s > 0 THEN v ELSE CAST(0 AS UBIGINT) END)
+                 AS UBIGINT) AS VARCHAR) AS simhash
+FROM acc JOIN pow2 USING (b) GROUP BY doc_id
+"""
 
 
 def q_simhash_neardup(sf_dir: str):
@@ -6282,7 +6345,79 @@ FROM w WHERE nb > 0
 #: rows), then every other query CHEAPEST-FIRST by measured sf0.01 wall
 #: time (scripts/selfcheck.py prints per-query timings) so the sweep
 #: maximizes green correctness rows before the budget ends
+def q_bpe_pairs_docs(sf_dir: str):
+    """Top-20 BPE merge candidates (corpus adjacent char-pair counts
+    within words) — the first tokenizer-training iteration, distributed
+    as two vocabulary-sized exchanges (see
+    :func:`transmog_ray.functions.text.bpe_pair_counts`)."""
+    from ..functions.text import bpe_pair_counts
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return bpe_pair_counts(docs, k=20)
+
+
+SQL_BPE_PAIRS_DOCS = """
+WITH words AS (
+  SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w FROM documents
+), wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY w
+), pairs AS (
+  SELECT substring(w, CAST(i + 1 AS INT), 2) AS pair, c
+  FROM wc, unnest(range(length(w) - 1)) t(i)
+)
+SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+def q_inverted_index_docs(sf_dir: str):
+    """Search-index build: token → document frequency + sorted posting
+    list (comma-joined string). One token-partitioned exchange of
+    (doc_id, token) pairs; text never shuffles."""
+    from ..functions.text import inverted_index
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return inverted_index(docs)
+
+
+SQL_INVERTED_INDEX_DOCS = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tok
+    FROM documents)
+)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY tok
+"""
+
+
+_SEARCH_TERMS = ("data", "the", "join")
+
+
+def q_boolean_search_docs(sf_dir: str):
+    """Conjunctive token search (docs containing every query term as a
+    whole token) — broadcast terms, map-only padded-substring filter,
+    zero shuffle."""
+    from ..functions.text import boolean_search
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return boolean_search(docs, _SEARCH_TERMS)
+
+
+SQL_BOOLEAN_SEARCH_DOCS = """
+SELECT doc_id FROM documents
+WHERE POSITION(' data ' IN ' ' || COALESCE(text, '') || ' ') > 0
+  AND POSITION(' the '  IN ' ' || COALESCE(text, '') || ' ') > 0
+  AND POSITION(' join ' IN ' ' || COALESCE(text, '') || ' ') > 0
+"""
+
+
 QUERIES = {
+    "bpe_pairs_docs": q_bpe_pairs_docs,
+    "inverted_index_docs": q_inverted_index_docs,
+    "boolean_search_docs": q_boolean_search_docs,
     "media_features": q_media_features,
     "audio_features": q_audio_features,
     "video_frame_plan": q_video_frame_plan,
@@ -6605,8 +6740,14 @@ ORACLE_SQL = {
     "attribution_events": SQL_ATTRIBUTION_EVENTS,
     "temperature_mix_docs": SQL_TEMPERATURE_MIX,
     "t5_spans_docs": SQL_T5_SPANS,
-    # minhash_dedup / simhash_docs / langid_docs / lsh_ann:
-    # rows-only (no faithful ANSI-SQL form)
+    "simhash_docs": SQL_SIMHASH_DOCS,
+    "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
+    "bpe_pairs_docs": SQL_BPE_PAIRS_DOCS,
+    "inverted_index_docs": SQL_INVERTED_INDEX_DOCS,
+    "boolean_search_docs": SQL_BOOLEAN_SEARCH_DOCS,
+    # minhash_dedup / langid_docs / lsh_ann / ivf_ann / kmeans /
+    # simhash_neardup / ewma_events: rows-only (no faithful ANSI-SQL form
+    # — iterative float recursions or hash-clustering label maps)
 }
 
 
