@@ -37,7 +37,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name", ["simhash_docs", "approx_distinct_users", "bpe_pairs_docs",
-             "inverted_index_docs", "boolean_search_docs"]
+             "inverted_index_docs", "boolean_search_docs", "ppjoin_docs",
+             "chi2_lang_source", "kwic_docs"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -128,6 +129,47 @@ def test_boolean_search_token_not_substring(ray_session):
     ds = ray.data.from_pandas(df)
     out = boolean_search(ds, ["data", "the", "join"]).to_pandas()
     assert sorted(out["doc_id"]) == [1]
+
+
+def test_ppjoin_equals_allpairs(ray_session):
+    """PPJoin prefix filtering is LOSSLESS: its verified output equals
+    the all-pairs engine result on a frame with planted near-dups,
+    exact dups, short texts (< n tokens) and unrelated docs."""
+    import ray
+
+    from transmog_ray.functions.neardup import (ngram_jaccard_pairs,
+                                                ppjoin_pairs)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base, base + " tail", base.replace("quick", "slow"),
+             "totally different words here now", "a b", base,
+             "the quick brown fox jumps over the lazy dog again and also"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df)
+    want = (ngram_jaccard_pairs(ds, threshold=0.5, n=3).to_pandas()
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    got = (ppjoin_pairs(ds, threshold=0.5, n=3, num_buckets=4).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["id_a", "id_b", "jac"]].astype({"id_a": "int64", "id_b": "int64"}),
+        want[["id_a", "id_b", "jac"]].astype({"id_a": "int64", "id_b": "int64"}),
+    )
+
+
+def test_chi2_cells_consistent_with_margins(ray_session):
+    """Recompute expected/chi2 from the OUTPUT's own margins (absent
+    cells have o=0, so per-lang/source sums of o ARE the margins) and
+    require an exact match; all cells non-negative."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["chi2_lang_source"](SF)
+    assert (out["chi2_cell"] >= 0).all()
+    n = out["o"].sum()
+    r = out.groupby("lang")["o"].transform("sum")
+    c = out.groupby("source")["o"].transform("sum")
+    e = (r.to_numpy("int64") * c.to_numpy("int64")).astype("float64") / float(n)
+    assert np.array_equal(e, out["expected"].to_numpy())
 
 
 def test_inverted_index_postings_sorted(ray_session):

@@ -263,6 +263,8 @@ def _bucketed_text_verify(
     shingle_k: int,
     jaccard_threshold: float,
     num_buckets: int,
+    sim_fn=None,
+    emit_sim: bool = False,
 ):
     """Distributed exact-Jaccard verify of candidate pairs: build a
     bucketed TEXT TABLE once (candidate texts split by ``hash(id) % B``),
@@ -270,7 +272,12 @@ def _bucketed_text_verify(
     the same task re-splits its output by ``id_b`` so the second hop
     attaches text_b and verifies. Texts cross the wire ONCE, pairs twice,
     with no pad/union passes — cheaper than two generic hash joins and
-    the same asymptotics. Returns a Dataset of verified (id_a, id_b)."""
+    the same asymptotics. Returns a Dataset of verified (id_a, id_b).
+
+    ``sim_fn(text_a, text_b) -> float`` overrides the default
+    char-shingle Jaccard (PPJoin reuses this machinery with a word
+    n-gram similarity); ``emit_sim=True`` adds the similarity as a
+    ``jac`` column (rounded to 6, matching the all-pairs oracles)."""
     import pyarrow as pa
     import ray
     import ray.data as rd
@@ -320,23 +327,31 @@ def _bucketed_text_verify(
             pa.Table.from_pandas(out, preserve_index=False), "id_b"
         )
 
+    sim = sim_fn or (lambda a, b: _shingle_jaccard(a, b, shingle_k))
+    out_cols = ["id_a", "id_b"] + (["jac"] if emit_sim else [])
+
     @ray.remote
     def attach_b_verify(texts: pa.Table, *parts: pa.Table):
         live = [p for p in parts if p.num_rows]
         if not live:
-            return pa.table({"id_a": pa.array([]), "id_b": pa.array([])})
+            cols = {"id_a": pa.array([]), "id_b": pa.array([])}
+            if emit_sim:
+                cols["jac"] = pa.array([], type=pa.float64())
+            return pa.table(cols)
         df = pa.concat_tables(live, promote_options="permissive").to_pandas()
         tdf = texts.to_pandas().rename(
             columns={id_col: "id_b", text_col: "_text_b"}
         )
         df = df.merge(tdf, on="id_b", how="inner")
-        ok = [
-            _shingle_jaccard(a or "", b or "", shingle_k)
-            >= jaccard_threshold
+        sims = [
+            sim(a or "", b or "")
             for a, b in zip(df["_text_a"], df["_text_b"])
         ]
+        if emit_sim:
+            df["jac"] = [round(float(s), 6) for s in sims]
+        ok = [s >= jaccard_threshold for s in sims]
         return pa.Table.from_pandas(
-            df.loc[ok, ["id_a", "id_b"]], preserve_index=False
+            df.loc[ok, out_cols], preserve_index=False
         )
 
     # stage A: the text table, bucketed once
@@ -1162,6 +1177,153 @@ def edit_distance_pairs(
         return df[np.asarray(keep, dtype=bool)] if len(df) else df
 
     return bucket_exchange(cand, ["w_a", "w_b"], dedup_verify, num_buckets)
+
+
+def _word_ngrams_set(text: str, n: int) -> frozenset:
+    """Distinct word n-grams over single-space splits — the SAME gram
+    definition as :func:`ngram_jaccard_pairs` (and its DuckDB list-
+    comprehension twin), so PPJoin's exact output equals the all-pairs
+    oracle."""
+    toks = (text or "").split(" ")
+    if len(toks) < n:
+        return frozenset([" ".join(toks)] if toks != [""] else [])
+    return frozenset(
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    )
+
+
+def ppjoin_pairs(
+    ds,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+):
+    """EXACT set-similarity self-join (word n-gram Jaccard ≥ threshold)
+    via PREFIX FILTERING (PPJoin, Xiao et al. 2008) — the scale path the
+    guarded all-pairs :func:`ngram_jaccard_pairs` oracle pins, with NO
+    recall loss (unlike MinHash): prefix filtering is lossless, so the
+    output is bit-identical to the all-pairs result.
+
+    Physical plan — every stage bounded, never an all-pairs product:
+
+    1. distinct (id, gram) pairs explode per batch (text stays behind);
+    2. global gram document frequencies — one vocabulary-sized combine;
+    3. a partitioned hash join attaches df to each (id, gram) pair
+       (both sides stay distributed — no broadcast vocabulary);
+    4. one exchange by id reassembles each doc's grams RAREST-FIRST
+       (order by (df, gram)); only the first ``|x| − ceil(t·|x|) + 1``
+       grams are emitted as prefix postings — two sets with Jaccard ≥ t
+       MUST share a prefix gram (pigeonhole on the ``(1−t)·|x|``
+       allowed misses), so candidates have no false negatives;
+    5. one exchange by gram emits candidate pairs per posting list,
+       pruned by the length filter ``t·|x| ≤ |y| ≤ |x|/t``; rare-first
+       ordering keeps posting lists short (common grams almost never
+       reach a prefix);
+    6. candidates dedup in one pass, then the bucketed two-probe text
+       verify computes the EXACT Jaccard (texts cross the wire once).
+
+    Returns (id_a, id_b, jac) with id_a < id_b, jac rounded to 6."""
+    import math
+
+    from .relational import grouped_agg, hash_join
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    sub = ds.select_columns([id_col, text_col]).materialize()
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, grams = [], []
+        for rid, t in zip(df[id_col], df[text_col]):
+            for g in _word_ngrams_set(t, n):
+                ids.append(rid)
+                grams.append(g)
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype=_id_dtype(df[id_col])),
+            "gram": pd.Series(grams, dtype=object),
+        })
+
+    pair_ds = sub.map_batches(gram_rows, batch_format="pandas").materialize()
+
+    dfreq = grouped_agg(
+        pair_ds.map_batches(
+            lambda d: d.assign(df=np.int64(1))[["gram", "df"]],
+            batch_format="pandas",
+        ),
+        ["gram"], {"df": ("df", "sum")},
+        num_buckets=num_buckets,
+    )
+    with_df = hash_join(pair_ds, dfreq, on="gram", num_buckets=num_buckets)
+
+    def prefixes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
+        out = []
+        for rid, g in df.groupby(id_col, sort=False):
+            g = g.sort_values(["df", "gram"], kind="mergesort")
+            size = len(g)
+            p = size - math.ceil(threshold * size) + 1
+            head = g.head(p)
+            out.append(pd.DataFrame({
+                "gram": head["gram"].to_numpy(dtype=object),
+                "pid": np.full(len(head), rid),
+                "size": np.full(len(head), size, dtype=np.int64),
+            }))
+        return (pd.concat(out, ignore_index=True) if out
+                else pd.DataFrame({"gram": pd.Series(dtype=object),
+                                   "pid": pd.Series(dtype="int64"),
+                                   "size": pd.Series(dtype="int64")}))
+
+    prefix_ds = bucket_exchange(with_df, [id_col], prefixes, num_buckets)
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
+        out_a, out_b = [], []
+        for _, g in df.groupby("gram", sort=False):
+            g = g.drop_duplicates("pid")
+            if len(g) < 2:
+                continue
+            ids = g["pid"].to_numpy()
+            sizes = g["size"].to_numpy(dtype=np.float64)
+            ai, bi = np.triu_indices(len(ids), k=1)
+            # canonical id_a < id_b + length filter (Jaccard ≥ t forces
+            # t·max(|x|,|y|) ≤ min(|x|,|y|))
+            lo = np.minimum(ids[ai], ids[bi])
+            hi = np.maximum(ids[ai], ids[bi])
+            smin = np.minimum(sizes[ai], sizes[bi])
+            smax = np.maximum(sizes[ai], sizes[bi])
+            keep = (lo != hi) & (smin >= threshold * smax)
+            out_a.append(lo[keep])
+            out_b.append(hi[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)
+        }).drop_duplicates()
+
+    cand = bucket_exchange(prefix_ds, ["gram"], candidates, num_buckets)
+    cand = bucket_exchange(
+        cand, ["id_a"],
+        lambda d: d.drop(columns=[BUCKET_COL], errors="ignore")
+                   .drop_duplicates(["id_a", "id_b"]),
+        num_buckets,
+    )
+    return _bucketed_text_verify(
+        cand, sub, id_col, text_col, shingle_k=0,
+        jaccard_threshold=threshold, num_buckets=num_buckets,
+        sim_fn=_make_ngram_sim(n), emit_sim=True,
+    )
+
+
+def _make_ngram_sim(n: int):
+    """Top-level (picklable) word-n-gram Jaccard for the verify stage."""
+    def sim(a: str, b: str) -> float:
+        sa, sb = _word_ngrams_set(a, n), _word_ngrams_set(b, n)
+        union = len(sa | sb)
+        if union == 0:
+            return 1.0
+        return len(sa & sb) / union
+    return sim
 
 
 __all__ = [

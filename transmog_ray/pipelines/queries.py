@@ -6414,7 +6414,121 @@ WHERE POSITION(' data ' IN ' ' || COALESCE(text, '') || ' ') > 0
 """
 
 
+def q_ppjoin_docs(sf_dir: str):
+    """EXACT word-3-gram Jaccard similarity self-join ≥ 0.5 via PPJoin
+    prefix filtering — lossless candidates (rarest-first prefixes +
+    length filter) then the bucketed two-probe verify; output is
+    bit-identical to the guarded all-pairs oracle, with no O(n²)
+    stage."""
+    from ..functions.neardup import ppjoin_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ppjoin_pairs(docs, threshold=0.5, n=3, num_buckets=16)
+
+
+# its oracle is SQL_NGRAM_JACCARD verbatim: PPJoin is the exact scale
+# path for the same join, so both registry entries share one SQL twin
+
+
+def q_chi2_lang_source(sf_dir: str):
+    """Chi-square association cells between documents.lang and .source
+    (feature-selection / drift-detection statistic): observed count,
+    expected count under independence, and the per-cell chi² term.
+
+    Distributed shape: cell counts combine in one tiny exchange
+    (cardinality ≤ |langs|·|sources| — category-product bounded), then
+    the margins and per-cell terms finish driver-side on that bounded
+    frame. Per-CELL terms (not the summed statistic) are emitted
+    because each is a fixed op-order float expression —
+    ``e = (r·c)/n; ((o−e)·(o−e))/e`` — that DuckDB reproduces exactly,
+    while a cross-cell SUM would be order-sensitive."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"])
+    cells = grouped_agg(
+        docs.map_batches(
+            lambda d: d.dropna(subset=["lang", "source"])
+                       .assign(o=np.int64(1))[["lang", "source", "o"]],
+            batch_format="pandas",
+        ),
+        ["lang", "source"], {"o": ("o", "sum")}, num_buckets=8,
+    ).to_pandas()
+    r = cells.groupby("lang")["o"].sum().rename("r")
+    c = cells.groupby("source")["o"].sum().rename("c")
+    n = np.int64(cells["o"].sum())
+    out = cells.merge(r, on="lang").merge(c, on="source")
+    e = (out["r"].to_numpy(np.int64) * out["c"].to_numpy(np.int64)).astype(
+        np.float64) / np.float64(n)
+    o = out["o"].to_numpy(np.int64).astype(np.float64)
+    out["expected"] = e
+    out["chi2_cell"] = ((o - e) * (o - e)) / e
+    return out[["lang", "source", "o", "expected", "chi2_cell"]]
+
+
+SQL_CHI2_LANG_SOURCE = """
+WITH base AS (
+  SELECT lang, source FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+), cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM base GROUP BY lang, source
+), rl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS r FROM base GROUP BY lang),
+cs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY source),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base)
+SELECT lang, source, o,
+       CAST(r * c AS DOUBLE) / n AS expected,
+       ((o - CAST(r * c AS DOUBLE) / n) * (o - CAST(r * c AS DOUBLE) / n))
+           / (CAST(r * c AS DOUBLE) / n) AS chi2_cell
+FROM cells JOIN rl USING (lang) JOIN cs USING (source) CROSS JOIN tot
+"""
+
+
+def q_kwic_docs(sf_dir: str):
+    """Keyword-in-context (concordance) extraction for the token
+    'data': every occurrence position with its left/right neighbor
+    tokens ('' at document edges). Vectorized explode + grouped shift —
+    map-only, zero shuffle; the classic corpus-linguistics view of a
+    term's usage."""
+    term = "data"
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kwic(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ")
+        ex = toks.explode()
+        grp = ex.groupby(level=0)
+        pos = grp.cumcount()
+        left = grp.shift(1)
+        right = grp.shift(-1)
+        m = (ex == term).to_numpy()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].loc[ex.index].to_numpy()[m],
+            "pos": pos.to_numpy(dtype=np.int64)[m],
+            "left_tok": left.fillna("").to_numpy(dtype=object)[m],
+            "right_tok": right.fillna("").to_numpy(dtype=object)[m],
+        })
+
+    return docs.map_batches(kwic, batch_format="pandas")
+
+
+SQL_KWIC_DOCS = """
+WITH tl AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS l FROM documents
+), toks AS (
+  SELECT doc_id, l, CAST(unnest(range(len(l))) AS BIGINT) AS pos,
+         unnest(l) AS tok
+  FROM tl
+)
+SELECT doc_id, pos,
+       CASE WHEN pos > 0 THEN l[pos] ELSE '' END AS left_tok,
+       COALESCE(l[pos + 2], '') AS right_tok
+FROM toks WHERE tok = 'data'
+"""
+
+
 QUERIES = {
+    "ppjoin_docs": q_ppjoin_docs,
+    "chi2_lang_source": q_chi2_lang_source,
+    "kwic_docs": q_kwic_docs,
     "bpe_pairs_docs": q_bpe_pairs_docs,
     "inverted_index_docs": q_inverted_index_docs,
     "boolean_search_docs": q_boolean_search_docs,
@@ -6742,6 +6856,9 @@ ORACLE_SQL = {
     "t5_spans_docs": SQL_T5_SPANS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
+    "ppjoin_docs": SQL_NGRAM_JACCARD,
+    "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
+    "kwic_docs": SQL_KWIC_DOCS,
     "bpe_pairs_docs": SQL_BPE_PAIRS_DOCS,
     "inverted_index_docs": SQL_INVERTED_INDEX_DOCS,
     "boolean_search_docs": SQL_BOOLEAN_SEARCH_DOCS,
