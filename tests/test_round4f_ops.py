@@ -38,7 +38,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name", ["simhash_docs", "approx_distinct_users", "bpe_pairs_docs",
              "inverted_index_docs", "boolean_search_docs", "ppjoin_docs",
-             "chi2_lang_source", "kwic_docs"]
+             "chi2_lang_source", "kwic_docs", "clustering_coeff",
+             "ohlc_daily", "snapshot_recall_pages"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -170,6 +171,51 @@ def test_chi2_cells_consistent_with_margins(ray_session):
     c = out.groupby("source")["o"].transform("sum")
     e = (r.to_numpy("int64") * c.to_numpy("int64")).astype("float64") / float(n)
     assert np.array_equal(e, out["expected"].to_numpy())
+
+
+def test_clustering_coeff_bounds(ray_session):
+    """0 ≤ coeff ≤ 1 and the triangle-node set matches the standalone
+    triangle query's nodes."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["clustering_coeff"](SF).to_pandas()
+    assert (out["coeff"] >= 0).all() and (out["coeff"] <= 1).all()
+    tri = QUERIES["triangle_suppliers"](SF).to_pandas()
+    with_tri = set(out.loc[out["n_triangles"] > 0, "node"])
+    assert with_tri == set(tri["node"])
+
+
+def test_ohlc_daily_handcheck(ray_session):
+    """Known tiny series: open/close follow (ts, event_id) order
+    including an exact-timestamp tie broken by event_id."""
+    import ray
+
+    from transmog_ray.pipelines.queries import q_ohlc_daily  # noqa: F401
+    from transmog_ray.stages.partition import bucket_exchange  # noqa: F401
+
+    # drive the same kernel through the public query path on a temp dir
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = pd.Timestamp("2021-03-01 00:00:01")
+    df = pd.DataFrame({
+        "event_id": [2, 1, 3, 4],
+        "user_id": [7, 7, 7, 7],
+        "ts": [t0, t0, t0 + pd.Timedelta("1h"), t0 + pd.Timedelta("25h")],
+        "value": [20.0, 10.0, 30.0, 5.0],
+        "event_type": ["a"] * 4,
+        "props": ["{}"] * 4,
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "events.parquet"))
+        out = q_ohlc_daily(d).to_pandas().sort_values("day").reset_index(drop=True)
+    assert len(out) == 2
+    assert out.loc[0, "open"] == 10.0 and out.loc[0, "close"] == 30.0
+    assert out.loc[0, "high"] == 30.0 and out.loc[0, "low"] == 10.0
+    assert out.loc[0, "n"] == 3 and out.loc[1, "n"] == 1
 
 
 def test_inverted_index_postings_sorted(ray_session):

@@ -1200,7 +1200,15 @@ def q_triangle_suppliers(sf_dir: str):
     O(nodes) partials reach the final combine. Oracle: a 3-way SQL
     self-join over the same distinct edge list."""
     from ..functions.graph import triangle_counts
-    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    return triangle_counts(_supplier_coedges(sf_dir), num_buckets=16)
+
+
+def _supplier_coedges(sf_dir: str):
+    """Supplier co-occurrence edge Dataset (src < dst pairs supplying
+    the same 1995-H1 URGENT order) — shared by the triangle-count and
+    clustering-coefficient queries."""
+    from ..stages.partition import bucket_exchange
 
     sel = read_small(sf_dir, "orders",
                      columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
@@ -1232,8 +1240,7 @@ def q_triangle_suppliers(sf_dir: str):
             "dst": np.concatenate(out_b).astype(np.int64),
         }).drop_duplicates()
 
-    edges = bucket_exchange(li, ["l_orderkey"], order_pairs, 16)
-    return triangle_counts(edges, num_buckets=16)
+    return bucket_exchange(li, ["l_orderkey"], order_pairs, 16)
 
 
 SQL_TRIANGLE_SUPPLIERS = """
@@ -6525,8 +6532,201 @@ FROM toks WHERE tok = 'data'
 """
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per supplier node over the same
+    co-order graph as ``triangle_suppliers``: coeff = 2·T(v) /
+    (deg·(deg−1)) — one distinct-edge exchange feeds BOTH the degree
+    combine and the wedge-closure triangle count, then a left join
+    fills triangle-free nodes with 0. The coefficient is a single
+    integer-ratio division (exact cross-engine)."""
+    from ..functions.graph import triangle_counts
+    from ..functions.relational import grouped_agg, hash_join
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    edges = bucket_exchange(
+        _supplier_coedges(sf_dir), ["src", "dst"],
+        lambda d: d.drop(columns=[BUCKET_COL], errors="ignore")
+                   .drop_duplicates(["src", "dst"]),
+        16,
+    ).materialize()
+
+    def symmetric(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([df["src"].to_numpy(np.int64),
+                                    df["dst"].to_numpy(np.int64)]),
+            "degree": np.int64(1),
+        })
+
+    deg = grouped_agg(
+        edges.map_batches(symmetric, batch_format="pandas"),
+        ["node"], {"degree": ("degree", "sum")}, num_buckets=16,
+    )
+    tri = triangle_counts(edges, num_buckets=16)
+    joined = hash_join(deg, tri, on="node", how="left", num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["degree"] >= 2].copy()
+        t = df["n_triangles"].fillna(0).astype("int64")
+        d = df["degree"].astype("int64")
+        df["n_triangles"] = t
+        df["coeff"] = (2 * t).to_numpy(np.int64).astype(np.float64) / (
+            d * (d - 1)).to_numpy(np.int64)
+        return df[["node", "degree", "n_triangles", "coeff"]]
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_CLUSTERING_COEFF = """
+WITH sel AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1995-07-01'
+), pairs AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+  JOIN sel ON a.l_orderkey = sel.o_orderkey
+), tri AS (
+  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.s1 = e1.s2
+  JOIN pairs e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+), tc AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT s1 AS node FROM pairs UNION ALL SELECT s2 FROM pairs)
+  GROUP BY node
+)
+SELECT d.node, d.degree, COALESCE(tc.n_triangles, 0) AS n_triangles,
+       CAST(2 * COALESCE(tc.n_triangles, 0) AS DOUBLE)
+           / (d.degree * (d.degree - 1)) AS coeff
+FROM deg d LEFT JOIN tc ON d.node = tc.node
+WHERE d.degree >= 2
+"""
+
+
+def q_ohlc_daily(sf_dir: str):
+    """Time-series resampling to per-(user, day) OHLC bars: open/close
+    are the first/last value in (ts, event_id) order, high/low the
+    extremes, n the bar volume. One exchange keyed by user (days
+    re-grouped INSIDE the kernel — never trust small-domain bucket
+    collisions); day is epoch-seconds//86400·86400 BIGINT, the one
+    sub-second-safe cross-engine encoding."""
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def ohlc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
+        df = df[df["value"].notna()].copy()
+        ts_s = (df["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+                // 1_000_000_000)
+        df["day"] = (ts_s // 86400) * 86400
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        g = df.groupby(["user_id", "day"], sort=False)
+        out = g.agg(
+            open=("value", "first"), high=("value", "max"),
+            low=("value", "min"), close=("value", "last"),
+            n=("value", "size"),
+        ).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return bucket_exchange(ev, ["user_id"], ohlc, 16)
+
+
+SQL_OHLC_DAILY = """
+SELECT user_id,
+       (CAST(epoch_us(ts) AS BIGINT) // 1000000 // 86400) * 86400 AS day,
+       first(value ORDER BY ts, event_id) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY user_id, day
+"""
+
+
+def q_snapshot_recall_pages(sf_dir: str):
+    """Crawl text-evolution measurement: per url, the word-BIGRAM
+    recall of each snapshot against its previous snapshot (how much of
+    the old page survives) — distinct-bigram intersection over the
+    previous snapshot's distinct bigrams. One sorted bucket pass
+    (url-partitioned, (warc_ts, text) order like page_changes); only
+    rows WITH a predecessor emit."""
+    from ..stages.partition import apply_sorted
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts", "text"],
+                            override_num_blocks=16)
+
+    def grams(t) -> frozenset:
+        # SQL-faithful: string_split('') is [''] so a short/empty text
+        # yields the ONE joined gram (never an empty set — the recall
+        # denominator stays nonzero, matching len(pg) ≥ 1 in the twin)
+        toks = (t if isinstance(t, str) else "").split(" ")
+        if len(toks) < 2:
+            return frozenset([" ".join(toks)])
+        return frozenset(f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        prev = df.groupby("url", sort=False)["text"].shift(1)
+        has_prev = df.groupby("url", sort=False).cumcount() > 0
+        recalls = np.full(len(df), np.nan)
+        cur_np = df["text"].to_numpy(dtype=object)
+        prev_np = prev.to_numpy(dtype=object)
+        idx = np.flatnonzero(has_prev.to_numpy())
+        for i in idx:
+            p = grams(prev_np[i])
+            c = grams(cur_np[i])
+            recalls[i] = round_half_away(len(p & c) / len(p), 6)
+        out = df.loc[has_prev, ["url", "warc_ts"]].copy()
+        out["recall"] = recalls[idx]
+        return out
+
+    return apply_sorted(ds, ["url"], "warc_ts", fn, num_buckets=16,
+                        tiebreak=["text"])
+
+
+SQL_SNAPSHOT_RECALL = f"""
+WITH snaps AS (
+  SELECT url, warc_ts,
+         string_split(COALESCE(text, ''), ' ') AS w,
+         LAG(string_split(COALESCE(text, ''), ' ')) OVER win AS pw
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WINDOW win AS (PARTITION BY url ORDER BY warc_ts, text ASC NULLS LAST)
+), grams AS (
+  SELECT url, warc_ts,
+         CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1]))
+         END AS cg,
+         CASE WHEN len(pw) < 2 THEN [array_to_string(pw, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(pw)),
+                                 i -> pw[i] || ' ' || pw[i+1]))
+         END AS pg
+  FROM snaps WHERE pw IS NOT NULL
+)
+SELECT url, warc_ts,
+       ROUND(CAST(len(list_intersect(pg, cg)) AS DOUBLE) / len(pg), 6)
+           AS recall
+FROM grams
+"""
+
+
 QUERIES = {
     "ppjoin_docs": q_ppjoin_docs,
+    "clustering_coeff": q_clustering_coeff,
+    "ohlc_daily": q_ohlc_daily,
+    "snapshot_recall_pages": q_snapshot_recall_pages,
     "chi2_lang_source": q_chi2_lang_source,
     "kwic_docs": q_kwic_docs,
     "bpe_pairs_docs": q_bpe_pairs_docs,
@@ -6859,6 +7059,9 @@ ORACLE_SQL = {
     "ppjoin_docs": SQL_NGRAM_JACCARD,
     "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
     "kwic_docs": SQL_KWIC_DOCS,
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "ohlc_daily": SQL_OHLC_DAILY,
+    "snapshot_recall_pages": SQL_SNAPSHOT_RECALL,
     "bpe_pairs_docs": SQL_BPE_PAIRS_DOCS,
     "inverted_index_docs": SQL_INVERTED_INDEX_DOCS,
     "boolean_search_docs": SQL_BOOLEAN_SEARCH_DOCS,
