@@ -39,7 +39,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     "name", ["simhash_docs", "approx_distinct_users", "bpe_pairs_docs",
              "inverted_index_docs", "boolean_search_docs", "ppjoin_docs",
              "chi2_lang_source", "kwic_docs", "clustering_coeff",
-             "ohlc_daily", "snapshot_recall_pages"]
+             "ohlc_daily", "snapshot_recall_pages", "golden_page_record",
+             "tag_pairs_pages"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -171,6 +172,56 @@ def test_chi2_cells_consistent_with_margins(ray_session):
     c = out.groupby("source")["o"].transform("sum")
     e = (r.to_numpy("int64") * c.to_numpy("int64")).astype("float64") / float(n)
     assert np.array_equal(e, out["expected"].to_numpy())
+
+
+def test_two_hop_counts_matches_bruteforce(ray_session):
+    """Path 1-2-3-4 (each end sees one 2-hop node, middles one each)
+    plus a triangle 5-6-7 (fully adjacent — NO 2-hop pairs) plus a star
+    center 8 with leaves 9,10,11 (leaves pairwise 2-hop)."""
+    import ray
+
+    from transmog_ray.functions.graph import two_hop_counts
+
+    edges = pd.DataFrame({
+        "src": [1, 2, 3, 5, 6, 5, 8, 8, 8],
+        "dst": [2, 3, 4, 6, 7, 7, 9, 10, 11],
+    })
+    out = (two_hop_counts(ray.data.from_pandas(edges), num_buckets=4)
+           .to_pandas().set_index("node")["n_two_hop"].to_dict())
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 9: 2, 10: 2, 11: 2}
+
+
+def test_two_hop_empty_at_tiny_sf(ray_session):
+    """At sf0.001 the co-order graph is a clique union — the query must
+    return a TYPED empty frame (zero-row Datasets lose their columns),
+    matching its equally-empty oracle."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["two_hop_suppliers"](SF)
+    got = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert list(got.columns) == ["node", "n_two_hop"] and len(got) == 0
+
+
+def test_exchange_all_filler_bucket_survives(ray_session):
+    """Regression: map_batches SKIPS the UDF on zero-row blocks and
+    emits zero-COLUMN fillers; an exchange bucket fed only fillers must
+    re-emit the filler instead of handing the kernel a schema-less
+    frame (KeyError). Chain: empty+full blocks → map → exchange with
+    enough buckets that some get only fillers → grouped_agg."""
+    import pyarrow as pa
+    import ray
+
+    from transmog_ray.functions.relational import grouped_agg
+
+    t_empty = pa.table({"k": pa.array([], type=pa.int64()),
+                        "v": pa.array([], type=pa.int64())})
+    t_full = pa.table({"k": [1, 1, 2], "v": [10, 20, 30]})
+    ds = ray.data.from_arrow_refs([ray.put(t_empty), ray.put(t_full)])
+    mapped = ds.map_batches(lambda df: df.rename(columns={"v": "w"}),
+                            batch_format="pandas")
+    out = grouped_agg(mapped, ["k"], {"w": ("w", "sum")},
+                      num_buckets=16).to_pandas()
+    assert out.set_index("k")["w"].to_dict() == {1: 30, 2: 30}
 
 
 def test_clustering_coeff_bounds(ray_session):

@@ -305,4 +305,105 @@ def triangle_counts(
                        num_buckets=min(num_buckets, 8))
 
 
-__all__ = ["pagerank", "triangle_counts"]
+def two_hop_counts(
+    edges_ds,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 16,
+):
+    """Distinct 2-hop (friends-of-friends) neighbor count per node:
+    ``|{w : dist(v, w) = 2}|`` — vertices reachable through some shared
+    neighbor but NOT adjacent. Dataset of (node, n_two_hop).
+
+    Plan (same bounded-exchange shape as :func:`triangle_counts`):
+
+    1. edge dedup to distinct undirected (a < b) pairs;
+    2. wedge pairs by center — every unordered neighbor pair (v < w) of
+       each center is a 2-hop CANDIDATE (volume Σ C(deg, 2));
+    3. candidates and the edge set co-bucket by the (a, b) hash; a
+       candidate survives iff it is NOT an edge (distributed anti-join
+       in the same pass as the dedup);
+    4. each surviving pair contributes one 2-hop neighbor to BOTH
+       endpoints — a tiny per-node combine.
+    """
+    from .relational import grouped_agg
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    def canon_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[[src, dst]].dropna()
+        lo = a.min(axis=1).astype("int64")
+        hi = a.max(axis=1).astype("int64")
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[out["a"] != out["b"]].drop_duplicates()
+
+    dedup = bucket_exchange(
+        edges_ds.map_batches(canon_pairs, batch_format="pandas"),
+        ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"]).drop(
+            columns=[BUCKET_COL], errors="ignore"
+        ),
+        num_buckets,
+    ).materialize()
+
+    def symmetric(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [df.rename(columns={"a": "node", "b": "nbr"}),
+             df.rename(columns={"b": "node", "a": "nbr"})],
+            ignore_index=True,
+        )[["node", "nbr"]]
+
+    def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in df.groupby("node", sort=False):
+            nbrs = np.unique(grp["nbr"].to_numpy())
+            if len(nbrs) < 2:
+                continue
+            vi, wi = np.triu_indices(len(nbrs), k=1)
+            out_a.append(nbrs[vi])
+            out_b.append(nbrs[wi])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "kind": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "a": np.concatenate(out_a), "b": np.concatenate(out_b),
+            "kind": np.int64(0),
+        }).drop_duplicates(["a", "b"])
+
+    cand = bucket_exchange(
+        dedup.map_batches(symmetric, batch_format="pandas"),
+        ["node"], wedge_pairs, num_buckets,
+    )
+    edge_tagged = dedup.map_batches(
+        lambda d: d.assign(kind=np.int64(1))[["a", "b", "kind"]],
+        batch_format="pandas",
+    )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
+        # keep candidate pairs (kind 0) whose (a,b) never appears as an
+        # edge row (kind 1); candidates were deduped per wedge task, so
+        # dedup again across tasks first
+        flag = df.groupby(["a", "b"], sort=False)["kind"].max()
+        keep = flag[flag == 0].index
+        out = pd.DataFrame(keep.tolist(), columns=["a", "b"])
+        return out.astype({"a": "int64", "b": "int64"})
+
+    nond = bucket_exchange(cand.union(edge_tagged), ["a", "b"], anti,
+                           num_buckets)
+
+    def explode_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([df["a"].to_numpy(np.int64),
+                                    df["b"].to_numpy(np.int64)]),
+            "n_two_hop": np.int64(1),
+        })
+
+    return grouped_agg(
+        nond.map_batches(explode_nodes, batch_format="pandas"),
+        ["node"], {"n_two_hop": ("n_two_hop", "sum")},
+        num_buckets=min(num_buckets, 8),
+    )
+
+
+__all__ = ["pagerank", "triangle_counts", "two_hop_counts"]

@@ -6722,9 +6722,152 @@ FROM grams
 """
 
 
+def q_two_hop_suppliers(sf_dir: str):
+    """Friends-of-friends: distinct 2-hop neighbor count per supplier on
+    the co-order graph — wedge candidates anti-joined against the edge
+    set in one co-bucketed pass (see
+    :func:`transmog_ray.functions.graph.two_hop_counts`)."""
+    from ..functions.graph import two_hop_counts
+
+    out = two_hop_counts(_supplier_coedges(sf_dir), num_buckets=16)
+    out = out.materialize()
+    if out.count() == 0:
+        # tiny scale factors make the co-order graph a clique union with
+        # NO 2-hop pairs; a zero-row Dataset loses its columns through
+        # to_pandas, so return the typed empty frame ourselves
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "n_two_hop": pd.Series(dtype="int64")})
+    return out
+
+
+SQL_TWO_HOP_SUPPLIERS = """
+WITH sel AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1995-07-01'
+), pairs AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+  JOIN sel ON a.l_orderkey = sel.o_orderkey
+), sym AS (
+  SELECT s1 AS node, s2 AS nbr FROM pairs
+  UNION ALL SELECT s2, s1 FROM pairs
+), two AS (
+  SELECT DISTINCT x.nbr AS a, y.nbr AS b
+  FROM sym x JOIN sym y ON x.node = y.node AND x.nbr < y.nbr
+), nond AS (
+  SELECT a, b FROM two EXCEPT SELECT s1, s2 FROM pairs
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_two_hop
+FROM (SELECT a AS node FROM nond UNION ALL SELECT b FROM nond)
+GROUP BY node
+"""
+
+
+def q_golden_page_record(sf_dir: str):
+    """Golden-record survivorship (MDM-style) per url from crawl
+    snapshots: the LATEST NON-NULL text and lang (independently —
+    different snapshots may each contribute a field), the latest
+    warc_ts, and the snapshot count. One url-keyed exchange; inside the
+    kernel a vectorized sorted forward-fill makes the last row per url
+    carry every survivor."""
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir,
+                            columns=["url", "warc_ts", "text", "lang"],
+                            override_num_blocks=16)
+
+    def golden(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
+        df = df.sort_values(["url", "warc_ts", "text"], kind="mergesort",
+                            na_position="last")
+        g = df.groupby("url", sort=False)
+        df = df.assign(
+            golden_text=g["text"].ffill(),
+            golden_lang=g["lang"].ffill(),
+            n_snapshots=g.cumcount() + 1,
+        )
+        out = df.groupby("url", sort=False).tail(1)
+        out = out.rename(columns={"warc_ts": "last_ts"})
+        out["n_snapshots"] = out["n_snapshots"].astype("int64")
+        return out[["url", "last_ts", "golden_text", "golden_lang",
+                    "n_snapshots"]]
+
+    return bucket_exchange(ds, ["url"], golden, 16)
+
+
+SQL_GOLDEN_PAGE_RECORD = f"""
+SELECT url,
+       MAX(warc_ts) AS last_ts,
+       last(text ORDER BY warc_ts, text ASC NULLS LAST)
+           FILTER (WHERE text IS NOT NULL) AS golden_text,
+       last(lang ORDER BY warc_ts, text ASC NULLS LAST)
+           FILTER (WHERE lang IS NOT NULL) AS golden_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_snapshots
+FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+GROUP BY url
+"""
+
+
+def q_tag_pairs_pages(sf_dir: str):
+    """Tag co-occurrence mining over the crawl metadata: distinct
+    unordered tag pairs per page row, counted corpus-wide (the folksonomy
+    / related-tags primitive). JSON parse + pair explode are map-side;
+    only (t1, t2, partial count) rows shuffle into one tag-pair-domain
+    combine."""
+    import json as _json
+
+    from ..functions.relational import grouped_agg
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["meta"],
+                            override_num_blocks=16)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for m in df["meta"]:
+            if not isinstance(m, str):
+                continue
+            tags = sorted(set(_json.loads(m).get("tags", [])))
+            for i in range(len(tags)):
+                for j in range(i + 1, len(tags)):
+                    out_a.append(tags[i])
+                    out_b.append(tags[j])
+        part = pd.DataFrame({"t1": pd.Series(out_a, dtype=object),
+                             "t2": pd.Series(out_b, dtype=object)})
+        part["n"] = np.int64(1)
+        return part.groupby(["t1", "t2"], as_index=False)["n"].sum()
+
+    return grouped_agg(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["t1", "t2"], {"n": ("n", "sum")}, num_buckets=8,
+    )
+
+
+SQL_TAG_PAIRS_PAGES = f"""
+WITH t AS (
+  SELECT list_distinct(CAST(json_extract(meta, '$.tags') AS VARCHAR[]))
+             AS tags
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+)
+SELECT u1.t1, u2.t2, CAST(COUNT(*) AS BIGINT) AS n
+FROM t, UNNEST(tags) AS u1(t1), UNNEST(tags) AS u2(t2)
+WHERE u1.t1 < u2.t2
+GROUP BY u1.t1, u2.t2
+"""
+
+
 QUERIES = {
     "ppjoin_docs": q_ppjoin_docs,
     "clustering_coeff": q_clustering_coeff,
+    "two_hop_suppliers": q_two_hop_suppliers,
+    "golden_page_record": q_golden_page_record,
+    "tag_pairs_pages": q_tag_pairs_pages,
     "ohlc_daily": q_ohlc_daily,
     "snapshot_recall_pages": q_snapshot_recall_pages,
     "chi2_lang_source": q_chi2_lang_source,
@@ -7062,6 +7205,9 @@ ORACLE_SQL = {
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "ohlc_daily": SQL_OHLC_DAILY,
     "snapshot_recall_pages": SQL_SNAPSHOT_RECALL,
+    "two_hop_suppliers": SQL_TWO_HOP_SUPPLIERS,
+    "golden_page_record": SQL_GOLDEN_PAGE_RECORD,
+    "tag_pairs_pages": SQL_TAG_PAIRS_PAGES,
     "bpe_pairs_docs": SQL_BPE_PAIRS_DOCS,
     "inverted_index_docs": SQL_INVERTED_INDEX_DOCS,
     "boolean_search_docs": SQL_BOOLEAN_SEARCH_DOCS,

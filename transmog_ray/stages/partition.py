@@ -284,6 +284,13 @@ def bucket_exchange(
             t = next((p for p in parts if p.num_columns), parts[0])
         else:
             t = pa.concat_tables(live, promote_options="permissive")
+        if t.num_columns == 0:
+            # all-filler bucket: ray.data map_batches SKIPS the UDF on
+            # zero-row blocks and emits zero-COLUMN fillers, so a bucket
+            # fed only fillers has an unknowable schema — don't hand the
+            # kernel a schema-less frame, re-emit the filler (every
+            # downstream consumer already guards num_rows == 0)
+            return t
         frame = t.to_pandas()
         out = fn(frame, bucket) if with_bucket else fn(frame)
         return pa.Table.from_pandas(out, preserve_index=False)
