@@ -40,7 +40,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "inverted_index_docs", "boolean_search_docs", "ppjoin_docs",
              "chi2_lang_source", "kwic_docs", "clustering_coeff",
              "ohlc_daily", "snapshot_recall_pages", "golden_page_record",
-             "tag_pairs_pages"]
+             "tag_pairs_pages", "vocab_growth_docs", "hapax_docs",
+             "ks_drift_events", "benford_orders"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -200,6 +201,55 @@ def test_two_hop_empty_at_tiny_sf(ray_session):
     out = QUERIES["two_hop_suppliers"](SF)
     got = out if isinstance(out, pd.DataFrame) else out.to_pandas()
     assert list(got.columns) == ["node", "n_two_hop"] and len(got) == 0
+
+
+def test_ks_drift_handcheck(ray_session):
+    """Manual two-sample KS on a 4-point frame: a={1,2}, b={2,3} →
+    CDF diff peaks at value 1 (|1/2 − 0/2| = 0.5); ties at 2 resolve
+    AFTER the whole peer group (RANGE semantics)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transmog_ray.pipelines.queries import q_ks_drift_events
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [1, 1, 1, 1],
+        "ts": pd.to_datetime(["2021-01-01"] * 4),
+        "event_type": ["purchase", "purchase", "click", "click"],
+        "value": [1.0, 2.0, 2.0, 3.0],
+        "props": ["{}"] * 4,
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "events.parquet"))
+        out = q_ks_drift_events(d).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "at_value"] == 1.0 and out.loc[0, "ks"] == 0.5
+
+
+def test_vocab_growth_monotone_and_total(ray_session):
+    """The curve is strictly increasing and its last point equals the
+    corpus distinct-bigram count."""
+    import duckdb
+
+    from transmog_ray.pipelines.queries import QUERIES
+
+    out = (QUERIES["vocab_growth_docs"](SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["vocab_size"].is_monotonic_increasing
+    assert (out["n_new"] > 0).all()
+    total = duckdb.sql(f"""
+        WITH tl AS (SELECT string_split(text,' ') AS w
+                    FROM '{SF}/documents.parquet')
+        SELECT COUNT(DISTINCT tok) FROM (
+          SELECT unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1])) AS tok FROM tl)
+    """).fetchone()[0]
+    assert out["vocab_size"].iloc[-1] == total
 
 
 def test_exchange_all_filler_bucket_survives(ray_session):

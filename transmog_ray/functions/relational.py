@@ -814,6 +814,11 @@ def ordered_scan(
     off_ref = ray.put(offsets)
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            # a range with no rows still arrives as a typed empty slice
+            df[out_col] = df[value_col]
+            return df.drop(columns=["_scan_bucket", BUCKET_COL],
+                           errors="ignore")
         offs = ray.get(off_ref)
         df = df.sort_values(order_col, kind="mergesort")
         cum = df[value_col].cumsum() + offs[int(df["_scan_bucket"].iloc[0])]

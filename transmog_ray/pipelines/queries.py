@@ -6862,10 +6862,251 @@ GROUP BY u1.t1, u2.t2
 """
 
 
+def q_vocab_growth_docs(sf_dir: str):
+    """Heaps-law vocabulary growth curve over word BIGRAMS (the unigram
+    vocabulary saturates within a few fixture docs): after each document
+    (in doc_id order), how many DISTINCT bigrams the corpus has seen —
+    the tokenizer-planning statistic. Each bigram is attributed to its
+    FIRST document (one vocab-domain min exchange), new-vocab counts
+    combine per doc, and the distributed ordered scan turns them into
+    the cumulative curve (rows emitted only where the vocabulary
+    grows)."""
+    from ..functions.relational import grouped_agg, ordered_scan
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            w = (t if isinstance(t, str) else "").split(" ")
+            for i in range(len(w) - 1):
+                ids.append(d)
+                toks.append(f"{w[i]} {w[i+1]}")
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "tok": pd.Series(toks, dtype=object),
+        }).drop_duplicates()
+
+    first = grouped_agg(
+        docs.map_batches(pairs, batch_format="pandas"),
+        ["tok"], {"doc_id": ("doc_id", "min")}, num_buckets=16,
+    )
+    per_doc = grouped_agg(
+        first.map_batches(
+            lambda d: d.assign(n_new=np.int64(1))[["doc_id", "n_new"]],
+            batch_format="pandas",
+        ),
+        ["doc_id"], {"n_new": ("n_new", "sum")}, num_buckets=8,
+    )
+    return ordered_scan(per_doc, "doc_id", "n_new", out_col="vocab_size",
+                        num_buckets=8)
+
+
+SQL_VOCAB_GROWTH_DOCS = """
+WITH tl AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
+), pairs AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i+1])) AS tok
+    FROM tl)
+), f AS (
+  SELECT tok, MIN(doc_id) AS doc_id FROM pairs GROUP BY tok
+), c AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new FROM f GROUP BY doc_id
+)
+SELECT doc_id, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_size
+FROM c
+"""
+
+
+def q_hapax_docs(sf_dir: str):
+    """Hapax legomena per source over word BIGRAMS (the unigram
+    vocabulary of the fixture is saturated — every word repeats):
+    corpus-frequency-1 bigrams attributed to the one source that
+    produced them, beside the source's total bigram occurrences and the
+    hapax rate (single exact division). Bigram counts + a min-source tag
+    combine in ONE exchange (a hapax's min source IS its source); the
+    per-source finish is category-bounded."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def occ(df: pd.DataFrame) -> pd.DataFrame:
+        toks, srcs = [], []
+        for s, t in zip(df["source"], df["text"]):
+            w = (t if isinstance(t, str) else "").split(" ")
+            for i in range(len(w) - 1):
+                toks.append(f"{w[i]} {w[i+1]}")
+                srcs.append(s)
+        return pd.DataFrame({
+            "tok": pd.Series(toks, dtype=object),
+            "source": pd.Series(srcs, dtype=object),
+            "n": np.int64(1),
+        })
+
+    occ_ds = docs.map_batches(occ, batch_format="pandas").materialize()
+    tok_counts = grouped_agg(
+        occ_ds, ["tok"], {"n": ("n", "sum"), "src": ("source", "min")},
+        num_buckets=16,
+    )
+    hapax = grouped_agg(
+        tok_counts.map_batches(
+            lambda d: d[d["n"] == 1].assign(n_hapax=np.int64(1))[
+                ["src", "n_hapax"]].rename(columns={"src": "source"}),
+            batch_format="pandas",
+        ),
+        ["source"], {"n_hapax": ("n_hapax", "sum")}, num_buckets=4,
+    ).to_pandas()
+    if "source" not in hapax.columns:  # zero hapax: columns lost
+        hapax = pd.DataFrame({"source": pd.Series(dtype=object),
+                              "n_hapax": pd.Series(dtype="int64")})
+    totals = grouped_agg(
+        occ_ds, ["source"], {"n_occ": ("n", "sum")}, num_buckets=4,
+    ).to_pandas()
+    out = totals.merge(hapax, on="source", how="left")
+    out["n_hapax"] = out["n_hapax"].fillna(0).astype("int64")
+    out["hapax_rate"] = out["n_hapax"].to_numpy(np.int64).astype(
+        np.float64) / out["n_occ"].to_numpy(np.int64)
+    return out[["source", "n_occ", "n_hapax", "hapax_rate"]]
+
+
+SQL_HAPAX_DOCS = """
+WITH tl AS (
+  SELECT source, string_split(COALESCE(text, ''), ' ') AS w FROM documents
+), occ AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i+1])) AS tok
+  FROM tl
+), tc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n, MIN(source) AS src
+  FROM occ GROUP BY tok
+), hx AS (
+  SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_hapax
+  FROM tc WHERE n = 1 GROUP BY src
+), tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_occ FROM occ GROUP BY source
+)
+SELECT tot.source, tot.n_occ, COALESCE(hx.n_hapax, 0) AS n_hapax,
+       CAST(COALESCE(hx.n_hapax, 0) AS DOUBLE) / tot.n_occ AS hapax_rate
+FROM tot LEFT JOIN hx ON tot.source = hx.source
+"""
+
+
+def q_ks_drift_events(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov statistic between the 'purchase'
+    and 'click' value distributions — the exact drift test an ML data
+    pipeline gates retraining on. Per-value group counts combine in one
+    exchange, the distributed ordered scan produces BOTH running CDFs
+    (two chained range passes, no global sort), and the max |ΔCDF| row
+    is a k=1 top-k. All float ops are single divisions/subtractions —
+    cross-engine exact."""
+    from ..functions.relational import grouped_agg, ordered_scan, topk
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    ev = ev.map_batches(
+        lambda df: df[df["event_type"].isin(["purchase", "click"])
+                      & df["value"].notna()],
+        batch_format="pandas",
+    )
+
+    def per_value(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "value": df["value"].to_numpy(),
+            "na": (df["event_type"] == "purchase").to_numpy(np.int64),
+            "nb": (df["event_type"] == "click").to_numpy(np.int64),
+        })
+
+    f = grouped_agg(
+        ev.map_batches(per_value, batch_format="pandas"),
+        ["value"], {"na": ("na", "sum"), "nb": ("nb", "sum")},
+        num_buckets=8,
+    ).materialize()
+    tots = f.map_batches(
+        lambda d: pd.DataFrame({"ta": [d["na"].sum()], "tb": [d["nb"].sum()]}),
+        batch_format="pandas",
+    ).to_pandas()
+    ta = np.int64(tots["ta"].sum())
+    tb = np.int64(tots["tb"].sum())
+    scanned = ordered_scan(f, "value", "na", out_col="ca", num_buckets=8)
+    scanned = ordered_scan(scanned, "value", "nb", out_col="cb",
+                           num_buckets=8)
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        d = np.abs(
+            df["ca"].to_numpy(np.int64).astype(np.float64) / np.float64(ta)
+            - df["cb"].to_numpy(np.int64).astype(np.float64) / np.float64(tb)
+        )
+        return pd.DataFrame({"at_value": df["value"].to_numpy(), "ks": d})
+
+    return topk(scanned.map_batches(diff, batch_format="pandas"),
+                ["ks", "at_value"], 1, descending=[True, False])
+
+
+SQL_KS_DRIFT_EVENTS = """
+WITH f AS (
+  SELECT value,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS na,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS nb
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+  GROUP BY value
+), c AS (
+  SELECT value,
+         CAST(SUM(na) OVER w AS BIGINT) AS ca,
+         CAST(SUM(nb) OVER w AS BIGINT) AS cb
+  FROM f WINDOW w AS (ORDER BY value)
+), t AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM f
+)
+SELECT value AS at_value,
+       ABS(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb) AS ks
+FROM c CROSS JOIN t
+ORDER BY ks DESC, value LIMIT 1
+"""
+
+
+def q_benford_orders(sf_dir: str):
+    """Benford's-law audit: leading-digit histogram of FLOOR(
+    o_totalprice) — fraud/data-quality screening. The digit comes from
+    the INTEGER part's decimal string (int→string is identical across
+    engines; float formatting is not). Map-side digit extraction, one
+    9-row combine."""
+    from ..functions.relational import grouped_agg
+
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digit(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(df["o_totalprice"].to_numpy(np.float64)).astype(np.int64)
+        lead = np.array([int(str(x)[0]) for x in v], dtype=np.int64)
+        return pd.DataFrame({"digit": lead, "n": np.int64(1)})
+
+    return grouped_agg(
+        orders.map_batches(digit, batch_format="pandas"),
+        ["digit"], {"n": ("n", "sum")}, num_buckets=4,
+    )
+
+
+SQL_BENFORD_ORDERS = """
+SELECT CAST(LEFT(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1)
+            AS BIGINT) AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY digit
+"""
+
+
 QUERIES = {
     "ppjoin_docs": q_ppjoin_docs,
     "clustering_coeff": q_clustering_coeff,
     "two_hop_suppliers": q_two_hop_suppliers,
+    "vocab_growth_docs": q_vocab_growth_docs,
+    "hapax_docs": q_hapax_docs,
+    "ks_drift_events": q_ks_drift_events,
+    "benford_orders": q_benford_orders,
     "golden_page_record": q_golden_page_record,
     "tag_pairs_pages": q_tag_pairs_pages,
     "ohlc_daily": q_ohlc_daily,
@@ -7208,6 +7449,10 @@ ORACLE_SQL = {
     "two_hop_suppliers": SQL_TWO_HOP_SUPPLIERS,
     "golden_page_record": SQL_GOLDEN_PAGE_RECORD,
     "tag_pairs_pages": SQL_TAG_PAIRS_PAGES,
+    "vocab_growth_docs": SQL_VOCAB_GROWTH_DOCS,
+    "hapax_docs": SQL_HAPAX_DOCS,
+    "ks_drift_events": SQL_KS_DRIFT_EVENTS,
+    "benford_orders": SQL_BENFORD_ORDERS,
     "bpe_pairs_docs": SQL_BPE_PAIRS_DOCS,
     "inverted_index_docs": SQL_INVERTED_INDEX_DOCS,
     "boolean_search_docs": SQL_BOOLEAN_SEARCH_DOCS,
