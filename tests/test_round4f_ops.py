@@ -42,7 +42,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "ohlc_daily", "snapshot_recall_pages", "golden_page_record",
              "tag_pairs_pages", "vocab_growth_docs", "hapax_docs",
              "ks_drift_events", "benford_orders", "bigram_lm_docs",
-             "kappa_docs", "ab_test_events"]
+             "kappa_docs", "ab_test_events", "coverage_docs"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -202,6 +202,25 @@ def test_two_hop_empty_at_tiny_sf(ray_session):
     out = QUERIES["two_hop_suppliers"](SF)
     got = out if isinstance(out, pd.DataFrame) else out.to_pandas()
     assert list(got.columns) == ["node", "n_two_hop"] and len(got) == 0
+
+
+def test_greedy_coverage_matches_bruteforce(ray_session):
+    """Hand-run greedy on a tiny corpus: doc 1 covers 4 bigrams, doc 3
+    covers 3 NEW ones after doc 1, doc 2 then adds its remaining one."""
+    import ray
+
+    from transmog_ray.functions.text import greedy_max_coverage
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e",          # bigrams: ab bc cd de (4)
+                 "a b x y",            # ab bx xy → after doc1: bx xy (2)
+                 "p q r s"],           # pq qr rs (3 new)
+    })
+    out = greedy_max_coverage(ray.data.from_pandas(docs), k=3, n=2)
+    assert out["doc_id"].tolist() == [1, 3, 2]
+    assert out["gain"].tolist() == [4, 3, 2]
+    assert out["rank"].tolist() == [1, 2, 3]
 
 
 def test_bigram_lm_probabilities_sum(ray_session):

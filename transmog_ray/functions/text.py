@@ -1099,3 +1099,85 @@ def boolean_search(docs_ds, terms, id_col: str = "doc_id",
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         hit, batch_format="pandas")
+
+
+def greedy_max_coverage(docs_ds, k: int = 3, n: int = 2,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_buckets: int = 8):
+    """Greedy maximum-coverage document selection (the submodular
+    corpus-curation primitive: pick k docs maximizing covered distinct
+    word n-grams; greedy is the classic (1-1/e)-approximation).
+
+    k distributed rounds over a materialized (doc, gram) pair table:
+    each round broadcasts the covered-gram set (ray.put once per
+    round, vocabulary-bounded), counts UNCOVERED grams per doc in one
+    combine, takes the (gain DESC, doc_id ASC) top-1, and fetches only
+    the winner's grams back to the driver. Rows never concentrate:
+    the per-round shuffle is (doc, partial-gain) pairs.
+
+    Returns a pandas frame (rank, doc_id, gain) — k rows (fewer if
+    coverage saturates first), SQL-replayable by a k-step unrolled
+    CTE chain."""
+    import ray
+
+    from .relational import grouped_agg, topk
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids, grams = [], []
+        for rid, t in zip(df[id_col], df[text_col]):
+            w = (t if isinstance(t, str) else "").split(" ")
+            if len(w) < n:
+                ids.append(rid)
+                grams.append(" ".join(w))
+                continue
+            for i in range(len(w) - n + 1):
+                ids.append(rid)
+                grams.append(" ".join(w[i:i + n]))
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "g": pd.Series(grams, dtype=object),
+        }).drop_duplicates()
+
+    pair_ds = docs_ds.select_columns([id_col, text_col]).map_batches(
+        pairs, batch_format="pandas").materialize()
+
+    covered: set = set()
+    chosen: list[int] = []
+    out_rank, out_doc, out_gain = [], [], []
+    for r in range(1, k + 1):
+        cov_ref = ray.put(covered)
+        chosen_t = tuple(chosen)
+
+        def gains(df: pd.DataFrame, _cov=cov_ref, _ch=chosen_t):
+            cov = ray.get(_cov)
+            m = ~df["g"].isin(cov)
+            if _ch:
+                m &= ~df[id_col].isin(_ch)
+            d = df.loc[m, [id_col]].copy()
+            d["gain"] = np.int64(1)
+            return d
+
+        gd = grouped_agg(
+            pair_ds.map_batches(gains, batch_format="pandas"),
+            [id_col], {"gain": ("gain", "sum")}, num_buckets=num_buckets,
+        )
+        win = topk(gd, ["gain", id_col], 1,
+                   descending=[True, False]).to_pandas()
+        if len(win) == 0:
+            break
+        doc = int(win[id_col].iloc[0])
+        gain = int(win["gain"].iloc[0])
+        new_grams = pair_ds.map_batches(
+            lambda df, _d=doc: df.loc[df[id_col] == _d, ["g"]],
+            batch_format="pandas",
+        ).to_pandas()
+        covered.update(new_grams["g"])
+        chosen.append(doc)
+        out_rank.append(r)
+        out_doc.append(doc)
+        out_gain.append(gain)
+    return pd.DataFrame({
+        "rank": pd.Series(out_rank, dtype="int64"),
+        id_col: pd.Series(out_doc, dtype="int64"),
+        "gain": pd.Series(out_gain, dtype="int64"),
+    })

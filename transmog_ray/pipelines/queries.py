@@ -7303,7 +7303,60 @@ FROM s
 """
 
 
+def q_coverage_docs(sf_dir: str):
+    """Greedy maximum-coverage selection of 3 documents by distinct
+    word-bigram coverage — the submodular corpus-curation primitive
+    ((1−1/e)-greedy). Three distributed rounds: broadcast covered set,
+    count uncovered grams per doc in one combine, top-1 winner; only
+    the winner's grams return to the driver. Oracle: the same greedy
+    unrolled as a 3-step CTE chain."""
+    from ..functions.text import greedy_max_coverage
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return greedy_max_coverage(docs, k=3, n=2)
+
+
+SQL_COVERAGE_DOCS = """
+WITH tl AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
+), pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                     ELSE list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1]) END) AS g
+  FROM tl
+), w1 AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM pairs GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+), c1 AS (
+  SELECT DISTINCT g FROM pairs JOIN w1 USING (doc_id)
+), p2 AS (
+  SELECT doc_id, g FROM pairs
+  WHERE g NOT IN (SELECT g FROM c1)
+    AND doc_id NOT IN (SELECT doc_id FROM w1)
+), w2 AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM p2 GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+), c2 AS (
+  SELECT g FROM c1
+  UNION SELECT g FROM pairs JOIN w2 USING (doc_id)
+), p3 AS (
+  SELECT doc_id, g FROM pairs
+  WHERE g NOT IN (SELECT g FROM c2)
+    AND doc_id NOT IN (SELECT doc_id FROM w1
+                       UNION SELECT doc_id FROM w2)
+), w3 AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM p3 GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+)
+SELECT CAST(1 AS BIGINT) AS rank, doc_id, gain FROM w1
+UNION ALL SELECT CAST(2 AS BIGINT), doc_id, gain FROM w2
+UNION ALL SELECT CAST(3 AS BIGINT), doc_id, gain FROM w3
+"""
+
+
 QUERIES = {
+    "coverage_docs": q_coverage_docs,
     "bigram_lm_docs": q_bigram_lm_docs,
     "kappa_docs": q_kappa_docs,
     "ab_test_events": q_ab_test_events,
@@ -7656,6 +7709,7 @@ ORACLE_SQL = {
     "two_hop_suppliers": SQL_TWO_HOP_SUPPLIERS,
     "golden_page_record": SQL_GOLDEN_PAGE_RECORD,
     "tag_pairs_pages": SQL_TAG_PAIRS_PAGES,
+    "coverage_docs": SQL_COVERAGE_DOCS,
     "bigram_lm_docs": SQL_BIGRAM_LM_DOCS,
     "kappa_docs": SQL_KAPPA_DOCS,
     "ab_test_events": SQL_AB_TEST_EVENTS,
