@@ -7355,8 +7355,196 @@ UNION ALL SELECT CAST(3 AS BIGINT), doc_id, gain FROM w3
 """
 
 
+def q_bfs_levels_suppliers(sf_dir: str):
+    """BFS levels (shortest-path hop counts) from the minimum supplier
+    node over the co-order graph, bounded at 3 hops — the seed-expansion
+    traversal (taint/reachability analysis). Per round the frontier set
+    broadcasts and the distributed symmetric edge table is filtered
+    map-side; only newly reached nodes return to the driver (node-domain
+    bounded, the same driver-holds-label-map contract as pagerank /
+    grid clustering). Oracle: recursive CTE with MIN(lvl)."""
+    import ray
+
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    edges = bucket_exchange(
+        _supplier_coedges(sf_dir), ["src", "dst"],
+        lambda d: d.drop(columns=[BUCKET_COL], errors="ignore")
+                   .drop_duplicates(["src", "dst"]),
+        16,
+    )
+
+    def symmetric(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([df["src"].to_numpy(np.int64),
+                                    df["dst"].to_numpy(np.int64)]),
+            "nbr": np.concatenate([df["dst"].to_numpy(np.int64),
+                                   df["src"].to_numpy(np.int64)]),
+        })
+
+    sym = edges.map_batches(symmetric, batch_format="pandas").materialize()
+    seed = int(sym.min("node"))
+    levels = {seed: 0}
+    frontier = {seed}
+    for lvl in (1, 2, 3):
+        f_ref = ray.put(frontier)
+
+        def expand(df: pd.DataFrame, _f=f_ref) -> pd.DataFrame:
+            f = ray.get(_f)
+            return df.loc[df["node"].isin(f), ["nbr"]].drop_duplicates()
+
+        reached = sym.map_batches(expand, batch_format="pandas").to_pandas()
+        new = set(reached["nbr"].astype("int64")) - set(levels)
+        if not new:
+            break
+        levels.update({n: lvl for n in new})
+        frontier = new
+    out = pd.DataFrame(sorted(levels.items()), columns=["node", "lvl"])
+    return out.astype({"node": "int64", "lvl": "int64"})
+
+
+SQL_BFS_LEVELS = """
+WITH RECURSIVE sel AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1995-07-01'
+), pairs AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+  JOIN sel ON a.l_orderkey = sel.o_orderkey
+), sym AS (
+  SELECT s1 AS node, s2 AS nbr FROM pairs
+  UNION ALL SELECT s2, s1 FROM pairs
+), seed AS (
+  SELECT MIN(node) AS s FROM sym
+), reach(node, lvl) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT sym.nbr, reach.lvl + 1
+  FROM reach JOIN sym ON sym.node = reach.node
+  WHERE reach.lvl < 3
+)
+SELECT node, CAST(MIN(lvl) AS BIGINT) AS lvl FROM reach GROUP BY node
+"""
+
+
+def q_overdue_pages(sf_dir: str):
+    """Crawl-scheduler priority queue: top-20 most OVERDUE urls — time
+    since last snapshot measured in units of the url's own mean
+    inter-snapshot gap. The telescoping trick makes it one combine:
+    Σgaps = t_max − t_min, so score = (horizon − t_max)·(n−1) /
+    (t_max − t_min) needs only per-url min/max/count (exact integers,
+    ONE float division). Urls with all-tied snapshots (zero gap span)
+    are excluded on both sides."""
+    from ..functions.relational import grouped_agg, topk
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts"],
+                            override_num_blocks=16)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["warc_ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        return pd.DataFrame({"url": df["url"].to_numpy(dtype=object),
+                             "t": t_us, "n": np.int64(1)})
+
+    prepped = ds.map_batches(prep, batch_format="pandas").materialize()
+    stats = grouped_agg(
+        prepped, ["url"],
+        {"n": ("n", "sum"), "tmax": ("t", "max"), "tmin": ("t", "min")},
+        num_buckets=16,
+    )
+    horizon = np.int64(prepped.max("t"))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["n"] >= 2) & (df["tmax"] > df["tmin"])].copy()
+        num = (horizon - df["tmax"].to_numpy(np.int64)) * (
+            df["n"].to_numpy(np.int64) - 1)
+        df["overdue_score"] = num.astype(np.float64) / (
+            df["tmax"].to_numpy(np.int64) - df["tmin"].to_numpy(np.int64))
+        df = df.rename(columns={"tmax": "last_ts_us"})
+        return df[["url", "n", "last_ts_us", "overdue_score"]]
+
+    return topk(stats.map_batches(score, batch_format="pandas"),
+                ["overdue_score", "url"], 20, descending=[True, False])
+
+
+SQL_OVERDUE_PAGES = f"""
+WITH s AS (
+  SELECT url, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(epoch_us(MAX(warc_ts)) AS BIGINT) AS tmax,
+         CAST(epoch_us(MIN(warc_ts)) AS BIGINT) AS tmin
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  GROUP BY url
+), h AS (
+  SELECT CAST(epoch_us(MAX(warc_ts)) AS BIGINT) AS hz
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+)
+SELECT url, n, tmax AS last_ts_us,
+       CAST((hz - tmax) * (n - 1) AS DOUBLE) / (tmax - tmin)
+           AS overdue_score
+FROM s CROSS JOIN h
+WHERE n >= 2 AND tmax > tmin
+ORDER BY overdue_score DESC, url LIMIT 20
+"""
+
+
+def q_shard_moves(sf_dir: str):
+    """Consistent-hashing rebalance accounting: distinct urls assigned
+    to 8 vs 9 modulo-hash shards, movement matrix (old_shard, new_shard,
+    n) — the data-migration costing of a shard-count change (and a
+    demonstration of WHY mod-hashing rebalances badly: ~8/9 of keys
+    move). One url-dedup exchange, then a tiny shard-pair combine; md5
+    prefix hashing replays exactly in SQL."""
+    import hashlib
+
+    from ..functions.relational import grouped_agg
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url"],
+                            override_num_blocks=16)
+    urls = grouped_agg(
+        ds.map_batches(lambda d: d.drop_duplicates().assign(n=np.int64(1)),
+                       batch_format="pandas"),
+        ["url"], {"n": ("n", "sum")}, num_buckets=8,
+    )
+
+    def shards(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (int(hashlib.md5(u.encode()).hexdigest()[:8], 16)
+             for u in df["url"]),
+            dtype=np.int64, count=len(df),
+        )
+        return pd.DataFrame({"old_shard": h % 8, "new_shard": h % 9,
+                             "n": np.int64(1)})
+
+    return grouped_agg(
+        urls.map_batches(shards, batch_format="pandas"),
+        ["old_shard", "new_shard"], {"n": ("n", "sum")}, num_buckets=4,
+    )
+
+
+SQL_SHARD_MOVES = f"""
+WITH u AS (
+  SELECT DISTINCT url FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), s AS (
+  SELECT CAST(CONCAT('0x', substring(md5(url), 1, 8)) AS BIGINT) AS h
+  FROM u
+)
+SELECT h % 8 AS old_shard, h % 9 AS new_shard,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s GROUP BY old_shard, new_shard
+"""
+
+
 QUERIES = {
     "coverage_docs": q_coverage_docs,
+    "bfs_levels_suppliers": q_bfs_levels_suppliers,
+    "overdue_pages": q_overdue_pages,
+    "shard_moves": q_shard_moves,
     "bigram_lm_docs": q_bigram_lm_docs,
     "kappa_docs": q_kappa_docs,
     "ab_test_events": q_ab_test_events,
@@ -7710,6 +7898,9 @@ ORACLE_SQL = {
     "golden_page_record": SQL_GOLDEN_PAGE_RECORD,
     "tag_pairs_pages": SQL_TAG_PAIRS_PAGES,
     "coverage_docs": SQL_COVERAGE_DOCS,
+    "bfs_levels_suppliers": SQL_BFS_LEVELS,
+    "overdue_pages": SQL_OVERDUE_PAGES,
+    "shard_moves": SQL_SHARD_MOVES,
     "bigram_lm_docs": SQL_BIGRAM_LM_DOCS,
     "kappa_docs": SQL_KAPPA_DOCS,
     "ab_test_events": SQL_AB_TEST_EVENTS,
