@@ -1,0 +1,78 @@
+"""Round-4 sixth-batch operators, each pinned to its DuckDB oracle at
+sf0.001 plus brute-force semantic checks where the oracle alone is
+weak."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem", "orders", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "name", ["dwell_by_type", "decayed_user_activity", "crawl_schedule"]
+)
+def test_new_query_matches_oracle(ray_session, name):
+    from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    res = QUERIES[name](SF)
+    got = _canon(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _canon(_oracle(ORACLE_SQL[name]))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_decayed_units_bruteforce(ray_session):
+    """Decayed units must equal the literal per-event Σ 2^(40-k)."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["decayed_user_activity"](SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    day = ev["ts"].astype("datetime64[ns]").astype("int64") // (
+        1000 * 86_400_000_000)
+    ev = ev.assign(day=day)
+    for uid, g in ev.groupby("user_id"):
+        last = g["day"].max()
+        want = sum(1 << (40 - k) for k in (last - g["day"]) if k <= 40)
+        row = got[got["user_id"] == uid]
+        assert int(row["decayed_units"].iloc[0]) == want
+        assert int(row["n_events"].iloc[0]) == len(g)
+
+
+def test_crawl_schedule_round_robin(ray_session):
+    """Slots must be a permutation of 1..n, ordered rank-major (all
+    rank-1 urls before any rank-2 url)."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["crawl_schedule"](SF).to_pandas()
+    n = len(got)
+    assert sorted(got["slot"]) == list(range(1, n + 1))
+    g = got.sort_values("slot")
+    assert (g["rank_in_domain"].diff().dropna() >= 0).all()
+    # within a rank, domains ascend
+    for _, grp in g.groupby("rank_in_domain"):
+        doms = list(grp.sort_values("slot")["domain"])
+        assert doms == sorted(doms)

@@ -7540,7 +7540,185 @@ FROM s GROUP BY old_shard, new_shard
 """
 
 
+def q_dwell_by_type(sf_dir: str):
+    """Per-event dwell time (gap to the user's NEXT event, the
+    engagement-duration proxy) aggregated per event type — exact µs
+    BIGINT sums so the hash compare never sees float accumulation.
+    One user exchange computes every LEAD; per-bucket partials
+    (≤ |types| rows each) combine in a tiny second exchange."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        df = df.assign(t_us=t_us)
+        nxt = df.groupby("user_id", sort=False)["t_us"].shift(-1)
+        dwell = nxt.to_numpy() - t_us
+        keep = ~np.isnan(nxt.to_numpy())
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy()[keep],
+                            "dwell_us": dwell[keep].astype(np.int64)})
+        agg = (out.groupby("event_type", sort=False)["dwell_us"]
+               .agg(n_dwells="size", total_dwell_us="sum").reset_index())
+        agg["n_dwells"] = agg["n_dwells"].astype("int64")
+        agg["total_dwell_us"] = agg["total_dwell_us"].astype("int64")
+        return agg
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("event_type", sort=False)
+                .agg(n_dwells=("n_dwells", "sum"),
+                     total_dwell_us=("total_dwell_us", "sum"))
+                .astype("int64").reset_index())
+
+    return bucket_exchange(partials, ["event_type"], combine, num_buckets=2)
+
+
+SQL_DWELL_BY_TYPE = """
+WITH t AS (
+  SELECT event_type,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS dwell_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_dwells,
+       CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us
+FROM t WHERE dwell_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def q_decayed_user_activity(sf_dir: str):
+    """Exponentially time-decayed activity score per user (half-life =
+    1 day on day buckets, anchored at the user's own last active day)
+    — the recency-weighted engagement feature — made SQL-EXACT by
+    dyadic arithmetic: each event contributes 2^(40−k) integer UNITS
+    of 2⁻⁴⁰ (k = days before the anchor, k > 40 contributes 0), so the
+    sum is an exact BIGINT on both engines; no pow(), no float
+    accumulation. One user exchange; vectorized shifts."""
+    from ..stages.partition import bucket_exchange
+
+    DAY_US = 86_400_000_000
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        df = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                           "day": t_us // DAY_US})
+        last = df.groupby("user_id", sort=False)["day"].transform("max")
+        k = (last - df["day"]).to_numpy(np.int64)
+        units = np.where(k <= 40,
+                         np.left_shift(np.int64(1),
+                                       np.maximum(40 - k, 0)),
+                         np.int64(0))
+        df = df.assign(units=units, n=np.int64(1))
+        return (df.groupby("user_id", sort=False)
+                .agg(n_events=("n", "sum"),
+                     decayed_units=("units", "sum"))
+                .astype("int64").reset_index())
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_DECAYED_ACTIVITY = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), m AS (
+  SELECT user_id, MAX(day) AS last_day FROM t GROUP BY user_id
+)
+SELECT t.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN m.last_day - t.day <= 40
+                THEN CAST(1 AS BIGINT)
+                       << CAST(40 - (m.last_day - t.day) AS INTEGER)
+                ELSE 0 END) AS BIGINT) AS decayed_units
+FROM t JOIN m USING (user_id)
+GROUP BY t.user_id
+"""
+
+
+def q_crawl_schedule(sf_dir: str):
+    """Politeness-aware crawl schedule: distinct urls get a per-domain
+    rank, then a GLOBAL round-robin slot (all domains' rank-1 urls
+    first, then rank-2, ...) so no domain is hammered consecutively —
+    the frontier-scheduling move. No global sort: the distinct domain
+    list is tiny (broadcast as dense ids) and the slot comes from the
+    distributed ordered scan over the collision-free composite key
+    rank·2³² + domain_id ≡ ORDER BY rank_in_domain, domain."""
+    from ..functions.relational import ordered_scan
+    from ..stages.dedup import dedup_exact
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url"],
+                            override_num_blocks=16)
+    urls = dedup_exact(ds, ["url"], num_buckets=16)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        rest = df["url"].str.split("//", n=1).str[1]
+        return df.assign(domain=rest.str.split("/", n=1).str[0])
+
+    tagged = urls.map_batches(tag, batch_format="pandas")
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["domain", "url"], kind="mergesort")
+        df = df.assign(rank_in_domain=(
+            df.groupby("domain", sort=False).cumcount() + 1).astype("int64"))
+        return df
+
+    ranked = bucket_exchange(tagged, ["domain"], rank,
+                             num_buckets=16).materialize()
+
+    doms = (ranked.map_batches(
+        lambda df: df[["domain"]].drop_duplicates(),
+        batch_format="pandas").to_pandas()["domain"].unique())
+    dom_idx = {d: np.int64(i) for i, d in enumerate(sorted(doms))}
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df["domain"].map(dom_idx).to_numpy(np.int64)
+        k = df["rank_in_domain"].to_numpy(np.int64) * (1 << 32) + idx
+        return df.assign(k=k, one=np.int64(1))
+
+    scanned = ordered_scan(ranked.map_batches(key, batch_format="pandas"),
+                           "k", "one", out_col="slot", num_buckets=8)
+    return scanned.map_batches(
+        lambda df: df[["url", "domain", "rank_in_domain", "slot"]],
+        batch_format="pandas")
+
+
+SQL_CRAWL_SCHEDULE = f"""
+WITH u AS (
+  SELECT DISTINCT url FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), d AS (
+  SELECT url, split_part(split_part(url, '//', 2), '/', 1) AS domain
+  FROM u
+), r AS (
+  SELECT url, domain,
+         CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY url)
+              AS BIGINT) AS rank_in_domain
+  FROM d
+)
+SELECT url, domain, rank_in_domain,
+       CAST(ROW_NUMBER() OVER (ORDER BY rank_in_domain, domain)
+            AS BIGINT) AS slot
+FROM r
+"""
+
+
 QUERIES = {
+    "dwell_by_type": q_dwell_by_type,
+    "decayed_user_activity": q_decayed_user_activity,
+    "crawl_schedule": q_crawl_schedule,
     "coverage_docs": q_coverage_docs,
     "bfs_levels_suppliers": q_bfs_levels_suppliers,
     "overdue_pages": q_overdue_pages,
@@ -7731,6 +7909,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dwell_by_type": SQL_DWELL_BY_TYPE,
+    "decayed_user_activity": SQL_DECAYED_ACTIVITY,
+    "crawl_schedule": SQL_CRAWL_SCHEDULE,
     "pricing_summary": SQL_PRICING,
     "rollup_pricing": SQL_ROLLUP_PRICING,
     "cube_pricing": SQL_CUBE_PRICING,
