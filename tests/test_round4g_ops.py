@@ -33,7 +33,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize(
-    "name", ["dwell_by_type", "decayed_user_activity", "crawl_schedule"]
+    "name", ["dwell_by_type", "decayed_user_activity", "crawl_schedule",
+             "split_leakage_docs", "vocab_ids", "sliding_distinct_types"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -60,6 +61,32 @@ def test_decayed_units_bruteforce(ray_session):
         row = got[got["user_id"] == uid]
         assert int(row["decayed_units"].iloc[0]) == want
         assert int(row["n_events"].iloc[0]) == len(g)
+
+
+def test_sliding_distinct_bruteforce(ray_session):
+    """Interval-stabbing result must equal the literal per-event
+    distinct-type count over the trailing hour, including ties."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = (QUERIES["sliding_distinct_types"](SF).to_pandas()
+           .set_index("event_id")["n_types"])
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    W = pd.Timedelta(hours=1)
+    for _, g in ev.groupby("user_id"):
+        for _, row in g.iterrows():
+            want = g[(g["ts"] <= row["ts"]) & (g["ts"] > row["ts"] - W)][
+                "event_type"].nunique()
+            assert int(got[row["event_id"]]) == want
+
+
+def test_vocab_ids_dense_and_ordered(ray_session):
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["vocab_ids"](SF).to_pandas().sort_values("vocab_id")
+    assert list(got["vocab_id"]) == list(range(1, len(got) + 1))
+    pairs = list(zip(-got["cnt"], got["term"]))
+    assert pairs == sorted(pairs)
 
 
 def test_crawl_schedule_round_robin(ray_session):

@@ -7715,7 +7715,182 @@ FROM r
 """
 
 
+def q_split_leakage_docs(sf_dir: str):
+    """Cross-split contamination report — the eval-integrity check every
+    training pipeline needs: after a deterministic hash split
+    (train 80 / val 20 on knuth(doc_id+7)), find VAL docs whose 60-char
+    text prefix also opens some TRAIN doc, with the offending train-doc
+    count. One exchange co-buckets prefix groups; texts never shuffle
+    (only the 60-char key + id travel)."""
+    from ..functions.sampling import knuth_hash
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        h = knuth_hash(df["doc_id"].to_numpy(np.int64) + 7)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "prefix": df["text"].fillna("").str.slice(0, 60),
+            "is_val": (h % np.uint64(10) >= 8),
+        })
+
+    def per_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        n_train = (df.groupby("prefix", sort=False)["is_val"]
+                   .transform(lambda s: (~s).sum()))
+        hit = df["is_val"] & (n_train > 0)
+        out = pd.DataFrame({
+            "doc_id": df.loc[hit, "doc_id"].to_numpy(np.int64),
+            "n_train_dups": n_train[hit].to_numpy(np.int64),
+        })
+        if out.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_train_dups": pd.Series([], dtype="int64")})
+        return out
+
+    return bucket_exchange(docs.map_batches(prep, batch_format="pandas"),
+                           ["prefix"], per_prefix, num_buckets=8)
+
+
+SQL_SPLIT_LEAKAGE = """
+WITH s AS (
+  SELECT doc_id, substring(text, 1, 60) AS prefix,
+         ((doc_id + 7) * 2654435761) % 4294967296 % 10 >= 8 AS is_val
+  FROM documents
+)
+SELECT v.doc_id, CAST(COUNT(*) AS BIGINT) AS n_train_dups
+FROM s v JOIN s t ON t.prefix = v.prefix AND NOT t.is_val
+WHERE v.is_val
+GROUP BY v.doc_id
+"""
+
+
+def q_vocab_ids(sf_dir: str):
+    """Tokenizer-style VOCABULARY construction: every distinct term gets
+    a dense global id under (count DESC, term ASC) order — with NO
+    global sort. The count histogram (one tiny row per distinct count
+    value) broadcasts as rank offsets; a count-keyed exchange then
+    ranks terms within each count group locally. Equivalent to
+    ROW_NUMBER() OVER (ORDER BY cnt DESC, term)."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents", columns=["text"], num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].fillna("").str.split(" ").explode().value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    counts = grouped_agg(docs.map_batches(partial, batch_format="pandas"),
+                         ["term"], {"cnt": ("cnt", "sum")},
+                         num_buckets=8).materialize()
+
+    # count histogram: ≤ |distinct cnt values| rows per block — tiny
+    hist = (counts.map_batches(
+        lambda df: df.groupby("cnt", sort=False).size()
+        .rename("n_terms").reset_index(),
+        batch_format="pandas").to_pandas()
+        .groupby("cnt")["n_terms"].sum().sort_index(ascending=False))
+    starts = hist.cumsum().shift(fill_value=0)  # terms with larger cnt
+    offset = {int(c): int(v) for c, v in starts.items()}
+
+    def rank_within(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cnt", "term"], ascending=[False, True],
+                            kind="mergesort")
+        base = df["cnt"].map(offset).to_numpy(np.int64)
+        within = df.groupby("cnt", sort=False).cumcount().to_numpy(np.int64)
+        df = df.assign(vocab_id=base + within + 1)
+        df["cnt"] = df["cnt"].astype("int64")
+        return df
+
+    return bucket_exchange(counts, ["cnt"], rank_within, num_buckets=8)
+
+
+SQL_VOCAB_IDS = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term)
+SELECT term, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS vocab_id
+FROM c
+"""
+
+
+def q_sliding_distinct_types(sf_dir: str):
+    """Trailing-window COUNT(DISTINCT) — the sliding-window novelty
+    feature SQL window frames can't express (DISTINCT isn't allowed in
+    a window aggregate). Per event: distinct event types in the user's
+    last hour, RANGE semantics ((t−1h, t], ties share). Vectorized via
+    the last-occurrence trick as TWO interval-stabbing passes: a type
+    occurrence j covers query times [t_j, nxt_j) (in-window-present)
+    minus [t_j+W, nxt_j) (stale part), so the answer is a difference of
+    two difference-array prefix sums — no per-row loop, no per-query
+    rescan. One user exchange; users vectorized together on a
+    composite user-offset time axis."""
+    from ..stages.partition import bucket_exchange
+
+    W_US = np.int64(ROLL_WINDOW_S) * 1_000_000
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        t0 = t_us.min() if len(t_us) else np.int64(0)
+        # per-user slot sized to the bucket's actual time span, so the
+        # composite axis never overflows regardless of calendar range
+        span = (t_us.max() - t0 if len(t_us) else np.int64(0)) + W_US + 2
+        ucode = pd.factorize(df["user_id"].to_numpy(np.int64))[0]
+        tt = ucode.astype(np.int64) * span + (t_us - t0)
+        df = df.assign(_tt=tt)
+        nxt = (df.groupby(["user_id", "event_type"], sort=False)["_tt"]
+               .shift(-1).to_numpy())
+        # open occurrences run to the next same-type event (or +inf,
+        # clamped to the user's slot end so intervals never cross users)
+        slot_end = (ucode.astype(np.int64) + 1) * span - 1
+        nxt = np.where(np.isnan(nxt), slot_end, nxt).astype(np.int64)
+
+        n = len(df)
+        cover = np.zeros(n + 1, np.int64)
+        lo1 = np.searchsorted(tt, tt, side="left")
+        hi1 = np.searchsorted(tt, nxt, side="left")
+        np.add.at(cover, lo1, 1)
+        np.add.at(cover, hi1, -1)
+        start2 = tt + W_US
+        ok = start2 < nxt  # empty stale intervals drop out
+        lo2 = np.searchsorted(tt, start2[ok], side="left")
+        hi2 = np.searchsorted(tt, nxt[ok], side="left")
+        np.add.at(cover, lo2, -1)
+        np.add.at(cover, hi2, 1)
+        n_types = np.cumsum(cover[:-1])
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n_types": n_types.astype(np.int64),
+        })
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_SLIDING_DISTINCT = """
+SELECT e.event_id, e.user_id,
+       CAST(COUNT(DISTINCT e2.event_type) AS BIGINT) AS n_types
+FROM events e JOIN events e2
+  ON e2.user_id = e.user_id
+ AND e2.ts <= e.ts
+ AND e2.ts > e.ts - INTERVAL 1 HOUR
+GROUP BY e.event_id, e.user_id
+"""
+
+
 QUERIES = {
+    "split_leakage_docs": q_split_leakage_docs,
+    "vocab_ids": q_vocab_ids,
+    "sliding_distinct_types": q_sliding_distinct_types,
     "dwell_by_type": q_dwell_by_type,
     "decayed_user_activity": q_decayed_user_activity,
     "crawl_schedule": q_crawl_schedule,
@@ -7909,6 +8084,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "split_leakage_docs": SQL_SPLIT_LEAKAGE,
+    "vocab_ids": SQL_VOCAB_IDS,
+    "sliding_distinct_types": SQL_SLIDING_DISTINCT,
     "dwell_by_type": SQL_DWELL_BY_TYPE,
     "decayed_user_activity": SQL_DECAYED_ACTIVITY,
     "crawl_schedule": SQL_CRAWL_SCHEDULE,
