@@ -34,7 +34,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name", ["dwell_by_type", "decayed_user_activity", "crawl_schedule",
-             "split_leakage_docs", "vocab_ids", "sliding_distinct_types"]
+             "split_leakage_docs", "vocab_ids", "sliding_distinct_types",
+             "ma_crossover_events", "event_runs", "trending_types"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -78,6 +79,20 @@ def test_sliding_distinct_bruteforce(ray_session):
             want = g[(g["ts"] <= row["ts"]) & (g["ts"] > row["ts"] - W)][
                 "event_type"].nunique()
             assert int(got[row["event_id"]]) == want
+
+
+def test_event_runs_reassemble(ray_session):
+    """Run lengths per (user, type) must sum to the user's event count,
+    and no two adjacent runs of one user share a type."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["event_runs"](SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    per_user = got.groupby("user_id")["run_len"].sum()
+    want = ev.groupby("user_id").size()
+    assert per_user.astype(int).to_dict() == want.astype(int).to_dict()
+    # start events are distinct across runs
+    assert got["start_event_id"].is_unique
 
 
 def test_vocab_ids_dense_and_ordered(ray_session):

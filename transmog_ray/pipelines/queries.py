@@ -7887,7 +7887,174 @@ GROUP BY e.event_id, e.user_id
 """
 
 
+def q_ma_crossover_events(sf_dir: str):
+    """Moving-average CROSSOVER detection (the trading-signal / trend-
+    change primitive) per user over event values: fast ROWS-3 vs slow
+    ROWS-10 trailing sums, a signal fires where the fast mean crosses
+    strictly above the slow mean. SQL-exact: values enter as
+    FLOOR(value·100) integer cents (events.value is NOT fixed-decimal)
+    and means compare as cross-multiplied integers (f·10 vs s·3), so no
+    float accumulation or division exists on either side. One user
+    exchange; prefix-sum windows."""
+    from ..stages.partition import bucket_exchange
+
+    FAST, SLOW = 3, 10
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100).astype(
+            np.int64)
+        out = []
+        for uid, idx in df.groupby("user_id", sort=False).indices.items():
+            c = cents[idx]
+            n = len(c)
+            if n < SLOW + 1:
+                continue
+            ps = np.concatenate(([0], np.cumsum(c)))
+            pos = np.arange(SLOW - 1, n)
+            fast = ps[pos + 1] - ps[pos + 1 - FAST]
+            slow = ps[pos + 1] - ps[pos + 1 - SLOW]
+            diff = fast * SLOW - slow * FAST
+            cross = (diff[1:] > 0) & (diff[:-1] <= 0)
+            hit = pos[1:][cross]
+            if len(hit):
+                out.append(pd.DataFrame({
+                    "user_id": np.int64(uid),
+                    "event_id": df["event_id"].to_numpy(np.int64)[idx][hit],
+                    "diff_x100": diff[1:][cross],
+                }))
+        if not out:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "event_id": pd.Series([], dtype="int64"),
+                                 "diff_x100": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_MA_CROSSOVER = """
+WITH w AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS fast,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS slow
+  FROM events
+), d AS (
+  SELECT user_id, event_id, rn,
+         CAST(fast * 10 - slow * 3 AS BIGINT) AS diff_x100,
+         LAG(CAST(fast * 10 - slow * 3 AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY rn) AS prev_diff
+  FROM w WHERE rn >= 10
+)
+SELECT user_id, event_id, diff_x100
+FROM d WHERE diff_x100 > 0 AND prev_diff <= 0
+"""
+
+
+def q_event_runs(sf_dir: str):
+    """Gaps-and-islands RUN-LENGTH encoding: maximal runs of consecutive
+    same-type events per user (the classic state-streak feature). One
+    user exchange; the island id is the vectorized cumsum of
+    type-change flags — no ROW_NUMBER subtraction dance needed
+    engine-side, though the SQL oracle uses exactly that classic
+    rn − rn_by_type trick."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        new_type = df["event_type"].ne(df["event_type"].shift())
+        island = (new_user | new_type).cumsum()
+        g = df.groupby(island, sort=False)
+        out = pd.DataFrame({
+            "user_id": g["user_id"].first().astype("int64"),
+            "event_type": g["event_type"].first(),
+            "run_len": g.size().astype("int64"),
+            "start_event_id": g["event_id"].first().astype("int64"),
+        }).reset_index(drop=True)
+        return out
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_EVENT_RUNS = """
+WITH t AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rnt
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS run_len,
+       CAST(arg_min(event_id, rn) AS BIGINT) AS start_event_id
+FROM t
+GROUP BY user_id, event_type, rn - rnt
+"""
+
+
+def q_trending_types(sf_dir: str):
+    """Per-hour TRENDING event types: tumbling hourly windows, top-3
+    types per window by count (ties broken by type) — the
+    leaderboard-over-windows shape. Counts pre-aggregate per batch (one
+    (window, type) partial per batch), combine in one exchange, then
+    the distributed grouped top-k — raw events never re-shuffle."""
+    from ..functions.relational import grouped_agg, grouped_topk
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        win = (t_us // 3_600_000_000) * 3600  # epoch-seconds window start
+        out = (pd.DataFrame({"window_start": win,
+                             "event_type": df["event_type"]})
+               .groupby(["window_start", "event_type"], sort=False)
+               .size().rename("cnt").reset_index())
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    counts = grouped_agg(ev.map_batches(partial, batch_format="pandas"),
+                         ["window_start", "event_type"],
+                         {"cnt": ("cnt", "sum")}, num_buckets=8)
+    return grouped_topk(counts, ["window_start"], "cnt", k=3,
+                        descending=True, tiebreak=["event_type"],
+                        num_buckets=8)
+
+
+SQL_TRENDING_TYPES = """
+WITH c AS (
+  SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start,
+         event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY window_start, event_type
+)
+SELECT window_start, event_type, cnt FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+) WHERE rn <= 3
+"""
+
+
 QUERIES = {
+    "ma_crossover_events": q_ma_crossover_events,
+    "event_runs": q_event_runs,
+    "trending_types": q_trending_types,
     "split_leakage_docs": q_split_leakage_docs,
     "vocab_ids": q_vocab_ids,
     "sliding_distinct_types": q_sliding_distinct_types,
@@ -8084,6 +8251,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ma_crossover_events": SQL_MA_CROSSOVER,
+    "event_runs": SQL_EVENT_RUNS,
+    "trending_types": SQL_TRENDING_TYPES,
     "split_leakage_docs": SQL_SPLIT_LEAKAGE,
     "vocab_ids": SQL_VOCAB_IDS,
     "sliding_distinct_types": SQL_SLIDING_DISTINCT,
