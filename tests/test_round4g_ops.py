@@ -35,7 +35,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name", ["dwell_by_type", "decayed_user_activity", "crawl_schedule",
              "split_leakage_docs", "vocab_ids", "sliding_distinct_types",
-             "ma_crossover_events", "event_runs", "trending_types"]
+             "ma_crossover_events", "event_runs", "trending_types",
+             "oov_rate_docs", "burst_windows", "cdc_chunks_docs"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -79,6 +80,40 @@ def test_sliding_distinct_bruteforce(ray_session):
             want = g[(g["ts"] <= row["ts"]) & (g["ts"] > row["ts"] - W)][
                 "event_type"].nunique()
             assert int(got[row["event_id"]]) == want
+
+
+def test_cdc_chunks_tile_and_shift_stability(ray_session):
+    """Chunks must tile each doc exactly; and because boundaries are
+    content-defined, prepending one char re-chunks only the prefix —
+    every boundary past the first window realigns."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["cdc_chunks_docs"](SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    lens = docs.set_index("doc_id")["text"].str.len()
+    for did, g in got.groupby("doc_id"):
+        g = g.sort_values("chunk_no")
+        assert g["start_pos"].iloc[0] == 1
+        ends = g["start_pos"] + g["chunk_len"] - 1
+        assert (g["start_pos"].iloc[1:].to_numpy()
+                == ends.iloc[:-1].to_numpy() + 1).all()
+        assert ends.iloc[-1] == lens[did]
+
+    def boundaries(text, W=8, MOD=16):
+        cp = np.frombuffer(text.encode("utf-32-le"), np.uint32).astype(
+            np.int64)
+        ps = np.concatenate(([0], np.cumsum(cp)))
+        pos = np.arange(1, len(text) + 1)
+        w = ps[pos] - ps[np.maximum(pos - W, 0)]
+        return set(pos[w % MOD == 0])
+
+    text = str(docs["text"].iloc[0])
+    b0 = boundaries(text)
+    b1 = boundaries("X" + text)
+    # boundaries beyond the first full window after the edit realign
+    realigned = {p + 1 for p in b0 if p > 8}
+    assert realigned <= b1
 
 
 def test_event_runs_reassemble(ray_session):

@@ -8051,7 +8051,210 @@ SELECT window_start, event_type, cnt FROM (
 """
 
 
+def q_oov_rate_docs(sf_dir: str):
+    """Tokenizer-coverage audit: per-doc OOV counts against the corpus
+    vocabulary (terms with global count ≥ 100). The vocab is built
+    distributed (partial counts + one combine) but broadcast as a tiny
+    frozenset — the docs pass is then zero-shuffle. Counts only, no
+    division: rates are the consumer's one cheap op away and the hash
+    compare stays integer-exact."""
+    from ..functions.relational import grouped_agg
+
+    MIN_CNT = 100
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8).materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].fillna("").str.split(" ").explode().value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    counts = grouped_agg(docs.map_batches(partial, batch_format="pandas"),
+                         ["term"], {"cnt": ("cnt", "sum")}, num_buckets=8)
+    vocab_df = counts.map_batches(
+        lambda df: df[df["cnt"] >= MIN_CNT][["term"]],
+        batch_format="pandas").to_pandas()
+    vocab = frozenset(vocab_df["term"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ")
+        exploded = toks.explode()
+        oov = ~exploded.isin(vocab)
+        per_doc = oov.groupby(level=0).agg(["size", "sum"]).reindex(df.index)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": per_doc["size"].to_numpy(np.int64),
+            "n_oov": per_doc["sum"].to_numpy(np.int64),
+        })
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+SQL_OOV_RATE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), vocab AS (
+  SELECT term FROM toks GROUP BY term HAVING COUNT(*) >= 100
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov
+FROM toks t LEFT JOIN vocab v USING (term)
+GROUP BY t.doc_id
+"""
+
+
+def q_burst_windows(sf_dir: str):
+    """Burst detection over the hourly count series per event type: a
+    window BURSTS when its count, cross-multiplied exactly, exceeds 2×
+    the mean of the previous 6 PRESENT windows (cnt·n_prev > 2·Σprev —
+    integer, no division). The count series is tiny (windows × types),
+    so partials pre-aggregate map-side and the series assembles in one
+    exchange keyed by type."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        win = (t_us // 3_600_000_000) * 3600
+        out = (pd.DataFrame({"window_start": win,
+                             "event_type": df["event_type"]})
+               .groupby(["window_start", "event_type"], sort=False)
+               .size().rename("cnt").reset_index())
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    counts = grouped_agg(ev.map_batches(partial, batch_format="pandas"),
+                         ["window_start", "event_type"],
+                         {"cnt": ("cnt", "sum")}, num_buckets=8)
+
+    def detect(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "window_start"],
+                            kind="mergesort")
+        g = df.groupby("event_type", sort=False)["cnt"]
+        prev_sum = (g.transform(
+            lambda s: s.shift(1).rolling(6, min_periods=1).sum())
+            .fillna(0).astype("int64"))
+        prev_n = (g.transform(
+            lambda s: s.shift(1).rolling(6, min_periods=1).count())
+            .fillna(0).astype("int64"))
+        hit = (prev_n > 0) & (df["cnt"] * prev_n > 2 * prev_sum)
+        out = df.loc[hit, ["event_type", "window_start", "cnt"]].copy()
+        out["prev_sum"] = prev_sum[hit]
+        out["prev_n"] = prev_n[hit]
+        return out
+
+    return bucket_exchange(counts, ["event_type"], detect, num_buckets=4)
+
+
+SQL_BURST_WINDOWS = """
+WITH c AS (
+  SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start,
+         event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY window_start, event_type
+), w AS (
+  SELECT event_type, window_start, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY event_type
+             ORDER BY window_start
+             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prev_sum,
+         CAST(COALESCE(COUNT(cnt) OVER (PARTITION BY event_type
+             ORDER BY window_start
+             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prev_n
+  FROM c
+)
+SELECT event_type, window_start, cnt, prev_sum, prev_n
+FROM w WHERE prev_n > 0 AND cnt * prev_n > 2 * prev_sum
+"""
+
+
+def q_cdc_chunks_docs(sf_dir: str):
+    """Content-defined chunking (the rsync/LBFS dedup-friendly
+    chunker): boundaries fall where a rolling window function of the
+    CONTENT (sum of the last 8 codepoints mod 16 == 0) fires, so an
+    insertion re-chunks only its neighborhood instead of shifting every
+    fixed-width boundary after it. Emits (doc_id, chunk_no, start_pos,
+    chunk_len), 1-based positions. Zero shuffle; codepoints vectorize
+    per doc via utf-32 reinterpretation (no per-char Python). The SQL
+    twin replays the window sum per exploded position."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+    W, MOD = 8, 16
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        ids, chunk_no, start, length = [], [], [], []
+        for did, text in zip(df["doc_id"].to_numpy(np.int64),
+                             df["text"].fillna("")):
+            n = len(text)
+            if n == 0:
+                continue
+            cp = np.frombuffer(text.encode("utf-32-le"),
+                               dtype=np.uint32).astype(np.int64)
+            ps = np.concatenate(([0], np.cumsum(cp)))
+            pos = np.arange(1, n + 1)
+            lo = np.maximum(pos - W, 0)
+            wsum = ps[pos] - ps[lo]
+            bnd = (wsum % MOD == 0)
+            bnd[-1] = True  # last position always closes a chunk
+            ends = pos[bnd]
+            starts = np.concatenate(([1], ends[:-1] + 1))
+            k = len(ends)
+            ids.append(np.full(k, did, np.int64))
+            chunk_no.append(np.arange(1, k + 1, dtype=np.int64))
+            start.append(starts.astype(np.int64))
+            length.append((ends - starts + 1).astype(np.int64))
+        if not ids:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_no": pd.Series([], dtype="int64"),
+                "start_pos": pd.Series([], dtype="int64"),
+                "chunk_len": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_id": np.concatenate(ids),
+                             "chunk_no": np.concatenate(chunk_no),
+                             "start_pos": np.concatenate(start),
+                             "chunk_len": np.concatenate(length)})
+
+    return docs.map_batches(chunk, batch_format="pandas")
+
+
+SQL_CDC_CHUNKS = """
+WITH pos AS (
+  SELECT doc_id, length(text) AS n, text,
+         unnest(range(1, length(text) + 1)) AS p
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), w AS (
+  SELECT doc_id, n, p,
+         SUM(ascii(substring(text, p, 1)))
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wsum
+  FROM pos
+), b AS (
+  SELECT doc_id, p,
+         CASE WHEN wsum % 16 = 0 OR p = n THEN 1 ELSE 0 END AS is_end
+  FROM w
+), e AS (
+  SELECT doc_id, p AS end_pos,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS chunk_no,
+         LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_end
+  FROM b WHERE is_end = 1
+)
+SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+       CAST(COALESCE(prev_end, 0) + 1 AS BIGINT) AS start_pos,
+       CAST(end_pos - COALESCE(prev_end, 0) AS BIGINT) AS chunk_len
+FROM e
+"""
+
+
 QUERIES = {
+    "oov_rate_docs": q_oov_rate_docs,
+    "burst_windows": q_burst_windows,
+    "cdc_chunks_docs": q_cdc_chunks_docs,
     "ma_crossover_events": q_ma_crossover_events,
     "event_runs": q_event_runs,
     "trending_types": q_trending_types,
@@ -8251,6 +8454,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "oov_rate_docs": SQL_OOV_RATE,
+    "burst_windows": SQL_BURST_WINDOWS,
+    "cdc_chunks_docs": SQL_CDC_CHUNKS,
     "ma_crossover_events": SQL_MA_CROSSOVER,
     "event_runs": SQL_EVENT_RUNS,
     "trending_types": SQL_TRENDING_TYPES,
