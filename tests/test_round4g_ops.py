@@ -36,7 +36,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     "name", ["dwell_by_type", "decayed_user_activity", "crawl_schedule",
              "split_leakage_docs", "vocab_ids", "sliding_distinct_types",
              "ma_crossover_events", "event_runs", "trending_types",
-             "oov_rate_docs", "burst_windows", "cdc_chunks_docs"]
+             "oov_rate_docs", "burst_windows", "cdc_chunks_docs",
+             "snapshot_char_drift", "length_gini_sources",
+             "peak_hour_types"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -80,6 +82,24 @@ def test_sliding_distinct_bruteforce(ray_session):
             want = g[(g["ts"] <= row["ts"]) & (g["ts"] > row["ts"] - W)][
                 "event_type"].nunique()
             assert int(got[row["event_id"]]) == want
+
+
+def test_length_gini_bounds_and_known_values(ray_session):
+    """gini_num/gini_den ∈ [0, 1) and equals the textbook formula on a
+    hand-computed group."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["length_gini_sources"](SF).to_pandas()
+    assert (got["gini_num"] >= 0).all()
+    assert (got["gini_num"] < got["gini_den"]).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "n_chars"])
+    src = got["source"].iloc[0]
+    x = np.sort(docs[docs["source"] == src]["n_chars"].to_numpy())
+    n = len(x)
+    i = np.arange(1, n + 1)
+    assert int(got[got["source"] == src]["gini_num"].iloc[0]) == int(
+        ((2 * i - n - 1) * x).sum())
 
 
 def test_cdc_chunks_tile_and_shift_stability(ray_session):

@@ -8251,7 +8251,177 @@ FROM e
 """
 
 
+def q_snapshot_char_drift(sf_dir: str):
+    """Content-drift MAGNITUDE between consecutive snapshots of each
+    url: L1 distance of character histograms (exact integers — the
+    cheap structural-change meter that hash equality can't grade).
+    Snapshot order is (warc_ts, md5(text)) — the fixture has tied
+    timestamps with different texts, and the md5 tiebreak is the only
+    ordering both engines replay exactly. One url exchange; codepoint
+    histograms vectorize via utf-32 + np.unique; texts never leave
+    their bucket."""
+    import hashlib
+
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts", "text"],
+                            override_num_blocks=16)
+
+    def per_url(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            t_us=(df["warc_ts"].to_numpy().astype("datetime64[ns]")
+                  .astype(np.int64) // 1000),
+            md5=[hashlib.md5(t.encode()).hexdigest()
+                 for t in df["text"].fillna("")],
+        )
+        df = df.sort_values(["url", "t_us", "md5"], kind="mergesort")
+        urls, snaps, t_out, drift = [], [], [], []
+        for url, g in df.groupby("url", sort=False):
+            prev = None
+            for snap_no, (_, row) in enumerate(g.iterrows(), start=1):
+                cp = np.frombuffer(
+                    (row["text"] or "").encode("utf-32-le"), np.uint32)
+                vals, cnts = np.unique(cp, return_counts=True)
+                cur = dict(zip(vals.tolist(), cnts.tolist()))
+                if prev is not None:
+                    keys = set(cur) | set(prev)
+                    l1 = sum(abs(cur.get(k, 0) - prev.get(k, 0))
+                             for k in keys)
+                    urls.append(url)
+                    snaps.append(snap_no)
+                    t_out.append(row["t_us"])
+                    drift.append(l1)
+                prev = cur
+        return pd.DataFrame({
+            "url": pd.Series(urls, dtype=object),
+            "snap_no": pd.Series(snaps, dtype="int64"),
+            "warc_us": pd.Series(t_out, dtype="int64"),
+            "l1_drift": pd.Series(drift, dtype="int64")})
+
+    return bucket_exchange(ds, ["url"], per_url, num_buckets=16)
+
+
+SQL_SNAPSHOT_CHAR_DRIFT = f"""
+WITH snaps AS (
+  SELECT url, epoch_us(warc_ts) AS warc_us, COALESCE(text, '') AS text,
+         ROW_NUMBER() OVER (PARTITION BY url
+                            ORDER BY warc_ts, md5(COALESCE(text, '')))
+           AS rn,
+         COUNT(*) OVER (PARTITION BY url) AS n_snaps
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), chars AS (
+  SELECT url, rn, substring(text, unnest(range(1, length(text) + 1)), 1)
+           AS ch
+  FROM snaps
+), counts AS (
+  SELECT url, rn, ch, COUNT(*) AS cnt FROM chars GROUP BY url, rn, ch
+), diffs AS (
+  SELECT COALESCE(a.url, b.url) AS url,
+         COALESCE(a.rn, b.rn + 1) AS rn,
+         COALESCE(a.cnt, 0) - COALESCE(b.cnt, 0) AS d
+  FROM counts a FULL JOIN counts b
+    ON a.url = b.url AND a.ch = b.ch AND a.rn = b.rn + 1
+)
+SELECT s.url, CAST(s.rn AS BIGINT) AS snap_no, s.warc_us,
+       CAST(COALESCE(SUM(ABS(d.d)), 0) AS BIGINT) AS l1_drift
+FROM snaps s LEFT JOIN diffs d ON d.url = s.url AND d.rn = s.rn
+WHERE s.rn >= 2
+GROUP BY s.url, s.rn, s.warc_us
+"""
+
+
+def q_length_gini_sources(sf_dir: str):
+    """Inequality of doc lengths within each source — the Lorenz/Gini
+    audit that flags a source whose token budget is owned by a few huge
+    docs. Emitted as the exact integer pair (gini_num, gini_den) with
+    gini = num/den = Σ(2i−n−1)·x_(i) / (n·Σx): rank-weighted sums are
+    permutation-invariant under ties, so no float or tiebreak ambiguity
+    exists on either side. One source exchange; int64 holds up to ~10⁹
+    docs·chars per source — beyond that, ship python-int strings like
+    fit_standardizer does."""
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents", columns=["source", "n_chars"],
+                      num_blocks=8)
+
+    def per_source(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in df.groupby("source", sort=False):
+            x = np.sort(g["n_chars"].to_numpy(np.int64))
+            n = np.int64(len(x))
+            i = np.arange(1, n + 1, dtype=np.int64)
+            num = int(((2 * i - n - 1) * x).sum())
+            rows.append((src, int(n), num, int(n * x.sum())))
+        return pd.DataFrame(rows, columns=["source", "n_docs",
+                                           "gini_num", "gini_den"]).astype(
+            {"n_docs": "int64", "gini_num": "int64", "gini_den": "int64"})
+
+    return bucket_exchange(docs, ["source"], per_source, num_buckets=4)
+
+
+SQL_LENGTH_GINI = """
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS i,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(SUM((2 * i - n - 1) * n_chars) AS BIGINT) AS gini_num,
+       CAST(MAX(n) * SUM(n_chars) AS BIGINT) AS gini_den
+FROM r GROUP BY source
+"""
+
+
+def q_peak_hour_types(sf_dir: str):
+    """Seasonality profile reduced to its argmax: each event type's
+    peak UTC hour-of-day (ties → smallest hour, explicit on both
+    sides). Partial (type, hour) counts pre-aggregate map-side — 24
+    rows per type per batch ceiling — then one combine and a grouped
+    top-1."""
+    from ..functions.relational import grouped_agg, grouped_topk
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        hod = (t_us // 3_600_000_000) % 24
+        out = (pd.DataFrame({"event_type": df["event_type"], "peak_hod": hod})
+               .groupby(["event_type", "peak_hod"], sort=False)
+               .size().rename("peak_cnt").reset_index())
+        out["peak_cnt"] = out["peak_cnt"].astype("int64")
+        out["peak_hod"] = out["peak_hod"].astype("int64")
+        return out
+
+    counts = grouped_agg(ev.map_batches(partial, batch_format="pandas"),
+                         ["event_type", "peak_hod"],
+                         {"peak_cnt": ("peak_cnt", "sum")}, num_buckets=8)
+    return grouped_topk(counts, ["event_type"], "peak_cnt", k=1,
+                        descending=True, tiebreak=["peak_hod"],
+                        num_buckets=4)
+
+
+SQL_PEAK_HOUR_TYPES = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 % 24 AS peak_hod,
+         CAST(COUNT(*) AS BIGINT) AS peak_cnt
+  FROM events GROUP BY event_type, peak_hod
+)
+SELECT event_type, peak_hod, peak_cnt FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY peak_cnt DESC, peak_hod) AS rn
+  FROM c
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "snapshot_char_drift": q_snapshot_char_drift,
+    "length_gini_sources": q_length_gini_sources,
+    "peak_hour_types": q_peak_hour_types,
     "oov_rate_docs": q_oov_rate_docs,
     "burst_windows": q_burst_windows,
     "cdc_chunks_docs": q_cdc_chunks_docs,
@@ -8454,6 +8624,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "snapshot_char_drift": SQL_SNAPSHOT_CHAR_DRIFT,
+    "length_gini_sources": SQL_LENGTH_GINI,
+    "peak_hour_types": SQL_PEAK_HOUR_TYPES,
     "oov_rate_docs": SQL_OOV_RATE,
     "burst_windows": SQL_BURST_WINDOWS,
     "cdc_chunks_docs": SQL_CDC_CHUNKS,
