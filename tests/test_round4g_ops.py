@@ -38,7 +38,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "ma_crossover_events", "event_runs", "trending_types",
              "oov_rate_docs", "burst_windows", "cdc_chunks_docs",
              "snapshot_char_drift", "length_gini_sources",
-             "peak_hour_types"]
+             "peak_hour_types", "abc_parts", "novel_bigrams_daily",
+             "tld_stats"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -82,6 +83,22 @@ def test_sliding_distinct_bruteforce(ray_session):
             want = g[(g["ts"] <= row["ts"]) & (g["ts"] > row["ts"] - W)][
                 "event_type"].nunique()
             assert int(got[row["event_id"]]) == want
+
+
+def test_abc_classes_monotone(ray_session):
+    """Cumulative cents are non-decreasing as revenue descends, and the
+    class sequence along that order is A* B* C*."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = (QUERIES["abc_parts"](SF).to_pandas()
+           .sort_values(["cum_cents", "rev_cents"],
+                        ascending=[True, False]))
+    order = {"A": 0, "B": 1, "C": 2}
+    codes = got["abc_class"].map(order).to_numpy()
+    assert (np.diff(codes) >= 0).all()
+    assert set(got["abc_class"]) >= {"A", "C"}
+    total = got["rev_cents"].sum()
+    assert got["cum_cents"].max() == total
 
 
 def test_length_gini_bounds_and_known_values(ray_session):

@@ -8418,7 +8418,215 @@ SELECT event_type, peak_hod, peak_cnt FROM (
 """
 
 
+def q_abc_parts(sf_dir: str):
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A while the cumulative share ≤ 80%, B ≤ 95%, else C — with
+    NO global sort (distributed ordered scan over negated cents) and NO
+    division (share thresholds compare as cum·100 vs pct·total, exact
+    BIGINT cents via nearest-int recovery of the fixed-decimal price —
+    a *.5 tie can't occur, so half-even vs half-away is moot).
+    Revenue ties share their cumulative sum on both sides (RANGE frame
+    ≡ the scan's tie rule)."""
+    from ..functions.relational import grouped_agg, ordered_scan
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice"],
+                    num_blocks=8)
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                    ).astype(np.int64)
+        return (pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(np.int64),
+                              "rev_cents": c})
+                .groupby("l_partkey", sort=False)["rev_cents"].sum()
+                .astype("int64").reset_index())
+
+    per_part = grouped_agg(li.map_batches(cents, batch_format="pandas"),
+                           ["l_partkey"], {"rev_cents": ("rev_cents", "sum")},
+                           num_buckets=8).materialize()
+    total = int(per_part.sum("rev_cents"))
+
+    keyed = per_part.map_batches(
+        lambda df: df.assign(neg=-df["rev_cents"].to_numpy(np.int64)),
+        batch_format="pandas")
+    scanned = ordered_scan(keyed, "neg", "rev_cents", out_col="cum_cents",
+                           num_buckets=8)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        cum = df["cum_cents"].to_numpy(np.int64)
+        cls = np.where(cum * 100 <= 80 * total, "A",
+                       np.where(cum * 100 <= 95 * total, "B", "C"))
+        return pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(np.int64),
+                             "rev_cents": df["rev_cents"].to_numpy(np.int64),
+                             "cum_cents": cum,
+                             "abc_class": cls})
+
+    return scanned.map_batches(classify, batch_format="pandas")
+
+
+SQL_ABC_PARTS = """
+WITH p AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+), s AS (
+  SELECT l_partkey, rev_cents,
+         CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC) AS BIGINT)
+           AS cum_cents,
+         CAST((SELECT SUM(rev_cents) FROM p) AS BIGINT) AS total
+  FROM p
+)
+SELECT l_partkey, rev_cents, cum_cents,
+       CASE WHEN cum_cents * 100 <= 80 * total THEN 'A'
+            WHEN cum_cents * 100 <= 95 * total THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM s
+"""
+
+
+def q_novel_bigrams_daily(sf_dir: str):
+    """Behavioral-drift monitor: how many NEVER-SEEN-BEFORE event-type
+    bigrams (per-user consecutive pairs) first appear on each day. One
+    user exchange builds the pairs with their µs-exact first times,
+    a tiny pair-keyed combine takes the global MIN, and the per-day
+    count is a third, even tinier combine — at most |types|² rows ever
+    re-shuffle."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    DAY_US = 86_400_000_000
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        df = df.assign(t_us=t_us)
+        prev = df.groupby("user_id", sort=False)["event_type"].shift(1)
+        keep = prev.notna()
+        pairs = pd.DataFrame({"prev_type": prev[keep],
+                              "event_type": df["event_type"][keep],
+                              "first_us": df["t_us"][keep]})
+        return (pairs.groupby(["prev_type", "event_type"], sort=False)
+                ["first_us"].min().astype("int64").reset_index())
+
+    firsts = grouped_agg(
+        bucket_exchange(ev, ["user_id"], per_user, num_buckets=8),
+        ["prev_type", "event_type"], {"first_us": ("first_us", "min")},
+        num_buckets=4)
+
+    def per_day(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["first_us"].to_numpy(np.int64) // DAY_US) * 86400
+        out = (pd.DataFrame({"day_start": day}).groupby("day_start")
+               .size().rename("n_novel_bigrams").reset_index())
+        return out.astype({"day_start": "int64",
+                           "n_novel_bigrams": "int64"})
+
+    return grouped_agg(
+        firsts.map_batches(per_day, batch_format="pandas"),
+        ["day_start"], {"n_novel_bigrams": ("n_novel_bigrams", "sum")},
+        num_buckets=2)
+
+
+SQL_NOVEL_BIGRAMS = """
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type, epoch_us(ts) AS t_us
+  FROM events
+), firsts AS (
+  SELECT prev_type, event_type, MIN(t_us) AS first_us
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT first_us // 86400000000 * 86400 AS day_start,
+       CAST(COUNT(*) AS BIGINT) AS n_novel_bigrams
+FROM firsts GROUP BY day_start
+"""
+
+
+def q_tld_stats(sf_dir: str):
+    """Crawl composition by top-level domain: pages, distinct urls and
+    distinct hosts per TLD — the corpus-mix dashboard row. Distinct
+    counting runs as one url-keyed dedup exchange then a tiny TLD
+    combine; hosts parse vectorized."""
+    from ..functions.relational import grouped_agg
+    from ..stages.dedup import dedup_exact
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url"],
+                            override_num_blocks=16)
+
+    def n_pages_partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = (df["url"].str.split("//", n=1).str[1]
+                .str.split("/", n=1).str[0])
+        tld = host.str.rsplit(".", n=1).str[-1]
+        out = (pd.DataFrame({"tld": tld}).groupby("tld", sort=False)
+               .size().rename("n_pages").reset_index())
+        out["n_pages"] = out["n_pages"].astype("int64")
+        return out
+
+    pages_per_tld = grouped_agg(
+        ds.map_batches(n_pages_partial, batch_format="pandas"),
+        ["tld"], {"n_pages": ("n_pages", "sum")}, num_buckets=2)
+
+    urls = dedup_exact(ds, ["url"], num_buckets=16)
+
+    def url_partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = (df["url"].str.split("//", n=1).str[1]
+                .str.split("/", n=1).str[0])
+        tld = host.str.rsplit(".", n=1).str[-1]
+        g = (pd.DataFrame({"tld": tld, "host": host})
+             .groupby("tld", sort=False)
+             .agg(n_urls=("host", "size"),
+                  hosts=("host", lambda s: list(set(s)))).reset_index())
+        g["n_urls"] = g["n_urls"].astype("int64")
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for tld, g in df.groupby("tld", sort=False):
+            hosts = set()
+            for h in g["hosts"]:
+                hosts.update(h)
+            rows.append((tld, int(g["n_urls"].sum()), len(hosts)))
+        return pd.DataFrame(rows, columns=["tld", "n_urls", "n_hosts"]
+                            ).astype({"n_urls": "int64",
+                                      "n_hosts": "int64"})
+
+    from ..functions.relational import hash_join
+    from ..stages.partition import bucket_exchange
+
+    url_stats = bucket_exchange(
+        urls.map_batches(url_partial, batch_format="pandas"),
+        ["tld"], combine, num_buckets=2)
+    return hash_join(pages_per_tld, url_stats, on=["tld"], num_buckets=2)
+
+
+SQL_TLD_STATS = f"""
+WITH p AS (
+  SELECT url,
+         split_part(split_part(url, '//', 2), '/', 1) AS host
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), t AS (
+  SELECT url, host, string_split(host, '.')[-1] AS tld FROM p
+)
+SELECT tld,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+FROM t GROUP BY tld
+"""
+
+
 QUERIES = {
+    "abc_parts": q_abc_parts,
+    "novel_bigrams_daily": q_novel_bigrams_daily,
+    "tld_stats": q_tld_stats,
     "snapshot_char_drift": q_snapshot_char_drift,
     "length_gini_sources": q_length_gini_sources,
     "peak_hour_types": q_peak_hour_types,
@@ -8624,6 +8832,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "abc_parts": SQL_ABC_PARTS,
+    "novel_bigrams_daily": SQL_NOVEL_BIGRAMS,
+    "tld_stats": SQL_TLD_STATS,
     "snapshot_char_drift": SQL_SNAPSHOT_CHAR_DRIFT,
     "length_gini_sources": SQL_LENGTH_GINI,
     "peak_hour_types": SQL_PEAK_HOUR_TYPES,
