@@ -39,7 +39,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "oov_rate_docs", "burst_windows", "cdc_chunks_docs",
              "snapshot_char_drift", "length_gini_sources",
              "peak_hour_types", "abc_parts", "novel_bigrams_daily",
-             "tld_stats"]
+             "tld_stats", "rfm_customers", "dense_daily_counts",
+             "ttr_langs"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -83,6 +84,34 @@ def test_sliding_distinct_bruteforce(ray_session):
             want = g[(g["ts"] <= row["ts"]) & (g["ts"] > row["ts"] - W)][
                 "event_type"].nunique()
             assert int(got[row["event_id"]]) == want
+
+
+def test_rfm_buckets_balanced(ray_session):
+    """Each RFM dimension's quintiles differ in size by ≤1 and cover
+    1..5."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["rfm_customers"](SF).to_pandas()
+    for col in ("r_bucket", "f_bucket", "m_bucket"):
+        sizes = got[col].value_counts()
+        assert set(sizes.index) == {1, 2, 3, 4, 5}
+        assert sizes.max() - sizes.min() <= 1
+    assert (got["rfm_segment"] ==
+            100 * got["r_bucket"] + 10 * got["f_bucket"]
+            + got["m_bucket"]).all()
+
+
+def test_dense_daily_counts_gapless(ray_session):
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["dense_daily_counts"](SF).to_pandas()
+    for _, g in got.groupby("event_type"):
+        days = np.sort(g["day_start"].to_numpy())
+        assert (np.diff(days) == 86400).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type"])
+    per_type = got.groupby("event_type")["cnt"].sum()
+    want = ev.groupby("event_type").size()
+    assert per_type.astype(int).to_dict() == want.astype(int).to_dict()
 
 
 def test_abc_classes_monotone(ray_session):

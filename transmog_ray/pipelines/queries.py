@@ -8623,7 +8623,214 @@ FROM t GROUP BY tld
 """
 
 
+def q_rfm_customers(sf_dir: str):
+    """RFM segmentation — the classic behavioral feature triple: each
+    customer's Recency (last order day), Frequency (orders) and
+    Monetary (exact cents) quintile-bucketed by GLOBAL rank with no
+    global sort: three chained ordered scans over collision-free
+    composite keys (metric·2²¹ + custkey ≡ ORDER BY metric, custkey;
+    custkey < 2²¹ — re-shard the key width beyond that). Buckets are
+    the exact integer ((rn−1)·5)//n + 1, so engines can't disagree on
+    NTILE remainder placement."""
+    from ..functions.relational import grouped_agg, ordered_scan
+
+    DAY_US = 86_400_000_000
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+                        num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[ns]")
+               .astype(np.int64) // 1000) // DAY_US
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        out = (pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(np.int64),
+                             "last_day": day, "freq": np.int64(1),
+                             "cents": cents})
+               .groupby("o_custkey", sort=False)
+               .agg(last_day=("last_day", "max"), freq=("freq", "sum"),
+                    cents=("cents", "sum")).astype("int64").reset_index())
+        return out
+
+    per_cust = grouped_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"],
+        {"last_day": ("last_day", "max"), "freq": ("freq", "sum"),
+         "cents": ("cents", "sum")},
+        num_buckets=8).materialize()
+    n = per_cust.count()
+
+    SHIFT = np.int64(1) << 21
+
+    def key(col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(
+                _k=df[col].to_numpy(np.int64) * SHIFT
+                + df["o_custkey"].to_numpy(np.int64),
+                _one=np.int64(1))
+        return fn
+
+    ds = per_cust
+    for col, rn_col in (("last_day", "r_rn"), ("freq", "f_rn"),
+                        ("cents", "m_rn")):
+        ds = ordered_scan(ds.map_batches(key(col), batch_format="pandas"),
+                          "_k", "_one", out_col=rn_col, num_buckets=8)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        def b(rn):
+            return (rn.to_numpy(np.int64) - 1) * 5 // n + 1
+        r, f, m = b(df["r_rn"]), b(df["f_rn"]), b(df["m_rn"])
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "r_bucket": r, "f_bucket": f, "m_bucket": m,
+            "rfm_segment": 100 * r + 10 * f + m})
+
+    return ds.map_batches(bucketize, batch_format="pandas")
+
+
+SQL_RFM_CUSTOMERS = """
+WITH c AS (
+  SELECT o_custkey,
+         MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         COUNT(*) AS freq,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER (ORDER BY last_day, o_custkey) AS r_rn,
+         ROW_NUMBER() OVER (ORDER BY freq, o_custkey) AS f_rn,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS m_rn,
+         COUNT(*) OVER () AS n
+  FROM c
+)
+SELECT o_custkey,
+       CAST((r_rn - 1) * 5 // n + 1 AS BIGINT) AS r_bucket,
+       CAST((f_rn - 1) * 5 // n + 1 AS BIGINT) AS f_bucket,
+       CAST((m_rn - 1) * 5 // n + 1 AS BIGINT) AS m_bucket,
+       CAST(((r_rn - 1) * 5 // n + 1) * 100
+            + ((f_rn - 1) * 5 // n + 1) * 10
+            + ((m_rn - 1) * 5 // n + 1) AS BIGINT) AS rfm_segment
+FROM r
+"""
+
+
+def q_dense_daily_counts(sf_dir: str):
+    """Calendar GAP-FILL: the dense per-type daily count series
+    (missing days exist as explicit zeros — what every
+    forecasting/backtest consumer actually needs; the seasonal-naive
+    backtest skips gaps instead). Counts pre-aggregate map-side; one
+    type exchange explodes each type's own [min_day, max_day] range
+    vectorized and left-fills zeros."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    DAY_US = 86_400_000_000
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        out = (pd.DataFrame({"event_type": df["event_type"],
+                             "day": t_us // DAY_US})
+               .groupby(["event_type", "day"], sort=False)
+               .size().rename("cnt").reset_index())
+        return out.astype({"day": "int64", "cnt": "int64"})
+
+    counts = grouped_agg(ev.map_batches(partial, batch_format="pandas"),
+                         ["event_type", "day"], {"cnt": ("cnt", "sum")},
+                         num_buckets=8)
+
+    def densify(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for etype, g in df.groupby("event_type", sort=False):
+            days = np.arange(g["day"].min(), g["day"].max() + 1,
+                             dtype=np.int64)
+            s = (g.set_index("day")["cnt"]
+                 .reindex(days, fill_value=0).astype("int64"))
+            frames.append(pd.DataFrame({
+                "event_type": etype,
+                "day_start": days * 86400,
+                "cnt": s.to_numpy(np.int64)}))
+        if not frames:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "day_start": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    return bucket_exchange(counts, ["event_type"], densify, num_buckets=4)
+
+
+SQL_DENSE_DAILY = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, day
+), b AS (
+  SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM c
+  GROUP BY event_type
+), g AS (
+  SELECT event_type, unnest(range(mn, mx + 1)) AS day FROM b
+)
+SELECT g.event_type, CAST(g.day * 86400 AS BIGINT) AS day_start,
+       CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.day = g.day
+"""
+
+
+def q_ttr_langs(sf_dir: str):
+    """Type-token ratio per language — the corpus-linguistics lexical-
+    diversity audit — kept integer-exact as the (n_types, n_tokens)
+    pair. Distinct terms count in a (lang, term)-keyed exchange (terms
+    hash-spread, so one giant language can't hot-spot a bucket); token
+    totals ride the same partial pass."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"],
+                      num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.assign(term=df["text"].fillna("").str.split(" "))[
+            ["lang", "term"]].explode("term")
+        out = (toks.groupby(["lang", "term"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    per_term = grouped_agg(docs.map_batches(partial, batch_format="pandas"),
+                           ["lang", "term"], {"n": ("n", "sum")},
+                           num_buckets=8)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("lang", sort=False)
+               .agg(n_types=("term", "size"), n_tokens=("n", "sum"))
+               .astype("int64").reset_index())
+        return out
+
+    return grouped_agg(
+        per_term.map_batches(fold, batch_format="pandas"),
+        ["lang"], {"n_types": ("n_types", "sum"),
+                   "n_tokens": ("n_tokens", "sum")},
+        num_buckets=2)
+
+
+SQL_TTR_LANGS = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS n_types,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM toks GROUP BY lang
+"""
+
+
 QUERIES = {
+    "rfm_customers": q_rfm_customers,
+    "dense_daily_counts": q_dense_daily_counts,
+    "ttr_langs": q_ttr_langs,
     "abc_parts": q_abc_parts,
     "novel_bigrams_daily": q_novel_bigrams_daily,
     "tld_stats": q_tld_stats,
@@ -8832,6 +9039,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rfm_customers": SQL_RFM_CUSTOMERS,
+    "dense_daily_counts": SQL_DENSE_DAILY,
+    "ttr_langs": SQL_TTR_LANGS,
     "abc_parts": SQL_ABC_PARTS,
     "novel_bigrams_daily": SQL_NOVEL_BIGRAMS,
     "tld_stats": SQL_TLD_STATS,
