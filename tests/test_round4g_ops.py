@@ -40,7 +40,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "snapshot_char_drift", "length_gini_sources",
              "peak_hour_types", "abc_parts", "novel_bigrams_daily",
              "tld_stats", "rfm_customers", "dense_daily_counts",
-             "ttr_langs"]
+             "ttr_langs", "distinctive_terms", "returning_users_daily",
+             "changepoint_types"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

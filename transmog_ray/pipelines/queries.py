@@ -8827,7 +8827,228 @@ FROM toks GROUP BY lang
 """
 
 
+def q_distinctive_terms(sf_dir: str):
+    """Keyness: the top-5 most DISTINCTIVE terms per language — highest
+    lift = (term share in lang) / (term share in corpus), min count 5.
+    The only float op is the one final division, identical on both
+    engines from identical integers (and replayed, never re-derived),
+    so ordering can't diverge; ties break on the term. Two partial-
+    aggregated exchanges + a grouped top-k; corpus totals broadcast."""
+    from ..functions.relational import grouped_agg, grouped_topk
+
+    MIN_CNT = 5
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"],
+                      num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.assign(term=df["text"].fillna("").str.split(" "))[
+            ["lang", "term"]].explode("term")
+        out = (toks.groupby(["lang", "term"], sort=False)
+               .size().rename("cnt").reset_index())
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    lt = grouped_agg(docs.map_batches(partial, batch_format="pandas"),
+                     ["lang", "term"], {"cnt": ("cnt", "sum")},
+                     num_buckets=8).materialize()
+
+    # corpus-wide term totals and per-lang token totals: both tiny
+    term_tot = (lt.map_batches(
+        lambda df: df.groupby("term", sort=False)["cnt"].sum()
+        .reset_index(), batch_format="pandas").to_pandas()
+        .groupby("term")["cnt"].sum())
+    lang_tot = (lt.map_batches(
+        lambda df: df.groupby("lang", sort=False)["cnt"].sum()
+        .reset_index(), batch_format="pandas").to_pandas()
+        .groupby("lang")["cnt"].sum())
+    total = int(term_tot.sum())
+    term_tot_d = term_tot.to_dict()
+    lang_tot_d = lang_tot.to_dict()
+
+    def lift(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["cnt"] >= MIN_CNT].copy()
+        ct = df["term"].map(term_tot_d).to_numpy(np.int64)
+        tl = df["lang"].map(lang_tot_d).to_numpy(np.int64)
+        num = df["cnt"].to_numpy(np.int64) * total
+        den = ct * tl
+        df["lift"] = num.astype(np.float64) / den.astype(np.float64)
+        df["cnt"] = df["cnt"].astype("int64")
+        return df[["lang", "term", "cnt", "lift"]]
+
+    scored = lt.map_batches(lift, batch_format="pandas")
+    return grouped_topk(scored, ["lang"], "lift", k=5, descending=True,
+                        tiebreak=["term"], num_buckets=4)
+
+
+SQL_DISTINCTIVE_TERMS = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+), lt AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY lang, term
+), tt AS (SELECT term, SUM(cnt) AS ct FROM lt GROUP BY term),
+lg AS (SELECT lang, SUM(cnt) AS tl FROM lt GROUP BY lang),
+tot AS (SELECT SUM(cnt) AS total FROM lt),
+scored AS (
+  SELECT lt.lang, lt.term, lt.cnt,
+         CAST(lt.cnt * tot.total AS DOUBLE)
+           / CAST(tt.ct * lg.tl AS DOUBLE) AS lift
+  FROM lt JOIN tt USING (term) JOIN lg USING (lang) CROSS JOIN tot
+  WHERE lt.cnt >= 5
+)
+SELECT lang, term, cnt, lift FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY lift DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+def q_returning_users_daily(sf_dir: str):
+    """The DAU quality split every growth dashboard runs: per day,
+    active users vs RETURNING users (first seen on an earlier day).
+    First-seen days come from one user-keyed min-combine (partials
+    pre-aggregate map-side); the daily rollup is a second, tiny
+    exchange — raw events shuffle zero times."""
+    from ..functions.relational import grouped_agg
+
+    DAY_US = 86_400_000_000
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[us]")
+                .astype("datetime64[ns]").astype(np.int64) // 1000)
+        out = (pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "day": t_us // DAY_US})
+               .drop_duplicates())
+        out["first_day"] = out["day"]
+        return out.astype({"day": "int64", "first_day": "int64"})
+
+    user_days = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id", "day"], {"first_day": ("first_day", "min")},
+        num_buckets=8)
+
+    def per_user_daily(df: pd.DataFrame) -> pd.DataFrame:
+        fd = df.groupby("user_id", sort=False)["day"].transform("min")
+        df = df.assign(returning=(df["day"] > fd))
+        out = (df.groupby("day", sort=False)
+               .agg(n_active=("user_id", "size"),
+                    n_returning=("returning", "sum"))
+               .astype("int64").reset_index())
+        out["day_start"] = out.pop("day") * 86400
+        return out[["day_start", "n_active", "n_returning"]]
+
+    from ..stages.partition import bucket_exchange
+
+    daily_partials = bucket_exchange(user_days, ["user_id"],
+                                     per_user_daily, num_buckets=8)
+    return grouped_agg(
+        daily_partials,
+        ["day_start"], {"n_active": ("n_active", "sum"),
+                        "n_returning": ("n_returning", "sum")},
+        num_buckets=2)
+
+
+SQL_RETURNING_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), f AS (
+  SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+)
+SELECT CAST(ud.day * 86400 AS BIGINT) AS day_start,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning
+FROM ud JOIN f USING (user_id)
+GROUP BY ud.day
+"""
+
+
+def q_changepoint_types(sf_dir: str):
+    """Single change-point detection on each type's daily count series:
+    the split day maximizing |mean-before − mean-after|, scored with
+    the EXACT integer cross-product |pre_sum·n_post − post_sum·n_pre|
+    (no division, no float — engines cannot disagree on an argmax over
+    integers; ties → earliest split). Series assemble per type in one
+    exchange; scoring is a vectorized prefix-sum sweep."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    DAY_US = 86_400_000_000
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        out = (pd.DataFrame({"event_type": df["event_type"],
+                             "day": t_us // DAY_US})
+               .groupby(["event_type", "day"], sort=False)
+               .size().rename("cnt").reset_index())
+        return out.astype({"day": "int64", "cnt": "int64"})
+
+    counts = grouped_agg(ev.map_batches(partial, batch_format="pandas"),
+                         ["event_type", "day"], {"cnt": ("cnt", "sum")},
+                         num_buckets=8)
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.groupby("event_type", sort=False):
+            g = g.sort_values("day", kind="mergesort")
+            c = g["cnt"].to_numpy(np.int64)
+            n = len(c)
+            if n < 2:
+                continue
+            ps = np.cumsum(c)
+            total = ps[-1]
+            k = np.arange(1, n, dtype=np.int64)  # split after k days
+            pre, post = ps[:-1], total - ps[:-1]
+            score = np.abs(pre * (n - k) - post * k)
+            best = int(np.argmax(score))  # first max → earliest split
+            rows.append((etype, int(g["day"].to_numpy(np.int64)[best]
+                                    * 86400), int(score[best])))
+        return pd.DataFrame(rows, columns=["event_type", "split_day_start",
+                                           "score"]).astype(
+            {"split_day_start": "int64", "score": "int64"})
+
+    return bucket_exchange(counts, ["event_type"], sweep, num_buckets=4)
+
+
+SQL_CHANGEPOINT_TYPES = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, day
+), w AS (
+  SELECT event_type, day,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY day) AS pre,
+         SUM(cnt) OVER (PARTITION BY event_type) AS total,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+), s AS (
+  SELECT event_type, day,
+         ABS(pre * (n - k) - (total - pre) * k) AS score
+  FROM w WHERE k < n
+)
+SELECT event_type, CAST(day * 86400 AS BIGINT) AS split_day_start,
+       CAST(score AS BIGINT) AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, day) AS rn
+  FROM s
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "distinctive_terms": q_distinctive_terms,
+    "returning_users_daily": q_returning_users_daily,
+    "changepoint_types": q_changepoint_types,
     "rfm_customers": q_rfm_customers,
     "dense_daily_counts": q_dense_daily_counts,
     "ttr_langs": q_ttr_langs,
@@ -9039,6 +9260,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "distinctive_terms": SQL_DISTINCTIVE_TERMS,
+    "returning_users_daily": SQL_RETURNING_USERS,
+    "changepoint_types": SQL_CHANGEPOINT_TYPES,
     "rfm_customers": SQL_RFM_CUSTOMERS,
     "dense_daily_counts": SQL_DENSE_DAILY,
     "ttr_langs": SQL_TTR_LANGS,
