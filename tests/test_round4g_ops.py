@@ -41,7 +41,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "peak_hour_types", "abc_parts", "novel_bigrams_daily",
              "tld_stats", "rfm_customers", "dense_daily_counts",
              "ttr_langs", "distinctive_terms", "returning_users_daily",
-             "changepoint_types"]
+             "changepoint_types", "top_paths_3", "time_to_value_users",
+             "url_shape_domains"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

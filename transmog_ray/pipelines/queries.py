@@ -9045,7 +9045,186 @@ FROM (
 """
 
 
+def q_top_paths_3(sf_dir: str):
+    """Sequential-pattern SUPPORT counting (the GSP/PrefixSpan
+    primitive at length 3): for every consecutive event-type trigram,
+    the number of DISTINCT users who ever produce it; top-10 by
+    (support DESC, path). One user exchange emits each user's distinct
+    trigrams once (set semantics inside the kernel), a tiny combine
+    sums supports, then bounded top-k."""
+    from ..functions.relational import grouped_agg, topk
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)["event_type"]
+        t1 = g.shift(2)
+        t2 = g.shift(1)
+        keep = t1.notna()
+        tri = pd.DataFrame({
+            "user_id": df["user_id"][keep],
+            "path": (t1[keep] + ">" + t2[keep] + ">"
+                     + df["event_type"][keep]),
+        }).drop_duplicates()
+        out = (tri.groupby("path", sort=False).size()
+               .rename("support").reset_index())
+        out["support"] = out["support"].astype("int64")
+        return out
+
+    support = grouped_agg(
+        bucket_exchange(ev, ["user_id"], per_user, num_buckets=8),
+        ["path"], {"support": ("support", "sum")}, num_buckets=4)
+    return topk(support, ["support", "path"], k=10,
+                descending=[True, False])
+
+
+SQL_TOP_PATHS_3 = """
+WITH tri AS (
+  SELECT DISTINCT user_id,
+         LAG(event_type, 2) OVER w || '>' ||
+         LAG(event_type, 1) OVER w || '>' || event_type AS path
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS support
+FROM tri WHERE path IS NOT NULL
+GROUP BY path
+ORDER BY support DESC, path
+LIMIT 10
+"""
+
+
+def q_time_to_value_users(sf_dir: str):
+    """Milestone latency — the LTV/activation feature: per user, the
+    first event at which cumulative value reaches 10,000 cents, with µs
+    elapsed since the user's first event. Exact integer cents cumsum
+    inside one user exchange; users that never reach the bar are
+    excluded on both sides."""
+    from ..stages.partition import bucket_exchange
+
+    BAR = 10_000
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        df = df.assign(t_us=t_us, cents=cents)
+        g = df.groupby("user_id", sort=False)
+        cum = g["cents"].cumsum()
+        first_t = g["t_us"].transform("min")
+        hit = cum >= BAR
+        # first qualifying row per user
+        firsts = df[hit].groupby("user_id", sort=False).head(1)
+        cum_hit = cum[hit].groupby(df["user_id"][hit], sort=False).head(1)
+        return pd.DataFrame({
+            "user_id": firsts["user_id"].to_numpy(np.int64),
+            "event_id": firsts["event_id"].to_numpy(np.int64),
+            "cum_cents": cum_hit.to_numpy(np.int64),
+            "us_to_value": (firsts["t_us"]
+                            - first_t[hit].groupby(
+                                df["user_id"][hit], sort=False).head(1)
+                            ).to_numpy(np.int64),
+        })
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_TIME_TO_VALUE = """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS first_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), hits AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS hn
+  FROM c WHERE cum_cents >= 10000
+)
+SELECT user_id, event_id, CAST(cum_cents AS BIGINT) AS cum_cents,
+       CAST(t_us - first_us AS BIGINT) AS us_to_value
+FROM hits WHERE hn = 1
+"""
+
+
+def q_url_shape_domains(sf_dir: str):
+    """URL-shape profile per domain — the crawl-frontier triage stats:
+    distinct urls, max path depth (path '/' segments) and how many
+    carry a query string. One dedup exchange then a tiny per-domain
+    combine; all string ops vectorized."""
+    from ..functions.relational import grouped_agg
+    from ..stages.dedup import dedup_exact
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url"],
+                            override_num_blocks=16)
+    urls = dedup_exact(ds, ["url"], num_buckets=16)
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        rest = df["url"].str.split("//", n=1).str[1]
+        domain = rest.str.split("/", n=1).str[0]
+        tail = rest.str.split("/", n=1).str[1].fillna("")
+        path = tail.str.split("?", n=1).str[0]
+        depth = np.where(path.str.len() > 0,
+                         path.str.count("/") + 1, 0).astype(np.int64)
+        has_q = df["url"].str.contains("?", regex=False)
+        out = (pd.DataFrame({"domain": domain, "depth": depth,
+                             "has_q": has_q})
+               .groupby("domain", sort=False)
+               .agg(n_urls=("depth", "size"), max_depth=("depth", "max"),
+                    n_with_query=("has_q", "sum"))
+               .astype("int64").reset_index())
+        return out
+
+    return grouped_agg(
+        urls.map_batches(shape, batch_format="pandas"),
+        ["domain"],
+        {"n_urls": ("n_urls", "sum"), "max_depth": ("max_depth", "max"),
+         "n_with_query": ("n_with_query", "sum")},
+        num_buckets=4)
+
+
+SQL_URL_SHAPE = f"""
+WITH u AS (
+  SELECT DISTINCT url FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), t AS (
+  SELECT url,
+         split_part(split_part(url, '//', 2), '/', 1) AS domain,
+         CASE WHEN strpos(split_part(url, '//', 2), '/') = 0 THEN ''
+              ELSE split_part(
+                substring(split_part(url, '//', 2),
+                          strpos(split_part(url, '//', 2), '/') + 1),
+                '?', 1)
+         END AS path,
+         CASE WHEN strpos(url, '?') > 0 THEN 1 ELSE 0 END AS has_q
+  FROM u
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(MAX(CASE WHEN length(path) > 0
+                THEN length(path) - length(replace(path, '/', '')) + 1
+                ELSE 0 END) AS BIGINT) AS max_depth,
+       CAST(SUM(has_q) AS BIGINT) AS n_with_query
+FROM t GROUP BY domain
+"""
+
+
 QUERIES = {
+    "top_paths_3": q_top_paths_3,
+    "time_to_value_users": q_time_to_value_users,
+    "url_shape_domains": q_url_shape_domains,
     "distinctive_terms": q_distinctive_terms,
     "returning_users_daily": q_returning_users_daily,
     "changepoint_types": q_changepoint_types,
@@ -9260,6 +9439,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "top_paths_3": SQL_TOP_PATHS_3,
+    "time_to_value_users": SQL_TIME_TO_VALUE,
+    "url_shape_domains": SQL_URL_SHAPE,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "returning_users_daily": SQL_RETURNING_USERS,
     "changepoint_types": SQL_CHANGEPOINT_TYPES,
