@@ -42,7 +42,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "tld_stats", "rfm_customers", "dense_daily_counts",
              "ttr_langs", "distinctive_terms", "returning_users_daily",
              "changepoint_types", "top_paths_3", "time_to_value_users",
-             "url_shape_domains"]
+             "url_shape_domains", "partitioned_docs", "inter_session_gaps",
+             "corpus_card"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -86,6 +87,63 @@ def test_sliding_distinct_bruteforce(ray_session):
             want = g[(g["ts"] <= row["ts"]) & (g["ts"] > row["ts"] - W)][
                 "event_type"].nunique()
             assert int(got[row["event_id"]]) == want
+
+
+def test_hive_sink_resume_and_roundtrip(ray_session, tmp_path):
+    """write_hive_partitioned: (1) round-trips all rows under
+    lang=<v>/ dirs, (2) a re-run with the same fingerprint skips every
+    partition, (3) deleting one partition's manifest makes ONLY that
+    partition rewrite, (4) a changed fingerprint rewrites all."""
+    import os
+
+    import ray.data as rd
+
+    from transmog_ray.state.checkpoint import (load_metrics,
+                                               write_hive_partitioned)
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang"]).materialize()
+    out = str(tmp_path / "hive")
+    m1 = write_hive_partitioned(docs, out, "lang", "fp1",
+                                order_by=["doc_id"])
+    assert m1["partitions_skipped"] == 0
+    want = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    # the column is kept in-file, so read the part files directly
+    import glob
+
+    got = pd.concat([pd.read_parquet(p) for p in
+                     glob.glob(f"{out}/lang=*/data.parquet")],
+                    ignore_index=True)
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    langs = sorted(want["lang"].dropna().unique())
+    assert sorted(os.listdir(out)) == sorted(
+        [f"lang={v}" for v in langs] + ["_run.json"])
+
+    m2 = write_hive_partitioned(docs, out, "lang", "fp1",
+                                order_by=["doc_id"])
+    assert m2["partitions_skipped"] == m2["num_partitions"]
+
+    victim = os.path.join(out, f"lang={langs[0]}", "manifest.json")
+    os.remove(victim)
+    before = {v: os.path.getmtime(os.path.join(out, f"lang={v}",
+                                               "data.parquet"))
+              for v in langs}
+    m3 = write_hive_partitioned(docs, out, "lang", "fp1",
+                                order_by=["doc_id"])
+    assert m3["partitions_skipped"] == m3["num_partitions"] - 1
+    after = {v: os.path.getmtime(os.path.join(out, f"lang={v}",
+                                              "data.parquet"))
+             for v in langs}
+    assert after[langs[0]] > before[langs[0]]
+    for v in langs[1:]:
+        assert after[v] == before[v]
+
+    m4 = write_hive_partitioned(docs, out, "lang", "fp2",
+                                order_by=["doc_id"])
+    assert m4["partitions_skipped"] == 0
+    metrics = load_metrics(out)
+    assert set(metrics["partition_value"]) == set(map(str, langs))
 
 
 def test_rfm_buckets_balanced(ray_session):

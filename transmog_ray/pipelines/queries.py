@@ -9221,7 +9221,150 @@ FROM t GROUP BY domain
 """
 
 
+def q_partitioned_docs(sf_dir: str):
+    """The hive-partitioned resumable SINK as a driver-checkable
+    pipeline: write documents under ``lang=<v>/data.parquet`` (one
+    atomic partition + manifest per language, finished partitions
+    skipped on resume — see tests/test_round4g_ops.py for the resume
+    property), then report per-partition row counts read back from the
+    manifests. Oracle: the same counts straight off the table."""
+    import os
+
+    from ..state.checkpoint import load_metrics, write_hive_partitioned
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"/tmp/transmog_ray_hive/{scale}"
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "text"], num_blocks=8)
+    write_hive_partitioned(docs, out_dir, "lang",
+                           run_fingerprint=f"docs-{scale}",
+                           order_by=["doc_id"])
+    m = load_metrics(out_dir)
+    out = pd.DataFrame({
+        "lang": m["partition_value"].astype(object),
+        "n_docs": m["rows_out"].astype("int64")})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_PARTITIONED_DOCS = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents WHERE lang IS NOT NULL
+GROUP BY lang
+"""
+
+
+def q_inter_session_gaps(sf_dir: str):
+    """Histogram of BETWEEN-session gaps (hours between consecutive
+    session starts per user) — the re-engagement curve sessionization
+    exists to feed. Session starts derive in the same one sorted
+    user pass as sessionize (gap > 30 min), their diffs bucket to
+    hours, and only the tiny histogram partials re-shuffle."""
+    from ..stages.partition import bucket_exchange
+
+    GAP_US = SESSION_GAP_S * 1_000_000
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        df = df.assign(t_us=t_us)
+        prev = df.groupby("user_id", sort=False)["t_us"].shift(1)
+        is_start = prev.isna() | ((df["t_us"] - prev) > GAP_US)
+        starts = df[is_start]
+        prev_start = (starts.groupby("user_id", sort=False)["t_us"]
+                      .shift(1))
+        gaps = (starts["t_us"] - prev_start).dropna().astype(np.int64)
+        hours = gaps // 3_600_000_000
+        out = (pd.DataFrame({"gap_hours": hours}).groupby("gap_hours")
+               .size().rename("n").reset_index())
+        return out.astype({"gap_hours": "int64", "n": "int64"})
+
+    from ..functions.relational import grouped_agg
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+    return grouped_agg(partials, ["gap_hours"], {"n": ("n", "sum")},
+                       num_buckets=2)
+
+
+SQL_INTER_SESSION_GAPS = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w
+                        > INTERVAL {SESSION_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), starts AS (
+  SELECT user_id, t_us,
+         LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+           AS prev_start
+  FROM flagged WHERE is_start = 1
+)
+SELECT (t_us - prev_start) // 3600000000 AS gap_hours,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM starts WHERE prev_start IS NOT NULL
+GROUP BY gap_hours
+"""
+
+
+def q_corpus_card(sf_dir: str):
+    """The one-row DATASET CARD: corpus-level totals every release
+    ships with (docs, languages, sources, chars, whitespace tokens,
+    largest doc). Single map pass emitting one partial row per batch;
+    the combine folds a handful of rows — nothing else moves."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "source", "text",
+                               "n_chars"],
+                      num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ").str.len()
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(df))],
+            "total_chars": [np.int64(df["n_chars"].sum())],
+            "total_tokens": [np.int64(toks.sum())],
+            "max_doc_chars": [np.int64(df["n_chars"].max())],
+            "langs": [sorted(df["lang"].dropna().unique().tolist())],
+            "sources": [sorted(df["source"].dropna().unique().tolist())],
+        })
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    langs = set()
+    sources = set()
+    for l in parts["langs"]:
+        langs.update(l)
+    for s in parts["sources"]:
+        sources.update(s)
+    return pd.DataFrame({
+        "n_docs": [np.int64(parts["n_docs"].sum())],
+        "n_langs": [np.int64(len(langs))],
+        "n_sources": [np.int64(len(sources))],
+        "total_chars": [np.int64(parts["total_chars"].sum())],
+        "total_tokens": [np.int64(parts["total_tokens"].sum())],
+        "max_doc_chars": [np.int64(parts["max_doc_chars"].max())],
+    })
+
+
+SQL_CORPUS_CARD = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(string_split(COALESCE(text, ''), ' ')))
+            AS BIGINT) AS total_tokens,
+       CAST(MAX(n_chars) AS BIGINT) AS max_doc_chars
+FROM documents
+"""
+
+
 QUERIES = {
+    "partitioned_docs": q_partitioned_docs,
+    "inter_session_gaps": q_inter_session_gaps,
+    "corpus_card": q_corpus_card,
     "top_paths_3": q_top_paths_3,
     "time_to_value_users": q_time_to_value_users,
     "url_shape_domains": q_url_shape_domains,
@@ -9439,6 +9582,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "partitioned_docs": SQL_PARTITIONED_DOCS,
+    "inter_session_gaps": SQL_INTER_SESSION_GAPS,
+    "corpus_card": SQL_CORPUS_CARD,
     "top_paths_3": SQL_TOP_PATHS_3,
     "time_to_value_users": SQL_TIME_TO_VALUE,
     "url_shape_domains": SQL_URL_SHAPE,

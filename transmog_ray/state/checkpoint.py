@@ -73,11 +73,14 @@ def persist_partition(
     run_fingerprint: str,
     t0: float,
     extra: dict | None = None,
+    name: str | None = None,
 ) -> pd.DataFrame:
     """Atomically write one partition's parquet + manifest (tmp + rename)
     and return its one-row stats frame. Shared by the sorted checkpoint
-    runner and the fused-flagship checkpoint reduce tasks."""
-    part_dir = os.path.join(out_dir, f"part={bucket:05d}")
+    runner and the fused-flagship checkpoint reduce tasks. ``name``
+    overrides the default ``part=<bucket>`` directory (hive layout)."""
+    part_dir = os.path.join(out_dir, f"part={bucket:05d}"
+                            if name is None else name)
     os.makedirs(part_dir, exist_ok=True)
     tmp = os.path.join(part_dir, f".data.parquet.tmp.{os.getpid()}")
     pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
@@ -102,8 +105,11 @@ def persist_partition(
     )
 
 
-def _matching_manifest(out_dir: str, bucket: int, run_fingerprint: str):
-    manifest_path = os.path.join(out_dir, f"part={bucket:05d}", "manifest.json")
+def _matching_manifest(out_dir: str, bucket: int, run_fingerprint: str,
+                       name: str | None = None):
+    manifest_path = os.path.join(
+        out_dir, f"part={bucket:05d}" if name is None else name,
+        "manifest.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
@@ -293,6 +299,101 @@ def write_training_shards(
     return run_meta
 
 
+def write_hive_partitioned(
+    ds,
+    out_dir: str,
+    partition_col: str,
+    run_fingerprint: str,
+    order_by: Sequence[str] = (),
+) -> dict:
+    """Hive-layout resumable sink: one ``<col>=<value>/data.parquet``
+    (plus manifest) per distinct partition value — the output shape
+    downstream engines partition-prune on, written so a failed run
+    resumes by skipping every partition whose manifest already matches
+    ``run_fingerprint`` (its reduce task never launches).
+
+    Distinct values resolve in one tiny distinct pass (partition columns
+    are low-cardinality by definition — lang, source, date) and map to
+    bucket ids for ONE identity bucket exchange; rows within a partition
+    are made deterministic by sorting on ``order_by`` (byte-identical
+    re-runs). Values are sanitized for path use; the mapping is recorded
+    in each manifest."""
+    import numpy as np
+
+    from ..stages.partition import bucket_exchange
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = ds.materialize()  # consumed twice: distinct pass + exchange
+
+    vals_df = ds.map_batches(
+        lambda df: df[[partition_col]].drop_duplicates(),
+        batch_format="pandas").to_pandas()
+    vals = sorted(vals_df[partition_col].dropna().unique().tolist())
+
+    def _safe(v) -> str:
+        s = str(v)
+        return "".join(c if c.isalnum() or c in "._-" else "_" for c in s)
+
+    names = {i: f"{partition_col}={_safe(v)}" for i, v in enumerate(vals)}
+    val_to_idx = {v: i for i, v in enumerate(vals)}
+
+    done, pending = [], []
+    for i, v in enumerate(vals):
+        m = _matching_manifest(out_dir, i, run_fingerprint, name=names[i])
+        (done if m else pending).append((i, m))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[partition_col].notna()].copy()
+        df["__part"] = (df[partition_col].map(val_to_idx)
+                        .astype("int64"))
+        return df
+
+    order_by = list(order_by)
+
+    def write_part(df: pd.DataFrame, bucket: int) -> pd.DataFrame:
+        t0 = time.time()
+        out = df.drop(columns=["__part"])
+        if order_by:
+            out = out.sort_values(order_by, kind="mergesort")
+        out = out.reset_index(drop=True)
+        return persist_partition(
+            out, len(df), bucket, out_dir, run_fingerprint, t0,
+            extra={"partition_col": partition_col,
+                   "partition_value": str(vals[bucket])},
+            name=names[bucket],
+        )
+
+    frames = [_empty_stats()]
+    frames += [
+        pd.DataFrame({"partition": [i], "rows_in": [m["rows_in"]],
+                      "rows_out": [m["rows_out"]], "seconds": [0.0],
+                      "skipped": [True]})
+        for i, m in done
+    ]
+    if pending:
+        assigned = ds.map_batches(assign, batch_format="pandas")
+        frames.append(
+            bucket_exchange(
+                assigned, [], write_part, len(vals),
+                only_buckets=[i for i, _ in pending],
+                with_bucket=True, bucket_col="__part",
+            ).to_pandas()
+        )
+    stats = pd.concat(frames, ignore_index=True)
+    run_meta = {
+        "run_fingerprint": run_fingerprint,
+        "partition_col": partition_col,
+        "num_partitions": len(vals),
+        "partitions_skipped": int(stats["skipped"].sum()),
+        "rows_in": int(stats["rows_in"].sum()),
+        "rows_out": int(stats["rows_out"].sum()),
+        "wall_seconds_sum": float(stats["seconds"].sum()),
+    }
+    with open(os.path.join(out_dir, "_run.json"), "w") as f:
+        json.dump(run_meta, f, indent=1)
+    return run_meta
+
+
 def load_metrics(out_dir: str) -> pd.DataFrame:
     """Per-partition manifests as a frame (lineage/metrics surface)."""
     rows = []
@@ -307,6 +408,7 @@ def load_metrics(out_dir: str) -> pd.DataFrame:
 __all__ = [
     "checkpointed_sorted_run",
     "write_training_shards",
+    "write_hive_partitioned",
     "persist_partition",
     "load_metrics",
     "fingerprint",
