@@ -43,7 +43,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "ttr_langs", "distinctive_terms", "returning_users_daily",
              "changepoint_types", "top_paths_3", "time_to_value_users",
              "url_shape_domains", "partitioned_docs", "inter_session_gaps",
-             "corpus_card"]
+             "corpus_card", "copurchase_parts", "autocorr7_types"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

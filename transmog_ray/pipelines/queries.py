@@ -9361,7 +9361,131 @@ FROM documents
 """
 
 
+def q_copurchase_parts(sf_dir: str):
+    """Market-basket co-occurrence on the fact table: top-20 part PAIRS
+    appearing in the same order. One order-keyed exchange; pair
+    generation is a vectorized self-merge per bucket (a.part < b.part
+    kills mirrors and self-pairs), distinct within order first so
+    multi-line parts can't double-count; then partial counts, a tiny
+    pair combine, bounded top-k."""
+    from ..functions.relational import grouped_agg, topk
+    from ..stages.partition import bucket_exchange
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+                    num_blocks=8)
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        out = (m.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    pairs = bucket_exchange(li, ["l_orderkey"], per_order, num_buckets=8)
+    counts = grouped_agg(pairs, ["l_partkey_a", "l_partkey_b"],
+                         {"n": ("n", "sum")}, num_buckets=8)
+    return topk(counts, ["n", "l_partkey_a", "l_partkey_b"], k=20,
+                descending=[True, False, False])
+
+
+SQL_COPURCHASE_PARTS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS l_partkey_a, b.l_partkey AS l_partkey_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n DESC, l_partkey_a, l_partkey_b
+LIMIT 20
+"""
+
+
+def q_autocorr7_types(sf_dir: str):
+    """Weekly-seasonality strength: per event type, the lag-7
+    autocovariance SUFFICIENT STATS of the dense daily count series
+    (gap days count as explicit zeros, or the lag would silently skip
+    them) — emitted as exact BIGINT sums (n_pairs, sxy, sx, sy, sxx,
+    syy) so the correlation itself is one float op downstream and the
+    hash compare never sees accumulation order. One type exchange;
+    the lag pairing is an aligned-slice product on the densified
+    vector."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    DAY_US = 86_400_000_000
+    LAG = 7
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        out = (pd.DataFrame({"event_type": df["event_type"],
+                             "day": t_us // DAY_US})
+               .groupby(["event_type", "day"], sort=False)
+               .size().rename("cnt").reset_index())
+        return out.astype({"day": "int64", "cnt": "int64"})
+
+    counts = grouped_agg(ev.map_batches(partial, batch_format="pandas"),
+                         ["event_type", "day"], {"cnt": ("cnt", "sum")},
+                         num_buckets=8)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.groupby("event_type", sort=False):
+            days = np.arange(g["day"].min(), g["day"].max() + 1,
+                             dtype=np.int64)
+            c = (g.set_index("day")["cnt"].reindex(days, fill_value=0)
+                 .to_numpy(np.int64))
+            if len(c) <= LAG:
+                continue
+            x, y = c[LAG:], c[:-LAG]
+            rows.append((etype, len(x), int((x * y).sum()),
+                         int(x.sum()), int(y.sum()),
+                         int((x * x).sum()), int((y * y).sum())))
+        return pd.DataFrame(rows, columns=[
+            "event_type", "n_pairs", "sxy", "sx", "sy", "sxx", "syy"]
+        ).astype({c: "int64" for c in ["n_pairs", "sxy", "sx", "sy",
+                                       "sxx", "syy"]})
+
+    return bucket_exchange(counts, ["event_type"], stats, num_buckets=4)
+
+
+SQL_AUTOCORR7_TYPES = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, day
+), b AS (
+  SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM c
+  GROUP BY event_type
+), g AS (
+  SELECT event_type, unnest(range(mn, mx + 1)) AS day FROM b
+), dense AS (
+  SELECT g.event_type, g.day, COALESCE(c.cnt, 0) AS cnt
+  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.day = g.day
+), pairs AS (
+  SELECT x.event_type, x.cnt AS xv, y.cnt AS yv
+  FROM dense x JOIN dense y
+    ON y.event_type = x.event_type AND y.day = x.day - 7
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(xv * yv) AS BIGINT) AS sxy,
+       CAST(SUM(xv) AS BIGINT) AS sx,
+       CAST(SUM(yv) AS BIGINT) AS sy,
+       CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+       CAST(SUM(yv * yv) AS BIGINT) AS syy
+FROM pairs GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "copurchase_parts": q_copurchase_parts,
+    "autocorr7_types": q_autocorr7_types,
     "partitioned_docs": q_partitioned_docs,
     "inter_session_gaps": q_inter_session_gaps,
     "corpus_card": q_corpus_card,
@@ -9582,6 +9706,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "copurchase_parts": SQL_COPURCHASE_PARTS,
+    "autocorr7_types": SQL_AUTOCORR7_TYPES,
     "partitioned_docs": SQL_PARTITIONED_DOCS,
     "inter_session_gaps": SQL_INTER_SESSION_GAPS,
     "corpus_card": SQL_CORPUS_CARD,
