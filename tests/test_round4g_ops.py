@@ -43,7 +43,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "ttr_langs", "distinctive_terms", "returning_users_daily",
              "changepoint_types", "top_paths_3", "time_to_value_users",
              "url_shape_domains", "partitioned_docs", "inter_session_gaps",
-             "corpus_card", "copurchase_parts", "autocorr7_types"]
+             "corpus_card", "copurchase_parts", "autocorr7_types",
+             "quantile_norm_lengths", "negsample_weights",
+             "k_anonymity_docs"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -87,6 +89,22 @@ def test_sliding_distinct_bruteforce(ray_session):
             want = g[(g["ts"] <= row["ts"]) & (g["ts"] > row["ts"] - W)][
                 "event_type"].nunique()
             assert int(got[row["event_id"]]) == want
+
+
+def test_quantile_norm_distributionally_pooled(ray_session):
+    """After normalization every source's value multiset is a subset of
+    pooled lengths, and the largest doc of each source maps to the
+    pooled maximum."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["quantile_norm_lengths"](SF).to_pandas()
+    pooled = np.sort(got["n_chars"].to_numpy())
+    assert set(got["norm_chars"]) <= set(pooled)
+    for _, g in got.groupby("source"):
+        assert g["norm_chars"].max() == pooled[-1]
+        # monotone: higher raw rank never maps to a smaller pooled value
+        gg = g.sort_values(["n_chars", "doc_id"])
+        assert (np.diff(gg["norm_chars"].to_numpy()) >= 0).all()
 
 
 def test_hive_sink_resume_and_roundtrip(ray_session, tmp_path):

@@ -9483,7 +9483,147 @@ FROM pairs GROUP BY event_type
 """
 
 
+def q_quantile_norm_lengths(sf_dir: str):
+    """Quantile NORMALIZATION across sources (the batch-effect
+    remover): each doc's length maps to the pooled corpus length at the
+    same quantile, so every source ends up with the pooled
+    distribution. Exact integers end to end: per-source rank r (ties
+    broken by doc_id), target pooled rank ⌈r·N/n_src⌉, and the pooled
+    value looked up through the VALUE-HISTOGRAM CDF (lengths are a
+    small integer domain, so the CDF broadcasts in a few KB — no global
+    sort, no pooled array shipping)."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"],
+                      num_blocks=8).materialize()
+
+    hist = (docs.map_batches(
+        lambda df: df.groupby("n_chars", sort=False).size()
+        .rename("n").reset_index(), batch_format="pandas").to_pandas()
+        .groupby("n_chars")["n"].sum().sort_index())
+    values = hist.index.to_numpy(np.int64)
+    cdf = hist.cumsum().to_numpy(np.int64)
+    N = int(cdf[-1])
+
+    def per_source(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            kind="mergesort")
+        r = (df.groupby("source", sort=False).cumcount()
+             .to_numpy(np.int64) + 1)
+        n_src = (df.groupby("source", sort=False)["doc_id"]
+                 .transform("size").to_numpy(np.int64))
+        tr = (r * N + n_src - 1) // n_src  # ceil(r*N/n_src)
+        idx = np.searchsorted(cdf, tr, side="left")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "source": df["source"].to_numpy(object),
+            "n_chars": df["n_chars"].to_numpy(np.int64),
+            "norm_chars": values[idx],
+        })
+
+    return bucket_exchange(docs, ["source"], per_source, num_buckets=4)
+
+
+SQL_QUANTILE_NORM = """
+WITH pooled AS (
+  SELECT n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS pos
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n_src,
+         (SELECT COUNT(*) FROM documents) AS n
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.n_chars,
+       CAST(p.n_chars AS BIGINT) AS norm_chars
+FROM r JOIN pooled p ON p.pos = (r.rnk * r.n + r.n_src - 1) // r.n_src
+"""
+
+
+def q_negsample_weights(sf_dir: str):
+    """word2vec-style NEGATIVE-SAMPLING weights: count^0.75 per term —
+    made cross-engine bit-exact by computing it as
+    sqrt(sqrt(c·c·c)) (sqrt is correctly rounded on both libms;
+    pow() is NOT — the round-3 lesson). Distributed term counts, then
+    a map; requires c³ < 2⁵³ (term counts < ~208k — assert loudly
+    beyond)."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["text"], num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].fillna("").str.split(" ").explode().value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    counts = grouped_agg(docs.map_batches(partial, batch_format="pandas"),
+                         ["term"], {"cnt": ("cnt", "sum")}, num_buckets=8)
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cnt"].to_numpy(np.int64)
+        if (c >= 208_000).any():
+            raise ValueError("term count too large for exact c^3 in "
+                             "float64; shard the corpus first")
+        cf = c.astype(np.float64)
+        w = np.sqrt(np.sqrt(cf * cf * cf))
+        df = df.copy()
+        df["cnt"] = df["cnt"].astype("int64")
+        df["weight"] = w
+        return df
+
+    return counts.map_batches(weigh, batch_format="pandas")
+
+
+SQL_NEGSAMPLE_WEIGHTS = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term)
+SELECT term, cnt,
+       SQRT(SQRT(CAST(cnt AS DOUBLE) * cnt * cnt)) AS weight
+FROM c
+"""
+
+
+def q_k_anonymity_docs(sf_dir: str):
+    """Privacy-release audit: quasi-identifier groups (lang, source)
+    holding FEWER than k=25 docs — the k-anonymity violations that must
+    be suppressed or generalized before publication. Partial counts
+    map-side; only the tiny group table shuffles."""
+    from ..functions.relational import grouped_agg
+
+    K = 25
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"],
+                      num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["lang", "source"], sort=False)
+               .size().rename("n_docs").reset_index())
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    counts = grouped_agg(docs.map_batches(partial, batch_format="pandas"),
+                         ["lang", "source"], {"n_docs": ("n_docs", "sum")},
+                         num_buckets=4)
+    return counts.map_batches(
+        lambda t: t.filter(pc.less(t["n_docs"], K)),
+        batch_format="pyarrow")
+
+
+SQL_K_ANONYMITY = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang, source
+HAVING COUNT(*) < 25
+"""
+
+
 QUERIES = {
+    "quantile_norm_lengths": q_quantile_norm_lengths,
+    "negsample_weights": q_negsample_weights,
+    "k_anonymity_docs": q_k_anonymity_docs,
     "copurchase_parts": q_copurchase_parts,
     "autocorr7_types": q_autocorr7_types,
     "partitioned_docs": q_partitioned_docs,
@@ -9706,6 +9846,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "quantile_norm_lengths": SQL_QUANTILE_NORM,
+    "negsample_weights": SQL_NEGSAMPLE_WEIGHTS,
+    "k_anonymity_docs": SQL_K_ANONYMITY,
     "copurchase_parts": SQL_COPURCHASE_PARTS,
     "autocorr7_types": SQL_AUTOCORR7_TYPES,
     "partitioned_docs": SQL_PARTITIONED_DOCS,
