@@ -14,7 +14,8 @@ SF = "/root/testdata/sf0.001"
 
 def _oracle(sql: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("events", "documents", "lineitem", "orders", "embeddings"):
+    for t in ("events", "documents", "lineitem", "orders", "embeddings",
+              "supplier", "nation", "region", "customer", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -45,7 +46,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "url_shape_domains", "partitioned_docs", "inter_session_gaps",
              "corpus_card", "copurchase_parts", "autocorr7_types",
              "quantile_norm_lengths", "negsample_weights",
-             "k_anonymity_docs"]
+             "k_anonymity_docs", "nation_share_region",
+             "revenue_concentration", "log_length_histogram"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

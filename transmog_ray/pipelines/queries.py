@@ -9620,7 +9620,183 @@ HAVING COUNT(*) < 25
 """
 
 
+def q_nation_share_region(sf_dir: str):
+    """Share-of-parent in the geo hierarchy: each nation's supplier
+    revenue next to its region's total (exact BIGINT cents both — the
+    share is the consumer's one division). Dimension chain
+    supplier→nation→region broadcasts driver-side (tiny); lineitem
+    streams through one partial-agg pass; one small nation combine and
+    a region fold that rides the same broadcast."""
+    from ..functions.relational import grouped_agg
+
+    sup = read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = read_small(sf_dir, "nation",
+                     ["n_nationkey", "n_name", "n_regionkey"])
+    reg = read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    sup_to_nat = sup.set_index("s_suppkey")["s_nationkey"].to_dict()
+    natkey_to_name = nat.set_index("n_nationkey")["n_name"].to_dict()
+    nat_to_regname = (nat.merge(reg, left_on="n_regionkey",
+                                right_on="r_regionkey")
+                      .set_index("n_nationkey")["r_name"].to_dict())
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice"], num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        natk = df["l_suppkey"].map(sup_to_nat)
+        out = (pd.DataFrame({"natk": natk, "cents": cents})
+               .groupby("natk", sort=False)["cents"].sum()
+               .astype("int64").reset_index())
+        out["n_name"] = out["natk"].map(natkey_to_name)
+        out["r_name"] = out["natk"].map(nat_to_regname)
+        return out[["n_name", "r_name", "cents"]].rename(
+            columns={"cents": "nation_cents"})
+
+    nations = grouped_agg(li.map_batches(partial, batch_format="pandas"),
+                          ["n_name", "r_name"],
+                          {"nation_cents": ("nation_cents", "sum")},
+                          num_buckets=4)
+
+    def add_region_total(df: pd.DataFrame) -> pd.DataFrame:
+        reg_tot = (df.groupby("r_name", sort=False)["nation_cents"]
+                   .transform("sum"))
+        return df.assign(region_cents=reg_tot.astype("int64"))
+
+    from ..stages.partition import bucket_exchange
+
+    return bucket_exchange(nations, ["r_name"], add_region_total,
+                           num_buckets=2)
+
+
+SQL_NATION_SHARE_REGION = """
+WITH n AS (
+  SELECT n.n_name, r.r_name,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS nation_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY n.n_name, r.r_name
+)
+SELECT n_name, r_name, nation_cents,
+       CAST(SUM(nation_cents) OVER (PARTITION BY r_name) AS BIGINT)
+         AS region_cents
+FROM n
+"""
+
+
+def q_revenue_concentration(sf_dir: str):
+    """Revenue concentration — the whale metric: how many cents the top
+    1% of customers (⌈n/100⌉, ranked by exact order-revenue cents,
+    custkey tiebreak) account for, vs the total. One per-customer
+    combine, one distributed ordered scan over the negated-cents
+    composite key, then a single-row fold — no global sort, nothing
+    big on the driver."""
+    from ..functions.relational import grouped_agg, ordered_scan
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"], num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        return (pd.DataFrame({"o_custkey": df["o_custkey"]
+                              .to_numpy(np.int64), "cents": cents})
+                .groupby("o_custkey", sort=False)["cents"].sum()
+                .astype("int64").reset_index())
+
+    per_cust = grouped_agg(orders.map_batches(partial,
+                                              batch_format="pandas"),
+                           ["o_custkey"], {"cents": ("cents", "sum")},
+                           num_buckets=8).materialize()
+    n = per_cust.count()
+    top_n = -(-n // 100)  # ceil(n/100)
+
+    SHIFT = np.int64(1) << 21
+
+    keyed = per_cust.map_batches(
+        lambda df: df.assign(
+            _k=-df["cents"].to_numpy(np.int64) * SHIFT
+            + df["o_custkey"].to_numpy(np.int64),
+            _one=np.int64(1)),
+        batch_format="pandas")
+    scanned = ordered_scan(keyed, "_k", "_one", out_col="rn", num_buckets=8)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        top = df.loc[df["rn"] <= top_n, "cents"].sum()
+        return pd.DataFrame({"top_cents": [np.int64(top)],
+                             "total_cents": [np.int64(df["cents"].sum())]})
+
+    parts = scanned.map_batches(fold, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n_customers": [np.int64(n)],
+        "top_n": [np.int64(top_n)],
+        "top_cents": [np.int64(parts["top_cents"].sum())],
+        "total_cents": [np.int64(parts["total_cents"].sum())],
+    })
+
+
+SQL_REVENUE_CONCENTRATION = """
+WITH c AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM c
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST((MAX(n) + 99) // 100 AS BIGINT) AS top_n,
+       CAST(SUM(CASE WHEN rn <= (n + 99) // 100 THEN cents ELSE 0 END)
+            AS BIGINT) AS top_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM r
+"""
+
+
+def q_log_length_histogram(sf_dir: str):
+    """Power-of-two doc-length histogram — the long-tail profile
+    dashboards draw on a log axis — with the bucket computed EXACTLY as
+    the integer bit length (numpy frexp exponent == DuckDB
+    length(printf('%b', n))), never floor(log2(x)), whose float
+    rounding can misbucket exact powers of two. Zero shuffle but the
+    tiny histogram combine."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["n_chars"],
+                      num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(np.int64)
+        x = x[x > 0]
+        bl = np.frexp(x.astype(np.float64))[1].astype(np.int64)
+        out = (pd.DataFrame({"bit_length": bl}).groupby("bit_length")
+               .size().rename("n_docs").reset_index())
+        return out.astype({"bit_length": "int64", "n_docs": "int64"})
+
+    return grouped_agg(docs.map_batches(partial, batch_format="pandas"),
+                       ["bit_length"], {"n_docs": ("n_docs", "sum")},
+                       num_buckets=2)
+
+
+SQL_LOG_LENGTH_HISTOGRAM = """
+SELECT CAST(length(printf('%b', n_chars)) AS BIGINT) AS bit_length,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents WHERE n_chars > 0
+GROUP BY bit_length
+"""
+
+
 QUERIES = {
+    "nation_share_region": q_nation_share_region,
+    "revenue_concentration": q_revenue_concentration,
+    "log_length_histogram": q_log_length_histogram,
     "quantile_norm_lengths": q_quantile_norm_lengths,
     "negsample_weights": q_negsample_weights,
     "k_anonymity_docs": q_k_anonymity_docs,
@@ -9846,6 +10022,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "nation_share_region": SQL_NATION_SHARE_REGION,
+    "revenue_concentration": SQL_REVENUE_CONCENTRATION,
+    "log_length_histogram": SQL_LOG_LENGTH_HISTOGRAM,
     "quantile_norm_lengths": SQL_QUANTILE_NORM,
     "negsample_weights": SQL_NEGSAMPLE_WEIGHTS,
     "k_anonymity_docs": SQL_K_ANONYMITY,
