@@ -47,7 +47,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "corpus_card", "copurchase_parts", "autocorr7_types",
              "quantile_norm_lengths", "negsample_weights",
              "k_anonymity_docs", "nation_share_region",
-             "revenue_concentration", "log_length_histogram"]
+             "revenue_concentration", "log_length_histogram",
+             "rolling_max_events", "length_clusters_docs"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -91,6 +92,40 @@ def test_sliding_distinct_bruteforce(ray_session):
             want = g[(g["ts"] <= row["ts"]) & (g["ts"] > row["ts"] - W)][
                 "event_type"].nunique()
             assert int(got[row["event_id"]]) == want
+
+
+def test_rolling_max_tied_timestamps(ray_session, tmp_path):
+    """RANGE frames include ALL ts peers — a tied-timestamp fixture must
+    match the DuckDB window verbatim (the two-buffer kernel's tie
+    transform is what this pins)."""
+    import duckdb
+
+    from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    rng = np.random.RandomState(7)
+    n = 400
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.randint(0, 180, n) * 60, unit="s")  # coarse → many ties
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 5, n).astype(np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "event_type": "x",
+        "value": rng.randn(n),
+        "props": "",
+    })
+    sf = tmp_path / "sfsynth"
+    sf.mkdir()
+    ev.to_parquet(sf / "events.parquet", index=False)
+
+    got = _canon(QUERIES["rolling_max_events"](str(sf)).to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = _canon(con.execute(ORACLE_SQL["rolling_max_events"]).df())
+    con.close()
+    assert ev.groupby(["user_id", "ts"]).size().max() > 1  # ties real
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_quantile_norm_distributionally_pooled(ray_session):

@@ -9793,7 +9793,147 @@ GROUP BY bit_length
 """
 
 
+def q_rolling_max_events(sf_dir: str):
+    """Trailing-hour rolling MAX and MIN per user (SQL RANGE frame,
+    both ends inclusive) — the window aggregate prefix sums canNOT
+    compute. Vectorized with the classic TWO-BUFFER trick: a trailing
+    window of width w spans at most two w-aligned tiles, so the answer
+    is max(suffix-cummax of the previous tile evaluated at the window
+    start, prefix-cummax of the current tile) — no deque, no per-row
+    loop. Float comparisons only (no arithmetic), so engines agree
+    bit-for-bit."""
+    from ..stages.partition import bucket_exchange
+
+    W_US = np.int64(ROLL_WINDOW_S) * 1_000_000
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        v = df["value"].to_numpy(np.float64)
+        uid = df["user_id"].to_numpy(np.int64)
+        # per-user dynamic slot axis (same device as sliding_distinct)
+        t0 = t_us.min() if len(t_us) else np.int64(0)
+        span = ((t_us.max() - t0 if len(t_us) else np.int64(0))
+                // W_US + 3) * W_US  # tile-aligned so tiles never span users
+        ucode = pd.factorize(uid)[0].astype(np.int64)
+        tt = ucode * span + (t_us - t0)
+
+        tile = tt // W_US
+        seg = pd.Series(tile)
+        pre_max = pd.Series(v).groupby(seg).cummax().to_numpy()
+        pre_min = pd.Series(v).groupby(seg).cummin().to_numpy()
+        suf_max = (pd.Series(v[::-1]).groupby(pd.Series(tile[::-1]))
+                   .cummax().to_numpy()[::-1])
+        suf_min = (pd.Series(v[::-1]).groupby(pd.Series(tile[::-1]))
+                   .cummin().to_numpy()[::-1])
+        # window start index (inclusive): first row of same user with
+        # tt >= tt_i - W; user slots are tile-aligned and padded, so the
+        # searchsorted can never cross into another user's rows
+        lo = np.searchsorted(tt, tt - W_US, side="left")
+        seg_start_idx = np.flatnonzero(np.concatenate(
+            ([True], tile[1:] != tile[:-1])))
+        seg_of = np.searchsorted(seg_start_idx, np.arange(len(tt)),
+                                 side="right") - 1
+        start_of_tile = seg_start_idx[seg_of]
+        has_prev = lo < start_of_tile
+        prev_max = np.where(has_prev, suf_max[np.minimum(lo, len(tt) - 1)],
+                            -np.inf)
+        prev_min = np.where(has_prev, suf_min[np.minimum(lo, len(tt) - 1)],
+                            np.inf)
+        out = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "roll_max": np.maximum(pre_max, prev_max),
+            "roll_min": np.minimum(pre_min, prev_min),
+        })
+        # SQL RANGE frames include ALL peers of the current ts — tied
+        # rows must share the tie group's extremes (raw values are
+        # monotone within a tie group, so the group extreme IS the full
+        # frame's value)
+        ties = pd.Series(tt)
+        out["roll_max"] = out.groupby([pd.Series(uid), ties],
+                                      sort=False)["roll_max"].transform("max")
+        out["roll_min"] = out.groupby([pd.Series(uid), ties],
+                                      sort=False)["roll_min"].transform("min")
+        return out
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_ROLLING_MAX = """
+SELECT event_id, user_id,
+       MAX(value) OVER w AS roll_max,
+       MIN(value) OVER w AS roll_min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_length_clusters_docs(sf_dir: str):
+    """1-D single-linkage clustering of doc lengths (gap-based: a new
+    cluster starts where the sorted DISTINCT-value gap exceeds 20) —
+    the natural-breaks binning that fixed-width histograms get wrong.
+    The distinct-length table is tiny (values, not docs), so boundaries
+    derive from a broadcast histogram; docs then map to cluster ids in
+    a zero-shuffle pass. Everything integer."""
+    GAP = 20
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"],
+                      num_blocks=8).materialize()
+
+    vals = np.sort(docs.map_batches(
+        lambda df: df[["n_chars"]].drop_duplicates(),
+        batch_format="pandas").to_pandas()["n_chars"].unique()
+        .astype(np.int64))
+    new_cluster = np.concatenate(([True], np.diff(vals) > GAP))
+    cluster_id = np.cumsum(new_cluster).astype(np.int64)  # 1-based
+    starts = vals[new_cluster]
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(np.int64)
+        cid = np.searchsorted(starts, x, side="right").astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_chars": x,
+            "cluster_id": cid,
+            "cluster_start": starts[cid - 1],
+        })
+
+    return docs.map_batches(assign, batch_format="pandas")
+
+
+SQL_LENGTH_CLUSTERS = """
+WITH v AS (
+  SELECT DISTINCT n_chars FROM documents
+), f AS (
+  SELECT n_chars,
+         CASE WHEN n_chars - LAG(n_chars) OVER (ORDER BY n_chars) > 20
+                   OR LAG(n_chars) OVER (ORDER BY n_chars) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM v
+), c AS (
+  SELECT n_chars,
+         CAST(SUM(is_new) OVER (ORDER BY n_chars
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cluster_id,
+         MAX(CASE WHEN is_new = 1 THEN n_chars END) OVER (
+             ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cluster_start
+  FROM f
+)
+SELECT d.doc_id, d.n_chars, c.cluster_id,
+       CAST(c.cluster_start AS BIGINT) AS cluster_start
+FROM documents d JOIN c USING (n_chars)
+"""
+
+
 QUERIES = {
+    "rolling_max_events": q_rolling_max_events,
+    "length_clusters_docs": q_length_clusters_docs,
     "nation_share_region": q_nation_share_region,
     "revenue_concentration": q_revenue_concentration,
     "log_length_histogram": q_log_length_histogram,
@@ -10022,6 +10162,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rolling_max_events": SQL_ROLLING_MAX,
+    "length_clusters_docs": SQL_LENGTH_CLUSTERS,
     "nation_share_region": SQL_NATION_SHARE_REGION,
     "revenue_concentration": SQL_REVENUE_CONCENTRATION,
     "log_length_histogram": SQL_LOG_LENGTH_HISTOGRAM,
