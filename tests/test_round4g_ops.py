@@ -48,7 +48,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "quantile_norm_lengths", "negsample_weights",
              "k_anonymity_docs", "nation_share_region",
              "revenue_concentration", "log_length_histogram",
-             "rolling_max_events", "length_clusters_docs"]
+             "rolling_max_events", "length_clusters_docs",
+             "active_time_users", "spearman_types", "pps_sample_docs"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -92,6 +93,44 @@ def test_sliding_distinct_bruteforce(ray_session):
             want = g[(g["ts"] <= row["ts"]) & (g["ts"] > row["ts"] - W)][
                 "event_type"].nunique()
             assert int(got[row["event_id"]]) == want
+
+
+def test_pps_sample_exact_k_and_proportional(ray_session):
+    """Lattice hits total exactly k=100, and every doc's hit count is
+    within 1 of its proportional share k·w/W."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["pps_sample_docs"](SF).to_pandas()
+    assert int(got["n_hits"].sum()) == 100
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    W = docs["n_chars"].sum()
+    share = docs.set_index("doc_id")["n_chars"] * 100 / W
+    hits = got.set_index("doc_id")["n_hits"]
+    for did, h in hits.items():
+        assert abs(h - share[did]) <= 1
+
+
+def test_active_time_bruteforce(ray_session):
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = (QUERIES["active_time_users"](SF).to_pandas()
+           .set_index("user_id")["active_us"])
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    D = 300_000_000
+    for uid, g in ev.groupby("user_id"):
+        t = np.sort(g["ts"].astype("datetime64[ns]").astype("int64")
+                    // 1000)
+        covered, cur_end = 0, -1
+        for s in t:
+            e = s + D
+            if s >= cur_end:
+                covered += D
+                cur_end = e
+            elif e > cur_end:
+                covered += e - cur_end
+                cur_end = e
+        assert int(got[uid]) == covered
 
 
 def test_rolling_max_tied_timestamps(ray_session, tmp_path):

@@ -9931,7 +9931,168 @@ FROM documents d JOIN c USING (n_chars)
 """
 
 
+def q_active_time_users(sf_dir: str):
+    """Active-time coverage: per user, the total µs covered by the
+    UNION of [event, event+5min) intervals — the engagement-duration
+    measure naive Σdurations double-counts. The union is the classic
+    running-max-end sweep (contribution = max(0, end − max(start,
+    cummax of previous ends))), vectorized per user in one exchange;
+    exact integer µs."""
+    from ..stages.partition import bucket_exchange
+
+    DUR_US = np.int64(300) * 1_000_000
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t = (df["ts"].to_numpy().astype("datetime64[ns]")
+             .astype(np.int64) // 1000)
+        end = t + DUR_US
+        g = df.assign(_end=end).groupby("user_id", sort=False)
+        prev_max_end = g["_end"].transform(
+            lambda s: s.cummax().shift(1)).to_numpy()
+        covered = np.maximum(
+            end - np.maximum(t, np.nan_to_num(prev_max_end,
+                                              nan=-np.inf)), 0)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                            "c": covered.astype(np.int64)})
+        return (out.groupby("user_id", sort=False)["c"].sum()
+                .astype("int64").rename("active_us").reset_index())
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_ACTIVE_TIME = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e,
+         event_id
+  FROM events
+), sw AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_end
+  FROM iv
+)
+SELECT user_id,
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(prev_end, 0)), 0))
+            AS BIGINT) AS active_us
+FROM sw GROUP BY user_id
+"""
+
+
+def q_spearman_types(sf_dir: str):
+    """Spearman rank-correlation SUFFICIENT stats per event type
+    (value-vs-time monotonicity): both rankings are ROW_NUMBERs with
+    the event_id tiebreak, so ranks are exact permutations and Σd² is
+    an exact BIGINT — ρ = 1 − 6Σd²/(n(n²−1)) is the consumer's one
+    float op. One type exchange; ranks via double argsort."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "event_id", "value"],
+                    num_blocks=8)
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.groupby("event_type", sort=False):
+            t = (g["ts"].to_numpy().astype("datetime64[ns]")
+                 .astype(np.int64) // 1000)
+            eid = g["event_id"].to_numpy(np.int64)
+            v = g["value"].to_numpy(np.float64)
+            n = len(g)
+            rank_t = np.empty(n, np.int64)
+            rank_t[np.lexsort((eid, t))] = np.arange(1, n + 1)
+            rank_v = np.empty(n, np.int64)
+            rank_v[np.lexsort((eid, v))] = np.arange(1, n + 1)
+            d = rank_v - rank_t
+            rows.append((etype, n, int((d * d).sum())))
+        return pd.DataFrame(rows, columns=["event_type", "n", "sum_d2"]
+                            ).astype({"n": "int64", "sum_d2": "int64"})
+
+    return bucket_exchange(ev, ["event_type"], per_type, num_buckets=4)
+
+
+SQL_SPEARMAN_TYPES = """
+WITH r AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rank_t,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rank_v
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((rank_v - rank_t) * (rank_v - rank_t)) AS BIGINT)
+         AS sum_d2
+FROM r GROUP BY event_type
+"""
+
+
+def q_pps_sample_docs(sf_dir: str):
+    """Systematic probability-proportional-to-size sampling — the
+    survey-design corpus sampler: k=100 evenly spaced lattice points
+    over the cumulative n_chars axis; a doc is drawn once per lattice
+    point inside its interval (big docs can draw multiple hits — that
+    IS the PPS weight). Exact: hit counts come from integer ceil
+    arithmetic over the distributed ordered scan's cumulative sums; no
+    floats anywhere. Docs order by doc_id so the lattice is stable
+    across runs and cluster sizes."""
+    from ..functions.relational import ordered_scan
+
+    K = 100
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"],
+                      num_blocks=8)
+    scanned = ordered_scan(docs, "doc_id", "n_chars", out_col="cum",
+                           num_buckets=8).materialize()
+    total = int(scanned.max("cum"))
+
+    def hits_below(c: np.ndarray) -> np.ndarray:
+        # |{j in [0,K): (2j+1)·total < 2K·c}| — pure integer
+        num = 2 * K * c - total - 1
+        cnt = np.where(num >= 0, num // (2 * total) + 1, 0)
+        return np.clip(cnt, 0, K)
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        cum = df["cum"].to_numpy(np.int64)
+        prev = cum - df["n_chars"].to_numpy(np.int64)
+        n_hits = hits_below(cum) - hits_below(prev)
+        keep = n_hits > 0
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+            "n_chars": df["n_chars"].to_numpy(np.int64)[keep],
+            "n_hits": n_hits[keep].astype(np.int64)})
+
+    return scanned.map_batches(select, batch_format="pandas")
+
+
+SQL_PPS_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id) AS cum,
+         (SELECT SUM(n_chars) FROM documents) AS total
+  FROM documents
+), h AS (
+  SELECT doc_id, n_chars,
+         LEAST(GREATEST(CASE WHEN 200 * cum - total - 1 >= 0
+               THEN (200 * cum - total - 1) // (2 * total) + 1
+               ELSE 0 END, 0), 100)
+         - LEAST(GREATEST(CASE WHEN 200 * (cum - n_chars) - total - 1 >= 0
+               THEN (200 * (cum - n_chars) - total - 1) // (2 * total) + 1
+               ELSE 0 END, 0), 100) AS n_hits
+  FROM s
+)
+SELECT doc_id, n_chars, CAST(n_hits AS BIGINT) AS n_hits
+FROM h WHERE n_hits > 0
+"""
+
+
 QUERIES = {
+    "active_time_users": q_active_time_users,
+    "spearman_types": q_spearman_types,
+    "pps_sample_docs": q_pps_sample_docs,
     "rolling_max_events": q_rolling_max_events,
     "length_clusters_docs": q_length_clusters_docs,
     "nation_share_region": q_nation_share_region,
@@ -10162,6 +10323,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "active_time_users": SQL_ACTIVE_TIME,
+    "spearman_types": SQL_SPEARMAN_TYPES,
+    "pps_sample_docs": SQL_PPS_SAMPLE,
     "rolling_max_events": SQL_ROLLING_MAX,
     "length_clusters_docs": SQL_LENGTH_CLUSTERS,
     "nation_share_region": SQL_NATION_SHARE_REGION,
