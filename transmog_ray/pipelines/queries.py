@@ -10089,7 +10089,174 @@ FROM h WHERE n_hits > 0
 """
 
 
+def _explode_hrefs(df: pd.DataFrame) -> pd.DataFrame:
+    """(url, href) pairs from the meta JSON links array — the link
+    extraction every web-graph build starts from. json.loads per page
+    (C parser, same shape as the flatten stage); vectorized from there."""
+    import json as _json
+
+    srcs, hrefs = [], []
+    for url, meta in zip(df["url"], df["meta"]):
+        if not meta:
+            continue
+        links = _json.loads(meta).get("links") or []
+        for lk in links:
+            h = lk.get("href")
+            if h:
+                srcs.append(url)
+                hrefs.append(h)
+    return pd.DataFrame({"url": pd.Series(srcs, dtype=object),
+                         "href": pd.Series(hrefs, dtype=object)})
+
+
+def q_link_domain_edges(sf_dir: str):
+    """The WEB GRAPH at domain granularity: (src_domain → dst_domain)
+    edge counts extracted from every page's meta links — the input
+    PageRank/BFS-style graph ops consume. Links explode map-side into
+    (src, dst) partials (one row per edge per batch ceiling); only the
+    tiny edge table shuffles."""
+    from ..functions.relational import grouped_agg
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "meta"],
+                            override_num_blocks=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = _explode_hrefs(df)
+        src = (pairs["url"].str.split("//", n=1).str[1]
+               .str.split("/", n=1).str[0])
+        dst = (pairs["href"].str.split("//", n=1).str[1]
+               .str.split("/", n=1).str[0])
+        out = (pd.DataFrame({"src": src, "dst": dst})
+               .groupby(["src", "dst"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                       ["src", "dst"], {"n": ("n", "sum")}, num_buckets=8)
+
+
+SQL_LINK_DOMAIN_EDGES = f"""
+WITH l AS (
+  SELECT url, unnest(CAST(json_extract(meta, '$.links') AS JSON[]))
+           AS link
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+)
+SELECT split_part(split_part(url, '//', 2), '/', 1) AS src,
+       split_part(split_part(json_extract_string(link, '$.href'),
+                             '//', 2), '/', 1) AS dst,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM l WHERE json_extract_string(link, '$.href') IS NOT NULL
+GROUP BY src, dst
+"""
+
+
+def q_dangling_links(sf_dir: str):
+    """Frontier DISCOVERY: outlink targets never crawled (href not in
+    the url set), counted per target domain — what the crawler queues
+    next. One href↔url co-bucketed anti-join exchange: both sides
+    route by the url string, the kernel drops hrefs whose bucket
+    contains their target."""
+    from ..functions.relational import grouped_agg
+    from ..stages.dedup import dedup_exact
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    pages = _rd().read_parquet(pages_dir, columns=["url", "meta"],
+                               override_num_blocks=16)
+
+    hrefs = pages.map_batches(
+        lambda df: _explode_hrefs(df)[["href"]]
+        .rename(columns={"href": "u"}).assign(side="l"),
+        batch_format="pandas")
+    crawled = dedup_exact(
+        pages.map_batches(lambda df: df[["url"]], batch_format="pandas"),
+        ["url"], num_buckets=16).map_batches(
+        lambda df: df.rename(columns={"url": "u"}).assign(side="r"),
+        batch_format="pandas")
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        have = set(df.loc[df["side"] == "r", "u"])
+        miss = df.loc[(df["side"] == "l") & ~df["u"].isin(have), "u"]
+        dom = miss.str.split("//", n=1).str[1].str.split("/", n=1).str[0]
+        out = (pd.DataFrame({"dst_domain": dom})
+               .groupby("dst_domain", sort=False)
+               .size().rename("n_dangling").reset_index())
+        out["n_dangling"] = out["n_dangling"].astype("int64")
+        return out
+
+    partials = bucket_exchange(hrefs.union(crawled), ["u"], anti,
+                               num_buckets=16)
+    return grouped_agg(partials, ["dst_domain"],
+                       {"n_dangling": ("n_dangling", "sum")}, num_buckets=2)
+
+
+SQL_DANGLING_LINKS = f"""
+WITH l AS (
+  SELECT json_extract_string(
+           unnest(CAST(json_extract(meta, '$.links') AS JSON[])),
+           '$.href') AS href
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+), u AS (
+  SELECT DISTINCT url FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+)
+SELECT split_part(split_part(l.href, '//', 2), '/', 1) AS dst_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_dangling
+FROM l LEFT JOIN u ON u.url = l.href
+WHERE l.href IS NOT NULL AND u.url IS NULL
+GROUP BY dst_domain
+"""
+
+
+def q_user_retention_curve(sf_dir: str):
+    """Classic retention curve: distinct users still active k days
+    after their own first day, for every observed offset k (0 =
+    everyone's first day). One user exchange derives each user's
+    offsets locally; only (offset, 1) partials combine."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    DAY_US = 86_400_000_000
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "day": t_us // DAY_US}).drop_duplicates()
+        first = d.groupby("user_id", sort=False)["day"].transform("min")
+        off = (d["day"] - first).astype("int64")
+        out = (pd.DataFrame({"day_offset": off}).groupby("day_offset")
+               .size().rename("n_users").reset_index())
+        return out.astype({"day_offset": "int64", "n_users": "int64"})
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+    return grouped_agg(partials, ["day_offset"],
+                       {"n_users": ("n_users", "sum")}, num_buckets=2)
+
+
+SQL_USER_RETENTION_CURVE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), f AS (
+  SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+)
+SELECT CAST(ud.day - f.first_day AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN f USING (user_id)
+GROUP BY day_offset
+"""
+
+
 QUERIES = {
+    "link_domain_edges": q_link_domain_edges,
+    "dangling_links": q_dangling_links,
+    "user_retention_curve": q_user_retention_curve,
     "active_time_users": q_active_time_users,
     "spearman_types": q_spearman_types,
     "pps_sample_docs": q_pps_sample_docs,
@@ -10323,6 +10490,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "link_domain_edges": SQL_LINK_DOMAIN_EDGES,
+    "dangling_links": SQL_DANGLING_LINKS,
+    "user_retention_curve": SQL_USER_RETENTION_CURVE,
     "active_time_users": SQL_ACTIVE_TIME,
     "spearman_types": SQL_SPEARMAN_TYPES,
     "pps_sample_docs": SQL_PPS_SAMPLE,
