@@ -50,7 +50,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "revenue_concentration", "log_length_histogram",
              "rolling_max_events", "length_clusters_docs",
              "active_time_users", "spearman_types", "pps_sample_docs",
-             "link_domain_edges", "dangling_links", "user_retention_curve"]
+             "link_domain_edges", "dangling_links", "user_retention_curve",
+             "domain_degrees", "link_locality_pages",
+             "politeness_violations"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -10253,7 +10253,191 @@ GROUP BY day_offset
 """
 
 
+def q_domain_degrees(sf_dir: str):
+    """Hub/authority raw material: per domain, weighted OUT-degree
+    (links it emits), weighted IN-degree (links pointing at it) and
+    self-links — straight off the domain edge table, two tiny partial
+    combines joined on the domain (the edge table never re-shuffles
+    whole)."""
+    from ..functions.relational import grouped_agg, hash_join
+
+    edges = q_link_domain_edges(sf_dir).materialize()
+
+    outs = grouped_agg(
+        edges.map_batches(
+            lambda df: df.rename(columns={"src": "domain"})[
+                ["domain", "n"]].rename(columns={"n": "out_deg"}),
+            batch_format="pandas"),
+        ["domain"], {"out_deg": ("out_deg", "sum")}, num_buckets=4)
+    ins = grouped_agg(
+        edges.map_batches(
+            lambda df: df.rename(columns={"dst": "domain"})[
+                ["domain", "n"]].rename(columns={"n": "in_deg"}),
+            batch_format="pandas"),
+        ["domain"], {"in_deg": ("in_deg", "sum")}, num_buckets=4)
+    selfs = grouped_agg(
+        edges.map_batches(
+            lambda df: df[df["src"] == df["dst"]]
+            .rename(columns={"src": "domain"})[["domain", "n"]]
+            .rename(columns={"n": "self_links"}),
+            batch_format="pandas"),
+        ["domain"], {"self_links": ("self_links", "sum")}, num_buckets=4)
+
+    j = hash_join(outs, ins, on=["domain"], how="outer", num_buckets=4)
+    j = hash_join(j, selfs, on=["domain"], how="outer", num_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("out_deg", "in_deg", "self_links"):
+            df[c] = df[c].fillna(0).astype("int64")
+        return df[["domain", "out_deg", "in_deg", "self_links"]]
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+SQL_DOMAIN_DEGREES = f"""
+WITH l AS (
+  SELECT split_part(split_part(url, '//', 2), '/', 1) AS src,
+         split_part(split_part(json_extract_string(
+           unnest(CAST(json_extract(meta, '$.links') AS JSON[])),
+           '$.href'), '//', 2), '/', 1) AS dst
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+), e AS (SELECT src, dst FROM l WHERE dst IS NOT NULL AND dst != ''),
+o AS (SELECT src AS domain, COUNT(*) AS out_deg FROM e GROUP BY src),
+i AS (SELECT dst AS domain, COUNT(*) AS in_deg FROM e GROUP BY dst),
+s AS (SELECT src AS domain, COUNT(*) AS self_links FROM e
+      WHERE src = dst GROUP BY src)
+SELECT COALESCE(o.domain, i.domain, s.domain) AS domain,
+       CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(COALESCE(s.self_links, 0) AS BIGINT) AS self_links
+FROM o FULL JOIN i ON i.domain = o.domain
+FULL JOIN s ON s.domain = COALESCE(o.domain, i.domain)
+"""
+
+
+def q_link_locality_pages(sf_dir: str):
+    """Link LOCALITY per page snapshot: internal (same-domain) vs
+    external outlink counts — the template/navigation-heaviness signal
+    content classifiers use. Snapshot identity is (url, warc_us); the
+    fixture holds full-duplicate snapshot rows, so counts aggregate
+    over them identically on both sides. Map pass + one tiny combine
+    keyed by the snapshot."""
+    from ..functions.relational import grouped_agg
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts", "meta"],
+                            override_num_blocks=16)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        df = df[df["meta"].notna()]
+        warc_us = (df["warc_ts"].to_numpy().astype("datetime64[ns]")
+                   .astype(np.int64) // 1000)
+        n_int = np.zeros(len(df), np.int64)
+        n_ext = np.zeros(len(df), np.int64)
+        for i, (url, meta) in enumerate(zip(df["url"], df["meta"])):
+            dom = url.split("//", 1)[1].split("/", 1)[0]
+            for lk in _json.loads(meta).get("links") or []:
+                h = lk.get("href")
+                if not h:
+                    continue
+                if h.split("//", 1)[1].split("/", 1)[0] == dom:
+                    n_int[i] += 1
+                else:
+                    n_ext[i] += 1
+        return pd.DataFrame({"url": df["url"].to_numpy(object),
+                             "warc_us": warc_us,
+                             "n_internal": n_int, "n_external": n_ext})
+
+    return grouped_agg(
+        ds.map_batches(score, batch_format="pandas"),
+        ["url", "warc_us"],
+        {"n_internal": ("n_internal", "sum"),
+         "n_external": ("n_external", "sum")},
+        num_buckets=8)
+
+
+SQL_LINK_LOCALITY = f"""
+WITH l AS (
+  SELECT url, epoch_us(warc_ts) AS warc_us,
+         split_part(split_part(url, '//', 2), '/', 1) AS dom,
+         json_extract_string(
+           unnest(CAST(json_extract(meta, '$.links') AS JSON[])),
+           '$.href') AS href
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+), p AS (
+  SELECT DISTINCT url, epoch_us(warc_ts) AS warc_us
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+)
+SELECT p.url, p.warc_us,
+       CAST(COALESCE(SUM(CASE WHEN
+         split_part(split_part(l.href, '//', 2), '/', 1) = l.dom
+         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_internal,
+       CAST(COALESCE(SUM(CASE WHEN l.href IS NOT NULL AND
+         split_part(split_part(l.href, '//', 2), '/', 1) != l.dom
+         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_external
+FROM p LEFT JOIN l ON l.url = p.url AND l.warc_us = p.warc_us
+GROUP BY p.url, p.warc_us
+"""
+
+
+def q_politeness_violations(sf_dir: str):
+    """Crawl-politeness audit: per domain, fetch pairs closer than 1s
+    (consecutive warc_ts after sorting the domain's fetches) — what a
+    crawler's rate limiter should have prevented. One domain exchange,
+    vectorized diff; only domains with violations emit."""
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts"],
+                            override_num_blocks=16)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        rest = df["url"].str.split("//", n=1).str[1]
+        t_us = (df["warc_ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        return pd.DataFrame({"domain": rest.str.split("/", n=1).str[0],
+                             "t_us": t_us})
+
+    def per_domain(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["domain", "t_us"], kind="mergesort")
+        prev = df.groupby("domain", sort=False)["t_us"].shift(1)
+        viol = (df["t_us"] - prev) < 1_000_000
+        out = (pd.DataFrame({"domain": df["domain"], "v": viol})
+               .groupby("domain", sort=False)["v"].sum()
+               .astype("int64").rename("n_violations").reset_index())
+        return out[out["n_violations"] > 0]
+
+    return bucket_exchange(ds.map_batches(tag, batch_format="pandas"),
+                           ["domain"], per_domain, num_buckets=8)
+
+
+SQL_POLITENESS = f"""
+WITH t AS (
+  SELECT split_part(split_part(url, '//', 2), '/', 1) AS domain,
+         epoch_us(warc_ts) AS t_us
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), d AS (
+  SELECT domain,
+         t_us - LAG(t_us) OVER (PARTITION BY domain ORDER BY t_us)
+           AS gap
+  FROM t
+)
+SELECT domain, CAST(SUM(CASE WHEN gap < 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
+FROM d GROUP BY domain
+HAVING SUM(CASE WHEN gap < 1000000 THEN 1 ELSE 0 END) > 0
+"""
+
+
 QUERIES = {
+    "domain_degrees": q_domain_degrees,
+    "link_locality_pages": q_link_locality_pages,
+    "politeness_violations": q_politeness_violations,
     "link_domain_edges": q_link_domain_edges,
     "dangling_links": q_dangling_links,
     "user_retention_curve": q_user_retention_curve,
@@ -10490,6 +10674,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "domain_degrees": SQL_DOMAIN_DEGREES,
+    "link_locality_pages": SQL_LINK_LOCALITY,
+    "politeness_violations": SQL_POLITENESS,
     "link_domain_edges": SQL_LINK_DOMAIN_EDGES,
     "dangling_links": SQL_DANGLING_LINKS,
     "user_retention_curve": SQL_USER_RETENTION_CURVE,
