@@ -52,7 +52,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "active_time_users", "spearman_types", "pps_sample_docs",
              "link_domain_edges", "dangling_links", "user_retention_curve",
              "domain_degrees", "link_locality_pages",
-             "politeness_violations"]
+             "politeness_violations", "url_templates", "max_rate_users",
+             "props_k_stats"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -10434,7 +10434,157 @@ HAVING SUM(CASE WHEN gap < 1000000 THEN 1 ELSE 0 END) > 0
 """
 
 
+def q_url_templates(sf_dir: str):
+    """URL TEMPLATE mining — the crawl-scheduler's structural dedup:
+    digit runs normalize to 'N' so /p/37/out/0 and /p/42/out/1 collapse
+    to one template; per template, page count and distinct-url count.
+    The regex is RE2-safe (no lookaround) so DuckDB replays it
+    verbatim. Distinct urls count through a (template, url)-keyed
+    dedup exchange — no driver-side set ever builds."""
+    import re
+
+    from ..functions.relational import grouped_agg
+    from ..stages.dedup import dedup_exact
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url"],
+                            override_num_blocks=16)
+    pat = re.compile(r"[0-9]+")
+
+    def tmpl(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(template=df["url"].str.replace(pat, "N",
+                                                        regex=True))
+
+    tagged = ds.map_batches(tmpl, batch_format="pandas").materialize()
+
+    n_pages = grouped_agg(
+        tagged.map_batches(
+            lambda df: df.groupby("template", sort=False).size()
+            .rename("n_pages").reset_index().astype({"n_pages": "int64"}),
+            batch_format="pandas"),
+        ["template"], {"n_pages": ("n_pages", "sum")}, num_buckets=4)
+
+    distinct_urls = dedup_exact(tagged, ["template", "url"],
+                                num_buckets=16)
+    n_urls = grouped_agg(
+        distinct_urls.map_batches(
+            lambda df: df.groupby("template", sort=False).size()
+            .rename("n_urls").reset_index().astype({"n_urls": "int64"}),
+            batch_format="pandas"),
+        ["template"], {"n_urls": ("n_urls", "sum")}, num_buckets=4)
+
+    from ..functions.relational import hash_join
+
+    return hash_join(n_pages, n_urls, on=["template"], num_buckets=4)
+
+
+SQL_URL_TEMPLATES = f"""
+SELECT regexp_replace(url, '[0-9]+', 'N', 'g') AS template,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls
+FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+GROUP BY template
+"""
+
+
+def q_max_rate_users(sf_dir: str):
+    """Bot-detection signal: each user's MAX events within any trailing
+    60-second window ([t−60s, t], RANGE semantics — tied-ts rows share
+    the count of all their peers). The trailing count is positions
+    i − searchsorted(t−60s) on the user-offset composite axis (no
+    per-row loop); tie groups take their last row's count. Only
+    (user, max) rows leave the exchange."""
+    from ..stages.partition import bucket_exchange
+
+    W_US = np.int64(60) * 1_000_000
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        t0 = t_us.min() if len(t_us) else np.int64(0)
+        span = (t_us.max() - t0 if len(t_us) else np.int64(0)) + W_US + 2
+        ucode = pd.factorize(df["user_id"].to_numpy(np.int64))[0].astype(
+            np.int64)
+        tt = ucode * span + (t_us - t0)
+        lo = np.searchsorted(tt, tt - W_US, side="left")
+        # RANGE frame [t-W, t] includes later peers too
+        hi = np.searchsorted(tt, tt, side="right")
+        cnt = (hi - lo).astype(np.int64)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                            "cnt": cnt})
+        return (out.groupby("user_id", sort=False)["cnt"].max()
+                .astype("int64").rename("max_per_min").reset_index())
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_MAX_RATE_USERS = """
+WITH c AS (
+  SELECT user_id,
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 60 SECOND PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS cnt
+  FROM events
+)
+SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS max_per_min
+FROM c GROUP BY user_id
+"""
+
+
+def q_props_k_stats(sf_dir: str):
+    """Semi-structured payload stats: the 'k' field inside the props
+    JSON per event type (n, sum, min, max — exact ints). The JSON
+    parse (C parser per row, flatten-stage shape) happens map-side;
+    only |types| partial rows shuffle. Parity: python json.loads ==
+    DuckDB json_extract on integer fields."""
+    import json as _json
+
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks = np.fromiter(
+            (_json.loads(p).get("k", 0) if p else 0 for p in df["props"]),
+            dtype=np.int64, count=len(df))
+        out = (pd.DataFrame({"event_type": df["event_type"], "k": ks})
+               .groupby("event_type", sort=False)["k"]
+               .agg(n="size", sum_k="sum", min_k="min", max_k="max")
+               .astype("int64").reset_index())
+        return out
+
+    return grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"n": ("n", "sum"), "sum_k": ("sum_k", "sum"),
+         "min_k": ("min_k", "min"), "max_k": ("max_k", "max")},
+        num_buckets=2)
+
+
+SQL_PROPS_K_STATS = """
+WITH t AS (
+  SELECT event_type,
+         COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM t GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "url_templates": q_url_templates,
+    "max_rate_users": q_max_rate_users,
+    "props_k_stats": q_props_k_stats,
     "domain_degrees": q_domain_degrees,
     "link_locality_pages": q_link_locality_pages,
     "politeness_violations": q_politeness_violations,
@@ -10674,6 +10824,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "url_templates": SQL_URL_TEMPLATES,
+    "max_rate_users": SQL_MAX_RATE_USERS,
+    "props_k_stats": SQL_PROPS_K_STATS,
     "domain_degrees": SQL_DOMAIN_DEGREES,
     "link_locality_pages": SQL_LINK_LOCALITY,
     "politeness_violations": SQL_POLITENESS,
