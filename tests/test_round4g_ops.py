@@ -53,7 +53,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "link_domain_edges", "dangling_links", "user_retention_curve",
              "domain_degrees", "link_locality_pages",
              "politeness_violations", "url_templates", "max_rate_users",
-             "props_k_stats"]
+             "props_k_stats", "novel_edges_daily", "domain_dup_content",
+             "unchanged_streaks"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -10581,7 +10581,175 @@ FROM t GROUP BY event_type
 """
 
 
+def q_novel_edges_daily(sf_dir: str):
+    """Web-graph EVOLUTION: how many never-seen-before domain→domain
+    edges each crawl day discovers (the first-seen attribution pattern,
+    here on link structure). Links explode map-side with their µs
+    timestamps; one edge-keyed min-combine finds each edge's first
+    sighting; a tiny day rollup follows."""
+    from ..functions.relational import grouped_agg
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts", "meta"],
+                            override_num_blocks=16)
+    DAY_US = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        t_us = (df["warc_ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        srcs, dsts, ts = [], [], []
+        for url, meta, t in zip(df["url"], df["meta"], t_us):
+            if not meta:
+                continue
+            sdom = url.split("//", 1)[1].split("/", 1)[0]
+            for lk in _json.loads(meta).get("links") or []:
+                h = lk.get("href")
+                if h:
+                    srcs.append(sdom)
+                    dsts.append(h.split("//", 1)[1].split("/", 1)[0])
+                    ts.append(t)
+        out = pd.DataFrame({"src": pd.Series(srcs, dtype=object),
+                            "dst": pd.Series(dsts, dtype=object),
+                            "first_us": pd.Series(ts, dtype="int64")})
+        return (out.groupby(["src", "dst"], sort=False)["first_us"]
+                .min().astype("int64").reset_index())
+
+    firsts = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                         ["src", "dst"], {"first_us": ("first_us", "min")},
+                         num_buckets=8)
+
+    def per_day(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["first_us"].to_numpy(np.int64) // DAY_US) * 86400
+        out = (pd.DataFrame({"day_start": day}).groupby("day_start")
+               .size().rename("n_novel_edges").reset_index())
+        return out.astype({"day_start": "int64", "n_novel_edges": "int64"})
+
+    return grouped_agg(firsts.map_batches(per_day, batch_format="pandas"),
+                       ["day_start"],
+                       {"n_novel_edges": ("n_novel_edges", "sum")},
+                       num_buckets=2)
+
+
+SQL_NOVEL_EDGES_DAILY = f"""
+WITH l AS (
+  SELECT split_part(split_part(url, '//', 2), '/', 1) AS src,
+         split_part(split_part(json_extract_string(
+           unnest(CAST(json_extract(meta, '$.links') AS JSON[])),
+           '$.href'), '//', 2), '/', 1) AS dst,
+         epoch_us(warc_ts) AS t_us
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+), f AS (
+  SELECT src, dst, MIN(t_us) AS first_us
+  FROM l WHERE dst IS NOT NULL AND dst != ''
+  GROUP BY src, dst
+)
+SELECT first_us // 86400000000 * 86400 AS day_start,
+       CAST(COUNT(*) AS BIGINT) AS n_novel_edges
+FROM f GROUP BY day_start
+"""
+
+
+def q_domain_dup_content(sf_dir: str):
+    """Duplicate-content rate per domain: snapshots vs distinct text
+    bodies (md5 identity) — the canonicalization-miss dashboard a
+    crawl operator watches. One domain exchange; md5 per snapshot
+    (already the dedup identity everywhere else in this repo)."""
+    import hashlib
+
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "text"],
+                            override_num_blocks=16)
+
+    def per_domain(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = [hashlib.md5((t or "").encode()).hexdigest()
+               for t in df["text"]]
+        g = pd.DataFrame({"domain": df["domain"], "md5": md5})
+        return (g.groupby("domain", sort=False)
+                .agg(n_snapshots=("md5", "size"),
+                     n_distinct_texts=("md5", "nunique"))
+                .astype("int64").reset_index())
+
+    tagged = ds.map_batches(
+        lambda df: df.assign(
+            domain=df["url"].str.split("//", n=1).str[1]
+            .str.split("/", n=1).str[0]),
+        batch_format="pandas")
+    return bucket_exchange(tagged, ["domain"], per_domain, num_buckets=8)
+
+
+SQL_DOMAIN_DUP_CONTENT = f"""
+SELECT split_part(split_part(url, '//', 2), '/', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+       CAST(COUNT(DISTINCT md5(COALESCE(text, ''))) AS BIGINT)
+         AS n_distinct_texts
+FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+GROUP BY domain
+"""
+
+
+def q_unchanged_streaks(sf_dir: str):
+    """Recrawl DEPRIORITIZATION input: per url, the trailing streak of
+    snapshots whose text is identical to the latest (md5 identity;
+    snapshot order (warc_ts, md5) — the fixture's tied timestamps make
+    the md5 tiebreak mandatory). A url stuck at streak ≥ 3 belongs on a
+    slower schedule. One url exchange; reversed-scan first-difference,
+    vectorized."""
+    import hashlib
+
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts", "text"],
+                            override_num_blocks=16)
+
+    def per_url(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["warc_ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        md5 = [hashlib.md5((t or "").encode()).hexdigest()
+               for t in df["text"]]
+        df = df.assign(_t=t_us, _m=md5)
+        df = df.sort_values(["url", "_t", "_m"], kind="mergesort")
+        rows = []
+        for url, g in df.groupby("url", sort=False):
+            m = g["_m"].to_numpy(object)
+            diff = np.flatnonzero(m != m[-1])
+            streak = len(m) - (diff[-1] + 1 if len(diff) else 0)
+            rows.append((url, len(m), streak))
+        return pd.DataFrame(rows, columns=["url", "n_snaps",
+                                           "streak_len"]).astype(
+            {"n_snaps": "int64", "streak_len": "int64"})
+
+    return bucket_exchange(ds, ["url"], per_url, num_buckets=16)
+
+
+SQL_UNCHANGED_STREAKS = f"""
+WITH s AS (
+  SELECT url, md5(COALESCE(text, '')) AS m,
+         ROW_NUMBER() OVER (PARTITION BY url
+             ORDER BY warc_ts, md5(COALESCE(text, ''))) AS rn,
+         COUNT(*) OVER (PARTITION BY url) AS n
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), lastm AS (
+  SELECT url, m AS last_m FROM s WHERE rn = n
+)
+SELECT s.url, CAST(MAX(s.n) AS BIGINT) AS n_snaps,
+       CAST(MAX(s.n) - COALESCE(MAX(CASE WHEN s.m != l.last_m
+                                     THEN s.rn END), 0) AS BIGINT)
+         AS streak_len
+FROM s JOIN lastm l USING (url)
+GROUP BY s.url
+"""
+
+
 QUERIES = {
+    "novel_edges_daily": q_novel_edges_daily,
+    "domain_dup_content": q_domain_dup_content,
+    "unchanged_streaks": q_unchanged_streaks,
     "url_templates": q_url_templates,
     "max_rate_users": q_max_rate_users,
     "props_k_stats": q_props_k_stats,
@@ -10824,6 +10992,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "novel_edges_daily": SQL_NOVEL_EDGES_DAILY,
+    "domain_dup_content": SQL_DOMAIN_DUP_CONTENT,
+    "unchanged_streaks": SQL_UNCHANGED_STREAKS,
     "url_templates": SQL_URL_TEMPLATES,
     "max_rate_users": SQL_MAX_RATE_USERS,
     "props_k_stats": SQL_PROPS_K_STATS,
