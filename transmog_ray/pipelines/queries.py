@@ -10746,7 +10746,146 @@ GROUP BY s.url
 """
 
 
+def q_term_positions(sf_dir: str):
+    """Snippet-generation primitive: the FIRST character position of
+    each query term in each doc (1-based, docs without the term
+    drop out). Terms broadcast in the closure; the scan is a
+    vectorized str.find per term — zero shuffle. Parity: pandas find+1
+    == DuckDB strpos."""
+    TERMS = ["data", "model", "the", "stream"]
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        frames = []
+        for term in TERMS:
+            pos = text.str.find(term).to_numpy(np.int64) + 1
+            hit = pos > 0
+            frames.append(pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(np.int64)[hit],
+                "term": term,
+                "first_pos": pos[hit]}))
+        return pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "term": pd.Series([], dtype=object),
+                          "first_pos": pd.Series([], dtype="int64")})
+
+    return docs.map_batches(scan, batch_format="pandas")
+
+
+SQL_TERM_POSITIONS = """
+WITH t AS (SELECT unnest(['data', 'model', 'the', 'stream']) AS term)
+SELECT d.doc_id, t.term,
+       CAST(strpos(COALESCE(d.text, ''), t.term) AS BIGINT) AS first_pos
+FROM documents d CROSS JOIN t
+WHERE strpos(COALESCE(d.text, ''), t.term) > 0
+"""
+
+
+def q_day_churn_overlap(sf_dir: str):
+    """Day-over-day stickiness: per day, active users and how many were
+    also active the PREVIOUS calendar day (the adjacent-day overlap
+    churn velocity reads off). One user exchange derives both flags
+    locally from the user's own day set; only (day, counts) partials
+    combine."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    DAY_US = 86_400_000_000
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        d = (pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                           "day": t_us // DAY_US})
+             .drop_duplicates()
+             .sort_values(["user_id", "day"], kind="mergesort"))
+        prev = d.groupby("user_id", sort=False)["day"].shift(1)
+        d = d.assign(also_prev=(d["day"] - prev == 1).astype("int64"))
+        out = (d.groupby("day", sort=False)
+               .agg(n_active=("user_id", "size"),
+                    n_also_prev=("also_prev", "sum"))
+               .astype("int64").reset_index())
+        out["day_start"] = out.pop("day") * 86400
+        return out[["day_start", "n_active", "n_also_prev"]]
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+    return grouped_agg(partials, ["day_start"],
+                       {"n_active": ("n_active", "sum"),
+                        "n_also_prev": ("n_also_prev", "sum")},
+                       num_buckets=2)
+
+
+SQL_DAY_CHURN_OVERLAP = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+)
+SELECT CAST(a.day * 86400 AS BIGINT) AS day_start,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_also_prev
+FROM ud a LEFT JOIN ud b
+  ON b.user_id = a.user_id AND b.day = a.day - 1
+GROUP BY a.day
+"""
+
+
+def q_price_dispersion_parts(sf_dir: str):
+    """Per-part price DISPERSION sufficient stats over lineitems —
+    exact BIGINT (n, sum_cents, sum_sq_cents); variance is the
+    consumer's (n·Σx²−(Σx)²)/n² float away, never hashed. Map-side
+    partials, one combine; Σx² of ~10⁷-cent prices stays well inside
+    int64 at fixture scale (ship python-int strings beyond, the
+    fit_standardizer pattern)."""
+    from ..functions.relational import grouped_agg
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice"], num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                    ).astype(np.int64)
+        out = (pd.DataFrame({"l_partkey": df["l_partkey"]
+                             .to_numpy(np.int64),
+                             "n": np.int64(1), "sum_cents": c,
+                             "sum_sq_cents": c * c})
+               .groupby("l_partkey", sort=False)
+               .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum"),
+                    sum_sq_cents=("sum_sq_cents", "sum"))
+               .astype("int64").reset_index())
+        return out
+
+    return grouped_agg(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_partkey"],
+        {"n": ("n", "sum"), "sum_cents": ("sum_cents", "sum"),
+         "sum_sq_cents": ("sum_sq_cents", "sum")},
+        num_buckets=8)
+
+
+SQL_PRICE_DISPERSION = """
+WITH c AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(cents * cents) AS BIGINT) AS sum_sq_cents
+FROM c GROUP BY l_partkey
+"""
+
+
 QUERIES = {
+    "term_positions": q_term_positions,
+    "day_churn_overlap": q_day_churn_overlap,
+    "price_dispersion_parts": q_price_dispersion_parts,
     "novel_edges_daily": q_novel_edges_daily,
     "domain_dup_content": q_domain_dup_content,
     "unchanged_streaks": q_unchanged_streaks,
@@ -10992,6 +11131,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "term_positions": SQL_TERM_POSITIONS,
+    "day_churn_overlap": SQL_DAY_CHURN_OVERLAP,
+    "price_dispersion_parts": SQL_PRICE_DISPERSION,
     "novel_edges_daily": SQL_NOVEL_EDGES_DAILY,
     "domain_dup_content": SQL_DOMAIN_DUP_CONTENT,
     "unchanged_streaks": SQL_UNCHANGED_STREAKS,
