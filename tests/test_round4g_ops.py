@@ -55,7 +55,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "politeness_violations", "url_templates", "max_rate_users",
              "props_k_stats", "novel_edges_daily", "domain_dup_content",
              "unchanged_streaks", "term_positions", "day_churn_overlap",
-             "price_dispersion_parts"]
+             "price_dispersion_parts", "multi_grain_counts",
+             "crosscorr_types", "front_coding_savings"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

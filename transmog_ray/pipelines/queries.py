@@ -10882,7 +10882,231 @@ FROM c GROUP BY l_partkey
 """
 
 
+def q_multi_grain_counts(sf_dir: str):
+    """Multi-resolution time rollup from ONE fact pass: hourly partials
+    compute once; day and week grains re-aggregate the TINY hourly
+    table (decomposable counts — the rollup-lattice idea applied to
+    time). Output carries a grain column; epoch-seconds starts
+    hash-compare exactly."""
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        hour = (t_us // 3_600_000_000) * 3600
+        out = (pd.DataFrame({"event_type": df["event_type"],
+                             "hour_start": hour})
+               .groupby(["event_type", "hour_start"], sort=False)
+               .size().rename("cnt").reset_index())
+        return out.astype({"hour_start": "int64", "cnt": "int64"})
+
+    hourly = grouped_agg(ev.map_batches(partial, batch_format="pandas"),
+                         ["event_type", "hour_start"],
+                         {"cnt": ("cnt", "sum")}, num_buckets=8
+                         ).materialize()
+
+    def regrain(seconds: int, grain: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            start = (df["hour_start"].to_numpy(np.int64)
+                     // seconds) * seconds
+            out = (pd.DataFrame({"event_type": df["event_type"],
+                                 "bucket_start": start,
+                                 "cnt": df["cnt"].to_numpy(np.int64)})
+                   .groupby(["event_type", "bucket_start"], sort=False)
+                   ["cnt"].sum().astype("int64").reset_index())
+            out["grain"] = grain
+            return out
+        return fn
+
+    grains = []
+    for seconds, grain in ((3600, "hour"), (86400, "day"),
+                           (604800, "week")):
+        grains.append(grouped_agg(
+            hourly.map_batches(regrain(seconds, grain),
+                               batch_format="pandas"),
+            ["event_type", "bucket_start", "grain"],
+            {"cnt": ("cnt", "sum")}, num_buckets=4))
+    out = grains[0]
+    for g in grains[1:]:
+        out = out.union(g)
+    return out
+
+
+SQL_MULTI_GRAIN = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 * 3600 AS hour_start,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, hour_start
+)
+SELECT event_type, hour_start AS bucket_start, 'hour' AS grain, cnt
+FROM h
+UNION ALL
+SELECT event_type, hour_start // 86400 * 86400, 'day',
+       CAST(SUM(cnt) AS BIGINT)
+FROM h GROUP BY event_type, hour_start // 86400 * 86400
+UNION ALL
+SELECT event_type, hour_start // 604800 * 604800, 'week',
+       CAST(SUM(cnt) AS BIGINT)
+FROM h GROUP BY event_type, hour_start // 604800 * 604800
+"""
+
+
+def q_crosscorr_types(sf_dir: str):
+    """Lead-lag discovery: for every ORDERED type pair, the lag-1
+    cross-covariance sufficient stats of their dense daily count
+    series (does A's activity today predict B's tomorrow?). All exact
+    BIGINTs. The per-(type, day) table is tiny, so pairing happens in
+    ONE constant-key bucket (the data has already collapsed to
+    |types|×|days| rows — no fact rows move)."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    DAY_US = 86_400_000_000
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        out = (pd.DataFrame({"event_type": df["event_type"],
+                             "day": t_us // DAY_US})
+               .groupby(["event_type", "day"], sort=False)
+               .size().rename("cnt").reset_index())
+        return out.astype({"day": "int64", "cnt": "int64"})
+
+    counts = grouped_agg(ev.map_batches(partial, batch_format="pandas"),
+                         ["event_type", "day"], {"cnt": ("cnt", "sum")},
+                         num_buckets=8).map_batches(
+        lambda df: df.assign(_all=np.int64(0)), batch_format="pandas")
+
+    def pair_stats(df: pd.DataFrame) -> pd.DataFrame:
+        lo = int(df["day"].min())
+        hi = int(df["day"].max())
+        days = np.arange(lo, hi + 1, dtype=np.int64)
+        series = {}
+        for etype, g in df.groupby("event_type", sort=False):
+            series[etype] = (g.set_index("day")["cnt"]
+                             .reindex(days, fill_value=0)
+                             .to_numpy(np.int64))
+        rows = []
+        for a in series:
+            for b in series:
+                if a == b:
+                    continue
+                x = series[a][:-1]  # A today
+                y = series[b][1:]   # B tomorrow
+                rows.append((a, b, len(x), int((x * y).sum()),
+                             int(x.sum()), int(y.sum())))
+        return pd.DataFrame(rows, columns=[
+            "type_a", "type_b", "n_pairs", "sxy", "sx", "sy"]).astype(
+            {"n_pairs": "int64", "sxy": "int64", "sx": "int64",
+             "sy": "int64"})
+
+    return bucket_exchange(counts, ["_all"], pair_stats, num_buckets=1)
+
+
+SQL_CROSSCORR_TYPES = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, day
+), b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM c),
+g AS (SELECT unnest(range(mn, mx + 1)) AS day FROM b),
+t AS (SELECT DISTINCT event_type FROM c),
+dense AS (
+  SELECT t.event_type, g.day, COALESCE(c.cnt, 0) AS cnt
+  FROM t CROSS JOIN g
+  LEFT JOIN c ON c.event_type = t.event_type AND c.day = g.day
+), mx AS (SELECT MAX(day) AS mx FROM dense)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS sxy,
+       CAST(SUM(a.cnt) AS BIGINT) AS sx,
+       CAST(SUM(b.cnt) AS BIGINT) AS sy
+FROM dense a JOIN dense b
+  ON b.day = a.day + 1 AND b.event_type != a.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
+def q_front_coding_savings(sf_dir: str):
+    """Front-coding compression estimate per domain: with urls sorted,
+    the bytes a trie/front-coded index saves = Σ LCP(adjacent pairs) —
+    the URL-store sizing number. One domain exchange (sorting urls
+    within a domain is local by construction); the SQL twin computes
+    each adjacent LCP as MIN(first differing position)−1 over an
+    exploded position range."""
+    import os as _os
+
+    from ..stages.dedup import dedup_exact
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url"],
+                            override_num_blocks=16)
+    urls = dedup_exact(ds, ["url"], num_buckets=16)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        rest = df["url"].str.split("//", n=1).str[1]
+        return df.assign(domain=rest.str.split("/", n=1).str[0])
+
+    def per_domain(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for dom, g in df.groupby("domain", sort=False):
+            us = sorted(g["url"])
+            total = sum(len(u) for u in us)
+            lcp = sum(len(_os.path.commonprefix([a, b]))
+                      for a, b in zip(us, us[1:]))
+            rows.append((dom, len(us), total, lcp))
+        return pd.DataFrame(rows, columns=[
+            "domain", "n_urls", "total_chars", "lcp_savings"]).astype(
+            {"n_urls": "int64", "total_chars": "int64",
+             "lcp_savings": "int64"})
+
+    return bucket_exchange(urls.map_batches(tag, batch_format="pandas"),
+                           ["domain"], per_domain, num_buckets=8)
+
+
+SQL_FRONT_CODING = f"""
+WITH u AS (
+  SELECT DISTINCT url FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), d AS (
+  SELECT url, split_part(split_part(url, '//', 2), '/', 1) AS domain
+  FROM u
+), pairs AS (
+  SELECT domain, url,
+         LAG(url) OVER (PARTITION BY domain ORDER BY url) AS prev
+  FROM d
+), pos AS (
+  SELECT domain, url, prev,
+         least(length(url), length(prev)) AS ml,
+         unnest(range(1, least(length(url), length(prev)) + 1)) AS i
+  FROM pairs WHERE prev IS NOT NULL
+), lcp AS (
+  SELECT domain, url,
+         COALESCE(MIN(CASE WHEN substring(url, i, 1)
+                           != substring(prev, i, 1) THEN i END) - 1,
+                  MAX(ml)) AS lcp_len
+  FROM pos GROUP BY domain, url, prev
+)
+SELECT d.domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(length(d.url)) AS BIGINT) AS total_chars,
+       CAST(COALESCE((SELECT SUM(lcp_len) FROM lcp
+                      WHERE lcp.domain = d.domain), 0) AS BIGINT)
+         AS lcp_savings
+FROM d GROUP BY d.domain
+"""
+
+
 QUERIES = {
+    "multi_grain_counts": q_multi_grain_counts,
+    "crosscorr_types": q_crosscorr_types,
+    "front_coding_savings": q_front_coding_savings,
     "term_positions": q_term_positions,
     "day_churn_overlap": q_day_churn_overlap,
     "price_dispersion_parts": q_price_dispersion_parts,
@@ -11131,6 +11355,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "multi_grain_counts": SQL_MULTI_GRAIN,
+    "crosscorr_types": SQL_CROSSCORR_TYPES,
+    "front_coding_savings": SQL_FRONT_CODING,
     "term_positions": SQL_TERM_POSITIONS,
     "day_churn_overlap": SQL_DAY_CHURN_OVERLAP,
     "price_dispersion_parts": SQL_PRICE_DISPERSION,
