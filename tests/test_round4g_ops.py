@@ -56,7 +56,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "props_k_stats", "novel_edges_daily", "domain_dup_content",
              "unchanged_streaks", "term_positions", "day_churn_overlap",
              "price_dispersion_parts", "multi_grain_counts",
-             "crosscorr_types", "front_coding_savings"]
+             "crosscorr_types", "front_coding_savings",
+             "onboarding_paths", "snapshots_per_url_hist",
+             "session_length_hist"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

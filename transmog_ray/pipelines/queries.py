@@ -11103,7 +11103,155 @@ FROM d GROUP BY d.domain
 """
 
 
+def q_onboarding_paths(sf_dir: str):
+    """Onboarding-order mining: each user's event types in FIRST-
+    OCCURRENCE order joined into a path string, counted corpus-wide,
+    top-10 by (count DESC, path). One user exchange builds paths
+    locally; only (path, 1) partials combine; bounded top-k."""
+    from ..functions.relational import grouped_agg, topk
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        firsts = df.drop_duplicates(["user_id", "event_type"],
+                                    keep="first")
+        paths = (firsts.groupby("user_id", sort=False)["event_type"]
+                 .agg(">".join).rename("path").reset_index())
+        out = (paths.groupby("path", sort=False).size()
+               .rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    counts = grouped_agg(
+        bucket_exchange(ev, ["user_id"], per_user, num_buckets=8),
+        ["path"], {"n_users": ("n_users", "sum")}, num_buckets=4)
+    return topk(counts, ["n_users", "path"], k=10,
+                descending=[True, False])
+
+
+SQL_ONBOARDING_PATHS = """
+WITH f AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM f WHERE rn = 1 GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 10
+"""
+
+
+def q_snapshots_per_url_hist(sf_dir: str):
+    """Crawl-depth distribution: COUNT-OF-COUNTS — how many urls have k
+    snapshots. Two tiny combines (per-url counts, then the histogram);
+    double aggregation never touches page payloads."""
+    from ..functions.relational import grouped_agg
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url"],
+                            override_num_blocks=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("url", sort=False).size()
+               .rename("n_snaps").reset_index())
+        out["n_snaps"] = out["n_snaps"].astype("int64")
+        return out
+
+    per_url = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                          ["url"], {"n_snaps": ("n_snaps", "sum")},
+                          num_buckets=8)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("n_snaps", sort=False).size()
+               .rename("n_urls").reset_index())
+        return out.astype({"n_snaps": "int64", "n_urls": "int64"})
+
+    return grouped_agg(per_url.map_batches(hist, batch_format="pandas"),
+                       ["n_snaps"], {"n_urls": ("n_urls", "sum")},
+                       num_buckets=2)
+
+
+SQL_SNAPSHOTS_PER_URL = f"""
+WITH c AS (
+  SELECT url, CAST(COUNT(*) AS BIGINT) AS n_snaps
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  GROUP BY url
+)
+SELECT n_snaps, CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM c GROUP BY n_snaps
+"""
+
+
+def q_session_length_hist(sf_dir: str):
+    """Session-depth distribution: histogram of events-per-session —
+    the engagement shape sessionization feeds into sizing decisions.
+    Sessions derive in the same fused sorted user pass as sessionize
+    (gap > 30 min); only (length, 1) partials leave the exchange."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    GAP_US = SESSION_GAP_S * 1_000_000
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        df = df.assign(t_us=t_us)
+        prev = df.groupby("user_id", sort=False)["t_us"].shift(1)
+        new_sess = (prev.isna()
+                    | ((df["t_us"] - prev) > GAP_US)).to_numpy()
+        sess_id = np.cumsum(new_sess)
+        lens = np.bincount(sess_id)[1:]
+        out = (pd.DataFrame({"session_len": lens[lens > 0]})
+               .groupby("session_len").size().rename("n_sessions")
+               .reset_index())
+        return out.astype({"session_len": "int64", "n_sessions": "int64"})
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+    return grouped_agg(partials, ["session_len"],
+                       {"n_sessions": ("n_sessions", "sum")}, num_buckets=2)
+
+
+SQL_SESSION_LENGTH_HIST = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w
+                        > INTERVAL {SESSION_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+), lens AS (
+  SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS session_len
+  FROM numbered GROUP BY user_id, sess
+)
+SELECT session_len, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM lens GROUP BY session_len
+"""
+
+
 QUERIES = {
+    "onboarding_paths": q_onboarding_paths,
+    "snapshots_per_url_hist": q_snapshots_per_url_hist,
+    "session_length_hist": q_session_length_hist,
     "multi_grain_counts": q_multi_grain_counts,
     "crosscorr_types": q_crosscorr_types,
     "front_coding_savings": q_front_coding_savings,
@@ -11355,6 +11503,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "onboarding_paths": SQL_ONBOARDING_PATHS,
+    "snapshots_per_url_hist": SQL_SNAPSHOTS_PER_URL,
+    "session_length_hist": SQL_SESSION_LENGTH_HIST,
     "multi_grain_counts": SQL_MULTI_GRAIN,
     "crosscorr_types": SQL_CROSSCORR_TYPES,
     "front_coding_savings": SQL_FRONT_CODING,
