@@ -11248,7 +11248,167 @@ FROM lens GROUP BY session_len
 """
 
 
+def q_q6_revenue(sf_dir: str):
+    """TPC-H Q6 shape — the forecast-revenue-change scan: one filtered
+    pass over lineitem, revenue = Σ price·discount kept EXACT as
+    cents × basis-points integer products (micro-cents BIGINT; the
+    float product never exists on either side). Columns-pruned read,
+    map-side partials, one single-row fold."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_extendedprice", "l_discount",
+                             "l_quantity", "l_shipdate"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ship = df["l_shipdate"].to_numpy().astype("datetime64[ns]")
+        yr = pd.DatetimeIndex(ship).year
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        bp = np.rint(df["l_discount"].to_numpy(np.float64) * 100
+                     ).astype(np.int64)
+        qty = df["l_quantity"].to_numpy(np.float64)
+        keep = ((yr == 1995) & (bp >= 5) & (bp <= 7) & (qty < 24))
+        rev = (cents[keep] * bp[keep]).sum()
+        return pd.DataFrame({"revenue_microcents": [np.int64(rev)],
+                             "n_items": [np.int64(keep.sum())]})
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "revenue_microcents": [np.int64(parts["revenue_microcents"]
+                                        .sum())],
+        "n_items": [np.int64(parts["n_items"].sum())]})
+
+
+SQL_Q6_REVENUE = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_microcents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE EXTRACT(year FROM l_shipdate) = 1995
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_value_bins_types(sf_dir: str):
+    """Equal-width value histogram per event type INCLUDING empty bins
+    (width 10, floor binning) — the fixed-axis chart feed where a
+    missing bin must be an explicit zero. Partial counts map-side; the
+    per-type densify explodes each type's own [min_bin, max_bin]
+    vectorized in one exchange."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = (np.floor(df["value"].to_numpy(np.float64) / 10)
+             .astype(np.int64) * 10)
+        out = (pd.DataFrame({"event_type": df["event_type"], "bin_lo": b})
+               .groupby(["event_type", "bin_lo"], sort=False)
+               .size().rename("cnt").reset_index())
+        return out.astype({"bin_lo": "int64", "cnt": "int64"})
+
+    counts = grouped_agg(ev.map_batches(partial, batch_format="pandas"),
+                         ["event_type", "bin_lo"], {"cnt": ("cnt", "sum")},
+                         num_buckets=8)
+
+    def densify(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for etype, g in df.groupby("event_type", sort=False):
+            bins = np.arange(g["bin_lo"].min(), g["bin_lo"].max() + 10,
+                             10, dtype=np.int64)
+            s = (g.set_index("bin_lo")["cnt"].reindex(bins, fill_value=0)
+                 .astype("int64"))
+            frames.append(pd.DataFrame({"event_type": etype,
+                                        "bin_lo": bins,
+                                        "cnt": s.to_numpy(np.int64)}))
+        if not frames:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "bin_lo": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    return bucket_exchange(counts, ["event_type"], densify, num_buckets=4)
+
+
+SQL_VALUE_BINS = """
+WITH c AS (
+  SELECT event_type,
+         CAST(FLOOR(value / 10) AS BIGINT) * 10 AS bin_lo,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, bin_lo
+), b AS (
+  SELECT event_type, MIN(bin_lo) AS mn, MAX(bin_lo) AS mx FROM c
+  GROUP BY event_type
+), g AS (
+  SELECT event_type, unnest(range(mn, mx + 10, 10)) AS bin_lo FROM b
+)
+SELECT g.event_type, CAST(g.bin_lo AS BIGINT) AS bin_lo,
+       CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+FROM g LEFT JOIN c ON c.event_type = g.event_type
+                  AND c.bin_lo = g.bin_lo
+"""
+
+
+def q_fulfillment_latency_hist(sf_dir: str):
+    """Order-fulfillment latency: days from order date to the FIRST
+    lineitem shipment, as a histogram — the operations SLA curve. One
+    fact-fact hash join with the min-shipdate aggregation FUSED into
+    the join reduce (joined rows never leave the task); the day-gap
+    histogram is a tiny second combine."""
+    from ..functions.relational import grouped_agg, hash_join
+
+    DAY_US = 86_400_000_000
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"], num_blocks=8)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"],
+                        num_blocks=8).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        ship = (df["l_shipdate"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000) // DAY_US
+        odate = (df["o_orderdate"].to_numpy().astype("datetime64[ns]")
+                 .astype(np.int64) // 1000) // DAY_US
+        g = (pd.DataFrame({"k": df["l_orderkey"], "ship": ship,
+                           "od": odate})
+             .groupby("k", sort=False)
+             .agg(first_ship=("ship", "min"), od=("od", "first")))
+        gap = (g["first_ship"] - g["od"]).astype("int64")
+        out = (pd.DataFrame({"gap_days": gap}).groupby("gap_days")
+               .size().rename("n_orders").reset_index())
+        return out.astype({"gap_days": "int64", "n_orders": "int64"})
+
+    joined = hash_join(li, orders, on="l_orderkey", num_buckets=16,
+                       post_fn=post)
+    return grouped_agg(joined, ["gap_days"],
+                       {"n_orders": ("n_orders", "sum")}, num_buckets=2)
+
+
+SQL_FULFILLMENT_LATENCY = """
+WITH f AS (
+  SELECT l.l_orderkey,
+         MIN(epoch_us(l.l_shipdate) // 86400000000)
+           - MIN(epoch_us(o.o_orderdate) // 86400000000) AS gap_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_orderkey
+)
+SELECT CAST(gap_days AS BIGINT) AS gap_days,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM f GROUP BY gap_days
+"""
+
+
 QUERIES = {
+    "q6_revenue": q_q6_revenue,
+    "value_bins_types": q_value_bins_types,
+    "fulfillment_latency_hist": q_fulfillment_latency_hist,
     "onboarding_paths": q_onboarding_paths,
     "snapshots_per_url_hist": q_snapshots_per_url_hist,
     "session_length_hist": q_session_length_hist,
@@ -11503,6 +11663,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q6_revenue": SQL_Q6_REVENUE,
+    "value_bins_types": SQL_VALUE_BINS,
+    "fulfillment_latency_hist": SQL_FULFILLMENT_LATENCY,
     "onboarding_paths": SQL_ONBOARDING_PATHS,
     "snapshots_per_url_hist": SQL_SNAPSHOTS_PER_URL,
     "session_length_hist": SQL_SESSION_LENGTH_HIST,
