@@ -59,7 +59,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "crosscorr_types", "front_coding_savings",
              "onboarding_paths", "snapshots_per_url_hist",
              "session_length_hist", "q6_revenue", "value_bins_types",
-             "fulfillment_latency_hist"]
+             "fulfillment_latency_hist", "sentence_stats_docs",
+             "bucket_skew_report", "region_priority_grid"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

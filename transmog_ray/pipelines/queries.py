@@ -11405,7 +11405,157 @@ FROM f GROUP BY gap_days
 """
 
 
+def q_sentence_stats_docs(sf_dir: str):
+    """Per-doc sentence statistics: sentence count (RE2-safe
+    '[.!?] ' split — python re.split and DuckDB regexp_split_to_array
+    agree segment-for-segment, verified incl. empty segments) and
+    token count. Zero shuffle; compiled regex, vectorized str ops."""
+    import re
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+    pat = re.compile(r"[.!?] ")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_sent = text.str.split(pat, regex=True).str.len().to_numpy(
+            np.int64)
+        n_tok = text.str.split(" ").str.len().to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "n_sentences": n_sent,
+                             "n_tokens": n_tok})
+
+    return docs.map_batches(stats, batch_format="pandas")
+
+
+SQL_SENTENCE_STATS = """
+SELECT doc_id,
+       CAST(length(regexp_split_to_array(COALESCE(text, ''), '[.!?] '))
+            AS BIGINT) AS n_sentences,
+       CAST(length(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+         AS n_tokens
+FROM documents
+"""
+
+
+def q_bucket_skew_report(sf_dir: str):
+    """Skew DIAGNOSTICS for a planned 32-way url partitioning: per
+    md5-hash bucket, row count plus a hot flag where bucket·32 >
+    2·total (count > 2× the mean, exact cross-multiplied). The same
+    report an operator runs before choosing salting — and md5 routing
+    replays verbatim in SQL."""
+    import hashlib
+
+    from ..functions.relational import grouped_agg
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url"],
+                            override_num_blocks=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (int(hashlib.md5(u.encode()).hexdigest()[:8], 16)
+             for u in df["url"]), dtype=np.int64, count=len(df))
+        out = (pd.DataFrame({"bucket": h % 32}).groupby("bucket")
+               .size().rename("n_rows").reset_index())
+        return out.astype({"bucket": "int64", "n_rows": "int64"})
+
+    counts = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                         ["bucket"], {"n_rows": ("n_rows", "sum")},
+                         num_buckets=2).materialize()
+    total = int(counts.sum("n_rows"))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_rows"].to_numpy(np.int64)
+        return df.assign(is_hot=(n * 32 > 2 * total))
+
+    return counts.map_batches(flag, batch_format="pandas")
+
+
+SQL_BUCKET_SKEW = f"""
+WITH b AS (
+  SELECT CAST(CONCAT('0x', substring(md5(url), 1, 8)) AS BIGINT) % 32
+           AS bucket
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), c AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows FROM b
+  GROUP BY bucket
+)
+SELECT bucket, n_rows,
+       n_rows * 32 > 2 * (SELECT SUM(n_rows) FROM c) AS is_hot
+FROM c
+"""
+
+
+def q_region_priority_grid(sf_dir: str):
+    """Coverage GRID: orders per (customer region × order priority),
+    including explicit zero cells — the completeness matrix a
+    dashboard pivots. Customer→nation→region broadcast driver-side
+    (tiny dims); the full cell grid derives from the same broadcast,
+    so absent combinations surface as zeros instead of missing rows."""
+    from ..functions.relational import grouped_agg
+
+    cust = read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = read_small(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    nat_to_reg = (nat.merge(reg, left_on="n_regionkey",
+                            right_on="r_regionkey")
+                  .set_index("n_nationkey")["r_name"].to_dict())
+    cust_to_reg = {int(c): nat_to_reg[int(n)]
+                   for c, n in zip(cust["c_custkey"], cust["c_nationkey"])}
+    all_regions = sorted(reg["r_name"])
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority"],
+                        num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["o_custkey"].map(cust_to_reg)
+        out = (pd.DataFrame({"r_name": r,
+                             "o_orderpriority": df["o_orderpriority"]})
+               .groupby(["r_name", "o_orderpriority"], sort=False)
+               .size().rename("n_orders").reset_index())
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    counts = (grouped_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["r_name", "o_orderpriority"], {"n_orders": ("n_orders", "sum")},
+        num_buckets=4).to_pandas())
+
+    all_prios = sorted(counts["o_orderpriority"].unique())
+    grid = pd.MultiIndex.from_product(
+        [all_regions, all_prios], names=["r_name", "o_orderpriority"])
+    out = (counts.set_index(["r_name", "o_orderpriority"])["n_orders"]
+           .reindex(grid, fill_value=0).astype("int64").reset_index())
+    return out
+
+
+SQL_REGION_PRIORITY_GRID = """
+WITH c AS (
+  SELECT r.r_name, o.o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders o
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = cu.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, o.o_orderpriority
+), g AS (
+  SELECT r.r_name, p.o_orderpriority
+  FROM (SELECT DISTINCT r_name FROM region) r
+  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+)
+SELECT g.r_name, g.o_orderpriority,
+       CAST(COALESCE(c.n_orders, 0) AS BIGINT) AS n_orders
+FROM g LEFT JOIN c ON c.r_name = g.r_name
+                  AND c.o_orderpriority = g.o_orderpriority
+"""
+
+
 QUERIES = {
+    "sentence_stats_docs": q_sentence_stats_docs,
+    "bucket_skew_report": q_bucket_skew_report,
+    "region_priority_grid": q_region_priority_grid,
     "q6_revenue": q_q6_revenue,
     "value_bins_types": q_value_bins_types,
     "fulfillment_latency_hist": q_fulfillment_latency_hist,
@@ -11663,6 +11813,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sentence_stats_docs": SQL_SENTENCE_STATS,
+    "bucket_skew_report": SQL_BUCKET_SKEW,
+    "region_priority_grid": SQL_REGION_PRIORITY_GRID,
     "q6_revenue": SQL_Q6_REVENUE,
     "value_bins_types": SQL_VALUE_BINS,
     "fulfillment_latency_hist": SQL_FULFILLMENT_LATENCY,
