@@ -11552,7 +11552,172 @@ FROM g LEFT JOIN c ON c.r_name = g.r_name
 """
 
 
+def q_twap_users(sf_dir: str):
+    """Time-weighted average VALUE sufficient stats per user (each
+    event's value held until the next event — the TWAP/e-commerce
+    exposure feature): Σ cents·Δt_µs and Σ Δt_µs as exact BIGINTs, the
+    weighted mean being the consumer's one division. One user
+    exchange; last events (no successor) drop on both sides. int64
+    holds ~400× the sf0.1 per-user maximum (2.2e16); ship python-int
+    strings (the fit_standardizer pattern) past ~10¹⁸."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        df = df.assign(t_us=t_us, cents=cents)
+        nxt = df.groupby("user_id", sort=False)["t_us"].shift(-1)
+        dt = (nxt - df["t_us"])
+        keep = dt.notna()
+        dt_i = dt[keep].astype(np.int64)
+        out = pd.DataFrame({
+            "user_id": df["user_id"][keep].to_numpy(np.int64),
+            "sum_cdt": (df["cents"][keep] * dt_i).to_numpy(np.int64),
+            "sum_dt": dt_i.to_numpy(np.int64),
+            "n": np.int64(1),
+        })
+        return (out.groupby("user_id", sort=False)
+                .agg(n=("n", "sum"), sum_cdt=("sum_cdt", "sum"),
+                     sum_dt=("sum_dt", "sum"))
+                .astype("int64").reset_index())
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_TWAP_USERS = """
+WITH t AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents * dt) AS BIGINT) AS sum_cdt,
+       CAST(SUM(dt) AS BIGINT) AS sum_dt
+FROM t WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_domain_lang_gini(sf_dir: str):
+    """Language CONCENTRATION per domain as the exact rational pair
+    (Σn_lang², n_total²) — Gini impurity 1−Σp² without a single float
+    (the libm-free diversity metric again, now over the crawl). One
+    tiny (domain, lang) combine then a per-domain fold."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "lang"],
+                            override_num_blocks=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["lang"].notna()]  # NULL langs excluded on BOTH sides
+        dom = (df["url"].str.split("//", n=1).str[1]
+               .str.split("/", n=1).str[0])
+        out = (pd.DataFrame({"domain": dom, "lang": df["lang"]})
+               .groupby(["domain", "lang"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    dl = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["domain", "lang"], {"n": ("n", "sum")},
+                     num_buckets=8)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("domain", sort=False)["n"]
+        out = pd.DataFrame({
+            "n_pages": g.sum().astype("int64"),
+            "sum_sq": g.apply(lambda s: int((s.to_numpy(np.int64) ** 2)
+                                            .sum())).astype("int64"),
+        }).reset_index()
+        return out
+
+    return bucket_exchange(dl, ["domain"], fold, num_buckets=4)
+
+
+SQL_DOMAIN_LANG_GINI = f"""
+WITH c AS (
+  SELECT split_part(split_part(url, '//', 2), '/', 1) AS domain, lang,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE lang IS NOT NULL
+  GROUP BY domain, lang
+)
+SELECT domain,
+       CAST(SUM(n) AS BIGINT) AS n_pages,
+       CAST(SUM(n * n) AS BIGINT) AS sum_sq
+FROM c GROUP BY domain
+"""
+
+
+def q_type_coverage_masks(sf_dir: str):
+    """Feature-completeness BITMASKS: each user's set of event types as
+    an integer mask (bit i = i-th type in sorted order), counted per
+    mask — the one-glance answer to "which behavioral segments
+    exist?". The type→bit map is a tiny broadcast (sorted distinct
+    types); masks OR together inside one user exchange."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"],
+                    num_blocks=8).materialize()
+
+    types = sorted(ev.map_batches(
+        lambda df: df[["event_type"]].drop_duplicates(),
+        batch_format="pandas").to_pandas()["event_type"].unique())
+    bit = {t: np.int64(1) << i for i, t in enumerate(types)}
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(bit).astype("int64")
+        masks = (pd.DataFrame({"user_id": df["user_id"]
+                               .to_numpy(np.int64), "m": m})
+                 .groupby("user_id", sort=False)["m"]
+                 .agg(lambda s: int(np.bitwise_or.reduce(
+                     s.to_numpy(np.int64)))))
+        out = (masks.rename("mask").reset_index()
+               .groupby("mask", sort=False).size()
+               .rename("n_users").reset_index())
+        return out.astype({"mask": "int64", "n_users": "int64"})
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+    return grouped_agg(partials, ["mask"],
+                       {"n_users": ("n_users", "sum")}, num_buckets=2)
+
+
+SQL_TYPE_COVERAGE_MASKS = """
+WITH b AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS bit
+  FROM (SELECT DISTINCT event_type FROM events)
+), m AS (
+  SELECT e.user_id,
+         SUM(DISTINCT CAST(1 AS BIGINT) << CAST(b.bit AS INTEGER))
+           AS mask
+  FROM events e JOIN b USING (event_type)
+  GROUP BY e.user_id
+)
+SELECT CAST(mask AS BIGINT) AS mask,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM m GROUP BY mask
+"""
+
+
 QUERIES = {
+    "twap_users": q_twap_users,
+    "domain_lang_gini": q_domain_lang_gini,
+    "type_coverage_masks": q_type_coverage_masks,
     "sentence_stats_docs": q_sentence_stats_docs,
     "bucket_skew_report": q_bucket_skew_report,
     "region_priority_grid": q_region_priority_grid,
@@ -11813,6 +11978,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "twap_users": SQL_TWAP_USERS,
+    "domain_lang_gini": SQL_DOMAIN_LANG_GINI,
+    "type_coverage_masks": SQL_TYPE_COVERAGE_MASKS,
     "sentence_stats_docs": SQL_SENTENCE_STATS,
     "bucket_skew_report": SQL_BUCKET_SKEW,
     "region_priority_grid": SQL_REGION_PRIORITY_GRID,
