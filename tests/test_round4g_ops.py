@@ -61,7 +61,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "session_length_hist", "q6_revenue", "value_bins_types",
              "fulfillment_latency_hist", "sentence_stats_docs",
              "bucket_skew_report", "region_priority_grid",
-             "twap_users", "domain_lang_gini", "type_coverage_masks"]
+             "twap_users", "domain_lang_gini", "type_coverage_masks",
+             "gap_quartiles_types", "next_type_recs", "domain_bytes"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

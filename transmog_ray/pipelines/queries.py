@@ -11714,7 +11714,143 @@ FROM m GROUP BY mask
 """
 
 
+def q_gap_quartiles_types(sf_dir: str):
+    """Inter-event gap quartiles per event type (gap attributed to the
+    EARLIER event's type — the dwell distribution behind rate-limit and
+    timeout tuning). Two exchanges: the user pass derives µs gaps, the
+    type pass selects exact quantile_disc ranks (ceil(q·n)−1) from one
+    sort per type. Integer µs end to end."""
+    from ..stages.partition import bucket_exchange
+
+    QS = [0.25, 0.5, 0.75]
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        df = df.assign(t_us=t_us)
+        nxt = df.groupby("user_id", sort=False)["t_us"].shift(-1)
+        gap = nxt - df["t_us"]
+        keep = gap.notna()
+        return pd.DataFrame({
+            "event_type": df["event_type"][keep].to_numpy(object),
+            "gap_us": gap[keep].astype(np.int64)})
+
+    gaps = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["gap_us"].to_numpy(np.int64))
+            for q in QS:
+                rows.append((etype, q,
+                             v[min(int(np.ceil(q * len(v))) - 1,
+                                   len(v) - 1)]))
+        return pd.DataFrame(rows, columns=["event_type", "q", "gap_us"]
+                            ).astype({"q": "float64", "gap_us": "int64"})
+
+    return bucket_exchange(gaps, ["event_type"], per_type, num_buckets=4)
+
+
+SQL_GAP_QUARTILES = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       unnest([0.25, 0.5, 0.75]) AS q,
+       unnest(quantile_disc(gap_us, [0.25, 0.5, 0.75])) AS gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def q_next_type_recs(sf_dir: str):
+    """Next-event RECOMMENDATION baseline: for each type, the most
+    frequent immediate successor (Markov argmax; count DESC, type
+    tiebreak). Rides the transition-count machinery, then a grouped
+    top-1 — the classic counts→policy reduction."""
+    from ..functions.relational import grouped_topk
+
+    trans = q_transition_counts(sf_dir)
+    return grouped_topk(trans, ["prev_type"], "n", k=1, descending=True,
+                        tiebreak=["event_type"], num_buckets=2)
+
+
+SQL_NEXT_TYPE_RECS = """
+WITH t AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), c AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY prev_type
+                               ORDER BY n DESC, event_type) AS rn
+  FROM c
+) WHERE rn = 1
+"""
+
+
+def q_domain_bytes(sf_dir: str):
+    """Storage accounting over the BINARY column: per domain, total
+    html bytes, page count and max page size — the crawl-cost model
+    input. Byte lengths vectorize map-side (bytes never re-shuffle);
+    OCTET_LENGTH is the SQL twin."""
+    from ..functions.relational import grouped_agg
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "html"],
+                            override_num_blocks=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dom = (df["url"].str.split("//", n=1).str[1]
+               .str.split("/", n=1).str[0])
+        nb = np.fromiter((len(h) if h is not None else 0
+                          for h in df["html"]),
+                         dtype=np.int64, count=len(df))
+        out = (pd.DataFrame({"domain": dom, "nb": nb})
+               .groupby("domain", sort=False)["nb"]
+               .agg(n_pages="size", total_bytes="sum",
+                    max_bytes="max").astype("int64").reset_index())
+        return out
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["domain"],
+        {"n_pages": ("n_pages", "sum"),
+         "total_bytes": ("total_bytes", "sum"),
+         "max_bytes": ("max_bytes", "max")},
+        num_buckets=4)
+
+
+SQL_DOMAIN_BYTES = f"""
+SELECT split_part(split_part(url, '//', 2), '/', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(COALESCE(OCTET_LENGTH(html), 0)) AS BIGINT)
+         AS total_bytes,
+       CAST(MAX(COALESCE(OCTET_LENGTH(html), 0)) AS BIGINT)
+         AS max_bytes
+FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+GROUP BY domain
+"""
+
+
 QUERIES = {
+    "gap_quartiles_types": q_gap_quartiles_types,
+    "next_type_recs": q_next_type_recs,
+    "domain_bytes": q_domain_bytes,
     "twap_users": q_twap_users,
     "domain_lang_gini": q_domain_lang_gini,
     "type_coverage_masks": q_type_coverage_masks,
@@ -11978,6 +12114,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "gap_quartiles_types": SQL_GAP_QUARTILES,
+    "next_type_recs": SQL_NEXT_TYPE_RECS,
+    "domain_bytes": SQL_DOMAIN_BYTES,
     "twap_users": SQL_TWAP_USERS,
     "domain_lang_gini": SQL_DOMAIN_LANG_GINI,
     "type_coverage_masks": SQL_TYPE_COVERAGE_MASKS,
