@@ -11847,7 +11847,141 @@ GROUP BY domain
 """
 
 
+def q_weekend_share_types(sf_dir: str):
+    """Weekday/weekend split per event type — the coarse seasonality
+    contrast. Day-of-week derives arithmetically from the epoch day
+    ((day+4) % 7 with 0=Monday — no calendar library, no timezone),
+    identically on both engines. Map-side partials, one tiny
+    combine."""
+    from ..functions.relational import grouped_agg
+
+    DAY_US = 86_400_000_000
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        dow = ((t_us // DAY_US) + 4) % 7  # 0=Monday
+        wk = (dow >= 5).astype(np.int64)
+        out = (pd.DataFrame({"event_type": df["event_type"],
+                             "is_weekend": wk, "n": np.int64(1)})
+               .groupby(["event_type"], sort=False)
+               .agg(n_events=("n", "sum"), n_weekend=("is_weekend", "sum"))
+               .astype("int64").reset_index())
+        return out
+
+    return grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"n_events": ("n_events", "sum"),
+         "n_weekend": ("n_weekend", "sum")},
+        num_buckets=2)
+
+
+SQL_WEEKEND_SHARE = """
+WITH t AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN dow >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_weekend
+FROM t GROUP BY event_type
+"""
+
+
+def q_top_count_swings(sf_dir: str):
+    """Anomaly shortlist: the 10 largest day-over-day count swings
+    across all (type, day) cells of the DENSE daily series (gap days
+    are explicit zeros, so a type going quiet registers as a negative
+    swing instead of a missing row). Integer deltas, |Δ| DESC with
+    (type, day) tiebreak — engines cannot disagree on an integer
+    argsort."""
+    from ..functions.relational import grouped_agg, topk
+    from ..stages.partition import bucket_exchange
+
+    DAY_US = 86_400_000_000
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        out = (pd.DataFrame({"event_type": df["event_type"],
+                             "day": t_us // DAY_US})
+               .groupby(["event_type", "day"], sort=False)
+               .size().rename("cnt").reset_index())
+        return out.astype({"day": "int64", "cnt": "int64"})
+
+    counts = grouped_agg(ev.map_batches(partial, batch_format="pandas"),
+                         ["event_type", "day"], {"cnt": ("cnt", "sum")},
+                         num_buckets=8)
+
+    def swings(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for etype, g in df.groupby("event_type", sort=False):
+            days = np.arange(g["day"].min(), g["day"].max() + 1,
+                             dtype=np.int64)
+            c = (g.set_index("day")["cnt"].reindex(days, fill_value=0)
+                 .to_numpy(np.int64))
+            if len(c) < 2:
+                continue
+            delta = c[1:] - c[:-1]
+            frames.append(pd.DataFrame({
+                "event_type": etype,
+                "day_start": days[1:] * 86400,
+                "delta": delta,
+                "abs_delta": np.abs(delta)}))
+        if not frames:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "day_start": pd.Series([], dtype="int64"),
+                "delta": pd.Series([], dtype="int64"),
+                "abs_delta": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    deltas = bucket_exchange(counts, ["event_type"], swings, num_buckets=4)
+    out = topk(deltas, ["abs_delta", "event_type", "day_start"], k=10,
+               descending=[True, False, False])
+    return out.map_batches(
+        lambda df: df[["event_type", "day_start", "delta"]],
+        batch_format="pandas")
+
+
+SQL_TOP_COUNT_SWINGS = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, day
+), b AS (
+  SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM c
+  GROUP BY event_type
+), g AS (
+  SELECT event_type, unnest(range(mn, mx + 1)) AS day FROM b
+), dense AS (
+  SELECT g.event_type, g.day, COALESCE(c.cnt, 0) AS cnt
+  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.day = g.day
+), d AS (
+  SELECT event_type, CAST(day * 86400 AS BIGINT) AS day_start,
+         CAST(cnt - LAG(cnt) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS BIGINT) AS delta
+  FROM dense
+)
+SELECT event_type, day_start, delta
+FROM d WHERE delta IS NOT NULL
+ORDER BY ABS(delta) DESC, event_type, day_start
+LIMIT 10
+"""
+
+
 QUERIES = {
+    "weekend_share_types": q_weekend_share_types,
+    "top_count_swings": q_top_count_swings,
     "gap_quartiles_types": q_gap_quartiles_types,
     "next_type_recs": q_next_type_recs,
     "domain_bytes": q_domain_bytes,
@@ -12114,6 +12248,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "weekend_share_types": SQL_WEEKEND_SHARE,
+    "top_count_swings": SQL_TOP_COUNT_SWINGS,
     "gap_quartiles_types": SQL_GAP_QUARTILES,
     "next_type_recs": SQL_NEXT_TYPE_RECS,
     "domain_bytes": SQL_DOMAIN_BYTES,
