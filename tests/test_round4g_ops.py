@@ -63,7 +63,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "bucket_skew_report", "region_priority_grid",
              "twap_users", "domain_lang_gini", "type_coverage_masks",
              "gap_quartiles_types", "next_type_recs", "domain_bytes",
-             "weekend_share_types", "top_count_swings"]
+             "weekend_share_types", "top_count_swings",
+             "value_extremes_daily", "user_lifespan_stats"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -11979,7 +11979,95 @@ LIMIT 10
 """
 
 
+def q_value_extremes_daily(sf_dir: str):
+    """Daily value EXTREMES (min/max/count) — the monitoring floor
+    every metrics pipeline ships. Min/max are comparisons, not
+    arithmetic, so floats hash-compare exactly; map-side partials,
+    one tiny day combine."""
+    from ..functions.relational import grouped_agg
+
+    DAY_US = 86_400_000_000
+
+    ev = read_table(sf_dir, "events", columns=["ts", "value"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        day = (t_us // DAY_US) * 86400
+        out = (pd.DataFrame({"day_start": day, "value": df["value"]})
+               .groupby("day_start", sort=False)["value"]
+               .agg(n_events="size", min_value="min", max_value="max")
+               .reset_index())
+        out["day_start"] = out["day_start"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["day_start"],
+        {"n_events": ("n_events", "sum"),
+         "min_value": ("min_value", "min"),
+         "max_value": ("max_value", "max")},
+        num_buckets=2)
+
+
+SQL_VALUE_EXTREMES_DAILY = """
+SELECT CAST(epoch_us(ts) // 86400000000 * 86400 AS BIGINT) AS day_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY day_start
+"""
+
+
+def q_user_lifespan_stats(sf_dir: str):
+    """Per-user LIFESPAN: first/last event µs, active span and event
+    count — the tenure feature underneath every cohort split. One
+    map-side partial pass + one tiny user combine (min/max/count all
+    decomposable)."""
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = (df["ts"].to_numpy().astype("datetime64[ns]")
+                .astype(np.int64) // 1000)
+        out = (pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "first_us": t_us, "last_us": t_us,
+                             "n": np.int64(1)})
+               .groupby("user_id", sort=False)
+               .agg(first_us=("first_us", "min"),
+                    last_us=("last_us", "max"), n_events=("n", "sum"))
+               .astype("int64").reset_index())
+        return out
+
+    agg = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        {"first_us": ("first_us", "min"), "last_us": ("last_us", "max"),
+         "n_events": ("n_events", "sum")},
+        num_buckets=8)
+    return agg.map_batches(
+        lambda df: df.assign(
+            span_us=(df["last_us"] - df["first_us"]).astype("int64")),
+        batch_format="pandas")
+
+
+SQL_USER_LIFESPAN = """
+SELECT user_id,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS span_us
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "value_extremes_daily": q_value_extremes_daily,
+    "user_lifespan_stats": q_user_lifespan_stats,
     "weekend_share_types": q_weekend_share_types,
     "top_count_swings": q_top_count_swings,
     "gap_quartiles_types": q_gap_quartiles_types,
@@ -12248,6 +12336,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "value_extremes_daily": SQL_VALUE_EXTREMES_DAILY,
+    "user_lifespan_stats": SQL_USER_LIFESPAN,
     "weekend_share_types": SQL_WEEKEND_SHARE,
     "top_count_swings": SQL_TOP_COUNT_SWINGS,
     "gap_quartiles_types": SQL_GAP_QUARTILES,
