@@ -1787,6 +1787,25 @@ ASOF LEFT JOIN (
 """
 
 
+def _replay_blocks(ds, sort_cols):
+    """Replay a Dataset as an event-time-ordered stream of pandas batches
+    with BOUNDED driver memory: distributed range-partition sort, then
+    fetch ONE sorted block at a time from its ref bundles (blocks of a
+    materialized sorted Dataset come back in key order). The driver never
+    holds the whole table — the scale-safe replacement for the old
+    to_pandas + np.array_split stream simulation."""
+    import ray
+    from ray.data.block import BlockAccessor
+
+    sorted_ds = ds.sort(sort_cols).materialize()
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref in bundle.block_refs:
+            blk = BlockAccessor.for_block(ray.get(ref))
+            if blk.num_rows() == 0:
+                continue
+            yield blk.to_pandas()
+
+
 def q_asof_purchase_streaming(sf_dir: str):
     """The SAME point-in-time join under STREAMING ingest: events and
     purchase-feature batches replayed in event-time order through
@@ -1794,31 +1813,30 @@ def q_asof_purchase_streaming(sf_dir: str):
     event is emitted only once the feature watermark passes its
     timestamp — zero leakage and zero missed features — and the
     concatenated emissions are pinned to the SAME ASOF SQL oracle as
-    the batch path."""
+    the batch path. The replay itself streams sorted dataset blocks
+    (one in driver memory at a time); each block's purchase rows are
+    delivered as features just before the block's events, so features
+    still arrive in event-time order ahead of the events they serve."""
     from ..state.streaming import streaming_asof
 
     ev = read_table(
         sf_dir, "events",
         columns=["event_id", "user_id", "ts", "event_type", "value"],
         num_blocks=8,
-    ).to_pandas()  # the stream SIMULATION: chop the table into batches
-    ev = ev.sort_values("ts", kind="mergesort").reset_index(drop=True)
-    purchases = (
-        ev[ev["event_type"] == "purchase"][["user_id", "ts", "value"]]
-        .rename(columns={"ts": "p_ts", "value": "p_value"})
-        .reset_index(drop=True)
     )
-    n_chunks = 16
-    fb = np.array_split(purchases, n_chunks)
-    eb = np.array_split(ev, n_chunks)
-    # interleave in event-time order: each round delivers the features
-    # first, so an event's same-round features are already in state
-    stream = []
-    for f, e in zip(fb, eb):
-        stream.append(("feature", f))
-        stream.append(("event", e))
+
+    def stream():
+        for df in _replay_blocks(ev, "ts"):
+            f = (
+                df[df["event_type"] == "purchase"][["user_id", "ts", "value"]]
+                .rename(columns={"ts": "p_ts", "value": "p_value"})
+            )
+            if len(f):
+                yield ("feature", f)
+            yield ("event", df)
+
     out = pd.concat(
-        list(streaming_asof(stream, "user_id", "ts", "p_ts", ["p_value"],
+        list(streaming_asof(stream(), "user_id", "ts", "p_ts", ["p_value"],
                             num_shards=8)),
         ignore_index=True,
     )
@@ -2100,15 +2118,28 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
 # ======================================================= similarity / ANN
 
 
+def _query_vectors(sf_dir: str, n: int = 10) -> pd.DataFrame:
+    """The first-``n`` query vectors, loaded DRIVER-side via pyarrow with a
+    row filter. They become the broadcast query matrix inside the ANN
+    kernels anyway, so a Ray map + to_pandas would only add a task launch
+    and zero-row pandas filler blocks (which spam Ray's size estimator on
+    object columns — round-4 fact)."""
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < n,
+    )
+    return tbl.to_pandas().rename(columns={"vec_id": "query_id"})
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-5 neighbors for the first 10 vectors."""
     from ..functions.ann import brute_topk
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                      num_blocks=8)
-    queries = emb.map_batches(
-        lambda df: df[df["vec_id"] < 10], batch_format="pandas"
-    ).to_pandas().rename(columns={"vec_id": "query_id"})
+    queries = _query_vectors(sf_dir)
     out = brute_topk(emb, queries, k=5)
     out["cos_sim"] = round_half_away(out["cos_sim"], 6)
     out["rank"] = out["rank"].astype("int64")
@@ -2687,10 +2718,7 @@ def q_lsh_ann(sf_dir: str):
     from ..functions.ann import lsh_topk
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    queries = emb.map_batches(
-        lambda df: df[df["vec_id"] < 10], batch_format="pandas"
-    ).to_pandas().rename(columns={"vec_id": "query_id"})
-    return lsh_topk(emb, queries, k=5)
+    return lsh_topk(emb, _query_vectors(sf_dir), k=5)
 
 
 
@@ -2795,10 +2823,8 @@ def q_ivf_ann(sf_dir: str):
     from ..functions.ann import ivf_topk
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    queries = emb.map_batches(
-        lambda df: df[df["vec_id"] < 10], batch_format="pandas"
-    ).to_pandas().rename(columns={"vec_id": "query_id"})
-    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    return ivf_topk(emb, _query_vectors(sf_dir), k=5, n_centroids=16,
+                    nprobe=4)
 
 
 def q_pages_features(sf_dir: str):
@@ -4410,12 +4436,10 @@ def q_sessionize_streaming(sf_dir: str):
 
     ev = read_table(sf_dir, "events",
                     columns=["event_id", "user_id", "ts"],
-                    num_blocks=8).to_pandas()
-    ev = ev.sort_values(["ts", "event_id"],
-                        kind="mergesort").reset_index(drop=True)
-    batches = np.array_split(ev, 16)
+                    num_blocks=8)
     out = pd.concat(
-        list(streaming_sessionize(batches, "user_id", "ts",
+        list(streaming_sessionize(_replay_blocks(ev, ["ts", "event_id"]),
+                                  "user_id", "ts",
                                   SESSION_GAP_S, num_buckets=8)),
         ignore_index=True,
     )
@@ -12333,6 +12357,87 @@ QUERIES = {
     "attribution_events": q_attribution_events,
     "temperature_mix_docs": q_temperature_mix_docs,
     "t5_spans_docs": q_t5_spans_docs,
+}
+
+# Driver-visible ordering: the correctness driver samples the FIRST 50
+# registry entries, so the load-bearing queries (flagship flatten+as-of
+# family, the media family with its r1-r3 red history, the near-dup
+# family, core window/relational operators, ANN) must lead the registry.
+# Newer behavioral/web queries keep their relative order after them.
+# (VERDICT r4 next-round item 1.)
+_PRIORITY_ORDER = [
+    "pages_features",
+    "pages_features_tagged",
+    "pages_features_incremental",
+    "media_features",
+    "audio_features",
+    "video_frame_plan",
+    "flatten_events",
+    "minhash_dedup",
+    "simhash_neardup",
+    "simhash_docs",
+    "cosine_clusters",
+    "jaccard_pairs",
+    "ngram_jaccard_pairs",
+    "dup_ngram_docs",
+    "semdedup_embeddings",
+    "asof_purchase",
+    "asof_purchase_tol",
+    "asof_next_purchase",
+    "asof_purchase_streaming",
+    "pit_features_multi",
+    "lag_lead_events",
+    "sessionize_events",
+    "sessionize_streaming",
+    "backfill_events",
+    "rolling_events",
+    "running_events",
+    "rows_window_events",
+    "tumbling_hourly",
+    "hopping_events",
+    "ewma_events",
+    "rank_events",
+    "pricing_summary",
+    "revenue_by_nation",
+    "dedup_user_type",
+    "dedup_docs",
+    "salted_revenue",
+    "skew_join_orders",
+    "exact_price_quantiles",
+    "heavy_users",
+    "suppliers_by_region",
+    "top_customers",
+    "promo_revenue",
+    "late_orders",
+    "ann_topk",
+    "lsh_ann",
+    "ivf_ann",
+    "kmeans_embeddings",
+    "token_stats",
+    "quality_docs",
+    "curate_docs",
+    # below position 50 but still operator-core — keep near the front so
+    # partial sweeps reach them early
+    "upsert_user_state",
+    "pagerank_trade",
+    "langid_docs",
+    "line_dedup_docs",
+    "contamination_docs",
+    "decontam_exact_docs",
+    "gopher_docs",
+    "centroid_assign",
+    "quantized_embeddings",
+    "ppjoin_docs",
+    "typo_pairs_docs",
+    "dup_span_docs",
+    "partitioned_docs",
+]
+_missing = [n for n in _PRIORITY_ORDER if n not in QUERIES]
+if _missing:  # pragma: no cover - import-time typo guard
+    raise RuntimeError(f"_PRIORITY_ORDER names absent from QUERIES: {_missing}")
+QUERIES = {
+    **{n: QUERIES[n] for n in _PRIORITY_ORDER},
+    **{k: v for k, v in QUERIES.items() if k not in set(_PRIORITY_ORDER)},
 }
 
 ORACLE_SQL = {
