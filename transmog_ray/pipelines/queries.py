@@ -9254,14 +9254,21 @@ def q_partitioned_docs(sf_dir: str):
     manifests. Oracle: the same counts straight off the table."""
     import os
 
-    from ..state.checkpoint import load_metrics, write_hive_partitioned
+    from ..state.checkpoint import (fingerprint, input_lineage, load_metrics,
+                                    write_hive_partitioned)
 
     scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out_dir = f"/tmp/transmog_ray_hive/{scale}"
     docs = read_table(sf_dir, "documents",
                       columns=["doc_id", "lang", "text"], num_blocks=8)
+    # input lineage in the fingerprint: a changed source parquet must
+    # invalidate every partition, not silently resume over stale output
+    fp = fingerprint({
+        "job": "partitioned-docs",
+        "inputs": input_lineage([f"{sf_dir}/documents.parquet"]),
+    })
     write_hive_partitioned(docs, out_dir, "lang",
-                           run_fingerprint=f"docs-{scale}",
+                           run_fingerprint=fp,
                            order_by=["doc_id"])
     m = load_metrics(out_dir)
     out = pd.DataFrame({

@@ -316,9 +316,15 @@ def write_hive_partitioned(
     are low-cardinality by definition — lang, source, date) and map to
     bucket ids for ONE identity bucket exchange; rows within a partition
     are made deterministic by sorting on ``order_by`` (byte-identical
-    re-runs). Values are sanitized for path use; the mapping is recorded
-    in each manifest."""
-    import numpy as np
+    re-runs). Values are percent-encoded for path use (collision-free —
+    the Hive/Spark convention; a lossy sanitizer would let 'en US' and
+    'en_US' silently overwrite each other); the mapping is recorded in
+    each manifest. Partition directories left over from a previous run
+    whose value is absent from the CURRENT data are pruned, so resume
+    never surfaces stale partitions through ``load_metrics`` /
+    ``read_parquet(out_dir)``."""
+    import shutil
+    from urllib.parse import quote
 
     from ..stages.partition import bucket_exchange
 
@@ -328,14 +334,24 @@ def write_hive_partitioned(
     vals_df = ds.map_batches(
         lambda df: df[[partition_col]].drop_duplicates(),
         batch_format="pandas").to_pandas()
-    vals = sorted(vals_df[partition_col].dropna().unique().tolist())
+    # a zero-row Dataset loses its columns through to_pandas (round-4
+    # fact) — treat that as "no partition values", not a KeyError
+    if partition_col in vals_df.columns:
+        vals = sorted(vals_df[partition_col].dropna().unique().tolist())
+    else:
+        vals = []
 
-    def _safe(v) -> str:
-        s = str(v)
-        return "".join(c if c.isalnum() or c in "._-" else "_" for c in s)
-
-    names = {i: f"{partition_col}={_safe(v)}" for i, v in enumerate(vals)}
+    names = {i: f"{partition_col}={quote(str(v), safe='')}"
+             for i, v in enumerate(vals)}
     val_to_idx = {v: i for i, v in enumerate(vals)}
+
+    # prune stale partition dirs (values no longer present): their
+    # manifests would otherwise keep surfacing old data on resume
+    live = set(names.values())
+    prefix = f"{partition_col}="
+    for entry in os.listdir(out_dir):
+        if entry.startswith(prefix) and entry not in live:
+            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
 
     done, pending = [], []
     for i, v in enumerate(vals):
