@@ -149,9 +149,9 @@ def _union_find_labels(a, b) -> dict:
 
 def _min_label_propagation(edges_ds, num_buckets: int = 16,
                            max_iters: int = 50,
-                           id_is_int: bool = True) -> pd.DataFrame:
+                           id_is_int: bool = True):
     """Distributed connected components by iterative min-label
-    propagation over an edge Dataset (id_a, id_b) → pandas label map
+    propagation over an edge Dataset (id_a, id_b) → label-map DATASET
     (node, label) where label = min node id of the component.
 
     Each iteration is two bucket exchanges: (1) route current labels and
@@ -159,9 +159,9 @@ def _min_label_propagation(edges_ds, num_buckets: int = 16,
     destination; (2) route messages + labels by destination node and take
     the min. Converges in O(component diameter) rounds — near-dup
     components are small cliques, so a handful. The driver only ever
-    holds per-iteration changed COUNTS and the final (node, label) map
-    (O(nodes-in-edges), the LSH contract's small set) — never the pair
-    stream.
+    holds per-iteration changed COUNTS — never the pair stream and never
+    the label map (write it back onto members with
+    :func:`_labels_write_back`).
 
     ``id_is_int`` pins every id-carrying column to one dtype (int64 or
     object) in EVERY emitted frame: null-padding promotes ints to float
@@ -251,8 +251,71 @@ def _min_label_propagation(edges_ds, num_buckets: int = 16,
         if labels.sum("changed") == 0:
             break
 
-    out = labels.to_pandas()  # final label map only — O(nodes in edges)
-    return out[["node", "label"]]
+    # the label map stays DISTRIBUTED (a Dataset of (node, label)) — at
+    # corpus scale a dup-family graph can hold billions of nodes, so the
+    # driver never pulls it; callers write labels back onto members via
+    # the co-bucketed join in :func:`_labels_write_back`
+    return labels.map_batches(
+        lambda df: df[["node", "label"]], batch_format="pandas"
+    )
+
+
+def _labels_write_back(base_ds, id_col: str, labels_ds, num_buckets: int,
+                       id_is_int: bool):
+    """Distributed cluster-label write-back: co-bucket the (node, label)
+    map with the base ids on ``hash(id)`` and resolve per bucket — one
+    exchange, driver memory O(buckets), never the whole label map.
+    Unlabeled ids are their own cluster. Bucket-local dict lookup keeps
+    int64 ids out of float64 (no NaN upcast from a left-merge). Base
+    rows pass through 1:1 (dup base ids emit dup output rows)."""
+    from ..stages.partition import bucket_exchange
+
+    cast = (lambda s: s.astype("int64")) if id_is_int else (
+        lambda s: s.astype(object)
+    )
+    id_dt = "int64" if id_is_int else object
+
+    def _typed_empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: pd.Series([], dtype=id_dt),
+            "_lab": pd.Series([], dtype=id_dt),
+            "_side": pd.Series([], dtype="int64"),
+        })
+
+    def _tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in df.columns:  # zero-column filler block
+            return _typed_empty()
+        return pd.DataFrame({
+            id_col: cast(df["node"]), "_lab": cast(df["label"]),
+            "_side": np.int64(0)})
+
+    def _tag_base(df: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in df.columns:
+            return _typed_empty()
+        return pd.DataFrame({
+            id_col: cast(df[id_col]), "_lab": cast(df[id_col]),
+            "_side": np.int64(1)})
+
+    lab_part = labels_ds.map_batches(_tag_labels, batch_format="pandas")
+    base_part = base_ds.map_batches(_tag_base, batch_format="pandas")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        if "_side" not in df.columns:
+            return pd.DataFrame({id_col: pd.Series([], dtype=id_dt),
+                                 "cluster": pd.Series([], dtype=id_dt)})
+        lab = df[df["_side"] == 0]
+        base = df[df["_side"] == 1]
+        lut = dict(zip(lab[id_col], lab["_lab"]))
+        ids = base[id_col].reset_index(drop=True)
+        cluster = base["_lab"].reset_index(drop=True)  # own id default
+        mask = ids.isin(lut)
+        if mask.any():
+            cluster = cluster.copy()
+            cluster[mask] = ids[mask].map(lut)
+        return pd.DataFrame({id_col: cast(ids), "cluster": cast(cluster)})
+
+    return bucket_exchange(lab_part.union(base_part), [id_col], resolve,
+                           num_buckets)
 
 
 def _bucketed_text_verify(
@@ -417,9 +480,13 @@ def minhash_clusters(
       semi-join texts down to candidate ids → two distributed hash joins
       attach both texts to each pair → exact shingle-Jaccard VERIFY per
       batch → distributed min-label propagation over the verified edges
-      (:func:`_min_label_propagation`) → the driver holds only the FINAL
-      label map (O(candidate ids) — small by the LSH contract), broadcast
-      once → cluster column via map_batches.
+      (:func:`_min_label_propagation`) → labels written back onto doc
+      ids by ONE co-bucketed exchange (:func:`_labels_write_back`).
+
+    Scale shape: above ``driver_edge_limit`` the driver never holds the
+    label map (memory O(buckets)); below the gate a local union-find of
+    the gate-bounded edge set is broadcast instead (cheaper than ~6
+    distributed propagation waves for small dup families).
     """
     import ray
 
@@ -519,8 +586,7 @@ def minhash_clusters(
             label_ref = ray.put({})
         elif n_edges <= driver_edge_limit:
             # size-gated hybrid: the VERIFIED edge set is O(true dups)
-            # — the same order as the final label map the driver holds
-            # anyway — so below the gate a local union-find beats ~6
+            # — so below the gate a local union-find beats ~6
             # distributed task waves of propagation overhead. The pull
             # is bounded by the gate, never input-proportional.
             e = edges.to_pandas()
@@ -530,12 +596,18 @@ def minhash_clusters(
             # graph-size-adaptive parallelism: each propagation round is
             # a fixed number of task waves, so a small edge set (the
             # common case — LSH keeps edges ≪ docs) wants few buckets;
-            # a dup-saturated corpus scales the bucket count back up
+            # a dup-saturated corpus scales the bucket count back up.
+            # Above the gate the label map may be huge, so it is NEVER
+            # pulled to the driver: one co-bucketed exchange writes
+            # labels back onto the doc ids (driver memory O(buckets)).
             nb = int(min(num_buckets, max(2, n_edges // 50_000 + 2)))
-            lab = _min_label_propagation(
+            labels_ds = _min_label_propagation(
                 edges, num_buckets=nb, id_is_int=id_is_int
             )
-            label_ref = ray.put(dict(zip(lab["node"], lab["label"])))
+            return _labels_write_back(
+                docs.select_columns([id_col]), id_col, labels_ds,
+                num_buckets, id_is_int,
+            )
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         labels = ray.get(label_ref)
@@ -871,11 +943,12 @@ def cosine_neardup_clusters(
     ``edges="allpairs"`` keeps the guarded broadcast-matmul oracle
     (:func:`cosine_pairs`) that pins LSH recall at small scale.
     Component labels converge by the same distributed min-label
-    propagation as MinHash clustering, so the driver holds only edge
-    COUNTS and the final label map. SQL-reproducible: a DuckDB
+    propagation as MinHash clustering, and are written back onto the
+    ids by one co-bucketed exchange — the driver holds only edge
+    COUNTS, never the label map. SQL-reproducible: a DuckDB
     recursive CTE computes the identical min-label components (see
     SQL_COSINE_CLUSTERS)."""
-    import ray
+    import pyarrow as pa
 
     from ..stages.common import arrow_schema
 
@@ -892,32 +965,23 @@ def cosine_neardup_clusters(
         )
     edge_mat = edge_ds.materialize()
     n_edges = edge_mat.count()
+    id_is_int = pa.types.is_integer(arrow_schema(ds).field(id_col).type)
+    ids_only = ds.select_columns([id_col])
     if n_edges == 0:
-        label_ref = ray.put({})
-    else:
-        import pyarrow as pa
-
-        id_is_int = pa.types.is_integer(arrow_schema(ds).field(id_col).type)
-        nb = int(min(num_buckets, max(2, n_edges // 50_000 + 2)))
-        lab = _min_label_propagation(
-            edge_mat.select_columns(["id_a", "id_b"]), nb, id_is_int=id_is_int
+        cast = (lambda s: s.astype("int64")) if id_is_int else (
+            lambda s: s.astype(object)
         )
-        label_ref = ray.put(dict(zip(lab["node"], lab["label"])))
-
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        labels = ray.get(label_ref)
-        ids = df[id_col]
-        # vectorized label lookup that never round-trips through float64:
-        # map only the rows that HAVE a label (no NaN → dtype preserved),
-        # so int64 ids above 2^53 can't be silently rounded. Unlabeled ids
-        # are their own cluster.
-        cluster = ids.copy()
-        mask = ids.isin(labels)
-        if mask.any():
-            cluster[mask] = ids[mask].map(labels)
-        return pd.DataFrame({id_col: ids, "cluster": cluster})
-
-    return ds.map_batches(assign, batch_format="pandas")
+        return ids_only.map_batches(
+            lambda df: pd.DataFrame({id_col: cast(df[id_col]),
+                                     "cluster": cast(df[id_col])}),
+            batch_format="pandas",
+        )
+    nb = int(min(num_buckets, max(2, n_edges // 50_000 + 2)))
+    labels_ds = _min_label_propagation(
+        edge_mat.select_columns(["id_a", "id_b"]), nb, id_is_int=id_is_int
+    )
+    return _labels_write_back(ids_only, id_col, labels_ds, num_buckets,
+                              id_is_int)
 
 
 #: all-pairs oracles are quadratic BY DESIGN (they pin LSH/MinHash recall at
