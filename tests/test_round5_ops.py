@@ -111,3 +111,99 @@ def test_streaming_replay_matches_batch(ray_session):
             sorted(want.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
     con.close()
+
+
+# ------------------------------------------------- pure-Python codecs
+
+
+def test_bmp_roundtrip_and_decode():
+    from transmog_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = __import__("numpy").random.default_rng(3)
+    for h, w in [(1, 1), (3, 5), (7, 4), (16, 16)]:  # odd widths hit padding
+        gray = rng.integers(0, 256, size=(h, w)).astype("uint8")
+        got = decode_bmp(encode_bmp(gray))
+        assert (got == gray).all(), (h, w)
+    with pytest.raises(ValueError):
+        decode_bmp(b"nope" * 20)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    from transmog_ray.stages.multimodal import decode_ppm, encode_ppm
+
+    gray = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    assert (decode_ppm(encode_ppm(gray)) == gray).all()
+    # header with a comment line still parses
+    body = np.repeat(gray[:, :, None], 3, axis=2).tobytes()
+    with_comment = b"P6\n# fixture\n6 4\n255\n" + body
+    assert (decode_ppm(with_comment) == gray).all()
+
+
+def test_wav_parse_roundtrip_and_channel0():
+    import numpy as np
+
+    from transmog_ray.stages.multimodal import encode_wav, parse_wav
+
+    s = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int16)
+    got, rate, ch = parse_wav(encode_wav(s, sample_rate=8000))
+    assert rate == 8000 and ch == 1
+    assert (got == s).all()
+    # stereo: interleave L/R, parse returns channel 0
+    inter = np.empty(12, dtype=np.int16)
+    inter[0::2] = s
+    inter[1::2] = -1
+    got2, _, ch2 = parse_wav(encode_wav(inter, channels=2))
+    assert ch2 == 2 and (got2 == s).all()
+
+
+def test_image_stage_real_bmp_decode():
+    """A BMP payload goes through the REAL decode (features over decoded
+    pixels, not encoded bytes) — and strict mode succeeds on it."""
+    import numpy as np
+
+    from transmog_ray.stages.multimodal import (ImageDecodeStage,
+                                                byte_histogram_features,
+                                                encode_bmp)
+
+    gray = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3).astype("uint8")
+    df = pd.DataFrame({
+        "id": [0, 1],
+        "media_type": ["image", "image"],
+        "payload": [encode_bmp(gray), b"\x00\x01\x02\x03" * 40],
+        "meta": ["{}", "{}"],
+    })
+    stage = ImageDecodeStage(strict=False)
+    if stage._pil is not None:
+        pytest.skip("PIL present — pure-Python path not exercised")
+    out = stage(df)
+    assert list(out["decoder"]) == ["bmp-pure", "byte-histogram-stub"]
+    want = byte_histogram_features([gray.tobytes()])[0]
+    assert np.allclose(np.asarray(out["features"].iloc[0]), want)
+    # strict succeeds on the decodable payload, raises on the raw one
+    assert ImageDecodeStage(strict=True)(df.iloc[[0]])["decoder"].iloc[0] == \
+        "bmp-pure"
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(strict=True)(df.iloc[[1]])
+
+
+def test_audio_stage_wav_equals_raw_pcm():
+    """WAV-wrapped samples produce the same windowed energy rows as the
+    identical raw-PCM payload."""
+    import numpy as np
+
+    from transmog_ray.stages.multimodal import AudioFrameStage, encode_wav
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32768, 32768, size=700).astype(np.int16)
+    df = pd.DataFrame({
+        "id": [0, 1],
+        "media_type": ["audio", "audio"],
+        "payload": [encode_wav(s, sample_rate=16000), s.tobytes()],
+        "meta": ["{}", "{}"],
+    })
+    out = AudioFrameStage(window=64)(df)
+    a = out[out["id"] == 0].drop(columns=["id"]).reset_index(drop=True)
+    b = out[out["id"] == 1].drop(columns=["id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

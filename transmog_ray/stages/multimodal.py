@@ -44,12 +44,172 @@ def byte_histogram_features(payloads, dim: int = FEATURE_DIM) -> np.ndarray:
     return out
 
 
+# -------------------------------------------------- pure-Python codecs
+#
+# One REAL decode path per modality with zero dependencies: uncompressed
+# 24-bit BMP and binary PPM (P6) for images, RIFF/WAVE int16 PCM for
+# audio. Anything these can't sniff falls back to the byte-level stub
+# (or raises in strict mode) — the codec LAYER is real end-to-end for
+# the trivial containers while exotic codecs stay honestly stubbed.
+
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    """Encode a (H, W) uint8 grayscale array as an uncompressed 24-bit
+    bottom-up BMP (r=g=b) — fixture/test helper for :func:`decode_bmp`."""
+    import struct
+
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    row_size = (3 * w + 3) // 4 * 4
+    data_size = row_size * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    bgr = np.repeat(gray[:, :, None], 3, axis=2)  # B=G=R=gray
+    rows[:, : 3 * w] = bgr.reshape(h, 3 * w)
+    return header + info + rows[::-1].tobytes()  # bottom-up row order
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP to (H, W) uint8 grayscale
+    (integer mean ``(r+g+b)//3`` — exact, no float rounding)."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression="
+                         f"{compression}); only uncompressed 24-bit")
+    flip = h > 0  # positive height = bottom-up
+    h = abs(h)
+    row_size = (3 * w + 3) // 4 * 4
+    need = off + row_size * h
+    if len(b) < need:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(b, dtype=np.uint8, count=row_size * h, offset=off)
+    px = rows.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    if flip:
+        px = px[::-1]
+    return (px.astype(np.int64).sum(axis=2) // 3).astype(np.uint8)
+
+
+def encode_ppm(gray: np.ndarray) -> bytes:
+    """Encode a (H, W) uint8 grayscale array as binary PPM (P6, r=g=b)."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval 255) to (H, W) uint8 grayscale
+    (integer mean)."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens (comments starting '#' allowed), then ONE whitespace byte
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    if len(b) - pos < need:
+        raise ValueError("truncated PPM payload")
+    px = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos)
+    px = px.reshape(h, w, 3)
+    return (px.astype(np.int64).sum(axis=2) // 3).astype(np.uint8)
+
+
+def sniff_image(b) -> str | None:
+    """Container sniff for the pure-Python image decoders."""
+    if b is None:
+        return None
+    if len(b) >= 54 and b[:2] == b"BM":
+        return "bmp"
+    if len(b) >= 2 and b[:2] == b"P6":
+        return "ppm"
+    return None
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000,
+               channels: int = 1) -> bytes:
+    """Encode int16 PCM samples (interleaved if multi-channel) as a
+    RIFF/WAVE payload — fixture/test helper for :func:`parse_wav`."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = 2 * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(b: bytes):
+    """Parse a RIFF/WAVE payload → (int16 samples of channel 0,
+    sample_rate, channels). Walks chunks, so extra chunks (LIST, fact)
+    between fmt and data are fine. Only PCM (format 1) 16-bit."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (format={fmt_code}, bits={bits}); "
+                    "only 16-bit PCM")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    if channels and channels > 1:
+        samples = samples[::channels]  # channel 0
+    return samples, rate, channels
+
+
+def sniff_wav(b) -> bool:
+    return (b is not None and len(b) >= 12 and b[:4] == b"RIFF"
+            and b[8:12] == b"WAVE")
+
+
 class ImageDecodeStage:
     """Actor-pool stage: decode + feature-extract image payloads.
 
     ``__init__`` (once per actor) probes for PIL; ``__call__`` (per
-    batch) decodes when available, else either raises (strict) or uses
-    the deterministic byte-histogram fallback.
+    batch) decodes with PIL when available. Without PIL, payloads that
+    sniff as uncompressed 24-bit BMP or binary PPM go through the REAL
+    pure-Python decoders above and emit features over the DECODED
+    grayscale pixels (the same 16-bin-histogram + log-length recipe,
+    computed on pixels instead of encoded bytes); anything else either
+    raises (strict) or uses the deterministic byte-histogram fallback.
     Use: ``ds.map_batches(ImageDecodeStage, fn_constructor_kwargs=
     {"strict": False}, batch_size=64, concurrency=N)``.
     """
@@ -67,18 +227,33 @@ class ImageDecodeStage:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if self._pil is not None:  # pragma: no cover — PIL not shipped here
             feats = self._decode_real(df["payload"])
-        elif self.strict:
-            raise NotImplementedError(
-                "image decoding requires Pillow, which is not installed; "
-                "construct with strict=False for the deterministic "
-                "byte-level fallback"
-            )
+            decoders = ["pil"] * len(df)
         else:
-            feats = byte_histogram_features(df["payload"].tolist())
+            feats = np.zeros((len(df), FEATURE_DIM + 1), dtype=np.float64)
+            decoders = []
+            for i, b in enumerate(df["payload"]):
+                kind = sniff_image(b)
+                if kind == "bmp":
+                    gray = decode_bmp(b)
+                elif kind == "ppm":
+                    gray = decode_ppm(b)
+                elif self.strict:
+                    raise NotImplementedError(
+                        "payload is not a BMP/PPM container and real "
+                        "codec decoding requires Pillow, which is not "
+                        "installed; construct with strict=False for the "
+                        "deterministic byte-level fallback"
+                    )
+                else:
+                    feats[i] = byte_histogram_features([b])[0]
+                    decoders.append("byte-histogram-stub")
+                    continue
+                feats[i] = byte_histogram_features([gray.tobytes()])[0]
+                decoders.append(f"{kind}-pure")
         out = df.drop(columns=["payload"])  # bytes never leave this stage
         out["features"] = list(feats)
         out["feature_dim"] = feats.shape[1]
-        out["decoder"] = "pil" if self._pil is not None else "byte-histogram-stub"
+        out["decoder"] = decoders
         return out
 
     def _decode_real(self, payloads):  # pragma: no cover
@@ -229,14 +404,15 @@ def write_media(out_dir: str, n: int = 256, seed: int = 9) -> str:
 class AudioFrameStage:
     """Actor-pool stage: windowed energy statistics over audio payloads.
 
-    The 'decode' interprets the opaque payload as little-endian int16
-    PCM samples (a trailing odd byte is dropped) and emits one row per
-    ``window`` samples: (id, window_id, n_samples, sum_abs, max_abs) —
-    all integers, so the stage hash-compares against a DuckDB oracle
-    that re-decodes the samples from per-byte fixture rows. A real
-    audio codec would slot in front of the same windowing (the codec
-    layer stays stubbed — no audio libs in this container); bytes never
-    leave the stage."""
+    Payloads that sniff as RIFF/WAVE go through the REAL pure-Python
+    header parse (:func:`parse_wav` — fmt/data chunk walk, channel-0
+    extraction); anything else is interpreted as raw little-endian
+    int16 PCM (a trailing odd byte is dropped). Either way the stage
+    emits one row per ``window`` samples: (id, window_id, n_samples,
+    sum_abs, max_abs) — all integers, so it hash-compares against a
+    DuckDB oracle that re-decodes the samples from per-byte fixture
+    rows. Exotic audio codecs stay stubbed (no audio libs in this
+    container); bytes never leave the stage."""
 
     OUT = ("id", "window_id", "n_samples", "sum_abs", "max_abs")
 
@@ -253,9 +429,14 @@ class AudioFrameStage:
         for rid, payload in zip(df["id"], df["payload"]):
             if payload is None or len(payload) < 2:
                 continue
-            samples = np.frombuffer(
-                payload[: len(payload) // 2 * 2], dtype="<i2"
-            ).astype(np.int64)
+            if sniff_wav(payload):
+                samples = parse_wav(payload)[0].astype(np.int64)
+                if len(samples) == 0:
+                    continue
+            else:
+                samples = np.frombuffer(
+                    payload[: len(payload) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
             a = np.abs(samples)
             n = len(a)
             n_win = (n + self.window - 1) // self.window
@@ -319,6 +500,14 @@ def synth_media_table(n: int = 64, seed: int = 9) -> pd.DataFrame:
 
 
 __all__ = [
+    "encode_bmp",
+    "decode_bmp",
+    "encode_ppm",
+    "decode_ppm",
+    "encode_wav",
+    "parse_wav",
+    "sniff_image",
+    "sniff_wav",
     "ImageDecodeStage",
     "FrameSampleStage",
     "ByteHistogramStage",
