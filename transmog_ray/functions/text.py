@@ -56,6 +56,21 @@ def token_stats(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return df
 
 
+def token_stats_arrow(t, text_col: str = "text"):
+    """Arrow-native :func:`token_stats` (same counts, zero-copy batch):
+    ``count_substring`` + ``utf8_length`` kernels straight on the Arrow
+    column — no pandas round-trip for this pure map stage."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = pc.fill_null(t[text_col], "")
+    n_tokens = pc.cast(pc.add(pc.count_substring(s, " "), 1), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(s), pa.int64())
+    return t.append_column("n_tokens", n_tokens).append_column(
+        "n_chars_computed", n_chars
+    )
+
+
 #: BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to the common
 #: RE2 subset — no lookahead — so DuckDB regexp_extract_all reproduces
 #: the count exactly): letter runs, digit runs, punctuation runs, each

@@ -121,12 +121,18 @@ def q_pricing_summary(sf_dir: str):
         num_blocks=16,
     )
 
-    def revenue(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_shipdate"] < pd.Timestamp("1998-09-01")]
-        df = df.assign(disc_price=df["l_extendedprice"] * (1 - df["l_discount"]))
-        return df
+    def revenue(t):
+        import datetime
 
-    ds = ds.map_batches(revenue, batch_format="pandas")
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.less(t["l_shipdate"],
+                             datetime.datetime(1998, 9, 1)))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(1.0, t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
     # 6 output groups: a handful of combine buckets beats 64 (the
     # combine input is one row per key per upstream block)
     agg = grouped_agg(
@@ -487,13 +493,16 @@ ORDER BY total_spent DESC, o_custkey DESC LIMIT 10
 
 def q_filter_high_value(sf_dir: str):
     """Vectorized filter + projection."""
+    import pyarrow.compute as pc
+
     ev = read_table(sf_dir, "events",
                     columns=["event_id", "user_id", "ts", "event_type", "value"])
     return ev.map_batches(
-        lambda df: df[(df["value"] > 30) & (df["event_type"] == "purchase")][
-            ["event_id", "user_id", "ts", "value"]
-        ],
-        batch_format="pandas",
+        lambda t: t.filter(
+            pc.and_(pc.greater(t["value"], 30),
+                    pc.equal(t["event_type"], "purchase"))
+        ).select(["event_id", "user_id", "ts", "value"]),
+        batch_format="pyarrow",
     )
 
 
@@ -1757,6 +1766,16 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def _purchase_features(t):
+    """Arrow-native purchase filter+projection (zero-copy; an empty
+    result keeps its typed schema — no zero-row pandas filler blocks)."""
+    import pyarrow.compute as pc
+
+    t = t.filter(pc.equal(t["event_type"], "purchase"))
+    return t.select(["user_id", "ts", "value"]).rename_columns(
+        ["user_id", "p_ts", "p_value"])
+
+
 def q_asof_purchase(sf_dir: str):
     """Point-in-time: latest purchase at or before each event (per user)."""
     from ..stages.asof import asof_join
@@ -1765,11 +1784,7 @@ def q_asof_purchase(sf_dir: str):
                     columns=["event_id", "user_id", "ts", "event_type", "value"],
                     num_blocks=8,  # few-MB table: chunky blocks, see read_table
                     ).materialize()  # consumed twice: left side + purchase filter
-    purchases = ev.map_batches(
-        lambda df: df[df["event_type"] == "purchase"][["user_id", "ts", "value"]]
-        .rename(columns={"ts": "p_ts", "value": "p_value"}),
-        batch_format="pandas",
-    )
+    purchases = ev.map_batches(_purchase_features, batch_format="pyarrow")
     return asof_join(
         ev, purchases,
         key="user_id", left_ts="ts", right_ts="p_ts", right_cols=["p_value"],
@@ -1854,11 +1869,7 @@ def q_asof_purchase_tol(sf_dir: str):
     ev = read_table(sf_dir, "events",
                     columns=["event_id", "user_id", "ts", "event_type", "value"],
                     num_blocks=8).materialize()
-    purchases = ev.map_batches(
-        lambda df: df[df["event_type"] == "purchase"][["user_id", "ts", "value"]]
-        .rename(columns={"ts": "p_ts", "value": "p_value"}),
-        batch_format="pandas",
-    )
+    purchases = ev.map_batches(_purchase_features, batch_format="pyarrow")
     return asof_join(
         ev, purchases,
         key="user_id", left_ts="ts", right_ts="p_ts", right_cols=["p_value"],
@@ -1893,9 +1904,9 @@ def q_asof_next_purchase(sf_dir: str):
                     num_blocks=8,
                     ).materialize()
     purchases = ev.map_batches(
-        lambda df: df[df["event_type"] == "purchase"][["user_id", "ts", "value"]]
-        .rename(columns={"ts": "np_ts", "value": "np_value"}),
-        batch_format="pandas",
+        lambda t: _purchase_features(t).rename_columns(
+            ["user_id", "np_ts", "np_value"]),
+        batch_format="pyarrow",
     )
     return asof_join(
         ev, purchases,
@@ -1936,13 +1947,14 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
 
 
 def q_token_stats(sf_dir: str):
-    from ..functions.text import token_stats
+    from ..functions.text import token_stats_arrow
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
                       num_blocks=8)
     return docs.map_batches(
-        lambda df: token_stats(df)[["doc_id", "n_tokens", "n_chars_computed"]],
-        batch_format="pandas",
+        lambda t: token_stats_arrow(t).select(
+            ["doc_id", "n_tokens", "n_chars_computed"]),
+        batch_format="pyarrow",
     )
 
 
