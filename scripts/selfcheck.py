@@ -69,7 +69,12 @@ def main():
     import ray
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    only, skip = set(), set()
+    for a in sys.argv[2:]:
+        if a.startswith("--skip="):
+            skip |= set(a[len("--skip="):].split(","))
+        else:
+            only.add(a)
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -83,7 +88,7 @@ def main():
 
     failures = 0
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         t0 = time.time()
         try:
