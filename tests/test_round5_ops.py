@@ -207,3 +207,73 @@ def test_audio_stage_wav_equals_raw_pcm():
     a = out[out["id"] == 0].drop(columns=["id"]).reset_index(drop=True)
     b = out[out["id"] == 1].drop(columns=["id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------- incremental MinHash
+
+
+def _mk_docs(n=120, seed=3):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_neardup import make_docs
+
+    return make_docs(n, seed)
+
+
+def test_minhash_ingest_matches_batch(ray_session, tmp_path):
+    """Three sequential shard ingests reproduce the one-shot batch
+    clustering exactly (the cumulative edge set is the same)."""
+    import ray.data as rd
+
+    from transmog_ray.functions.neardup import (minhash_clusters,
+                                                minhash_ingest)
+
+    docs = _mk_docs()
+    kw = dict(n_perm=32, n_bands=8, jaccard_threshold=0.8, num_buckets=8)
+    want = (minhash_clusters(rd.from_pandas(docs), **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    cache = str(tmp_path / "mh")
+    # split so dup families SPAN shards (consecutive ids split apart)
+    shards = [docs.iloc[i::3].reset_index(drop=True) for i in range(3)]
+    seen = []
+    got = None
+    for sh in shards:
+        seen.append(sh)
+        corpus = pd.concat(seen, ignore_index=True)
+        got = minhash_ingest(cache, rd.from_pandas(sh),
+                             rd.from_pandas(corpus), **kw)
+    got = got.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_minhash_ingest_single_shot_matches_batch(ray_session, tmp_path):
+    """First ingest over the whole corpus == the batch path."""
+    import ray.data as rd
+
+    from transmog_ray.functions.neardup import (minhash_clusters,
+                                                minhash_ingest)
+
+    docs = _mk_docs(60, seed=9)
+    kw = dict(n_perm=32, n_bands=8, jaccard_threshold=0.8, num_buckets=8)
+    want = (minhash_clusters(rd.from_pandas(docs), **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = (minhash_ingest(str(tmp_path / "mh"), rd.from_pandas(docs),
+                          rd.from_pandas(docs), **kw)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_minhash_ingest_param_change_rejected(ray_session, tmp_path):
+    import ray.data as rd
+
+    from transmog_ray.functions.neardup import minhash_ingest
+
+    docs = _mk_docs(20, seed=1)
+    cache = str(tmp_path / "mh")
+    minhash_ingest(cache, rd.from_pandas(docs), rd.from_pandas(docs),
+                   n_perm=32, n_bands=8, num_buckets=4)
+    with pytest.raises(ValueError, match="different parameters"):
+        minhash_ingest(cache, rd.from_pandas(docs), rd.from_pandas(docs),
+                       n_perm=16, n_bands=8, num_buckets=4)

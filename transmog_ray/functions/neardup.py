@@ -488,10 +488,7 @@ def minhash_clusters(
     the gate-bounded edge set is broadcast instead (cheaper than ~6
     distributed propagation waves for small dup families).
     """
-    import ray
-
     from ..stages.partition import bucket_exchange
-    from .relational import semi_join
 
     hasher = MinHasher(n_perm, shingle_k)
     docs = ds.select_columns([id_col, text_col]).materialize()
@@ -547,67 +544,77 @@ def minhash_clusters(
         num_buckets,
     ).materialize()
 
-    if pairs.count() == 0:
+    import pyarrow as pa
+
+    from ..stages.common import arrow_schema
+
+    id_is_int = pa.types.is_integer(arrow_schema(docs).field(id_col).type)
+    edges = None
+    if pairs.count() > 0:
+        edges = _verify_pairs(pairs, docs, id_col, text_col, shingle_k,
+                              jaccard_threshold, num_buckets)
+    return _cluster_assign(edges, docs.select_columns([id_col]), id_col,
+                           id_is_int, num_buckets, driver_edge_limit)
+
+
+def _verify_pairs(pairs, docs, id_col, text_col, shingle_k,
+                  jaccard_threshold, num_buckets):
+    """Exact-Jaccard verify of a candidate-pair Dataset against the doc
+    texts: the candidate-id key set dedups distributed (O(candidate
+    ids)), a semi-join prunes texts to those ids, and the build-once /
+    probe-twice bucketed text table verifies every pair (texts cross the
+    exchange once, pairs twice). Returns the materialized verified edge
+    Dataset."""
+    from ..stages.partition import bucket_exchange
+    from .relational import semi_join
+
+    ids_pd = bucket_exchange(
+        pairs.map_batches(
+            lambda df: pd.DataFrame({
+                id_col: pd.concat([df["id_a"], df["id_b"]],
+                                  ignore_index=True)
+            }),
+            batch_format="pandas",
+        ),
+        [id_col],
+        lambda df: df.drop_duplicates(id_col),
+        num_buckets,
+    ).to_pandas()
+    sub = semi_join(docs, ids_pd, on=id_col)
+    return _bucketed_text_verify(
+        pairs, sub, id_col, text_col, shingle_k, jaccard_threshold,
+        num_buckets,
+    ).materialize()
+
+
+def _cluster_assign(edges, base_ids_ds, id_col, id_is_int, num_buckets,
+                    driver_edge_limit):
+    """Gate-hybrid component labeling + member assignment shared by the
+    batch and incremental MinHash paths: below ``driver_edge_limit`` a
+    local union-find of the gate-bounded VERIFIED edge set (O(true
+    dups)) broadcasts — cheaper than ~6 distributed propagation waves
+    for small dup families; above it labels converge by distributed
+    min-label propagation and write back via one co-bucketed exchange
+    (driver memory O(buckets), never the label map)."""
+    import ray
+
+    n_edges = edges.count() if edges is not None else 0
+    if n_edges == 0:
         label_ref = ray.put({})
+    elif n_edges <= driver_edge_limit:
+        e = edges.to_pandas()
+        label_ref = ray.put(_union_find_labels(e["id_a"], e["id_b"]))
     else:
-        import pyarrow as pa
-
-        from ..stages.common import arrow_schema
-
-        id_is_int = pa.types.is_integer(arrow_schema(docs).field(id_col).type)
-
-        # candidate-id key set for the semi-join text pruning — deduped
-        # distributed first; O(candidate ids), the same order as the
-        # final label map the driver is allowed to hold
-        ids_pd = bucket_exchange(
-            pairs.map_batches(
-                lambda df: pd.DataFrame({
-                    id_col: pd.concat([df["id_a"], df["id_b"]],
-                                      ignore_index=True)
-                }),
-                batch_format="pandas",
-            ),
-            [id_col],
-            lambda df: df.drop_duplicates(id_col),
-            num_buckets,
-        ).to_pandas()
-        sub = semi_join(docs, ids_pd, on=id_col)
-
-        # build-once / probe-twice bucketed text table: texts cross the
-        # exchange once, pairs twice, exact-Jaccard verify in the second
-        # probe — fully distributed, no pad/union generic-join overhead
-        edges = _bucketed_text_verify(
-            pairs, sub, id_col, text_col, shingle_k, jaccard_threshold,
-            num_buckets,
-        ).materialize()
-
-        n_edges = edges.count()
-        if n_edges == 0:
-            label_ref = ray.put({})
-        elif n_edges <= driver_edge_limit:
-            # size-gated hybrid: the VERIFIED edge set is O(true dups)
-            # — so below the gate a local union-find beats ~6
-            # distributed task waves of propagation overhead. The pull
-            # is bounded by the gate, never input-proportional.
-            e = edges.to_pandas()
-            lab = _union_find_labels(e["id_a"], e["id_b"])
-            label_ref = ray.put(lab)
-        else:
-            # graph-size-adaptive parallelism: each propagation round is
-            # a fixed number of task waves, so a small edge set (the
-            # common case — LSH keeps edges ≪ docs) wants few buckets;
-            # a dup-saturated corpus scales the bucket count back up.
-            # Above the gate the label map may be huge, so it is NEVER
-            # pulled to the driver: one co-bucketed exchange writes
-            # labels back onto the doc ids (driver memory O(buckets)).
-            nb = int(min(num_buckets, max(2, n_edges // 50_000 + 2)))
-            labels_ds = _min_label_propagation(
-                edges, num_buckets=nb, id_is_int=id_is_int
-            )
-            return _labels_write_back(
-                docs.select_columns([id_col]), id_col, labels_ds,
-                num_buckets, id_is_int,
-            )
+        # graph-size-adaptive parallelism: each propagation round is a
+        # fixed number of task waves, so a small edge set (the common
+        # case — LSH keeps edges ≪ docs) wants few buckets; a
+        # dup-saturated corpus scales the bucket count back up
+        nb = int(min(num_buckets, max(2, n_edges // 50_000 + 2)))
+        labels_ds = _min_label_propagation(
+            edges, num_buckets=nb, id_is_int=id_is_int
+        )
+        return _labels_write_back(base_ids_ds, id_col, labels_ds,
+                                  num_buckets, id_is_int)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         labels = ray.get(label_ref)
@@ -617,7 +624,177 @@ def minhash_clusters(
              "cluster": [labels.get(i, i) for i in ids]}
         )
 
-    return docs.map_batches(assign, batch_format="pandas")
+    return base_ids_ds.map_batches(assign, batch_format="pandas")
+
+
+def minhash_ingest(
+    cache_dir: str,
+    delta_ds,
+    corpus_ds,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+    driver_edge_limit: int = 100_000,
+):
+    """INCREMENTAL MinHash-LSH near-dup maintenance: ingest ONE new
+    corpus shard against a persistent band/edge cache and return the
+    cluster assignment for the whole corpus ingested so far.
+
+    Per ingest only the DELTA is shingled/signed/banded — the expensive
+    text work is proportional to new data, not corpus size. Candidate
+    pairs are generated only inside band groups touched by a new doc and
+    only for pairs involving ≥1 new doc: every final pair (a, b) with b
+    ingested no earlier than a materializes exactly once, at b's ingest,
+    so the CUMULATIVE verified edge set equals the one-shot batch run's
+    (:func:`minhash_clusters`) — pinned by tests. Exact-Jaccard verify
+    runs on just the new pairs (texts pruned by semi-join from
+    ``corpus_ds``); verified edges append to the cache; labels re-derive
+    from the cumulative edge set (small by the LSH contract, cheap
+    relative to signing).
+
+    ``corpus_ds`` must be the full corpus ingested so far INCLUDING this
+    delta (the verify needs old candidate texts, and the assignment
+    covers everything). Cache layout: ``meta.json`` (parameter
+    fingerprint + ingest count; a parameter change errors rather than
+    silently mixing band spaces), ``bands-<k>/`` and ``edges-<k>/``
+    parquet per ingest — band rows re-read per ingest are (band,
+    band_hash, id) triples, never text.
+    """
+    import glob as _glob
+    import hashlib
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..stages.common import arrow_schema
+    from ..stages.partition import bucket_exchange
+
+    os.makedirs(cache_dir, exist_ok=True)
+    params = {"n_perm": n_perm, "n_bands": n_bands, "shingle_k": shingle_k,
+              "jaccard_threshold": jaccard_threshold, "id_col": id_col,
+              "text_col": text_col}
+    params_fp = hashlib.sha256(
+        _json.dumps(params, sort_keys=True).encode()).hexdigest()[:16]
+    meta_path = os.path.join(cache_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        if meta["params_fp"] != params_fp:
+            raise ValueError(
+                "minhash_ingest cache was built with different parameters "
+                "— use a fresh cache_dir (mixing band spaces would "
+                "silently miss duplicates)")
+        k = int(meta["n_ingests"])
+    else:
+        k = 0
+
+    id_is_int = pa.types.is_integer(
+        arrow_schema(corpus_ds).field(id_col).type)
+
+    # 1) sign + band ONLY the delta; persist its band rows
+    hasher = MinHasher(n_perm, shingle_k)
+    new_bands = delta_ds.select_columns([id_col, text_col]).map_batches(
+        lambda df: lsh_bands(
+            hasher(df[[id_col, text_col]].rename(columns={text_col: "text"})),
+            n_bands, id_col),
+        batch_format="pandas",
+    ).materialize()
+    bands_dir = os.path.join(cache_dir, f"bands-{k:05d}")
+    new_bands.write_parquet(bands_dir)
+
+    # 2) candidates: only band groups touched by a new doc, only pairs
+    # with ≥1 new member (old-old pairs came from earlier ingests)
+    def tag(new: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["band", "band_hash", id_col]].copy()
+            out["_new"] = np.int64(new)
+            return out
+        return fn
+
+    tagged = new_bands.map_batches(tag(1), batch_format="pandas")
+    # read_parquet wants FILES when given a list — expand each dir
+    old_files = sorted(
+        f for d in _glob.glob(os.path.join(cache_dir, "bands-*"))
+        if not d.endswith(f"bands-{k:05d}")
+        for f in _glob.glob(os.path.join(d, "*.parquet"))
+    )
+    if old_files:
+        tagged = tagged.union(
+            rd.read_parquet(old_files).map_batches(tag(0),
+                                                   batch_format="pandas"))
+
+    def coarse_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_cand_bucket"] = (
+            pd.util.hash_pandas_object(df["band_hash"], index=False)
+            % np.uint64(64)
+        ).astype(np.int64)
+        return df
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        dt = _id_dtype(g[id_col])
+        parts_a, parts_b = [], []
+        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+            if len(grp) < 2 or not grp["_new"].any():
+                continue
+            per_id = grp.groupby(id_col, sort=True)["_new"].max()
+            ids = per_id.index.to_numpy()
+            is_new = per_id.to_numpy(bool)
+            if len(ids) < 2:
+                continue
+            ai, bi = np.triu_indices(len(ids), k=1)
+            keep = is_new[ai] | is_new[bi]
+            if keep.any():
+                parts_a.append(ids[ai][keep])
+                parts_b.append(ids[bi][keep])
+        if not parts_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=dt),
+                                 "id_b": pd.Series([], dtype=dt)})
+        return pd.DataFrame(
+            {"id_a": pd.Series(np.concatenate(parts_a), dtype=dt),
+             "id_b": pd.Series(np.concatenate(parts_b), dtype=dt)}
+        )
+
+    cand = bucket_exchange(
+        tagged.map_batches(coarse_bucket, batch_format="pandas"),
+        ["_cand_bucket"], candidates, 64, bucket_col="_cand_bucket",
+    )
+    pairs = bucket_exchange(
+        cand, ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]],
+        num_buckets,
+    ).materialize()
+
+    # 3) verify the new pairs, append the verified edges to the cache
+    if pairs.count() > 0:
+        docs = corpus_ds.select_columns([id_col, text_col]).materialize()
+        delta_edges = _verify_pairs(pairs, docs, id_col, text_col,
+                                    shingle_k, jaccard_threshold,
+                                    num_buckets)
+        if delta_edges.count() > 0:
+            delta_edges.write_parquet(
+                os.path.join(cache_dir, f"edges-{k:05d}"))
+
+    tmp_meta = meta_path + f".tmp.{os.getpid()}"
+    with open(tmp_meta, "w") as f:
+        _json.dump({"params_fp": params_fp, "params": params,
+                    "n_ingests": k + 1}, f)
+    os.replace(tmp_meta, meta_path)
+
+    # 4) labels over the CUMULATIVE edge set, assignment over the corpus
+    edge_files = sorted(
+        f for d in _glob.glob(os.path.join(cache_dir, "edges-*"))
+        for f in _glob.glob(os.path.join(d, "*.parquet"))
+    )
+    edges = rd.read_parquet(edge_files).materialize() if edge_files else None
+    return _cluster_assign(edges, corpus_ds.select_columns([id_col]),
+                           id_col, id_is_int, num_buckets,
+                           driver_edge_limit)
 
 
 _SIMHASH_SHIFTS = np.arange(64, dtype=np.uint64)
@@ -1394,6 +1571,7 @@ __all__ = [
     "MinHasher",
     "lsh_bands",
     "minhash_clusters",
+    "minhash_ingest",
     "simhash_batch",
     "simhash64",
     "add_simhash",

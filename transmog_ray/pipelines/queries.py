@@ -2380,6 +2380,33 @@ def q_minhash_dedup(sf_dir: str):
                             num_buckets=16)
 
 
+def q_minhash_dedup_incremental(sf_dir: str):
+    """INCREMENTAL near-dup maintenance: the corpus arrives as two crawl
+    shards (doc_id parity split, so dup families span shards); each
+    ingest signs/bands/verifies only ITS shard against the persistent
+    band/edge cache. Equality with the one-shot batch clustering is
+    pinned by tests (tests/test_round5_ops.py); a fresh cache per call
+    keeps the driver run deterministic."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..functions.neardup import minhash_ingest
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8).materialize()
+    shard0 = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    shard1 = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)),
+        batch_format="pyarrow")
+    cache = tempfile.mkdtemp(prefix="mh_ingest_", dir="/tmp")
+    kw = dict(n_perm=32, n_bands=8, jaccard_threshold=0.8, num_buckets=16)
+    minhash_ingest(cache, shard0, shard0, **kw)
+    return minhash_ingest(cache, shard1, docs, **kw)
+
+
 def q_simhash_docs(sf_dir: str):
     """Per-doc 64-bit SimHash with the md5 token hash — the signature is
     SQL-replayable (token md5 → ±1 bit matrix → sign), so the whole
@@ -12108,7 +12135,139 @@ FROM events GROUP BY user_id
 """
 
 
+# ============================================================= round 5
+
+
+def q_inlink_stats(sf_dir: str):
+    """Inbound-link AUTHORITY rollup per link target: total inlinks,
+    follow-rel inlinks, and exact depth sufficient statistics
+    (sum + non-null count — division stays downstream so the rollup is
+    decomposable) from every snapshot's meta links. Links explode
+    map-side into per-batch partials; only the per-target partial rows
+    shuffle — the raw link stream never does."""
+    import json as _json
+
+    from ..functions.relational import grouped_agg
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["meta"],
+                            override_num_blocks=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dst, follow, depth = [], [], []
+        for meta in df["meta"]:
+            if not meta:
+                continue
+            for lk in _json.loads(meta).get("links") or []:
+                h = lk.get("href")
+                if not h:
+                    continue
+                dst.append(h)
+                follow.append(1 if lk.get("rel") == "follow" else 0)
+                depth.append(lk.get("depth"))
+        out = pd.DataFrame({
+            "dst": pd.Series(dst, dtype=object),
+            "follow": pd.Series(follow, dtype="int64"),
+            # link depths are small integers (exact as float64 in any
+            # summation order); pandas sum treats the nulls as 0, which
+            # the oracle mirrors with COALESCE(SUM(..), 0)
+            "depth": pd.Series(depth, dtype="float64"),
+        })
+        if out.empty:
+            return pd.DataFrame({
+                "dst": pd.Series([], dtype=object),
+                "n_inlinks": pd.Series([], dtype="int64"),
+                "n_follow": pd.Series([], dtype="int64"),
+                "depth_sum": pd.Series([], dtype="float64"),
+                "n_depth": pd.Series([], dtype="int64"),
+            })
+        g = (out.groupby("dst", sort=False)
+             .agg(n_inlinks=("follow", "size"), n_follow=("follow", "sum"),
+                  depth_sum=("depth", "sum"), n_depth=("depth", "count"))
+             .reset_index())
+        g["n_inlinks"] = g["n_inlinks"].astype("int64")
+        g["n_depth"] = g["n_depth"].astype("int64")
+        return g
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["dst"],
+        {"n_inlinks": ("n_inlinks", "sum"), "n_follow": ("n_follow", "sum"),
+         "depth_sum": ("depth_sum", "sum"), "n_depth": ("n_depth", "sum")},
+        num_buckets=8)
+
+
+SQL_INLINK_STATS = f"""
+WITH l AS (
+  SELECT unnest(CAST(json_extract(meta, '$.links') AS JSON[])) AS link
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+)
+SELECT json_extract_string(link, '$.href') AS dst,
+       CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+       CAST(SUM(CASE WHEN json_extract_string(link, '$.rel') = 'follow'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_follow,
+       COALESCE(SUM(TRY_CAST(json_extract_string(link, '$.depth')
+                             AS DOUBLE)), 0) AS depth_sum,
+       CAST(COUNT(TRY_CAST(json_extract_string(link, '$.depth')
+                           AS DOUBLE)) AS BIGINT) AS n_depth
+FROM l WHERE json_extract_string(link, '$.href') IS NOT NULL
+GROUP BY dst
+"""
+
+
+LEN_BUCKET_W = 256
+LEN_BATCH_B = 32
+
+
+def q_length_batches_docs(sf_dir: str):
+    """Sequence-length-bucketed BATCH ASSIGNMENT (training batching:
+    same-length docs batch together to minimize padding): docs bucket by
+    ``n_chars // 256``; within a bucket docs order by doc_id and pack
+    into fixed batches of 32 (the tail batch stays short). ONE exchange
+    routed by the bucket id; distinct small-domain bucket ids can
+    hash-collide into one task, so the kernel re-groups by bucket
+    internally (round-3 fact). All-integer — SQL-exact."""
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"],
+                      num_blocks=8)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "len_bucket": (df["n_chars"] // LEN_BUCKET_W).astype("int64"),
+        })
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["len_bucket", "doc_id"],
+                            kind="mergesort").reset_index(drop=True)
+        r = df.groupby("len_bucket", sort=False).cumcount()
+        df["batch_id"] = (r // LEN_BATCH_B).astype("int64")
+        df["pos_in_batch"] = (r % LEN_BATCH_B).astype("int64")
+        return df
+
+    return bucket_exchange(docs.map_batches(tag, batch_format="pandas"),
+                           ["len_bucket"], pack, 8)
+
+
+SQL_LENGTH_BATCHES = f"""
+WITH r AS (
+  SELECT doc_id, n_chars // {LEN_BUCKET_W} AS len_bucket,
+         ROW_NUMBER() OVER (PARTITION BY n_chars // {LEN_BUCKET_W}
+                            ORDER BY doc_id) - 1 AS rk
+  FROM documents
+)
+SELECT doc_id, len_bucket,
+       CAST(rk // {LEN_BATCH_B} AS BIGINT) AS batch_id,
+       CAST(rk % {LEN_BATCH_B} AS BIGINT) AS pos_in_batch
+FROM r
+"""
+
+
 QUERIES = {
+    "inlink_stats": q_inlink_stats,
+    "length_batches_docs": q_length_batches_docs,
+    "minhash_dedup_incremental": q_minhash_dedup_incremental,
     "value_extremes_daily": q_value_extremes_daily,
     "user_lifespan_stats": q_user_lifespan_stats,
     "weekend_share_types": q_weekend_share_types,
@@ -12460,6 +12619,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "inlink_stats": SQL_INLINK_STATS,
+    "length_batches_docs": SQL_LENGTH_BATCHES,
     "value_extremes_daily": SQL_VALUE_EXTREMES_DAILY,
     "user_lifespan_stats": SQL_USER_LIFESPAN,
     "weekend_share_types": SQL_WEEKEND_SHARE,
