@@ -8212,7 +8212,19 @@ def q_burst_windows(sf_dir: str):
         out["prev_n"] = prev_n[hit]
         return out
 
-    return bucket_exchange(counts, ["event_type"], detect, num_buckets=4)
+    res = bucket_exchange(counts, ["event_type"], detect,
+                          num_buckets=4).materialize()
+    if res.count() == 0:
+        # a provably-empty result (no bursts at this scale) would lose
+        # its columns through to_pandas — return the typed empty frame
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "window_start": pd.Series([], dtype="int64"),
+            "cnt": pd.Series([], dtype="int64"),
+            "prev_sum": pd.Series([], dtype="int64"),
+            "prev_n": pd.Series([], dtype="int64"),
+        })
+    return res
 
 
 SQL_BURST_WINDOWS = """
