@@ -1,0 +1,68 @@
+"""Round-5 second-batch operators, each pinned to its DuckDB oracle at
+sf0.001 (plus semantic brute-force checks where the SQL alone is weak)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem", "orders", "embeddings",
+              "supplier", "nation", "region", "customer", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "name", ["nation_trade_volume", "market_share_promo",
+             "order_count_hist", "waiting_suppliers",
+             "dormant_rich_customers"]
+)
+def test_new_query_matches_oracle(ray_session, name):
+    from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    res = QUERIES[name](SF)
+    got = _canon(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _canon(_oracle(ORACLE_SQL[name]))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_waiting_supplier_bruteforce(ray_session):
+    """The per-order winner must be the literal argmax on (shipdate DESC,
+    suppkey ASC) restricted to multi-supplier orders."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = (QUERIES["waiting_suppliers"](SF).to_pandas()
+           .set_index("l_suppkey")["n_orders_won"].astype(int))
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    wins: dict[int, int] = {}
+    for _, g in li.groupby("l_orderkey"):
+        if g["l_suppkey"].nunique() < 2:
+            continue
+        g = g.sort_values(["l_shipdate", "l_suppkey"],
+                          ascending=[False, True])
+        w = int(g["l_suppkey"].iloc[0])
+        wins[w] = wins.get(w, 0) + 1
+    assert dict(got) == wins

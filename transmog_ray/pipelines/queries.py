@@ -12276,7 +12276,385 @@ FROM r
 """
 
 
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape — shipping volume between supplier and customer
+    nations per year. Both nation dimensions broadcast (supplier⋈nation
+    and customer⋈nation merged driver-side, shipped once via ray.put);
+    the only big exchange is the lineitem⋈orders hash join, with the
+    (supp_nation, cust_nation, yr) rollup fused INSIDE each reduce task
+    (post_fn) so joined rows never leave the join task. Revenue is kept
+    exact as cents × (100 − basis-points) integer micro-cents."""
+    from ..functions.relational import broadcast_join, grouped_agg, hash_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"],
+                    num_blocks=8)
+    sup = read_small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp_dim = sup.merge(nation, left_on="s_nationkey", right_on="n_nationkey")[
+        ["s_suppkey", "n_name"]
+    ].rename(columns={"s_suppkey": "l_suppkey", "n_name": "supp_nation"})
+    cust_dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ].rename(columns={"c_custkey": "o_custkey", "n_name": "cust_nation"})
+
+    def prep_li(df: pd.DataFrame) -> pd.DataFrame:
+        yr = df["l_shipdate"].dt.year.to_numpy(np.int64)
+        keep = (yr >= 1995) & (yr <= 1996)
+        df = df[keep]
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        bp = np.rint(df["l_discount"].to_numpy(np.float64) * 100
+                     ).astype(np.int64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "supp_nation": df["supp_nation"].to_numpy(),
+            "yr": yr[keep],
+            "mc": cents * (100 - bp),
+        })
+
+    li_side = broadcast_join(li, supp_dim, on="l_suppkey").map_batches(
+        prep_li, batch_format="pandas")
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                        num_blocks=8)
+    orders_side = broadcast_join(orders, cust_dim, on="o_custkey").map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey", "cust_nation"]],
+        batch_format="pandas")
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["supp_nation"] != df["cust_nation"]]
+        out = (df.groupby(["supp_nation", "cust_nation", "yr"], sort=False)
+               .agg(revenue_microcents=("mc", "sum"), n_items=("mc", "size"))
+               .reset_index())
+        out["revenue_microcents"] = out["revenue_microcents"].astype("int64")
+        out["n_items"] = out["n_items"].astype("int64")
+        return out
+
+    joined = hash_join(li_side, orders_side, on="l_orderkey", post_fn=rollup,
+                       num_buckets=16)
+    final = grouped_agg(joined, ["supp_nation", "cust_nation", "yr"], {
+        "revenue_microcents": ("revenue_microcents", "sum"),
+        "n_items": ("n_items", "sum"),
+    }, num_buckets=4)
+    return final.map_batches(
+        lambda df: df.assign(
+            revenue_microcents=df["revenue_microcents"].astype("int64"),
+            n_items=df["n_items"].astype("int64")),
+        batch_format="pandas")
+
+
+SQL_NATION_TRADE_VOLUME = """
+SELECT supp_nation, cust_nation, yr,
+       CAST(SUM(mc) AS BIGINT) AS revenue_microcents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS mc
+  FROM lineitem
+  JOIN orders   ON l_orderkey  = o_orderkey
+  JOIN supplier ON l_suppkey   = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN customer ON o_custkey   = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE EXTRACT(year FROM l_shipdate) BETWEEN 1995 AND 1996
+    AND n1.n_name <> n2.n_name
+)
+GROUP BY supp_nation, cust_nation, yr
+"""
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape — one supplier nation's share of PROMO-part revenue
+    sold to one customer region, per year. The share is reported in
+    RATIONAL form (numerator + denominator micro-cent BIGINTs) so no
+    cross-engine float division exists; part/supplier/customer-region
+    dimensions broadcast, lineitem⋈orders is the one big exchange with
+    the conditional rollup fused into the reduce tasks."""
+    from ..functions.relational import broadcast_join, grouped_agg, hash_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount", "l_shipdate"],
+                    num_blocks=8)
+    part = read_small(sf_dir, "part", columns=["p_partkey", "p_type"])
+    promo = set(part.loc[part["p_type"] == "PROMO", "p_partkey"])
+    sup = read_small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = read_small(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = read_small(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp_dim = sup.merge(nation, left_on="s_nationkey", right_on="n_nationkey")[
+        ["s_suppkey", "n_name"]
+    ].rename(columns={"s_suppkey": "l_suppkey", "n_name": "supp_nation"})
+    cust_region = (cust.merge(nation, left_on="c_nationkey",
+                              right_on="n_nationkey")
+                   .merge(region, left_on="n_regionkey",
+                          right_on="r_regionkey"))[["c_custkey", "r_name"]]
+    target_cust = set(cust_region.loc[cust_region["r_name"] == "EUROPE",
+                                      "c_custkey"])
+
+    import ray
+
+    promo_ref = ray.put(promo)
+
+    def prep_li(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["l_partkey"].isin(ray.get(promo_ref)).to_numpy()
+        df = df[keep]
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        bp = np.rint(df["l_discount"].to_numpy(np.float64) * 100
+                     ).astype(np.int64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "yr": df["l_shipdate"].dt.year.to_numpy(np.int64),
+            "supp_nation": df["supp_nation"].to_numpy(),
+            "mc": cents * (100 - bp),
+        })
+
+    li_side = broadcast_join(li, supp_dim, on="l_suppkey").map_batches(
+        prep_li, batch_format="pandas")
+
+    cust_ref = ray.put(target_cust)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                        num_blocks=8)
+
+    def prep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["o_custkey"].isin(ray.get(cust_ref)).to_numpy()
+        return pd.DataFrame(
+            {"l_orderkey": df.loc[keep, "o_orderkey"].to_numpy(np.int64)})
+
+    orders_side = orders.map_batches(prep_orders, batch_format="pandas")
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        num = df["mc"].where(df["supp_nation"] == "NATION_0", 0)
+        out = (pd.DataFrame({"yr": df["yr"], "num": num, "den": df["mc"]})
+               .groupby("yr", sort=False).agg(
+                   num_microcents=("num", "sum"),
+                   den_microcents=("den", "sum")).reset_index())
+        out["num_microcents"] = out["num_microcents"].astype("int64")
+        out["den_microcents"] = out["den_microcents"].astype("int64")
+        return out
+
+    joined = hash_join(li_side, orders_side, on="l_orderkey", post_fn=rollup,
+                       num_buckets=16)
+    final = grouped_agg(joined, ["yr"], {
+        "num_microcents": ("num_microcents", "sum"),
+        "den_microcents": ("den_microcents", "sum"),
+    }, num_buckets=2)
+    return final.map_batches(
+        lambda df: df.assign(
+            num_microcents=df["num_microcents"].astype("int64"),
+            den_microcents=df["den_microcents"].astype("int64")),
+        batch_format="pandas")
+
+
+SQL_MARKET_SHARE = """
+SELECT yr,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_0' THEN mc ELSE 0 END)
+            AS BIGINT) AS num_microcents,
+       CAST(SUM(mc) AS BIGINT) AS den_microcents
+FROM (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+         n1.n_name AS supp_nation,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS mc
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+)
+GROUP BY yr
+"""
+
+
+def q_order_count_hist(sf_dir: str):
+    """TPC-H Q13 shape — distribution of customers by order count,
+    INCLUDING the zero-order bucket. Orders aggregate per customer in one
+    exchange; the histogram re-aggregates the ≤|customer| partials; the
+    zero bucket is total-customers − customers-with-orders (dimension
+    cardinality read driver-side — the only driver-side number)."""
+    from ..functions.relational import grouped_agg
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                        num_blocks=8)
+    counts = grouped_agg(orders, ["o_custkey"],
+                         {"n_orders": ("o_orderkey", "count")},
+                         num_buckets=16)
+    hist = grouped_agg(counts, ["n_orders"],
+                       {"n_customers": ("o_custkey", "count")},
+                       num_buckets=4).to_pandas()
+    hist["n_orders"] = hist["n_orders"].astype("int64")
+    hist["n_customers"] = hist["n_customers"].astype("int64")
+    n_total = len(read_small(sf_dir, "customer", columns=["c_custkey"]))
+    zero = n_total - int(hist["n_customers"].sum())
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"n_orders": [np.int64(0)],
+                                 "n_customers": [np.int64(zero)]})],
+            ignore_index=True)
+    return hist
+
+
+SQL_ORDER_COUNT_HIST = """
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+"""
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape — for every order shipped by ≥2 distinct
+    suppliers, the supplier who shipped LAST (latest l_shipdate, ties to
+    the smallest suppkey) "kept the order waiting"; count wins per
+    supplier. One exchange co-locates each order's lineitems; per-bucket
+    winners emit ≤|suppliers| partial counts into a tiny second
+    exchange."""
+    from ..stages.partition import bucket_exchange
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+                    num_blocks=8)
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        nsupp = df.groupby("l_orderkey", sort=False)["l_suppkey"].nunique()
+        multi = nsupp[nsupp >= 2].index
+        d = df[df["l_orderkey"].isin(multi)]
+        if d.empty:
+            return pd.DataFrame({"l_suppkey": pd.Series([], dtype="int64"),
+                                 "n_orders_won": pd.Series([], dtype="int64")})
+        d = d.sort_values(["l_orderkey", "l_shipdate", "l_suppkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        w = d.drop_duplicates("l_orderkey", keep="first")
+        out = (w.groupby("l_suppkey", sort=False).size()
+               .rename("n_orders_won").reset_index())
+        out["n_orders_won"] = out["n_orders_won"].astype("int64")
+        return out
+
+    partials = bucket_exchange(li, ["l_orderkey"], per_order, num_buckets=16)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("l_suppkey", sort=False)["n_orders_won"].sum()
+               .astype("int64").reset_index())
+        return out
+
+    return bucket_exchange(partials, ["l_suppkey"], combine, num_buckets=4)
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH ns AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS nsupp
+  FROM lineitem GROUP BY l_orderkey
+),
+w AS (
+  SELECT l_orderkey, l_suppkey,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_shipdate DESC, l_suppkey ASC) AS rn
+  FROM lineitem
+)
+SELECT w.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_orders_won
+FROM w JOIN ns USING (l_orderkey)
+WHERE rn = 1 AND nsupp >= 2
+GROUP BY w.l_suppkey
+"""
+
+
+def q_dormant_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape — customers with above-average positive balance
+    and NO orders since 2001 ("dormant rich"), rolled up by market
+    segment. The mean threshold is carried as an exact integer-cents
+    RATIONAL (acctbal_cents · count > total_cents — no float division on
+    either side); active custkeys derive distributedly and anti-probe as
+    a broadcast set."""
+    from ..functions.relational import grouped_agg, semi_join
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+                      num_blocks=4)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        pos = cents[cents > 0]
+        return pd.DataFrame({"s": [np.int64(pos.sum())],
+                             "c": [np.int64(len(pos))]})
+
+    folded = cust.map_batches(partial, batch_format="pandas").to_pandas()
+    total_cents = int(folded["s"].sum())
+    n_pos = int(folded["c"].sum())
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+                        num_blocks=8)
+    recent = orders.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["o_orderdate"],
+                             pd.Timestamp("2001-01-01"))).select(["o_custkey"]),
+        batch_format="pyarrow")
+    active = grouped_agg(recent, ["o_custkey"],
+                         {"n": ("o_custkey", "count")},
+                         num_buckets=8).to_pandas()[["o_custkey"]]
+    active = active.rename(columns={"o_custkey": "c_custkey"})
+
+    def rich(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        keep = cents * n_pos > total_cents
+        out = df[keep].copy()
+        out["cents"] = cents[keep]
+        return out[["c_custkey", "c_mktsegment", "cents"]]
+
+    dormant = semi_join(cust.map_batches(rich, batch_format="pandas"),
+                        active, on="c_custkey", anti=True)
+    agg = grouped_agg(dormant, ["c_mktsegment"], {
+        "n_customers": ("c_custkey", "count"),
+        "balance_cents": ("cents", "sum"),
+    }, num_buckets=2)
+    return agg.map_batches(
+        lambda df: df.assign(
+            n_customers=df["n_customers"].astype("int64"),
+            balance_cents=df["balance_cents"].astype("int64")),
+        batch_format="pandas")
+
+
+SQL_DORMANT_RICH = """
+WITH t AS (
+  SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM customer WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > 0
+),
+act AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS balance_cents
+FROM customer, t
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * t.c > t.s
+  AND c_custkey NOT IN (SELECT o_custkey FROM act)
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "nation_trade_volume": q_nation_trade_volume,
+    "market_share_promo": q_market_share,
+    "order_count_hist": q_order_count_hist,
+    "waiting_suppliers": q_waiting_suppliers,
+    "dormant_rich_customers": q_dormant_rich_customers,
     "inlink_stats": q_inlink_stats,
     "length_batches_docs": q_length_batches_docs,
     "minhash_dedup_incremental": q_minhash_dedup_incremental,
@@ -12631,6 +13009,11 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+    "market_share_promo": SQL_MARKET_SHARE,
+    "order_count_hist": SQL_ORDER_COUNT_HIST,
+    "waiting_suppliers": SQL_WAITING_SUPPLIERS,
+    "dormant_rich_customers": SQL_DORMANT_RICH,
     "inlink_stats": SQL_INLINK_STATS,
     "length_batches_docs": SQL_LENGTH_BATCHES,
     "value_extremes_daily": SQL_VALUE_EXTREMES_DAILY,
