@@ -35,7 +35,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name", ["nation_trade_volume", "market_share_promo",
              "order_count_hist", "waiting_suppliers",
-             "dormant_rich_customers"]
+             "dormant_rich_customers", "trimmed_mean_segments",
+             "followed_pairs", "wau_daily", "join_size_by_type",
+             "trigram_diversity_docs"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -12649,8 +12649,276 @@ GROUP BY c_mktsegment
 """
 
 
+def q_trimmed_mean_segments(sf_dir: str):
+    """Count-based two-sided trimmed aggregate: per market segment, drop
+    the n//10 cheapest and n//10 priciest orders (ties broken by
+    orderkey) and report the surviving total in EXACT integer cents plus
+    the kept count (rational form — no float mean crosses engines). The
+    segment dimension broadcasts onto orders; each segment's rows
+    co-locate in one exchange and the trim is a per-segment in-kernel
+    sort (segments are a tiny domain, so the kernel groups by segment
+    INSIDE the bucket frame — hashed small domains collide buckets)."""
+    from ..functions.relational import broadcast_join
+    from ..stages.partition import bucket_exchange
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+                        num_blocks=8)
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename(columns={"c_custkey": "o_custkey", "c_mktsegment": "seg"})
+    joined = broadcast_join(orders, cust, on="o_custkey")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        return pd.DataFrame({"seg": df["seg"].to_numpy(),
+                             "cents": cents,
+                             "o_orderkey": df["o_orderkey"].to_numpy(np.int64)})
+
+    def trim(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for seg, g in df.groupby("seg", sort=False):
+            g = g.sort_values(["cents", "o_orderkey"], kind="mergesort")
+            n = len(g)
+            k = n // 10
+            kept = g.iloc[k: n - k]
+            rows.append((seg, np.int64(kept["cents"].sum()),
+                         np.int64(len(kept))))
+        return pd.DataFrame(rows, columns=["seg", "trimmed_sum_cents",
+                                           "n_kept"])
+
+    return bucket_exchange(joined.map_batches(prep, batch_format="pandas"),
+                           ["seg"], trim, num_buckets=4)
+
+
+SQL_TRIMMED_MEAN_SEGMENTS = """
+WITH j AS (
+  SELECT c_mktsegment AS seg,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT seg, cents,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM j
+)
+SELECT seg, CAST(SUM(cents) AS BIGINT) AS trimmed_sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+GROUP BY seg
+"""
+
+
+def q_followed_pairs(sf_dir: str):
+    """Skip-gram event sequences: count of (type_a → type_b) pairs where
+    b occurs 1–3 positions after a in the same user's (ts, event_id)
+    order — the behavioral co-occurrence statistic beyond immediate
+    transitions. One exchange co-locates per-user history; vectorized
+    group-shift per gap; ≤|types|² partials combine in a tiny second
+    exchange."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)["event_type"]
+        parts = []
+        for gap in (1, 2, 3):
+            nxt = g.shift(-gap)
+            pairs = pd.DataFrame({"type_a": df["event_type"], "type_b": nxt})
+            parts.append(pairs[pairs["type_b"].notna()])
+        out = (pd.concat(parts, ignore_index=True)
+               .groupby(["type_a", "type_b"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["type_a", "type_b"], sort=False)["n"].sum()
+                .astype("int64").reset_index())
+
+    return bucket_exchange(partials, ["type_a", "type_b"], combine,
+                           num_buckets=2)
+
+
+SQL_FOLLOWED_PAIRS = """
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r a JOIN r b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
+GROUP BY a.event_type, b.event_type
+"""
+
+
+def q_wau_daily(sf_dir: str):
+    """Trailing-7-day active users (WAU) per observed day — the sliding
+    COUNT(DISTINCT user) every analytics stack needs. Each user's
+    distinct active days expand to the ≤7 observed days they cover
+    (cover days filtered against the broadcast observed-day set); the
+    exchange is keyed on user_id so a user contributes exactly once per
+    cover day, and only (day, partial-count) pairs re-shuffle."""
+    import ray
+
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"], num_blocks=8)
+
+    def to_days(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        return pa.table({"user_id": t["user_id"], "day": day})
+
+    days_ds = ev.map_batches(to_days, batch_format="pyarrow")
+    day_parts = days_ds.map_batches(
+        lambda df: pd.DataFrame({"day": df["day"].unique()}),
+        batch_format="pandas").to_pandas()
+    day_set = set(day_parts["day"].astype("int64"))
+    day_ref = ray.put(np.array(sorted(day_set), dtype=np.int64))
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        obs = ray.get(day_ref)
+        d = df.drop_duplicates(["user_id", "day"])
+        cover = pd.DataFrame({
+            "user_id": np.repeat(d["user_id"].to_numpy(np.int64), 7),
+            "day": (np.repeat(d["day"].to_numpy(np.int64), 7)
+                    + np.tile(np.arange(7, dtype=np.int64), len(d))),
+        })
+        keep = cover["day"].isin(obs)
+        cover = cover[keep].drop_duplicates()
+        out = (cover.groupby("day", sort=False).size().rename("wau")
+               .reset_index())
+        out["wau"] = out["wau"].astype("int64")
+        return out
+
+    partials = bucket_exchange(days_ds, ["user_id"], per_user, num_buckets=8)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("day", sort=False)["wau"].sum().astype("int64")
+                .reset_index())
+
+    return bucket_exchange(partials, ["day"], combine, num_buckets=4)
+
+
+SQL_WAU_DAILY = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM events
+),
+days AS (SELECT DISTINCT d FROM act)
+SELECT days.d AS day, CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS wau
+FROM days JOIN act ON act.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.d
+"""
+
+
+def q_join_size_by_type(sf_dir: str):
+    """Exact self-join cardinality by key-degree products — the planner
+    statistic |A ⋈_u B| = Σ_u deg_A(u)·deg_B(u), here per (type_a,
+    type_b) pair of the events self-join on user_id. One exchange
+    builds per-user type-count vectors; each kernel emits the in-bucket
+    outer-product partials (≤|types|² rows) into a tiny combine — the
+    quadratic join itself is never materialized."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df.groupby(["user_id", "event_type"], sort=False).size()
+             .rename("n").reset_index())
+        m = c.merge(c, on="user_id", suffixes=("_a", "_b"))
+        out = (pd.DataFrame({
+            "type_a": m["event_type_a"], "type_b": m["event_type_b"],
+            "prod": m["n_a"].to_numpy(np.int64) * m["n_b"].to_numpy(np.int64),
+        }).groupby(["type_a", "type_b"], sort=False)["prod"].sum()
+            .rename("join_size").astype("int64").reset_index())
+        return out
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["type_a", "type_b"], sort=False)["join_size"]
+                .sum().astype("int64").reset_index())
+
+    return bucket_exchange(partials, ["type_a", "type_b"], combine,
+                           num_buckets=2)
+
+
+SQL_JOIN_SIZE_BY_TYPE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(SUM(a.n * b.n) AS BIGINT) AS join_size
+FROM c a JOIN c b ON a.user_id = b.user_id
+GROUP BY a.event_type, b.event_type
+"""
+
+
+def q_trigram_diversity_docs(sf_dir: str):
+    """Per-document character-trigram diversity (distinct trigrams vs
+    total) — the cheap repetition/quality signal, reported as two exact
+    BIGINTs (no float ratio crosses engines). Map-only: trigram codes
+    are packed 21-bit codepoint triples counted with np.unique per row;
+    codepoint semantics match DuckDB substring exactly."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        ids, totals, distincts = [], [], []
+        for doc_id, text in zip(df["doc_id"].to_numpy(np.int64),
+                                df["text"].to_numpy()):
+            cp = np.frombuffer(str(text).encode("utf-32-le"), dtype=np.uint32
+                               ).astype(np.int64)
+            if len(cp) < 3:
+                continue
+            codes = (cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:]
+            ids.append(doc_id)
+            totals.append(len(codes))
+            distincts.append(len(np.unique(codes)))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "n_trigrams": pd.Series(totals, dtype="int64"),
+            "n_distinct": pd.Series(distincts, dtype="int64"),
+        })
+
+    return docs.map_batches(stats, batch_format="pandas")
+
+
+SQL_TRIGRAM_DIVERSITY = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) - 1),
+                               i -> substring(text, CAST(i AS INT), 3))) AS tri
+  FROM documents WHERE length(text) >= 3
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(COUNT(DISTINCT tri) AS BIGINT) AS n_distinct
+FROM t GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
+    "trimmed_mean_segments": q_trimmed_mean_segments,
+    "followed_pairs": q_followed_pairs,
+    "wau_daily": q_wau_daily,
+    "join_size_by_type": q_join_size_by_type,
+    "trigram_diversity_docs": q_trigram_diversity_docs,
     "market_share_promo": q_market_share,
     "order_count_hist": q_order_count_hist,
     "waiting_suppliers": q_waiting_suppliers,
@@ -13010,6 +13278,11 @@ QUERIES = {
 
 ORACLE_SQL = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+    "trimmed_mean_segments": SQL_TRIMMED_MEAN_SEGMENTS,
+    "followed_pairs": SQL_FOLLOWED_PAIRS,
+    "wau_daily": SQL_WAU_DAILY,
+    "join_size_by_type": SQL_JOIN_SIZE_BY_TYPE,
+    "trigram_diversity_docs": SQL_TRIGRAM_DIVERSITY,
     "market_share_promo": SQL_MARKET_SHARE,
     "order_count_hist": SQL_ORDER_COUNT_HIST,
     "waiting_suppliers": SQL_WAITING_SUPPLIERS,
