@@ -37,7 +37,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "order_count_hist", "waiting_suppliers",
              "dormant_rich_customers", "trimmed_mean_segments",
              "followed_pairs", "wau_daily", "join_size_by_type",
-             "trigram_diversity_docs"]
+             "trigram_diversity_docs", "clamped_balance_users",
+             "throttled_events", "knn_confusion", "degree_assortativity"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -12912,8 +12912,294 @@ FROM t GROUP BY doc_id
 """
 
 
+def q_clamped_balance_users(sf_dir: str):
+    """Floor-at-zero running balance per user (credits minus purchase
+    debits, lost withdrawals forfeited) — the classic inventory/wallet
+    recursion, computed CLOSED-FORM as B_k = S_k − min(0, running-min
+    S_j) so it stays one vectorized pass over each user's sorted
+    history instead of an iterative loop. Cents stay exact BIGINTs."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type",
+                             "value"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        delta = np.where(df["event_type"].to_numpy() == "purchase",
+                         -cents, cents)
+        out_ids, out_bal = [], []
+        for _, g in df.assign(_delta=delta).groupby("user_id", sort=False):
+            s = g["_delta"].to_numpy(np.int64).cumsum()
+            runmin = np.minimum.accumulate(s)
+            bal = s - np.minimum(runmin, 0)
+            out_ids.append(g["event_id"].to_numpy(np.int64))
+            out_bal.append(bal)
+        return pd.DataFrame({
+            "event_id": np.concatenate(out_ids) if out_ids else
+            np.array([], dtype=np.int64),
+            "balance_cents": np.concatenate(out_bal) if out_bal else
+            np.array([], dtype=np.int64),
+        })
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_CLAMPED_BALANCE = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN -CAST(ROUND(value * 100) AS BIGINT)
+              ELSE CAST(ROUND(value * 100) AS BIGINT) END AS delta
+  FROM events
+),
+p AS (
+  SELECT user_id, ts, event_id,
+         SUM(delta) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS run
+  FROM s
+)
+SELECT event_id,
+       CAST(run - LEAST(0, MIN(run) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+            AS BIGINT) AS balance_cents
+FROM p
+"""
+
+
+def q_throttled_events(sf_dir: str):
+    """Trailing-gap throttle (debounce): keep an event only if ≥30 min
+    passed since the previous RAW event of the same (user, type) — the
+    standard notification/rate-limit filter. LAG semantics (gap vs the
+    previous raw event, not the previous kept one) keep it one
+    vectorized group-diff; per-user histories co-locate in one
+    exchange."""
+    from ..stages.partition import bucket_exchange
+
+    GAP_US = 30 * 60 * 1_000_000
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                            kind="mergesort")
+        us = df["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        prev = (pd.Series(us.to_numpy(), index=df.index)
+                .groupby([df["user_id"], df["event_type"]]).shift(1))
+        keep = prev.isna() | ((us - prev) >= GAP_US)
+        kept = df[keep.to_numpy()]
+        return pd.DataFrame({
+            "event_id": kept["event_id"].to_numpy(np.int64),
+            "event_type": kept["event_type"].to_numpy(),
+        })
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_THROTTLED_EVENTS = """
+WITH g AS (
+  SELECT event_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, event_type
+FROM g WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+"""
+
+
+def q_knn_confusion(sf_dir: str):
+    """1-NN label confusion matrix over int8-quantized embeddings — the
+    embedding-quality eval. Quantization (per-vector max-abs scale,
+    half-away rounding) is replayed identically in SQL, so squared-L2
+    distances are INTEGER and the argmin (tiebreak smaller vec_id) is
+    exact on both sides. Queries broadcast once as an int64 matrix;
+    each batch emits one (query, best-key, label) partial via an int
+    matmul; only 50×n_batches partial rows reach the driver."""
+    import pyarrow.parquet as pq
+    import ray
+
+    def quantize(mat: np.ndarray) -> np.ndarray:
+        xd = mat.astype(np.float64)
+        scale = np.abs(xd).max(axis=1)
+        safe = np.where(scale == 0, 1.0, scale)
+        q = round_half_away((xd * 127.0) / safe[:, None], 0)
+        q = np.clip(q, -127, 127)
+        q[scale == 0] = 0
+        return q.astype(np.int64)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"],
+                      filters=[("vec_id", "<", 50)])
+    qids = t["vec_id"].to_numpy()
+    qlabels = t["label"].to_numpy().astype(np.int64)
+    qmat = quantize(np.stack(t["embedding"].to_pylist()))
+    qref = ray.put((qids, qmat))
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids, mat = ray.get(qref)
+        b = quantize(np.stack(df["embedding"].to_numpy()))
+        vid = df["vec_id"].to_numpy(np.int64)
+        lab = df["label"].to_numpy().astype(np.int64)
+        # |q|^2 + |b|^2 - 2 q·b, all int64 — exact
+        d = (np.square(mat).sum(axis=1)[:, None]
+             + np.square(b).sum(axis=1)[None, :]
+             - 2 * (mat @ b.T))
+        key = (d << 32) | vid[None, :]
+        # self-exclusion: a query never matches itself
+        key = np.where(ids[:, None] == vid[None, :], np.iinfo(np.int64).max,
+                       key)
+        j = key.argmin(axis=1)
+        return pd.DataFrame({
+            "qid": ids.astype(np.int64),
+            "key": key[np.arange(len(ids)), j],
+            "pred_label": lab[j],
+        })
+
+    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    best = (parts.sort_values(["qid", "key"], kind="mergesort")
+            .drop_duplicates("qid", keep="first"))
+    true_map = pd.Series(qlabels, index=qids)
+    out = pd.DataFrame({
+        "label_true": best["qid"].map(true_map).astype("int64"),
+        "label_pred": best["pred_label"].astype("int64"),
+    }).groupby(["label_true", "label_pred"], sort=False).size().rename(
+        "n").astype("int64").reset_index()
+    return out
+
+
+SQL_KNN_CONFUSION = """
+WITH s AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         list_aggregate(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE))), 'max')
+           AS scale
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id, label,
+         unnest(range(0, len(emb))) AS pos,
+         unnest(list_transform(emb, x ->
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(GREATEST(LEAST(ROUND(x * 127.0 / scale), 127),
+                                     -127) AS BIGINT) END)) AS q
+  FROM s
+),
+d AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid,
+         SUM((a.q - b.q) * (a.q - b.q)) AS dist
+  FROM qz a JOIN qz b ON a.pos = b.pos AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < 50
+  GROUP BY a.vec_id, b.vec_id
+),
+best AS (
+  SELECT qid, vid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vid) AS rn
+  FROM d
+)
+SELECT CAST(eq.label AS BIGINT) AS label_true,
+       CAST(ev.label AS BIGINT) AS label_pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM best
+JOIN embeddings eq ON best.qid = eq.vec_id
+JOIN embeddings ev ON best.vid = ev.vec_id
+WHERE rn = 1
+GROUP BY label_true, label_pred
+"""
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Directed degree-assortativity sufficient statistics of the
+    URL-level web graph: per distinct (src→dst) edge (self-links
+    dropped), x = out-degree(src), y = in-degree(dst); reports n, Σx,
+    Σy, Σxy, Σx², Σy² as exact BIGINTs (the Pearson r is a client-side
+    division — no float crosses engines). FULLY distributed: distinct
+    edges and both degree tables are exchanges; degrees join back onto
+    edges via two hash joins; only single-row partials reach the
+    driver — nothing here is bounded-cardinality-dependent at 100 TB."""
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "meta"],
+                            override_num_blocks=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = _explode_hrefs(df)
+        out = (pd.DataFrame({"src": pairs["url"], "dst": pairs["href"]})
+               .drop_duplicates())
+        return out[out["src"] != out["dst"]]
+
+    # exchange 1 on src: ALL of a src's pairs co-locate, so global edge
+    # dedup AND its out-degree happen in one kernel — no separate
+    # degree table or join-back exchange
+    def by_src(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["src", "dst"])
+        dx = d.groupby("src", sort=False)["dst"].transform("size")
+        return pd.DataFrame({"dst": d["dst"], "dx": dx.to_numpy(np.int64)})
+
+    withdx = bucket_exchange(ds.map_batches(partial, batch_format="pandas"),
+                             ["src"], by_src, num_buckets=8)
+
+    # exchange 2 on dst: in-degree per dst in-kernel, then the whole
+    # bucket folds to ONE partial row of sufficient statistics
+    def by_dst(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["dx"].to_numpy(np.int64)
+        y = (df.groupby("dst", sort=False)["dx"].transform("size")
+             .to_numpy(np.int64))
+        return pd.DataFrame({
+            "n_edges": [np.int64(len(df))],
+            "sum_x": [np.int64(x.sum())], "sum_y": [np.int64(y.sum())],
+            "sum_xy": [np.int64((x * y).sum())],
+            "sum_x2": [np.int64((x * x).sum())],
+            "sum_y2": [np.int64((y * y).sum())],
+        })
+
+    parts = bucket_exchange(withdx, ["dst"], by_dst,
+                            num_buckets=8).to_pandas()
+    return pd.DataFrame({c: [np.int64(parts[c].sum())]
+                         for c in ("n_edges", "sum_x", "sum_y", "sum_xy",
+                                   "sum_x2", "sum_y2")})
+
+
+SQL_DEGREE_ASSORT = f"""
+WITH l AS (
+  SELECT url, unnest(CAST(json_extract(meta, '$.links') AS JSON[]))
+           AS link
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+),
+edges AS (
+  SELECT DISTINCT url AS src,
+         json_extract_string(link, '$.href') AS dst
+  FROM l WHERE json_extract_string(link, '$.href') IS NOT NULL
+    AND url <> json_extract_string(link, '$.href')
+),
+o AS (SELECT src, COUNT(*) AS dx FROM edges GROUP BY src),
+i AS (SELECT dst, COUNT(*) AS dy FROM edges GROUP BY dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(dx) AS BIGINT) AS sum_x,
+       CAST(SUM(dy) AS BIGINT) AS sum_y,
+       CAST(SUM(dx * dy) AS BIGINT) AS sum_xy,
+       CAST(SUM(dx * dx) AS BIGINT) AS sum_x2,
+       CAST(SUM(dy * dy) AS BIGINT) AS sum_y2
+FROM edges JOIN o USING (src) JOIN i USING (dst)
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
+    "clamped_balance_users": q_clamped_balance_users,
+    "throttled_events": q_throttled_events,
+    "knn_confusion": q_knn_confusion,
+    "degree_assortativity": q_degree_assortativity,
     "trimmed_mean_segments": q_trimmed_mean_segments,
     "followed_pairs": q_followed_pairs,
     "wau_daily": q_wau_daily,
@@ -13278,6 +13564,10 @@ QUERIES = {
 
 ORACLE_SQL = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+    "clamped_balance_users": SQL_CLAMPED_BALANCE,
+    "throttled_events": SQL_THROTTLED_EVENTS,
+    "knn_confusion": SQL_KNN_CONFUSION,
+    "degree_assortativity": SQL_DEGREE_ASSORT,
     "trimmed_mean_segments": SQL_TRIMMED_MEAN_SEGMENTS,
     "followed_pairs": SQL_FOLLOWED_PAIRS,
     "wau_daily": SQL_WAU_DAILY,
