@@ -38,7 +38,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "dormant_rich_customers", "trimmed_mean_segments",
              "followed_pairs", "wau_daily", "join_size_by_type",
              "trigram_diversity_docs", "clamped_balance_users",
-             "throttled_events", "knn_confusion", "degree_assortativity"]
+             "throttled_events", "knn_confusion", "degree_assortativity",
+             "curate_pages", "unconverted_events", "lang_profile_dots",
+             "cheapest_supplier_per_part"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

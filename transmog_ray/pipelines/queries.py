@@ -13194,8 +13194,261 @@ FROM edges JOIN o USING (src) JOIN i USING (dst)
 """
 
 
+def q_unconverted_events(sf_dir: str):
+    """Temporal anti-join: non-purchase events with NO purchase by the
+    same user in the following 24 h, counted per type — the conversion
+    failure funnel. One user-keyed exchange; inside the kernel each
+    user's purchase timestamps form a sorted array and a two-sided
+    searchsorted answers every event's EXISTS in O(log n) — no
+    event×purchase pair materializes."""
+    from ..stages.partition import bucket_exchange
+
+    DAY_US = 86_400_000_000
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"], num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        df = df.assign(_us=us.to_numpy())
+        rows = []
+        for _, g in df.groupby("user_id", sort=False):
+            p = np.sort(g.loc[g["event_type"] == "purchase", "_us"]
+                        .to_numpy(np.int64))
+            e = g[g["event_type"] != "purchase"]
+            ts = e["_us"].to_numpy(np.int64)
+            lo = np.searchsorted(p, ts, side="right")
+            hi = np.searchsorted(p, ts + DAY_US, side="right")
+            rows.append(e.loc[hi <= lo, ["event_type"]])
+        if not rows:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "n_unconverted": pd.Series([], dtype="int64")})
+        out = (pd.concat(rows).groupby("event_type", sort=False).size()
+               .rename("n_unconverted").astype("int64").reset_index())
+        return out
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("event_type", sort=False)["n_unconverted"].sum()
+                .astype("int64").reset_index())
+
+    return bucket_exchange(partials, ["event_type"], combine, num_buckets=2)
+
+
+SQL_UNCONVERTED_EVENTS = """
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_unconverted
+FROM events e
+WHERE e.event_type <> 'purchase' AND NOT EXISTS (
+  SELECT 1 FROM events p
+  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 24 HOUR
+)
+GROUP BY e.event_type
+"""
+
+
+def q_lang_profile_dots(sf_dir: str):
+    """Exact cosine sufficient statistics between per-language unigram
+    profiles: for every lang pair (a ≤ b, diagonal = squared norm) the
+    INTEGER dot product Σ_w c_a(w)·c_b(w) of word-count vectors — the
+    corpus-similarity matrix with no float crossing engines. Per-batch
+    partial counts, one word-keyed exchange whose kernel emits
+    ≤|langs|² partial dots, tiny combine."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"],
+                      num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["lang"].notna() & df["text"].notna()]
+        toks = df.assign(term=df["text"].str.split(" "))[
+            ["lang", "term"]].explode("term")
+        out = (toks.groupby(["lang", "term"], sort=False).size()
+               .rename("n").astype("int64").reset_index())
+        return out
+
+    counts = grouped_agg(docs.map_batches(partial, batch_format="pandas"),
+                         ["lang", "term"], {"n": ("n", "sum")},
+                         num_buckets=8)
+
+    def dots(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="term", suffixes=("_a", "_b"))
+        m = m[m["lang_a"] <= m["lang_b"]]
+        out = (pd.DataFrame({
+            "lang_a": m["lang_a"], "lang_b": m["lang_b"],
+            "prod": m["n_a"].to_numpy(np.int64) * m["n_b"].to_numpy(np.int64),
+        }).groupby(["lang_a", "lang_b"], sort=False)["prod"].sum()
+            .rename("dot").astype("int64").reset_index())
+        return out
+
+    partials = bucket_exchange(counts, ["term"], dots, num_buckets=8)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["lang_a", "lang_b"], sort=False)["dot"].sum()
+                .astype("int64").reset_index())
+
+    return bucket_exchange(partials, ["lang_a", "lang_b"], combine,
+                           num_buckets=2)
+
+
+SQL_LANG_PROFILE_DOTS = """
+WITH c AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL)
+  GROUP BY lang, term
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       CAST(SUM(a.n * b.n) AS BIGINT) AS dot
+FROM c a JOIN c b ON a.term = b.term AND a.lang <= b.lang
+GROUP BY a.lang, b.lang
+"""
+
+
+def q_cheapest_supplier_per_part(sf_dir: str):
+    """TPC-H Q2 shape — the minimum-unit-price supplier per part
+    (argmin join-back). Unit price compares as the IEEE double
+    cents/quantity — identical division on identical inputs on both
+    sides — with a full deterministic tiebreak (suppkey, cents, qty).
+    One part-keyed exchange; the kernel's sort-and-take-first emits one
+    row per part."""
+    from ..stages.partition import bucket_exchange
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                             "l_quantity"],
+                    num_blocks=8)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        unit = cents / df["l_quantity"].to_numpy(np.float64)
+        d = pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "price_cents": cents,
+            "l_quantity": df["l_quantity"].to_numpy(np.float64),
+            "_unit": unit,
+        })
+        d = d.sort_values(["l_partkey", "_unit", "l_suppkey", "price_cents",
+                           "l_quantity"], kind="mergesort")
+        return d.drop_duplicates("l_partkey", keep="first").drop(
+            columns=["_unit"])
+
+    return bucket_exchange(li, ["l_partkey"], per_part, num_buckets=16)
+
+
+SQL_CHEAPEST_SUPPLIER = """
+WITH r AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         l_quantity,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      / l_quantity,
+                    l_suppkey,
+                    CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                    l_quantity) AS rn
+  FROM lineitem
+)
+SELECT l_partkey, l_suppkey, price_cents, l_quantity FROM r WHERE rn = 1
+"""
+
+
+def q_curate_pages(sf_dir: str):
+    """END-TO-END crawl curation: robots disallow filter → golden-record
+    survivorship per url (latest non-null text/lang, text tiebreak on
+    tied warc_ts) → quality gate (length ≥ 100 AND space share ≥ 5 %,
+    integer cross-multiplied). The composed SQL oracle pins every stage
+    interaction, like curate_docs does for the documents corpus. Robots
+    rules broadcast map-side; one url-keyed exchange total."""
+    from ..stages.partition import BUCKET_COL, bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir,
+                            columns=["url", "warc_ts", "text", "lang"],
+                            override_num_blocks=16)
+    rules = ROBOTS_RULES
+
+    def allowed(df: pd.DataFrame) -> pd.DataFrame:
+        rest = df["url"].str.split("//", n=1).str[1]
+        host = rest.str.split("/", n=1).str[0]
+        path = "/" + rest.str.split("/", n=1).str[1].fillna("")
+        blocked = pd.Series(False, index=df.index)
+        for rhost, rprefix in rules:
+            blocked |= (host == rhost) & path.str.startswith(rprefix)
+        return df[~blocked]
+
+    def golden_and_gate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL], errors="ignore")
+        df = df.sort_values(["url", "warc_ts", "text"], kind="mergesort",
+                            na_position="last")
+        g = df.groupby("url", sort=False)
+        df = df.assign(
+            golden_text=g["text"].ffill(),
+            golden_lang=g["lang"].ffill(),
+            n_snapshots=g.cumcount() + 1,
+        )
+        out = df.groupby("url", sort=False).tail(1)
+        out = out.rename(columns={"warc_ts": "last_ts"})
+        out = out[out["golden_text"].notna()]
+        n_chars = out["golden_text"].str.len().to_numpy(np.int64)
+        n_spaces = out["golden_text"].str.count(" ").to_numpy(np.int64)
+        keep = (n_chars >= 100) & (n_spaces * 100 >= n_chars * 5)
+        out = out.assign(n_chars=n_chars)[keep]
+        out["n_snapshots"] = out["n_snapshots"].astype("int64")
+        return out[["url", "last_ts", "golden_lang", "n_chars",
+                    "n_snapshots"]]
+
+    return bucket_exchange(ds.map_batches(allowed, batch_format="pandas"),
+                           ["url"], golden_and_gate, 16)
+
+
+SQL_CURATE_PAGES = f"""
+WITH rules(rhost, rprefix) AS (
+  VALUES ('hot0.example.com', '/p/1'),
+         ('hot1.example.com', '/p/3'),
+         ('site40.example.org', '/p/40')
+), p AS (
+  SELECT url, warc_ts, text, lang,
+         split_part(split_part(url, '//', 2), '/', 1) AS host,
+         substr(url, 9 + length(split_part(split_part(url, '//', 2),
+                                           '/', 1))) AS path
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), allowed AS (
+  SELECT url, warc_ts, text, lang FROM p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rules r
+    WHERE p.host = r.rhost AND starts_with(p.path, r.rprefix)
+  )
+), golden AS (
+  SELECT url,
+         MAX(warc_ts) AS last_ts,
+         last(text ORDER BY warc_ts, text ASC NULLS LAST)
+             FILTER (WHERE text IS NOT NULL) AS golden_text,
+         last(lang ORDER BY warc_ts, text ASC NULLS LAST)
+             FILTER (WHERE lang IS NOT NULL) AS golden_lang,
+         CAST(COUNT(*) AS BIGINT) AS n_snapshots
+  FROM allowed GROUP BY url
+)
+SELECT url, last_ts, golden_lang,
+       CAST(length(golden_text) AS BIGINT) AS n_chars, n_snapshots
+FROM golden
+WHERE golden_text IS NOT NULL
+  AND length(golden_text) >= 100
+  AND (length(golden_text) - length(replace(golden_text, ' ', ''))) * 100
+        >= length(golden_text) * 5
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
+    "curate_pages": q_curate_pages,
+    "unconverted_events": q_unconverted_events,
+    "lang_profile_dots": q_lang_profile_dots,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "clamped_balance_users": q_clamped_balance_users,
     "throttled_events": q_throttled_events,
     "knn_confusion": q_knn_confusion,
@@ -13564,6 +13817,10 @@ QUERIES = {
 
 ORACLE_SQL = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+    "curate_pages": SQL_CURATE_PAGES,
+    "unconverted_events": SQL_UNCONVERTED_EVENTS,
+    "lang_profile_dots": SQL_LANG_PROFILE_DOTS,
+    "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER,
     "clamped_balance_users": SQL_CLAMPED_BALANCE,
     "throttled_events": SQL_THROTTLED_EVENTS,
     "knn_confusion": SQL_KNN_CONFUSION,
