@@ -40,7 +40,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "trigram_diversity_docs", "clamped_balance_users",
              "throttled_events", "knn_confusion", "degree_assortativity",
              "curate_pages", "unconverted_events", "lang_profile_dots",
-             "cheapest_supplier_per_part"]
+             "cheapest_supplier_per_part", "conversion_delay_quartiles",
+             "theta_sketch_types", "fd_violations", "out_of_order_stats"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

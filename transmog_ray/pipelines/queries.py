@@ -13443,9 +13443,213 @@ WHERE golden_text IS NOT NULL
 """
 
 
+def q_conversion_delay_quartiles(sf_dir: str):
+    """Signup→purchase conversion delay quartiles (exact
+    ``quantile_disc`` rank convention ceil(q·n)−1): per user the FIRST
+    purchase strictly after the first signup, delays in µs, then the
+    multi-rank shared-scan exact quantile refinement — no global
+    sort. Per-user delays derive in one user-keyed exchange."""
+    from ..functions.relational import exact_quantiles
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"], num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        df = df.assign(_us=us.to_numpy())
+        delays = []
+        for _, g in df.groupby("user_id", sort=False):
+            s = g.loc[g["event_type"] == "signup", "_us"]
+            if s.empty:
+                continue
+            s0 = s.min()
+            p = g.loc[(g["event_type"] == "purchase") & (g["_us"] > s0),
+                      "_us"]
+            if p.empty:
+                continue
+            delays.append(p.min() - s0)
+        return pd.DataFrame({"delay_us": pd.Series(delays, dtype="int64")})
+
+    delays = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+    qs = [0.25, 0.5, 0.75]
+    vals = exact_quantiles(delays, "delay_us", qs)
+    return pd.DataFrame({"q": qs,
+                         "delay_us": np.asarray(vals).astype(np.int64)})
+
+
+SQL_CONVERSION_DELAY = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id,
+         MIN(epoch_us(e.ts) - epoch_us(s.s_ts)) AS delay_us
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+  GROUP BY e.user_id
+)
+SELECT unnest([0.25, 0.5, 0.75]) AS q,
+       unnest(quantile_disc(delay_us, [0.25, 0.5, 0.75])) AS delay_us
+FROM p
+"""
+
+
+def q_theta_sketch_types(sf_dir: str):
+    """KMV (k-minimum-values) theta sketch per event type over the
+    distinct-user domain — the mergeable distinct sketch BEYOND HLL/CMS,
+    md5-hashed so the SQL oracle replays it value-for-value: each
+    partial keeps the k=32 lexicographically smallest distinct user
+    hashes; merge = union + re-truncate (associative/commutative, the
+    property that makes it cluster-safe). Exact distinct count attached
+    for calibration."""
+    import hashlib
+
+    from ..stages.partition import bucket_exchange
+
+    K = 32
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            users = g["user_id"].drop_duplicates().to_numpy(np.int64)
+            hh = sorted(hashlib.md5(str(u).encode()).hexdigest()
+                        for u in users)
+            top = hh[:K]
+            rows.append((et, np.int64(len(users)), np.int64(len(top)),
+                         top[-1]))
+        return pd.DataFrame(rows, columns=["event_type", "n_distinct",
+                                           "n_in_sketch", "kth_hash"])
+
+    # per-batch pair dedup bounds the exchange to distinct (type, user)
+    # pairs per batch (the count-distinct shape); all of a type's pairs
+    # co-locate so the kernel's dedup, count and K-smallest are global
+    return bucket_exchange(ev.map_batches(partial, batch_format="pandas"),
+                           ["event_type"], merge, num_buckets=2)
+
+
+SQL_THETA_SKETCH = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hh FROM d),
+r AS (
+  SELECT event_type, hh,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd
+  FROM h
+)
+SELECT event_type, CAST(MIN(nd) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+       MAX(hh) AS kth_hash
+FROM r WHERE rn <= 32 GROUP BY event_type
+"""
+
+
+def q_fd_violations(sf_dir: str):
+    """Functional-dependency discovery audit: for candidate FDs
+    det → dep over lineitem, the number of determinant groups and how
+    many are VIOLATED (>1 distinct dependent) — the data-profiling
+    primitive behind key detection. Distinct (det, dep) pairs reduce in
+    one exchange per FD; the per-det distinct count is a second,
+    group-cardinality exchange; only two counters reach the driver."""
+    from ..functions.relational import grouped_agg
+
+    fds = [("l_partkey", "l_extendedprice"),
+           ("l_orderkey", "l_returnflag"),
+           ("l_suppkey", "l_linestatus")]
+    rows = []
+    for det, dep in fds:
+        li = read_table(sf_dir, "lineitem", columns=[det, dep], num_blocks=8)
+        pairs = grouped_agg(li, [det, dep], {"n": (dep, "count")},
+                            num_buckets=8)
+        per_det = grouped_agg(pairs, [det], {"nd": (dep, "count")},
+                              num_buckets=8)
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            nd = df["nd"].to_numpy(np.int64)
+            return pd.DataFrame({"n_groups": [np.int64(len(df))],
+                                 "n_violating": [np.int64((nd > 1).sum())]})
+
+        parts = per_det.map_batches(fold, batch_format="pandas").to_pandas()
+        rows.append((f"{det}->{dep}",
+                     np.int64(parts["n_groups"].sum()),
+                     np.int64(parts["n_violating"].sum())))
+    return pd.DataFrame(rows, columns=["fd", "n_groups", "n_violating"])
+
+
+SQL_FD_VIOLATIONS = """
+SELECT 'l_partkey->l_extendedprice' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violating
+FROM (SELECT l_partkey, COUNT(DISTINCT l_extendedprice) AS nd
+      FROM lineitem GROUP BY l_partkey)
+UNION ALL
+SELECT 'l_orderkey->l_returnflag',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT)
+FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS nd
+      FROM lineitem GROUP BY l_orderkey)
+UNION ALL
+SELECT 'l_suppkey->l_linestatus',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT)
+FROM (SELECT l_suppkey, COUNT(DISTINCT l_linestatus) AS nd
+      FROM lineitem GROUP BY l_suppkey)
+"""
+
+
+def q_out_of_order_stats(sf_dir: str):
+    """Event-time disorder diagnosis per user: treating event_id as
+    ARRIVAL order, an event is late if its ts is below the running max
+    of everything that arrived before it — the statistic that sizes
+    streaming watermarks. One user-keyed exchange, vectorized
+    shifted-cummax kernel."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        us = (df["ts"].astype("datetime64[ns]").astype("int64") // 1000
+              ).to_numpy()
+        rows = []
+        for uid, g in df.assign(_us=us).groupby("user_id", sort=False):
+            t = g["_us"].to_numpy(np.int64)
+            prev_max = np.maximum.accumulate(t)[:-1]
+            late = int((t[1:] < prev_max).sum())
+            rows.append((uid, np.int64(len(t)), np.int64(late)))
+        return pd.DataFrame(rows, columns=["user_id", "n_events", "n_late"])
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_OUT_OF_ORDER = """
+WITH w AS (
+  SELECT user_id, ts,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE ts < prev_max) AS BIGINT) AS n_late
+FROM w GROUP BY user_id
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
+    "conversion_delay_quartiles": q_conversion_delay_quartiles,
+    "theta_sketch_types": q_theta_sketch_types,
+    "fd_violations": q_fd_violations,
+    "out_of_order_stats": q_out_of_order_stats,
     "unconverted_events": q_unconverted_events,
     "lang_profile_dots": q_lang_profile_dots,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
@@ -13818,6 +14022,10 @@ QUERIES = {
 ORACLE_SQL = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "curate_pages": SQL_CURATE_PAGES,
+    "conversion_delay_quartiles": SQL_CONVERSION_DELAY,
+    "theta_sketch_types": SQL_THETA_SKETCH,
+    "fd_violations": SQL_FD_VIOLATIONS,
+    "out_of_order_stats": SQL_OUT_OF_ORDER,
     "unconverted_events": SQL_UNCONVERTED_EVENTS,
     "lang_profile_dots": SQL_LANG_PROFILE_DOTS,
     "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER,
