@@ -41,7 +41,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "throttled_events", "knn_confusion", "degree_assortativity",
              "curate_pages", "unconverted_events", "lang_profile_dots",
              "cheapest_supplier_per_part", "conversion_delay_quartiles",
-             "theta_sketch_types", "fd_violations", "out_of_order_stats"]
+             "theta_sketch_types", "fd_violations", "out_of_order_stats",
+             "proportional_split_docs", "label_centroid_sums",
+             "crawl_budget_allocation"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

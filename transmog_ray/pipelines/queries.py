@@ -13643,9 +13643,204 @@ FROM w GROUP BY user_id
 """
 
 
+def q_proportional_split_docs(sf_dir: str):
+    """Per-language EXACT 80/10/10 train/val/test split by cumulative
+    integer quotas: rows order by the Knuth hash, bucket boundaries are
+    n·8//10 and n·9//10 — counts always sum to n and each is within one
+    row of proportional (the ordered-bucket largest-remainder form),
+    with ZERO float arithmetic. Language groups co-locate in one
+    exchange; the tiny lang domain is grouped INSIDE the kernel (hashed
+    small domains collide buckets)."""
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"],
+                      num_blocks=8)
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["lang"].notna()].copy()
+        key = (df["doc_id"].to_numpy(np.int64) * 2654435761) % 4294967296
+        df = df.assign(_k=key).sort_values(["lang", "_k", "doc_id"],
+                                           kind="mergesort")
+        g = df.groupby("lang", sort=False)
+        rn = g.cumcount().to_numpy(np.int64) + 1
+        n = g["doc_id"].transform("size").to_numpy(np.int64)
+        split = np.where(rn <= n * 8 // 10, "train",
+                         np.where(rn <= n * 9 // 10, "val", "test"))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "lang": df["lang"].to_numpy(),
+                             "split": split})
+
+    return bucket_exchange(docs, ["lang"], split, num_buckets=4)
+
+
+SQL_PROPORTIONAL_SPLIT = """
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents WHERE lang IS NOT NULL
+)
+SELECT doc_id, lang,
+       CASE WHEN rn <= n * 8 // 10 THEN 'train'
+            WHEN rn <= n * 9 // 10 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
+def q_label_centroid_sums(sf_dir: str):
+    """Per-label centroid SUFFICIENT STATISTICS over int8-quantized
+    embeddings: Σ q[pos] and n per (label, pos) as exact BIGINTs (the
+    centroid itself is a client-side division). Quantization replays
+    the SQL recipe bit-for-bit; per-batch label-masked integer column
+    sums are the only shuffle payload (|labels|·dim rows per batch)."""
+    from ..functions.relational import grouped_agg
+
+    def quantize(mat: np.ndarray) -> np.ndarray:
+        xd = mat.astype(np.float64)
+        scale = np.abs(xd).max(axis=1)
+        safe = np.where(scale == 0, 1.0, scale)
+        q = round_half_away((xd * 127.0) / safe[:, None], 0)
+        q = np.clip(q, -127, 127)
+        q[scale == 0] = 0
+        return q.astype(np.int64)
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["embedding", "label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qm = quantize(np.stack(df["embedding"].to_numpy()))
+        lab = df["label"].to_numpy().astype(np.int64)
+        frames = []
+        for lv in np.unique(lab):
+            sel = qm[lab == lv]
+            frames.append(pd.DataFrame({
+                "label": np.int64(lv),
+                "pos": np.arange(qm.shape[1], dtype=np.int64),
+                "sum_q": sel.sum(axis=0),
+                "n": np.int64(len(sel)),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    agg = grouped_agg(emb.map_batches(partial, batch_format="pandas"),
+                      ["label", "pos"],
+                      {"sum_q": ("sum_q", "sum"), "n": ("n", "sum")},
+                      num_buckets=8)
+    return agg.map_batches(
+        lambda df: df.assign(sum_q=df["sum_q"].astype("int64"),
+                             n=df["n"].astype("int64")),
+        batch_format="pandas")
+
+
+SQL_LABEL_CENTROID_SUMS = """
+WITH s AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         list_aggregate(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE))), 'max')
+           AS scale
+  FROM embeddings
+),
+qz AS (
+  SELECT label,
+         unnest(range(0, len(emb))) AS pos,
+         unnest(list_transform(emb, x ->
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(GREATEST(LEAST(ROUND(x * 127.0 / scale), 127),
+                                     -127) AS BIGINT) END)) AS q
+  FROM s
+)
+SELECT CAST(label AS BIGINT) AS label, pos,
+       CAST(SUM(q) AS BIGINT) AS sum_q, CAST(COUNT(*) AS BIGINT) AS n
+FROM qz GROUP BY label, pos
+"""
+
+
+def q_crawl_budget_allocation(sf_dir: str):
+    """Recrawl budget planning: 1000 crawl slots allocated per domain
+    proportional to its observed CHANGE count (first snapshot counts as
+    a change), by exact largest-remainder integer division — Σ budgets
+    == 1000 always. Change detection runs in one url-keyed exchange
+    emitting per-domain partials; the bounded domain table folds
+    driver-side for the rank step (same bounded-cardinality posture as
+    grid-DBSCAN)."""
+    from ..stages.partition import bucket_exchange
+
+    BUDGET = 1000
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts", "text"],
+                            override_num_blocks=16)
+
+    def per_url(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "warc_ts", "text"], kind="mergesort",
+                            na_position="last")
+        g = df.groupby("url", sort=False)
+        prev = g["text"].shift(1)
+        first = g.cumcount() == 0
+        changed = first | (df["text"].ne(prev)
+                           & ~(df["text"].isna() & prev.isna()))
+        dom = (df["url"].str.split("//", n=1).str[1]
+               .str.split("/", n=1).str[0])
+        out = (pd.DataFrame({"domain": dom, "c": changed.astype("int64")})
+               .groupby("domain", sort=False)["c"].sum().astype("int64")
+               .rename("n_changes").reset_index())
+        return out
+
+    parts = bucket_exchange(ds, ["url"], per_url, num_buckets=16).to_pandas()
+    wgt = (parts.groupby("domain", sort=False)["n_changes"].sum()
+           .astype("int64").reset_index())
+    w = wgt["n_changes"].to_numpy(np.int64)
+    tw = int(w.sum())
+    base = (BUDGET * w) // tw
+    rem = (BUDGET * w) % tw
+    leftover = BUDGET - int(base.sum())
+    order = np.lexsort((wgt["domain"].to_numpy(), -rem))
+    extra = np.zeros(len(wgt), dtype=np.int64)
+    extra[order[:leftover]] = 1
+    return pd.DataFrame({"domain": wgt["domain"],
+                         "n_changes": w,
+                         "budget": base + extra})
+
+
+SQL_CRAWL_BUDGET = f"""
+WITH ch AS (
+  SELECT split_part(split_part(url, '//', 2), '/', 1) AS domain,
+         CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+              WHEN text IS DISTINCT FROM LAG(text) OVER w THEN 1
+              ELSE 0 END AS changed
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WINDOW w AS (PARTITION BY url ORDER BY warc_ts, text ASC NULLS LAST)
+),
+wgt AS (
+  SELECT domain, CAST(SUM(changed) AS BIGINT) AS w
+  FROM ch GROUP BY domain
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wgt),
+alloc AS (
+  SELECT domain, w, (1000 * w) // tw AS base, (1000 * w) % tw AS rem
+  FROM wgt, tot
+),
+lv AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover FROM alloc),
+lr AS (
+  SELECT domain, w, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, domain ASC) AS rk
+  FROM alloc
+)
+SELECT domain, w AS n_changes,
+       CAST(base + CASE WHEN rk <= lv.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS budget
+FROM lr, lv
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
+    "proportional_split_docs": q_proportional_split_docs,
+    "label_centroid_sums": q_label_centroid_sums,
+    "crawl_budget_allocation": q_crawl_budget_allocation,
     "conversion_delay_quartiles": q_conversion_delay_quartiles,
     "theta_sketch_types": q_theta_sketch_types,
     "fd_violations": q_fd_violations,
@@ -14022,6 +14217,9 @@ QUERIES = {
 ORACLE_SQL = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "curate_pages": SQL_CURATE_PAGES,
+    "proportional_split_docs": SQL_PROPORTIONAL_SPLIT,
+    "label_centroid_sums": SQL_LABEL_CENTROID_SUMS,
+    "crawl_budget_allocation": SQL_CRAWL_BUDGET,
     "conversion_delay_quartiles": SQL_CONVERSION_DELAY,
     "theta_sketch_types": SQL_THETA_SKETCH,
     "fd_violations": SQL_FD_VIOLATIONS,
