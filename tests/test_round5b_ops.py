@@ -43,7 +43,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "cheapest_supplier_per_part", "conversion_delay_quartiles",
              "theta_sketch_types", "fd_violations", "out_of_order_stats",
              "proportional_split_docs", "label_centroid_sums",
-             "crawl_budget_allocation"]
+             "crawl_budget_allocation", "greedy_policy_replay",
+             "bloom_fp_audit"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

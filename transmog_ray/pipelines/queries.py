@@ -13835,9 +13835,187 @@ FROM lr, lv
 """
 
 
+def q_greedy_policy_replay(sf_dir: str):
+    """Offline policy evaluation: replay a "recommend the user's
+    most-frequent-so-far type" policy against what actually happened —
+    hits per actual type. The expanding argmax is a vectorized one-hot
+    prefix-sum per user (candidate columns sorted by name so np.argmax's
+    first-max IS the lexicographic tiebreak); the global candidate type
+    list broadcasts; per-user histories co-locate in one exchange."""
+    import ray
+
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8)
+    types_df = grouped_agg(
+        ev.map_batches(lambda df: df[["event_type"]].drop_duplicates(),
+                       batch_format="pandas"),
+        ["event_type"], {"n": ("event_type", "count")},
+        num_buckets=2).to_pandas()
+    types = sorted(types_df["event_type"].dropna())
+    tref = ray.put(types)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        cand = ray.get(tref)
+        tix = {t: i for i, t in enumerate(cand)}
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for _, g in df.groupby("user_id", sort=False):
+            codes = g["event_type"].map(tix).to_numpy()
+            onehot = np.zeros((len(g), len(cand)), dtype=np.int64)
+            onehot[np.arange(len(g)), codes] = 1
+            prior = np.vstack([np.zeros(len(cand), dtype=np.int64),
+                               onehot.cumsum(axis=0)[:-1]])
+            pred = prior.argmax(axis=1)
+            rows.append(pd.DataFrame({"event_type": g["event_type"],
+                                      "hit": (pred == codes)}))
+        if not rows:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "n_hits": pd.Series([], dtype="int64")})
+        cat = pd.concat(rows, ignore_index=True)
+        out = (cat.groupby("event_type", sort=False)
+               .agg(n_events=("hit", "size"), n_hits=("hit", "sum"))
+               .reset_index())
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_hits"] = out["n_hits"].astype("int64")
+        return out
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("event_type", sort=False)
+                .agg(n_events=("n_events", "sum"), n_hits=("n_hits", "sum"))
+                .astype("int64").reset_index())
+
+    return bucket_exchange(partials, ["event_type"], combine, num_buckets=2)
+
+
+SQL_GREEDY_POLICY_REPLAY = """
+WITH t AS (SELECT DISTINCT event_type FROM events),
+x AS (
+  SELECT e.user_id, e.ts, e.event_id, e.event_type AS actual,
+         t.event_type AS cand,
+         CASE WHEN e.event_type = t.event_type THEN 1 ELSE 0 END AS hit
+  FROM events e CROSS JOIN t
+),
+c AS (
+  SELECT user_id, ts, event_id, actual, cand,
+         COALESCE(SUM(hit) OVER (PARTITION BY user_id, cand
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS pc
+  FROM x
+),
+b AS (
+  SELECT user_id, event_id, actual, cand,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_id
+                            ORDER BY pc DESC, cand ASC) AS rn
+  FROM c
+)
+SELECT actual AS event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE cand = actual) AS BIGINT) AS n_hits
+FROM b WHERE rn = 1
+GROUP BY actual
+"""
+
+
+def q_bloom_fp_audit(sf_dir: str):
+    """Bloom filter with its false-positive rate measured EXACTLY: an
+    m=65536/k=3 filter over urgent orderkeys (bit positions from md5
+    prefixes, replayed value-for-value in SQL), probed by every
+    distinct lineitem orderkey; reports probes / passes / true and
+    false positives as BIGINTs. The bit set broadcasts (fixed size
+    regardless of key count — the whole point of the structure); probes
+    dedup in one exchange, md5 only on per-bucket distinct keys."""
+    import hashlib
+
+    import ray
+
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    M, K = 65536, 3
+
+    def positions(key: int) -> list[int]:
+        return [int(hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:8], 16)
+                % M for i in range(1, K + 1)]
+
+    orders = read_small(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+    needles = set(orders.loc[orders["o_orderpriority"] == "1-URGENT",
+                             "o_orderkey"].astype(int))
+    bits = frozenset(p for k in needles for p in positions(k))
+    bref = ray.put((bits, needles))
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"], num_blocks=8)
+    distinct = grouped_agg(
+        li.map_batches(lambda df: df.drop_duplicates(),
+                       batch_format="pandas"),
+        ["l_orderkey"], {"n": ("l_orderkey", "count")}, num_buckets=8)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bset, nset = ray.get(bref)
+        keys = df["l_orderkey"].to_numpy(np.int64)
+        passed = np.fromiter(
+            (all(p in bset for p in positions(int(k))) for k in keys),
+            dtype=bool, count=len(keys))
+        truth = np.fromiter((int(k) in nset for k in keys), dtype=bool,
+                            count=len(keys))
+        return pd.DataFrame({
+            "n_probes": [np.int64(len(keys))],
+            "n_pass": [np.int64(passed.sum())],
+            "n_true_pos": [np.int64((passed & truth).sum())],
+            "n_false_pos": [np.int64((passed & ~truth).sum())],
+        })
+
+    parts = distinct.map_batches(probe, batch_format="pandas").to_pandas()
+    return pd.DataFrame({c: [np.int64(parts[c].sum())]
+                         for c in ("n_probes", "n_pass", "n_true_pos",
+                                   "n_false_pos")})
+
+
+SQL_BLOOM_FP_AUDIT = """
+WITH needles AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+idx(i) AS (VALUES (1), (2), (3)),
+bits AS (
+  SELECT DISTINCT
+         CAST(CONCAT('0x', substring(md5(CAST(k AS VARCHAR) || ':'
+                                         || CAST(i AS VARCHAR)), 1, 8))
+              AS BIGINT) % 65536 AS b
+  FROM needles, idx
+),
+probes AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+pp AS (
+  SELECT p.k,
+         CAST(CONCAT('0x', substring(md5(CAST(p.k AS VARCHAR) || ':'
+                                         || CAST(i.i AS VARCHAR)), 1, 8))
+              AS BIGINT) % 65536 AS b
+  FROM probes p, idx i
+),
+pass AS (
+  SELECT k FROM pp JOIN bits USING (b) GROUP BY k HAVING COUNT(*) = 3
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pass) AS n_pass,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM pass JOIN needles USING (k)) AS n_true_pos,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pass
+        WHERE k NOT IN (SELECT k FROM needles)) AS n_false_pos
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
+    "greedy_policy_replay": q_greedy_policy_replay,
+    "bloom_fp_audit": q_bloom_fp_audit,
     "proportional_split_docs": q_proportional_split_docs,
     "label_centroid_sums": q_label_centroid_sums,
     "crawl_budget_allocation": q_crawl_budget_allocation,
@@ -14217,6 +14395,8 @@ QUERIES = {
 ORACLE_SQL = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "curate_pages": SQL_CURATE_PAGES,
+    "greedy_policy_replay": SQL_GREEDY_POLICY_REPLAY,
+    "bloom_fp_audit": SQL_BLOOM_FP_AUDIT,
     "proportional_split_docs": SQL_PROPORTIONAL_SPLIT,
     "label_centroid_sums": SQL_LABEL_CENTROID_SUMS,
     "crawl_budget_allocation": SQL_CRAWL_BUDGET,
