@@ -44,7 +44,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "theta_sketch_types", "fd_violations", "out_of_order_stats",
              "proportional_split_docs", "label_centroid_sums",
              "crawl_budget_allocation", "greedy_policy_replay",
-             "bloom_fp_audit"]
+             "bloom_fp_audit", "rolling_corr7_types",
+             "repeat_purchase_parts", "part_supplier_hhi"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -14011,9 +14011,173 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
 """
 
 
+def q_rolling_corr7_types(sf_dir: str):
+    """Trailing-7-day JOINT sufficient statistics of two daily count
+    series (click vs purchase): per grid day, window n, Σx, Σy, Σxy,
+    Σx², Σy² as exact BIGINTs — the rolling correlation is a
+    client-side formula, nothing float crosses engines. Daily counts
+    reduce distributed; the BOUNDED (days × 2) series folds driver-side
+    where prefix-sum differences produce every window in O(days)."""
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"],
+                    num_blocks=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        return pa.table({"event_type": t["event_type"], "day": day})
+
+    days = ev.map_batches(partial, batch_format="pyarrow")
+    counts = grouped_agg(days, ["event_type", "day"],
+                         {"cnt": ("day", "count")}, num_buckets=8
+                         ).to_pandas()
+    mn, mx = int(counts["day"].min()), int(counts["day"].max())
+    grid = np.arange(mn, mx + 1, dtype=np.int64)
+
+    def series(et: str) -> np.ndarray:
+        s = counts[counts["event_type"] == et].set_index("day")["cnt"]
+        return (pd.Series(0, index=grid, dtype="int64")
+                .add(s, fill_value=0).to_numpy(np.int64))
+
+    x, y = series("click"), series("purchase")
+
+    def win(v: np.ndarray) -> np.ndarray:
+        c = np.concatenate([[0], np.cumsum(v)])
+        lo = np.maximum(np.arange(len(v)) - 6, 0)
+        return c[np.arange(1, len(v) + 1)] - c[lo]
+
+    n = np.minimum(np.arange(len(grid)) + 1, 7).astype(np.int64)
+    return pd.DataFrame({
+        "day": grid, "n": n,
+        "sum_x": win(x), "sum_y": win(y), "sum_xy": win(x * y),
+        "sum_x2": win(x * x), "sum_y2": win(y * y),
+    })
+
+
+SQL_ROLLING_CORR7 = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type, day
+),
+b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM c),
+g AS (SELECT unnest(range(mn, mx + 1)) AS day FROM b),
+xy AS (
+  SELECT g.day, COALESCE(x.cnt, 0) AS x, COALESCE(y.cnt, 0) AS y
+  FROM g LEFT JOIN c x ON x.day = g.day AND x.event_type = 'click'
+         LEFT JOIN c y ON y.day = g.day AND y.event_type = 'purchase'
+)
+SELECT day,
+       CAST(COUNT(*) OVER w AS BIGINT)      AS n,
+       CAST(SUM(x) OVER w AS BIGINT)        AS sum_x,
+       CAST(SUM(y) OVER w AS BIGINT)        AS sum_y,
+       CAST(SUM(x * y) OVER w AS BIGINT)    AS sum_xy,
+       CAST(SUM(x * x) OVER w AS BIGINT)    AS sum_x2,
+       CAST(SUM(y * y) OVER w AS BIGINT)    AS sum_y2
+FROM xy
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_repeat_purchase_parts(sf_dir: str):
+    """Repeat-purchase analysis: per part, how many customers bought it
+    in ≥2 DISTINCT orders. (part, customer, order) triples dedup INSIDE
+    the orderkey-bucketed join (each triple lives in exactly one
+    bucket, so the in-bucket dedup is global); per-pair order counts
+    and the ≥2 filter are two group-cardinality exchanges."""
+    from ..functions.relational import grouped_agg, hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+                    num_blocks=8)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                        num_blocks=8)
+    orders_sel = orders.map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+
+    def dedup_triples(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["l_partkey", "o_custkey", "l_orderkey"]].drop_duplicates()
+
+    j = hash_join(li, orders_sel, on="l_orderkey", post_fn=dedup_triples,
+                  num_buckets=16)
+    pairs = grouped_agg(j, ["l_partkey", "o_custkey"],
+                        {"n_orders": ("l_orderkey", "count")},
+                        num_buckets=8)
+    rep = pairs.map_batches(
+        lambda df: df[df["n_orders"] >= 2][["l_partkey", "o_custkey"]],
+        batch_format="pandas")
+    out = grouped_agg(rep, ["l_partkey"],
+                      {"n_repeat_customers": ("o_custkey", "count")},
+                      num_buckets=4)
+    return out.map_batches(
+        lambda df: df.assign(
+            n_repeat_customers=df["n_repeat_customers"].astype("int64")),
+        batch_format="pandas")
+
+
+SQL_REPEAT_PURCHASE = """
+WITH t AS (
+  SELECT DISTINCT l_partkey, o_custkey, l_orderkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+p AS (
+  SELECT l_partkey, o_custkey, COUNT(*) AS n_orders
+  FROM t GROUP BY l_partkey, o_custkey
+)
+SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_repeat_customers
+FROM p WHERE n_orders >= 2 GROUP BY l_partkey
+"""
+
+
+def q_part_supplier_hhi(sf_dir: str):
+    """Supplier-concentration (Herfindahl) sufficient statistics per
+    part: total shipped quantity (×100 ints) and Σ (per-supplier
+    total)² as exact BIGINTs — HHI = hhi_num/total² client-side. One
+    part-keyed exchange, per-(part, supplier) sums in-kernel."""
+    from ..stages.partition import bucket_exchange
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity"],
+                    num_blocks=8)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(df["l_quantity"].to_numpy(np.float64) * 100
+                    ).astype(np.int64)
+        s = (df.assign(_q=q)
+             .groupby(["l_partkey", "l_suppkey"], sort=False)["_q"].sum())
+        per = s.reset_index()
+        out = (per.groupby("l_partkey", sort=False)["_q"]
+               .agg(total_q100="sum", hhi_num=lambda v: np.int64(
+                   (v.to_numpy(np.int64) ** 2).sum())).reset_index())
+        out["total_q100"] = out["total_q100"].astype("int64")
+        out["hhi_num"] = out["hhi_num"].astype("int64")
+        return out
+
+    return bucket_exchange(li, ["l_partkey"], per_part, num_buckets=16)
+
+
+SQL_PART_SUPPLIER_HHI = """
+WITH s AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS total_q100,
+       CAST(SUM(q * q) AS BIGINT) AS hhi_num
+FROM s GROUP BY l_partkey
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
+    "rolling_corr7_types": q_rolling_corr7_types,
+    "repeat_purchase_parts": q_repeat_purchase_parts,
+    "part_supplier_hhi": q_part_supplier_hhi,
     "greedy_policy_replay": q_greedy_policy_replay,
     "bloom_fp_audit": q_bloom_fp_audit,
     "proportional_split_docs": q_proportional_split_docs,
@@ -14395,6 +14559,9 @@ QUERIES = {
 ORACLE_SQL = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "curate_pages": SQL_CURATE_PAGES,
+    "rolling_corr7_types": SQL_ROLLING_CORR7,
+    "repeat_purchase_parts": SQL_REPEAT_PURCHASE,
+    "part_supplier_hhi": SQL_PART_SUPPLIER_HHI,
     "greedy_policy_replay": SQL_GREEDY_POLICY_REPLAY,
     "bloom_fp_audit": SQL_BLOOM_FP_AUDIT,
     "proportional_split_docs": SQL_PROPORTIONAL_SPLIT,
