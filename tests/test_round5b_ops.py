@@ -45,7 +45,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "proportional_split_docs", "label_centroid_sums",
              "crawl_budget_allocation", "greedy_policy_replay",
              "bloom_fp_audit", "rolling_corr7_types",
-             "repeat_purchase_parts", "part_supplier_hhi"]
+             "repeat_purchase_parts", "part_supplier_hhi",
+             "loo_target_encode", "churned_users", "salient_dims",
+             "domain_staleness"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

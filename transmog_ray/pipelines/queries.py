@@ -14172,9 +14172,204 @@ FROM s GROUP BY l_partkey
 """
 
 
+def q_loo_target_encode(sf_dir: str):
+    """Leave-one-out target encoding (the leakage-safe variant when the
+    row itself must be excluded): per event, (Σ type cents − own cents,
+    n(type) − 1) as the exact integer RATIONAL — the mean is a
+    client-side division. Per-type totals reduce distributed and
+    broadcast (|types| rows); the encode itself is a zero-shuffle map."""
+    import ray
+
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"],
+                    num_blocks=8)
+
+    def cents_col(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        return df.assign(cents=cents)
+
+    with_cents = ev.map_batches(cents_col, batch_format="pandas")
+    totals = grouped_agg(with_cents, ["event_type"],
+                         {"sum_cents": ("cents", "sum"),
+                          "n": ("cents", "count")},
+                         num_buckets=2).to_pandas()
+    tref = ray.put(totals.set_index("event_type")[["sum_cents", "n"]])
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(tref)
+        s = df["event_type"].map(t["sum_cents"]).to_numpy(np.int64)
+        n = df["event_type"].map(t["n"]).to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "loo_num_cents": s - df["cents"].to_numpy(np.int64),
+            "loo_den": n - 1,
+        })
+
+    return with_cents.map_batches(encode, batch_format="pandas")
+
+
+SQL_LOO_TARGET_ENCODE = """
+SELECT event_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+              OVER (PARTITION BY event_type)
+            - CAST(ROUND(value * 100) AS BIGINT) AS BIGINT) AS loo_num_cents,
+       CAST(COUNT(*) OVER (PARTITION BY event_type) - 1 AS BIGINT) AS loo_den
+FROM events
+"""
+
+
+def q_churned_users(sf_dir: str):
+    """Churn flags: users whose LAST event is ≥7 days before the end of
+    the observation window (the global max ts). Per-user max reduces in
+    one exchange; the single global max folds from per-bucket partials —
+    no full pass is repeated."""
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"],
+                    num_blocks=8)
+    per_user = grouped_agg(ev, ["user_id"], {"last_ts": ("ts", "max")},
+                           num_buckets=8).to_pandas()
+    gmax = per_user["last_ts"].max()
+    last_us = (per_user["last_ts"].astype("datetime64[ns]").astype("int64")
+               // 1000)
+    gmax_us = int(pd.Timestamp(gmax).value // 1000)
+    churned = (gmax_us - last_us) >= 7 * 86_400_000_000
+    return pd.DataFrame({
+        "user_id": per_user["user_id"].astype("int64"),
+        "days_silent": ((gmax_us - last_us) // 86_400_000_000
+                        ).astype("int64"),
+        "churned": churned.astype(bool),
+    })
+
+
+SQL_CHURNED_USERS = """
+WITH u AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id),
+g AS (SELECT MAX(last_ts) AS gmax FROM u)
+SELECT user_id,
+       CAST((epoch_us(g.gmax) - epoch_us(last_ts)) // 86400000000
+            AS BIGINT) AS days_silent,
+       (epoch_us(g.gmax) - epoch_us(last_ts)) >= 7 * 86400000000 AS churned
+FROM u, g
+"""
+
+
+def q_salient_dims(sf_dir: str):
+    """Per-embedding salient dimensions: the 5 largest |q| positions of
+    the int8-quantized vector (ties to the smaller position) — the
+    interpretability probe. Map-only vectorized argsort per batch;
+    quantization replays the SQL recipe exactly."""
+
+    def quantize(mat: np.ndarray) -> np.ndarray:
+        xd = mat.astype(np.float64)
+        scale = np.abs(xd).max(axis=1)
+        safe = np.where(scale == 0, 1.0, scale)
+        q = round_half_away((xd * 127.0) / safe[:, None], 0)
+        q = np.clip(q, -127, 127)
+        q[scale == 0] = 0
+        return q.astype(np.int64)
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def top5(df: pd.DataFrame) -> pd.DataFrame:
+        qm = quantize(np.stack(df["embedding"].to_numpy()))
+        vid = df["vec_id"].to_numpy(np.int64)
+        aq = np.abs(qm)
+        # lexsort on (-|q|, pos): stable ascending pos within equal |q|
+        order = np.argsort(-aq, axis=1, kind="stable")[:, :5]
+        rows = np.repeat(vid, 5)
+        ranks = np.tile(np.arange(1, 6, dtype=np.int64), len(vid))
+        pos = order.ravel().astype(np.int64)
+        vals = np.take_along_axis(qm, order, axis=1).ravel()
+        return pd.DataFrame({"vec_id": rows, "rank": ranks, "pos": pos,
+                             "q": vals})
+
+    return emb.map_batches(top5, batch_format="pandas")
+
+
+SQL_SALIENT_DIMS = """
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         list_aggregate(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE))), 'max')
+           AS scale
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         unnest(range(0, len(emb))) AS pos,
+         unnest(list_transform(emb, x ->
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(GREATEST(LEAST(ROUND(x * 127.0 / scale), 127),
+                                     -127) AS BIGINT) END)) AS q
+  FROM s
+),
+r AS (
+  SELECT vec_id, pos, q,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY abs(q) DESC, pos ASC) AS rank
+  FROM qz
+)
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, pos, q
+FROM r WHERE rank <= 5
+"""
+
+
+def q_domain_staleness(sf_dir: str):
+    """Crawl staleness per domain: the last snapshot anywhere in the
+    domain and how many whole days it lags the crawl frontier (global
+    max warc_ts) — what a scheduler reads to pick recrawl victims.
+    Domain maxima reduce in one exchange; the frontier folds from those
+    partials."""
+    from ..functions.relational import grouped_agg
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts"],
+                            override_num_blocks=16)
+
+    def dom(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["url"].str.split("//", n=1).str[1]
+             .str.split("/", n=1).str[0])
+        return pd.DataFrame({"domain": d, "warc_ts": df["warc_ts"]})
+
+    per_dom = grouped_agg(ds.map_batches(dom, batch_format="pandas"),
+                          ["domain"], {"last_ts": ("warc_ts", "max")},
+                          num_buckets=8).to_pandas()
+    last_us = (per_dom["last_ts"].astype("datetime64[ns]").astype("int64")
+               // 1000)
+    gmax_us = int(last_us.max())
+    return pd.DataFrame({
+        "domain": per_dom["domain"],
+        "days_behind": ((gmax_us - last_us) // 86_400_000_000
+                        ).astype("int64"),
+    })
+
+
+SQL_DOMAIN_STALENESS = f"""
+WITH d AS (
+  SELECT split_part(split_part(url, '//', 2), '/', 1) AS domain,
+         MAX(warc_ts) AS last_ts
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  GROUP BY domain
+),
+g AS (SELECT MAX(last_ts) AS gmax FROM d)
+SELECT domain,
+       CAST((epoch_us(g.gmax) - epoch_us(last_ts)) // 86400000000
+            AS BIGINT) AS days_behind
+FROM d, g
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
+    "loo_target_encode": q_loo_target_encode,
+    "churned_users": q_churned_users,
+    "salient_dims": q_salient_dims,
+    "domain_staleness": q_domain_staleness,
     "rolling_corr7_types": q_rolling_corr7_types,
     "repeat_purchase_parts": q_repeat_purchase_parts,
     "part_supplier_hhi": q_part_supplier_hhi,
@@ -14559,6 +14754,10 @@ QUERIES = {
 ORACLE_SQL = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "curate_pages": SQL_CURATE_PAGES,
+    "loo_target_encode": SQL_LOO_TARGET_ENCODE,
+    "churned_users": SQL_CHURNED_USERS,
+    "salient_dims": SQL_SALIENT_DIMS,
+    "domain_staleness": SQL_DOMAIN_STALENESS,
     "rolling_corr7_types": SQL_ROLLING_CORR7,
     "repeat_purchase_parts": SQL_REPEAT_PURCHASE,
     "part_supplier_hhi": SQL_PART_SUPPLIER_HHI,
