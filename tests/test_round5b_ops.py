@@ -47,7 +47,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "bloom_fp_audit", "rolling_corr7_types",
              "repeat_purchase_parts", "part_supplier_hhi",
              "loo_target_encode", "churned_users", "salient_dims",
-             "domain_staleness"]
+             "domain_staleness", "range_join_streaming", "hits_scores"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -78,3 +78,64 @@ def test_waiting_supplier_bruteforce(ray_session):
         w = int(g["l_suppkey"].iloc[0])
         wins[w] = wins.get(w, 0) + 1
     assert dict(got) == wins
+
+
+def test_streaming_interval_equals_batch(ray_session):
+    """Fully-flushed streaming interval join == the batch range_join
+    result on the same windows/events, including window-watermark
+    release order not mattering."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = (QUERIES["range_join_streaming"](SF).sort_values(
+        ["event_id", "win_id"]).reset_index(drop=True))
+    want = (QUERIES["range_join_events"](SF).to_pandas()
+            [["event_id", "ts", "event_type", "win_id"]]
+            .sort_values(["event_id", "win_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_interval_late_window_accounting(ray_session):
+    """A window arriving behind the window watermark is dropped and
+    COUNTED, never silently joined against already-emitted events."""
+    from transmog_ray.state.streaming import StreamingIntervalState
+
+    st = StreamingIntervalState("k", "ts", "ws", "we", ["win_id"])
+    t0 = pd.Timestamp("2024-01-01")
+
+    def w(start_s, end_s, wid):
+        return pd.DataFrame({"k": [1], "ws": [t0 + pd.Timedelta(seconds=start_s)],
+                             "we": [t0 + pd.Timedelta(seconds=end_s)],
+                             "win_id": [wid]})
+
+    def e(ts_s, eid):
+        return pd.DataFrame({"k": [1], "ts": [t0 + pd.Timedelta(seconds=ts_s)],
+                             "event_id": [eid]})
+
+    st.add_windows(w(0, 100, 1))
+    st.add_windows(w(50, 150, 2))          # watermark now 50
+    out1 = st.process(e(10, "a"))          # ts 10 < 50 → released, joins win 1
+    assert sorted(out1["win_id"]) == [1]
+    st.add_windows(w(5, 60, 3))            # ws 5 < watermark 50 → LATE
+    assert st.dropped_late_windows == 1
+    out2 = st.flush()                      # nothing pending
+    assert len(out2) == 0
+
+
+def test_streaming_interval_eviction_bounds_state(ray_session):
+    """Windows whose end passed both the event watermark and every
+    buffered event are evicted; results stay correct."""
+    from transmog_ray.state.streaming import StreamingIntervalState
+
+    st = StreamingIntervalState("k", "ts", "ws", "we", ["win_id"])
+    t0 = pd.Timestamp("2024-01-01")
+    st.add_windows(pd.DataFrame({
+        "k": [1, 1], "ws": [t0, t0 + pd.Timedelta(seconds=1000)],
+        "we": [t0 + pd.Timedelta(seconds=10),
+               t0 + pd.Timedelta(seconds=2000)],
+        "win_id": [1, 2]}))
+    # event at 500: released (ws watermark 1000 > 500), matches nothing
+    out = st.process(pd.DataFrame({"k": [1], "ts": [t0 + pd.Timedelta(seconds=500)],
+                                   "event_id": ["x"]}))
+    assert len(out) == 0
+    # window 1 (end=10) is now evicted: event watermark 500 > 10
+    assert list(st._win_frame()["win_id"]) == [2]

@@ -14363,9 +14363,109 @@ FROM d, g
 """
 
 
+def q_range_join_streaming(sf_dir: str):
+    """The SAME interval join as range_join_events under STREAMING
+    ingest: purchase windows and events replayed in event-time order
+    through actor-held StreamingIntervalState shards (hash-routed by
+    user). An event emits only once the window watermark strictly
+    passes its timestamp — every window that could contain it has
+    arrived, none leaks from the future — and the concatenated
+    emissions are pinned to the SAME SQL oracle as the batch path.
+    Window state self-evicts behind the event watermark."""
+    from ..state.streaming import streaming_interval_join
+
+    ev = read_table(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "event_type"],
+        num_blocks=8,
+    )
+
+    def stream():
+        for df in _replay_blocks(ev, "ts"):
+            p = df[df["event_type"] == "purchase"]
+            if len(p):
+                yield ("window", pd.DataFrame({
+                    "user_id": p["user_id"].to_numpy(),
+                    "win_id": p["event_id"].to_numpy(),
+                    "win_start": p["ts"].to_numpy(),
+                    "win_end": (p["ts"] + pd.Timedelta(hours=24)).to_numpy(),
+                }))
+            yield ("event", df)
+
+    out = pd.concat(
+        list(streaming_interval_join(stream(), "user_id", "ts",
+                                     "win_start", "win_end", ["win_id"],
+                                     num_shards=8)),
+        ignore_index=True,
+    )
+    return out[["event_id", "ts", "event_type", "win_id"]]
+
+
+def q_hits_scores(sf_dir: str):
+    """One HITS iteration over the URL web graph with INTEGER scores:
+    authority = in-degree, hub(u) = Σ in-degree(dst) over u's distinct
+    outlinks — exact BIGINTs, no float power iteration. Same
+    two-exchange shape as degree_assortativity: dst-keyed kernel
+    attaches each target's in-degree, src-keyed kernel sums."""
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "meta"],
+                            override_num_blocks=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = _explode_hrefs(df)
+        out = (pd.DataFrame({"src": pairs["url"], "dst": pairs["href"]})
+               .drop_duplicates())
+        return out[out["src"] != out["dst"]]
+
+    def by_dst(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["src", "dst"])
+        indeg = (d.groupby("dst", sort=False)["src"].transform("size")
+                 .to_numpy(np.int64))
+        return pd.DataFrame({"src": d["src"], "indeg": indeg})
+
+    withdeg = bucket_exchange(ds.map_batches(partial, batch_format="pandas"),
+                              ["dst"], by_dst, num_buckets=8)
+
+    def by_src(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("src", sort=False)["indeg"]
+               .agg(out_deg="size", hub_score="sum").reset_index()
+               .rename(columns={"src": "url"}))
+        out["out_deg"] = out["out_deg"].astype("int64")
+        out["hub_score"] = out["hub_score"].astype("int64")
+        return out
+
+    return bucket_exchange(withdeg, ["src"], by_src, num_buckets=8)
+
+
+SQL_HITS_SCORES = f"""
+WITH l AS (
+  SELECT url, unnest(CAST(json_extract(meta, '$.links') AS JSON[]))
+           AS link
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+),
+edges AS (
+  SELECT DISTINCT url AS src,
+         json_extract_string(link, '$.href') AS dst
+  FROM l WHERE json_extract_string(link, '$.href') IS NOT NULL
+    AND url <> json_extract_string(link, '$.href')
+),
+ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS indeg
+        FROM edges GROUP BY dst)
+SELECT src AS url, CAST(COUNT(*) AS BIGINT) AS out_deg,
+       CAST(SUM(indeg) AS BIGINT) AS hub_score
+FROM edges JOIN ind USING (dst)
+GROUP BY src
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
+    "range_join_streaming": q_range_join_streaming,
+    "hits_scores": q_hits_scores,
     "loo_target_encode": q_loo_target_encode,
     "churned_users": q_churned_users,
     "salient_dims": q_salient_dims,
@@ -14754,6 +14854,8 @@ QUERIES = {
 ORACLE_SQL = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "curate_pages": SQL_CURATE_PAGES,
+    "range_join_streaming": SQL_RANGE_JOIN,
+    "hits_scores": SQL_HITS_SCORES,
     "loo_target_encode": SQL_LOO_TARGET_ENCODE,
     "churned_users": SQL_CHURNED_USERS,
     "salient_dims": SQL_SALIENT_DIMS,

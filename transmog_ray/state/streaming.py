@@ -590,6 +590,144 @@ class StreamingAsofState:
         return pd.DataFrame(cols)
 
 
+class StreamingIntervalState:
+    """Streaming interval (range) join: WINDOW rows (key, win_id,
+    [start, end]) and EVENT rows (key, ts, payload) arrive in
+    interleaved batches; each event joins EVERY window containing its
+    timestamp. An event is emitted only once the window-side watermark
+    (driven by window START times) strictly passes its timestamp: every
+    window with start ≤ ts is then guaranteed to have arrived, and a
+    window with start > ts can never contain it — so emissions are
+    complete AND leak-free. Windows arriving behind that watermark are
+    counted ``dropped_late_windows`` (events they could have matched may
+    already be out).
+
+    State is bounded: a window is evicted once nothing can still land
+    inside it — its end is below BOTH the event-side watermark (no
+    future arrival can be earlier) and the earliest still-buffered
+    event. Fully-flushed output equals the batch
+    :func:`~transmog_ray.functions.relational.range_join` (pinned by
+    tests). Shard by key hash inside an actor pool like the other
+    streaming states."""
+
+    def __init__(self, key: str, left_ts: str, win_start: str,
+                 win_end: str, win_cols,
+                 allowed_lateness_s: float = 0.0):
+        self.key = key
+        self.lts = left_ts
+        self.ws = win_start
+        self.we = win_end
+        self.wcols = list(win_cols)
+        self.win_tracker = WatermarkTracker(win_start, allowed_lateness_s)
+        self.ev_tracker = WatermarkTracker(left_ts, allowed_lateness_s)
+        self._wins: list[pd.DataFrame] = []
+        self._pending: list[pd.DataFrame] = []
+        self.dropped_late_windows = 0
+
+    def add_windows(self, df: pd.DataFrame) -> None:
+        ok, late = self.win_tracker.split(df)
+        self.dropped_late_windows += len(late)
+        if len(ok):
+            self._wins.append(
+                ok[[self.key, self.ws, self.we, *self.wcols]].copy())
+
+    def _win_frame(self) -> pd.DataFrame:
+        if len(self._wins) > 1:
+            self._wins = [pd.concat(self._wins, ignore_index=True)]
+        return self._wins[0] if self._wins else pd.DataFrame(
+            {self.key: [], self.ws: [], self.we: [],
+             **{c: [] for c in self.wcols}})
+
+    def process(self, events_df: pd.DataFrame | None = None) -> pd.DataFrame:
+        if events_df is not None and len(events_df):
+            self.ev_tracker.split(events_df)  # advance the event watermark
+            self._pending.append(events_df)
+        wm = self.win_tracker.watermark
+        if wm is None or not self._pending:
+            return pd.DataFrame()
+        pending = pd.concat(self._pending, ignore_index=True)
+        ready_mask = (pending[self.lts] < wm).to_numpy()
+        ready = pending[ready_mask]
+        rest = pending[~ready_mask]
+        self._pending = [rest] if len(rest) else []
+        out = self._join(ready)
+        # eviction: a window whose end is below both the event watermark
+        # and every still-buffered event can never match again
+        ewm = self.ev_tracker.watermark
+        if ewm is not None:
+            bound = ewm if not len(rest) else min(ewm, rest[self.lts].min())
+            wf = self._win_frame()
+            if len(wf):
+                keep = (wf[self.we] >= bound).to_numpy()
+                if not keep.all():
+                    self._wins = [wf[keep].reset_index(drop=True)]
+        return out
+
+    def flush(self) -> pd.DataFrame:
+        if not self._pending:
+            return pd.DataFrame()
+        pending = pd.concat(self._pending, ignore_index=True)
+        self._pending = []
+        return self._join(pending)
+
+    def _join(self, events: pd.DataFrame) -> pd.DataFrame:
+        if not len(events):
+            return pd.DataFrame()
+        w = self._win_frame()
+        if not len(w):
+            return pd.DataFrame()
+        m = events.merge(w, on=self.key)
+        inside = ((m[self.lts] >= m[self.ws])
+                  & (m[self.lts] <= m[self.we])).to_numpy()
+        return m[inside]
+
+
+def streaming_interval_join(
+    stream,
+    key: str,
+    left_ts: str,
+    win_start: str,
+    win_end: str,
+    win_cols,
+    num_shards: int = 8,
+    allowed_lateness_s: float = 0.0,
+):
+    """Distributed streaming interval join: replay an interleaved stream
+    of ``("window", df)`` / ``("event", df)`` batches through
+    ``num_shards`` actor-held :class:`StreamingIntervalState` shards
+    (hash-routed by key — a key never spans shards). Yields joined
+    frames as the window watermark releases them; flushes at end."""
+    import ray
+
+    from ..stages.partition import key_hash
+
+    state_cls = ray.remote(StreamingIntervalState)
+    actors = [
+        state_cls.remote(key, left_ts, win_start, win_end, win_cols,
+                         allowed_lateness_s)
+        for _ in range(num_shards)
+    ]
+    for kind, batch in stream:
+        if batch.empty:
+            continue
+        buckets = key_hash(batch, [key]) % np.uint64(num_shards)
+        refs = []
+        for b in range(num_shards):
+            part = batch[buckets == b]
+            if not len(part):
+                continue
+            if kind == "window":
+                refs.append(actors[b].add_windows.remote(part))
+            else:
+                refs.append(actors[b].process.remote(part))
+        for out in ray.get(refs):
+            if out is not None and len(out):
+                yield out
+    for out in ray.get([a.flush.remote() for a in actors]):
+        if out is not None and len(out):
+            yield out
+
+
 def streaming_asof(
     stream,
     key: str,
@@ -643,7 +781,9 @@ __all__ = [
     "TumblingWindowState",
     "StreamingDedupState",
     "StreamingAsofState",
+    "StreamingIntervalState",
     "streaming_sessionize",
     "streaming_asof",
+    "streaming_interval_join",
     "streaming_tumbling",
 ]
