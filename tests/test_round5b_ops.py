@@ -47,7 +47,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "bloom_fp_audit", "rolling_corr7_types",
              "repeat_purchase_parts", "part_supplier_hhi",
              "loo_target_encode", "churned_users", "salient_dims",
-             "domain_staleness", "range_join_streaming", "hits_scores"]
+             "domain_staleness", "range_join_streaming", "hits_scores",
+             "contract_violations_events", "top_prices_with_ties",
+             "top_parts_share_nation"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

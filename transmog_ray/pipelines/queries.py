@@ -14461,9 +14461,221 @@ GROUP BY src
 """
 
 
+def q_contract_violations_events(sf_dir: str):
+    """Declarative data-contract validation: a rule list (range checks,
+    enum membership, non-null) evaluated vectorized per batch, violation
+    counts per rule — the CI gate a pipeline runs before publishing a
+    table. One combine of ≤|rules| partial rows; rows never shuffle."""
+    ALLOWED = ("click", "view", "purchase", "signup", "error")
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"],
+                    num_blocks=8)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"]
+        ts = df["ts"]
+        rules = {
+            "value_in_range_0_1000": ~(v.notna() & (v >= 0) & (v <= 1000)),
+            "event_type_enum": ~df["event_type"].isin(ALLOWED),
+            "event_id_nonnull": df["event_id"].isna(),
+            "ts_in_window": ~(ts.notna()
+                              & (ts >= pd.Timestamp("2020-01-01"))
+                              & (ts < pd.Timestamp("2027-01-01"))),
+            "user_id_positive": ~(df["user_id"].notna()
+                                  & (df["user_id"] > 0)),
+        }
+        return pd.DataFrame({
+            "rule": list(rules),
+            "n_violations": [np.int64(m.sum()) for m in rules.values()],
+            "n_checked": np.int64(len(df)),
+        })
+
+    parts = ev.map_batches(check, batch_format="pandas").to_pandas()
+    out = (parts.groupby("rule", sort=False)
+           .agg(n_violations=("n_violations", "sum"),
+                n_checked=("n_checked", "sum")).reset_index())
+    out["n_violations"] = out["n_violations"].astype("int64")
+    out["n_checked"] = out["n_checked"].astype("int64")
+    return out
+
+
+SQL_CONTRACT_VIOLATIONS = """
+SELECT 'value_in_range_0_1000' AS rule,
+       CAST(COUNT(*) FILTER (WHERE NOT (value IS NOT NULL AND value >= 0
+                                        AND value <= 1000)) AS BIGINT)
+         AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_checked
+FROM events
+UNION ALL
+SELECT 'event_type_enum',
+       CAST(COUNT(*) FILTER (WHERE event_type NOT IN
+              ('click', 'view', 'purchase', 'signup', 'error')
+              OR event_type IS NULL) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'event_id_nonnull',
+       CAST(COUNT(*) FILTER (WHERE event_id IS NULL) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'ts_in_window',
+       CAST(COUNT(*) FILTER (WHERE NOT (ts IS NOT NULL
+              AND ts >= TIMESTAMP '2020-01-01'
+              AND ts < TIMESTAMP '2027-01-01')) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'user_id_positive',
+       CAST(COUNT(*) FILTER (WHERE NOT (user_id IS NOT NULL
+                                        AND user_id > 0)) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM events
+"""
+
+
+def q_top_prices_with_ties(sf_dir: str):
+    """Per-segment top-3 order prices WITH TIES (RANK semantics, not
+    ROW_NUMBER — every order tied with the 3rd price survives): the
+    segment dimension broadcasts; segments co-locate in one exchange and
+    the competition rank is an in-kernel sorted scan (grouped inside the
+    kernel — small domains collide buckets)."""
+    from ..functions.relational import broadcast_join
+    from ..stages.partition import bucket_exchange
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+                        num_blocks=8)
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename(columns={"c_custkey": "o_custkey",
+                                "c_mktsegment": "seg"})
+    joined = broadcast_join(orders, cust, on="o_custkey")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        return pd.DataFrame({"seg": df["seg"].to_numpy(),
+                             "price_cents": cents,
+                             "o_orderkey": df["o_orderkey"].to_numpy(np.int64)})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for seg, g in df.groupby("seg", sort=False):
+            g = g.sort_values(["price_cents", "o_orderkey"],
+                              ascending=[False, True], kind="mergesort")
+            pc_ = g["price_cents"].to_numpy()
+            # competition rank: 1 + count of STRICTLY greater prices
+            rank = np.searchsorted(-pc_, -pc_, side="left") + 1
+            keep = rank <= 3
+            outs.append(g[keep].assign(rnk=rank[keep].astype(np.int64)))
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {"seg": pd.Series([], dtype=object),
+             "price_cents": pd.Series([], dtype="int64"),
+             "o_orderkey": pd.Series([], dtype="int64"),
+             "rnk": pd.Series([], dtype="int64")})
+
+    return bucket_exchange(joined.map_batches(prep, batch_format="pandas"),
+                           ["seg"], topk, num_buckets=4)
+
+
+SQL_TOP_PRICES_WITH_TIES = """
+SELECT seg, price_cents, o_orderkey, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT c_mktsegment AS seg,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         o_orderkey,
+         RANK() OVER (PARTITION BY c_mktsegment
+                      ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        DESC) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rnk <= 3
+"""
+
+
+def q_top_parts_share_nation(sf_dir: str):
+    """Revenue concentration per supplier nation: the top-5 parts by
+    micro-cent revenue (ties to the smaller partkey) and each part's
+    share in RATIONAL form (part_microcents, nation_microcents). The
+    nation dim broadcasts; one (nation, part) rollup exchange, then the
+    tiny per-nation top-k — no global sort."""
+    from ..functions.relational import broadcast_join, grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"],
+                    num_blocks=8)
+    sup = read_small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    dim = sup.merge(nation, left_on="s_nationkey", right_on="n_nationkey")[
+        ["s_suppkey", "n_name"]
+    ].rename(columns={"s_suppkey": "l_suppkey", "n_name": "nation"})
+    joined = broadcast_join(li, dim, on="l_suppkey")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        bp = np.rint(df["l_discount"].to_numpy(np.float64) * 100
+                     ).astype(np.int64)
+        return pd.DataFrame({"nation": df["nation"].to_numpy(),
+                             "l_partkey": df["l_partkey"].to_numpy(np.int64),
+                             "mc": cents * (100 - bp)})
+
+    per_part = grouped_agg(joined.map_batches(prep, batch_format="pandas"),
+                           ["nation", "l_partkey"], {"part_mc": ("mc", "sum")},
+                           num_buckets=8)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part_mc"] = df["part_mc"].astype("int64")
+        outs = []
+        for nat, g in df.groupby("nation", sort=False):
+            total = np.int64(g["part_mc"].sum())
+            g = g.sort_values(["part_mc", "l_partkey"],
+                              ascending=[False, True],
+                              kind="mergesort").head(5)
+            outs.append(g.assign(nation_mc=total))
+        if not outs:  # a bucket can hold zero nations at tiny scales
+            return pd.DataFrame({"nation": pd.Series([], dtype=object),
+                                 "l_partkey": pd.Series([], dtype="int64"),
+                                 "part_mc": pd.Series([], dtype="int64"),
+                                 "nation_mc": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucket_exchange(per_part, ["nation"], topk, num_buckets=4)
+
+
+SQL_TOP_PARTS_SHARE_NATION = """
+WITH r AS (
+  SELECT n_name AS nation, l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS part_mc
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, l_partkey
+),
+t AS (
+  SELECT nation, l_partkey, part_mc,
+         CAST(SUM(part_mc) OVER (PARTITION BY nation) AS BIGINT)
+           AS nation_mc,
+         ROW_NUMBER() OVER (PARTITION BY nation
+                            ORDER BY part_mc DESC, l_partkey ASC) AS rn
+  FROM r
+)
+SELECT nation, l_partkey, part_mc, nation_mc FROM t WHERE rn <= 5
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
+    "contract_violations_events": q_contract_violations_events,
+    "top_prices_with_ties": q_top_prices_with_ties,
+    "top_parts_share_nation": q_top_parts_share_nation,
     "range_join_streaming": q_range_join_streaming,
     "hits_scores": q_hits_scores,
     "loo_target_encode": q_loo_target_encode,
@@ -14854,6 +15066,9 @@ QUERIES = {
 ORACLE_SQL = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "curate_pages": SQL_CURATE_PAGES,
+    "contract_violations_events": SQL_CONTRACT_VIOLATIONS,
+    "top_prices_with_ties": SQL_TOP_PRICES_WITH_TIES,
+    "top_parts_share_nation": SQL_TOP_PARTS_SHARE_NATION,
     "range_join_streaming": SQL_RANGE_JOIN,
     "hits_scores": SQL_HITS_SCORES,
     "loo_target_encode": SQL_LOO_TARGET_ENCODE,
