@@ -14670,9 +14670,168 @@ SELECT nation, l_partkey, part_mc, nation_mc FROM t WHERE rn <= 5
 """
 
 
+def q_value_gini_orders(sf_dir: str):
+    """Gini sufficient statistics of order values: n, Σcents, and the
+    rank-weighted Σ rn·cents (global ROW_NUMBER by (cents, orderkey))
+    — Gini = (2W − (n+1)S)/(nS) client-side. The global rank comes from
+    the distributed ordered scan over a COLLISION-FREE composite key
+    (cents·2³² + orderkey), so the scan's RANGE tie rule degenerates to
+    exact row numbers; the rank-weighted sum accumulates as Python ints
+    shipped as strings (it overflows int64 beyond ~sf0.3) and is
+    mirrored by HUGEINT in SQL."""
+    from ..functions.relational import ordered_scan
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"], num_blocks=8)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        key = (cents << np.int64(32)) + df["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({"composite": key, "cents": cents,
+                             "one": np.int64(1)})
+
+    scanned = ordered_scan(orders.map_batches(prep, batch_format="pandas"),
+                           "composite", "one", out_col="rn", num_buckets=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df["rn"].to_numpy(np.int64)
+        cents = df["cents"].to_numpy(np.int64)
+        w = sum(int(a) * int(b) for a, b in zip(rn, cents))
+        return pd.DataFrame({"n": [np.int64(len(df))],
+                             "s": [np.int64(cents.sum())],
+                             "w": [str(w)]})
+
+    parts = scanned.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n": [np.int64(parts["n"].sum())],
+        "sum_cents": [np.int64(parts["s"].sum())],
+        "rank_weighted": [str(sum(int(x) for x in parts["w"]))],
+    })
+
+
+SQL_VALUE_GINI_ORDERS = """
+WITH r AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                    o_orderkey) AS rn
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(CAST(rn AS HUGEINT) * CAST(cents AS HUGEINT)) AS VARCHAR)
+         AS rank_weighted
+FROM r
+"""
+
+
+def q_expanding_z_events(sf_dir: str):
+    """Leakage-safe expanding standardization per user: for every event,
+    the PRIOR-ONLY count, Σcents and Σcents² in event order — the exact
+    integer sufficient statistics of a point-in-time z-score (the float
+    z is a client-side formula). One user-keyed exchange, shifted
+    cumulative sums in-kernel."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        g = df.assign(_c=cents, _c2=cents * cents).groupby("user_id",
+                                                           sort=False)
+        n_prior = g.cumcount().to_numpy(np.int64)
+        sum_prior = (g["_c"].cumsum() - cents).to_numpy(np.int64)
+        c2 = cents * cents
+        sumsq_prior = (g["_c2"].cumsum().to_numpy(np.int64) - c2)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "n_prior": n_prior,
+            "sum_prior_cents": sum_prior,
+            "sumsq_prior_cents": sumsq_prior,
+        })
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_EXPANDING_Z = """
+SELECT event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_prior,
+       CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w, 0)
+            AS BIGINT) AS sum_prior_cents,
+       CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                         * CAST(ROUND(value * 100) AS BIGINT)) OVER w, 0)
+            AS BIGINT) AS sumsq_prior_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_hierarchical_median_lengths(sf_dir: str):
+    """Hierarchical statistical backoff: per (lang, source) cell the
+    exact median doc length (quantile_disc rank ceil(n/2)−1) — unless
+    the cell has <8 docs, in which case it FALLS BACK to the lang-level
+    median (small-cell smoothing, the standard encode-with-backoff
+    move). Language groups co-locate in one exchange; both levels
+    compute in the same kernel."""
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["lang", "source", "n_chars"], num_blocks=8)
+
+    def med(v: np.ndarray) -> int:
+        v = np.sort(v)
+        return int(v[(len(v) + 1) // 2 - 1])
+
+    def per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["lang"].notna() & df["source"].notna()]
+        rows = []
+        for lang, g in df.groupby("lang", sort=False):
+            lang_med = med(g["n_chars"].to_numpy(np.int64))
+            for src, c in g.groupby("source", sort=False):
+                n = len(c)
+                use_cell = n >= 8
+                rows.append((lang, src, np.int64(n),
+                             np.int64(med(c["n_chars"].to_numpy(np.int64))
+                                      if use_cell else lang_med),
+                             "cell" if use_cell else "lang"))
+        return pd.DataFrame(rows, columns=["lang", "source", "n_cell",
+                                           "median_used", "level"])
+
+    return bucket_exchange(docs, ["lang"], per_lang, num_buckets=4)
+
+
+SQL_HIERARCHICAL_MEDIAN = """
+WITH cell AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_cell,
+         quantile_disc(n_chars, 0.5) AS cell_med
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source
+),
+lm AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS lang_med
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang
+)
+SELECT cell.lang, source, n_cell,
+       CAST(CASE WHEN n_cell >= 8 THEN cell_med ELSE lang_med END
+            AS BIGINT) AS median_used,
+       CASE WHEN n_cell >= 8 THEN 'cell' ELSE 'lang' END AS level
+FROM cell JOIN lm ON cell.lang = lm.lang
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
+    "value_gini_orders": q_value_gini_orders,
+    "expanding_z_events": q_expanding_z_events,
+    "hierarchical_median_lengths": q_hierarchical_median_lengths,
     "contract_violations_events": q_contract_violations_events,
     "top_prices_with_ties": q_top_prices_with_ties,
     "top_parts_share_nation": q_top_parts_share_nation,
@@ -15066,6 +15225,9 @@ QUERIES = {
 ORACLE_SQL = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "curate_pages": SQL_CURATE_PAGES,
+    "value_gini_orders": SQL_VALUE_GINI_ORDERS,
+    "expanding_z_events": SQL_EXPANDING_Z,
+    "hierarchical_median_lengths": SQL_HIERARCHICAL_MEDIAN,
     "contract_violations_events": SQL_CONTRACT_VIOLATIONS,
     "top_prices_with_ties": SQL_TOP_PRICES_WITH_TIES,
     "top_parts_share_nation": SQL_TOP_PARTS_SHARE_NATION,
