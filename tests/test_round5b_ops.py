@@ -50,7 +50,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "domain_staleness", "range_join_streaming", "hits_scores",
              "contract_violations_events", "top_prices_with_ties",
              "top_parts_share_nation", "value_gini_orders",
-             "expanding_z_events", "hierarchical_median_lengths"]
+             "expanding_z_events", "hierarchical_median_lengths",
+             "html_byte_stats", "hash_collision_stats",
+             "activity_streaks"]
 )
 def test_new_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

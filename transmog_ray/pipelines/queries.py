@@ -14826,9 +14826,194 @@ FROM cell JOIN lm ON cell.lang = lm.lang
 """
 
 
+def q_html_byte_stats(sf_dir: str):
+    """Raw-payload profiling over the BINARY html column: per page the
+    byte length, distinct byte count and modal byte count — the cheap
+    encoding/compressibility probe a crawl pipeline runs before
+    decode. Map-only np.frombuffer histograms; the SQL twin walks the
+    decoded codepoints (the fixture html is pure ASCII, where bytes ==
+    codepoints — asserted in the kernel). Duplicate (url, warc_ts)
+    snapshots are keyed by a deterministic copy_rank (html byte order),
+    so per-row outputs hash-compare — that needs one url-keyed
+    exchange."""
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts", "html"],
+                            override_num_blocks=16)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["html"].notna()]
+        df = df[df["html"].map(len) > 0]
+        df = df.sort_values(["url", "warc_ts", "html"], kind="mergesort")
+        rank = (df.groupby(["url", "warc_ts"], sort=False).cumcount() + 1
+                ).to_numpy(np.int64)
+        n_bytes, n_distinct, top = [], [], []
+        for h in df["html"].to_numpy():
+            b = np.frombuffer(h, dtype=np.uint8)
+            assert (b < 128).all(), "fixture html must be ASCII"
+            counts = np.bincount(b, minlength=128)
+            n_bytes.append(len(b))
+            n_distinct.append(int((counts > 0).sum()))
+            top.append(int(counts.max()))
+        return pd.DataFrame({
+            "url": df["url"].to_numpy(),
+            "warc_ts": df["warc_ts"].to_numpy(),
+            "copy_rank": rank,
+            "n_bytes": pd.Series(n_bytes, dtype="int64").to_numpy(),
+            "n_distinct_bytes": pd.Series(n_distinct,
+                                          dtype="int64").to_numpy(),
+            "modal_byte_count": pd.Series(top, dtype="int64").to_numpy(),
+        })
+
+    return bucket_exchange(ds, ["url"], stats, num_buckets=16)
+
+
+SQL_HTML_BYTE_STATS = f"""
+WITH p AS (
+  SELECT url, warc_ts, html,
+         ROW_NUMBER() OVER (PARTITION BY url, warc_ts
+                            ORDER BY decode(html)) AS copy_rank
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE html IS NOT NULL AND octet_length(html) > 0
+),
+c AS (
+  SELECT url, warc_ts, copy_rank,
+         unnest(string_split(decode(html), '')) AS ch
+  FROM p
+),
+h AS (
+  SELECT url, warc_ts, copy_rank, ch, COUNT(*) AS n
+  FROM c GROUP BY url, warc_ts, copy_rank, ch
+)
+SELECT url, warc_ts, CAST(copy_rank AS BIGINT) AS copy_rank,
+       CAST(SUM(n) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+       CAST(MAX(n) AS BIGINT) AS modal_byte_count
+FROM h GROUP BY url, warc_ts, copy_rank
+"""
+
+
+def q_hash_collision_stats(sf_dir: str):
+    """Feature-hashing collision audit for the 64-bucket hashing trick:
+    how many DISTINCT terms land in each bucket, the bucket-occupancy
+    histogram the dimensionality choice is judged by. Distinct terms
+    reduce in one exchange (term-keyed); per-bucket distinct counts and
+    the occupancy histogram are two tiny combines."""
+    import hashlib
+
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["text"], num_blocks=8)
+
+    def terms(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df["text"].dropna().str.split(" ").explode()
+             .drop_duplicates())
+        return pd.DataFrame({"term": t.to_numpy(dtype=object)})
+
+    distinct = grouped_agg(docs.map_batches(terms, batch_format="pandas"),
+                           ["term"], {"n": ("term", "count")}, num_buckets=8)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        b = [int(hashlib.md5(str(w).encode()).hexdigest()[:8], 16) % 64
+             for w in df["term"].to_numpy()]
+        out = (pd.DataFrame({"bucket": pd.Series(b, dtype="int64")})
+               .groupby("bucket", sort=False).size().rename("n_terms")
+               .astype("int64").reset_index())
+        return out
+
+    per_bucket = grouped_agg(
+        distinct.map_batches(bucketize, batch_format="pandas"),
+        ["bucket"], {"n_terms": ("n_terms", "sum")}, num_buckets=2
+    ).to_pandas()
+    per_bucket["n_terms"] = per_bucket["n_terms"].astype("int64")
+    hist = (per_bucket.groupby("n_terms", sort=False).size()
+            .rename("n_buckets").astype("int64").reset_index())
+    return hist
+
+
+SQL_HASH_COLLISION_STATS = """
+WITH terms AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT CAST(CONCAT('0x', substring(md5(w), 1, 8)) AS BIGINT) % 64
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM terms GROUP BY bucket
+)
+SELECT n_terms, CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM b GROUP BY n_terms
+"""
+
+
+def q_activity_streaks(sf_dir: str):
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands: island id = day − dense day rank, vectorized per
+    user inside one user-keyed exchange over DISTINCT (user, day)
+    pairs."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"],
+                    num_blocks=8)
+
+    def to_days(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "day": pc.divide(us, 86_400_000_000)})
+
+    days = ev.map_batches(to_days, batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"], kind="mergesort"))
+        rk = d.groupby("user_id", sort=False).cumcount().to_numpy(np.int64)
+        island = d["day"].to_numpy(np.int64) - rk
+        streaks = (d.assign(_i=island)
+                   .groupby(["user_id", "_i"], sort=False).size())
+        out = (streaks.groupby(level=0).agg(["max", "count"])
+               .reset_index())
+        per_user_days = (d.groupby("user_id", sort=False).size()
+                         .reset_index(name="n_active_days"))
+        out.columns = ["user_id", "longest_streak", "n_islands"]
+        out = out.merge(per_user_days, on="user_id")
+        for c in ("longest_streak", "n_islands", "n_active_days"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucket_exchange(days, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+i AS (
+  SELECT user_id, day,
+         day - (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1)
+           AS island
+  FROM d
+),
+s AS (
+  SELECT user_id, island, COUNT(*) AS len
+  FROM i GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM s GROUP BY user_id
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
+    "html_byte_stats": q_html_byte_stats,
+    "hash_collision_stats": q_hash_collision_stats,
+    "activity_streaks": q_activity_streaks,
     "value_gini_orders": q_value_gini_orders,
     "expanding_z_events": q_expanding_z_events,
     "hierarchical_median_lengths": q_hierarchical_median_lengths,
@@ -15225,6 +15410,9 @@ QUERIES = {
 ORACLE_SQL = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "curate_pages": SQL_CURATE_PAGES,
+    "html_byte_stats": SQL_HTML_BYTE_STATS,
+    "hash_collision_stats": SQL_HASH_COLLISION_STATS,
+    "activity_streaks": SQL_ACTIVITY_STREAKS,
     "value_gini_orders": SQL_VALUE_GINI_ORDERS,
     "expanding_z_events": SQL_EXPANDING_Z,
     "hierarchical_median_lengths": SQL_HIERARCHICAL_MEDIAN,
