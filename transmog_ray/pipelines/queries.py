@@ -15008,6 +15008,223 @@ FROM s GROUP BY user_id
 """
 
 
+def q_order_value_share(sf_dir: str):
+    """Percent-of-total feature: each order's share of its customer's
+    lifetime spend — the classic normalize-by-entity-total feature.
+    Cents are exact int64 (fixed-2-decimal input); the share is ONE
+    IEEE double division of two exact integers, so it compares
+    bit-identically cross-engine. Per-customer totals combine in one
+    small exchange and re-attach with a distributed hash join — order
+    rows move exactly once."""
+    from ..functions.relational import grouped_agg, hash_join
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"], num_blocks=8)
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "cents": np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                             ).astype(np.int64),
+        })
+
+    o = orders.map_batches(cents, batch_format="pandas").materialize()
+    totals = grouped_agg(
+        o.map_batches(
+            lambda d: d[["o_custkey", "cents"]].rename(
+                columns={"cents": "cust_cents"}),
+            batch_format="pandas"),
+        ["o_custkey"], {"cust_cents": ("cust_cents", "sum")}, num_buckets=8)
+    joined = hash_join(o, totals, on="o_custkey", num_buckets=8)
+
+    def share(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["share"] = (df["cents"].to_numpy(np.int64).astype(np.float64)
+                       / df["cust_cents"].to_numpy(np.int64))
+        return df[["o_orderkey", "o_custkey", "cents", "cust_cents",
+                   "share"]]
+
+    return joined.map_batches(share, batch_format="pandas")
+
+
+SQL_ORDER_VALUE_SHARE = """
+WITH c AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), t AS (
+  SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS cust_cents
+  FROM c GROUP BY o_custkey
+)
+SELECT c.o_orderkey, c.o_custkey, c.cents, t.cust_cents,
+       CAST(c.cents AS DOUBLE) / t.cust_cents AS share
+FROM c JOIN t USING (o_custkey)
+"""
+
+
+def q_order_gap_stats(sf_dir: str):
+    """Inter-order cadence features per customer: exact integer
+    sufficient statistics (n, Σgap, Σgap², max) of the day gaps between
+    consecutive orders — the recency/regularity signal behind churn and
+    reorder models. Gap days are exact BIGINTs (epoch-µs diff // 1 day;
+    dates are day-truncated); Σgap² of ≤ ~2400-day gaps cannot overflow
+    int64 at any per-customer cardinality that fits an order table. Ties
+    on o_orderdate break by o_orderkey, but the gap MULTISET of a sorted
+    multiset is tie-order-invariant anyway. One exchange co-locates each
+    customer's orders; only per-customer stat rows leave the task."""
+    from ..stages.partition import bucket_exchange
+
+    DAY_US = 86_400_000_000
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+                        num_blocks=8)
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[ns]")
+               .astype(np.int64) // 1000) // DAY_US
+        cust = df["o_custkey"].to_numpy(np.int64)
+        prev_day = np.roll(day, 1)
+        same = np.roll(cust, 1) == cust
+        gaps = pd.DataFrame({
+            "o_custkey": cust[same],
+            "gap": day[same] - prev_day[same],
+        })
+        if gaps.empty:
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype="int64"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "sum_gap": pd.Series([], dtype="int64"),
+                "sumsq_gap": pd.Series([], dtype="int64"),
+                "max_gap": pd.Series([], dtype="int64"),
+            })
+        gaps["sq"] = gaps["gap"] * gaps["gap"]
+        out = (gaps.groupby("o_custkey", sort=False)
+               .agg(n_gaps=("gap", "size"), sum_gap=("gap", "sum"),
+                    sumsq_gap=("sq", "sum"), max_gap=("gap", "max"))
+               .astype("int64").reset_index())
+        return out
+
+    return bucket_exchange(orders, ["o_custkey"], per_cust, num_buckets=8)
+
+
+SQL_ORDER_GAP_STATS = """
+WITH g AS (
+  SELECT o_custkey,
+         (epoch_us(o_orderdate)
+          - epoch_us(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate,
+                                                     o_orderkey)))
+           // 86400000000 AS gap
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap,
+       CAST(SUM(gap * gap) AS BIGINT) AS sumsq_gap,
+       CAST(MAX(gap) AS BIGINT) AS max_gap
+FROM g WHERE gap IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
+def q_token_fertility_langs(sf_dir: str):
+    """Tokenizer-fertility calibration per language: corpus-level
+    tokens-per-char ratio (whitespace tokens; the BPE-budget planning
+    number). Arrow-native map-side partials (pc.count_substring +
+    pc.utf8_length — codepoint semantics match DuckDB length()), one
+    |langs|-row combine; fertility is one double division of two exact
+    int64 sums."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"],
+                      num_blocks=8)
+
+    def counts(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        return pa.table({
+            "lang": t.column("lang"),
+            "tokens": pc.cast(pc.add(pc.count_substring(txt, " "), 1),
+                              pa.int64()),
+            "chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+        })
+
+    agg = grouped_agg(
+        docs.map_batches(counts, batch_format="pyarrow"),
+        ["lang"],
+        {"tokens": ("tokens", "sum"), "chars": ("chars", "sum"),
+         "n_docs": ("tokens", "count")},
+        num_buckets=4)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["fertility"] = (df["tokens"].to_numpy(np.int64)
+                           .astype(np.float64)
+                           / df["chars"].to_numpy(np.int64))
+        return df[["lang", "tokens", "chars", "n_docs", "fertility"]]
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+SQL_TOKEN_FERTILITY_LANGS = """
+WITH c AS (
+  SELECT lang,
+         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+           AS tok,
+         CAST(length(COALESCE(text, '')) AS BIGINT) AS ch
+  FROM documents
+)
+SELECT lang, CAST(SUM(tok) AS BIGINT) AS tokens,
+       CAST(SUM(ch) AS BIGINT) AS chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CAST(SUM(tok) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(ch) AS BIGINT) AS fertility
+FROM c GROUP BY lang
+"""
+
+
+def q_early_activity_profile(sf_dir: str):
+    """Cold-start features: event-type counts within each user's FIRST
+    five events ((ts, event_id) order — deterministic under tied
+    timestamps) — the onboarding-signal profile used before enough
+    history accumulates. One exchange co-locates each user; the kernel
+    ranks with a stable sort + cumcount and emits only (user, type,
+    n ≤ 5) rows."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        rn = df.groupby("user_id", sort=False).cumcount()
+        head = df[rn < 5]
+        out = (head.groupby(["user_id", "event_type"], sort=False)
+               .size().rename("n").astype("int64").reset_index())
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_EARLY_ACTIVITY_PROFILE = """
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM r WHERE rn <= 5
+GROUP BY user_id, event_type
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -15324,6 +15541,10 @@ QUERIES = {
     "attribution_events": q_attribution_events,
     "temperature_mix_docs": q_temperature_mix_docs,
     "t5_spans_docs": q_t5_spans_docs,
+    "order_value_share": q_order_value_share,
+    "order_gap_stats": q_order_gap_stats,
+    "token_fertility_langs": q_token_fertility_langs,
+    "early_activity_profile": q_early_activity_profile,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -15690,6 +15911,10 @@ ORACLE_SQL = {
     "attribution_events": SQL_ATTRIBUTION_EVENTS,
     "temperature_mix_docs": SQL_TEMPERATURE_MIX,
     "t5_spans_docs": SQL_T5_SPANS,
+    "order_value_share": SQL_ORDER_VALUE_SHARE,
+    "order_gap_stats": SQL_ORDER_GAP_STATS,
+    "token_fertility_langs": SQL_TOKEN_FERTILITY_LANGS,
+    "early_activity_profile": SQL_EARLY_ACTIVITY_PROFILE,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
