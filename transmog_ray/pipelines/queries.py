@@ -15225,6 +15225,313 @@ GROUP BY user_id, event_type
 """
 
 
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 analog: revenue from lineitems whose CUSTOMER and
+    SUPPLIER share a nation (the local-supplier volume report), orders
+    in 1996, grouped by nation. Revenue in exact integer microcents
+    (cents × (100 − discount%); both factors fixed-2-decimal). The two
+    fact tables meet in ONE partitioned hash join with the rollup fused
+    into the reduce tasks (post_fn) — joined rows never leave the join
+    task; the customer→nation and supplier→nation dimensions broadcast
+    once via ray.put."""
+    from ..functions.relational import broadcast_join, grouped_agg, hash_join
+
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = read_small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                        num_blocks=8)
+
+    def order_proj(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["o_orderdate"].dt.year.to_numpy()
+        keep = df[y == 1996]
+        return keep[["o_orderkey", "o_custkey"]]
+
+    o96 = broadcast_join(
+        orders.map_batches(order_proj, batch_format="pandas"),
+        cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey",
+    ).map_batches(
+        lambda d: d[["o_orderkey", "c_nationkey"]].rename(
+            columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        num_blocks=8)
+
+    smap = supp.set_index("s_suppkey")["s_nationkey"]
+
+    def li_proj(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        d100 = np.rint(df["l_discount"].to_numpy(np.float64) * 100
+                       ).astype(np.int64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "s_nationkey": df["l_suppkey"].map(smap).to_numpy(np.int64),
+            "microcents": cents * (100 - d100),
+        })
+
+    def local_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["s_nationkey"].to_numpy(np.int64)
+               == df["c_nationkey"].to_numpy(np.int64)]
+        out = (m.groupby("s_nationkey", sort=False)["microcents"].sum()
+               .astype("int64").rename("revenue_microcents").reset_index()
+               .rename(columns={"s_nationkey": "nationkey"}))
+        return out
+
+    joined = hash_join(
+        li.map_batches(li_proj, batch_format="pandas"), o96,
+        on="l_orderkey", num_buckets=8, post_fn=local_rollup)
+    partial = grouped_agg(
+        joined, ["nationkey"],
+        {"revenue_microcents": ("revenue_microcents", "sum")}, num_buckets=4)
+
+    nmap = nation.set_index("n_nationkey")["n_name"]
+
+    def name_it(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_name"] = df["nationkey"].map(nmap)
+        return df[["n_name", "revenue_microcents"]]
+
+    return partial.map_batches(name_it, batch_format="pandas")
+
+
+SQL_LOCAL_SUPPLIER_REVENUE = """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_microcents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND date_part('year', o.o_orderdate) = 1996
+GROUP BY n.n_name
+"""
+
+
+def q_q16_part_suppliers(sf_dir: str):
+    """TPC-H Q16 analog: distinct-supplier counts per part attribute
+    group (brand, type-prefix class, size), excluding one brand and one
+    type class — the supplier-diversity report. lineitem stands in for
+    partsupp (the schema has no partsupp table). Two bounded exchanges:
+    (1) the fact table dedups to distinct (partkey, suppkey) pairs,
+    (2) after a broadcast join onto part attrs, distinct (attr, supp)
+    rows dedup and count in a second exchange — raw lineitems never
+    re-shuffle."""
+    from ..functions.relational import broadcast_join, grouped_agg
+    from ..stages.dedup import dedup_exact
+
+    part = read_small(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    part = part[(part["p_brand"] != "Brand#45")
+                & (part["p_type"] != "MEDIUM")].copy()
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"],
+                    num_blocks=8)
+    pairs = dedup_exact(li, ["l_partkey", "l_suppkey"], num_buckets=8)
+    attrs = broadcast_join(
+        pairs, part.rename(columns={"p_partkey": "l_partkey"}),
+        on="l_partkey",
+    ).map_batches(
+        lambda d: d[["p_brand", "p_type", "p_size", "l_suppkey"]],
+        batch_format="pandas",
+    )
+    distinct_supp = dedup_exact(
+        attrs, ["p_brand", "p_type", "p_size", "l_suppkey"], num_buckets=8)
+    counted = grouped_agg(
+        distinct_supp.map_batches(
+            lambda d: d.assign(supplier_cnt=np.int64(1)),
+            batch_format="pandas"),
+        ["p_brand", "p_type", "p_size"],
+        {"supplier_cnt": ("supplier_cnt", "sum")}, num_buckets=8)
+    return counted
+
+
+SQL_Q16_PART_SUPPLIERS = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_session_handoff_matrix(sf_dir: str):
+    """Cross-session behavior handoff: global counts of (last event
+    type of session k → first event type of session k+1) per user,
+    with 30-minute-gap sessionization — the re-engagement transition
+    matrix (what users come BACK to do). One exchange co-locates each
+    user's history; the kernel sessionizes, takes session endpoints,
+    and emits bounded |types|² partials that combine in a tiny second
+    exchange."""
+    from ..stages.partition import bucket_exchange
+
+    GAP_US = 1_800_000_000
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "from_type": pd.Series([], dtype=object),
+                "to_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            })
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = (df["ts"].to_numpy().astype("datetime64[ns]")
+              .astype(np.int64) // 1000)
+        uid = df["user_id"].to_numpy(np.int64)
+        prev_us = np.roll(us, 1)
+        new_sess = (np.roll(uid, 1) != uid) | (us - prev_us > GAP_US)
+        new_sess[0] = True
+        sid = np.cumsum(new_sess)
+        typ = df["event_type"].to_numpy(object)
+        # session endpoints: first/last positions of each sid run
+        first_pos = np.flatnonzero(new_sess)
+        last_pos = np.r_[first_pos[1:] - 1, len(df) - 1]
+        f = pd.DataFrame({
+            "user_id": uid[first_pos],
+            "sid": sid[first_pos],
+            "first_type": typ[first_pos],
+            "last_type": typ[last_pos],
+        })
+        f = f.sort_values(["user_id", "sid"], kind="mergesort")
+        prev_last = f.groupby("user_id", sort=False)["last_type"].shift(1)
+        h = pd.DataFrame({"from_type": prev_last,
+                          "to_type": f["first_type"]})
+        h = h[h["from_type"].notna()]
+        out = (h.groupby(["from_type", "to_type"], sort=False)
+               .size().rename("n").astype("int64").reset_index())
+        return out
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["from_type", "to_type"], sort=False)["n"]
+                .sum().astype("int64").reset_index())
+
+    return bucket_exchange(partials, ["from_type", "to_type"], combine,
+                           num_buckets=2)
+
+
+SQL_SESSION_HANDOFF_MATRIX = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), r AS (
+  SELECT user_id, sid, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM s
+), fl AS (
+  SELECT user_id, sid,
+         MAX(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+         MAX(CASE WHEN rn_d = 1 THEN event_type END) AS last_type
+  FROM r GROUP BY user_id, sid
+), h AS (
+  SELECT first_type AS to_type,
+         LAG(last_type) OVER (PARTITION BY user_id ORDER BY sid)
+           AS from_type
+  FROM fl
+)
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM h WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+def q_priority_mix_drift(sf_dir: str):
+    """Month-over-month order-priority mix drift: the L1 distance
+    between consecutive months' priority DISTRIBUTIONS, kept exact by
+    cross-multiplying instead of dividing — Σ_p |c_m[p]·N_{m−1} −
+    c_{m−1}[p]·N_m| is a pure BIGINT (shares would need per-cell
+    divisions whose SUM is float-order-sensitive). Distribution-shift
+    monitoring for pipeline drift alarms. Cell counts combine in one
+    tiny exchange (≤ months × priorities rows); the month-lag join
+    finishes driver-side on that bounded frame, chi2-style."""
+    from ..functions.relational import grouped_agg
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_orderpriority"],
+                        num_blocks=8)
+
+    def cell(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"].dt.year.to_numpy(np.int64) * 12
+             + df["o_orderdate"].dt.month.to_numpy(np.int64))
+        return pd.DataFrame({"m": m,
+                             "pri": df["o_orderpriority"].to_numpy(object),
+                             "c": np.int64(1)})
+
+    cells = grouped_agg(
+        orders.map_batches(cell, batch_format="pandas"),
+        ["m", "pri"], {"c": ("c", "sum")}, num_buckets=4,
+    ).to_pandas()
+
+    totals = cells.groupby("m")["c"].sum().rename("n").reset_index()
+    pris = cells["pri"].unique()
+    grid = (totals[["m"]].merge(pd.DataFrame({"pri": pris}), how="cross")
+            .merge(cells, on=["m", "pri"], how="left")
+            .fillna({"c": 0}))
+    grid["c"] = grid["c"].astype("int64")
+    grid = grid.merge(totals, on="m")
+    prev = grid.copy()
+    prev["m"] = prev["m"] + 1
+    both = grid.merge(prev, on=["m", "pri"], suffixes=("", "_prev"))
+    num = np.abs(both["c"].to_numpy(np.int64)
+                 * both["n_prev"].to_numpy(np.int64)
+                 - both["c_prev"].to_numpy(np.int64)
+                 * both["n"].to_numpy(np.int64))
+    both["term"] = num
+    out = (both.groupby("m", sort=False)
+           .agg(drift_num=("term", "sum"), n=("n", "max"),
+                n_prev=("n_prev", "max"))
+           .astype("int64").reset_index())
+    return out
+
+
+SQL_PRIORITY_MIX_DRIFT = """
+WITH mc AS (
+  SELECT CAST(date_part('year', o_orderdate) * 12
+              + date_part('month', o_orderdate) AS BIGINT) AS m,
+         o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY m, pri
+), mt AS (
+  SELECT m, CAST(SUM(c) AS BIGINT) AS n FROM mc GROUP BY m
+), grid AS (
+  SELECT mt.m, p.pri, COALESCE(mc.c, 0) AS c, mt.n
+  FROM mt CROSS JOIN (SELECT DISTINCT pri FROM mc) p
+  LEFT JOIN mc ON mc.m = mt.m AND mc.pri = p.pri
+)
+SELECT cur.m,
+       CAST(SUM(ABS(cur.c * prv.n - prv.c * cur.n)) AS BIGINT)
+         AS drift_num,
+       CAST(MAX(cur.n) AS BIGINT) AS n,
+       CAST(MAX(prv.n) AS BIGINT) AS n_prev
+FROM grid cur JOIN grid prv ON cur.pri = prv.pri AND prv.m = cur.m - 1
+GROUP BY cur.m
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -15545,6 +15852,10 @@ QUERIES = {
     "order_gap_stats": q_order_gap_stats,
     "token_fertility_langs": q_token_fertility_langs,
     "early_activity_profile": q_early_activity_profile,
+    "local_supplier_revenue": q_local_supplier_revenue,
+    "q16_part_suppliers": q_q16_part_suppliers,
+    "session_handoff_matrix": q_session_handoff_matrix,
+    "priority_mix_drift": q_priority_mix_drift,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -15915,6 +16226,10 @@ ORACLE_SQL = {
     "order_gap_stats": SQL_ORDER_GAP_STATS,
     "token_fertility_langs": SQL_TOKEN_FERTILITY_LANGS,
     "early_activity_profile": SQL_EARLY_ACTIVITY_PROFILE,
+    "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
+    "q16_part_suppliers": SQL_Q16_PART_SUPPLIERS,
+    "session_handoff_matrix": SQL_SESSION_HANDOFF_MATRIX,
+    "priority_mix_drift": SQL_PRIORITY_MIX_DRIFT,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
