@@ -15532,6 +15532,492 @@ GROUP BY cur.m
 """
 
 
+def q_nations_trade_flow(sf_dir: str):
+    """TPC-H Q7 analog: shipped-revenue flow between every DISTINCT
+    (supplier nation → customer nation) pair for ship-years 1996-1997 —
+    the cross-border trade matrix. Same single-hash-join shape as
+    local_supplier_revenue: both nation keys ride the fact rows into
+    ONE partitioned join (dims broadcast once), and the ≠-pair rollup
+    fuses into the reduce tasks so joined rows never leave them; only
+    |nations|²×2 partials re-combine."""
+    from ..functions.relational import grouped_agg, hash_join
+
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = read_small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    cmap = cust.set_index("c_custkey")["c_nationkey"]
+    smap = supp.set_index("s_suppkey")["s_nationkey"]
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                        num_blocks=8)
+
+    def order_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "cust_nation": df["o_custkey"].map(cmap).to_numpy(np.int64),
+        })
+
+    o_nat = orders.map_batches(order_proj, batch_format="pandas")
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        num_blocks=8)
+
+    def li_proj(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["l_shipdate"].dt.year.to_numpy(np.int64)
+        keep = (y == 1996) | (y == 1997)
+        df = df[keep]
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        d100 = np.rint(df["l_discount"].to_numpy(np.float64) * 100
+                       ).astype(np.int64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "supp_nation": df["l_suppkey"].map(smap).to_numpy(np.int64),
+            "l_year": y[keep],
+            "microcents": cents * (100 - d100),
+        })
+
+    def flow_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["supp_nation"].to_numpy(np.int64)
+               != df["cust_nation"].to_numpy(np.int64)]
+        return (m.groupby(["supp_nation", "cust_nation", "l_year"],
+                          sort=False)["microcents"]
+                .sum().astype("int64").rename("revenue_microcents")
+                .reset_index())
+
+    joined = hash_join(li.map_batches(li_proj, batch_format="pandas"), o_nat,
+                       on="l_orderkey", num_buckets=8, post_fn=flow_rollup)
+    return grouped_agg(
+        joined, ["supp_nation", "cust_nation", "l_year"],
+        {"revenue_microcents": ("revenue_microcents", "sum")}, num_buckets=4)
+
+
+SQL_NATIONS_TRADE_FLOW = """
+SELECT CAST(s.s_nationkey AS BIGINT) AS supp_nation,
+       CAST(c.c_nationkey AS BIGINT) AS cust_nation,
+       CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_microcents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey <> c.c_nationkey
+  AND date_part('year', l_shipdate) IN (1996, 1997)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_part_type_margin(sf_dir: str):
+    """TPC-H Q9 analog: per (supplier nation, ship year) margin on
+    'red' parts — discounted revenue minus catalog value (quantity ×
+    retail price; the schema has no partsupp/supplycost, retail stands
+    in). Pure map + tiny combine: both dimension maps broadcast, every
+    arithmetic term an exact BIGINT (microcents), zero fact-table
+    shuffle — the Q9 join tree collapses because every joined attribute
+    is dimension-derived."""
+    from ..functions.relational import grouped_agg
+
+    part = read_small(sf_dir, "part", columns=["p_partkey", "p_name",
+                                               "p_retailprice"])
+    part = part[part["p_name"].str.contains("red", regex=False)]
+    rmap = (np.rint(part["p_retailprice"].to_numpy(np.float64) * 100)
+            .astype(np.int64))
+    rmap = pd.Series(rmap, index=part["p_partkey"].to_numpy(np.int64))
+    supp = read_small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    smap = supp.set_index("s_suppkey")["s_nationkey"]
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+        num_blocks=8)
+
+    def margin(df: pd.DataFrame) -> pd.DataFrame:
+        retail = df["l_partkey"].map(rmap)
+        keep = retail.notna().to_numpy()
+        df = df[keep]
+        retail_cents = retail.to_numpy(np.float64)[keep].astype(np.int64)
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        d100 = np.rint(df["l_discount"].to_numpy(np.float64) * 100
+                       ).astype(np.int64)
+        qty = np.rint(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        m = cents * (100 - d100) - qty * retail_cents * 100
+        out = pd.DataFrame({
+            "supp_nation": df["l_suppkey"].map(smap).to_numpy(np.int64),
+            "l_year": df["l_shipdate"].dt.year.to_numpy(np.int64),
+            "margin_microcents": m,
+        })
+        return (out.groupby(["supp_nation", "l_year"], sort=False)
+                ["margin_microcents"].sum().astype("int64").reset_index())
+
+    partials = li.map_batches(margin, batch_format="pandas")
+    return grouped_agg(partials, ["supp_nation", "l_year"],
+                       {"margin_microcents": ("margin_microcents", "sum")},
+                       num_buckets=4)
+
+
+SQL_PART_TYPE_MARGIN = """
+SELECT CAST(s_nationkey AS BIGINT) AS supp_nation,
+       CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                - CAST(ROUND(l_quantity) AS BIGINT)
+                  * CAST(ROUND(p_retailprice * 100) AS BIGINT) * 100)
+            AS BIGINT) AS margin_microcents
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 analog: parts whose shipped catalog value (quantity ×
+    retail cents, lineitem standing in for partsupp) from suppliers in
+    nations 0-4 exceeds TWICE the average per-part value — the
+    'important stock' report. The threshold is average-relative
+    (v·n_parts > 2·total, all BIGINT) rather than a fixed share
+    because Q11's fixed fraction must shrink 1/SF to stay selective;
+    this form is scale-free. Per-part values combine in one bounded
+    exchange (≤|part| rows); the global comparison runs driver-side on
+    that dimension-bounded frame, all integers."""
+    from ..functions.relational import grouped_agg
+
+    part = read_small(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    rmap = pd.Series(
+        np.rint(part["p_retailprice"].to_numpy(np.float64) * 100
+                ).astype(np.int64),
+        index=part["p_partkey"].to_numpy(np.int64))
+    supp = read_small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nset = set(supp[supp["s_nationkey"] < 5]["s_suppkey"].tolist())
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity"],
+                    num_blocks=8)
+
+    def value(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_suppkey"].isin(nset)]
+        qty = np.rint(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        pk = df["l_partkey"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "l_partkey": pk,
+            "value_cents": qty * df["l_partkey"].map(rmap).to_numpy(np.int64),
+        })
+        return (out.groupby("l_partkey", sort=False)["value_cents"].sum()
+                .astype("int64").reset_index())
+
+    per_part = grouped_agg(
+        li.map_batches(value, batch_format="pandas"),
+        ["l_partkey"], {"value_cents": ("value_cents", "sum")},
+        num_buckets=8).to_pandas()
+    total = int(per_part["value_cents"].sum())
+    n_parts = len(per_part)
+    keep = per_part[per_part["value_cents"].to_numpy(np.int64) * n_parts
+                    > 2 * total]
+    return keep.reset_index(drop=True)
+
+
+SQL_IMPORTANT_PARTS = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                  * CAST(ROUND(p_retailprice * 100) AS BIGINT))
+              AS BIGINT) AS value_cents
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE s_nationkey < 5
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value_cents
+FROM pv, (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+                 CAST(SUM(value_cents) AS BIGINT) AS total FROM pv) t
+WHERE value_cents * n_parts > 2 * total
+"""
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 analog: the supplier(s) with MAXIMUM shipped revenue
+    in 1996H1, ties included — the 'top supplier' award query. Per-
+    supplier revenue combines in one bounded exchange (≤|supplier|
+    rows); the argmax + name join finish driver-side on that
+    dimension-bounded frame. Revenue in exact integer microcents."""
+    from ..functions.relational import grouped_agg
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-07-01")
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"],
+                    num_blocks=8)
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["l_shipdate"].to_numpy().astype("datetime64[ns]")
+        keep = (ts >= lo) & (ts < hi)
+        df = df[keep]
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        d100 = np.rint(df["l_discount"].to_numpy(np.float64) * 100
+                       ).astype(np.int64)
+        out = pd.DataFrame({"s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                            "total_revenue": cents * (100 - d100)})
+        return (out.groupby("s_suppkey", sort=False)["total_revenue"].sum()
+                .astype("int64").reset_index())
+
+    per_supp = grouped_agg(
+        li.map_batches(rev, batch_format="pandas"),
+        ["s_suppkey"], {"total_revenue": ("total_revenue", "sum")},
+        num_buckets=4).to_pandas()
+    best = int(per_supp["total_revenue"].max())
+    win = per_supp[per_supp["total_revenue"] == best]
+    names = read_small(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return win.merge(names, on="s_suppkey").reset_index(drop=True)
+
+
+SQL_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY 1
+)
+SELECT r.s_suppkey, r.total_revenue, s.s_name
+FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 analog: revenue locked in small-quantity orders of one
+    brand — lineitems whose quantity is below 1/5 of that part's
+    average order quantity. The fractional-average comparison is kept
+    exact by cross-multiplying (5·q·n_p < Σq_p, all BIGINT — a float
+    avg would be accumulation-order-sensitive). Two bounded passes:
+    per-part (n, Σq) partials combine in a brand-sized exchange and
+    broadcast back for the second scan's filter."""
+    from ..functions.relational import grouped_agg
+
+    part = read_small(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    brand_parts = set(
+        part[part["p_brand"] == "Brand#23"]["p_partkey"].tolist())
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice"],
+                    num_blocks=8)
+
+    def pstats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_partkey"].isin(brand_parts)]
+        qty = np.rint(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        out = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(np.int64),
+                            "n_p": np.int64(1), "sum_q": qty})
+        return (out.groupby("l_partkey", sort=False)
+                .agg(n_p=("n_p", "sum"), sum_q=("sum_q", "sum"))
+                .astype("int64").reset_index())
+
+    stats = grouped_agg(
+        li.map_batches(pstats, batch_format="pandas"),
+        ["l_partkey"],
+        {"n_p": ("n_p", "sum"), "sum_q": ("sum_q", "sum")},
+        num_buckets=4).to_pandas()
+    nmap = stats.set_index("l_partkey")["n_p"]
+    qmap = stats.set_index("l_partkey")["sum_q"]
+
+    def small(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_partkey"].isin(brand_parts)]
+        qty = np.rint(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        n_p = df["l_partkey"].map(nmap).to_numpy(np.int64)
+        sum_q = df["l_partkey"].map(qmap).to_numpy(np.int64)
+        keep = 5 * qty * n_p < sum_q
+        cents = np.rint(
+            df["l_extendedprice"].to_numpy(np.float64)[keep] * 100
+        ).astype(np.int64)
+        return pd.DataFrame({"g": np.zeros(1, np.int64),
+                             "total_cents": [int(cents.sum())],
+                             "n_lines": [int(keep.sum())]})
+
+    out = grouped_agg(
+        li.map_batches(small, batch_format="pandas"),
+        ["g"], {"total_cents": ("total_cents", "sum"),
+                "n_lines": ("n_lines", "sum")}, num_buckets=1).to_pandas()
+    return out[["total_cents", "n_lines"]]
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH pq AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_p,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+  GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE 5 * CAST(ROUND(l_quantity) AS BIGINT) * n_p < sum_q
+"""
+
+
+def q_ored_brand_revenue(sf_dir: str):
+    """TPC-H Q19 analog: discounted revenue from three disjunctive
+    (brand, size range, quantity range) predicates — the OR-of-ANDs
+    shape that defeats naive predicate pushdown. The three brands'
+    (partkey → size) maps broadcast once; the whole query is one
+    vectorized scan with per-batch one-row partials, no shuffle."""
+    from ..functions.relational import grouped_agg
+
+    CASES = [("Brand#12", 5, 1, 11), ("Brand#23", 10, 10, 20),
+             ("Brand#24", 15, 20, 30)]
+    part = read_small(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_size"])
+    part = part[part["p_brand"].isin([c[0] for c in CASES])]
+    bmap = part.set_index("p_partkey")["p_brand"]
+    szmap = part.set_index("p_partkey")["p_size"]
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity",
+                             "l_extendedprice", "l_discount"],
+                    num_blocks=8)
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        brand = df["l_partkey"].map(bmap)
+        hit = brand.notna().to_numpy()
+        df, brand = df[hit], brand[hit]
+        size = df["l_partkey"].map(szmap).to_numpy(np.int64)
+        qty = np.rint(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        b = brand.to_numpy(object)
+        keep = np.zeros(len(df), bool)
+        for bname, szmax, qlo, qhi in CASES:
+            keep |= ((b == bname) & (size >= 1) & (size <= szmax)
+                     & (qty >= qlo) & (qty <= qhi))
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64)[keep]
+                        * 100).astype(np.int64)
+        d100 = np.rint(df["l_discount"].to_numpy(np.float64)[keep]
+                       * 100).astype(np.int64)
+        return pd.DataFrame({
+            "g": np.zeros(1, np.int64),
+            "revenue_microcents": [int((cents * (100 - d100)).sum())],
+            "n_lines": [int(keep.sum())],
+        })
+
+    out = grouped_agg(
+        li.map_batches(rev, batch_format="pandas"),
+        ["g"], {"revenue_microcents": ("revenue_microcents", "sum"),
+                "n_lines": ("n_lines", "sum")}, num_buckets=1).to_pandas()
+    return out[["revenue_microcents", "n_lines"]]
+
+
+SQL_ORED_BRAND_REVENUE = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_microcents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 analog: per-nation count + balance of above-average-
+    balance customers with NO order since 2000-07-01 — the lapsed-
+    high-value-customer report. The avg comparison cross-multiplies
+    exact FLOOR-cents (cents·n_pos > Σ_pos; acctbal is NOT fixed-
+    decimal, so FLOOR — identical on IEEE doubles in numpy and DuckDB —
+    is the only safe grid). Recent custkeys dedup in one bounded
+    exchange and broadcast into an anti semi-join probe; customers
+    stream, nothing materializes beyond dimension-bounded frames."""
+    from ..functions.relational import grouped_agg, semi_join
+    from ..stages.dedup import dedup_exact
+
+    cutoff = pd.Timestamp("2000-07-01")
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"], num_blocks=8)
+    recent = dedup_exact(
+        orders.map_batches(
+            lambda d: d[d["o_orderdate"] >= cutoff][["o_custkey"]].rename(
+                columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas"),
+        ["c_custkey"], num_buckets=4).to_pandas()
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"],
+                      num_blocks=4)
+
+    def pos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["c_acctbal"].to_numpy(np.float64) * 100
+                         ).astype(np.int64)
+        pos = cents[cents > 0]
+        return pd.DataFrame({"g": np.zeros(1, np.int64),
+                             "n_pos": [len(pos)],
+                             "sum_pos": [int(pos.sum())]})
+
+    pos = grouped_agg(
+        cust.map_batches(pos_partial, batch_format="pandas"),
+        ["g"], {"n_pos": ("n_pos", "sum"), "sum_pos": ("sum_pos", "sum")},
+        num_buckets=1).to_pandas()
+    n_pos = int(pos["n_pos"].iloc[0])
+    sum_pos = int(pos["sum_pos"].iloc[0])
+
+    lapsed = semi_join(cust, recent, on="c_custkey", anti=True)
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["c_acctbal"].to_numpy(np.float64) * 100
+                         ).astype(np.int64)
+        keep = cents * n_pos > sum_pos
+        out = pd.DataFrame({
+            "c_nationkey": df["c_nationkey"].to_numpy(np.int64)[keep],
+            "numcust": np.int64(1), "total_cents": cents[keep]})
+        return (out.groupby("c_nationkey", sort=False)
+                .agg(numcust=("numcust", "sum"),
+                     total_cents=("total_cents", "sum"))
+                .astype("int64").reset_index())
+
+    return grouped_agg(
+        lapsed.map_batches(per_nation, batch_format="pandas"),
+        ["c_nationkey"], {"numcust": ("numcust", "sum"),
+                          "total_cents": ("total_cents", "sum")},
+        num_buckets=4)
+
+
+SQL_SALES_OPPORTUNITY = """
+WITH pos AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+         CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS sum_pos
+  FROM customer WHERE FLOOR(c_acctbal * 100) > 0
+), recent AS (
+  SELECT DISTINCT o_custkey
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-07-01'
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM customer, pos
+WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -15856,6 +16342,13 @@ QUERIES = {
     "q16_part_suppliers": q_q16_part_suppliers,
     "session_handoff_matrix": q_session_handoff_matrix,
     "priority_mix_drift": q_priority_mix_drift,
+    "nations_trade_flow": q_nations_trade_flow,
+    "part_type_margin": q_part_type_margin,
+    "important_parts": q_important_parts,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "small_qty_revenue": q_small_qty_revenue,
+    "ored_brand_revenue": q_ored_brand_revenue,
+    "sales_opportunity": q_sales_opportunity,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -16230,6 +16723,13 @@ ORACLE_SQL = {
     "q16_part_suppliers": SQL_Q16_PART_SUPPLIERS,
     "session_handoff_matrix": SQL_SESSION_HANDOFF_MATRIX,
     "priority_mix_drift": SQL_PRIORITY_MIX_DRIFT,
+    "nations_trade_flow": SQL_NATIONS_TRADE_FLOW,
+    "part_type_margin": SQL_PART_TYPE_MARGIN,
+    "important_parts": SQL_IMPORTANT_PARTS,
+    "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "ored_brand_revenue": SQL_ORED_BRAND_REVENUE,
+    "sales_opportunity": SQL_SALES_OPPORTUNITY,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
