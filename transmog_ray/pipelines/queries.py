@@ -16018,6 +16018,384 @@ GROUP BY 1
 """
 
 
+def q_type_lift_pairs(sf_dir: str):
+    """Bipartite co-incidence projection with exact lift terms: for
+    every unordered event-type pair, how many users did BOTH, alongside
+    each type's user count and the global user count — lift compares as
+    n_both·N vs n_a·n_b without a single division (all BIGINT). The
+    user–type incidence dedups in one exchange; a second exchange
+    co-locates each user's (≤|types|) rows and self-merges them into
+    C(T,2) pair partials, so raw events never pair up."""
+    from ..functions.relational import grouped_agg
+    from ..stages.dedup import dedup_exact
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"],
+                    num_blocks=8)
+    d = dedup_exact(ev, ["user_id", "event_type"], num_buckets=8)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"type_a": pd.Series([], dtype=object),
+                                 "type_b": pd.Series([], dtype=object),
+                                 "n_both": pd.Series([], dtype="int64")})
+        m = df[["user_id", "event_type"]].merge(
+            df[["user_id", "event_type"]], on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        return (m.groupby(["event_type_x", "event_type_y"], sort=False)
+                .size().rename("n_both").astype("int64").reset_index()
+                .rename(columns={"event_type_x": "type_a",
+                                 "event_type_y": "type_b"}))
+
+    pair_counts = grouped_agg(
+        bucket_exchange(d, ["user_id"], pairs, num_buckets=8),
+        ["type_a", "type_b"], {"n_both": ("n_both", "sum")},
+        num_buckets=2).to_pandas()
+
+    totals = grouped_agg(
+        d.map_batches(lambda f: f.assign(n=np.int64(1)),
+                      batch_format="pandas"),
+        ["event_type"], {"n": ("n", "sum")}, num_buckets=2).to_pandas()
+    tmap = totals.set_index("event_type")["n"]
+    n_users = int(dedup_exact(d, ["user_id"], num_buckets=8).count())
+
+    out = pair_counts.copy()
+    out["n_a"] = out["type_a"].map(tmap).astype("int64")
+    out["n_b"] = out["type_b"].map(tmap).astype("int64")
+    out["n_users"] = np.int64(n_users)
+    return out
+
+
+SQL_TYPE_LIFT_PAIRS = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM d a JOIN d b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM d)
+SELECT type_a, type_b, n_both, t1.n AS n_a, t2.n AS n_b, n_users
+FROM p
+JOIN t t1 ON t1.event_type = type_a
+JOIN t t2 ON t2.event_type = type_b, u
+"""
+
+
+def q_cheapest_two_hop(sf_dir: str):
+    """Min-plus (tropical) path relaxation over the nation trade graph:
+    cheapest single lineitem per (supplier nation → customer nation)
+    edge, then the cheapest TWO-hop route per ordered pair via one
+    min-plus step — the semiring generalization of a 2-hop join.
+    Edge extraction is the same fused hash join as nations_trade_flow
+    with MIN fused into the reduce tasks; the min-plus step runs
+    driver-side on the |V|²-bounded edge list (625 rows)."""
+    from ..functions.relational import grouped_agg, hash_join
+
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = read_small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    cmap = cust.set_index("c_custkey")["c_nationkey"]
+    smap = supp.set_index("s_suppkey")["s_nationkey"]
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                        num_blocks=8)
+    o_nat = orders.map_batches(
+        lambda df: pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "cust_nation": df["o_custkey"].map(cmap).to_numpy(np.int64)}),
+        batch_format="pandas")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"],
+                    num_blocks=8)
+
+    def li_proj(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        d100 = np.rint(df["l_discount"].to_numpy(np.float64) * 100
+                       ).astype(np.int64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "supp_nation": df["l_suppkey"].map(smap).to_numpy(np.int64),
+            "microcents": cents * (100 - d100)})
+
+    def min_edge(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["supp_nation"].to_numpy(np.int64)
+               != df["cust_nation"].to_numpy(np.int64)]
+        return (m.groupby(["supp_nation", "cust_nation"], sort=False)
+                ["microcents"].min().astype("int64")
+                .rename("edge_microcents").reset_index())
+
+    edges = grouped_agg(
+        hash_join(li.map_batches(li_proj, batch_format="pandas"), o_nat,
+                  on="l_orderkey", num_buckets=8, post_fn=min_edge),
+        ["supp_nation", "cust_nation"],
+        {"edge_microcents": ("edge_microcents", "min")},
+        num_buckets=2).to_pandas()
+
+    a = edges.rename(columns={"supp_nation": "src", "cust_nation": "mid",
+                              "edge_microcents": "m1"})
+    b = edges.rename(columns={"supp_nation": "mid", "cust_nation": "dst",
+                              "edge_microcents": "m2"})
+    two = a.merge(b, on="mid")
+    two = two[two["src"] != two["dst"]]
+    two["hop_sum"] = two["m1"] + two["m2"]
+    best = (two.groupby(["src", "dst"], sort=False)["hop_sum"].min()
+            .astype("int64").rename("two_hop_microcents").reset_index())
+    direct = edges.rename(columns={"supp_nation": "src",
+                                   "cust_nation": "dst",
+                                   "edge_microcents": "direct_microcents"})
+    return best.merge(direct, on=["src", "dst"], how="left")
+
+
+SQL_CHEAPEST_TWO_HOP = """
+WITH e AS (
+  SELECT CAST(s.s_nationkey AS BIGINT) AS supp_nation,
+         CAST(c.c_nationkey AS BIGINT) AS cust_nation,
+         CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS m
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT a.supp_nation AS src, b.cust_nation AS dst,
+         CAST(MIN(a.m + b.m) AS BIGINT) AS two_hop_microcents
+  FROM e a JOIN e b ON a.cust_nation = b.supp_nation
+  WHERE a.supp_nation <> b.cust_nation
+  GROUP BY 1, 2
+)
+SELECT t.src, t.dst, t.two_hop_microcents, e.m AS direct_microcents
+FROM t LEFT JOIN e ON e.supp_nation = t.src AND e.cust_nation = t.dst
+"""
+
+
+def q_label_inertia(sf_dir: str):
+    """Exact within-cluster scatter (k-means inertia) per embedding
+    label on the int8-quantized vectors: n²·Σ_d Q_d − n·Σ_d S_d² equals
+    n² × Σ_rows‖q − mean‖² without ever forming the fractional mean —
+    pure BIGINT. Partials are (label, pos, Σq, Σq², count) rows
+    (labels×dims bounded) from one vectorized pass; one tiny exchange
+    combines them. At ≫1e5 rows per label the n³-scaled term would
+    need the unbounded-int-as-string pattern (grouped_linear_trend)."""
+    from ..functions.ann import _quantize_rows
+    from ..functions.relational import grouped_agg
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"], num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        M = np.asarray(list(df["embedding"]), dtype=np.float64)
+        q, _ = _quantize_rows(M)
+        q = q.astype(np.int64)
+        lab = df["label"].to_numpy(np.int64)
+        frames = []
+        for lb in np.unique(lab):
+            rows = q[lab == lb]
+            d = rows.shape[1]
+            frames.append(pd.DataFrame({
+                "label": np.full(d, lb, np.int64),
+                "pos": np.arange(d, dtype=np.int64),
+                "s_d": rows.sum(axis=0),
+                "q2_d": (rows * rows).sum(axis=0),
+                "n": np.full(d, len(rows), np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    agg = grouped_agg(
+        emb.map_batches(partial, batch_format="pandas"),
+        ["label", "pos"],
+        {"s_d": ("s_d", "sum"), "q2_d": ("q2_d", "sum"), "n": ("n", "sum")},
+        num_buckets=2).to_pandas()
+
+    out_rows = []
+    for lb, g in agg.groupby("label"):
+        n = int(g["n"].iloc[0])
+        inertia = n * n * int(g["q2_d"].sum()) - n * int(
+            (g["s_d"].astype(object) ** 2).sum())
+        out_rows.append({"label": int(lb), "n": n,
+                         "inertia_scaled": inertia})
+    out = pd.DataFrame(out_rows)
+    out["label"] = out["label"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["inertia_scaled"] = out["inertia_scaled"].astype("int64")
+    return out
+
+
+SQL_LABEL_INERTIA = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), s AS (
+  SELECT vec_id, label, emb,
+         list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS scale
+  FROM e
+), qv AS (
+  SELECT label,
+         unnest(range(0, len(emb))) AS pos,
+         unnest(list_transform(emb, x ->
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(GREATEST(LEAST(ROUND(x * 127.0 / scale), 127),
+                                     -127) AS BIGINT) END)) AS q
+  FROM s
+), a AS (
+  SELECT label, pos, CAST(SUM(q) AS BIGINT) AS s_d,
+         CAST(SUM(q * q) AS BIGINT) AS q2_d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM qv GROUP BY label, pos
+)
+SELECT CAST(label AS BIGINT) AS label, MAX(n) AS n,
+       CAST(MAX(n) * MAX(n) * SUM(q2_d) - MAX(n) * SUM(s_d * s_d)
+            AS BIGINT) AS inertia_scaled
+FROM a GROUP BY label
+"""
+
+
+def q_order_total_reconciliation(sf_dir: str):
+    """Cross-table financial reconciliation: per order status, how many
+    orders' stored o_totalprice disagrees (> $1) with the total
+    RECOMPUTED from its lineitems as Σ cents·(100−disc)·(100+tax) —
+    both sides in exact integer microdollars, so the tolerance test is
+    deterministic. One partitioned hash join co-locates each order with
+    its lineitems; the per-order compare and the per-status counts fuse
+    into the reduce tasks (post_fn), so only |status| partials leave."""
+    from ..functions.relational import grouped_agg, hash_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderstatus",
+                                 "o_totalprice"], num_blocks=8)
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "status": df["o_orderstatus"].to_numpy(object),
+            "total_units": np.rint(
+                df["o_totalprice"].to_numpy(np.float64) * 100
+            ).astype(np.int64) * 10000})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_tax"], num_blocks=8)
+
+    def li_proj(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        d100 = np.rint(df["l_discount"].to_numpy(np.float64) * 100
+                       ).astype(np.int64)
+        t100 = np.rint(df["l_tax"].to_numpy(np.float64) * 100
+                       ).astype(np.int64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "calc_units": cents * (100 - d100) * (100 + t100)})
+
+    def reconcile(df: pd.DataFrame) -> pd.DataFrame:
+        per = (df.groupby("l_orderkey", sort=False)
+               .agg(status=("status", "first"),
+                    total_units=("total_units", "first"),
+                    calc_units=("calc_units", "sum")))
+        bad = (np.abs(per["calc_units"].to_numpy(np.int64)
+                      - per["total_units"].to_numpy(np.int64))
+               > 1_000_000)
+        per = per.assign(n_orders=np.int64(1),
+                         n_mismatch=bad.astype(np.int64))
+        return (per.groupby("status", sort=False)
+                .agg(n_orders=("n_orders", "sum"),
+                     n_mismatch=("n_mismatch", "sum"))
+                .astype("int64").reset_index())
+
+    joined = hash_join(orders.map_batches(o_proj, batch_format="pandas"),
+                       li.map_batches(li_proj, batch_format="pandas"),
+                       on="l_orderkey", num_buckets=8, post_fn=reconcile)
+    return grouped_agg(joined, ["status"],
+                       {"n_orders": ("n_orders", "sum"),
+                        "n_mismatch": ("n_mismatch", "sum")}, num_buckets=2)
+
+
+SQL_ORDER_TOTAL_RECONCILIATION = """
+WITH per AS (
+  SELECT o.o_orderkey, o.o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000 AS total_units,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                  * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))
+              AS BIGINT) AS calc_units
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN ABS(calc_units - total_units) > 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+FROM per GROUP BY status
+"""
+
+
+def q_decile_revenue_share(sf_dir: str):
+    """Customer revenue deciles (NTILE(10) over total order value,
+    custkey tiebreak): customer count and exact revenue cents per
+    decile — the concentration-curve table behind 'top decile drives X%
+    of revenue'. Per-customer revenue combines in one bounded exchange
+    (≤|customer| rows); NTILE bucketing replicates DuckDB's
+    first-buckets-get-the-remainder convention on that dimension-
+    bounded frame driver-side."""
+    from ..functions.relational import grouped_agg
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"], num_blocks=8)
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "rev": np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                           ).astype(np.int64)})
+        return (out.groupby("o_custkey", sort=False)["rev"].sum()
+                .astype("int64").reset_index())
+
+    per_cust = grouped_agg(
+        orders.map_batches(rev, batch_format="pandas"),
+        ["o_custkey"], {"rev": ("rev", "sum")}, num_buckets=8).to_pandas()
+
+    per_cust = per_cust.sort_values(["rev", "o_custkey"],
+                                    kind="mergesort").reset_index(drop=True)
+    n, k = len(per_cust), 10
+    q, r = divmod(n, k)
+    i = np.arange(n)
+    # NTILE: first r buckets get q+1 rows, the rest get q
+    decile = np.where(i < r * (q + 1),
+                      i // (q + 1),
+                      r + (i - r * (q + 1)) // max(q, 1)) + 1
+    per_cust["decile"] = decile.astype(np.int64)
+    out = (per_cust.groupby("decile", sort=False)
+           .agg(n_custs=("o_custkey", "size"),
+                revenue_cents=("rev", "sum"))
+           .astype("int64").reset_index())
+    return out
+
+
+SQL_DECILE_REVENUE_SHARE = """
+WITH cr AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+), nt AS (
+  SELECT o_custkey, rev,
+         NTILE(10) OVER (ORDER BY rev, o_custkey) AS decile
+  FROM cr
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents
+FROM nt GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -16349,6 +16727,11 @@ QUERIES = {
     "small_qty_revenue": q_small_qty_revenue,
     "ored_brand_revenue": q_ored_brand_revenue,
     "sales_opportunity": q_sales_opportunity,
+    "type_lift_pairs": q_type_lift_pairs,
+    "cheapest_two_hop": q_cheapest_two_hop,
+    "label_inertia": q_label_inertia,
+    "order_total_reconciliation": q_order_total_reconciliation,
+    "decile_revenue_share": q_decile_revenue_share,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -16730,6 +17113,11 @@ ORACLE_SQL = {
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "ored_brand_revenue": SQL_ORED_BRAND_REVENUE,
     "sales_opportunity": SQL_SALES_OPPORTUNITY,
+    "type_lift_pairs": SQL_TYPE_LIFT_PAIRS,
+    "cheapest_two_hop": SQL_CHEAPEST_TWO_HOP,
+    "label_inertia": SQL_LABEL_INERTIA,
+    "order_total_reconciliation": SQL_ORDER_TOTAL_RECONCILIATION,
+    "decile_revenue_share": SQL_DECILE_REVENUE_SHARE,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
