@@ -1,0 +1,92 @@
+"""Round-5 third-batch operators, pinned to their DuckDB oracles at
+sf0.001, plus the BPE-train equality check against the single-process
+reference implementation (the rows-only entry's correctness pin)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem", "orders", "embeddings",
+              "supplier", "nation", "region", "customer", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "name", ["type_lift_pairs", "cheapest_two_hop", "label_inertia",
+             "order_total_reconciliation", "decile_revenue_share",
+             "zorder_parts", "tf_cosine_pairs_docs", "rle_runs_events",
+             "order_line_signature"]
+)
+def test_round5c_query_matches_oracle(ray_session, name):
+    from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    res = QUERIES[name](SF)
+    got = _canon(res if isinstance(res, pd.DataFrame) else res.to_pandas())
+    want = _canon(_oracle(ORACLE_SQL[name]))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bpe_train_equals_reference(ray_session):
+    """Distributed 5-iteration BPE merge training == the single-process
+    reference (Sennrich-style greedy merges) on the sf0.001 corpus."""
+    from transmog_ray.pipelines.queries import (QUERIES,
+                                                bpe_train_reference)
+
+    got = QUERIES["bpe_train_docs"](SF).reset_index(drop=True)
+    texts = pd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["text"])["text"].tolist()
+    want = bpe_train_reference(texts, n_merges=5).reset_index(drop=True)
+    assert len(got) == 5
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bpe_train_reference_semantics():
+    """The reference itself: overlapping pair runs merge greedily
+    left-to-right ([a,a,a] -> [aa, a]), ties break lexicographically."""
+    ref = __import__("transmog_ray.pipelines.queries",
+                     fromlist=["bpe_train_reference"]).bpe_train_reference
+    out = ref(["aaa aaa", "ab ab ab"], n_merges=2)
+    # pairs: (a,a) count 4 (two per 'aaa', x2 docs... one doc: 'aaa aaa'
+    # = two words 'aaa' each with pairs (a,a)x2 -> 4; (a,b) count 3.
+    assert list(out.iloc[0][["left", "right", "n"]]) == ["a", "a", 4]
+    # after merging: 'aaa' -> [aa, a]; pair (aa,a) count 2, (a,b) 3
+    assert list(out.iloc[1][["left", "right", "n"]]) == ["a", "b", 3]
+
+
+def test_rle_runs_boundary_stitching(ray_session):
+    """Cross-range boundaries count as changes exactly when values
+    differ — verified against a pandas single-process recount."""
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["rle_runs_events"](SF).iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "event_type",
+                                  "user_id"])
+    ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
+    t = ev["event_type"].to_numpy(object)
+    u = ev["user_id"].to_numpy()
+    assert int(got["n_rows"]) == len(ev)
+    assert int(got["type_runs"]) == 1 + int((t[1:] != t[:-1]).sum())
+    assert int(got["user_runs"]) == 1 + int((u[1:] != u[:-1]).sum())

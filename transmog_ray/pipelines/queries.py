@@ -16396,6 +16396,439 @@ FROM nt GROUP BY 1
 """
 
 
+def q_zorder_parts(sf_dir: str):
+    """Z-order (Morton) space-filling-curve bucketing — the layout
+    primitive behind multi-dimensional data clustering (Delta/Iceberg
+    OPTIMIZE ZORDER): interleave the bits of two dimensions so ranges of
+    the curve are 2-D-local, then stat each curve block. p_size (6 bits)
+    and $2 price buckets (6 bits) interleave to a 12-bit code; blocks of
+    16 cells aggregate in one tiny exchange. The bit interleave is pure
+    integer arithmetic, replayed operator-for-operator in SQL."""
+    from ..functions.relational import grouped_agg
+
+    parts = read_table(sf_dir, "part",
+                       columns=["p_size", "p_retailprice"], num_blocks=8)
+
+    def morton(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["p_size"].to_numpy(np.int64)
+        cents = np.rint(df["p_retailprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        y = np.clip((cents - 90000) // 200, 0, 63)
+        z = np.zeros(len(df), np.int64)
+        for i in range(6):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return pd.DataFrame({"z_block": (z >> 4).astype(np.int64),
+                             "n_parts": np.ones(len(df), np.int64),
+                             "sum_cents": cents})
+
+    return grouped_agg(
+        parts.map_batches(morton, batch_format="pandas"),
+        ["z_block"],
+        {"n_parts": ("n_parts", "sum"), "sum_cents": ("sum_cents", "sum")},
+        num_buckets=2)
+
+
+SQL_ZORDER_PARTS = """
+WITH m AS (
+  SELECT CAST(p_size AS BIGINT) AS x,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+         GREATEST(LEAST((CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                         - 90000) // 200, 63), 0) AS y
+  FROM part
+), z AS (
+  SELECT cents,
+         (((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1)
+       | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3)
+       | (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5)
+       | (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7)
+       | (((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9)
+       | (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11) AS zc
+  FROM m
+)
+SELECT CAST(zc >> 4 AS BIGINT) AS z_block,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM z GROUP BY 1
+"""
+
+
+_TF_COSINE_DF_CAP = 5
+_TF_COSINE_NUM = 1  # sim >= 1/2:  4*dot^2 >= norm_a*norm_b
+_TF_COSINE_DEN = 4
+
+
+def q_tf_cosine_pairs_docs(sf_dir: str):
+    """Integer term-frequency cosine similarity join, EXACT at a
+    rational threshold: doc pairs whose word-TRIGRAM TF-cosine is
+    >= 1/2, tested as 4·dot² >= ‖a‖²·‖b‖² — no square root, no float.
+    Vectors live on trigrams with document frequency in [2, 5] (df-1
+    dims contribute nothing to any dot), so the trigram-partitioned
+    inverted index is LOSSLESS (any pair with dot > 0 shares a rare
+    trigram) and each trigram contributes <= C(5,2) pair partials. Dot
+    products and norms combine in bounded exchanges; two partitioned
+    hash joins attach the norms — text never pairs up."""
+    from ..functions.relational import grouped_agg, hash_join
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for did, txt in zip(df["doc_id"].to_numpy(np.int64),
+                            df["text"].fillna("")):
+            ws = txt.split(" ")
+            for i in range(len(ws) - 2):
+                ids.append(did)
+                toks.append(" ".join(ws[i:i + 3]))
+        out = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                            "tok": np.asarray(toks, object)})
+        return (out.groupby(["doc_id", "tok"], sort=False)
+                .size().rename("tf").astype("int64").reset_index())
+
+    tf = grouped_agg(
+        docs.map_batches(tf_rows, batch_format="pandas"),
+        ["doc_id", "tok"], {"tf": ("tf", "sum")}, num_buckets=16)
+
+    def per_token(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("tok", sort=False):
+            if not 2 <= len(g) <= _TF_COSINE_DF_CAP:
+                continue
+            g = g.sort_values("doc_id", kind="mergesort")
+            d = g["doc_id"].to_numpy(np.int64)
+            t = g["tf"].to_numpy(np.int64)
+            # norm contributions (rare tokens only define the vectors)
+            parts.append(pd.DataFrame({
+                "doc_a": d, "doc_b": d, "dot": np.int64(0),
+                "nrm": t * t}))
+            if len(g) > 1:
+                ia, ib = np.triu_indices(len(g), k=1)
+                parts.append(pd.DataFrame({
+                    "doc_a": d[ia], "doc_b": d[ib],
+                    "dot": t[ia] * t[ib],
+                    "nrm": np.zeros(len(ia), np.int64)}))
+        if not parts:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "dot": pd.Series([], dtype="int64"),
+                                 "nrm": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    partials = bucket_exchange(tf, ["tok"], per_token, num_buckets=16)
+    combined = grouped_agg(
+        partials, ["doc_a", "doc_b"],
+        {"dot": ("dot", "sum"), "nrm": ("nrm", "sum")}, num_buckets=16)
+
+    both = combined.materialize()  # three consumers below
+    dots = both.map_batches(
+        lambda t: t.filter(pc.not_equal(t["doc_a"], t["doc_b"]))
+        .select(["doc_a", "doc_b", "dot"]),
+        batch_format="pyarrow")
+    norms_a = both.map_batches(
+        lambda t: pa.table({"doc_a": t.filter(
+            pc.equal(t["doc_a"], t["doc_b"]))["doc_a"],
+            "norm_a": t.filter(
+                pc.equal(t["doc_a"], t["doc_b"]))["nrm"]}),
+        batch_format="pyarrow")
+    norms_b = both.map_batches(
+        lambda t: pa.table({"doc_b": t.filter(
+            pc.equal(t["doc_a"], t["doc_b"]))["doc_a"],
+            "norm_b": t.filter(
+                pc.equal(t["doc_a"], t["doc_b"]))["nrm"]}),
+        batch_format="pyarrow")
+
+    j1 = hash_join(dots, norms_a, on="doc_a", num_buckets=8)
+    j2 = hash_join(j1, norms_b, on="doc_b", num_buckets=8)
+
+    def accept(t: pa.Table) -> pa.Table:
+        # int64-safe: dot < 1e6 here, so 25*dot^2 < 2.5e13 << 2^63
+        dot = t["dot"]
+        lhs = pc.multiply(pc.multiply(dot, dot),
+                          pa.scalar(_TF_COSINE_DEN, pa.int64()))
+        rhs = pc.multiply(pc.multiply(t["norm_a"], t["norm_b"]),
+                          pa.scalar(_TF_COSINE_NUM, pa.int64()))
+        keep = pc.and_(pc.greater_equal(lhs, rhs),
+                       pc.greater(dot, pa.scalar(0, pa.int64())))
+        return t.select(["doc_a", "doc_b", "dot", "norm_a",
+                         "norm_b"]).filter(keep)
+
+    return j2.map_batches(accept, batch_format="pyarrow")
+
+
+SQL_TF_COSINE_PAIRS_DOCS = """
+WITH words AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+  FROM documents
+), toks AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id,
+           ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]
+             || ' ' || ws[CAST(i + 3 AS INT)] AS tok
+    FROM words, unnest(range(len(ws) - 2)) t(i))
+  GROUP BY 1, 2
+), rare AS (
+  SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 5
+), v AS (
+  SELECT t.doc_id, t.tok, t.tf FROM toks t JOIN rare r ON t.tok = r.tok
+), norms AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm FROM v GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM v a JOIN v b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot, na.nrm AS norm_a, nb.nrm AS norm_b
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE 4 * dot * dot >= na.nrm * nb.nrm AND dot > 0
+"""
+
+
+def q_rle_runs_events(sf_dir: str):
+    """Run-length profile of the GLOBAL event-time order — how many
+    value runs each column would RLE-compress to if the table were laid
+    out sorted by (ts, event_id): the statistic behind sort-key /
+    clustering-layout decisions. Distributed as range partitions over
+    ts (cuts from a thin sample, exact regardless of balance): each
+    range sorts locally and counts internal changes; only per-range
+    (count, first, last) summaries — 2·buckets rows — reach the driver,
+    which stitches the range boundaries."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type", "user_id"],
+                    num_blocks=8)
+    ev = ev.materialize()  # consumed twice: sample + exchange
+
+    sample = ev.map_batches(
+        lambda df: df[["ts"]].iloc[:: max(1, len(df) // 32)],
+        batch_format="pandas").to_pandas()
+    keys = np.sort(sample["ts"].to_numpy())
+    nb = 8
+    if len(keys) > 1:
+        qpos = (np.linspace(0, 1, nb + 1)[1:-1] * (len(keys) - 1)).astype(int)
+        cuts = np.unique(keys[qpos])
+    else:
+        cuts = keys[:0]
+    n_ranges = len(cuts) + 1
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.searchsorted(cuts, df["ts"].to_numpy(), side="right")
+        return df.assign(_rng=b.astype(np.int64))
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["_rng", "n_rows", "type_changes", "user_changes",
+                "first_type", "last_type", "first_user", "last_user"]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in cols})
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        t = df["event_type"].to_numpy(object)
+        u = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "_rng": [int(df["_rng"].iloc[0])],
+            "n_rows": [len(df)],
+            "type_changes": [int((t[1:] != t[:-1]).sum())],
+            "user_changes": [int((u[1:] != u[:-1]).sum())],
+            "first_type": [t[0]], "last_type": [t[-1]],
+            "first_user": [int(u[0])], "last_user": [int(u[-1])]})
+
+    summaries = bucket_exchange(
+        ev.map_batches(with_bucket, batch_format="pandas"),
+        ["_rng"], per_range, num_buckets=n_ranges,
+        bucket_col="_rng").to_pandas()
+    summaries = summaries.dropna(subset=["_rng"]).sort_values("_rng")
+
+    n_rows = int(summaries["n_rows"].sum())
+    type_runs = int(summaries["type_changes"].sum())
+    user_runs = int(summaries["user_changes"].sum())
+    prev = None
+    for _, row in summaries.iterrows():
+        if prev is not None:
+            type_runs += int(row["first_type"] != prev["last_type"])
+            user_runs += int(row["first_user"] != prev["last_user"])
+        else:
+            type_runs += 1  # the very first row opens a run
+            user_runs += 1
+        prev = row
+    return pd.DataFrame({"n_rows": [np.int64(n_rows)],
+                         "type_runs": [np.int64(type_runs)],
+                         "user_runs": [np.int64(user_runs)]})
+
+
+SQL_RLE_RUNS_EVENTS = """
+WITH o AS (
+  SELECT event_type, user_id,
+         LAG(event_type) OVER (ORDER BY ts, event_id) AS pt,
+         LAG(user_id) OVER (ORDER BY ts, event_id) AS pu
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN pt IS NULL OR event_type <> pt
+                     THEN 1 ELSE 0 END) AS BIGINT) AS type_runs,
+       CAST(SUM(CASE WHEN pu IS NULL OR user_id <> pu
+                     THEN 1 ELSE 0 END) AS BIGINT) AS user_runs
+FROM o
+"""
+
+
+def q_order_line_signature(sf_dir: str):
+    """Distributed ORDERED string aggregation (SQL string_agg with an
+    ORDER BY): per order, the concatenation of its one-char linestatus
+    flags in (linenumber, flag) order — the flag itself is the final
+    sort key, so duplicate linenumbers commute and the signature is
+    deterministic — then the global signature histogram. One order-keyed
+    exchange builds signatures; a tiny second exchange counts them."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_linestatus"],
+                    num_blocks=8)
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"signature": pd.Series([], dtype=object),
+                                 "n_orders": pd.Series([], dtype="int64")})
+        df = df.sort_values(["l_orderkey", "l_linenumber", "l_linestatus"],
+                            kind="mergesort")
+        sig = (df.groupby("l_orderkey", sort=False)["l_linestatus"]
+               .agg("".join))
+        return (sig.value_counts().rename("n_orders").astype("int64")
+                .rename_axis("signature").reset_index())
+
+    partials = bucket_exchange(li, ["l_orderkey"], sigs, num_buckets=8)
+    return grouped_agg(partials, ["signature"],
+                       {"n_orders": ("n_orders", "sum")}, num_buckets=2)
+
+
+SQL_ORDER_LINE_SIGNATURE = """
+WITH s AS (
+  SELECT l_orderkey,
+         string_agg(l_linestatus, ''
+                    ORDER BY l_linenumber, l_linestatus) AS signature
+  FROM lineitem GROUP BY 1
+)
+SELECT signature, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM s GROUP BY 1
+"""
+
+
+_BPE_SEP = "\x1f"
+
+
+def bpe_train_reference(texts, n_merges: int = 5):
+    """Single-process BPE merge training (Sennrich et al. 2016
+    semantics, word-internal, greedy left-to-right non-overlapping
+    application) — the equality oracle for :func:`q_bpe_train_docs`."""
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        for w in (t or "").split(" "):
+            if w:
+                wc[w] += 1
+    seqs = {w: _BPE_SEP.join(w) for w in wc}
+    merges = []
+    for it in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, c in wc.items():
+            syms = seqs[w].split(_BPE_SEP)
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best_n = max(pairs.values())
+        left, right = min(p for p, c in pairs.items() if c == best_n)
+        merges.append((it, left, right, best_n))
+        pat = left + _BPE_SEP + right
+        rep = left + right
+        for w in seqs:
+            seqs[w] = seqs[w].replace(pat, rep)
+    return pd.DataFrame(merges,
+                        columns=["iteration", "left", "right", "n"])
+
+
+def q_bpe_train_docs(sf_dir: str):
+    """Distributed BPE tokenizer TRAINING (5 merge iterations): the
+    iterative heart of subword-vocab construction. The word-frequency
+    table is built once (one exchange) and stays distributed; each
+    iteration is a vectorizable pair-count map over vocab rows, a tiny
+    (symbol-pair-bounded) combine, a 1-row argmax pulled driver-side,
+    and a broadcast merge applied map-side — per-iteration traffic is
+    pair partials, never the corpus. Greedy left-to-right
+    non-overlapping merge application (Sennrich et al. 2016). Rows-only
+    driver check; pinned vs the single-process reference by test."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def words(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c = Counter()
+        for t in df["text"].fillna(""):
+            for w in t.split(" "):
+                if w:
+                    c[w] += 1
+        return pd.DataFrame({"word": list(c.keys()),
+                             "n": np.fromiter(c.values(), np.int64,
+                                              len(c))})
+
+    wc = grouped_agg(docs.map_batches(words, batch_format="pandas"),
+                     ["word"], {"n": ("n", "sum")}, num_buckets=8)
+    wc = wc.map_batches(
+        lambda df: df.assign(syms=[_BPE_SEP.join(w) for w in df["word"]]),
+        batch_format="pandas").materialize()
+
+    merges = []
+    for it in range(1, 6):
+        def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+
+            c = Counter()
+            for syms, n in zip(df["syms"], df["n"].to_numpy(np.int64)):
+                parts = syms.split(_BPE_SEP)
+                for a, b in zip(parts, parts[1:]):
+                    c[(a, b)] += int(n)
+            if not c:
+                return pd.DataFrame({"left": pd.Series([], dtype=object),
+                                     "right": pd.Series([], dtype=object),
+                                     "pn": pd.Series([], dtype="int64")})
+            ks = list(c.keys())
+            return pd.DataFrame({
+                "left": [k[0] for k in ks],
+                "right": [k[1] for k in ks],
+                "pn": np.fromiter(c.values(), np.int64, len(ks))})
+
+        pairs = grouped_agg(
+            wc.map_batches(pair_rows, batch_format="pandas"),
+            ["left", "right"], {"pn": ("pn", "sum")},
+            num_buckets=4).to_pandas()
+        if pairs.empty:
+            break
+        best_n = int(pairs["pn"].max())
+        top = pairs[pairs["pn"] == best_n].sort_values(
+            ["left", "right"], kind="mergesort").iloc[0]
+        left, right = str(top["left"]), str(top["right"])
+        merges.append((it, left, right, best_n))
+        pat, rep = left + _BPE_SEP + right, left + right
+
+        def apply_merge(df: pd.DataFrame, pat=pat, rep=rep) -> pd.DataFrame:
+            return df.assign(
+                syms=df["syms"].str.replace(pat, rep, regex=False))
+
+        wc = wc.map_batches(apply_merge, batch_format="pandas").materialize()
+
+    out = pd.DataFrame(merges, columns=["iteration", "left", "right", "n"])
+    out["iteration"] = out["iteration"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -16732,6 +17165,11 @@ QUERIES = {
     "label_inertia": q_label_inertia,
     "order_total_reconciliation": q_order_total_reconciliation,
     "decile_revenue_share": q_decile_revenue_share,
+    "zorder_parts": q_zorder_parts,
+    "tf_cosine_pairs_docs": q_tf_cosine_pairs_docs,
+    "rle_runs_events": q_rle_runs_events,
+    "order_line_signature": q_order_line_signature,
+    "bpe_train_docs": q_bpe_train_docs,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -17118,6 +17556,10 @@ ORACLE_SQL = {
     "label_inertia": SQL_LABEL_INERTIA,
     "order_total_reconciliation": SQL_ORDER_TOTAL_RECONCILIATION,
     "decile_revenue_share": SQL_DECILE_REVENUE_SHARE,
+    "zorder_parts": SQL_ZORDER_PARTS,
+    "tf_cosine_pairs_docs": SQL_TF_COSINE_PAIRS_DOCS,
+    "rle_runs_events": SQL_RLE_RUNS_EVENTS,
+    "order_line_signature": SQL_ORDER_LINE_SIGNATURE,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
