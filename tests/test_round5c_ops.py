@@ -36,7 +36,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     "name", ["type_lift_pairs", "cheapest_two_hop", "label_inertia",
              "order_total_reconciliation", "decile_revenue_share",
              "zorder_parts", "tf_cosine_pairs_docs", "rle_runs_events",
-             "order_line_signature"]
+             "order_line_signature", "busday_latency_orders",
+             "typo_clusters_docs", "core3_parts", "bounce_rate_sessions"]
 )
 def test_round5c_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

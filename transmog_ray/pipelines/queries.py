@@ -16829,6 +16829,338 @@ def q_bpe_train_docs(sf_dir: str):
     return out
 
 
+def q_busday_latency_orders(sf_dir: str):
+    """Business-day fulfillment latency (order date → first ship date,
+    weekends excluded) per order priority — the calendar-aware SLA
+    metric. numpy's ``busday_count`` half-open [order, ship) convention
+    is mirrored in SQL as an exploded weekday count, so the integers
+    hash-compare exactly. First-ship MINs combine in the lineitem
+    exchange; the per-priority partials fuse into the hash-join reduce
+    tasks (post_fn) — joined rows never leave the task."""
+    from ..functions.relational import grouped_agg, hash_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"], num_blocks=8)
+    o_proj = orders.map_batches(
+        lambda df: pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "od": df["o_orderdate"].astype("datetime64[ns]"),
+            "priority": df["o_orderpriority"].to_numpy(object)}),
+        batch_format="pandas")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"], num_blocks=8)
+    first_ship = grouped_agg(
+        li.map_batches(
+            lambda df: pd.DataFrame({
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "ship": df["l_shipdate"].astype("datetime64[ns]")}),
+            batch_format="pandas"),
+        ["l_orderkey"], {"ship": ("ship", "min")}, num_buckets=8)
+
+    def latency(df: pd.DataFrame) -> pd.DataFrame:
+        od = df["od"].to_numpy("datetime64[D]")
+        ship = df["ship"].to_numpy("datetime64[D]")
+        keep = ship >= od
+        if not keep.any():
+            return pd.DataFrame({
+                "priority": pd.Series([], dtype=object),
+                "n_orders": pd.Series([], dtype="int64"),
+                "sum_busdays": pd.Series([], dtype="int64"),
+                "max_busdays": pd.Series([], dtype="int64")})
+        bus = np.busday_count(od[keep], ship[keep]).astype(np.int64)
+        out = pd.DataFrame({"priority": df["priority"].to_numpy(object)[keep],
+                            "busdays": bus})
+        return (out.groupby("priority", sort=False)["busdays"]
+                .agg(n_orders="size", sum_busdays="sum", max_busdays="max")
+                .astype("int64").reset_index())
+
+    joined = hash_join(o_proj, first_ship, on="l_orderkey",
+                       num_buckets=8, post_fn=latency)
+    return grouped_agg(joined, ["priority"],
+                       {"n_orders": ("n_orders", "sum"),
+                        "sum_busdays": ("sum_busdays", "sum"),
+                        "max_busdays": ("max_busdays", "max")},
+                       num_buckets=2)
+
+
+SQL_BUSDAY_LATENCY_ORDERS = """
+WITH f AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS ship FROM lineitem GROUP BY 1
+), x AS (
+  SELECT o.o_orderkey, o.o_orderpriority AS priority,
+         o.o_orderdate AS od, f.ship
+  FROM orders o JOIN f ON f.l_orderkey = o.o_orderkey
+  WHERE f.ship >= o.o_orderdate
+), e AS (
+  SELECT o_orderkey,
+         CAST(SUM(CASE WHEN isodow(od + i * INTERVAL 1 DAY) <= 5
+                       THEN 1 ELSE 0 END) AS BIGINT) AS busdays
+  FROM x, unnest(range(date_diff('day', od, ship))) t(i)
+  GROUP BY 1
+), b AS (
+  SELECT x.priority, COALESCE(e.busdays, 0) AS busdays
+  FROM x LEFT JOIN e ON e.o_orderkey = x.o_orderkey
+)
+SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(busdays) AS BIGINT) AS sum_busdays,
+       CAST(MAX(busdays) AS BIGINT) AS max_busdays
+FROM b GROUP BY 1
+"""
+
+
+def q_typo_clusters_docs(sf_dir: str):
+    """Entity-resolution CLUSTERS over the distance-1 typo/variant
+    pairs: connected components of the FastSS edge set by distributed
+    min-label propagation (iterative, two bucket exchanges per wave,
+    driver holds only changed-counts), then component sizes. Label =
+    lexicographically smallest member. Oracle: the same edge SQL plus a
+    recursive-CTE closure."""
+    from ..functions.neardup import _min_label_propagation, edit_distance_pairs
+    from ..functions.relational import grouped_agg
+    from ..stages.dedup import dedup_exact
+
+    docs = read_table(sf_dir, "documents", columns=["text"], num_blocks=8)
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        words = df["text"].dropna().str.split(" ").explode().dropna()
+        u = set(words.unique())
+        u |= {w[1:] for w in u if len(w) > 3}
+        return pa.Table.from_arrays(
+            [pa.array(sorted(u), pa.string())], names=["w"])
+
+    toks = dedup_exact(docs.map_batches(explode, batch_format="pandas"),
+                       ["w"], num_buckets=8)
+    edges = edit_distance_pairs(toks, "w", num_buckets=8).map_batches(
+        lambda df: df.rename(columns={"w_a": "id_a", "w_b": "id_b"}),
+        batch_format="pandas")
+    labels = _min_label_propagation(edges, num_buckets=8, id_is_int=False)
+    sizes = labels.map_batches(
+        lambda df: pd.DataFrame({"cluster": df["label"].astype(object),
+                                 "n_words": np.ones(len(df), np.int64)}),
+        batch_format="pandas")
+    return grouped_agg(sizes, ["cluster"], {"n_words": ("n_words", "sum")},
+                       num_buckets=4)
+
+
+SQL_TYPO_CLUSTERS_DOCS = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+), tok AS (
+  SELECT DISTINCT w FROM (
+    SELECT w FROM base
+    UNION ALL SELECT substring(w, 2) FROM base WHERE length(w) > 3
+  )
+), pe AS (
+  SELECT a.w AS w_a, b.w AS w_b
+  FROM tok a JOIN tok b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+), edges AS (
+  SELECT w_a AS src, w_b AS dst FROM pe
+  UNION ALL SELECT w_b, w_a FROM pe
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), lab AS (
+  SELECT node, MIN(label) AS label FROM reach GROUP BY node
+)
+SELECT label AS cluster, CAST(COUNT(*) AS BIGINT) AS n_words
+FROM lab GROUP BY 1
+"""
+
+
+CORE_K = 3
+CORE_ROUNDS = 12
+CORE_MIN_W = 2
+
+
+def q_core3_parts(sf_dir: str):
+    """k-core decomposition (k=3) of the part co-purchase graph by
+    iterative degree peeling — the classic dense-subgraph primitive.
+    Edges are part pairs co-purchased in >= 2 orders (pair counts from
+    one order-keyed exchange + one combine); each peel round is one
+    degree exchange plus a broadcast survivor-set filter (node-scale —
+    swap for a Bloom filter at web scale, same call shape). Rounds are
+    FIXED at 12 on both sides (monotone peeling makes extra rounds
+    no-ops once converged; the engine early-exits at the fixpoint, the
+    SQL unrolls all 12), so engine and oracle agree even mid-peel.
+    Output: surviving nodes with their in-core degree."""
+    from ..functions.relational import grouped_agg, semi_join
+    from ..stages.partition import bucket_exchange
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"], num_blocks=8)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("l_orderkey", sort=False):
+            ps = np.unique(g["l_partkey"].to_numpy(np.int64))
+            if len(ps) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ps), k=1)
+            outs.append(pd.DataFrame({"pa": ps[ia], "pb": ps[ib]}))
+        if not outs:
+            return pd.DataFrame({"pa": pd.Series([], dtype="int64"),
+                                 "pb": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        return (out.groupby(["pa", "pb"], sort=False)
+                .size().rename("w").astype("int64").reset_index())
+
+    weighted = grouped_agg(
+        bucket_exchange(li, ["l_orderkey"], pairs, num_buckets=8),
+        ["pa", "pb"], {"w": ("w", "sum")}, num_buckets=8)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["w"] >= CORE_MIN_W]
+        return pd.DataFrame({
+            "src": np.concatenate([keep["pa"].to_numpy(np.int64),
+                                   keep["pb"].to_numpy(np.int64)]),
+            "dst": np.concatenate([keep["pb"].to_numpy(np.int64),
+                                   keep["pa"].to_numpy(np.int64)])})
+
+    und = weighted.map_batches(sym, batch_format="pandas").materialize()
+    prev_nodes = None
+    for _ in range(CORE_ROUNDS):
+        deg = grouped_agg(
+            und.map_batches(
+                lambda df: df.assign(deg=np.int64(1))[["src", "deg"]],
+                batch_format="pandas"),
+            ["src"], {"deg": ("deg", "sum")}, num_buckets=8).to_pandas()
+        keep = deg[deg["deg"] >= CORE_K][["src"]]
+        if prev_nodes is not None and len(keep) == prev_nodes:
+            break  # fixpoint: every later round is a no-op
+        prev_nodes = len(keep)
+        und = semi_join(und, keep, on="src")
+        und = semi_join(und, keep.rename(columns={"src": "dst"}),
+                        on="dst").materialize()
+
+    final_deg = grouped_agg(
+        und.map_batches(
+            lambda df: df.assign(degree=np.int64(1))[["src", "degree"]],
+            batch_format="pandas"),
+        ["src"], {"degree": ("degree", "sum")}, num_buckets=4)
+    return final_deg.map_batches(
+        lambda df: df.rename(columns={"src": "p_partkey"}),
+        batch_format="pandas")
+
+
+def _core3_sql() -> str:
+    head = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pr AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), w AS (
+  SELECT pa, pb FROM pr GROUP BY pa, pb HAVING COUNT(*) >= {CORE_MIN_W}
+), e0 AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM w
+  UNION ALL SELECT pb, pa FROM w
+)"""
+    # MATERIALIZED is load-bearing: each round references the previous
+    # edge CTE three times, so DuckDB's default CTE inlining would
+    # expand e0 3^rounds times
+    rounds = []
+    for i in range(1, CORE_ROUNDS + 1):
+        rounds.append(f""",
+k{i} AS MATERIALIZED (
+  SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {CORE_K}
+), e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i - 1} e
+  JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src
+)""")
+    tail = f"""
+SELECT src AS p_partkey, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e{CORE_ROUNDS} GROUP BY 1
+"""
+    return head + "".join(rounds) + tail
+
+
+SQL_CORE3_PARTS = _core3_sql()
+
+
+def q_bounce_rate_sessions(sf_dir: str):
+    """Bounce analysis: sessions (30-min inactivity gap) grouped by
+    their ENTRY event type — how many sessions start with each type and
+    how many of those are single-event bounces. One user-keyed exchange;
+    the kernel re-groups by user INSIDE the bucket (small-domain ids
+    hash-collide into shared buckets), sessionizes vectorized, and emits
+    per-entry-type partials only."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"],
+                    num_blocks=8)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "entry_type": pd.Series([], dtype=object),
+                "n_sessions": pd.Series([], dtype="int64"),
+                "n_bounce": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        ts = df["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy(np.int64)
+        new_user = np.empty(len(df), bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(df), np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        is_new = new_user | (gap > SESSION_GAP_S * 1_000_000_000)
+        sid = np.cumsum(is_new)
+        out = pd.DataFrame({
+            "sid": sid, "event_type": df["event_type"].to_numpy(object)})
+        g = out.groupby("sid", sort=False)["event_type"]
+        per = pd.DataFrame({"entry_type": g.first(), "n": g.size()})
+        per["n_sessions"] = np.int64(1)
+        per["n_bounce"] = (per["n"] == 1).astype("int64")
+        return (per.groupby("entry_type", sort=False)
+                [["n_sessions", "n_bounce"]].sum()
+                .astype("int64").reset_index())
+
+    partials = bucket_exchange(ev, ["user_id"], per_bucket, num_buckets=8)
+    return grouped_agg(partials, ["entry_type"],
+                       {"n_sessions": ("n_sessions", "sum"),
+                        "n_bounce": ("n_bounce", "sum")}, num_buckets=2)
+
+
+SQL_BOUNCE_RATE_SESSIONS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), ranked AS (
+  SELECT user_id, sid, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, sid) AS n
+  FROM numbered
+)
+SELECT event_type AS entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+FROM ranked WHERE rn = 1
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -17170,6 +17502,10 @@ QUERIES = {
     "rle_runs_events": q_rle_runs_events,
     "order_line_signature": q_order_line_signature,
     "bpe_train_docs": q_bpe_train_docs,
+    "busday_latency_orders": q_busday_latency_orders,
+    "typo_clusters_docs": q_typo_clusters_docs,
+    "core3_parts": q_core3_parts,
+    "bounce_rate_sessions": q_bounce_rate_sessions,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -17560,6 +17896,10 @@ ORACLE_SQL = {
     "tf_cosine_pairs_docs": SQL_TF_COSINE_PAIRS_DOCS,
     "rle_runs_events": SQL_RLE_RUNS_EVENTS,
     "order_line_signature": SQL_ORDER_LINE_SIGNATURE,
+    "busday_latency_orders": SQL_BUSDAY_LATENCY_ORDERS,
+    "typo_clusters_docs": SQL_TYPO_CLUSTERS_DOCS,
+    "core3_parts": SQL_CORE3_PARTS,
+    "bounce_rate_sessions": SQL_BOUNCE_RATE_SESSIONS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
