@@ -37,7 +37,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "order_total_reconciliation", "decile_revenue_share",
              "zorder_parts", "tf_cosine_pairs_docs", "rle_runs_events",
              "order_line_signature", "busday_latency_orders",
-             "typo_clusters_docs", "core3_parts", "bounce_rate_sessions"]
+             "typo_clusters_docs", "core3_parts", "bounce_rate_sessions",
+             "cont_price_quantiles", "union_schema_read",
+             "cdc_join_delta"]
 )
 def test_round5c_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -74,6 +76,51 @@ def test_bpe_train_reference_semantics():
     assert list(out.iloc[0][["left", "right", "n"]]) == ["a", "a", 4]
     # after merging: 'aaa' -> [aa, a]; pair (aa,a) count 2, (a,b) 3
     assert list(out.iloc[1][["left", "right", "n"]]) == ["a", "b", 3]
+
+
+def test_union_read_column_pruning(ray_session, tmp_path):
+    """read_parquet_union pads columns missing from a schema version
+    with typed nulls, prunes to requested columns, and handles a file
+    carrying NONE of the requested columns (row counts preserved)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transmog_ray.sources.union_read import read_parquet_union
+
+    pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}),
+                   str(tmp_path / "v1.parquet"))
+    pq.write_table(pa.table({"b": ["z"], "c": [3.5]}),
+                   str(tmp_path / "v2.parquet"))
+    pq.write_table(pa.table({"d": [7, 8, 9]}),
+                   str(tmp_path / "v3.parquet"))
+
+    full = read_parquet_union(str(tmp_path)).to_pandas()
+    assert sorted(full.columns) == ["a", "b", "c", "d"]
+    assert len(full) == 6
+    assert full["a"].notna().sum() == 2 and full["d"].notna().sum() == 3
+
+    pruned = read_parquet_union(str(tmp_path), columns=["a", "c"])
+    pdf = pruned.to_pandas()
+    assert sorted(pdf.columns) == ["a", "c"]
+    assert len(pdf) == 6  # v3 contributes 3 all-null rows
+    assert pdf["c"].notna().sum() == 1
+
+    with pytest.raises(ValueError):
+        read_parquet_union(str(tmp_path), columns=["nope"])
+
+
+def test_cdc_join_delta_net_zero_moves(ray_session):
+    """A customer move must net to zero order-count across nations:
+    the summed d_orders equals inserts minus deletes exactly."""
+    import pandas as pd
+
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["cdc_join_delta"](SF)
+    ords = pd.read_parquet(f"{SF}/orders.parquet",
+                           columns=["o_orderkey"])["o_orderkey"]
+    expect = int((ords % 41 == 0).sum()) - int((ords % 37 == 0).sum())
+    assert int(got["d_orders"].sum()) == expect
 
 
 def test_rle_runs_boundary_stitching(ray_session):

@@ -1527,6 +1527,7 @@ def exact_quantiles(
     num_bins: int = 4096,
     driver_cap: int = 1_000_000,
     max_rounds: int = 8,
+    ranks: Sequence[int] | None = None,
 ) -> list[float]:
     """EXACT global order statistics (DuckDB ``quantile_disc``: the
     element at 0-indexed rank ``ceil(q·n)−1`` — probed empirically
@@ -1549,6 +1550,8 @@ def exact_quantiles(
     ignored, like SQL aggregates.
     """
     qs = list(qs)
+    if ranks is not None:
+        ranks = list(ranks)
 
     def minmax(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].to_numpy(dtype=np.float64)
@@ -1560,11 +1563,16 @@ def exact_quantiles(
 
     mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
     if mm.empty or mm["n"].sum() == 0:
-        return [float("nan")] * len(qs)
+        return [float("nan")] * len(qs if ranks is None else ranks)
     n = int(mm["n"].sum())
     glo, ghi = float(mm["lo"].min()), float(mm["hi"].max())
-    # 0-indexed target ranks (quantile_disc convention)
-    ranks = [min(max(int(np.ceil(q * n)) - 1, 0), n - 1) for q in qs]
+    if ranks is None:
+        # 0-indexed target ranks (quantile_disc convention)
+        ranks = [min(max(int(np.ceil(q * n)) - 1, 0), n - 1) for q in qs]
+    else:
+        # caller-supplied 0-indexed ranks (e.g. quantile_cont needs the
+        # two elements straddling the virtual index)
+        ranks = [min(max(int(r), 0), n - 1) for r in ranks]
 
     states = [{"lo": glo, "hi": ghi, "prev": None, "done": False,
                "val": float("nan")} for _ in ranks]

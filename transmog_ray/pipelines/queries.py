@@ -17161,6 +17161,246 @@ GROUP BY 1
 """
 
 
+CONT_QS = (0.25, 0.5, 0.75)
+
+
+def q_cont_price_quantiles(sf_dir: str):
+    """INTERPOLATED global quantiles (SQL ``quantile_cont`` /
+    numpy 'linear': value at virtual index (n−1)·q) of lineitem price
+    cents, via the multi-rank shared-scan histogram refinement — the
+    engine fetches the two order statistics straddling each virtual
+    index (all ranks share every scan) and interpolates driver-side.
+    Quartile fractions are dyadic and the inputs are integer cents, so
+    v_lo + (v_hi−v_lo)·frac is float-EXACT on both engines — no
+    rounding pact. Complements the quantile_disc family
+    (exact_price_quantiles)."""
+    from ..functions.relational import exact_quantiles
+
+    li = read_table(sf_dir, "lineitem", columns=["l_extendedprice"],
+                    num_blocks=8)
+    cents = li.map_batches(
+        lambda df: pd.DataFrame({
+            "cents": np.rint(df["l_extendedprice"].to_numpy(np.float64)
+                             * 100).astype(np.int64)}),
+        batch_format="pandas").materialize()
+
+    n = int(cents.count())
+    ranks, fracs = [], []
+    for q in CONT_QS:
+        r = (n - 1) * q
+        lo = int(np.floor(r))
+        ranks.extend([lo, min(lo + 1, n - 1)])
+        fracs.append(r - lo)
+    vals = exact_quantiles(cents, "cents", qs=[], ranks=ranks)
+    out_vals = []
+    for i, frac in enumerate(fracs):
+        v_lo, v_hi = vals[2 * i], vals[2 * i + 1]
+        out_vals.append(v_lo + (v_hi - v_lo) * frac)
+    return pd.DataFrame({"q": np.asarray(CONT_QS, np.float64),
+                         "value": np.asarray(out_vals, np.float64)})
+
+
+SQL_CONT_PRICE_QUANTILES = """
+WITH c AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT CAST(0.25 AS DOUBLE) AS q, quantile_cont(cents, 0.25) AS value
+FROM c
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE), quantile_cont(cents, 0.5) FROM c
+UNION ALL
+SELECT CAST(0.75 AS DOUBLE), quantile_cont(cents, 0.75) FROM c
+"""
+
+
+UNIONFIX_ROOT = "/tmp/transmog_ray_unionfix"
+UNIONFIX_CURRENT = f"{UNIONFIX_ROOT}/current"
+
+
+def _unionfix_fixture(sf_dir: str) -> str:
+    """Two-schema-version parquet fixture derived deterministically from
+    the documents table: version A (even doc_ids) has (doc_id, lang,
+    n_chars); version B (odd doc_ids) dropped n_chars and added a score
+    column — the drift read_parquet_union harmonizes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"{UNIONFIX_ROOT}/{scale}"
+    os.makedirs(out_dir, exist_ok=True)
+    a_path, b_path = f"{out_dir}/a.parquet", f"{out_dir}/b.parquet"
+    if not (os.path.exists(a_path) and os.path.exists(b_path)):
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang", "n_chars"])
+        d = docs.to_pandas()
+        a = d[d["doc_id"] % 2 == 0][["doc_id", "lang", "n_chars"]]
+        b = d[d["doc_id"] % 2 == 1][["doc_id", "lang"]].assign(
+            score=(d.loc[d["doc_id"] % 2 == 1, "n_chars"] * 2)
+            .astype("int64"))
+        pq.write_table(pa.Table.from_pandas(a, preserve_index=False),
+                       a_path)
+        pq.write_table(pa.Table.from_pandas(b, preserve_index=False),
+                       b_path)
+    _repoint_current(out_dir, UNIONFIX_CURRENT)
+    return out_dir
+
+
+def q_union_schema_read(sf_dir: str):
+    """Schema-evolution read: one Dataset over parquet files whose
+    schemas DRIFTED (a column dropped, another added), harmonized by
+    name via :func:`transmog_ray.sources.union_read.read_parquet_union`
+    (one Ray read per distinct schema VERSION, typed-null padding
+    map-side), then a per-lang rollup where each column sums over the
+    files that carry it. Oracle: DuckDB ``union_by_name=true``."""
+    from ..functions.relational import grouped_agg
+    from ..sources.union_read import read_parquet_union
+
+    fix_dir = _unionfix_fixture(sf_dir)
+    ds = read_parquet_union(fix_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("lang", dropna=False, sort=False)
+        out = pd.DataFrame({
+            "n_rows": g.size().astype("int64"),
+            "sum_chars": g["n_chars"].sum().fillna(0).astype("int64"),
+            "sum_score": g["score"].sum().fillna(0).astype("int64"),
+        }).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"],
+        {"n_rows": ("n_rows", "sum"), "sum_chars": ("sum_chars", "sum"),
+         "sum_score": ("sum_score", "sum")}, num_buckets=2)
+
+
+SQL_UNION_SCHEMA_READ = f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+       CAST(COALESCE(SUM(score), 0) AS BIGINT) AS sum_score
+FROM read_parquet(['{UNIONFIX_CURRENT}/a.parquet',
+                   '{UNIONFIX_CURRENT}/b.parquet'], union_by_name=true)
+GROUP BY 1
+"""
+
+
+def q_cdc_join_delta(sf_dir: str):
+    """Incremental view maintenance WITH DELETES: the net change to the
+    per-nation (order count, revenue cents) join view orders⋈customer
+    under a CDC batch — deleted orders (key%37), inserted orders
+    (key%41 clones), and customers MOVED between nations (key%53, a
+    delete+insert pair on the dim side). The engine never recomputes
+    the view: ΔV = ΔL⋈R_new + L_old⋈ΔR (signed multiplicities), so
+    only the delta stream and the old fact stream are scanned once
+    each, with the dim maps broadcast. Oracle recomputes both view
+    versions wholesale and subtracts."""
+    from ..functions.relational import grouped_agg
+
+    cust = read_small(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    moved = cust[cust["c_custkey"] % 53 == 0]
+    new_map = cust.set_index("c_custkey")["c_nationkey"].copy()
+    new_map.loc[moved["c_custkey"].to_numpy()] = (
+        (moved["c_nationkey"].to_numpy(np.int64) + 1) % 25)
+    # ΔR as a signed lookup: moved custkey -> [(old_nation,-1),(new,+1)]
+    delta_r = {
+        int(k): [(int(old), -1), (int((old + 1) % 25), +1)]
+        for k, old in zip(moved["c_custkey"].to_numpy(np.int64),
+                          moved["c_nationkey"].to_numpy(np.int64))
+    }
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+                        num_blocks=8)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        okey = df["o_orderkey"].to_numpy(np.int64)
+        ckey = df["o_custkey"].to_numpy(np.int64)
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        rows = {"nation": [], "d_orders": [], "d_cents": []}
+
+        def emit(nations, weights, cent_vals):
+            rows["nation"].extend(nations)
+            rows["d_orders"].extend(weights)
+            rows["d_cents"].extend(w * c for w, c in zip(weights, cent_vals))
+
+        # ΔL ⋈ R_new: deletes carry -1, insert clones carry +1, both
+        # resolved against the POST-move customer map
+        dele = okey % 37 == 0
+        ins = okey % 41 == 0
+        emit(new_map.loc[ckey[dele]].to_numpy(np.int64),
+             [-1] * int(dele.sum()), cents[dele])
+        emit(new_map.loc[ckey[ins]].to_numpy(np.int64),
+             [+1] * int(ins.sum()), cents[ins])
+        # L_old ⋈ ΔR: every OLD order of a moved customer contributes a
+        # signed pair (leave old nation, enter new nation)
+        for ck, w_list in delta_r.items():
+            m = ckey == ck
+            cnt = int(m.sum())
+            if not cnt:
+                continue
+            for nat, w in w_list:
+                emit([nat] * cnt, [w] * cnt, cents[m])
+        out = pd.DataFrame({
+            "nation": np.asarray(rows["nation"], np.int64),
+            "d_orders": np.asarray(rows["d_orders"], np.int64),
+            "d_cents": np.asarray(rows["d_cents"], np.int64)})
+        return (out.groupby("nation", sort=False)
+                [["d_orders", "d_cents"]].sum()
+                .astype("int64").reset_index())
+
+    agg = grouped_agg(
+        orders.map_batches(partials, batch_format="pandas"),
+        ["nation"],
+        {"d_orders": ("d_orders", "sum"), "d_cents": ("d_cents", "sum")},
+        num_buckets=2).to_pandas()
+    out = agg[(agg["d_orders"] != 0) | (agg["d_cents"] != 0)]
+    return out.reset_index(drop=True)
+
+
+SQL_CDC_JOIN_DELTA = """
+WITH old_l AS (
+  SELECT o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), new_l AS (
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 37 <> 0
+  UNION ALL
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 41 = 0
+), old_r AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation FROM customer
+), new_r AS (
+  SELECT c_custkey,
+         CAST(CASE WHEN c_custkey % 53 = 0
+                   THEN (c_nationkey + 1) % 25
+                   ELSE c_nationkey END AS BIGINT) AS nation
+  FROM customer
+), vo AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS c
+  FROM old_l JOIN old_r ON old_l.o_custkey = old_r.c_custkey GROUP BY 1
+), vn AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS c
+  FROM new_l JOIN new_r ON new_l.o_custkey = new_r.c_custkey GROUP BY 1
+), d AS (
+  SELECT COALESCE(vn.nation, vo.nation) AS nation,
+         COALESCE(vn.n, 0) - COALESCE(vo.n, 0) AS d_orders,
+         COALESCE(vn.c, 0) - COALESCE(vo.c, 0) AS d_cents
+  FROM vn FULL OUTER JOIN vo ON vn.nation = vo.nation
+)
+SELECT nation, CAST(d_orders AS BIGINT) AS d_orders,
+       CAST(d_cents AS BIGINT) AS d_cents
+FROM d WHERE d_orders <> 0 OR d_cents <> 0
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -17506,6 +17746,9 @@ QUERIES = {
     "typo_clusters_docs": q_typo_clusters_docs,
     "core3_parts": q_core3_parts,
     "bounce_rate_sessions": q_bounce_rate_sessions,
+    "cont_price_quantiles": q_cont_price_quantiles,
+    "union_schema_read": q_union_schema_read,
+    "cdc_join_delta": q_cdc_join_delta,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -17900,6 +18143,9 @@ ORACLE_SQL = {
     "typo_clusters_docs": SQL_TYPO_CLUSTERS_DOCS,
     "core3_parts": SQL_CORE3_PARTS,
     "bounce_rate_sessions": SQL_BOUNCE_RATE_SESSIONS,
+    "cont_price_quantiles": SQL_CONT_PRICE_QUANTILES,
+    "union_schema_read": SQL_UNION_SCHEMA_READ,
+    "cdc_join_delta": SQL_CDC_JOIN_DELTA,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
