@@ -17401,6 +17401,186 @@ FROM d WHERE d_orders <> 0 OR d_cents <> 0
 """
 
 
+def q_division_customers(sf_dir: str):
+    """Relational DIVISION (Codd's ÷) with a DATA-DERIVED divisor:
+    customers who ordered parts of EVERY brand carried at the maximum
+    part size — the 'bought the whole catalog' query. The divisor set
+    is computed distributed (filter + dedup on the part dim, a handful
+    of rows) and broadcast; each customer's distinct-matched-brand
+    count combines in one order-keyed + one customer-keyed exchange and
+    the division is a count == |divisor| filter."""
+    from ..functions.relational import grouped_agg
+    from ..stages.dedup import dedup_exact
+
+    parts = read_small(sf_dir, "part", columns=["p_partkey", "p_size",
+                                                "p_brand"])
+    max_size = int(parts["p_size"].max())
+    divisor = sorted(parts.loc[parts["p_size"] == max_size, "p_brand"]
+                     .unique())
+    bmap = parts.set_index("p_partkey")["p_brand"]
+    div_set = set(divisor)
+
+    orders = read_small(sf_dir, "orders", columns=["o_orderkey",
+                                                   "o_custkey"])
+    omap = orders.set_index("o_orderkey")["o_custkey"]
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"], num_blocks=8)
+
+    def matched(df: pd.DataFrame) -> pd.DataFrame:
+        brand = df["l_partkey"].map(bmap)
+        keep = brand.isin(div_set).to_numpy()
+        out = pd.DataFrame({
+            "o_custkey": df["l_orderkey"].map(omap).to_numpy(np.int64)[keep],
+            "brand": brand.to_numpy(object)[keep]})
+        return out.drop_duplicates()
+
+    pairs = dedup_exact(
+        li.map_batches(matched, batch_format="pandas"),
+        ["o_custkey", "brand"], num_buckets=8)
+    counts = grouped_agg(
+        pairs.map_batches(
+            lambda df: df.assign(n_brands=np.int64(1))[
+                ["o_custkey", "n_brands"]],
+            batch_format="pandas"),
+        ["o_custkey"], {"n_brands": ("n_brands", "sum")},
+        num_buckets=8).to_pandas()
+    out = counts[counts["n_brands"] == len(divisor)][["o_custkey"]]
+    out = out.sort_values("o_custkey").reset_index(drop=True)
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    return out
+
+
+SQL_DIVISION_CUSTOMERS = """
+WITH divisor AS (
+  SELECT DISTINCT p_brand FROM part
+  WHERE p_size = (SELECT MAX(p_size) FROM part)
+), matched AS (
+  SELECT DISTINCT o.o_custkey, p.p_brand
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN divisor d ON d.p_brand = p.p_brand
+)
+SELECT o_custkey FROM matched
+GROUP BY o_custkey
+HAVING COUNT(*) = (SELECT COUNT(*) FROM divisor)
+"""
+
+
+STUMP_POS_TYPE = "purchase"
+
+
+def q_stump_split_events(sf_dir: str):
+    """Exact decision-stump training on one feature: the threshold t
+    (over event value cents) minimizing MISCLASSIFICATIONS of the rule
+    'predict purchase iff cents >= t' — errors are pure integers, so
+    the argmin (tie → smallest t) is deterministic on both engines.
+    One pass emits (cents, n_pos, n_neg) partials; the combine is
+    value-domain bounded; the prefix-sum error sweep runs on that tiny
+    frame driver-side."""
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        pos = (df["event_type"].to_numpy(object)
+               == STUMP_POS_TYPE).astype(np.int64)
+        out = pd.DataFrame({"cents": cents, "n_pos": pos, "n_neg": 1 - pos})
+        return (out.groupby("cents", sort=False)[["n_pos", "n_neg"]]
+                .sum().astype("int64").reset_index())
+
+    hist = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["cents"], {"n_pos": ("n_pos", "sum"), "n_neg": ("n_neg", "sum")},
+        num_buckets=4).to_pandas().sort_values("cents")
+
+    pos_below = hist["n_pos"].cumsum().shift(fill_value=0).to_numpy()
+    neg_below = hist["n_neg"].cumsum().shift(fill_value=0).to_numpy()
+    total_neg = int(hist["n_neg"].sum())
+    errors = pos_below + (total_neg - neg_below)
+    best = int(np.argmin(errors))  # np.argmin keeps the FIRST minimum
+    return pd.DataFrame({
+        "threshold_cents": [np.int64(hist["cents"].iloc[best])],
+        "errors": [np.int64(errors[best])],
+        "n_pos": [np.int64(hist["n_pos"].sum())],
+        "n_neg": [np.int64(total_neg)]})
+
+
+SQL_STUMP_SPLIT_EVENTS = f"""
+WITH h AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN event_type = '{STUMP_POS_TYPE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN event_type = '{STUMP_POS_TYPE}'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM events GROUP BY 1
+), sweep AS (
+  SELECT cents,
+         COALESCE(SUM(n_pos) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (SELECT SUM(n_neg) FROM h)
+           - COALESCE(SUM(n_neg) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS err
+  FROM h
+)
+SELECT CAST(cents AS BIGINT) AS threshold_cents,
+       CAST(err AS BIGINT) AS errors,
+       (SELECT CAST(SUM(n_pos) AS BIGINT) FROM h) AS n_pos,
+       (SELECT CAST(SUM(n_neg) AS BIGINT) FROM h) AS n_neg
+FROM sweep ORDER BY err, cents LIMIT 1
+"""
+
+
+def q_price_gcd_brand(sf_dir: str):
+    """Custom DECOMPOSABLE aggregate the SQL standard lacks: per-brand
+    GCD of part prices in cents — the price-granularity detector (a
+    GCD of 10 means every price sits on a dime grid). GCD is
+    associative+commutative, so per-batch ``np.gcd.reduce`` partials
+    combine in one tiny exchange exactly like sum/min. Oracle:
+    ``list_reduce(list(...), gcd)``."""
+    from ..functions.relational import grouped_agg
+
+    parts = read_table(sf_dir, "part",
+                       columns=["p_brand", "p_retailprice"], num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["p_retailprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        out = pd.DataFrame({"p_brand": df["p_brand"].to_numpy(object),
+                            "cents": cents})
+        g = out.groupby("p_brand", sort=False)["cents"]
+        return pd.DataFrame({
+            "gcd_cents": g.agg(lambda s: np.gcd.reduce(s.to_numpy())),
+            "n_parts": g.size().astype("int64")}).reset_index()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", sort=False)
+        return pd.DataFrame({
+            "gcd_cents": g["gcd_cents"].agg(
+                lambda s: np.gcd.reduce(s.to_numpy())),
+            "n_parts": g["n_parts"].sum().astype("int64")}).reset_index()
+
+    from ..stages.partition import bucket_exchange
+
+    return bucket_exchange(
+        parts.map_batches(partial, batch_format="pandas"),
+        ["p_brand"], combine, num_buckets=4)
+
+
+SQL_PRICE_GCD_BRAND = """
+SELECT p_brand,
+       CAST(list_reduce(list(CAST(ROUND(p_retailprice * 100) AS BIGINT)),
+                        (a, b) -> gcd(a, b)) AS BIGINT) AS gcd_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM part GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -17749,6 +17929,9 @@ QUERIES = {
     "cont_price_quantiles": q_cont_price_quantiles,
     "union_schema_read": q_union_schema_read,
     "cdc_join_delta": q_cdc_join_delta,
+    "division_customers": q_division_customers,
+    "stump_split_events": q_stump_split_events,
+    "price_gcd_brand": q_price_gcd_brand,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -18146,6 +18329,9 @@ ORACLE_SQL = {
     "cont_price_quantiles": SQL_CONT_PRICE_QUANTILES,
     "union_schema_read": SQL_UNION_SCHEMA_READ,
     "cdc_join_delta": SQL_CDC_JOIN_DELTA,
+    "division_customers": SQL_DIVISION_CUSTOMERS,
+    "stump_split_events": SQL_STUMP_SPLIT_EVENTS,
+    "price_gcd_brand": SQL_PRICE_GCD_BRAND,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
