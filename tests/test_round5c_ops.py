@@ -40,7 +40,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "typo_clusters_docs", "core3_parts", "bounce_rate_sessions",
              "cont_price_quantiles", "union_schema_read",
              "cdc_join_delta", "division_customers", "stump_split_events",
-             "price_gcd_brand"]
+             "price_gcd_brand", "tukey_outliers_langs", "stock_span_daily",
+             "content_fingerprint_langs"]
 )
 def test_round5c_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -17581,6 +17581,172 @@ FROM part GROUP BY 1
 """
 
 
+def q_tukey_outliers_langs(sf_dir: str):
+    """Integerized Tukey-fence outlier detection per language: doc
+    lengths outside [q1 − 1.5·IQR, q3 + 1.5·IQR], with the fences
+    cross-multiplied into pure-integer tests (2·x < 5·q1 − 3·q3 /
+    2·x > 5·q3 − 3·q1) so no 1.5 float ever appears. Quartiles are
+    exact order statistics (quantile_disc ceil-rank convention); one
+    language-keyed exchange computes quartiles and outlier counts in
+    the same kernel."""
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["lang"].is_valid(),
+                                   t["n_chars"].is_valid())),
+        batch_format="pyarrow")
+
+    def per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang", sort=False):
+            v = np.sort(g["n_chars"].to_numpy(np.int64))
+            n = len(v)
+            q1 = v[min(int(np.ceil(0.25 * n)) - 1, n - 1)]
+            q3 = v[min(int(np.ceil(0.75 * n)) - 1, n - 1)]
+            below = int((2 * v < 5 * q1 - 3 * q3).sum())
+            above = int((2 * v > 5 * q3 - 3 * q1).sum())
+            rows.append((lang, q1, q3, below, above, n))
+        return pd.DataFrame(
+            rows, columns=["lang", "q1", "q3", "n_below", "n_above",
+                           "n_docs"]).astype(
+            {c: "int64" for c in ("q1", "q3", "n_below", "n_above",
+                                  "n_docs")})
+
+    return bucket_exchange(docs, ["lang"], per_lang, num_buckets=4)
+
+
+SQL_TUKEY_OUTLIERS_LANGS = """
+WITH d AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+), q AS (
+  SELECT lang,
+         CAST(quantile_disc(x, 0.25) AS BIGINT) AS q1,
+         CAST(quantile_disc(x, 0.75) AS BIGINT) AS q3,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM d GROUP BY 1
+)
+SELECT q.lang, q.q1, q.q3,
+       CAST(SUM(CASE WHEN 2 * d.x < 5 * q.q1 - 3 * q.q3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(SUM(CASE WHEN 2 * d.x > 5 * q.q3 - 3 * q.q1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       q.n_docs
+FROM d JOIN q ON d.lang = q.lang
+GROUP BY q.lang, q.q1, q.q3, q.n_docs
+"""
+
+
+def q_stock_span_daily(sf_dir: str):
+    """Stock-span (monotone stack) over daily revenue: for each day,
+    how many consecutive trailing days (itself included) had revenue
+    <= that day's — the streak-length behind 'highest in N days'
+    banners. Daily totals combine distributed (one bounded exchange);
+    the stack sweep runs on the date-cardinality frame driver-side.
+    Day ids are epoch-day BIGINTs (the timestamp encoding that
+    hash-compares exactly)."""
+    from ..functions.relational import grouped_agg
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice"],
+                        num_blocks=8)
+
+    def daily(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["o_orderdate"].astype("datetime64[ns]")
+               .to_numpy("datetime64[D]").astype(np.int64))
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        out = pd.DataFrame({"day_id": day, "total_cents": cents})
+        return (out.groupby("day_id", sort=False)["total_cents"].sum()
+                .astype("int64").reset_index())
+
+    tot = grouped_agg(
+        orders.map_batches(daily, batch_format="pandas"),
+        ["day_id"], {"total_cents": ("total_cents", "sum")},
+        num_buckets=4).to_pandas().sort_values("day_id")
+
+    vals = tot["total_cents"].to_numpy(np.int64)
+    span = np.empty(len(vals), np.int64)
+    stack: list[int] = []  # indices with strictly greater totals
+    for i, v in enumerate(vals):
+        while stack and vals[stack[-1]] <= v:
+            stack.pop()
+        span[i] = i - (stack[-1] if stack else -1)
+        stack.append(i)
+    tot = tot.reset_index(drop=True)
+    tot["span"] = span
+    tot["day_id"] = tot["day_id"].astype("int64")
+    return tot
+
+
+SQL_STOCK_SPAN_DAILY = """
+WITH d AS (
+  SELECT date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day_id,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT day_id, total_cents,
+         ROW_NUMBER() OVER (ORDER BY day_id) AS i
+  FROM d
+)
+SELECT a.day_id, a.total_cents,
+       CAST(a.i - COALESCE(MAX(b.i), 0) AS BIGINT) AS span
+FROM r a LEFT JOIN r b ON b.i < a.i AND b.total_cents > a.total_cents
+GROUP BY a.day_id, a.total_cents, a.i
+"""
+
+
+def q_content_fingerprint_langs(sf_dir: str):
+    """Content-addressed partition fingerprints (dataset versioning /
+    integrity audit): per language, the left-fold md5 chain over its
+    docs' md5(text) digests in doc_id order — any single changed byte
+    anywhere in the partition changes the fingerprint. One
+    language-keyed exchange; the fold is sequential per group but
+    groups fold in parallel. Oracle: ``list_reduce(list(md5(text)
+    ORDER BY doc_id), md5(a||b))``."""
+    import hashlib
+
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "text"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["lang"].is_valid(),
+                                   t["text"].is_valid())),
+        batch_format="pyarrow")
+
+    def per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang", sort=False):
+            g = g.sort_values("doc_id", kind="mergesort")
+            acc = None
+            for t in g["text"]:
+                h = hashlib.md5(t.encode("utf-8")).hexdigest()
+                acc = h if acc is None else hashlib.md5(
+                    (acc + h).encode("ascii")).hexdigest()
+            rows.append((lang, acc, len(g)))
+        return pd.DataFrame(rows,
+                            columns=["lang", "fingerprint", "n_docs"]
+                            ).astype({"n_docs": "int64"})
+
+    return bucket_exchange(docs, ["lang"], per_lang, num_buckets=4)
+
+
+SQL_CONTENT_FINGERPRINT_LANGS = """
+WITH d AS (
+  SELECT lang, doc_id, md5(text) AS h FROM documents
+  WHERE lang IS NOT NULL AND text IS NOT NULL
+)
+SELECT lang,
+       list_reduce(list(h ORDER BY doc_id),
+                   (a, b) -> md5(a || b)) AS fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -17932,6 +18098,9 @@ QUERIES = {
     "division_customers": q_division_customers,
     "stump_split_events": q_stump_split_events,
     "price_gcd_brand": q_price_gcd_brand,
+    "tukey_outliers_langs": q_tukey_outliers_langs,
+    "stock_span_daily": q_stock_span_daily,
+    "content_fingerprint_langs": q_content_fingerprint_langs,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -18332,6 +18501,9 @@ ORACLE_SQL = {
     "division_customers": SQL_DIVISION_CUSTOMERS,
     "stump_split_events": SQL_STUMP_SPLIT_EVENTS,
     "price_gcd_brand": SQL_PRICE_GCD_BRAND,
+    "tukey_outliers_langs": SQL_TUKEY_OUTLIERS_LANGS,
+    "stock_span_daily": SQL_STOCK_SPAN_DAILY,
+    "content_fingerprint_langs": SQL_CONTENT_FINGERPRINT_LANGS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
