@@ -41,7 +41,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "cont_price_quantiles", "union_schema_read",
              "cdc_join_delta", "division_customers", "stump_split_events",
              "price_gcd_brand", "tukey_outliers_langs", "stock_span_daily",
-             "content_fingerprint_langs"]
+             "content_fingerprint_langs", "rowgroup_skip_stats",
+             "column_compression_stats"]
 )
 def test_round5c_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
