@@ -42,7 +42,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "cdc_join_delta", "division_customers", "stump_split_events",
              "price_gcd_brand", "tukey_outliers_langs", "stock_span_daily",
              "content_fingerprint_langs", "rowgroup_skip_stats",
-             "column_compression_stats"]
+             "column_compression_stats", "gram_matrix_embeddings",
+             "frequent_triples_parts", "bitmap_distinct_users"]
 )
 def test_round5c_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -17908,6 +17908,214 @@ FROM m GROUP BY 1, 2
 """
 
 
+def q_gram_matrix_embeddings(sf_dir: str):
+    """Distributed Gram matrix X·Xᵀ-prep (covariance/PCA precursor):
+    the d×d upper triangle of Σ_rows qᵢ·qⱼ over int8-quantized
+    embeddings — each batch contributes one integer ``q.T @ q`` matmul
+    partial and the combine is a (d²-bounded) sum, the canonical
+    data-parallel ML sufficient statistic. Oracle replays the
+    quantization and self-joins the exploded positions."""
+    from ..functions.ann import _quantize_rows
+    from ..functions.relational import grouped_agg
+
+    emb = read_table(sf_dir, "embeddings", columns=["embedding"],
+                     num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        M = np.asarray(list(df["embedding"]), dtype=np.float64)
+        q, _ = _quantize_rows(M)
+        g = q.astype(np.int64).T @ q.astype(np.int64)
+        d = g.shape[0]
+        ii, jj = np.triu_indices(d)
+        return pd.DataFrame({"pos_i": ii.astype(np.int64),
+                             "pos_j": jj.astype(np.int64),
+                             "dot": g[ii, jj]})
+
+    return grouped_agg(
+        emb.map_batches(partial, batch_format="pandas"),
+        ["pos_i", "pos_j"], {"dot": ("dot", "sum")}, num_buckets=4)
+
+
+SQL_GRAM_MATRIX_EMBEDDINGS = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), s AS (
+  SELECT vec_id, emb,
+         list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS scale
+  FROM e
+), qv AS (
+  SELECT vec_id,
+         unnest(range(0, len(emb))) AS pos,
+         unnest(list_transform(emb, x ->
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(GREATEST(LEAST(ROUND(x * 127.0 / scale), 127),
+                                     -127) AS BIGINT) END)) AS q
+  FROM s
+)
+SELECT a.pos AS pos_i, b.pos AS pos_j,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+FROM qv a JOIN qv b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY 1, 2
+"""
+
+
+TRIPLE_MIN_SUPPORT = 2
+
+
+def q_frequent_triples_parts(sf_dir: str):
+    """Apriori level-3 frequent-itemset mining: part TRIPLES
+    co-purchased in >= 2 orders, with candidate pruning by the frequent
+    PAIRS (support monotonicity makes the pruning lossless — a frequent
+    triple's sub-pairs are frequent). Pairs count in one order-keyed
+    exchange + combine; the frequent-pair set broadcasts; per-order
+    triple generation only emits candidates whose three sub-pairs
+    survive, so the counted stream is pruned at the map."""
+    import ray
+
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"], num_blocks=8)
+    li = li.materialize()  # consumed by the pair pass AND the triple pass
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("l_orderkey", sort=False):
+            ps = np.unique(g["l_partkey"].to_numpy(np.int64))
+            if len(ps) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ps), k=1)
+            outs.append(pd.DataFrame({"pa": ps[ia], "pb": ps[ib]}))
+        if not outs:
+            return pd.DataFrame({"pa": pd.Series([], dtype="int64"),
+                                 "pb": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        return (out.groupby(["pa", "pb"], sort=False)
+                .size().rename("w").astype("int64").reset_index())
+
+    weighted = grouped_agg(
+        bucket_exchange(li, ["l_orderkey"], pairs, num_buckets=8),
+        ["pa", "pb"], {"w": ("w", "sum")}, num_buckets=8).to_pandas()
+    freq = weighted[weighted["w"] >= TRIPLE_MIN_SUPPORT]
+    fp_ref = ray.put(set(zip(freq["pa"].to_numpy(np.int64),
+                             freq["pb"].to_numpy(np.int64))))
+
+    def triples(df: pd.DataFrame) -> pd.DataFrame:
+        from itertools import combinations
+
+        fp = ray.get(fp_ref)
+        rows = []
+        for _, g in df.groupby("l_orderkey", sort=False):
+            ps = np.unique(g["l_partkey"].to_numpy(np.int64))
+            if len(ps) < 3:
+                continue
+            # Apriori prune: only parts that appear in >=1 frequent pair
+            # within this order can be in a candidate triple
+            for a, b, c in combinations(ps.tolist(), 3):
+                if ((a, b) in fp and (a, c) in fp and (b, c) in fp):
+                    rows.append((a, b, c))
+        out = pd.DataFrame(rows, columns=["p1", "p2", "p3"])
+        if out.empty:
+            return pd.DataFrame({"p1": pd.Series([], dtype="int64"),
+                                 "p2": pd.Series([], dtype="int64"),
+                                 "p3": pd.Series([], dtype="int64"),
+                                 "support": pd.Series([], dtype="int64")})
+        return (out.groupby(["p1", "p2", "p3"], sort=False)
+                .size().rename("support").astype("int64").reset_index())
+
+    counted = grouped_agg(
+        bucket_exchange(li, ["l_orderkey"], triples, num_buckets=8),
+        ["p1", "p2", "p3"], {"support": ("support", "sum")},
+        num_buckets=4).to_pandas()
+    out = counted[counted["support"] >= TRIPLE_MIN_SUPPORT]
+    return out.reset_index(drop=True)
+
+
+SQL_FREQUENT_TRIPLES_PARTS = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), fp AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT}
+), tr AS (
+  SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2,
+         c.l_partkey AS p3
+  FROM op a
+  JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN op c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+  JOIN fp f1 ON f1.pa = a.l_partkey AND f1.pb = b.l_partkey
+  JOIN fp f2 ON f2.pa = a.l_partkey AND f2.pb = c.l_partkey
+  JOIN fp f3 ON f3.pa = b.l_partkey AND f3.pb = c.l_partkey
+)
+SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS support
+FROM tr GROUP BY 1, 2, 3
+HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT}
+"""
+
+
+def q_bitmap_distinct_users(sf_dir: str):
+    """EXACT distinct counting by bitmap OR — the roaring-bitmap
+    mechanism: per event type, user ids set bits in 64-bit words
+    ((id//64, OR of 1<<(id%64)) partials), OR is
+    associative+commutative so words combine like sums in one tiny
+    exchange, and the popcount sum is the exact distinct count. For
+    dense int keys this ships O(domain/64) words instead of O(distinct)
+    values. Oracle: plain COUNT(DISTINCT)."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        word = uid >> 6
+        bit = np.uint64(1) << (uid % 64).astype(np.uint64)
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                            "word": word,
+                            "mask": bit.astype(np.uint64)})
+        g = (out.groupby(["event_type", "word"], sort=False)["mask"]
+             .agg(lambda s: np.bitwise_or.reduce(s.to_numpy(np.uint64))))
+        res = g.reset_index()
+        # ship masks as int64 via a view: Arrow int64 round-trips the
+        # raw bits, uint64 columns would upcast in pandas unions
+        res["mask"] = res["mask"].to_numpy(np.uint64).view(np.int64)
+        return res
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_users": pd.Series([], dtype="int64")})
+        g = (df.groupby(["event_type", "word"], sort=False)["mask"]
+             .agg(lambda s: np.bitwise_or.reduce(
+                 s.to_numpy(np.int64).view(np.uint64)).view(np.int64)))
+        words = g.reset_index()
+        pops = np.array([int(m).bit_count()
+                         for m in words["mask"].to_numpy(np.int64)
+                         .view(np.uint64)], dtype=np.int64)
+        words["n_users"] = pops
+        return (words.groupby("event_type", sort=False)["n_users"].sum()
+                .astype("int64").reset_index())
+
+    partials = ev.map_batches(partial, batch_format="pandas")
+    per_bucket = bucket_exchange(partials, ["event_type"], combine,
+                                 num_buckets=4)
+    return grouped_agg(per_bucket, ["event_type"],
+                       {"n_users": ("n_users", "sum")}, num_buckets=2)
+
+
+SQL_BITMAP_DISTINCT_USERS = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -18264,6 +18472,9 @@ QUERIES = {
     "content_fingerprint_langs": q_content_fingerprint_langs,
     "rowgroup_skip_stats": q_rowgroup_skip_stats,
     "column_compression_stats": q_column_compression_stats,
+    "gram_matrix_embeddings": q_gram_matrix_embeddings,
+    "frequent_triples_parts": q_frequent_triples_parts,
+    "bitmap_distinct_users": q_bitmap_distinct_users,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -18669,6 +18880,9 @@ ORACLE_SQL = {
     "content_fingerprint_langs": SQL_CONTENT_FINGERPRINT_LANGS,
     "rowgroup_skip_stats": SQL_ROWGROUP_SKIP_STATS,
     "column_compression_stats": SQL_COLUMN_COMPRESSION_STATS,
+    "gram_matrix_embeddings": SQL_GRAM_MATRIX_EMBEDDINGS,
+    "frequent_triples_parts": SQL_FREQUENT_TRIPLES_PARTS,
+    "bitmap_distinct_users": SQL_BITMAP_DISTINCT_USERS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
