@@ -43,7 +43,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "price_gcd_brand", "tukey_outliers_langs", "stock_span_daily",
              "content_fingerprint_langs", "rowgroup_skip_stats",
              "column_compression_stats", "gram_matrix_embeddings",
-             "frequent_triples_parts", "bitmap_distinct_users"]
+             "frequent_triples_parts", "bitmap_distinct_users",
+             "merge_join_segments", "compaction_plan"]
 )
 def test_round5c_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -125,6 +126,28 @@ def test_cdc_join_delta_net_zero_moves(ray_session):
                            columns=["o_orderkey"])["o_orderkey"]
     expect = int((ords % 41 == 0).sum()) - int((ords % 37 == 0).sum())
     assert int(got["d_orders"].sum()) == expect
+
+
+def test_sorted_merge_join_equals_hash_join(ray_session):
+    """Row-level equality with hash_join on the same inputs, plus the
+    merge join's differentiator: output arrives key-ordered."""
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import (hash_join,
+                                                   sorted_merge_join)
+
+    left = pd.DataFrame({"k": [5, 1, 3, 3, 9, 1],
+                         "lv": ["a", "b", "c", "d", "e", "f"]})
+    right = pd.DataFrame({"k": [3, 1, 1, 7], "rv": [30, 10, 11, 70]})
+    mj = sorted_merge_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", num_buckets=3).to_pandas()
+    hj = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                   on="k", num_buckets=3).to_pandas()
+    canon = lambda d: (d[sorted(d.columns)]
+                       .sort_values(sorted(d.columns))
+                       .reset_index(drop=True))
+    pd.testing.assert_frame_equal(canon(mj), canon(hj), check_dtype=False)
+    assert (mj["k"].to_numpy()[1:] >= mj["k"].to_numpy()[:-1]).all()
 
 
 def test_rle_runs_boundary_stitching(ray_session):

@@ -247,6 +247,107 @@ def hash_join(
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
+def sorted_merge_join(
+    left_ds,
+    right_ds,
+    on: str,
+    num_buckets: int = 16,
+    post_fn=None,
+):
+    """RANGE-partitioned sort-merge join on a single key — the physical
+    alternative to :func:`hash_join` when downstream wants KEY ORDER:
+    both sides route by the same sampled range cuts (co-partitioning by
+    VALUE, not hash), each bucket sorts its two sides once and gathers
+    matches with searchsorted bounds + one vectorized repeat/arange
+    expansion — no per-row probing, no hash table. Output rows are
+    globally ordered by the key (within and across buckets), so an
+    ordered scan can consume the join without re-sorting. ``post_fn``
+    fuses a rollup into the reduce tasks exactly like hash_join's.
+    Non-key column names must be disjoint between the sides.
+    """
+    import pyarrow as pa
+
+    from ..stages.common import arrow_schema, pad_to, union_schemas
+    from ..stages.partition import bucket_exchange
+
+    side = "_join_side"
+    left_schema = arrow_schema(left_ds)
+    right_schema = arrow_schema(right_ds)
+    overlap = (set(left_schema.names) & set(right_schema.names)) - {on}
+    if overlap:
+        raise ValueError(f"non-key columns on both sides: {sorted(overlap)}")
+    target = union_schemas(left_schema, right_schema, side)
+
+    left_pad = left_ds.map_batches(pad_to(target, side, 0),
+                                   batch_format="pyarrow")
+    right_pad = right_ds.map_batches(pad_to(target, side, 1),
+                                     batch_format="pyarrow")
+    unioned = left_pad.union(right_pad).materialize()  # sample + route
+
+    sample = unioned.map_batches(
+        lambda df: df[[on]].iloc[:: max(1, len(df) // 32)],
+        batch_format="pandas").to_pandas()
+    keys_sorted = np.sort(sample[on].to_numpy())
+    if len(keys_sorted) > 1:
+        qpos = (np.linspace(0, 1, num_buckets + 1)[1:-1]
+                * (len(keys_sorted) - 1)).astype(int)
+        cuts = np.unique(keys_sorted[qpos])
+    else:
+        cuts = keys_sorted[:0]
+    n_ranges = len(cuts) + 1
+
+    def with_range(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.searchsorted(cuts, df[on].to_numpy(), side="right")
+        return df.assign(_mj_rng=b.astype(np.int64))
+
+    left_cols = list(left_schema.names)
+    right_only = [n for n in right_schema.names if n not in left_schema.names]
+    int_cols = {
+        f.name: f.type.to_pandas_dtype()
+        for schema in (left_schema, right_schema)
+        for f in schema
+        if pa.types.is_integer(f.type)
+    }
+
+    def per_range(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df[side] == 0]
+        right = df[df[side] == 1]
+        lk = left[on].to_numpy()
+        order_l = np.argsort(lk, kind="mergesort")
+        left = left.iloc[order_l]
+        rk = right[on].to_numpy()
+        order_r = np.argsort(rk, kind="mergesort")
+        right = right.iloc[order_r]
+        rk = rk[order_r]
+        lk = lk[order_l]
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        counts = hi - lo
+        left_idx = np.repeat(np.arange(len(lk)), counts)
+        # right indices: for each left row, the run lo..hi-1 — built as
+        # one cumsum-offset arange, no Python loop
+        total = int(counts.sum())
+        if total:
+            starts = np.repeat(lo, counts)
+            within = (np.arange(total)
+                      - np.repeat(np.cumsum(counts) - counts, counts))
+            right_idx = starts + within
+        else:
+            right_idx = np.empty(0, np.int64)
+        out = pd.concat(
+            [left.iloc[left_idx][left_cols].reset_index(drop=True),
+             right.iloc[right_idx][right_only].reset_index(drop=True)],
+            axis=1)
+        for col, dtype in int_cols.items():
+            if col in out.columns and len(out) and out[col].notna().all():
+                out[col] = out[col].astype(dtype)
+        return post_fn(out) if post_fn is not None else out
+
+    routed = unioned.map_batches(with_range, batch_format="pandas")
+    return bucket_exchange(routed, ["_mj_rng"], per_range,
+                           num_buckets=n_ranges, bucket_col="_mj_rng")
+
+
 def grouped_mode(
     ds,
     keys: Sequence[str],

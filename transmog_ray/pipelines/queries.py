@@ -18116,6 +18116,120 @@ FROM events GROUP BY 1
 """
 
 
+def q_merge_join_segments(sf_dir: str):
+    """Sort-MERGE join physical path (range co-partitioning by key
+    VALUE, searchsorted gather, zero hash tables — see
+    :func:`transmog_ray.functions.relational.sorted_merge_join`):
+    orders⋈customer on custkey with the per-segment revenue rollup
+    fused into the merge reduce tasks. Same answer as a hash join —
+    the point is the alternative physical operator whose output stays
+    key-ordered for downstream ordered scans."""
+    from ..functions.relational import grouped_agg, sorted_merge_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"],
+                        num_blocks=8).map_batches(
+        lambda df: pd.DataFrame({
+            "c_custkey": df["o_custkey"].to_numpy(np.int64),
+            "cents": np.rint(df["o_totalprice"].to_numpy(np.float64)
+                             * 100).astype(np.int64)}),
+        batch_format="pandas")
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"], num_blocks=4)
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "c_mktsegment": pd.Series([], dtype=object),
+                "n_orders": pd.Series([], dtype="int64"),
+                "sum_cents": pd.Series([], dtype="int64")})
+        g = df.groupby("c_mktsegment", sort=False)["cents"]
+        return pd.DataFrame({"n_orders": g.size().astype("int64"),
+                             "sum_cents": g.sum().astype("int64")}
+                            ).reset_index()
+
+    joined = sorted_merge_join(orders, cust, on="c_custkey",
+                               num_buckets=8, post_fn=rollup)
+    return grouped_agg(joined, ["c_mktsegment"],
+                       {"n_orders": ("n_orders", "sum"),
+                        "sum_cents": ("sum_cents", "sum")}, num_buckets=2)
+
+
+SQL_MERGE_JOIN_SEGMENTS = """
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1
+"""
+
+
+COMPACT_TARGET_BYTES = 256 * 1024
+
+
+def q_compaction_plan(sf_dir: str):
+    """Small-file compaction PLANNING from parquet footers: pages shard
+    files (ordered by name) pack into ~256 KiB output groups with the
+    boundary-start rule (group = floor(bytes-before-me / target) — the
+    prefix-sum convention that is SQL-exact, unlike first-fit). File
+    sizes come from footer column-chunk compressed sizes (metadata-only
+    tasks); the plan says which input files each compaction task
+    merges. Oracle: ``parquet_metadata()`` + a window prefix sum."""
+    from ..functions.relational import grouped_agg
+
+    pages_dir = _pages_fixture(sf_dir)
+    import glob as _glob
+    import os as _os
+
+    files = [{"path": p, "file_name": _os.path.basename(p)}
+             for p in sorted(_glob.glob(f"{pages_dir}/pages-*.parquet"))]
+
+    def footer(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        rows = []
+        for path, name in zip(df["path"], df["file_name"]):
+            md = pq.ParquetFile(path).metadata
+            total = 0
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                total += sum(rg.column(c).total_compressed_size
+                             for c in range(rg.num_columns))
+            rows.append((name, total))
+        return pd.DataFrame(rows, columns=["file_name", "bytes"]).astype(
+            {"bytes": "int64"})
+
+    sizes = grouped_agg(
+        _rd().from_items(files).map_batches(footer, batch_format="pandas"),
+        ["file_name"], {"bytes": ("bytes", "sum")},
+        num_buckets=2).to_pandas().sort_values("file_name")
+
+    before = sizes["bytes"].cumsum().shift(fill_value=0).to_numpy()
+    sizes = sizes.reset_index(drop=True)
+    sizes["grp"] = (before // COMPACT_TARGET_BYTES).astype("int64")
+    sizes["bytes"] = sizes["bytes"].astype("int64")
+    return sizes[["file_name", "bytes", "grp"]]
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH m AS (
+  SELECT file_name, CAST(SUM(total_compressed_size) AS BIGINT) AS bytes
+  FROM parquet_metadata('{PAGES_CURRENT}/pages-*.parquet')
+  GROUP BY 1
+), s AS (
+  SELECT regexp_extract(file_name, '[^/]+$') AS file_name, bytes,
+         COALESCE(SUM(bytes) OVER (
+             ORDER BY regexp_extract(file_name, '[^/]+$')
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before_me
+  FROM m
+)
+SELECT file_name, bytes,
+       CAST(before_me // {COMPACT_TARGET_BYTES} AS BIGINT) AS grp
+FROM s
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -18475,6 +18589,8 @@ QUERIES = {
     "gram_matrix_embeddings": q_gram_matrix_embeddings,
     "frequent_triples_parts": q_frequent_triples_parts,
     "bitmap_distinct_users": q_bitmap_distinct_users,
+    "merge_join_segments": q_merge_join_segments,
+    "compaction_plan": q_compaction_plan,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -18883,6 +18999,8 @@ ORACLE_SQL = {
     "gram_matrix_embeddings": SQL_GRAM_MATRIX_EMBEDDINGS,
     "frequent_triples_parts": SQL_FREQUENT_TRIPLES_PARTS,
     "bitmap_distinct_users": SQL_BITMAP_DISTINCT_USERS,
+    "merge_join_segments": SQL_MERGE_JOIN_SEGMENTS,
+    "compaction_plan": SQL_COMPACTION_PLAN,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
