@@ -44,7 +44,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "content_fingerprint_langs", "rowgroup_skip_stats",
              "column_compression_stats", "gram_matrix_embeddings",
              "frequent_triples_parts", "bitmap_distinct_users",
-             "merge_join_segments", "compaction_plan"]
+             "merge_join_segments", "compaction_plan", "iso_week_revenue"]
 )
 def test_round5c_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -16989,7 +16989,9 @@ def q_core3_parts(sf_dir: str):
     no-ops once converged; the engine early-exits at the fixpoint, the
     SQL unrolls all 12), so engine and oracle agree even mid-peel.
     Output: surviving nodes with their in-core degree."""
-    from ..functions.relational import grouped_agg, semi_join
+    import ray
+
+    from ..functions.relational import grouped_agg
     from ..stages.partition import bucket_exchange
 
     li = read_table(sf_dir, "lineitem",
@@ -17024,20 +17026,50 @@ def q_core3_parts(sf_dir: str):
                                    keep["pa"].to_numpy(np.int64)])})
 
     und = weighted.map_batches(sym, batch_format="pandas").materialize()
+
+    # gate-hybrid (the grid_clusters precedent): the thresholded edge
+    # table is graph-scale, far below the raw data — under the cap the
+    # peel loop runs driver-side on numpy (each DISTRIBUTED round costs
+    # a fixed exchange latency that dwarfs the tiny frame); above it,
+    # rounds run as degree exchanges + broadcast survivor probes
+    CORE_DRIVER_EDGE_CAP = 2_000_000
+    n_edges = int(und.count())
+    if n_edges <= CORE_DRIVER_EDGE_CAP:
+        e = und.to_pandas()
+        src = e["src"].to_numpy(np.int64)
+        dst = e["dst"].to_numpy(np.int64)
+        for _ in range(CORE_ROUNDS):
+            nodes, deg = np.unique(src, return_counts=True)
+            keep = nodes[deg >= CORE_K]
+            if len(keep) == len(nodes):
+                break
+            m = np.isin(src, keep) & np.isin(dst, keep)
+            src, dst = src[m], dst[m]
+        nodes, deg = np.unique(src, return_counts=True)
+        return pd.DataFrame({"p_partkey": nodes.astype(np.int64),
+                             "degree": deg.astype(np.int64)})
+
     prev_nodes = None
     for _ in range(CORE_ROUNDS):
-        deg = grouped_agg(
+        dd = grouped_agg(
             und.map_batches(
                 lambda df: df.assign(deg=np.int64(1))[["src", "deg"]],
                 batch_format="pandas"),
             ["src"], {"deg": ("deg", "sum")}, num_buckets=8).to_pandas()
-        keep = deg[deg["deg"] >= CORE_K][["src"]]
+        keep = set(dd.loc[dd["deg"] >= CORE_K, "src"].tolist())
         if prev_nodes is not None and len(keep) == prev_nodes:
             break  # fixpoint: every later round is a no-op
         prev_nodes = len(keep)
-        und = semi_join(und, keep, on="src")
-        und = semi_join(und, keep.rename(columns={"src": "dst"}),
-                        on="dst").materialize()
+        keep_ref = ray.put(keep)
+
+        def probe(df: pd.DataFrame, _ref=keep_ref) -> pd.DataFrame:
+            kp = ray.get(_ref)
+            # one broadcast probe filters BOTH endpoints (survivor set
+            # is node-scale; swap for a Bloom filter at web scale)
+            return df[df["src"].isin(kp).to_numpy()
+                      & df["dst"].isin(kp).to_numpy()]
+
+        und = und.map_batches(probe, batch_format="pandas").materialize()
 
     final_deg = grouped_agg(
         und.map_batches(
@@ -18230,6 +18262,48 @@ FROM s
 """
 
 
+def q_iso_week_revenue(sf_dir: str):
+    """ISO-8601 week rollup — the calendar-parity trap done right:
+    pandas ``isocalendar()`` and DuckDB ``isoyear``/``weekofyear`` both
+    implement ISO 8601 (probed equal across the fixture's year
+    boundaries, where week 1 can start in December and week 52/53 can
+    end in January). Per (iso_year, iso_week): orders and exact revenue
+    cents, combined in one bounded exchange."""
+    from ..functions.relational import grouped_agg
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice"],
+                        num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        iso = df["o_orderdate"].dt.isocalendar()
+        out = pd.DataFrame({
+            "iso_year": iso["year"].to_numpy(np.int64),
+            "iso_week": iso["week"].to_numpy(np.int64),
+            "n_orders": np.ones(len(df), np.int64),
+            "cents": np.rint(df["o_totalprice"].to_numpy(np.float64)
+                             * 100).astype(np.int64)})
+        return (out.groupby(["iso_year", "iso_week"], sort=False)
+                [["n_orders", "cents"]].sum().astype("int64")
+                .reset_index())
+
+    return grouped_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["iso_year", "iso_week"],
+        {"n_orders": ("n_orders", "sum"), "cents": ("cents", "sum")},
+        num_buckets=2)
+
+
+SQL_ISO_WEEK_REVENUE = """
+SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -18591,6 +18665,7 @@ QUERIES = {
     "bitmap_distinct_users": q_bitmap_distinct_users,
     "merge_join_segments": q_merge_join_segments,
     "compaction_plan": q_compaction_plan,
+    "iso_week_revenue": q_iso_week_revenue,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -19001,6 +19076,7 @@ ORACLE_SQL = {
     "bitmap_distinct_users": SQL_BITMAP_DISTINCT_USERS,
     "merge_join_segments": SQL_MERGE_JOIN_SEGMENTS,
     "compaction_plan": SQL_COMPACTION_PLAN,
+    "iso_week_revenue": SQL_ISO_WEEK_REVENUE,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
