@@ -44,7 +44,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "content_fingerprint_langs", "rowgroup_skip_stats",
              "column_compression_stats", "gram_matrix_embeddings",
              "frequent_triples_parts", "bitmap_distinct_users",
-             "merge_join_segments", "compaction_plan", "iso_week_revenue"]
+             "merge_join_segments", "compaction_plan", "iso_week_revenue",
+             "quarantine_parse_docs", "auto_join_types"]
 )
 def test_round5c_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -126,6 +127,46 @@ def test_cdc_join_delta_net_zero_moves(ray_session):
                            columns=["o_orderkey"])["o_orderkey"]
     expect = int((ords % 41 == 0).sum()) - int((ords % 37 == 0).sum())
     assert int(got["d_orders"].sum()) == expect
+
+
+def test_quarantine_map_routes_errors(ray_session):
+    """Bad rows land in the DLQ with the exception text; good rows
+    keep their parsed columns; row counts are conserved."""
+    import ray.data as rd
+
+    from transmog_ray.stages.quarantine import (dlq_rows, ok_rows,
+                                                quarantine_map)
+
+    src = rd.from_pandas(pd.DataFrame(
+        {"raw": ["1", "2", "boom", "4", "nope"]}))
+    tagged = quarantine_map(src, lambda v: {"val": int(v)},
+                            "raw").materialize()
+    ok = ok_rows(tagged).to_pandas()
+    bad = dlq_rows(tagged, "raw").to_pandas()
+    assert sorted(ok["val"]) == [1, 2, 4]
+    assert sorted(bad["raw"]) == ["boom", "nope"]
+    assert all("ValueError" in e for e in bad["_dlq_error"])
+    assert len(ok) + len(bad) == 5
+
+
+def test_auto_join_picks_broadcast_and_hash(ray_session):
+    """Both physical paths of auto_join return identical rows; the
+    limit decides which one runs."""
+    import ray.data as rd
+
+    from transmog_ray.functions.relational import auto_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3], "lv": list("abcd")})
+    right = pd.DataFrame({"k": [2, 3, 9], "rv": [20, 30, 90]})
+    canon = lambda d: (d[sorted(d.columns)]
+                       .sort_values(sorted(d.columns))
+                       .reset_index(drop=True))
+    bc = auto_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                   broadcast_limit=10).to_pandas()
+    hj = auto_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                   broadcast_limit=0, num_buckets=2).to_pandas()
+    pd.testing.assert_frame_equal(canon(bc), canon(hj), check_dtype=False)
+    assert sorted(bc["rv"]) == [20, 20, 30]
 
 
 def test_sorted_merge_join_equals_hash_join(ray_session):

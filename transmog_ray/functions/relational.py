@@ -247,6 +247,40 @@ def hash_join(
     return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
+def auto_join(
+    left_ds,
+    right_ds,
+    on: str,
+    broadcast_limit: int = 100_000,
+    num_buckets: int = 64,
+    post_fn=None,
+):
+    """ADAPTIVE physical join planning: probe the right side's row
+    count (parquet-metadata cheap) and pick broadcast-map vs
+    partitioned hash join at runtime — the decision a static pipeline
+    author would otherwise hard-code and get wrong when a dimension
+    grows. Broadcast path: right frame ships once via ``ray.put`` and
+    every left batch merges map-side (zero shuffle); ``post_fn`` runs
+    per batch there (same decomposable-rollup contract as hash_join's
+    per-bucket fusion). Above the limit it degrades to
+    :func:`hash_join` unchanged."""
+    import ray
+
+    n_right = int(right_ds.count())
+    if n_right > broadcast_limit:
+        return hash_join(left_ds, right_ds, on=on,
+                         num_buckets=num_buckets, post_fn=post_fn)
+    right = right_ds.to_pandas()
+    ref = ray.put(right)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        out = df.merge(r, on=on, how="inner")
+        return post_fn(out) if post_fn is not None else out
+
+    return left_ds.map_batches(probe, batch_format="pandas")
+
+
 def sorted_merge_join(
     left_ds,
     right_ds,

@@ -18304,6 +18304,142 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def q_quarantine_parse_docs(sf_dir: str):
+    """Dead-letter-queue ingest: JSON lines (deterministically
+    corrupted for doc_id % 13 — truncation that always severs the
+    closing brace) parse through
+    :func:`transmog_ray.stages.quarantine.quarantine_map` — bad rows
+    route to the DLQ with their exception instead of killing the task,
+    good rows roll up per lang. Output unions the per-lang ok counts
+    with one '(dlq)' accounting row. Oracle rebuilds the identical
+    lines in SQL and splits on ``json_valid``."""
+    from ..functions.relational import grouped_agg
+    from ..stages.quarantine import dlq_rows, ok_rows, quarantine_map
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "n_chars"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["lang"].is_valid(),
+                                   t["n_chars"].is_valid())),
+        batch_format="pyarrow")
+
+    def make_lines(df: pd.DataFrame) -> pd.DataFrame:
+        lines = [
+            f'{{"doc_id": {d}, "lang": "{lg}", "n_chars": {n}}}'
+            for d, lg, n in zip(df["doc_id"].to_numpy(np.int64),
+                                df["lang"],
+                                df["n_chars"].to_numpy(np.int64))
+        ]
+        ids = df["doc_id"].to_numpy(np.int64)
+        lines = [ln[:-5] if i % 13 == 0 else ln
+                 for ln, i in zip(lines, ids)]
+        return pd.DataFrame({"line": pd.array(lines, dtype=object)})
+
+    import json
+
+    tagged = quarantine_map(
+        docs.map_batches(make_lines, batch_format="pandas"),
+        json.loads, "line").materialize()
+
+    def ok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "sum_chars": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({
+            "lang": df["lang"].to_numpy(object),
+            "n": np.ones(len(df), np.int64),
+            "sum_chars": pd.array(df["n_chars"],
+                                  dtype=object).to_numpy(np.int64)})
+        return (out.groupby("lang", sort=False)[["n", "sum_chars"]]
+                .sum().astype("int64").reset_index())
+
+    ok = grouped_agg(
+        ok_rows(tagged).map_batches(ok_partial, batch_format="pandas"),
+        ["lang"], {"n": ("n", "sum"), "sum_chars": ("sum_chars", "sum")},
+        num_buckets=2).to_pandas()
+    n_dlq = int(dlq_rows(tagged, "line").count())
+    ok["status"] = "ok"
+    dlq_row = pd.DataFrame({"lang": ["(dlq)"], "n": [np.int64(n_dlq)],
+                            "sum_chars": [np.int64(0)],
+                            "status": ["error"]})
+    out = pd.concat([ok, dlq_row], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out[["status", "lang", "n", "sum_chars"]]
+
+
+SQL_QUARANTINE_PARSE_DOCS = """
+WITH src AS (
+  SELECT doc_id, lang, n_chars,
+         '{"doc_id": ' || doc_id || ', "lang": "' || lang
+           || '", "n_chars": ' || n_chars || '}' AS full_line
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+), lines AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN substring(full_line, 1, length(full_line) - 5)
+              ELSE full_line END AS line
+  FROM src
+), parsed AS (
+  SELECT line, json_valid(line) AS ok,
+         json_extract_string(line, '$.lang') AS lang,
+         CAST(json_extract(line, '$.n_chars') AS BIGINT) AS n_chars
+  FROM lines
+)
+SELECT 'ok' AS status, lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM parsed WHERE ok GROUP BY 2
+UNION ALL
+SELECT 'error', '(dlq)', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+FROM parsed WHERE NOT ok
+"""
+
+
+def q_auto_join_types(sf_dir: str):
+    """Adaptive join planning (
+    :func:`transmog_ray.functions.relational.auto_join`): the part dim
+    probes under the broadcast limit at this scale, so the join runs
+    map-side with zero shuffle and the per-type rollup fused per batch;
+    had the dim outgrown the limit the SAME call degrades to the
+    partitioned hash join. Per part type: items and exact quantity."""
+    from ..functions.relational import auto_join, grouped_agg
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity"],
+                    num_blocks=8).map_batches(
+        lambda df: pd.DataFrame({
+            "p_partkey": df["l_partkey"].to_numpy(np.int64),
+            "qty": np.rint(df["l_quantity"].to_numpy(np.float64))
+            .astype(np.int64)}),
+        batch_format="pandas")
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_type"],
+                       num_blocks=4)
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"p_type": pd.Series([], dtype=object),
+                                 "n_items": pd.Series([], dtype="int64"),
+                                 "sum_qty": pd.Series([], dtype="int64")})
+        g = df.groupby("p_type", sort=False)["qty"]
+        return pd.DataFrame({"n_items": g.size().astype("int64"),
+                             "sum_qty": g.sum().astype("int64")}
+                            ).reset_index()
+
+    joined = auto_join(li, parts, on="p_partkey", post_fn=rollup)
+    return grouped_agg(joined, ["p_type"],
+                       {"n_items": ("n_items", "sum"),
+                        "sum_qty": ("sum_qty", "sum")}, num_buckets=2)
+
+
+SQL_AUTO_JOIN_TYPES = """
+SELECT p.p_type, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -18666,6 +18802,8 @@ QUERIES = {
     "merge_join_segments": q_merge_join_segments,
     "compaction_plan": q_compaction_plan,
     "iso_week_revenue": q_iso_week_revenue,
+    "quarantine_parse_docs": q_quarantine_parse_docs,
+    "auto_join_types": q_auto_join_types,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -19077,6 +19215,8 @@ ORACLE_SQL = {
     "merge_join_segments": SQL_MERGE_JOIN_SEGMENTS,
     "compaction_plan": SQL_COMPACTION_PLAN,
     "iso_week_revenue": SQL_ISO_WEEK_REVENUE,
+    "quarantine_parse_docs": SQL_QUARANTINE_PARSE_DOCS,
+    "auto_join_types": SQL_AUTO_JOIN_TYPES,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
