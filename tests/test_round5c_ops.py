@@ -45,7 +45,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "column_compression_stats", "gram_matrix_embeddings",
              "frequent_triples_parts", "bitmap_distinct_users",
              "merge_join_segments", "compaction_plan", "iso_week_revenue",
-             "quarantine_parse_docs", "auto_join_types"]
+             "quarantine_parse_docs", "auto_join_types",
+             "mannwhitney_langs", "survival_table_users"]
 )
 def test_round5c_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -18440,6 +18440,146 @@ GROUP BY 1
 """
 
 
+MW_LANG_A, MW_LANG_B = "en", "de"
+
+
+def q_mannwhitney_langs(sf_dir: str):
+    """Exact Mann-Whitney U (the nonparametric two-sample location
+    test) comparing doc lengths between two languages, kept INTEGER by
+    reporting 2U (ties contribute the half-count twice): 2U =
+    2·Σ_{x<y} nA(x)·nB(y) + Σ_x nA(x)·nB(x) over the shared value
+    HISTOGRAM — only value-domain-bounded (length, count) partials
+    shuffle, never rows, so the test costs one combine regardless of
+    group sizes. Oracle mirrors the histogram convolution."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"],
+                      num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["lang"].isin([MW_LANG_A, MW_LANG_B])
+               & df["n_chars"].notna()]
+        out = pd.DataFrame({
+            "x": m["n_chars"].to_numpy(np.int64),
+            "n_a": (m["lang"] == MW_LANG_A).to_numpy().astype(np.int64),
+            "n_b": (m["lang"] == MW_LANG_B).to_numpy().astype(np.int64)})
+        return (out.groupby("x", sort=False)[["n_a", "n_b"]]
+                .sum().astype("int64").reset_index())
+
+    hist = grouped_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["x"], {"n_a": ("n_a", "sum"), "n_b": ("n_b", "sum")},
+        num_buckets=4).to_pandas().sort_values("x")
+
+    na = hist["n_a"].to_numpy(np.int64)
+    nb = hist["n_b"].to_numpy(np.int64)
+    nb_above = nb[::-1].cumsum()[::-1] - nb  # Σ n_b at strictly larger x
+    u2 = int(2 * (na * nb_above).sum() + (na * nb).sum())
+    return pd.DataFrame({"u2": [np.int64(u2)],
+                         "n_a": [np.int64(na.sum())],
+                         "n_b": [np.int64(nb.sum())]})
+
+
+SQL_MANNWHITNEY_LANGS = f"""
+WITH h AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN lang = '{MW_LANG_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN lang = '{MW_LANG_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b
+  FROM documents
+  WHERE lang IN ('{MW_LANG_A}', '{MW_LANG_B}') AND n_chars IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(2 * COALESCE((SELECT SUM(a.n_a * b.n_b)
+                          FROM h a JOIN h b ON b.x > a.x), 0)
+            + COALESCE((SELECT SUM(n_a * n_b) FROM h), 0)
+            AS BIGINT) AS u2,
+       (SELECT CAST(SUM(n_a) AS BIGINT) FROM h) AS n_a,
+       (SELECT CAST(SUM(n_b) AS BIGINT) FROM h) AS n_b
+"""
+
+
+SURVIVAL_CENSOR_DAYS = 7
+
+
+def q_survival_table_users(sf_dir: str):
+    """Kaplan-Meier survival TABLE (the exact-integer input the KM
+    product-limit estimator consumes): per observed lifetime day —
+    users 'dying' (last activity that day, not censored), users
+    censored (still active within 7 days of the corpus end), and the
+    at-risk count (suffix sum over the day histogram). Per-user
+    lifetimes combine in one exchange; the day table is bounded by the
+    corpus span."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"],
+                    num_blocks=8)
+    ev = ev.materialize()  # max-ts pass + lifetime exchange
+
+    gmax = ev.map_batches(
+        lambda df: pd.DataFrame({"m": [df["ts"].max()]}),
+        batch_format="pandas").to_pandas()["m"].max()
+    gmax_ns = pd.Timestamp(gmax).value
+    cutoff_ns = gmax_ns - SURVIVAL_CENSOR_DAYS * 86_400_000_000_000
+
+    def lifetimes(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "day": pd.Series([], dtype="int64"),
+                "n_event": pd.Series([], dtype="int64"),
+                "n_censored": pd.Series([], dtype="int64")})
+        ts = df["ts"].astype("datetime64[ns]").astype("int64")
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "ts": ts}).groupby("user_id", sort=False)["ts"]
+        first, last = g.min(), g.max()
+        day = ((last - first) // 86_400_000_000_000).astype("int64")
+        censored = (last > cutoff_ns).astype("int64")
+        out = pd.DataFrame({"day": day, "n_event": 1 - censored,
+                            "n_censored": censored})
+        return (out.groupby("day", sort=False)[["n_event", "n_censored"]]
+                .sum().astype("int64").reset_index())
+
+    hist = grouped_agg(
+        bucket_exchange(ev, ["user_id"], lifetimes, num_buckets=8),
+        ["day"], {"n_event": ("n_event", "sum"),
+                  "n_censored": ("n_censored", "sum")},
+        num_buckets=2).to_pandas().sort_values("day")
+
+    leaving = (hist["n_event"] + hist["n_censored"]).to_numpy(np.int64)
+    hist["n_at_risk"] = leaving[::-1].cumsum()[::-1]
+    hist = hist.reset_index(drop=True)
+    for c in ("day", "n_event", "n_censored", "n_at_risk"):
+        hist[c] = hist[c].astype("int64")
+    return hist
+
+
+SQL_SURVIVAL_TABLE_USERS = f"""
+WITH bounds AS (
+  SELECT MAX(ts) AS gmax FROM events
+), lt AS (
+  SELECT user_id,
+         CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+           // 86400000000 AS day,
+         CASE WHEN epoch_us(MAX(ts)) >
+                   (SELECT epoch_us(gmax) FROM bounds)
+                   - {SURVIVAL_CENSOR_DAYS} * CAST(86400000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS censored
+  FROM events GROUP BY user_id
+), h AS (
+  SELECT day, CAST(SUM(1 - censored) AS BIGINT) AS n_event,
+         CAST(SUM(censored) AS BIGINT) AS n_censored
+  FROM lt GROUP BY 1
+)
+SELECT day, n_event, n_censored,
+       CAST(SUM(n_event + n_censored) OVER (
+           ORDER BY day DESC ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS n_at_risk
+FROM h
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -18804,6 +18944,8 @@ QUERIES = {
     "iso_week_revenue": q_iso_week_revenue,
     "quarantine_parse_docs": q_quarantine_parse_docs,
     "auto_join_types": q_auto_join_types,
+    "mannwhitney_langs": q_mannwhitney_langs,
+    "survival_table_users": q_survival_table_users,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -19217,6 +19359,8 @@ ORACLE_SQL = {
     "iso_week_revenue": SQL_ISO_WEEK_REVENUE,
     "quarantine_parse_docs": SQL_QUARANTINE_PARSE_DOCS,
     "auto_join_types": SQL_AUTO_JOIN_TYPES,
+    "mannwhitney_langs": SQL_MANNWHITNEY_LANGS,
+    "survival_table_users": SQL_SURVIVAL_TABLE_USERS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
