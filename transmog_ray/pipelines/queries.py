@@ -18580,6 +18580,107 @@ FROM h
 """
 
 
+IMG_FIXTURE_ROOT = "/tmp/transmog_ray_images"
+IMG_CURRENT = f"{IMG_FIXTURE_ROOT}/current"
+IMG_HW = 32
+
+
+def _image_fixture(sf_dir: str) -> str:
+    """REAL encoded image payloads (BMP for even ids, binary PPM for
+    odd) whose pixels follow the closed form (7·id + 3·y + x) % 256 —
+    so the oracle regenerates pixels from the formula and any decode
+    bug in the engine's codec path breaks the hash."""
+    import os
+
+    from ..stages.multimodal import encode_bmp, encode_ppm
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    n = {"sf0.001": 64, "sf0.01": 128, "sf0.1": 256}.get(scale, 64)
+    out_dir = f"{IMG_FIXTURE_ROOT}/{scale}"
+    os.makedirs(out_dir, exist_ok=True)
+    path = f"{out_dir}/images.parquet"
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        y, x = np.mgrid[0:IMG_HW, 0:IMG_HW]
+        payloads, ids = [], []
+        for i in range(n):
+            gray = ((7 * i + 3 * y + x) % 256).astype(np.uint8)
+            enc = encode_bmp if i % 2 == 0 else encode_ppm
+            ids.append(i)
+            payloads.append(enc(gray))
+        tbl = pa.table({"id": np.asarray(ids, np.int64),
+                        "payload": pa.array(payloads, pa.binary())})
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    _repoint_current(out_dir, IMG_CURRENT)
+    return out_dir
+
+
+def q_image_thumbnail_stats(sf_dir: str):
+    """END-TO-END real image decode: sniff the container (BMP vs binary
+    PPM), decode through the pure-Python codec paths
+    (stages/multimodal.py), then average-pool each 32×32 grayscale to a
+    4×4 integer thumbnail (cell = Σblock // 64 — exact floor mean).
+    Decode state lives in an actor pool (__init__ once per actor). The
+    oracle regenerates the pixels from the fixture's closed form, so a
+    wrong byte ANYWHERE in sniff → decode → pool mismatches."""
+    media_dir = _image_fixture(sf_dir)
+    ds = _rd().read_parquet(f"{media_dir}/images.parquet")
+
+    class ThumbStage:
+        def __init__(self):
+            from ..stages.multimodal import (decode_bmp, decode_ppm,
+                                             sniff_image)
+
+            self._decoders = {"bmp": decode_bmp, "ppm": decode_ppm}
+            self._sniff = sniff_image
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids, cys, cxs, means = [], [], [], []
+            for i, payload in zip(df["id"].to_numpy(np.int64),
+                                  df["payload"]):
+                raw = bytes(payload)
+                kind = self._sniff(raw)
+                gray = self._decoders[kind](raw).astype(np.int64)
+                h, w = gray.shape
+                pooled = (gray.reshape(h // 8, 8, w // 8, 8)
+                          .sum(axis=(1, 3)) // 64)
+                cy, cx = np.mgrid[0:h // 8, 0:w // 8]
+                ids.append(np.full(pooled.size, i, np.int64))
+                cys.append(cy.ravel().astype(np.int64))
+                cxs.append(cx.ravel().astype(np.int64))
+                means.append(pooled.ravel())
+            if not ids:
+                return pd.DataFrame({
+                    "id": pd.Series([], dtype="int64"),
+                    "cell_y": pd.Series([], dtype="int64"),
+                    "cell_x": pd.Series([], dtype="int64"),
+                    "cell_mean": pd.Series([], dtype="int64")})
+            return pd.DataFrame({
+                "id": np.concatenate(ids),
+                "cell_y": np.concatenate(cys),
+                "cell_x": np.concatenate(cxs),
+                "cell_mean": np.concatenate(means)})
+
+    return ds.map_batches(ThumbStage, concurrency=2, batch_size=32,
+                          batch_format="pandas")
+
+
+SQL_IMAGE_THUMBNAIL_STATS = f"""
+WITH px AS (
+  SELECT id, CAST(t1.y AS BIGINT) AS y, CAST(t2.x AS BIGINT) AS x,
+         (7 * id + 3 * t1.y + t2.x) % 256 AS g
+  FROM read_parquet('{IMG_CURRENT}/images.parquet'),
+       unnest(range({IMG_HW})) t1(y), unnest(range({IMG_HW})) t2(x)
+)
+SELECT id, y // 8 AS cell_y, x // 8 AS cell_x,
+       CAST(SUM(g) // 64 AS BIGINT) AS cell_mean
+FROM px GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -18946,6 +19047,7 @@ QUERIES = {
     "auto_join_types": q_auto_join_types,
     "mannwhitney_langs": q_mannwhitney_langs,
     "survival_table_users": q_survival_table_users,
+    "image_thumbnail_stats": q_image_thumbnail_stats,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -19361,6 +19463,7 @@ ORACLE_SQL = {
     "auto_join_types": SQL_AUTO_JOIN_TYPES,
     "mannwhitney_langs": SQL_MANNWHITNEY_LANGS,
     "survival_table_users": SQL_SURVIVAL_TABLE_USERS,
+    "image_thumbnail_stats": SQL_IMAGE_THUMBNAIL_STATS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
