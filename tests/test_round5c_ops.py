@@ -47,7 +47,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "merge_join_segments", "compaction_plan", "iso_week_revenue",
              "quarantine_parse_docs", "auto_join_types",
              "mannwhitney_langs", "survival_table_users",
-             "image_thumbnail_stats"]
+             "image_thumbnail_stats", "wav_energy_stats"]
 )
 def test_round5c_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

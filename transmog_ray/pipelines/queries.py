@@ -18681,6 +18681,105 @@ FROM px GROUP BY 1, 2, 3
 """
 
 
+WAV_FIXTURE_ROOT = "/tmp/transmog_ray_wavs"
+WAV_CURRENT = f"{WAV_FIXTURE_ROOT}/current"
+WAV_N_SAMPLES = 1024
+WAV_WINDOW = 256
+
+
+def _wav_fixture(sf_dir: str) -> str:
+    """REAL RIFF/WAVE containers (16-bit PCM) whose samples follow the
+    closed form ((13·id + 5·i) % 4001) − 2000, so the oracle
+    regenerates the waveform from the formula and any header-walk or
+    sample-decode bug in parse_wav breaks the hash."""
+    import os
+
+    from ..stages.multimodal import encode_wav
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    n = {"sf0.001": 32, "sf0.01": 64, "sf0.1": 128}.get(scale, 32)
+    out_dir = f"{WAV_FIXTURE_ROOT}/{scale}"
+    os.makedirs(out_dir, exist_ok=True)
+    path = f"{out_dir}/wavs.parquet"
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        i = np.arange(WAV_N_SAMPLES, dtype=np.int64)
+        ids, payloads = [], []
+        for k in range(n):
+            samples = ((13 * k + 5 * i) % 4001 - 2000).astype(np.int16)
+            ids.append(k)
+            payloads.append(encode_wav(samples))
+        tbl = pa.table({"id": np.asarray(ids, np.int64),
+                        "payload": pa.array(payloads, pa.binary())})
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    _repoint_current(out_dir, WAV_CURRENT)
+    return out_dir
+
+
+def q_wav_energy_stats(sf_dir: str):
+    """END-TO-END real audio-container decode: sniff RIFF/WAVE, walk
+    the chunk list, decode 16-bit PCM (stages/multimodal.parse_wav),
+    then per 256-sample window emit integer |energy| sums and peak —
+    the VAD/loudness front-end shape. Actor-pool stage; the oracle
+    regenerates the waveform from the fixture's closed form."""
+    media_dir = _wav_fixture(sf_dir)
+    ds = _rd().read_parquet(f"{media_dir}/wavs.parquet")
+
+    class WavStage:
+        def __init__(self):
+            from ..stages.multimodal import parse_wav, sniff_wav
+
+            self._parse = parse_wav
+            self._sniff = sniff_wav
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids, wins, sums, peaks = [], [], [], []
+            for i, payload in zip(df["id"].to_numpy(np.int64),
+                                  df["payload"]):
+                raw = bytes(payload)
+                if not self._sniff(raw):
+                    continue
+                samples, _rate, _ch = self._parse(raw)
+                a = np.abs(samples.astype(np.int64))
+                nw = len(a) // WAV_WINDOW
+                w = a[: nw * WAV_WINDOW].reshape(nw, WAV_WINDOW)
+                ids.append(np.full(nw, i, np.int64))
+                wins.append(np.arange(nw, dtype=np.int64))
+                sums.append(w.sum(axis=1))
+                peaks.append(w.max(axis=1))
+            if not ids:
+                return pd.DataFrame({
+                    "id": pd.Series([], dtype="int64"),
+                    "win": pd.Series([], dtype="int64"),
+                    "abs_sum": pd.Series([], dtype="int64"),
+                    "abs_peak": pd.Series([], dtype="int64")})
+            return pd.DataFrame({
+                "id": np.concatenate(ids),
+                "win": np.concatenate(wins),
+                "abs_sum": np.concatenate(sums),
+                "abs_peak": np.concatenate(peaks)})
+
+    return ds.map_batches(WavStage, concurrency=2, batch_size=32,
+                          batch_format="pandas")
+
+
+SQL_WAV_ENERGY_STATS = f"""
+WITH s AS (
+  SELECT id, CAST(t.i AS BIGINT) AS i,
+         (13 * id + 5 * t.i) % 4001 - 2000 AS v
+  FROM read_parquet('{WAV_CURRENT}/wavs.parquet'),
+       unnest(range({WAV_N_SAMPLES})) t(i)
+)
+SELECT id, i // {WAV_WINDOW} AS win,
+       CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
+       CAST(MAX(ABS(v)) AS BIGINT) AS abs_peak
+FROM s GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -19048,6 +19147,7 @@ QUERIES = {
     "mannwhitney_langs": q_mannwhitney_langs,
     "survival_table_users": q_survival_table_users,
     "image_thumbnail_stats": q_image_thumbnail_stats,
+    "wav_energy_stats": q_wav_energy_stats,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -19464,6 +19564,7 @@ ORACLE_SQL = {
     "mannwhitney_langs": SQL_MANNWHITNEY_LANGS,
     "survival_table_users": SQL_SURVIVAL_TABLE_USERS,
     "image_thumbnail_stats": SQL_IMAGE_THUMBNAIL_STATS,
+    "wav_energy_stats": SQL_WAV_ENERGY_STATS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
