@@ -5,6 +5,7 @@ reference implementation (the rows-only entry's correctness pin)."""
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -191,6 +192,81 @@ def test_sorted_merge_join_equals_hash_join(ray_session):
                        .reset_index(drop=True))
     pd.testing.assert_frame_equal(canon(mj), canon(hj), check_dtype=False)
     assert (mj["k"].to_numpy()[1:] >= mj["k"].to_numpy()[:-1]).all()
+
+
+def _feed_sessions(state, batches):
+    outs = [state.process(b) for b in batches]
+    return outs
+
+
+def test_streaming_session_snapshot_resume(ray_session):
+    """Kill+resume for the STREAMING path: pickling SessionState
+    mid-stream and resuming in a 'new process' yields outputs
+    byte-identical to the uninterrupted run."""
+    import pickle
+
+    from transmog_ray.state.streaming import SessionState
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
+    batches = np.array_split(ev, 6)
+
+    straight = SessionState("user_id", "ts", 1800)
+    full = pd.concat(_feed_sessions(straight, batches)
+                     + [straight.open_sessions()], ignore_index=True)
+
+    first = SessionState("user_id", "ts", 1800)
+    out_a = _feed_sessions(first, batches[:3])
+    blob = pickle.dumps(first)          # the checkpoint
+    resumed = pickle.loads(blob)        # the 'new process'
+    out_b = _feed_sessions(resumed, batches[3:])
+    resumed_full = pd.concat(out_a + out_b + [resumed.open_sessions()],
+                             ignore_index=True)
+
+    key = sorted(full.columns)
+    pd.testing.assert_frame_equal(
+        full[key].sort_values(key).reset_index(drop=True),
+        resumed_full[key].sort_values(key).reset_index(drop=True))
+
+
+def test_streaming_asof_snapshot_resume(ray_session):
+    """Same pickle-checkpoint contract for StreamingAsofState: snapshot
+    between feature and event batches, resume, equal joined output."""
+    import pickle
+
+    from transmog_ray.state.streaming import StreamingAsofState
+
+    t0 = pd.Timestamp("2024-01-01")
+
+    def feats(rows):
+        return pd.DataFrame({
+            "k": [r[0] for r in rows],
+            "fts": [t0 + pd.Timedelta(seconds=r[1]) for r in rows],
+            "fv": [r[2] for r in rows]})
+
+    def evs(rows):
+        return pd.DataFrame({
+            "k": [r[0] for r in rows],
+            "ts": [t0 + pd.Timedelta(seconds=r[1]) for r in rows],
+            "eid": [r[2] for r in rows]})
+
+    def run(split):
+        st = StreamingAsofState("k", "ts", "fts", ["fv"])
+        outs = []
+        st.add_features(feats([(1, 0, 10.0), (1, 50, 11.0),
+                               (2, 10, 20.0)]))
+        outs.append(st.process(evs([(1, 5, "a"), (2, 15, "b")])))
+        if split:
+            st = pickle.loads(pickle.dumps(st))
+        st.add_features(feats([(1, 100, 12.0)]))
+        outs.append(st.process(evs([(1, 60, "c"), (1, 120, "d")])))
+        outs.append(st.flush())
+        out = pd.concat([o for o in outs if len(o)], ignore_index=True)
+        key = sorted(out.columns)
+        return out[key].sort_values(key).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(split=False), run(split=True))
 
 
 def test_rle_runs_boundary_stitching(ray_session):

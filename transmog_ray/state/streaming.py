@@ -12,6 +12,15 @@ incrementally with bounded state: per-key (last_ts, session_start) only.
 Ordering contract: batches must arrive in non-decreasing event time per
 key (a partitioned log guarantees this); late rows violating it belong
 to a new session erroneously — detect upstream via watermark checks.
+
+Checkpoint contract: every state class here is a plain picklable object
+(pandas frames / numpy arrays / scalars only — no actor handles, no
+open resources), so a mid-stream CHECKPOINT is ``pickle.dumps(state)``
+and resume is ``pickle.loads`` + keep feeding: the resumed run's
+outputs are byte-identical to the uninterrupted run (pinned by the
+snapshot-resume equality tests in tests/test_round5c_ops.py). Per-
+bucket actors snapshot independently — the per-partition resumability
+the north rule asks for, applied to the streaming path.
 """
 
 from __future__ import annotations
