@@ -48,7 +48,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "merge_join_segments", "compaction_plan", "iso_week_revenue",
              "quarantine_parse_docs", "auto_join_types",
              "mannwhitney_langs", "survival_table_users",
-             "image_thumbnail_stats", "wav_energy_stats"]
+             "image_thumbnail_stats", "wav_energy_stats", "emd_langs",
+             "hist_intersection_langs"]
 )
 def test_round5c_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -18780,6 +18780,138 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_emd_langs(sf_dir: str):
+    """1-D earth mover's distance between two languages' doc-length
+    distributions, EXACT as an integer: EMD = Σ_gaps |CDF_a·n_b −
+    CDF_b·n_a| · gap_width over the merged value histogram (the
+    cross-multiplication clears both normalizations — no division
+    ever). Only the value-domain-bounded histogram shuffles; the gap
+    sweep runs on that bounded frame. The drift metric KS misses
+    (magnitude-weighted, not sup-norm)."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"],
+                      num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["lang"].isin([MW_LANG_A, MW_LANG_B])
+               & df["n_chars"].notna()]
+        out = pd.DataFrame({
+            "x": m["n_chars"].to_numpy(np.int64),
+            "n_a": (m["lang"] == MW_LANG_A).to_numpy().astype(np.int64),
+            "n_b": (m["lang"] == MW_LANG_B).to_numpy().astype(np.int64)})
+        return (out.groupby("x", sort=False)[["n_a", "n_b"]]
+                .sum().astype("int64").reset_index())
+
+    hist = grouped_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["x"], {"n_a": ("n_a", "sum"), "n_b": ("n_b", "sum")},
+        num_buckets=4).to_pandas().sort_values("x")
+
+    x = hist["x"].to_numpy(np.int64)
+    ca = hist["n_a"].cumsum().to_numpy(np.int64)
+    cb = hist["n_b"].cumsum().to_numpy(np.int64)
+    na, nb = int(ca[-1]), int(cb[-1])
+    gaps = x[1:] - x[:-1]
+    emd = int((np.abs(ca[:-1] * nb - cb[:-1] * na) * gaps).sum())
+    return pd.DataFrame({"emd_scaled": [np.int64(emd)],
+                         "n_a": [np.int64(na)], "n_b": [np.int64(nb)]})
+
+
+SQL_EMD_LANGS = f"""
+WITH h AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN lang = '{MW_LANG_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN lang = '{MW_LANG_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b
+  FROM documents
+  WHERE lang IN ('{MW_LANG_A}', '{MW_LANG_B}') AND n_chars IS NOT NULL
+  GROUP BY 1
+), c AS (
+  SELECT x,
+         SUM(n_a) OVER (ORDER BY x) AS ca,
+         SUM(n_b) OVER (ORDER BY x) AS cb,
+         LEAD(x) OVER (ORDER BY x) AS next_x
+  FROM h
+), t AS (
+  SELECT (SELECT SUM(n_a) FROM h) AS na, (SELECT SUM(n_b) FROM h) AS nb
+)
+SELECT CAST(COALESCE(SUM(ABS(ca * t.nb - cb * t.na)
+                         * (next_x - x)), 0) AS BIGINT) AS emd_scaled,
+       CAST(MAX(t.na) AS BIGINT) AS n_a,
+       CAST(MAX(t.nb) AS BIGINT) AS n_b
+FROM c, t WHERE next_x IS NOT NULL
+"""
+
+
+def q_hist_intersection_langs(sf_dir: str):
+    """Histogram-intersection similarity for EVERY language pair over
+    the doc-length histogram: Σ_x min(cnt_a(x), cnt_b(x)) — the integer
+    overlap mass. One (lang, length)-grain combine; the pair sweep runs
+    on the langs×values bounded frame."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"],
+                      num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["lang"].notna() & df["n_chars"].notna()]
+        out = pd.DataFrame({"lang": m["lang"].to_numpy(object),
+                            "x": m["n_chars"].to_numpy(np.int64),
+                            "n": np.ones(len(m), np.int64)})
+        return (out.groupby(["lang", "x"], sort=False)["n"].sum()
+                .astype("int64").reset_index())
+
+    hist = grouped_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["lang", "x"], {"n": ("n", "sum")}, num_buckets=4).to_pandas()
+
+    wide = hist.pivot_table(index="x", columns="lang", values="n",
+                            fill_value=0, aggfunc="sum")
+    langs = sorted(wide.columns)
+    rows = []
+    for i, a in enumerate(langs):
+        for b in langs[i + 1:]:
+            inter = int(np.minimum(wide[a].to_numpy(np.int64),
+                                   wide[b].to_numpy(np.int64)).sum())
+            rows.append((a, b, inter,
+                         int(wide[a].sum()), int(wide[b].sum())))
+    out = pd.DataFrame(rows, columns=["lang_a", "lang_b",
+                                      "intersection", "n_a", "n_b"])
+    for c in ("intersection", "n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_HIST_INTERSECTION_LANGS = """
+WITH h AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2
+), langs AS (
+  SELECT DISTINCT lang FROM h
+), pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b
+  FROM langs a JOIN langs b ON a.lang < b.lang
+), xs AS (
+  SELECT DISTINCT x FROM h
+), grid AS (
+  SELECT p.lang_a, p.lang_b, xs.x,
+         COALESCE(ha.n, 0) AS na, COALESCE(hb.n, 0) AS nb
+  FROM pairs p CROSS JOIN xs
+  LEFT JOIN h ha ON ha.lang = p.lang_a AND ha.x = xs.x
+  LEFT JOIN h hb ON hb.lang = p.lang_b AND hb.x = xs.x
+)
+SELECT lang_a, lang_b,
+       CAST(SUM(LEAST(na, nb)) AS BIGINT) AS intersection,
+       CAST(SUM(na) AS BIGINT) AS n_a,
+       CAST(SUM(nb) AS BIGINT) AS n_b
+FROM grid GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -19148,6 +19280,8 @@ QUERIES = {
     "survival_table_users": q_survival_table_users,
     "image_thumbnail_stats": q_image_thumbnail_stats,
     "wav_energy_stats": q_wav_energy_stats,
+    "emd_langs": q_emd_langs,
+    "hist_intersection_langs": q_hist_intersection_langs,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -19565,6 +19699,8 @@ ORACLE_SQL = {
     "survival_table_users": SQL_SURVIVAL_TABLE_USERS,
     "image_thumbnail_stats": SQL_IMAGE_THUMBNAIL_STATS,
     "wav_energy_stats": SQL_WAV_ENERGY_STATS,
+    "emd_langs": SQL_EMD_LANGS,
+    "hist_intersection_langs": SQL_HIST_INTERSECTION_LANGS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
