@@ -49,7 +49,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "quarantine_parse_docs", "auto_join_types",
              "mannwhitney_langs", "survival_table_users",
              "image_thumbnail_stats", "wav_energy_stats", "emd_langs",
-             "hist_intersection_langs"]
+             "hist_intersection_langs", "session_threshold_sweep"]
 )
 def test_round5c_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -198,6 +198,56 @@ def test_sorted_merge_join_equals_hash_join(ray_session):
 def _feed_sessions(state, batches):
     outs = [state.process(b) for b in batches]
     return outs
+
+
+def test_pava_isotonic_properties():
+    """PAVA pools: output means non-decreasing (cross-multiplied),
+    mass conserved, and equal to the O(n²) brute-force pooled fit."""
+    import numpy as np
+
+    from transmog_ray.pipelines.queries import pava_pools
+
+    rng = np.random.default_rng(5)
+    for _ in range(25):
+        vals = rng.integers(-50, 200, size=rng.integers(1, 40)).tolist()
+        pools = pava_pools(vals)
+        assert sum(n for _, _, n in pools) == len(vals)
+        assert sum(s for _, s, _ in pools) == sum(vals)
+        for (_, s1, n1), (_, s2, n2) in zip(pools, pools[1:]):
+            assert s1 * n2 <= s2 * n1  # means non-decreasing
+        # brute force: repeatedly merge the first violating pair
+        bf = [(i, v, 1) for i, v in enumerate(vals)]
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(bf) - 1):
+                (a0, s1, n1), (_, s2, n2) = bf[i], bf[i + 1]
+                if s1 * n2 > s2 * n1:
+                    bf[i:i + 2] = [(a0, s1 + s2, n1 + n2)]
+                    changed = True
+                    break
+        assert pools == bf
+
+
+def test_isotonic_daily_matches_reference(ray_session):
+    """The distributed query's pools equal PAVA on the single-process
+    daily totals."""
+    from transmog_ray.pipelines.queries import QUERIES, pava_pools
+
+    got = QUERIES["isotonic_daily"](SF)
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    day = (o["o_orderdate"].astype("datetime64[ns]")
+           .to_numpy("datetime64[D]").astype("int64"))
+    cents = np.rint(o["o_totalprice"].to_numpy() * 100).astype("int64")
+    tot = (pd.DataFrame({"d": day, "c": cents}).groupby("d")["c"].sum()
+           .sort_index())
+    pools = pava_pools(tot.to_numpy())
+    days = tot.index.to_numpy()
+    assert list(got["pool_start_day"]) == [int(days[s])
+                                           for s, _, _ in pools]
+    assert list(got["pool_sum_cents"]) == [s for _, s, _ in pools]
+    assert list(got["pool_n_days"]) == [n for _, _, n in pools]
 
 
 def test_streaming_session_snapshot_resume(ray_session):

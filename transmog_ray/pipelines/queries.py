@@ -18912,6 +18912,131 @@ FROM grid GROUP BY 1, 2
 """
 
 
+def pava_pools(values, counts=None):
+    """Pool-adjacent-violators (isotonic regression, non-decreasing) on
+    integer (sum, count) pairs — pools merge while mean_prev > mean_next,
+    compared CROSS-MULTIPLIED (s_a·n_b > s_b·n_a), so the fit is exact
+    rational arithmetic with no float means. Returns (start_idx,
+    pool_sum, pool_n) triples. The single-process reference for
+    :func:`q_isotonic_daily` (and the in-kernel implementation — PAVA is
+    one linear stack pass)."""
+    sums = [int(v) for v in values]
+    ns = [1] * len(sums) if counts is None else [int(c) for c in counts]
+    starts: list[int] = []
+    ps: list[int] = []
+    pn: list[int] = []
+    for i, (s, n) in enumerate(zip(sums, ns)):
+        starts.append(i)
+        ps.append(s)
+        pn.append(n)
+        while (len(ps) > 1
+               and ps[-2] * pn[-1] > ps[-1] * pn[-2]):
+            s2, n2 = ps.pop(), pn.pop()
+            starts.pop()
+            ps[-1] += s2
+            pn[-1] += n2
+    return list(zip(starts, ps, pn))
+
+
+def q_isotonic_daily(sf_dir: str):
+    """EXACT isotonic regression (PAVA) of daily revenue against time —
+    the monotone-trend fit behind calibration curves and trend repair —
+    kept rational: pools compare as s_a·n_b vs s_b·n_a, never float
+    means. Daily totals combine distributed; the linear stack pass runs
+    on the date-bounded frame. Rows-only (SQL has no PAVA); pinned by a
+    brute-force reference test."""
+    from ..functions.relational import grouped_agg
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_totalprice"],
+                        num_blocks=8)
+
+    def daily(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["o_orderdate"].astype("datetime64[ns]")
+               .to_numpy("datetime64[D]").astype(np.int64))
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        out = pd.DataFrame({"day_id": day, "cents": cents})
+        return (out.groupby("day_id", sort=False)["cents"].sum()
+                .astype("int64").reset_index())
+
+    tot = grouped_agg(
+        orders.map_batches(daily, batch_format="pandas"),
+        ["day_id"], {"cents": ("cents", "sum")},
+        num_buckets=4).to_pandas().sort_values("day_id")
+
+    pools = pava_pools(tot["cents"].to_numpy(np.int64))
+    days = tot["day_id"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "pool_start_day": [np.int64(days[s]) for s, _, _ in pools],
+        "pool_sum_cents": [np.int64(s) for _, s, _ in pools],
+        "pool_n_days": [np.int64(n) for _, _, n in pools]})
+    return out
+
+
+SESSION_SWEEP_GAPS = (300, 900, 1800, 3600)
+
+
+def q_session_threshold_sweep(sf_dir: str):
+    """Parameter-sweep FUSION: session counts at four inactivity
+    thresholds from ONE scan — per user the sorted gap array serves
+    every threshold (sessions(t) = users + Σ gaps > t), so a 4-point
+    sensitivity analysis costs one exchange instead of four
+    sessionization runs. The calibration table behind choosing the
+    30-minute default."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id"], num_blocks=8)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "gap_s": pd.Series([], dtype="int64"),
+                "n_sessions": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        ts = df["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy(np.int64)
+        same_user = np.empty(len(df), bool)
+        same_user[0] = False
+        same_user[1:] = uid[1:] == uid[:-1]
+        gaps = np.empty(len(df), np.int64)
+        gaps[0] = 0
+        gaps[1:] = ts[1:] - ts[:-1]
+        gaps = gaps[same_user]  # within-user inter-event gaps only
+        n_users = int((~same_user).sum())
+        rows = [(int(t), n_users
+                 + int((gaps > t * 1_000_000_000).sum()))
+                for t in SESSION_SWEEP_GAPS]
+        return pd.DataFrame(rows, columns=["gap_s", "n_sessions"]
+                            ).astype("int64")
+
+    partials = bucket_exchange(ev, ["user_id"], per_bucket, num_buckets=8)
+    return grouped_agg(partials, ["gap_s"],
+                       {"n_sessions": ("n_sessions", "sum")},
+                       num_buckets=2)
+
+
+SQL_SESSION_THRESHOLD_SWEEP = f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+), t AS (
+  SELECT unnest([{", ".join(str(t) for t in SESSION_SWEEP_GAPS)}]) AS gap_s
+)
+SELECT CAST(t.gap_s AS BIGINT) AS gap_s,
+       CAST(SUM(CASE WHEN g.gap_us IS NULL
+                       OR g.gap_us > t.gap_s * CAST(1000000 AS BIGINT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM g CROSS JOIN t
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -19282,6 +19407,8 @@ QUERIES = {
     "wav_energy_stats": q_wav_energy_stats,
     "emd_langs": q_emd_langs,
     "hist_intersection_langs": q_hist_intersection_langs,
+    "isotonic_daily": q_isotonic_daily,
+    "session_threshold_sweep": q_session_threshold_sweep,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -19701,6 +19828,7 @@ ORACLE_SQL = {
     "wav_energy_stats": SQL_WAV_ENERGY_STATS,
     "emd_langs": SQL_EMD_LANGS,
     "hist_intersection_langs": SQL_HIST_INTERSECTION_LANGS,
+    "session_threshold_sweep": SQL_SESSION_THRESHOLD_SWEEP,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
