@@ -49,7 +49,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "quarantine_parse_docs", "auto_join_types",
              "mannwhitney_langs", "survival_table_users",
              "image_thumbnail_stats", "wav_energy_stats", "emd_langs",
-             "hist_intersection_langs", "session_threshold_sweep"]
+             "hist_intersection_langs", "session_threshold_sweep",
+             "mirror_detection_pages", "crawl_fairness_daily"]
 )
 def test_round5c_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

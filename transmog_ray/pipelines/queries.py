@@ -19037,6 +19037,124 @@ GROUP BY 1
 """
 
 
+def q_mirror_detection_pages(sf_dir: str):
+    """MIRROR detection: text bodies (md5 identity) served from >= 2
+    DIFFERENT domains — the cross-host duplication canonicalization
+    can't see (same path mirrored on www./cdn./regional hosts). One
+    hash-keyed exchange of (md5, domain, url) triples; text never
+    shuffles. Output per mirrored body: domain and url spread plus
+    total snapshot copies."""
+    import hashlib
+
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "text"],
+                            override_num_blocks=16)
+
+    def triples(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = [hashlib.md5((t or "").encode()).hexdigest()
+               for t in df["text"]]
+        dom = (df["url"].str.split("//", n=1).str[1]
+               .str.split("/", n=1).str[0])
+        out = pd.DataFrame({"md5": md5, "domain": dom.to_numpy(object),
+                            "url": df["url"].to_numpy(object)})
+        out["n_copies"] = np.int64(1)
+        return (out.groupby(["md5", "domain", "url"], sort=False)
+                ["n_copies"].sum().astype("int64").reset_index())
+
+    grain = grouped_agg(
+        ds.map_batches(triples, batch_format="pandas"),
+        ["md5", "domain", "url"], {"n_copies": ("n_copies", "sum")},
+        num_buckets=8)
+
+    def per_hash(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("md5", sort=False)
+        out = pd.DataFrame({
+            "n_domains": g["domain"].nunique().astype("int64"),
+            "n_urls": g["url"].nunique().astype("int64"),
+            "n_copies": g["n_copies"].sum().astype("int64"),
+        }).reset_index()
+        return out[out["n_domains"] >= 2]
+
+    return bucket_exchange(grain, ["md5"], per_hash, num_buckets=8)
+
+
+SQL_MIRROR_DETECTION_PAGES = f"""
+WITH t AS (
+  SELECT md5(COALESCE(text, '')) AS md5,
+         split_part(split_part(url, '//', 2), '/', 1) AS domain,
+         url
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+)
+SELECT md5, CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM t GROUP BY 1
+HAVING COUNT(DISTINCT domain) >= 2
+"""
+
+
+def q_crawl_fairness_daily(sf_dir: str):
+    """Jain's fairness index of the crawl's per-domain fetch shares,
+    per day, in EXACT integer rational form: fairness = (Σx)²/(n·Σx²)
+    reported as the two BIGINT terms (num = (Σx)², den = n·Σx²) — 1/n
+    means one domain hogged the day, 1 means perfectly even. Per-day
+    per-domain counts combine in one exchange; the index terms fold on
+    the (day × domain)-bounded frame."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "warc_ts"],
+                            override_num_blocks=16)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["warc_ts"].astype("datetime64[ns]")
+               .to_numpy("datetime64[D]").astype(np.int64))
+        dom = (df["url"].str.split("//", n=1).str[1]
+               .str.split("/", n=1).str[0])
+        out = pd.DataFrame({"day_id": day, "domain": dom.to_numpy(object)})
+        out["x"] = np.int64(1)
+        return (out.groupby(["day_id", "domain"], sort=False)["x"].sum()
+                .astype("int64").reset_index())
+
+    grain = grouped_agg(
+        ds.map_batches(counts, batch_format="pandas"),
+        ["day_id", "domain"], {"x": ("x", "sum")}, num_buckets=8)
+
+    def per_day(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day_id", sort=False)["x"]
+        tot = g.sum().astype("int64")
+        sq = g.apply(lambda s: int((s.to_numpy(np.int64) ** 2).sum()))
+        n = g.size().astype("int64")
+        out = pd.DataFrame({
+            "day_id": tot.index.to_numpy(np.int64),
+            "n_domains": n.to_numpy(np.int64),
+            "fair_num": (tot.to_numpy(np.int64) ** 2),
+            "fair_den": n.to_numpy(np.int64) * sq.to_numpy(np.int64)})
+        return out
+
+    return bucket_exchange(grain, ["day_id"], per_day, num_buckets=4)
+
+
+SQL_CRAWL_FAIRNESS_DAILY = f"""
+WITH c AS (
+  SELECT date_diff('day', TIMESTAMP '1970-01-01',
+                   CAST(warc_ts AS TIMESTAMP)) AS day_id,
+         split_part(split_part(url, '//', 2), '/', 1) AS domain,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  GROUP BY 1, 2
+)
+SELECT day_id, CAST(COUNT(*) AS BIGINT) AS n_domains,
+       CAST(SUM(x) * SUM(x) AS BIGINT) AS fair_num,
+       CAST(COUNT(*) * SUM(x * x) AS BIGINT) AS fair_den
+FROM c GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -19409,6 +19527,8 @@ QUERIES = {
     "hist_intersection_langs": q_hist_intersection_langs,
     "isotonic_daily": q_isotonic_daily,
     "session_threshold_sweep": q_session_threshold_sweep,
+    "mirror_detection_pages": q_mirror_detection_pages,
+    "crawl_fairness_daily": q_crawl_fairness_daily,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -19829,6 +19949,8 @@ ORACLE_SQL = {
     "emd_langs": SQL_EMD_LANGS,
     "hist_intersection_langs": SQL_HIST_INTERSECTION_LANGS,
     "session_threshold_sweep": SQL_SESSION_THRESHOLD_SWEEP,
+    "mirror_detection_pages": SQL_MIRROR_DETECTION_PAGES,
+    "crawl_fairness_daily": SQL_CRAWL_FAIRNESS_DAILY,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
