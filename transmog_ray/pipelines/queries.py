@@ -19155,6 +19155,267 @@ FROM c GROUP BY 1
 """
 
 
+def q_overlapping_shipments(sf_dir: str):
+    """Interval-overlap PAIR COUNT per supplier without materializing
+    pairs: each lineitem occupies the closed day window [shipdate,
+    shipdate + quantity days]; two shipments of one supplier overlap
+    iff a.start <= b.end AND b.start <= a.end. The kernel counts the
+    COMPLEMENT — for every interval, how many others END strictly
+    before it STARTS (one searchsorted against the sorted end days;
+    for an unordered pair exactly one side can satisfy it) — so the
+    per-group cost is O(n log n) while the SQL oracle pays the
+    quadratic self-join. One supplier-keyed exchange."""
+    from ..stages.partition import bucket_exchange
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_shipdate", "l_quantity"],
+                    num_blocks=8)
+
+    def per_supp(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["l_shipdate"].astype("datetime64[ns]")
+               .to_numpy("datetime64[D]").astype(np.int64))
+        qty = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        frame = pd.DataFrame({"s": df["l_suppkey"].to_numpy(np.int64),
+                              "st": day, "en": day + qty})
+        rows = []
+        for s, g in frame.groupby("s", sort=False):
+            st = g["st"].to_numpy(np.int64)
+            en = np.sort(g["en"].to_numpy(np.int64))
+            n = len(st)
+            disjoint = int(np.searchsorted(en, st, side="left").sum())
+            rows.append((s, n, n * (n - 1) // 2 - disjoint))
+        return pd.DataFrame(
+            rows, columns=["l_suppkey", "n_shipments", "overlap_pairs"]
+        ).astype("int64")
+
+    return bucket_exchange(li, ["l_suppkey"], per_supp, num_buckets=8)
+
+
+SQL_OVERLAPPING_SHIPMENTS = """
+WITH d AS (
+  -- (l_orderkey, l_linenumber) is NOT unique in the synthetic table;
+  -- any unique row id works as the pair-dedup key because the pair
+  -- COUNT is invariant to which member of the pair owns it.
+  SELECT l_suppkey AS s,
+         ROW_NUMBER() OVER () AS k,
+         date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS st,
+         date_diff('day', TIMESTAMP '1970-01-01', l_shipdate)
+           + CAST(l_quantity AS BIGINT) AS en
+  FROM lineitem
+), base AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_shipments FROM d GROUP BY 1
+), p AS (
+  SELECT a.s, CAST(COUNT(*) AS BIGINT) AS overlap_pairs
+  FROM d a JOIN d b
+    ON a.s = b.s AND a.k < b.k AND a.st <= b.en AND b.st <= a.en
+  GROUP BY 1
+)
+SELECT base.s AS l_suppkey, base.n_shipments,
+       CAST(COALESCE(p.overlap_pairs, 0) AS BIGINT) AS overlap_pairs
+FROM base LEFT JOIN p ON base.s = p.s
+"""
+
+
+def q_max_drawdown_users(sf_dir: str):
+    """Maximum drawdown per user over the (ts, event_id)-ordered event
+    value series: max over time of running-peak minus current value —
+    the classic risk statistic, an expanding-max scan. Values are
+    integerized with FLOOR(value*100) on BOTH sides (events.value is
+    not fixed-decimal, so ROUND could straddle a half boundary; float64
+    *100 then floor is the same IEEE op sequence in numpy and DuckDB).
+    One user-keyed exchange; numpy maximum.accumulate per group."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(t["value"].is_valid()),
+        batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        ts = (df["ts"].astype("datetime64[ns]").to_numpy(np.int64))
+        cents = np.floor(
+            df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        frame = pd.DataFrame({"u": df["user_id"].to_numpy(np.int64),
+                              "ts": ts,
+                              "eid": df["event_id"].to_numpy(np.int64),
+                              "c": cents})
+        frame = frame.sort_values(["u", "ts", "eid"], kind="mergesort")
+        rows = []
+        for u, g in frame.groupby("u", sort=False):
+            c = g["c"].to_numpy(np.int64)
+            peak = np.maximum.accumulate(c)
+            rows.append((u, len(c), int((peak - c).max()),
+                         int(peak[-1])))
+        return pd.DataFrame(
+            rows, columns=["user_id", "n_events", "max_dd_cents",
+                           "peak_cents"]).astype("int64")
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_MAX_DRAWDOWN_USERS = """
+WITH d AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT user_id, c,
+         MAX(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM d
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(peak - c) AS BIGINT) AS max_dd_cents,
+       CAST(MAX(CASE WHEN rn = 1 THEN peak END) AS BIGINT) AS peak_cents
+FROM r GROUP BY 1
+"""
+
+
+def q_holt_forecast_types(sf_dir: str):
+    """Holt double-exponential smoothing (level+trend) per event type
+    over its day-ordered daily totals, alpha=1/2 beta=1/4: level' =
+    x/2 + (level+trend)/2; trend' = (level'-level)/4 + 3*trend/4.
+    Cross-engine exactness: both engines run the IDENTICAL left-fold
+    op sequence on float64 (+ and * are correctly rounded), so the
+    smoothed floats are bit-equal — the oracle folds with DuckDB
+    ``list_reduce`` over STRUCT(lv, tr) elements, whose first element
+    is the initial state (level=first total, trend=0), exactly like
+    the kernel. Daily totals combine distributed (one bounded
+    exchange); the fold runs on the tiny type×day frame."""
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "value"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["value"].is_valid(),
+                                   t["event_type"].is_valid())),
+        batch_format="pyarrow")
+
+    def daily(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("datetime64[ns]")
+               .to_numpy("datetime64[D]").astype(np.int64))
+        cents = np.floor(
+            df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "day_id": day, "c": cents})
+        return (out.groupby(["event_type", "day_id"], sort=False)["c"]
+                .sum().astype("int64").reset_index())
+
+    tot = grouped_agg(
+        ev.map_batches(daily, batch_format="pandas"),
+        ["event_type", "day_id"], {"c": ("c", "sum")},
+        num_buckets=4).to_pandas()
+    tot = tot.sort_values(["event_type", "day_id"], kind="mergesort")
+
+    rows = []
+    for etype, g in tot.groupby("event_type", sort=False):
+        xs = g["c"].to_numpy(np.float64)
+        lv, tr = xs[0], 0.0
+        for x in xs[1:]:
+            nl = 0.5 * x + 0.5 * (lv + tr)
+            tr = 0.25 * (nl - lv) + 0.75 * tr
+            lv = nl
+        rows.append((etype, len(xs), lv, tr, lv + tr))
+    return pd.DataFrame(rows, columns=["event_type", "n_days", "level",
+                                       "trend", "forecast_next"]).astype(
+        {"n_days": "int64"})
+
+
+SQL_HOLT_FORECAST_TYPES = """
+-- Recursive-CTE fold, NOT list_reduce: DuckDB's list_reduce mutates
+-- the struct accumulator field-by-field inside struct_pack (the trend
+-- expression would see the already-updated level), so a struct fold
+-- silently computes the wrong recurrence. The CTE advances every
+-- event_type one day per round with standard SQL semantics.
+WITH RECURSIVE d AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY day_id) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         x
+  FROM (
+    SELECT event_type,
+           date_diff('day', TIMESTAMP '1970-01-01',
+                     CAST(ts AS DATE)::TIMESTAMP) AS day_id,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE) AS x
+    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+  )
+), h AS (
+  SELECT event_type, i, n, x AS lv, CAST(0 AS DOUBLE) AS tr
+  FROM d WHERE i = 1
+  UNION ALL
+  SELECT d.event_type, d.i, d.n,
+         0.5 * d.x + 0.5 * (h.lv + h.tr) AS lv,
+         0.25 * ((0.5 * d.x + 0.5 * (h.lv + h.tr)) - h.lv)
+           + 0.75 * h.tr AS tr
+  FROM h JOIN d ON d.event_type = h.event_type AND d.i = h.i + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, lv AS level,
+       tr AS trend, lv + tr AS forecast_next
+FROM h WHERE i = n
+"""
+
+
+def q_pr_curve_docs(sf_dir: str):
+    """Exact precision-recall curve points for a deterministic integer
+    scorer (2*count('e') + count(' ') per doc) against the lang='en'
+    label: one row per DISTINCT score with cumulative TP/FP for the
+    'predict positive at score >= t' rule. Per-score (pos, neg) counts
+    combine distributed; the cumulative sweep runs on the
+    score-cardinality frame. pc.count_substring matches SQL's
+    occurrence count exactly (codepoint semantics)."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["text", "lang"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(t["text"].is_valid()),
+        batch_format="pyarrow")
+
+    def score(t: pa.Table) -> pa.Table:
+        s = pc.add(pc.multiply(pc.count_substring(t["text"], "e"),
+                               pa.scalar(2, pa.int32())),
+                   pc.count_substring(t["text"], " "))
+        is_en = pc.equal(pc.coalesce(t["lang"], pa.scalar("")), "en")
+        pos = pc.cast(is_en, pa.int64())
+        return pa.table({
+            "score": pc.cast(s, pa.int64()),
+            "pos": pos,
+            "neg": pc.subtract(pa.scalar(1, pa.int64()), pos)})
+
+    counts = grouped_agg(
+        docs.map_batches(score, batch_format="pyarrow"),
+        ["score"], {"pos": ("pos", "sum"), "neg": ("neg", "sum")},
+        num_buckets=4).to_pandas().sort_values("score",
+                                               ascending=False)
+    counts["tp"] = counts["pos"].cumsum()
+    counts["fp"] = counts["neg"].cumsum()
+    out = counts[["score", "tp", "fp"]].astype("int64")
+    return out
+
+
+SQL_PR_CURVE_DOCS = """
+WITH d AS (
+  SELECT 2 * (length(text) - length(replace(text, 'e', '')))
+           + (length(text) - length(replace(text, ' ', ''))) AS score,
+         CASE WHEN COALESCE(lang, '') = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT score, SUM(pos) AS p, SUM(1 - pos) AS n
+  FROM d GROUP BY 1
+)
+SELECT CAST(score AS BIGINT) AS score,
+       CAST(SUM(p) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+       CAST(SUM(n) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+FROM g
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -19529,6 +19790,10 @@ QUERIES = {
     "session_threshold_sweep": q_session_threshold_sweep,
     "mirror_detection_pages": q_mirror_detection_pages,
     "crawl_fairness_daily": q_crawl_fairness_daily,
+    "overlapping_shipments": q_overlapping_shipments,
+    "max_drawdown_users": q_max_drawdown_users,
+    "holt_forecast_types": q_holt_forecast_types,
+    "pr_curve_docs": q_pr_curve_docs,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -19951,6 +20216,10 @@ ORACLE_SQL = {
     "session_threshold_sweep": SQL_SESSION_THRESHOLD_SWEEP,
     "mirror_detection_pages": SQL_MIRROR_DETECTION_PAGES,
     "crawl_fairness_daily": SQL_CRAWL_FAIRNESS_DAILY,
+    "overlapping_shipments": SQL_OVERLAPPING_SHIPMENTS,
+    "max_drawdown_users": SQL_MAX_DRAWDOWN_USERS,
+    "holt_forecast_types": SQL_HOLT_FORECAST_TYPES,
+    "pr_curve_docs": SQL_PR_CURVE_DOCS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
