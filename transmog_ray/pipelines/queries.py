@@ -19416,6 +19416,484 @@ FROM g
 """
 
 
+def q_graph_walks_pages(sf_dir: str):
+    """Deterministic node2vec-style RANDOM-WALK CORPUS over the page
+    link graph — the sequence generator graph-embedding training
+    consumes. One walk per source url, 2 hops; the step function is
+    md5-derived (next = neighbors_sorted[h(start|step|cur) % deg]), so
+    the walk is reproducible and SQL-replayable (the md5-prefix BIGINT
+    trick). Distributed shape: edges rank once per src in a bucketed
+    exchange; each hop is ONE frontier↔adjacency co-bucketed exchange
+    (frontier rows route by their current node) — no driver loop over
+    nodes, and hop state is one row per walk regardless of graph size.
+    Walks ending at a dangling node (no outlinks) emit hop2 = NULL."""
+    import hashlib
+
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    pages = _rd().read_parquet(pages_dir, columns=["url", "meta"],
+                               override_num_blocks=16)
+
+    edges = pages.map_batches(
+        lambda df: _explode_hrefs(df)
+        .rename(columns={"url": "node", "href": "dst"})
+        .drop_duplicates(),
+        batch_format="pandas").materialize()
+
+    def _h(start: str, step: int, cur: str) -> int:
+        key = f"{start}|{step}|{cur}".encode()
+        return int(hashlib.md5(key).hexdigest()[:8], 16)
+
+    def _hop(frontier, step: int):
+        """One walk step: frontier rows (start, node=cur) and adjacency
+        rows (node=src, dst) meet in the node-routed bucket; the kernel
+        picks neighbors_sorted[h % deg] per walk. The empty-string
+        sentinel (urls are never empty) keeps the unioned columns
+        string-typed — an all-None pad column would go Arrow-null and
+        break the union. Python-str ordering == DuckDB binary collation
+        on ASCII urls."""
+        # reset_index before mixing column Series with fresh Series:
+        # upstream drop_duplicates leaves GAPPED indexes and the
+        # DataFrame constructor aligns on index, padding NaN rows
+        fr = frontier.map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["node"].reset_index(drop=True).astype(object),
+                "walk_start": df["walk_start"].reset_index(
+                    drop=True).astype(object),
+                "dst": pd.Series([""] * len(df), dtype=object)}),
+            batch_format="pandas")
+        ed = edges.map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["node"].reset_index(drop=True).astype(object),
+                "walk_start": pd.Series([""] * len(df), dtype=object),
+                "dst": df["dst"].reset_index(drop=True).astype(object)}),
+            batch_format="pandas")
+
+        def kernel(df: pd.DataFrame) -> pd.DataFrame:
+            adj = df[df["walk_start"] == ""]
+            # np.unique sorts AND dedups: the map-side drop_duplicates
+            # is per-batch only (the same edge recurs across page
+            # SNAPSHOTS in different batches), while the oracle's
+            # DISTINCT is global — the kernel owns every copy of its
+            # node's edges, so the in-kernel unique is exact.
+            nbrs = {n: np.unique(g["dst"].to_numpy(object))
+                    for n, g in adj.groupby("node", sort=False)}
+            outs, outn = [], []
+            walks = df[df["walk_start"] != ""]
+            for start, cur in zip(walks["walk_start"], walks["node"]):
+                cands = nbrs.get(cur)
+                if cands is None:
+                    continue
+                outs.append(start)
+                outn.append(cands[_h(start, step, cur) % len(cands)])
+            return pd.DataFrame({
+                "walk_start": pd.Series(outs, dtype=object),
+                "node": pd.Series(outn, dtype=object)})
+
+        return bucket_exchange(fr.union(ed), ["node"], kernel,
+                               num_buckets=8)
+
+    starts = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "walk_start": df["node"].drop_duplicates().astype(object)})
+        .assign(node=lambda d: d["walk_start"]),
+        batch_format="pandas")
+    h1 = _hop(starts, 1).materialize()
+    h2 = _hop(h1, 2).to_pandas()
+    if "walk_start" not in h2.columns:
+        # provably-empty hop (every hop1 target dangling): a zero-row
+        # Dataset loses its columns through to_pandas()
+        h2 = pd.DataFrame({"walk_start": pd.Series(dtype=object),
+                           "node": pd.Series(dtype=object)})
+
+    out = h1.to_pandas().rename(columns={"node": "hop1"})
+    out = out.merge(h2.rename(columns={"node": "hop2"}),
+                    on="walk_start", how="left")
+    # merge pads missing hop2 with float NaN — normalize to None so the
+    # object column round-trips as a string-typed Arrow null
+    out["hop2"] = out["hop2"].where(out["hop2"].notna(), None)
+    # starts dedup across blocks: drop_duplicates per batch is partial
+    return out.drop_duplicates(["walk_start"]).reset_index(drop=True)[
+        ["walk_start", "hop1", "hop2"]]
+
+
+SQL_GRAPH_WALKS_PAGES = f"""
+WITH l AS (
+  SELECT url AS src,
+         json_extract_string(
+           unnest(CAST(json_extract(meta, '$.links') AS JSON[])),
+           '$.href') AS dst
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+), e AS (
+  SELECT DISTINCT src, dst FROM l WHERE dst IS NOT NULL
+), r AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM e
+), h1 AS (
+  SELECT s.walk_start, r.dst AS hop1
+  FROM (SELECT DISTINCT src AS walk_start FROM e) s
+  JOIN r ON r.src = s.walk_start
+   AND r.rk = 1 + CAST(CONCAT('0x',
+         substring(md5(s.walk_start || '|1|' || s.walk_start), 1, 8))
+         AS BIGINT) % r.deg
+)
+SELECT h1.walk_start, h1.hop1, r.dst AS hop2
+FROM h1 LEFT JOIN r ON r.src = h1.hop1
+ AND r.rk = 1 + CAST(CONCAT('0x',
+       substring(md5(h1.walk_start || '|2|' || h1.hop1), 1, 8))
+       AS BIGINT) % r.deg
+"""
+
+
+CONTAIN_MAX_DF = 50
+
+
+def q_containment_pairs_docs(sf_dir: str):
+    """Near-dup by n-gram CONTAINMENT (|A∩B| / |A| ≥ 0.8) — catches a
+    doc embedded inside a larger one, which symmetric Jaccard misses.
+    Rare-gram semantics: word 3-grams appearing in more than
+    CONTAIN_MAX_DF docs are dropped on BOTH sides (standard df filter;
+    bounds every inverted-index group at df², the same posture as
+    PPJoin's prefix filter). Two bounded exchanges: gram-routed pair
+    partials (the x==y diagonal doubles as the per-doc rare-gram
+    size), then an id_a-routed combine + rational threshold compare
+    (5·shared ≥ 4·size_a — no float division)."""
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        ids, gs = [], []
+        for i, text in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            w = (text or "").split(" ")
+            if len(w) < 3:
+                uniq = {" ".join(w)}
+            else:
+                uniq = {" ".join(w[j:j + 3]) for j in range(len(w) - 2)}
+            ids.extend([i] * len(uniq))
+            gs.extend(uniq)
+        return pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                             "ngram": pd.Series(gs, dtype=object)})
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        outa, outb, outn = [], [], []
+        for _, g in df.groupby("ngram", sort=False):
+            d = g["doc_id"].to_numpy(np.int64)
+            if len(d) > CONTAIN_MAX_DF:
+                continue
+            a = np.repeat(d, len(d))
+            b = np.tile(d, len(d))
+            outa.append(a)
+            outb.append(b)
+            outn.append(np.ones(len(a), np.int64))
+        if not outa:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({"id_a": np.concatenate(outa),
+                            "id_b": np.concatenate(outb),
+                            "n": np.concatenate(outn)})
+        return (out.groupby(["id_a", "id_b"], sort=False)["n"]
+                .sum().astype("int64").reset_index())
+
+    partials = bucket_exchange(
+        docs.map_batches(grams, batch_format="pandas"),
+        ["ngram"], pair_partials, num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (df.groupby(["id_a", "id_b"], sort=False)["n"]
+               .sum().reset_index())
+        size = (tot[tot["id_a"] == tot["id_b"]]
+                .set_index("id_a")["n"])
+        out = tot[tot["id_a"] != tot["id_b"]].copy()
+        out["size_a"] = out["id_a"].map(size).astype("int64")
+        out = out[5 * out["n"] >= 4 * out["size_a"]]
+        out = out.rename(columns={"n": "shared"})
+        return out[["id_a", "id_b", "shared", "size_a"]].astype("int64")
+
+    return bucket_exchange(partials, ["id_a"], finish, num_buckets=8)
+
+
+SQL_CONTAINMENT_PAIRS_DOCS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(
+           CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+           END) AS ngram
+  FROM t
+), rare AS (
+  SELECT ngram FROM g GROUP BY 1 HAVING COUNT(*) <= {CONTAIN_MAX_DF}
+), gr AS (
+  SELECT g.doc_id, g.ngram FROM g JOIN rare USING (ngram)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS size_a FROM gr GROUP BY 1
+), sh AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM gr a JOIN gr b USING (ngram)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       CAST(size_a AS BIGINT) AS size_a
+FROM sh JOIN sz ON sz.doc_id = sh.id_a
+WHERE 5 * shared >= 4 * size_a
+"""
+
+
+def q_calibration_bins_docs(sf_dir: str):
+    """Reliability-diagram bins for the deterministic integer scorer
+    (2·count('e') + count(' ')) against the lang='en' label: fixed
+    width-64 score bins, per bin n / positives / score sum — all exact
+    BIGINTs (the plot's x̄ and ŷ are ratios of these; shipping sums
+    avoids cross-engine float division entirely). Map-side partial
+    combine, one tiny grouped exchange."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["text", "lang"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(t["text"].is_valid()),
+        batch_format="pyarrow")
+
+    def score(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.add(
+            pc.multiply(pc.count_substring(t["text"], "e"),
+                        pa.scalar(2, pa.int32())),
+            pc.count_substring(t["text"], " ")), pa.int64())
+        pos = pc.cast(pc.equal(pc.coalesce(t["lang"], pa.scalar("")),
+                               "en"), pa.int64())
+        return pa.table({
+            "bin": pc.divide(s, pa.scalar(64, pa.int64())),
+            "n": pa.array(np.ones(len(s), np.int64)),
+            "pos": pos,
+            "score_sum": s})
+
+    return grouped_agg(
+        docs.map_batches(score, batch_format="pyarrow"),
+        ["bin"], {"n": ("n", "sum"), "pos": ("pos", "sum"),
+                  "score_sum": ("score_sum", "sum")},
+        num_buckets=4)
+
+
+SQL_CALIBRATION_BINS_DOCS = """
+WITH d AS (
+  SELECT (2 * (length(text) - length(replace(text, 'e', '')))
+          + (length(text) - length(replace(text, ' ', '')))) AS score,
+         CASE WHEN COALESCE(lang, '') = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(score // 64 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS pos,
+       CAST(SUM(score) AS BIGINT) AS score_sum
+FROM d GROUP BY 1
+"""
+
+
+def q_meta_key_census_pages(sf_dir: str):
+    """Schema-on-read KEY CENSUS over the pages meta JSON: how many
+    pages carry each top-level key — the discovery pass that sizes a
+    flatten plan / detects schema drift in semi-structured feeds
+    before committing to a projection. Map-side json.loads + partial
+    counts; one key-cardinality exchange."""
+    from ..functions.relational import grouped_agg
+
+    pages_dir = _pages_fixture(sf_dir)
+    pages = _rd().read_parquet(pages_dir, columns=["meta"],
+                               override_num_blocks=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        keys = []
+        for meta in df["meta"]:
+            if not meta:
+                continue
+            keys.extend(_json.loads(meta).keys())
+        out = (pd.DataFrame({"meta_key": pd.Series(keys, dtype=object)})
+               .groupby("meta_key", sort=False).size()
+               .rename("n_pages").reset_index())
+        out["n_pages"] = out["n_pages"].astype("int64")
+        return out
+
+    return grouped_agg(pages.map_batches(partial, batch_format="pandas"),
+                       ["meta_key"], {"n_pages": ("n_pages", "sum")},
+                       num_buckets=2)
+
+
+SQL_META_KEY_CENSUS_PAGES = f"""
+SELECT meta_key, CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM (
+  SELECT unnest(json_keys(meta)) AS meta_key
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+)
+GROUP BY 1
+"""
+
+
+WAV_QUIET_THRESHOLD = 250_000
+
+
+def q_silence_runs_audio(sf_dir: str):
+    """Silence-run SEGMENTATION over decoded WAV audio — the
+    voice-activity front-end that splits a recording into speech/quiet
+    spans: per 256-sample window, quiet = Σ|pcm| < threshold; per clip
+    emit window count, quiet count, number of maximal quiet runs and
+    the longest run (gaps-and-islands over the window index). The
+    decode runs in the actor-pool codec stage; runs are computed
+    in-clip (windows of one clip never split across batches), so zero
+    shuffle. Oracle regenerates the waveform from the fixture's closed
+    form and replays the islands with win − ROW_NUMBER()."""
+    media_dir = _wav_fixture(sf_dir)
+    ds = _rd().read_parquet(f"{media_dir}/wavs.parquet")
+
+    class SilenceStage:
+        def __init__(self):
+            from ..stages.multimodal import parse_wav, sniff_wav
+
+            self._parse = parse_wav
+            self._sniff = sniff_wav
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for i, payload in zip(df["id"].to_numpy(np.int64),
+                                  df["payload"]):
+                raw = bytes(payload)
+                if not self._sniff(raw):
+                    continue
+                samples, _rate, _ch = self._parse(raw)
+                a = np.abs(samples.astype(np.int64))
+                nw = len(a) // WAV_WINDOW
+                sums = a[: nw * WAV_WINDOW].reshape(nw, WAV_WINDOW).sum(1)
+                q = sums < WAV_QUIET_THRESHOLD
+                runs = []
+                cur = 0
+                for flag in q:
+                    if flag:
+                        cur += 1
+                    elif cur:
+                        runs.append(cur)
+                        cur = 0
+                if cur:
+                    runs.append(cur)
+                rows.append((i, nw, int(q.sum()), len(runs),
+                             max(runs) if runs else 0))
+            return pd.DataFrame(
+                rows, columns=["id", "n_windows", "n_quiet", "n_runs",
+                               "max_run"]).astype("int64")
+
+    return ds.map_batches(SilenceStage, concurrency=2, batch_size=32,
+                          batch_format="pandas")
+
+
+SQL_SILENCE_RUNS_AUDIO = f"""
+WITH s AS (
+  SELECT id, CAST(t.i AS BIGINT) AS i,
+         (13 * id + 5 * t.i) % 4001 - 2000 AS v
+  FROM read_parquet('{WAV_CURRENT}/wavs.parquet'),
+       unnest(range({WAV_N_SAMPLES})) t(i)
+), w AS (
+  SELECT id, i // {WAV_WINDOW} AS win,
+         CASE WHEN SUM(ABS(v)) < {WAV_QUIET_THRESHOLD}
+              THEN 1 ELSE 0 END AS q
+  FROM s GROUP BY 1, 2
+), isl AS (
+  SELECT id, q,
+         win - ROW_NUMBER() OVER (PARTITION BY id, q ORDER BY win)
+           AS grp
+  FROM w
+), runs AS (
+  SELECT id, COUNT(*) AS run_len
+  FROM isl WHERE q = 1 GROUP BY id, grp
+), per AS (
+  SELECT id, COUNT(*) AS n_windows, CAST(SUM(q) AS BIGINT) AS n_quiet
+  FROM w GROUP BY 1
+)
+SELECT per.id, CAST(per.n_windows AS BIGINT) AS n_windows, per.n_quiet,
+       CAST(COALESCE(COUNT(runs.run_len), 0) AS BIGINT) AS n_runs,
+       CAST(COALESCE(MAX(runs.run_len), 0) AS BIGINT) AS max_run
+FROM per LEFT JOIN runs ON runs.id = per.id
+GROUP BY 1, 2, 3
+"""
+
+
+def q_ahash_groups_images(sf_dir: str):
+    """Perceptual near-dup IMAGE grouping via average-hash: decode
+    (real BMP/PPM codec paths), pool to the 4×4 integer thumbnail,
+    then bit k = (16·cell_k ≥ Σcells) — the rational form of
+    "cell above thumbnail mean", no float division — packed into a
+    16-bit aHash; images sharing a hash are perceptual-duplicate
+    candidates. Per-image work is local to the codec actor; only the
+    (hash, 1) partials shuffle. Oracle replays pixels from the
+    fixture's closed form and packs bits with << in SQL."""
+    from ..functions.relational import grouped_agg
+
+    media_dir = _image_fixture(sf_dir)
+    ds = _rd().read_parquet(f"{media_dir}/images.parquet")
+
+    class AHashStage:
+        def __init__(self):
+            from ..stages.multimodal import (decode_bmp, decode_ppm,
+                                             sniff_image)
+
+            self._decoders = {"bmp": decode_bmp, "ppm": decode_ppm}
+            self._sniff = sniff_image
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hashes = []
+            for payload in df["payload"]:
+                raw = bytes(payload)
+                gray = self._decoders[self._sniff(raw)](raw).astype(
+                    np.int64)
+                h, w = gray.shape
+                cells = (gray.reshape(h // 8, 8, w // 8, 8)
+                         .sum(axis=(1, 3)) // 64).ravel()
+                total = int(cells.sum())
+                bits = 16 * cells >= total
+                hashes.append(int((bits << np.arange(16)).sum()))
+            return pd.DataFrame({
+                "ahash": pd.Series(hashes, dtype="int64"),
+                "n_images": np.ones(len(hashes), np.int64)})
+
+    sigs = ds.map_batches(AHashStage, concurrency=2, batch_size=32,
+                          batch_format="pandas")
+    return grouped_agg(sigs, ["ahash"],
+                       {"n_images": ("n_images", "sum")}, num_buckets=2)
+
+
+SQL_AHASH_GROUPS_IMAGES = f"""
+WITH px AS (
+  SELECT id, CAST(t1.y AS BIGINT) AS y, CAST(t2.x AS BIGINT) AS x,
+         (7 * id + 3 * t1.y + t2.x) % 256 AS g
+  FROM read_parquet('{IMG_CURRENT}/images.parquet'),
+       unnest(range({IMG_HW})) t1(y), unnest(range({IMG_HW})) t2(x)
+), cells AS (
+  SELECT id, (y // 8) * 4 + (x // 8) AS k, SUM(g) // 64 AS m
+  FROM px GROUP BY 1, 2
+), tot AS (
+  SELECT id, SUM(m) AS total FROM cells GROUP BY 1
+), sig AS (
+  SELECT c.id,
+         SUM(CASE WHEN 16 * c.m >= t.total
+             THEN CAST(1 AS BIGINT) << c.k ELSE 0 END) AS ahash
+  FROM cells c JOIN tot t ON t.id = c.id
+  GROUP BY c.id
+)
+SELECT CAST(ahash AS BIGINT) AS ahash,
+       CAST(COUNT(*) AS BIGINT) AS n_images
+FROM sig GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -19794,6 +20272,12 @@ QUERIES = {
     "max_drawdown_users": q_max_drawdown_users,
     "holt_forecast_types": q_holt_forecast_types,
     "pr_curve_docs": q_pr_curve_docs,
+    "graph_walks_pages": q_graph_walks_pages,
+    "containment_pairs_docs": q_containment_pairs_docs,
+    "calibration_bins_docs": q_calibration_bins_docs,
+    "meta_key_census_pages": q_meta_key_census_pages,
+    "silence_runs_audio": q_silence_runs_audio,
+    "ahash_groups_images": q_ahash_groups_images,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -20220,6 +20704,12 @@ ORACLE_SQL = {
     "max_drawdown_users": SQL_MAX_DRAWDOWN_USERS,
     "holt_forecast_types": SQL_HOLT_FORECAST_TYPES,
     "pr_curve_docs": SQL_PR_CURVE_DOCS,
+    "graph_walks_pages": SQL_GRAPH_WALKS_PAGES,
+    "containment_pairs_docs": SQL_CONTAINMENT_PAIRS_DOCS,
+    "calibration_bins_docs": SQL_CALIBRATION_BINS_DOCS,
+    "meta_key_census_pages": SQL_META_KEY_CENSUS_PAGES,
+    "silence_runs_audio": SQL_SILENCE_RUNS_AUDIO,
+    "ahash_groups_images": SQL_AHASH_GROUPS_IMAGES,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
