@@ -37,7 +37,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name", ["graph_walks_pages", "containment_pairs_docs",
              "calibration_bins_docs", "meta_key_census_pages",
-             "silence_runs_audio", "ahash_groups_images"]
+             "silence_runs_audio", "ahash_groups_images",
+             "mlm_mask_plan_docs", "readability_docs",
+             "auc_scorer_docs", "media_type_census",
+             "nofollow_share_domains"]
 )
 def test_round5d_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

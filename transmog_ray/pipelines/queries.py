@@ -19894,6 +19894,300 @@ FROM sig GROUP BY 1
 """
 
 
+MLM_MAX_SLOTS = 64
+
+
+def q_mlm_mask_plan_docs(sf_dir: str):
+    """BERT-style MLM MASK PLAN, deterministic and SQL-replayable: for
+    each of a doc's first 64 token slots, slot j is selected iff
+    md5(doc_id|j) % 100 < 15; a selected slot becomes [MASK] when
+    md5(doc_id|j|a) % 10 < 8, a random token on 8, kept on 9 — the
+    standard 15% / 80-10-10 recipe with the md5-prefix BIGINT as the
+    randomness source, so the exact plan (not a distributional claim)
+    hash-matches the oracle. Map-only, zero shuffle; the slot cap
+    bounds per-doc hashing work."""
+    import hashlib
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+
+    def _h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i, text in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            n_tok = len((text or "").split(" "))
+            slots = min(n_tok, MLM_MAX_SLOTS)
+            n_sel = n_mask = n_rand = n_keep = 0
+            for j in range(1, slots + 1):
+                if _h(f"{i}|{j}") % 100 < 15:
+                    n_sel += 1
+                    a = _h(f"{i}|{j}|a") % 10
+                    if a < 8:
+                        n_mask += 1
+                    elif a == 8:
+                        n_rand += 1
+                    else:
+                        n_keep += 1
+            rows.append((i, n_tok, slots, n_sel, n_mask, n_rand, n_keep))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_tokens", "n_slots", "n_selected",
+                           "n_mask", "n_random", "n_keep"]).astype("int64")
+
+    return docs.map_batches(plan, batch_format="pandas")
+
+
+SQL_MLM_MASK_PLAN_DOCS = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(COALESCE(text, ''), ' ')) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         LEAST(n_tokens, {MLM_MAX_SLOTS}) AS n_slots,
+         CAST(t.j AS BIGINT) AS j
+  FROM d, unnest(range(1, LEAST(n_tokens, {MLM_MAX_SLOTS}) + 1)) t(j)
+), m AS (
+  SELECT doc_id, n_tokens, n_slots,
+         CASE WHEN CAST(CONCAT('0x', substring(
+                md5(doc_id || '|' || j), 1, 8)) AS BIGINT) % 100 < 15
+              THEN CAST(CONCAT('0x', substring(
+                md5(doc_id || '|' || j || '|a'), 1, 8)) AS BIGINT) % 10
+              ELSE NULL END AS act
+  FROM s
+)
+SELECT doc_id,
+       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MAX(n_slots) AS BIGINT) AS n_slots,
+       CAST(COUNT(act) AS BIGINT) AS n_selected,
+       CAST(COALESCE(SUM(CASE WHEN act < 8 THEN 1 END), 0) AS BIGINT)
+         AS n_mask,
+       CAST(COALESCE(SUM(CASE WHEN act = 8 THEN 1 END), 0) AS BIGINT)
+         AS n_random,
+       CAST(COALESCE(SUM(CASE WHEN act = 9 THEN 1 END), 0) AS BIGINT)
+         AS n_keep
+FROM m GROUP BY 1
+"""
+
+
+def q_readability_docs(sf_dir: str):
+    """Corpus READABILITY sufficient statistics per language — the
+    integer inputs every Flesch-style score is a ratio of: docs, words,
+    sentence-ish splits ([.!?]+ runs, RE2-safe so DuckDB
+    regexp_extract_all counts identically), vowel-group count (the
+    classic syllable proxy) and codepoints. Shipping the SUMS keeps it
+    division-free/exact; map-side partials, one lang-cardinality
+    exchange."""
+    import re
+
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["text", "lang"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["text"].is_valid(),
+                                   t["lang"].is_valid())),
+        batch_format="pyarrow")
+
+    sent_re = re.compile(r"[.!?]+")
+    vowel_re = re.compile(r"[aeiou]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"]
+        out = pd.DataFrame({
+            "lang": df["lang"],
+            "n_docs": np.ones(len(df), np.int64),
+            "words": (texts.str.count(" ") + 1).astype("int64"),
+            "sentences": texts.map(
+                lambda t: len(sent_re.findall(t))).astype("int64"),
+            "vowel_groups": texts.map(
+                lambda t: len(vowel_re.findall(t))).astype("int64"),
+            "chars": texts.str.len().astype("int64")})
+        return (out.groupby("lang", sort=False).sum(numeric_only=True)
+                .reset_index())
+
+    return grouped_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["lang"], {"n_docs": ("n_docs", "sum"), "words": ("words", "sum"),
+                   "sentences": ("sentences", "sum"),
+                   "vowel_groups": ("vowel_groups", "sum"),
+                   "chars": ("chars", "sum")}, num_buckets=2)
+
+
+SQL_READABILITY_DOCS = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+         AS BIGINT) AS words,
+       CAST(SUM(len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+         AS sentences,
+       CAST(SUM(len(regexp_extract_all(text, '[aeiou]+'))) AS BIGINT)
+         AS vowel_groups,
+       CAST(SUM(length(text)) AS BIGINT) AS chars
+FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_auc_scorer_docs(sf_dir: str):
+    """EXACT ROC-AUC of the deterministic quality scorer against the
+    lang='en' label, as the integer 2U (ties count once): 2U =
+    Σ_scores pos_v · (2·negatives_below + neg_v); AUC = 2U / (2·P·N)
+    is the consumer's division. Per-score (pos, neg) counts combine
+    distributed; the rank sweep runs on the score-cardinality frame —
+    the same shared-scan shape as the PR curve, no global sort of raw
+    rows."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["text", "lang"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(t["text"].is_valid()),
+        batch_format="pyarrow")
+
+    def score(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.add(
+            pc.multiply(pc.count_substring(t["text"], "e"),
+                        pa.scalar(2, pa.int32())),
+            pc.count_substring(t["text"], " ")), pa.int64())
+        pos = pc.cast(pc.equal(pc.coalesce(t["lang"], pa.scalar("")),
+                               "en"), pa.int64())
+        return pa.table({"score": s, "pos": pos,
+                         "neg": pc.subtract(pa.scalar(1, pa.int64()),
+                                            pos)})
+
+    counts = grouped_agg(
+        docs.map_batches(score, batch_format="pyarrow"),
+        ["score"], {"pos": ("pos", "sum"), "neg": ("neg", "sum")},
+        num_buckets=4).to_pandas().sort_values("score")
+    p = counts["pos"].to_numpy(np.int64)
+    n = counts["neg"].to_numpy(np.int64)
+    below = np.concatenate(([0], np.cumsum(n)[:-1]))
+    u2 = int((p * (2 * below + n)).sum())
+    return pd.DataFrame({"u2": [np.int64(u2)],
+                         "n_pos": [np.int64(p.sum())],
+                         "n_neg": [np.int64(n.sum())]})
+
+
+SQL_AUC_SCORER_DOCS = """
+WITH d AS (
+  SELECT (2 * (length(text) - length(replace(text, 'e', '')))
+          + (length(text) - length(replace(text, ' ', '')))) AS score,
+         CASE WHEN COALESCE(lang, '') = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT score, SUM(pos) AS p, SUM(1 - pos) AS n FROM d GROUP BY 1
+), sweep AS (
+  SELECT p, n,
+         COALESCE(SUM(n) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM g
+)
+SELECT CAST(SUM(p * (2 * below + n)) AS BIGINT) AS u2,
+       CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(n) AS BIGINT) AS n_neg
+FROM sweep
+"""
+
+
+def q_media_type_census(sf_dir: str):
+    """File-TYPE census over an opaque binary media column: sniff each
+    payload's magic bytes (the engine reads real container headers via
+    stages/multimodal.sniff_image) and roll up count + byte volume per
+    container kind — the triage pass before routing payloads to
+    per-format decode pools. The oracle replays the fixture's
+    id-parity closed form (even=BMP, odd=PPM) and sums
+    octet_length."""
+    from ..functions.relational import grouped_agg
+
+    media_dir = _image_fixture(sf_dir)
+    ds = _rd().read_parquet(f"{media_dir}/images.parquet")
+
+    class SniffStage:
+        def __init__(self):
+            from ..stages.multimodal import sniff_image
+
+            self._sniff = sniff_image
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            kinds, sizes = [], []
+            for payload in df["payload"]:
+                raw = bytes(payload)
+                kinds.append(self._sniff(raw))
+                sizes.append(len(raw))
+            return pd.DataFrame({
+                "kind": pd.Series(kinds, dtype=object),
+                "n": np.ones(len(kinds), np.int64),
+                "total_bytes": np.asarray(sizes, np.int64)})
+
+    return grouped_agg(
+        ds.map_batches(SniffStage, concurrency=2, batch_size=32,
+                       batch_format="pandas"),
+        ["kind"], {"n": ("n", "sum"),
+                   "total_bytes": ("total_bytes", "sum")}, num_buckets=2)
+
+
+SQL_MEDIA_TYPE_CENSUS = f"""
+SELECT CASE WHEN id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
+FROM read_parquet('{IMG_CURRENT}/images.parquet')
+GROUP BY 1
+"""
+
+
+def q_nofollow_share_domains(sf_dir: str):
+    """Per-source-domain link-policy profile: total outlinks vs
+    rel=nofollow outlinks from the page meta — what a crawler uses to
+    budget frontier expansion per host (nofollow-heavy domains yield
+    few crawlable edges). Map-side JSON explode to per-domain partials;
+    one domain-cardinality exchange."""
+    import json as _json
+
+    from ..functions.relational import grouped_agg
+
+    pages_dir = _pages_fixture(sf_dir)
+    pages = _rd().read_parquet(pages_dir, columns=["url", "meta"],
+                               override_num_blocks=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        doms, nofollow = [], []
+        for url, meta in zip(df["url"], df["meta"]):
+            if not meta:
+                continue
+            dom = url.split("//", 1)[1].split("/", 1)[0]
+            for lk in _json.loads(meta).get("links") or []:
+                doms.append(dom)
+                nofollow.append(1 if lk.get("rel") == "nofollow" else 0)
+        out = pd.DataFrame({
+            "src_domain": pd.Series(doms, dtype=object),
+            "n_links": np.ones(len(doms), np.int64),
+            "n_nofollow": np.asarray(nofollow, np.int64)})
+        return (out.groupby("src_domain", sort=False).sum(
+            numeric_only=True).reset_index())
+
+    return grouped_agg(
+        pages.map_batches(partial, batch_format="pandas"),
+        ["src_domain"], {"n_links": ("n_links", "sum"),
+                         "n_nofollow": ("n_nofollow", "sum")},
+        num_buckets=2)
+
+
+SQL_NOFOLLOW_SHARE_DOMAINS = f"""
+WITH l AS (
+  SELECT split_part(split_part(url, '//', 2), '/', 1) AS src_domain,
+         json_extract_string(
+           unnest(CAST(json_extract(meta, '$.links') AS JSON[])),
+           '$.rel') AS rel
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+)
+SELECT src_domain, CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(SUM(CASE WHEN rel = 'nofollow' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_nofollow
+FROM l GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -20272,6 +20566,11 @@ QUERIES = {
     "max_drawdown_users": q_max_drawdown_users,
     "holt_forecast_types": q_holt_forecast_types,
     "pr_curve_docs": q_pr_curve_docs,
+    "mlm_mask_plan_docs": q_mlm_mask_plan_docs,
+    "readability_docs": q_readability_docs,
+    "auc_scorer_docs": q_auc_scorer_docs,
+    "media_type_census": q_media_type_census,
+    "nofollow_share_domains": q_nofollow_share_domains,
     "graph_walks_pages": q_graph_walks_pages,
     "containment_pairs_docs": q_containment_pairs_docs,
     "calibration_bins_docs": q_calibration_bins_docs,
@@ -20704,6 +21003,11 @@ ORACLE_SQL = {
     "max_drawdown_users": SQL_MAX_DRAWDOWN_USERS,
     "holt_forecast_types": SQL_HOLT_FORECAST_TYPES,
     "pr_curve_docs": SQL_PR_CURVE_DOCS,
+    "mlm_mask_plan_docs": SQL_MLM_MASK_PLAN_DOCS,
+    "readability_docs": SQL_READABILITY_DOCS,
+    "auc_scorer_docs": SQL_AUC_SCORER_DOCS,
+    "media_type_census": SQL_MEDIA_TYPE_CENSUS,
+    "nofollow_share_domains": SQL_NOFOLLOW_SHARE_DOMAINS,
     "graph_walks_pages": SQL_GRAPH_WALKS_PAGES,
     "containment_pairs_docs": SQL_CONTAINMENT_PAIRS_DOCS,
     "calibration_bins_docs": SQL_CALIBRATION_BINS_DOCS,
