@@ -40,7 +40,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "silence_runs_audio", "ahash_groups_images",
              "mlm_mask_plan_docs", "readability_docs",
              "auc_scorer_docs", "media_type_census",
-             "nofollow_share_domains"]
+             "nofollow_share_domains", "reject_reasons_docs",
+             "posting_gap_bits", "hourweek_heatmap_events",
+             "char_class_langs"]
 )
 def test_round5d_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

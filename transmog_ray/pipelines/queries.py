@@ -20188,6 +20188,252 @@ FROM l GROUP BY 1
 """
 
 
+def q_reject_reasons_docs(sf_dir: str):
+    """Quality-gate AUDIT census: every Gopher-style rule failure per
+    doc packed into a reasons BITMASK (bit0 too-short, bit1 too-long,
+    bit2 long-words, bit3 few-stopwords, bit4 repetitive), rolled up
+    to docs per mask — the table a curation run publishes to explain
+    WHAT it dropped and why. Every rule is a cross-multiplied integer
+    compare (10·letters > 46·words; 100·dup_mass > 8·bigrams), so no
+    float ratio ever crosses engines. Map-side bitmask + partial
+    counts; one mask-cardinality exchange."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["text"],
+                      num_blocks=8)
+
+    STOP = {"the", "a", "and", "of", "to"}
+
+    def mask(df: pd.DataFrame) -> pd.DataFrame:
+        masks = []
+        for text in df["text"]:
+            w = (text or "").split(" ")
+            n = len(w)
+            letters = len(text or "") - (n - 1)
+            n_stop = len(STOP.intersection(w))
+            cnt = {}
+            for j in range(n - 1):
+                b = w[j] + " " + w[j + 1]
+                cnt[b] = cnt.get(b, 0) + 1
+            total_bg = max(n - 1, 0)
+            dup_mass = sum(c for c in cnt.values() if c >= 2)
+            m = 0
+            if n < 30:
+                m |= 1
+            if n > 90:
+                m |= 2
+            if 10 * letters > 46 * n:
+                m |= 4
+            if n_stop < 2:
+                m |= 8
+            if 100 * dup_mass > 8 * total_bg:
+                m |= 16
+            masks.append(m)
+        return pd.DataFrame({
+            "reason_mask": pd.Series(masks, dtype="int64"),
+            "n_docs": np.ones(len(masks), np.int64)})
+
+    return grouped_agg(docs.map_batches(mask, batch_format="pandas"),
+                       ["reason_mask"], {"n_docs": ("n_docs", "sum")},
+                       num_buckets=2)
+
+
+SQL_REJECT_REASONS_DOCS = """
+WITH t AS (
+  SELECT string_split(COALESCE(text, ''), ' ') AS w FROM documents
+), base AS (
+  SELECT ROW_NUMBER() OVER () AS rid,
+         len(w) AS n,
+         length(array_to_string(w, ' ')) - (len(w) - 1) AS letters,
+         len(list_distinct(list_filter(
+           w, x -> x IN ('the', 'a', 'and', 'of', 'to')))) AS n_stop,
+         w
+  FROM t
+), bg AS (
+  SELECT rid, w[i] || ' ' || w[i + 1] AS b
+  FROM base, unnest(range(1, len(w))) AS u(i)
+), rep AS (
+  SELECT rid, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_mass,
+         SUM(c) AS total_bg
+  FROM (SELECT rid, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+  GROUP BY 1
+), m AS (
+  SELECT CASE WHEN n < 30 THEN 1 ELSE 0 END
+       + CASE WHEN n > 90 THEN 2 ELSE 0 END
+       + CASE WHEN 10 * letters > 46 * n THEN 4 ELSE 0 END
+       + CASE WHEN n_stop < 2 THEN 8 ELSE 0 END
+       + CASE WHEN 100 * COALESCE(rep.dup_mass, 0)
+               > 8 * COALESCE(rep.total_bg, 0) THEN 16 ELSE 0 END
+         AS reason_mask
+  FROM base LEFT JOIN rep ON rep.rid = base.rid
+)
+SELECT CAST(reason_mask AS BIGINT) AS reason_mask,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM m GROUP BY 1
+"""
+
+
+def q_posting_gap_bits(sf_dir: str):
+    """Inverted-index STORAGE planning: per term (df ≥ 2), the posting
+    count and the exact delta-encoded bit budget Σ bit_length(gap)
+    over consecutive sorted doc_ids (first gap = doc_id+1, so every
+    gap ≥ 1) — the number an Elias-γ/VByte sizing model starts from.
+    bit_length via the np.frexp exponent == DuckDB
+    length(printf('%b', g)) (never floor(log2) — off-by-one at exact
+    powers of two). One term-routed exchange of (term, doc_id) pairs;
+    gaps are computed per term inside the bucket."""
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, terms = [], []
+        for i, text in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            for t in set((text or "").split(" ")):
+                ids.append(i)
+                terms.append(t)
+        return pd.DataFrame({"term": pd.Series(terms, dtype=object),
+                             "doc_id": np.asarray(ids, np.int64)})
+
+    def per_term(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for term, g in df.groupby("term", sort=False):
+            d = np.sort(g["doc_id"].to_numpy(np.int64))
+            if len(d) < 2:
+                continue
+            gaps = np.concatenate(([d[0] + 1], np.diff(d)))
+            bits = np.frexp(gaps.astype(np.float64))[1].astype(np.int64)
+            rows.append((term, len(d), int(bits.sum())))
+        return pd.DataFrame(
+            rows, columns=["term", "n_postings", "gap_bits"]).astype(
+            {"n_postings": "int64", "gap_bits": "int64"})
+
+    return bucket_exchange(
+        docs.map_batches(explode, batch_format="pandas"),
+        ["term"], per_term, num_buckets=8)
+
+
+SQL_POSTING_GAP_BITS = """
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(COALESCE(text, ''), ' ')) AS term
+  FROM documents
+), f AS (
+  SELECT term, doc_id,
+         COALESCE(doc_id - LAG(doc_id) OVER (PARTITION BY term
+                                             ORDER BY doc_id),
+                  doc_id + 1) AS gap,
+         COUNT(*) OVER (PARTITION BY term) AS df
+  FROM g
+)
+SELECT term, CAST(df AS BIGINT) AS n_postings,
+       CAST(SUM(length(printf('%b', gap))) AS BIGINT) AS gap_bits
+FROM f WHERE df >= 2
+GROUP BY term, df
+"""
+
+
+def q_hourweek_heatmap_events(sf_dir: str):
+    """The 168-cell HOUR-OF-WEEK activity heatmap (ISO dow × UTC hour):
+    event count and exact cent volume per cell — the seasonality
+    surface capacity planning and anomaly baselines read. Map-side
+    partials bounded at 168 rows per batch; one tiny exchange. pandas
+    dayofweek+1 == DuckDB isodow (both ISO); FLOOR(value·100) is the
+    documented non-fixed-decimal integerization."""
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["ts", "value"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(t["value"].is_valid()),
+        batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("datetime64[ns]")
+        out = pd.DataFrame({
+            "dow": (ts.dt.dayofweek + 1).astype("int64"),
+            "hour": ts.dt.hour.astype("int64"),
+            "n": np.ones(len(df), np.int64),
+            "cents": np.floor(
+                df["value"].to_numpy(np.float64) * 100).astype(np.int64)})
+        return (out.groupby(["dow", "hour"], sort=False)
+                .sum(numeric_only=True).reset_index())
+
+    return grouped_agg(ev.map_batches(partial, batch_format="pandas"),
+                       ["dow", "hour"],
+                       {"n": ("n", "sum"), "cents": ("cents", "sum")},
+                       num_buckets=2)
+
+
+SQL_HOURWEEK_HEATMAP_EVENTS = """
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_char_class_langs(sf_dir: str):
+    """Character-CLASS composition per language — letters, digits,
+    spaces, punctuation-ish remainder as exact counts (the corpus-QC
+    fingerprint that flags OCR noise, boilerplate markup, or
+    mis-tagged languages). Vectorized str.count with RE2-safe classes
+    (identical counting in DuckDB regexp_extract_all); remainder by
+    subtraction. Map-side partials; one lang-cardinality exchange."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["text", "lang"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["text"].is_valid(),
+                                   t["lang"].is_valid())),
+        batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"]
+        total = texts.str.len().astype("int64")
+        letters = texts.str.count(r"[a-zA-Z]").astype("int64")
+        digits = texts.str.count(r"[0-9]").astype("int64")
+        spaces = texts.str.count(" ").astype("int64")
+        out = pd.DataFrame({
+            "lang": df["lang"],
+            "n_docs": np.ones(len(df), np.int64),
+            "letters": letters,
+            "digits": digits,
+            "spaces": spaces,
+            "other": total - letters - digits - spaces})
+        return (out.groupby("lang", sort=False).sum(numeric_only=True)
+                .reset_index())
+
+    return grouped_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["lang"], {"n_docs": ("n_docs", "sum"),
+                   "letters": ("letters", "sum"),
+                   "digits": ("digits", "sum"),
+                   "spaces": ("spaces", "sum"),
+                   "other": ("other", "sum")}, num_buckets=2)
+
+
+SQL_CHAR_CLASS_LANGS = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]'))) AS BIGINT)
+         AS letters,
+       CAST(SUM(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT)
+         AS digits,
+       CAST(SUM(length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+         AS spaces,
+       CAST(SUM(length(text)
+                - len(regexp_extract_all(text, '[a-zA-Z]'))
+                - len(regexp_extract_all(text, '[0-9]'))
+                - (length(text) - length(replace(text, ' ', ''))))
+         AS BIGINT) AS other
+FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -20566,6 +20812,10 @@ QUERIES = {
     "max_drawdown_users": q_max_drawdown_users,
     "holt_forecast_types": q_holt_forecast_types,
     "pr_curve_docs": q_pr_curve_docs,
+    "reject_reasons_docs": q_reject_reasons_docs,
+    "posting_gap_bits": q_posting_gap_bits,
+    "hourweek_heatmap_events": q_hourweek_heatmap_events,
+    "char_class_langs": q_char_class_langs,
     "mlm_mask_plan_docs": q_mlm_mask_plan_docs,
     "readability_docs": q_readability_docs,
     "auc_scorer_docs": q_auc_scorer_docs,
@@ -21003,6 +21253,10 @@ ORACLE_SQL = {
     "max_drawdown_users": SQL_MAX_DRAWDOWN_USERS,
     "holt_forecast_types": SQL_HOLT_FORECAST_TYPES,
     "pr_curve_docs": SQL_PR_CURVE_DOCS,
+    "reject_reasons_docs": SQL_REJECT_REASONS_DOCS,
+    "posting_gap_bits": SQL_POSTING_GAP_BITS,
+    "hourweek_heatmap_events": SQL_HOURWEEK_HEATMAP_EVENTS,
+    "char_class_langs": SQL_CHAR_CLASS_LANGS,
     "mlm_mask_plan_docs": SQL_MLM_MASK_PLAN_DOCS,
     "readability_docs": SQL_READABILITY_DOCS,
     "auc_scorer_docs": SQL_AUC_SCORER_DOCS,
