@@ -42,7 +42,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "auc_scorer_docs", "media_type_census",
              "nofollow_share_domains", "reject_reasons_docs",
              "posting_gap_bits", "hourweek_heatmap_events",
-             "char_class_langs"]
+             "char_class_langs", "gate_parity_langs", "pre_post_types",
+             "duplicate_titles_pages", "session_entry_exit"]
 )
 def test_round5d_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

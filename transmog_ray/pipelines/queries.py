@@ -20434,6 +20434,285 @@ GROUP BY 1
 """
 
 
+def q_gate_parity_langs(sf_dir: str):
+    """Curation-FAIRNESS audit: the Gopher-style keep decision broken
+    down per language — docs seen vs docs kept, as exact counts (the
+    keep-RATE gap across languages is the consumer's division). The
+    gate reuses the exact integer-compare rules of
+    reject_reasons_docs, so a doc is kept iff its reason mask is 0.
+    Map-side partials; one lang-cardinality exchange."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["text", "lang"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["text"].is_valid(),
+                                   t["lang"].is_valid())),
+        batch_format="pyarrow")
+
+    STOP = {"the", "a", "and", "of", "to"}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keeps = []
+        for text in df["text"]:
+            w = text.split(" ")
+            n = len(w)
+            letters = len(text) - (n - 1)
+            cnt = {}
+            for j in range(n - 1):
+                b = w[j] + " " + w[j + 1]
+                cnt[b] = cnt.get(b, 0) + 1
+            dup_mass = sum(c for c in cnt.values() if c >= 2)
+            keep = (30 <= n <= 90
+                    and 10 * letters <= 46 * n
+                    and len(STOP.intersection(w)) >= 2
+                    and 100 * dup_mass <= 8 * max(n - 1, 0))
+            keeps.append(1 if keep else 0)
+        out = pd.DataFrame({
+            "lang": df["lang"],
+            "n_docs": np.ones(len(df), np.int64),
+            "n_keep": np.asarray(keeps, np.int64)})
+        return (out.groupby("lang", sort=False).sum(numeric_only=True)
+                .reset_index())
+
+    return grouped_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["lang"], {"n_docs": ("n_docs", "sum"),
+                   "n_keep": ("n_keep", "sum")}, num_buckets=2)
+
+
+SQL_GATE_PARITY_LANGS = """
+WITH t AS (
+  SELECT lang, string_split(text, ' ') AS w,
+         ROW_NUMBER() OVER () AS rid
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+), base AS (
+  SELECT rid, lang, len(w) AS n,
+         length(array_to_string(w, ' ')) - (len(w) - 1) AS letters,
+         len(list_distinct(list_filter(
+           w, x -> x IN ('the', 'a', 'and', 'of', 'to')))) AS n_stop,
+         w
+  FROM t
+), rep AS (
+  SELECT rid, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_mass,
+         SUM(c) AS total_bg
+  FROM (SELECT rid, w[i] || ' ' || w[i + 1] AS b, COUNT(*) AS c
+        FROM base, unnest(range(1, len(w))) AS u(i)
+        GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n >= 30 AND n <= 90
+                  AND 10 * letters <= 46 * n
+                  AND n_stop >= 2
+                  AND 100 * COALESCE(rep.dup_mass, 0)
+                      <= 8 * COALESCE(rep.total_bg, 0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM base LEFT JOIN rep ON rep.rid = base.rid
+GROUP BY 1
+"""
+
+
+def q_pre_post_types(sf_dir: str):
+    """Interrupted-time-series SUFFICIENT STATS per event type: the
+    observation window splits at its own midpoint day ((min+max)//2,
+    integer floor — both engines derive it from the data, no wall
+    clock), and each phase ships exact n / cent-sum (the pre-vs-post
+    lift estimate is the consumer's division). The min/max scan is a
+    cheap first pass; phase tagging is map-side; one (type×2)-row
+    exchange."""
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "value"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["value"].is_valid(),
+                                   t["event_type"].is_valid())),
+        batch_format="pyarrow").materialize()
+
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["ts"].astype("datetime64[ns]")
+             .to_numpy("datetime64[D]").astype(np.int64))
+        return pd.DataFrame({"lo": [int(d.min())], "hi": [int(d.max())]})
+
+    mm = ev.map_batches(days, batch_format="pandas").to_pandas()
+    mid = (int(mm["lo"].min()) + int(mm["hi"].max())) // 2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["ts"].astype("datetime64[ns]")
+             .to_numpy("datetime64[D]").astype(np.int64))
+        out = pd.DataFrame({
+            "event_type": df["event_type"],
+            "phase": np.where(d <= mid, "pre", "post"),
+            "n": np.ones(len(df), np.int64),
+            "cents": np.floor(
+                df["value"].to_numpy(np.float64) * 100).astype(np.int64)})
+        return (out.groupby(["event_type", "phase"], sort=False)
+                .sum(numeric_only=True).reset_index())
+
+    return grouped_agg(ev.map_batches(partial, batch_format="pandas"),
+                       ["event_type", "phase"],
+                       {"n": ("n", "sum"), "cents": ("cents", "sum")},
+                       num_buckets=2)
+
+
+SQL_PRE_POST_TYPES = """
+WITH d AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), b AS (
+  SELECT (MIN(day_id) + MAX(day_id)) // 2 AS mid FROM d
+)
+SELECT event_type,
+       CASE WHEN day_id <= b.mid THEN 'pre' ELSE 'post' END AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM d, b GROUP BY 1, 2
+"""
+
+
+def q_duplicate_titles_pages(sf_dir: str):
+    """Cross-domain DUPLICATE-TITLE detection — the cheap cousin of
+    content mirror detection a crawler runs first: titles (from the
+    meta JSON) served by ≥ 2 distinct domains, with distinct-url and
+    distinct-domain counts. Map-side (title, url, domain) triples
+    dedup per batch; one title-routed exchange computes global
+    distincts."""
+    import json as _json
+
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    pages = _rd().read_parquet(pages_dir, columns=["url", "meta"],
+                               override_num_blocks=16)
+
+    def triples(df: pd.DataFrame) -> pd.DataFrame:
+        titles, urls, doms = [], [], []
+        for url, meta in zip(df["url"], df["meta"]):
+            if not meta:
+                continue
+            title = _json.loads(meta).get("title")
+            if not title:
+                continue
+            titles.append(title)
+            urls.append(url)
+            doms.append(url.split("//", 1)[1].split("/", 1)[0])
+        return pd.DataFrame({
+            "title": pd.Series(titles, dtype=object),
+            "url": pd.Series(urls, dtype=object),
+            "dom": pd.Series(doms, dtype=object)}).drop_duplicates()
+
+    def per_title(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("title", sort=False).agg(
+            n_urls=("url", "nunique"), n_domains=("dom", "nunique"))
+        g = g[g["n_domains"] >= 2].reset_index()
+        return g.astype({"n_urls": "int64", "n_domains": "int64"})
+
+    out = bucket_exchange(
+        pages.map_batches(triples, batch_format="pandas"),
+        ["title"], per_title, num_buckets=8).to_pandas()
+    if "title" not in out.columns:
+        # provably-empty result (no cross-domain titles at this scale):
+        # a zero-row Dataset loses its columns through to_pandas()
+        out = pd.DataFrame({"title": pd.Series([], dtype=object),
+                            "n_urls": pd.Series([], dtype="int64"),
+                            "n_domains": pd.Series([], dtype="int64")})
+    return out
+
+
+SQL_DUPLICATE_TITLES_PAGES = f"""
+WITH t AS (
+  SELECT DISTINCT json_extract_string(meta, '$.title') AS title, url,
+         split_part(split_part(url, '//', 2), '/', 1) AS dom
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+)
+SELECT title, CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT dom) AS BIGINT) AS n_domains
+FROM t WHERE title IS NOT NULL
+GROUP BY 1 HAVING COUNT(DISTINCT dom) >= 2
+"""
+
+
+def q_session_entry_exit(sf_dir: str):
+    """Session ENTRY→EXIT type matrix: for every session (standard
+    1800 s gap rule over typed events, (ts, event_id) order), the
+    first and last event type, counted per (entry, exit) pair — the
+    landing/abandonment surface funnel analysis starts from. One
+    user-routed exchange; sessions split vectorized in-kernel; only
+    the |types|² partial matrix re-shuffles."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(t["event_type"].is_valid()),
+        batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "entry_type": pd.Series([], dtype=object),
+                "exit_type": pd.Series([], dtype=object),
+                "n_sessions": pd.Series([], dtype="int64")})
+        d = df.sort_values(["user_id", "ts", "event_id"],
+                           kind="mergesort")
+        ts = d["ts"].astype("datetime64[ns]").to_numpy(np.int64)
+        uid = d["user_id"].to_numpy(np.int64)
+        new = np.ones(len(d), bool)
+        if len(d) > 1:
+            new[1:] = (uid[1:] != uid[:-1]) | (
+                ts[1:] - ts[:-1] > SESSION_GAP_S * 1_000_000_000)
+        sid = np.cumsum(new)
+        types = d["event_type"].to_numpy(object)
+        first_idx = np.flatnonzero(new)
+        last_idx = np.concatenate((first_idx[1:] - 1, [len(d) - 1]))
+        out = pd.DataFrame({
+            "entry_type": types[first_idx],
+            "exit_type": types[last_idx],
+            "n_sessions": np.ones(len(first_idx), np.int64)})
+        return (out.groupby(["entry_type", "exit_type"], sort=False)
+                .sum(numeric_only=True).reset_index())
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=16)
+    return grouped_agg(partials, ["entry_type", "exit_type"],
+                       {"n_sessions": ("n_sessions", "sum")},
+                       num_buckets=2)
+
+
+SQL_SESSION_ENTRY_EXIT = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS s
+  FROM flagged
+), ranked AS (
+  SELECT user_id, s, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, s
+                            ORDER BY ts, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY user_id, s
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM numbered
+), sess AS (
+  SELECT user_id, s,
+         MAX(CASE WHEN ra = 1 THEN event_type END) AS entry_type,
+         MAX(CASE WHEN rd = 1 THEN event_type END) AS exit_type
+  FROM ranked GROUP BY 1, 2
+)
+SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM sess GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -20812,6 +21091,10 @@ QUERIES = {
     "max_drawdown_users": q_max_drawdown_users,
     "holt_forecast_types": q_holt_forecast_types,
     "pr_curve_docs": q_pr_curve_docs,
+    "gate_parity_langs": q_gate_parity_langs,
+    "pre_post_types": q_pre_post_types,
+    "duplicate_titles_pages": q_duplicate_titles_pages,
+    "session_entry_exit": q_session_entry_exit,
     "reject_reasons_docs": q_reject_reasons_docs,
     "posting_gap_bits": q_posting_gap_bits,
     "hourweek_heatmap_events": q_hourweek_heatmap_events,
@@ -21253,6 +21536,10 @@ ORACLE_SQL = {
     "max_drawdown_users": SQL_MAX_DRAWDOWN_USERS,
     "holt_forecast_types": SQL_HOLT_FORECAST_TYPES,
     "pr_curve_docs": SQL_PR_CURVE_DOCS,
+    "gate_parity_langs": SQL_GATE_PARITY_LANGS,
+    "pre_post_types": SQL_PRE_POST_TYPES,
+    "duplicate_titles_pages": SQL_DUPLICATE_TITLES_PAGES,
+    "session_entry_exit": SQL_SESSION_ENTRY_EXIT,
     "reject_reasons_docs": SQL_REJECT_REASONS_DOCS,
     "posting_gap_bits": SQL_POSTING_GAP_BITS,
     "hourweek_heatmap_events": SQL_HOURWEEK_HEATMAP_EVENTS,
