@@ -43,7 +43,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "nofollow_share_domains", "reject_reasons_docs",
              "posting_gap_bits", "hourweek_heatmap_events",
              "char_class_langs", "gate_parity_langs", "pre_post_types",
-             "duplicate_titles_pages", "session_entry_exit"]
+             "duplicate_titles_pages", "session_entry_exit",
+             "ams_f2_events", "curriculum_phases_docs",
+             "contrastive_pairs_docs", "fano_daily_types"]
 )
 def test_round5d_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

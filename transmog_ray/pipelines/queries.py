@@ -20713,6 +20713,213 @@ FROM sess GROUP BY 1, 2
 """
 
 
+AMS_SALTS = 8
+
+
+def q_ams_f2_events(sf_dir: str):
+    """AMS second-moment (F2) SKETCH over the per-user event-count
+    distribution, md5-derandomized so the sketch itself is
+    SQL-replayable: for salt s, z_s = Σ_events sign(md5(s|user_id))
+    (each event contributes its user's ±1 once — linearity means NO
+    per-user pre-aggregation is needed), and z_s² estimates Σ_u c_u².
+    The classic one-pass join-size/self-join estimator: map-side ±1
+    partial sums per salt, one 8-row combine."""
+    import hashlib
+
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["user_id"],
+                    num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        uids = df["user_id"].to_numpy(np.int64)
+        uniq, inv = np.unique(uids, return_inverse=True)
+        counts = np.bincount(inv).astype(np.int64)
+        rows = []
+        for s in range(AMS_SALTS):
+            signs = np.array(
+                [1 if int(hashlib.md5(f"{s}|{u}".encode())
+                          .hexdigest()[:8], 16) % 2 == 0 else -1
+                 for u in uniq], np.int64)
+            rows.append((s, int((signs * counts).sum())))
+        return pd.DataFrame(rows, columns=["salt", "z"]).astype("int64")
+
+    sketch = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["salt"], {"z": ("z", "sum")}, num_buckets=2).to_pandas()
+    sketch["z2"] = (sketch["z"] * sketch["z"]).astype("int64")
+    return sketch[["salt", "z", "z2"]]
+
+
+SQL_AMS_F2_EVENTS = f"""
+WITH s AS (
+  SELECT CAST(t.s AS BIGINT) AS salt, user_id
+  FROM events, unnest(range({AMS_SALTS})) t(s)
+), z AS (
+  SELECT salt,
+         SUM(CASE WHEN CAST(CONCAT('0x', substring(
+               md5(salt || '|' || user_id), 1, 8)) AS BIGINT) % 2 = 0
+             THEN 1 ELSE -1 END) AS z
+  FROM s GROUP BY 1
+)
+SELECT salt, CAST(z AS BIGINT) AS z, CAST(z * z AS BIGINT) AS z2
+FROM z
+"""
+
+
+def q_curriculum_phases_docs(sf_dir: str):
+    """Length-CURRICULUM phase assignment: docs split into 4 phases at
+    the EXACT n_chars quartiles (distributed histogram-refinement
+    order statistics, DuckDB quantile_disc ceil(q·n)−1 convention —
+    no global sort), then per-phase doc and char totals — the plan a
+    short-to-long training curriculum consumes. Thresholds broadcast;
+    phase tagging is map-side."""
+    from ..functions.relational import exact_quantiles, grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["n_chars"],
+                      num_blocks=8).materialize()
+    q1, q2, q3 = exact_quantiles(docs, "n_chars", [0.25, 0.5, 0.75])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(np.int64)
+        phase = np.full(len(x), 3, np.int64)
+        phase[x <= q3] = 2
+        phase[x <= q2] = 1
+        phase[x <= q1] = 0
+        out = pd.DataFrame({"phase": phase,
+                            "n_docs": np.ones(len(x), np.int64),
+                            "total_chars": x})
+        return (out.groupby("phase", sort=False).sum(numeric_only=True)
+                .reset_index())
+
+    return grouped_agg(docs.map_batches(tag, batch_format="pandas"),
+                       ["phase"], {"n_docs": ("n_docs", "sum"),
+                                   "total_chars": ("total_chars", "sum")},
+                       num_buckets=2)
+
+
+SQL_CURRICULUM_PHASES_DOCS = """
+WITH q AS (
+  SELECT quantile_disc(n_chars, 0.25) AS q1,
+         quantile_disc(n_chars, 0.5) AS q2,
+         quantile_disc(n_chars, 0.75) AS q3
+  FROM documents
+)
+SELECT CAST(CASE WHEN n_chars <= q.q1 THEN 0
+            WHEN n_chars <= q.q2 THEN 1
+            WHEN n_chars <= q.q3 THEN 2
+            ELSE 3 END AS BIGINT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents, q GROUP BY 1
+"""
+
+
+CONTRASTIVE_CHUNK = 100
+
+
+def q_contrastive_pairs_docs(sf_dir: str):
+    """Self-supervised (anchor, positive) PAIR MINING plan: each doc
+    splits into fixed 100-char chunks and every consecutive chunk pair
+    becomes a contrastive training pair, emitted as exact integer
+    offsets (pair_id, a_start, b_start, b_end) — the mining pass a
+    contrastive text-embedding run executes before batching. Pure
+    positional arithmetic from n_chars (map-only explode, zero
+    shuffle); zipped-unnest oracle."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"],
+                      num_blocks=8)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        n = df["n_chars"].to_numpy(np.int64)
+        n_chunks = -(-n // CONTRASTIVE_CHUNK)
+        n_pairs = np.maximum(n_chunks - 1, 0)
+        rep_ids = np.repeat(ids, n_pairs)
+        rep_n = np.repeat(n, n_pairs)
+        pair = np.concatenate(
+            [np.arange(k, dtype=np.int64) for k in n_pairs]) \
+            if len(n_pairs) else np.array([], np.int64)
+        a_start = pair * CONTRASTIVE_CHUNK
+        b_start = a_start + CONTRASTIVE_CHUNK
+        b_end = np.minimum(b_start + CONTRASTIVE_CHUNK, rep_n)
+        return pd.DataFrame({
+            "doc_id": rep_ids, "pair_id": pair, "a_start": a_start,
+            "b_start": b_start, "b_end": b_end}).astype("int64")
+
+    return docs.map_batches(explode, batch_format="pandas")
+
+
+SQL_CONTRASTIVE_PAIRS_DOCS = f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST((n_chars + {CONTRASTIVE_CHUNK} - 1)
+              // {CONTRASTIVE_CHUNK} AS BIGINT) AS n_chunks
+  FROM documents
+)
+SELECT doc_id, CAST(u.p AS BIGINT) AS pair_id,
+       CAST(u.p * {CONTRASTIVE_CHUNK} AS BIGINT) AS a_start,
+       CAST((u.p + 1) * {CONTRASTIVE_CHUNK} AS BIGINT) AS b_start,
+       CAST(LEAST((u.p + 2) * {CONTRASTIVE_CHUNK}, n_chars) AS BIGINT)
+         AS b_end
+FROM d, unnest(range(GREATEST(n_chunks - 1, 0))) AS u(p)
+"""
+
+
+def q_fano_daily_types(sf_dir: str):
+    """Burstiness SUFFICIENT STATS per event type over its daily
+    counts, zero-filled across the type's own [first, last] active-day
+    span: n_days, Σc and Σc² as exact BIGINTs — the Fano factor
+    (variance/mean, the burstiness index) is the consumer's division
+    via (n·Σc² − (Σc)²)/(n·Σc). Daily partial counts combine
+    distributed; the span fill runs on the tiny type×day frame."""
+    from ..functions.relational import grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(t["event_type"].is_valid()),
+        batch_format="pyarrow")
+
+    def daily(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("datetime64[ns]")
+               .to_numpy("datetime64[D]").astype(np.int64))
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "day_id": day,
+                            "c": np.ones(len(df), np.int64)})
+        return (out.groupby(["event_type", "day_id"], sort=False)
+                .sum(numeric_only=True).reset_index())
+
+    tot = grouped_agg(
+        ev.map_batches(daily, batch_format="pandas"),
+        ["event_type", "day_id"], {"c": ("c", "sum")},
+        num_buckets=4).to_pandas()
+
+    rows = []
+    for etype, g in tot.groupby("event_type", sort=False):
+        span = int(g["day_id"].max() - g["day_id"].min()) + 1
+        c = g["c"].to_numpy(np.int64)
+        rows.append((etype, span, int(c.sum()), int((c * c).sum())))
+    out = pd.DataFrame(rows, columns=["event_type", "n_days", "sum_c",
+                                      "sum_c2"])
+    return out.astype({"n_days": "int64", "sum_c": "int64",
+                       "sum_c2": "int64"})
+
+
+SQL_FANO_DAILY_TYPES = """
+WITH d AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_id,
+         COUNT(*) AS c
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(MAX(day_id) - MIN(day_id) + 1 AS BIGINT) AS n_days,
+       CAST(SUM(c) AS BIGINT) AS sum_c,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2
+FROM d GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -21091,6 +21298,10 @@ QUERIES = {
     "max_drawdown_users": q_max_drawdown_users,
     "holt_forecast_types": q_holt_forecast_types,
     "pr_curve_docs": q_pr_curve_docs,
+    "ams_f2_events": q_ams_f2_events,
+    "curriculum_phases_docs": q_curriculum_phases_docs,
+    "contrastive_pairs_docs": q_contrastive_pairs_docs,
+    "fano_daily_types": q_fano_daily_types,
     "gate_parity_langs": q_gate_parity_langs,
     "pre_post_types": q_pre_post_types,
     "duplicate_titles_pages": q_duplicate_titles_pages,
@@ -21536,6 +21747,10 @@ ORACLE_SQL = {
     "max_drawdown_users": SQL_MAX_DRAWDOWN_USERS,
     "holt_forecast_types": SQL_HOLT_FORECAST_TYPES,
     "pr_curve_docs": SQL_PR_CURVE_DOCS,
+    "ams_f2_events": SQL_AMS_F2_EVENTS,
+    "curriculum_phases_docs": SQL_CURRICULUM_PHASES_DOCS,
+    "contrastive_pairs_docs": SQL_CONTRASTIVE_PAIRS_DOCS,
+    "fano_daily_types": SQL_FANO_DAILY_TYPES,
     "gate_parity_langs": SQL_GATE_PARITY_LANGS,
     "pre_post_types": SQL_PRE_POST_TYPES,
     "duplicate_titles_pages": SQL_DUPLICATE_TITLES_PAGES,
