@@ -20920,6 +20920,224 @@ FROM d GROUP BY 1
 """
 
 
+def q_rolling_median_events(sf_dir: str):
+    """Per-user ROLLING MEDIAN of event value (ROWS 6 PRECEDING, order
+    (ts, event_id)) — the robust-baseline smoother outlier detectors
+    subtract before thresholding. Exactness: values are integer cents,
+    so every window median is either an integer or sits exactly on the
+    .5 grid (even window = mean of two ints) — np.median and DuckDB's
+    interpolating median agree bit-for-bit. One exchange co-locates each
+    user's history; full windows are vectorized via sliding_window_view
+    and only the ≤6 expanding head rows per user run scalar."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(t["value"].is_valid()),
+        batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        ids = df["event_id"].to_numpy(np.int64)
+        cents = np.floor(
+            df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        med = np.empty(len(df), dtype=np.float64)
+        start = 0
+        uid = df["user_id"].to_numpy(np.int64)
+        bounds = np.flatnonzero(np.diff(uid)) + 1
+        for end in list(bounds) + [len(df)]:
+            v = cents[start:end]
+            head = min(6, len(v))
+            for i in range(head):
+                med[start + i] = np.median(v[: i + 1])
+            if len(v) >= 7:
+                w = sliding_window_view(v, 7)
+                med[start + 6:end] = np.median(w, axis=1)
+            start = end
+        return pd.DataFrame({"event_id": ids, "med": med})
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_ROLLING_MEDIAN_EVENTS = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id,
+       median(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
+FROM e
+"""
+
+
+def q_zero_crossings_audio(sf_dir: str):
+    """Zero-crossing-rate front-end over decoded WAV audio — the classic
+    cheap voiced/unvoiced discriminator: per clip, count sign changes
+    between consecutive PCM samples (sign = v < 0, so a 0 sample counts
+    as non-negative; integer-exact on both engines). Decode runs in the
+    actor-pool codec stage, counting is a vectorized boolean diff, zero
+    shuffle. Oracle regenerates the fixture's closed-form waveform and
+    replays the comparison with LAG."""
+    media_dir = _wav_fixture(sf_dir)
+    ds = _rd().read_parquet(f"{media_dir}/wavs.parquet")
+
+    class ZcrStage:
+        def __init__(self):
+            from ..stages.multimodal import parse_wav, sniff_wav
+
+            self._parse = parse_wav
+            self._sniff = sniff_wav
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for i, payload in zip(df["id"].to_numpy(np.int64),
+                                  df["payload"]):
+                raw = bytes(payload)
+                if not self._sniff(raw):
+                    continue
+                s = self._parse(raw)[0] < 0
+                rows.append((i, len(s), int((s[1:] != s[:-1]).sum())))
+            return pd.DataFrame(
+                rows, columns=["id", "n_samples", "n_cross"]).astype(
+                "int64")
+
+    return ds.map_batches(ZcrStage, concurrency=2, batch_size=32,
+                          batch_format="pandas")
+
+
+SQL_ZERO_CROSSINGS_AUDIO = f"""
+WITH s AS (
+  SELECT id, CAST(t.i AS BIGINT) AS i,
+         (13 * id + 5 * t.i) % 4001 - 2000 AS v
+  FROM read_parquet('{WAV_CURRENT}/wavs.parquet'),
+       unnest(range({WAV_N_SAMPLES})) t(i)
+), lagged AS (
+  SELECT id, v,
+         LAG(v) OVER (PARTITION BY id ORDER BY i) AS pv
+  FROM s
+)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(COUNT(*) FILTER (pv IS NOT NULL
+                             AND (pv < 0) <> (v < 0)) AS BIGINT)
+         AS n_cross
+FROM lagged GROUP BY id
+"""
+
+
+def q_dup_weight_docs(sf_dir: str):
+    """Soft-dedup TRAINING WEIGHTS: each doc gets weight 1/n where n is
+    the size of its exact-content duplicate cluster (keyed by a 60-bit
+    md5 prefix of the text — the collision-free-at-corpus-scale key
+    both engines compute identically). The down-weighting alternative
+    to dropping duplicates outright, per the data-mixture literature.
+    Only (doc_id, h) pairs shuffle — never the text; one exchange,
+    cluster sizes assigned in-bucket. 1.0/n is a single IEEE division,
+    bit-identical cross-engine."""
+    import hashlib
+
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(t["text"].is_valid()),
+        batch_format="pyarrow")
+
+    def hash_text(df: pd.DataFrame) -> pd.DataFrame:
+        h = [int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+             for x in df["text"]]
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "h": np.asarray(h, dtype=np.int64)})
+
+    pairs = docs.map_batches(hash_text, batch_format="pandas")
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.groupby("h", sort=False)["doc_id"].transform("size")
+        n = n.to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "n_dup": n, "weight": 1.0 / n})
+
+    return bucket_exchange(pairs, ["h"], per_cluster, num_buckets=8)
+
+
+SQL_DUP_WEIGHT_DOCS = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substring(md5(text), 1, 15)) AS BIGINT) AS hk
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(COUNT(*) OVER (PARTITION BY hk) AS BIGINT) AS n_dup,
+       1.0 / COUNT(*) OVER (PARTITION BY hk) AS weight
+FROM h
+"""
+
+
+def q_orphan_keys_audit(sf_dir: str):
+    """Referential-integrity AUDIT: per foreign-key relation, total
+    child rows and orphan rows (child key with no parent). Distributed
+    as one co-bucketed exchange per relation over tagged (key, side)
+    rows — parent keys and child keys of the same value land in the
+    same bucket, so orphan-ness is decided locally and only
+    per-relation partial counts (≤ buckets rows) return to the driver.
+    No broadcast of the parent key set (it is NOT small at scale)."""
+    from ..stages.partition import bucket_exchange
+
+    def audit(child, ckey: str, parent, pkey: str):
+        c = child.map_batches(
+            lambda t: pa.table({
+                "k": pc.cast(t[ckey], pa.int64()),
+                "is_parent": pa.array([0] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+        p = parent.map_batches(
+            lambda t: pa.table({
+                "k": pc.cast(t[pkey], pa.int64()),
+                "is_parent": pa.array([1] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            parents = set(df.loc[df["is_parent"] == 1, "k"])
+            ch = df[df["is_parent"] == 0]
+            orphan = int((~ch["k"].isin(parents)).sum())
+            return pd.DataFrame({"n_child": [len(ch)],
+                                 "n_orphan": [orphan]})
+
+        parts = bucket_exchange(c.union(p), ["k"], per_bucket,
+                                num_buckets=8).to_pandas()
+        return int(parts["n_child"].sum()), int(parts["n_orphan"].sum())
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"],
+                    num_blocks=8)
+    od = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey"], num_blocks=8)
+    cu = read_table(sf_dir, "customer", columns=["c_custkey"],
+                    num_blocks=4)
+    rows = [("lineitem.l_orderkey",) + audit(li, "l_orderkey",
+                                             od, "o_orderkey"),
+            ("orders.o_custkey",) + audit(od, "o_custkey",
+                                          cu, "c_custkey")]
+    return pd.DataFrame(rows, columns=["relation", "n_child",
+                                       "n_orphan"]).astype(
+        {"n_child": "int64", "n_orphan": "int64"})
+
+
+SQL_ORPHAN_KEYS_AUDIT = """
+SELECT 'lineitem.l_orderkey' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(COUNT(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS n_orphan
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders.o_custkey',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (c.c_custkey IS NULL) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -21321,6 +21539,10 @@ QUERIES = {
     "meta_key_census_pages": q_meta_key_census_pages,
     "silence_runs_audio": q_silence_runs_audio,
     "ahash_groups_images": q_ahash_groups_images,
+    "rolling_median_events": q_rolling_median_events,
+    "zero_crossings_audio": q_zero_crossings_audio,
+    "dup_weight_docs": q_dup_weight_docs,
+    "orphan_keys_audit": q_orphan_keys_audit,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -21770,6 +21992,10 @@ ORACLE_SQL = {
     "meta_key_census_pages": SQL_META_KEY_CENSUS_PAGES,
     "silence_runs_audio": SQL_SILENCE_RUNS_AUDIO,
     "ahash_groups_images": SQL_AHASH_GROUPS_IMAGES,
+    "rolling_median_events": SQL_ROLLING_MEDIAN_EVENTS,
+    "zero_crossings_audio": SQL_ZERO_CROSSINGS_AUDIO,
+    "dup_weight_docs": SQL_DUP_WEIGHT_DOCS,
+    "orphan_keys_audit": SQL_ORPHAN_KEYS_AUDIT,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
