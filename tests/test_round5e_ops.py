@@ -37,7 +37,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name", ["rolling_median_events", "zero_crossings_audio",
-             "dup_weight_docs", "orphan_keys_audit"]
+             "dup_weight_docs", "orphan_keys_audit",
+             "timed_funnel_events", "bollinger_breakouts",
+             "sortedness_audit"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -21137,6 +21137,230 @@ SELECT 'orders.o_custkey',
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
+FUNNEL_STEP_US = 3_600_000_000  # each funnel step must land within 1h
+
+
+def q_timed_funnel_events(sf_dir: str):
+    """STRICT TIMED FUNNEL — the conversion metric product analytics
+    runs: per user, stage reached along first-view → first qualifying
+    click (strictly after the view, within 1h) → first qualifying
+    purchase (strictly after that click, within 1h). Earliest-event
+    anchoring makes the funnel deterministic (MIN is order-free). One
+    exchange co-locates each user's history; the three stage minima are
+    vectorized groupby-mins over the bucket frame. Timestamps compare
+    as integer µs — exact on both engines."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(t["user_id"].is_valid()),
+        batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+        f = pd.DataFrame({"uid": df["user_id"].to_numpy(np.int64),
+                          "t": t, "typ": df["event_type"]})
+        a = f[f["typ"] == "view"].groupby("uid")["t"].min()
+        fb = f[f["typ"] == "click"].copy()
+        fb["a"] = fb["uid"].map(a)
+        fb = fb[(fb["t"] > fb["a"])
+                & (fb["t"] <= fb["a"] + FUNNEL_STEP_US)]
+        b = fb.groupby("uid")["t"].min()
+        fc = f[f["typ"] == "purchase"].copy()
+        fc["b"] = fc["uid"].map(b)
+        fc = fc[(fc["t"] > fc["b"])
+                & (fc["t"] <= fc["b"] + FUNNEL_STEP_US)]
+        c = fc.groupby("uid")["t"].min()
+        users = f["uid"].drop_duplicates()
+        stage = (users.isin(a.index).astype(np.int64)
+                 + users.isin(b.index).astype(np.int64)
+                 + users.isin(c.index).astype(np.int64))
+        return pd.DataFrame({"user_id": users.to_numpy(np.int64),
+                             "stage": stage.to_numpy(np.int64)})
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_TIMED_FUNNEL_EVENTS = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+), a AS (
+  SELECT user_id, MIN(ts) AS ts FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1
+), b AS (
+  SELECT e.user_id, MIN(e.ts) AS ts
+  FROM events e JOIN a ON e.user_id = a.user_id
+  WHERE e.event_type = 'click' AND e.ts > a.ts
+    AND e.ts <= a.ts + INTERVAL 1 HOUR GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS ts
+  FROM events e JOIN b ON e.user_id = b.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > b.ts
+    AND e.ts <= b.ts + INTERVAL 1 HOUR GROUP BY 1
+)
+SELECT u.user_id,
+       CAST(CASE WHEN c.user_id IS NOT NULL THEN 3
+                 WHEN b.user_id IS NOT NULL THEN 2
+                 WHEN a.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage
+FROM u LEFT JOIN a ON u.user_id = a.user_id
+       LEFT JOIN b ON u.user_id = b.user_id
+       LEFT JOIN c ON u.user_id = c.user_id
+"""
+
+BOLLINGER_W = 20
+
+
+def q_bollinger_breakouts(sf_dir: str):
+    """Bollinger-band BREAKOUT counts per event type: over the
+    (ts, event_id)-ordered value stream, a full 20-row trailing window
+    defines mean ± 2σ; count points breaking above/below. σ comes from
+    integer window sums (n·Σx²−(Σx)², exact in int64), so the float
+    band is the SAME short op sequence on both engines: int→double
+    casts are exact, sqrt/÷/× are correctly rounded IEEE — the
+    comparison is deterministic cross-engine. One exchange per type
+    (small-domain key: types sharing a bucket are re-grouped inside
+    the kernel); prefix sums make the window O(n)."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "event_id", "value"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["value"].is_valid(),
+                                   t["event_type"].is_valid())),
+        batch_format="pyarrow")
+
+    W = BOLLINGER_W
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.groupby("event_type", sort=False):
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            c = np.floor(
+                g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+            if len(c) < W:
+                rows.append((etype, 0, 0, 0))
+                continue
+            s1 = np.concatenate(([0], np.cumsum(c)))
+            s2 = np.concatenate(([0], np.cumsum(c * c)))
+            S1 = s1[W:] - s1[:-W]
+            S2 = s2[W:] - s2[:-W]
+            num = (W * S2 - S1 * S1).astype(np.float64)
+            mean = S1 / float(W)
+            band = (2.0 * np.sqrt(num)) / float(W)
+            cur = c[W - 1:].astype(np.float64)
+            rows.append((etype, len(cur),
+                         int((cur > mean + band).sum()),
+                         int((cur < mean - band).sum())))
+        return pd.DataFrame(rows, columns=["event_type", "n_full",
+                                           "n_above", "n_below"]).astype(
+            {"n_full": "int64", "n_above": "int64", "n_below": "int64"})
+
+    return bucket_exchange(ev, ["event_type"], per_type, num_buckets=4)
+
+
+SQL_BOLLINGER_BREAKOUTS = f"""
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), w AS (
+  SELECT event_type, c,
+         CAST(SUM(c) OVER win AS BIGINT) AS s1,
+         CAST(SUM(c * c) OVER win AS BIGINT) AS s2,
+         COUNT(*) OVER win AS n
+  FROM e WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN {BOLLINGER_W - 1} PRECEDING
+                        AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(COUNT(*) FILTER (n = {BOLLINGER_W}) AS BIGINT) AS n_full,
+       CAST(COUNT(*) FILTER (n = {BOLLINGER_W} AND CAST(c AS DOUBLE) >
+         CAST(s1 AS DOUBLE) / {BOLLINGER_W}
+           + 2 * sqrt(CAST({BOLLINGER_W} * s2 - s1 * s1 AS DOUBLE))
+             / {BOLLINGER_W}) AS BIGINT) AS n_above,
+       CAST(COUNT(*) FILTER (n = {BOLLINGER_W} AND CAST(c AS DOUBLE) <
+         CAST(s1 AS DOUBLE) / {BOLLINGER_W}
+           - 2 * sqrt(CAST({BOLLINGER_W} * s2 - s1 * s1 AS DOUBLE))
+             / {BOLLINGER_W}) AS BIGINT) AS n_below
+FROM w GROUP BY 1
+"""
+
+
+def q_sortedness_audit(sf_dir: str):
+    """Physical-layout SORTEDNESS audit: per layout of the row-group
+    fixture, how many adjacent row pairs (in FILE order) are
+    non-descending on l_quantity — the statistic a layout advisor reads
+    before recommending a sort key (clustered ≈ all pairs, unsorted ≈
+    half). Distributed one task per ROW GROUP: each task scans only its
+    group's pairs and reports boundary (first, last) values; cross-group
+    boundary pairs stitch in the per-layout combine from
+    group-cardinality rows — the RLE boundary-stitch pattern, so no
+    task ever needs its neighbor's pages."""
+    from ..functions.relational import grouped_agg
+
+    fix_dir = _rowgroup_fixture(sf_dir)
+    import pyarrow.parquet as pq
+
+    items = []
+    for layout in ("clustered", "unsorted"):
+        path = f"{fix_dir}/{layout}.parquet"
+        for g in range(pq.ParquetFile(path).metadata.num_row_groups):
+            items.append({"path": path, "layout": layout, "rg": g})
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for path, layout, g in zip(df["path"], df["layout"], df["rg"]):
+            v = (pq.ParquetFile(path)
+                 .read_row_group(int(g), columns=["l_quantity"])
+                 ["l_quantity"].to_numpy())
+            rows.append((layout, int(g), len(v) - 1,
+                         int((v[1:] >= v[:-1]).sum()),
+                         float(v[0]), float(v[-1])))
+        return pd.DataFrame(rows, columns=["layout", "rg", "n_in",
+                                           "n_sorted_in", "first",
+                                           "last"])
+
+    parts = _rd().from_items(items).map_batches(
+        scan, batch_format="pandas").to_pandas()
+
+    out = []
+    for layout, g in parts.groupby("layout", sort=False):
+        g = g.sort_values("rg", kind="mergesort")
+        boundary_ok = int((g["first"].to_numpy()[1:]
+                           >= g["last"].to_numpy()[:-1]).sum())
+        out.append((layout,
+                    int(g["n_in"].sum()) + (len(g) - 1),
+                    int(g["n_sorted_in"].sum()) + boundary_ok))
+    return pd.DataFrame(out, columns=["layout", "n_pairs",
+                                      "n_sorted"]).astype(
+        {"n_pairs": "int64", "n_sorted": "int64"})
+
+
+SQL_SORTEDNESS_AUDIT = f"""
+WITH q AS (
+  SELECT 'clustered' AS layout, file_row_number AS i, l_quantity
+  FROM read_parquet('{ROWGROUP_CURRENT}/clustered.parquet',
+                    file_row_number=true)
+  UNION ALL
+  SELECT 'unsorted', file_row_number, l_quantity
+  FROM read_parquet('{ROWGROUP_CURRENT}/unsorted.parquet',
+                    file_row_number=true)
+), lagged AS (
+  SELECT layout, l_quantity,
+         LAG(l_quantity) OVER (PARTITION BY layout ORDER BY i) AS prev
+  FROM q
+)
+SELECT layout,
+       CAST(COUNT(prev) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) FILTER (prev IS NOT NULL
+                             AND l_quantity >= prev) AS BIGINT)
+         AS n_sorted
+FROM lagged GROUP BY 1
+"""
+
 
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
@@ -21543,6 +21767,9 @@ QUERIES = {
     "zero_crossings_audio": q_zero_crossings_audio,
     "dup_weight_docs": q_dup_weight_docs,
     "orphan_keys_audit": q_orphan_keys_audit,
+    "timed_funnel_events": q_timed_funnel_events,
+    "bollinger_breakouts": q_bollinger_breakouts,
+    "sortedness_audit": q_sortedness_audit,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -21996,6 +22223,9 @@ ORACLE_SQL = {
     "zero_crossings_audio": SQL_ZERO_CROSSINGS_AUDIO,
     "dup_weight_docs": SQL_DUP_WEIGHT_DOCS,
     "orphan_keys_audit": SQL_ORPHAN_KEYS_AUDIT,
+    "timed_funnel_events": SQL_TIMED_FUNNEL_EVENTS,
+    "bollinger_breakouts": SQL_BOLLINGER_BREAKOUTS,
+    "sortedness_audit": SQL_SORTEDNESS_AUDIT,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
