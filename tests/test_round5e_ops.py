@@ -39,7 +39,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     "name", ["rolling_median_events", "zero_crossings_audio",
              "dup_weight_docs", "orphan_keys_audit",
              "timed_funnel_events", "bollinger_breakouts",
-             "sortedness_audit"]
+             "sortedness_audit", "jsonl_gz_events", "debounced_events",
+             "negative_edges_pages"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -66,3 +67,50 @@ def test_dup_weight_inverse_of_cluster_size(ray_session):
     df = QUERIES["dup_weight_docs"](SF).to_pandas()
     assert (df["weight"] == 1.0 / df["n_dup"]).all()
     assert df["doc_id"].is_unique
+
+
+def test_jsonl_gz_source_error_contract(ray_session, tmp_path):
+    """Malformed lines raise with file:line under on_error='raise' and
+    are dropped under 'skip'; non-object rows are rejected too."""
+    import gzip
+
+    from transmog_ray.api import ValidationError
+    from transmog_ray.sources.jsonl_gz import read_jsonl_gz
+
+    p = tmp_path / "bad.jsonl.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write('{"a": 1}\n')
+        f.write("not json\n")
+        f.write('{"a": 2, "b": "x"}\n')
+        f.write("[1, 2]\n")
+
+    with pytest.raises(Exception) as exc:
+        read_jsonl_gz([str(p)]).materialize()
+    assert "bad.jsonl.gz:2" in str(exc.value)
+
+    got = read_jsonl_gz([str(p)], on_error="skip").to_pandas()
+    assert sorted(got["a"].tolist()) == [1, 2]
+    assert set(got.columns) == {"a", "b"}
+
+    with pytest.raises(ValueError):
+        read_jsonl_gz([str(p)], on_error="nope")
+    with pytest.raises(ValueError):
+        read_jsonl_gz([])
+
+
+def test_negative_edges_are_not_edges(ray_session):
+    """No sampled negative may be a real link or a self-loop, and every
+    source url contributes at most NEG_EDGES_PER_SRC rows."""
+    import ray.data as rd
+
+    from transmog_ray.pipelines import queries as q
+
+    neg = q.QUERIES["negative_edges_pages"](SF).to_pandas()
+    pages_dir = q._pages_fixture(SF)
+    pages = rd.read_parquet(pages_dir, columns=["url", "meta"]).to_pandas()
+    edges = set(map(tuple, q._explode_hrefs(pages)[["url", "href"]]
+                    .drop_duplicates().to_numpy()))
+    assert not any((s, d) in edges for s, d in
+                   zip(neg["src"], neg["dst"]))
+    assert (neg["src"] != neg["dst"]).all()
+    assert neg.groupby("src").size().max() <= q.NEG_EDGES_PER_SRC

@@ -21361,6 +21361,269 @@ SELECT layout,
 FROM lagged GROUP BY 1
 """
 
+GZJSONL_ROOT = "/tmp/transmog_ray_gzjsonl"
+GZJSONL_CURRENT = f"{GZJSONL_ROOT}/current"
+GZJSONL_SHARDS = 4
+
+
+def _gzjsonl_fixture(sf_dir: str) -> str:
+    """Events re-materialized as gzip JSONL shards (the lake-ingest
+    wire format), scale-keyed + atomically symlinked so the static
+    oracle SQL reads whatever scale ran last."""
+    import gzip
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"{GZJSONL_ROOT}/{scale}"
+    os.makedirs(out_dir, exist_ok=True)
+    done = [f"{out_dir}/events-{i}.jsonl.gz" for i in range(GZJSONL_SHARDS)]
+    if not all(os.path.exists(p) for p in done):
+        t = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "user_id", "event_type",
+                                   "props"])
+        df = t.to_pandas()
+        ks = []
+        for p in df["props"]:
+            if p is None:
+                ks.append(None)
+            else:
+                ks.append(json.loads(p).get("k"))
+        df = df.drop(columns=["props"]).assign(k=ks)
+        shards = np.array_split(df, GZJSONL_SHARDS)
+        for i, shard in enumerate(shards):
+            tmp = done[i] + ".tmp"
+            with gzip.open(tmp, "wt", encoding="utf-8") as f:
+                for row in shard.itertuples(index=False):
+                    f.write(json.dumps({
+                        "event_id": int(row.event_id),
+                        "user_id": (None if pd.isna(row.user_id)
+                                    else int(row.user_id)),
+                        "event_type": (None if row.event_type is None
+                                       else str(row.event_type)),
+                        "k": (None if row.k is None or pd.isna(row.k)
+                              else int(row.k))}) + "\n")
+            os.replace(tmp, done[i])
+    _repoint_current(out_dir, GZJSONL_CURRENT)
+    return out_dir
+
+
+def q_jsonl_gz_events(sf_dir: str):
+    """End-to-end exercise of the DISTRIBUTED gzip-JSONL source
+    (sources/jsonl_gz.py): decode one shard per task (gzip is not
+    splittable — the file is the shard), parse to the union-of-keys
+    Arrow schema, then aggregate per event type. The shape every
+    lake-ingest job has: wire-format shards → columnar → rollup.
+    Oracle reads the SAME .jsonl.gz files via DuckDB read_json."""
+    from ..functions.relational import grouped_agg
+    from ..sources.jsonl_gz import read_jsonl_gz
+
+    fix_dir = _gzjsonl_fixture(sf_dir)
+    paths = [f"{fix_dir}/events-{i}.jsonl.gz"
+             for i in range(GZJSONL_SHARDS)]
+    ds = read_jsonl_gz(paths)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].notna()]
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "one": np.ones(len(df), np.int64),
+            "k": df["k"].to_numpy(np.float64)})
+
+    agg = grouped_agg(ds.map_batches(project, batch_format="pandas"),
+                      ["event_type"],
+                      {"n": ("one", "sum"), "sum_k": ("k", "sum")},
+                      num_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # all-null k groups: pandas sum() yields 0, mirror COALESCE(.,0)
+        df["n"] = df["n"].astype("int64")
+        df["sum_k"] = df["sum_k"].fillna(0).astype("int64")
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_JSONL_GZ_EVENTS = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k
+FROM read_json_auto('{GZJSONL_CURRENT}/events-*.jsonl.gz')
+WHERE event_type IS NOT NULL
+GROUP BY 1
+"""
+
+DEBOUNCE_US = 60_000_000  # 60s tumbling debounce window
+
+
+def q_debounced_events(sf_dir: str):
+    """Tumbling-window DEBOUNCE — the telemetry dedup that keeps the
+    FIRST event per (user, type, 60s window) and drops rapid repeats:
+    the kept-event set every at-least-once ingest pipeline computes.
+    Deterministic winner via (ts, event_id) order. One exchange routes
+    by user; window membership is integer µs division, exact on both
+    engines."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["user_id"].is_valid(),
+                                   t["event_type"].is_valid())),
+        batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+        f = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "event_type": df["event_type"],
+                          "win": t // DEBOUNCE_US,
+                          "ts_us": t,
+                          "event_id": df["event_id"].to_numpy(np.int64)})
+        f = f.sort_values(["ts_us", "event_id"], kind="mergesort")
+        kept = f.drop_duplicates(["user_id", "event_type", "win"],
+                                 keep="first")
+        return kept[["user_id", "event_type", "win", "event_id"]]
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_DEBOUNCED_EVENTS = f"""
+WITH w AS (
+  SELECT user_id, event_type, epoch_us(ts) // {DEBOUNCE_US} AS win,
+         event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type,
+                        epoch_us(ts) // {DEBOUNCE_US}
+           ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT user_id, event_type, CAST(win AS BIGINT) AS win, event_id
+FROM w WHERE rn = 1
+"""
+
+NEG_EDGES_PER_SRC = 2
+
+
+def q_negative_edges_pages(sf_dir: str):
+    """Deterministic NEGATIVE SAMPLING for link prediction — the
+    contrastive counterpart every graph-embedding trainer needs: for
+    each crawled url, propose 2 md5-derived candidate targets from the
+    global url universe and REJECT true edges and self-loops. No
+    driver-held url array: urls get a dense rank via the distributed
+    ordered scan (rank = position in md5-of-url order — unique because
+    md5 hex is), candidates join to their target url by rank in one
+    co-bucketed exchange, and the true-edge rejection is a second
+    co-bucketed anti-join. Everything that shuffles is (string, int)
+    pairs."""
+    import hashlib
+
+    from ..functions.relational import hash_join, ordered_scan
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    pages = _rd().read_parquet(pages_dir, columns=["url", "meta"],
+                               override_num_blocks=16)
+
+    def url_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["url"]].drop_duplicates()
+
+    urls = bucket_exchange(
+        pages.map_batches(url_only, batch_format="pandas"), ["url"],
+        lambda df: df.drop_duplicates(["url"]), num_buckets=8)
+
+    def with_md5(df: pd.DataFrame) -> pd.DataFrame:
+        hh = [hashlib.md5(u.encode()).hexdigest() for u in df["url"]]
+        return pd.DataFrame({"url": df["url"], "hh": hh,
+                             "one": np.ones(len(df), np.int64)})
+
+    ranked = ordered_scan(
+        urls.map_batches(with_md5, batch_format="pandas"),
+        "hh", "one", out_col="pos", num_buckets=8).materialize()
+    n = ranked.count()
+
+    def cands(df: pd.DataFrame) -> pd.DataFrame:
+        src = np.repeat(df["url"].to_numpy(object), NEG_EDGES_PER_SRC)
+        j = np.tile(np.arange(NEG_EDGES_PER_SRC, dtype=np.int64),
+                    len(df))
+        rnk = np.asarray(
+            [int(hashlib.md5(f"{s}|{jj}".encode()).hexdigest()[:8], 16)
+             % n for s, jj in zip(src, j)], dtype=np.int64)
+        return pd.DataFrame({"src": src, "j": j, "rnk": rnk})
+
+    cand = ranked.map_batches(
+        lambda df: cands(df[["url"]]), batch_format="pandas")
+    rank_tbl = ranked.map_batches(
+        lambda df: pd.DataFrame({"rnk": df["pos"].to_numpy(np.int64) - 1,
+                                 "dst": df["url"]}),
+        batch_format="pandas")
+    joined = hash_join(cand, rank_tbl, on=["rnk"], num_buckets=8)
+
+    edges = pages.map_batches(
+        lambda df: _explode_hrefs(df)
+        .rename(columns={"url": "src", "href": "dst"})[["src", "dst"]]
+        .drop_duplicates(),
+        batch_format="pandas")
+
+    def keep_non_self(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.loc[df["src"] != df["dst"],
+                     ["src", "j", "dst"]].copy()
+        out["is_edge"] = np.zeros(len(out), np.int64)
+        return out
+
+    neg = joined.map_batches(keep_non_self, batch_format="pandas")
+    tagged_edges = edges.map_batches(
+        lambda df: pd.DataFrame({"src": df["src"],
+                                 "j": np.full(len(df), -1, np.int64),
+                                 "dst": df["dst"],
+                                 "is_edge": np.ones(len(df), np.int64)}),
+        batch_format="pandas")
+
+    def reject(df: pd.DataFrame) -> pd.DataFrame:
+        true_pairs = df[df["is_edge"] == 1]
+        key = pd.MultiIndex.from_frame(true_pairs[["src", "dst"]])
+        cand_rows = df[df["is_edge"] == 0]
+        mask = ~pd.MultiIndex.from_frame(
+            cand_rows[["src", "dst"]]).isin(key)
+        out = cand_rows.loc[mask, ["src", "j", "dst"]].copy()
+        out["j"] = out["j"].astype("int64")
+        return out
+
+    return bucket_exchange(neg.union(tagged_edges), ["src", "dst"],
+                           reject, num_buckets=8)
+
+
+SQL_NEGATIVE_EDGES_PAGES = f"""
+WITH urls AS (
+  SELECT DISTINCT url FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), r AS (
+  SELECT url, ROW_NUMBER() OVER (ORDER BY md5(url)) - 1 AS rnk FROM urls
+), n AS (SELECT COUNT(*) AS c FROM urls),
+cand AS (
+  SELECT u.url AS src, j.j,
+         CAST(CONCAT('0x', substring(
+           md5(u.url || '|' || CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT c FROM n) AS rnk
+  FROM urls u, (SELECT unnest(range({NEG_EDGES_PER_SRC})) AS j) j
+), l AS (
+  SELECT url, unnest(CAST(json_extract(meta, '$.links') AS JSON[]))
+           AS link
+  FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+  WHERE meta IS NOT NULL
+), e AS (
+  SELECT DISTINCT url AS src, json_extract_string(link, '$.href') AS dst
+  FROM l WHERE json_extract_string(link, '$.href') IS NOT NULL
+), neg AS (
+  SELECT c.src, CAST(c.j AS BIGINT) AS j, r.url AS dst
+  FROM cand c JOIN r ON c.rnk = r.rnk
+)
+SELECT src, j, dst FROM neg
+WHERE src <> dst
+  AND NOT EXISTS (SELECT 1 FROM e
+                  WHERE e.src = neg.src AND e.dst = neg.dst)
+"""
+
 
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
@@ -21770,6 +22033,9 @@ QUERIES = {
     "timed_funnel_events": q_timed_funnel_events,
     "bollinger_breakouts": q_bollinger_breakouts,
     "sortedness_audit": q_sortedness_audit,
+    "jsonl_gz_events": q_jsonl_gz_events,
+    "debounced_events": q_debounced_events,
+    "negative_edges_pages": q_negative_edges_pages,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -22226,6 +22492,9 @@ ORACLE_SQL = {
     "timed_funnel_events": SQL_TIMED_FUNNEL_EVENTS,
     "bollinger_breakouts": SQL_BOLLINGER_BREAKOUTS,
     "sortedness_audit": SQL_SORTEDNESS_AUDIT,
+    "jsonl_gz_events": SQL_JSONL_GZ_EVENTS,
+    "debounced_events": SQL_DEBOUNCED_EVENTS,
+    "negative_edges_pages": SQL_NEGATIVE_EDGES_PAGES,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
