@@ -40,7 +40,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "dup_weight_docs", "orphan_keys_audit",
              "timed_funnel_events", "bollinger_breakouts",
              "sortedness_audit", "jsonl_gz_events", "debounced_events",
-             "negative_edges_pages"]
+             "negative_edges_pages", "theilsen_trend_parts",
+             "max_gain_users"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

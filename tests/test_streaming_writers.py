@@ -294,3 +294,54 @@ def test_avro_value_coercion_to_schema():
     assert out[1]["c"] is None and out[2]["c"] is None
     # boolean: "yes" is truthy per the reference's string-bool rule
     assert out[0]["d"] is True and out[1]["d"] is True
+
+
+def test_ipc_streaming_single_file_multi_batch_roundtrip(tmp_path):
+    import pyarrow as pa
+
+    from transmog_ray.api import flatten_stream
+
+    recs = [{"a": i, "tags": ["t1", "t2"]} for i in range(12)]
+    out = tmp_path / "ipc_out"
+    files = flatten_stream(recs, out, name="r", output_format="ipc",
+                           batch_size=5)
+    assert [f.name for f in files] == ["r.ipc"]  # ONE file, 3 flushes
+    with pa.OSFile(str(files[0]), "rb") as f:
+        reader = pa.ipc.open_file(f)
+        assert reader.num_record_batches == 3
+        t = reader.read_all()
+    assert t.num_rows == 12
+    assert sorted(t["a"].to_pylist()) == list(range(12))
+
+
+def test_ipc_streaming_conform_and_strict_drift(tmp_path):
+    import pyarrow as pa
+
+    from transmog_ray.api import flatten_stream
+
+    recs = [{"a": 1}] * 5 + [{"a": 2, "new": 7}] * 5
+    files = flatten_stream(recs, tmp_path / "c", name="r",
+                           output_format="ipc", batch_size=5)
+    with pa.OSFile(str(files[0]), "rb") as f:
+        t = pa.ipc.open_file(f).read_all()
+    assert t.num_rows == 10 and "new" not in t.schema.names
+
+    with pytest.raises(ValueError, match="schema drift"):
+        flatten_stream(recs, tmp_path / "s", output_format="ipc",
+                       batch_size=5, drift="strict")
+    with pytest.raises(ValueError, match="does not support options"):
+        flatten_stream(recs, tmp_path / "u", output_format="ipc",
+                       batch_size=5, compression="zstd")
+
+
+def test_ipc_batch_save_roundtrip(tmp_path):
+    import pyarrow as pa
+
+    from transmog_ray.api import flatten
+
+    res = flatten([{"a": 1, "kids": [{"k": 1}, {"k": 2}]}], name="root")
+    paths = res.save(tmp_path / "out", output_format="ipc")
+    assert {p.name for p in paths} >= {"root.ipc"}
+    for p in paths:
+        with pa.OSFile(str(p), "rb") as f:
+            assert pa.ipc.open_file(f).read_all().num_rows >= 1

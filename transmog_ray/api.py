@@ -186,6 +186,24 @@ def _write_orc_batch(rows: list[dict], path) -> None:
     )
 
 
+def _write_ipc_batch(rows: list[dict], path) -> None:
+    """Arrow IPC (Feather V2) batch sink — the zero-copy interchange
+    format downstream Arrow/Polars/Ray readers memory-map directly; no
+    optional dependency (ships with pyarrow)."""
+    import pyarrow as pa
+
+    from .stages.flatten import rows_to_table
+
+    t = rows_to_table(rows)
+    if _is_file_like(path):
+        with pa.ipc.new_file(path, t.schema) as w:
+            w.write_table(t)
+    else:
+        with pa.OSFile(str(path), "wb") as f, \
+                pa.ipc.new_file(f, t.schema) as w:
+            w.write_table(t)
+
+
 def _write_avro_batch(rows: list[dict], path: Path) -> None:
     try:
         import fastavro  # noqa: F401
@@ -204,6 +222,7 @@ BATCH_WRITERS = {
     "json": _write_json_batch,
     "orc": _write_orc_batch,
     "avro": _write_avro_batch,
+    "ipc": _write_ipc_batch,
 }
 
 
@@ -679,6 +698,38 @@ class StreamingOrcWriter(StreamingArrowPartWriter):
         self._writers.clear()
 
 
+class StreamingIpcWriter(StreamingArrowPartWriter):
+    """Streaming Arrow IPC: ONE ``.ipc`` file per table — the IPC file
+    format appends a record batch per flush inside one open writer
+    (the ORCWriter shape), with the frozen first-batch schema every
+    flush conforms to. Readers get a seekable, memory-mappable file."""
+
+    def __init__(self, out_dir: Path, drift: str = "conform"):
+        super().__init__(out_dir, "ipc", drift)
+        self._writers: dict[str, object] = {}
+        self._files: dict[str, object] = {}
+
+    def write(self, table: str, rows: list[dict]) -> Path:
+        import pyarrow as pa
+
+        t = self._conform_rows(table, rows)
+        path = self.out_dir / f"{table}.ipc"
+        if table not in self._writers:
+            f = pa.OSFile(str(path), "wb")
+            self._files[table] = f
+            self._writers[table] = pa.ipc.new_file(f, t.schema)
+        self._writers[table].write_table(t)
+        return path
+
+    def close(self) -> None:
+        for w in self._writers.values():
+            w.close()
+        for f in self._files.values():
+            f.close()
+        self._writers.clear()
+        self._files.clear()
+
+
 class StreamingJsonPartWriter:
     """Streaming JSON sink: one part file per flush per table (schema-free)."""
 
@@ -780,6 +831,8 @@ STREAMING_WRITERS = {
     "avro": lambda out_dir, **o: (
         _known_opts("avro", o, ("drift",)), StreamingAvroWriter(out_dir)
     )[1],
+    "ipc": lambda out_dir, **o: StreamingIpcWriter(
+        out_dir, _known_opts("ipc", o, ("drift",)).get("drift", "conform")),
 }
 
 
@@ -864,6 +917,7 @@ __all__ = [
     "StreamingArrowPartWriter",
     "StreamingOrcWriter",
     "StreamingAvroWriter",
+    "StreamingIpcWriter",
     "register_writer",
     "create_streaming_writer",
     "iter_records",

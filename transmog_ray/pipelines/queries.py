@@ -21625,6 +21625,128 @@ WHERE src <> dst
 """
 
 
+def q_theilsen_trend_parts(sf_dir: str):
+    """Theil–Sen ROBUST trend per part: the LOWER median (discrete
+    order statistic at ceil(n/2)−1 — no interpolation, so no
+    engine-specific midpoint formula) of all pairwise
+    (quantity-diff / shipdate-day-diff) slopes. The outlier-immune
+    alternative to the least-squares trend already in the catalog.
+    Per-part groups are bounded (~30 lineitems regardless of scale —
+    TPC-H keeps lineitems/part constant), so the O(k²) pair kernel is
+    per-group constant work after ONE exchange. Each slope is a single
+    int→double division — bit-identical cross-engine; pairs with equal
+    ship days are excluded (undefined slope) on both sides."""
+    from ..stages.partition import bucket_exchange
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_shipdate", "l_quantity"],
+                    num_blocks=8)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        x_all = (df["l_shipdate"].to_numpy().astype("datetime64[D]")
+                 .astype(np.int64))
+        y_all = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        keys = df["l_partkey"].to_numpy(np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys, x_all, y_all = keys[order], x_all[order], y_all[order]
+        bounds = np.flatnonzero(np.diff(keys)) + 1
+        rows, start = [], 0
+        for end in list(bounds) + [len(keys)]:
+            x, y = x_all[start:end], y_all[start:end]
+            dx = x[None, :] - x[:, None]
+            dy = y[None, :] - y[:, None]
+            mask = dx > 0
+            n_pairs = int(mask.sum())
+            if n_pairs:
+                slopes = np.sort(dy[mask].astype(np.float64) / dx[mask])
+                rows.append((keys[start], n_pairs,
+                             slopes[-(-n_pairs // 2) - 1]))
+            start = end
+        return pd.DataFrame(rows, columns=["p", "n_pairs",
+                                           "slope_med"]).astype(
+            {"p": "int64", "n_pairs": "int64"})
+
+    return bucket_exchange(li, ["l_partkey"], per_part, num_buckets=8)
+
+
+SQL_THEILSEN_TREND_PARTS = """
+WITH pts AS (
+  SELECT l_partkey AS p,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(l_shipdate AS DATE)) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+), pairs AS (
+  SELECT a.p, CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS s
+  FROM pts a JOIN pts b ON a.p = b.p AND b.x > a.x
+)
+SELECT p, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       quantile_disc(s, 0.5) AS slope_med
+FROM pairs GROUP BY p
+"""
+
+
+def q_max_gain_users(sf_dir: str):
+    """Per-user MAXIMUM-GAIN WINDOW (Kadane): the largest contiguous
+    sum of event-value cents over the (ts, event_id)-ordered stream —
+    the best-burst statistic anomaly/trading analyses ask for. Kadane
+    re-expressed as prefix sums minus the running prefix minimum
+    (S_i − min(0, min_{j<i} S_j)), so the kernel is two vectorized
+    scans and the SQL oracle is two window functions — integer-exact
+    on both engines. One exchange per user."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["value"].is_valid(),
+                                   t["user_id"].is_valid())),
+        batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
+        c = np.floor(
+            df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        bounds = np.flatnonzero(np.diff(uid)) + 1
+        rows, start = [], 0
+        for end in list(bounds) + [len(uid)]:
+            s = np.cumsum(c[start:end])
+            prev_min = np.minimum.accumulate(
+                np.concatenate(([0], s[:-1])))
+            prev_min = np.minimum(prev_min, 0)
+            rows.append((uid[start], int((s - prev_min).max())))
+            start = end
+        return pd.DataFrame(rows, columns=["user_id",
+                                           "max_gain"]).astype("int64")
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_MAX_GAIN_USERS = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), p AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+  FROM e
+), m AS (
+  SELECT user_id,
+         s - LEAST(COALESCE(
+           MIN(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0), 0) AS gain
+  FROM p
+)
+SELECT user_id, CAST(MAX(gain) AS BIGINT) AS max_gain
+FROM m GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -22036,6 +22158,8 @@ QUERIES = {
     "jsonl_gz_events": q_jsonl_gz_events,
     "debounced_events": q_debounced_events,
     "negative_edges_pages": q_negative_edges_pages,
+    "theilsen_trend_parts": q_theilsen_trend_parts,
+    "max_gain_users": q_max_gain_users,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -22495,6 +22619,8 @@ ORACLE_SQL = {
     "jsonl_gz_events": SQL_JSONL_GZ_EVENTS,
     "debounced_events": SQL_DEBOUNCED_EVENTS,
     "negative_edges_pages": SQL_NEGATIVE_EDGES_PAGES,
+    "theilsen_trend_parts": SQL_THEILSEN_TREND_PARTS,
+    "max_gain_users": SQL_MAX_GAIN_USERS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
