@@ -21704,6 +21704,9 @@ def q_max_gain_users(sf_dir: str):
         batch_format="pyarrow")
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # sparse buckets at tiny scales arrive empty
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "max_gain": pd.Series([], dtype="int64")})
         df = df.sort_values(["user_id", "ts", "event_id"],
                             kind="mergesort")
         uid = df["user_id"].to_numpy(np.int64)
