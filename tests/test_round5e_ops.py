@@ -41,7 +41,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "timed_funnel_events", "bollinger_breakouts",
              "sortedness_audit", "jsonl_gz_events", "debounced_events",
              "negative_edges_pages", "theilsen_trend_parts",
-             "max_gain_users"]
+             "max_gain_users", "edge_support_suppliers",
+             "wl_hash_suppliers"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -21749,6 +21749,146 @@ SELECT user_id, CAST(MAX(gain) AS BIGINT) AS max_gain
 FROM m GROUP BY 1
 """
 
+_COEDGE_SQL_CTES = """
+WITH sel AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1995-07-01'
+), pairs AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+  JOIN sel ON a.l_orderkey = sel.o_orderkey
+), und AS (
+  SELECT s1 AS a, s2 AS b FROM pairs
+  UNION ALL SELECT s2, s1 FROM pairs
+)"""
+
+
+def q_edge_support_suppliers(sf_dir: str):
+    """Per-EDGE triangle support (the k-truss sufficient statistic):
+    for every supplier co-occurrence edge, how many common neighbors
+    its endpoints share. Wedge generation per center node (the
+    node-iterator bound — same work the SQL self-join pays), partial
+    wedge counts combine co-bucketed with the edge set keyed by the
+    (lo, hi) pair; edges with zero support still emit. Two exchanges,
+    only (int, int, count) triples move."""
+    from ..stages.partition import bucket_exchange
+
+    edges = _supplier_coedges(sf_dir)
+
+    und = edges.map_batches(
+        lambda df: pd.concat([
+            df.rename(columns={"src": "a", "dst": "b"}),
+            df.rename(columns={"src": "b", "dst": "a"})[["a", "b"]]],
+            ignore_index=True),
+        batch_format="pandas")
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["a", "b"])
+        outs = []
+        for _, grp in df.groupby("a", sort=False):
+            nbrs = np.sort(grp["b"].to_numpy(np.int64))
+            if len(nbrs) >= 2:
+                xi, yi = np.triu_indices(len(nbrs), k=1)
+                outs.append(pd.DataFrame({"x": nbrs[xi], "y": nbrs[yi]}))
+        # the undirected edge set itself (a<b rows), tagged is_edge
+        e = df[df["a"] < df["b"]]
+        tagged = pd.DataFrame({"x": e["a"].to_numpy(np.int64),
+                               "y": e["b"].to_numpy(np.int64),
+                               "n": np.zeros(len(e), np.int64),
+                               "is_edge": np.ones(len(e), np.int64)})
+        if outs:
+            w = (pd.concat(outs, ignore_index=True)
+                 .groupby(["x", "y"], sort=False).size()
+                 .rename("n").reset_index())
+            w["n"] = w["n"].astype("int64")
+            w["is_edge"] = np.zeros(len(w), np.int64)
+            return pd.concat([tagged, w], ignore_index=True)
+        return tagged
+
+    parts = bucket_exchange(und, ["a"], wedges, num_buckets=8)
+
+    def support(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["x", "y"], sort=False).agg(
+            support=("n", "sum"), has_edge=("is_edge", "max")).reset_index()
+        g = g[g["has_edge"] == 1]
+        return pd.DataFrame({"s1": g["x"].to_numpy(np.int64),
+                             "s2": g["y"].to_numpy(np.int64),
+                             "support": g["support"].to_numpy(np.int64)})
+
+    return bucket_exchange(parts, ["x", "y"], support, num_buckets=8)
+
+
+SQL_EDGE_SUPPORT_SUPPLIERS = _COEDGE_SQL_CTES + """
+, wedge AS (
+  SELECT u1.b AS x, u2.b AS y
+  FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+)
+SELECT p.s1, p.s2, CAST(COUNT(w.x) AS BIGINT) AS support
+FROM pairs p LEFT JOIN wedge w ON w.x = p.s1 AND w.y = p.s2
+GROUP BY p.s1, p.s2
+"""
+
+
+def q_wl_hash_suppliers(sf_dir: str):
+    """One Weisfeiler–Lehman REFINEMENT round over the supplier
+    co-occurrence graph — the structural node fingerprint graph-ML
+    featurizers start from: wl(v) = md5(deg(v) | sorted multiset of
+    neighbor degrees). md5 over a canonically-ordered string is the
+    engine↔SQL-replayable hash (string_agg ORDER BY on the oracle
+    side). Two exchanges: one attaches each edge's center degree, one
+    folds per node; only (int, int) rows move."""
+    import hashlib
+
+    from ..stages.partition import bucket_exchange
+
+    edges = _supplier_coedges(sf_dir)
+    und = edges.map_batches(
+        lambda df: pd.concat([
+            df.rename(columns={"src": "a", "dst": "b"}),
+            df.rename(columns={"src": "b", "dst": "a"})[["a", "b"]]],
+            ignore_index=True),
+        batch_format="pandas")
+
+    def attach_center_deg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["a", "b"])
+        d = df.groupby("a", sort=False)["b"].transform("size")
+        return pd.DataFrame({"a": df["a"].to_numpy(np.int64),
+                             "b": df["b"].to_numpy(np.int64),
+                             "da": d.to_numpy(np.int64)})
+
+    with_deg = bucket_exchange(und, ["a"], attach_center_deg,
+                               num_buckets=8)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for node, grp in df.groupby("b", sort=False):
+            dn = np.sort(grp["da"].to_numpy(np.int64))
+            key = f"{len(dn)}|" + ",".join(str(x) for x in dn)
+            wl = hashlib.md5(key.encode()).hexdigest()
+            rows.append((node, len(dn), wl))
+        out = pd.DataFrame(rows, columns=["node", "deg", "wl"])
+        return out.astype({"node": "int64", "deg": "int64"})
+
+    return bucket_exchange(with_deg, ["b"], fold, num_buckets=8)
+
+
+SQL_WL_HASH_SUPPLIERS = _COEDGE_SQL_CTES + """
+, deg AS (
+  SELECT a AS node, COUNT(*) AS d FROM und GROUP BY 1
+), nb AS (
+  SELECT u.b AS node, d.d AS dn
+  FROM und u JOIN deg d ON d.node = u.a
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg,
+       md5(CAST(COUNT(*) AS VARCHAR) || '|' ||
+           string_agg(CAST(dn AS VARCHAR), ',' ORDER BY dn)) AS wl
+FROM nb GROUP BY node
+"""
+
 
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
@@ -22163,6 +22303,8 @@ QUERIES = {
     "negative_edges_pages": q_negative_edges_pages,
     "theilsen_trend_parts": q_theilsen_trend_parts,
     "max_gain_users": q_max_gain_users,
+    "edge_support_suppliers": q_edge_support_suppliers,
+    "wl_hash_suppliers": q_wl_hash_suppliers,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -22624,6 +22766,8 @@ ORACLE_SQL = {
     "negative_edges_pages": SQL_NEGATIVE_EDGES_PAGES,
     "theilsen_trend_parts": SQL_THEILSEN_TREND_PARTS,
     "max_gain_users": SQL_MAX_GAIN_USERS,
+    "edge_support_suppliers": SQL_EDGE_SUPPORT_SUPPLIERS,
+    "wl_hash_suppliers": SQL_WL_HASH_SUPPLIERS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
