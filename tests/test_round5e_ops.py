@@ -42,7 +42,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "sortedness_audit", "jsonl_gz_events", "debounced_events",
              "negative_edges_pages", "theilsen_trend_parts",
              "max_gain_users", "edge_support_suppliers",
-             "wl_hash_suppliers"]
+             "wl_hash_suppliers", "decay_attribution_events",
+             "bitemporal_asof_events"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -98,6 +99,60 @@ def test_jsonl_gz_source_error_contract(ray_session, tmp_path):
         read_jsonl_gz([str(p)], on_error="nope")
     with pytest.raises(ValueError):
         read_jsonl_gz([])
+
+
+def test_decay_attribution_conserves_cents(ray_session):
+    """Credits must sum exactly to each purchase's floored cents —
+    the largest-remainder invariant."""
+    import duckdb
+
+    from transmog_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["decay_attribution_events"](SF).to_pandas()
+    sums = got.groupby("purchase_id")["credit_cents"].sum()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(
+        "SELECT event_id, CAST(FLOOR(value*100) AS BIGINT) c FROM events "
+        "WHERE event_type='purchase'").df().set_index("event_id")["c"]
+    con.close()
+    for pid, s in sums.items():
+        assert s == want.loc[pid], (pid, s, want.loc[pid])
+
+
+def test_bitemporal_never_uses_late_features(ray_session):
+    """A feature whose ingest time is after the view must never be
+    selected, even when its event time qualifies — the leak guard."""
+    import hashlib
+
+    import duckdb
+
+    from transmog_ray.pipelines.queries import (BITEMPORAL_DELAY_MOD_S,
+                                                QUERIES)
+
+    got = QUERIES["bitemporal_asof_events"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    ev = con.execute(
+        "SELECT event_id, user_id, epoch_us(ts) t, event_type, value "
+        "FROM events WHERE user_id IS NOT NULL").df()
+    con.close()
+    views = ev[ev.event_type == "view"].set_index("event_id")
+    feats = ev[(ev.event_type == "purchase") & ev.value.notna()]
+    delay = {int(r.event_id):
+             int(hashlib.md5(str(int(r.event_id)).encode())
+                 .hexdigest()[:8], 16) % BITEMPORAL_DELAY_MOD_S
+             for r in feats.itertuples()}
+    fmap = feats.set_index("event_id")
+    hits = got[got.f_event_id >= 0]
+    assert len(hits) > 0
+    for r in hits.itertuples():
+        vt = views.loc[r.event_id, "t"]
+        ft = fmap.loc[r.f_event_id, "t"]
+        assert ft <= vt
+        assert ft + delay[int(r.f_event_id)] * 1_000_000 <= vt
 
 
 def test_negative_edges_are_not_edges(ray_session):

@@ -21890,6 +21890,170 @@ FROM nb GROUP BY node
 """
 
 
+def q_decay_attribution_events(sf_dir: str):
+    """Time-decay multi-touch attribution (stages/window.py
+    ``attribute_decay``): touch weight halves per whole day of age —
+    dyadic, so weights are exact small integers and the
+    largest-remainder cent allocation is integer bit-exact on both
+    engines. One user-keyed sorted exchange, per-purchase ranges
+    explode vectorized; only (purchase, touch, cents) triples emit."""
+    from ..stages.partition import apply_sorted
+    from ..stages.window import attribute_decay
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"], num_blocks=8)
+    return apply_sorted(ev, ["user_id"], "ts", attribute_decay,
+                        num_buckets=16, tiebreak=["event_id"])
+
+
+SQL_DECAY_ATTRIBUTION_EVENTS = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type <> 'purchase'
+), j AS (
+  SELECT p.event_id AS purchase_id, t.event_id AS touch_id, p.cents,
+         1 << (6 - LEAST((epoch_us(p.ts) - epoch_us(t.ts))
+                           // 86400000000, 6)) AS w,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY t.ts, t.event_id) AS rn
+  FROM p JOIN t ON t.user_id = p.user_id
+       AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
+), s AS (
+  SELECT *, CAST(SUM(w) OVER (PARTITION BY purchase_id) AS BIGINT) AS sw
+  FROM j
+), r AS (
+  SELECT *, cents * w // sw AS base, (cents * w) % sw AS rem FROM s
+), o AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY rem DESC, rn) AS rr,
+         CAST(SUM(rem) OVER (PARTITION BY purchase_id) AS BIGINT)
+           // sw AS extra
+  FROM r
+)
+SELECT purchase_id, touch_id,
+       CAST(base + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS BIGINT)
+         AS credit_cents
+FROM o
+"""
+
+BITEMPORAL_DELAY_MOD_S = 7200
+
+
+def q_bitemporal_asof_events(sf_dir: str):
+    """BITEMPORAL as-of join — the feature-store correctness semantics
+    for LATE-ARRIVING data: each view event picks the purchase-derived
+    feature with the greatest event time (f_ts) among features whose
+    event time AND ingest time are both ≤ the view's timestamp. A
+    feature that happened before the view but landed in the store
+    after it is invisible — the leak the plain as-of join misses.
+    Ingest delay is md5-derived (0–2h), so both engines compute the
+    identical bitemporal visibility. One exchange co-locates each
+    user's events and features; the kernel resolves visibility with a
+    bounded per-user mask (per-user histories are small by
+    construction; at scale, range-partition time within user)."""
+    import hashlib
+
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(t["user_id"].is_valid()),
+        batch_format="pyarrow")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = (df["ts"].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64))
+        is_f = ((df["event_type"] == "purchase")
+                & df["value"].notna()).to_numpy()
+        is_v = (df["event_type"] == "view").to_numpy()
+        ids = df["event_id"].to_numpy(np.int64)
+        delays = np.asarray(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             % BITEMPORAL_DELAY_MOD_S for i in ids], dtype=np.int64)
+        c = np.floor(np.nan_to_num(
+            df["value"].to_numpy(np.float64)) * 100).astype(np.int64)
+        keep = is_f | is_v
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64)[keep],
+            "event_id": ids[keep],
+            "t": ts_us[keep],
+            "i_ts": np.where(is_f, ts_us + delays * 1_000_000, 0)[keep],
+            "c": c[keep],
+            "is_f": is_f[keep].astype(np.int64)})
+
+    tagged = ev.map_batches(tag, batch_format="pandas")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("user_id", sort=False):
+            f = g[g["is_f"] == 1].sort_values(["t", "event_id"],
+                                              kind="mergesort")
+            v = g[g["is_f"] == 0]
+            if len(v) == 0:
+                continue
+            vt = v["t"].to_numpy(np.int64)
+            if len(f) == 0:
+                outs.append(pd.DataFrame({
+                    "event_id": v["event_id"].to_numpy(np.int64),
+                    "f_event_id": np.full(len(v), -1, np.int64),
+                    "f_cents": np.zeros(len(v), np.int64)}))
+                continue
+            ft = f["t"].to_numpy(np.int64)
+            fi = f["i_ts"].to_numpy(np.int64)
+            fid = f["event_id"].to_numpy(np.int64)
+            fc = f["c"].to_numpy(np.int64)
+            mask = (ft[None, :] <= vt[:, None]) & \
+                   (fi[None, :] <= vt[:, None])
+            idx = np.where(mask, np.arange(len(f))[None, :], -1).max(1)
+            outs.append(pd.DataFrame({
+                "event_id": v["event_id"].to_numpy(np.int64),
+                "f_event_id": np.where(idx >= 0, fid[idx], -1),
+                "f_cents": np.where(idx >= 0, fc[idx], 0)}))
+        if not outs:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "f_event_id": pd.Series([], dtype="int64"),
+                "f_cents": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucket_exchange(tagged, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_BITEMPORAL_ASOF_EVENTS = f"""
+WITH f AS (
+  SELECT user_id, ts AS f_ts,
+         ts + to_microseconds(
+           (CAST(CONCAT('0x', substring(
+              md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % {BITEMPORAL_DELAY_MOD_S}) * 1000000) AS i_ts,
+         event_id AS f_id, CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+    AND user_id IS NOT NULL
+), v AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL
+), j AS (
+  SELECT v.event_id, f.f_id, f.c,
+         ROW_NUMBER() OVER (PARTITION BY v.event_id
+                            ORDER BY f.f_ts DESC, f.f_id DESC) AS rn
+  FROM v JOIN f ON f.user_id = v.user_id
+       AND f.f_ts <= v.ts AND f.i_ts <= v.ts
+)
+SELECT v.event_id, COALESCE(j.f_id, -1) AS f_event_id,
+       COALESCE(j.c, 0) AS f_cents
+FROM v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+     ON j.event_id = v.event_id
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -22305,6 +22469,8 @@ QUERIES = {
     "max_gain_users": q_max_gain_users,
     "edge_support_suppliers": q_edge_support_suppliers,
     "wl_hash_suppliers": q_wl_hash_suppliers,
+    "decay_attribution_events": q_decay_attribution_events,
+    "bitemporal_asof_events": q_bitemporal_asof_events,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -22768,6 +22934,8 @@ ORACLE_SQL = {
     "max_gain_users": SQL_MAX_GAIN_USERS,
     "edge_support_suppliers": SQL_EDGE_SUPPORT_SUPPLIERS,
     "wl_hash_suppliers": SQL_WL_HASH_SUPPLIERS,
+    "decay_attribution_events": SQL_DECAY_ATTRIBUTION_EVENTS,
+    "bitemporal_asof_events": SQL_BITEMPORAL_ASOF_EVENTS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,

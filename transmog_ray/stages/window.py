@@ -509,8 +509,84 @@ def attribute_linear(
     return pd.concat(out_frames, ignore_index=True)
 
 
+def attribute_decay(
+    df: pd.DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+    window_seconds: int = 7 * 86400,
+    max_halvings: int = 6,
+) -> pd.DataFrame:
+    """TIME-DECAY multi-touch attribution kernel (same
+    :func:`apply_sorted` contract as :func:`attribute_linear`): touch
+    weight halves per whole day of age — w = 2^(max_halvings − min(k,
+    max_halvings)) for age-day k, a DYADIC weight, so every per-touch
+    weight is a small exact integer and credits are assigned by integer
+    largest-remainder over Σw: base = cents·w // Σw, plus one extra
+    cent to the (Σ remainders)/Σw touches with the largest remainder
+    (ties by recency rank). Fully integer — the SQL mirror (1 << …,
+    //, %, ROW_NUMBER) matches bit-for-bit and credits sum to cents."""
+    out_frames = []
+    for _, g in df.groupby(user_col, sort=False):
+        is_p = (g[type_col] == purchase_type).to_numpy()
+        ts_ns = g[ts_col].astype("datetime64[ns]").astype("int64").to_numpy()
+        ids = g[id_col].to_numpy()
+        t_ts, t_ids = ts_ns[~is_p], ids[~is_p]
+        p_ts, p_ids = ts_ns[is_p], ids[is_p]
+        if len(p_ts) == 0 or len(t_ts) == 0:
+            continue
+        cents = np.floor(
+            g.loc[is_p, value_col].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        lo = np.searchsorted(t_ts, p_ts - window_seconds * 1_000_000_000,
+                             side="left")
+        hi = np.searchsorted(t_ts, p_ts, side="left")
+        n = hi - lo
+        keep = n > 0
+        lo, n, p_ids_k, cents_k, p_ts_k = (lo[keep], n[keep], p_ids[keep],
+                                           cents[keep], p_ts[keep])
+        if len(n) == 0:
+            continue
+        total = int(n.sum())
+        offs = np.repeat(np.cumsum(n) - n, n)
+        pos = np.repeat(lo, n) + (np.arange(total) - offs)
+        rank = np.arange(total) - offs + 1  # 1-based within purchase
+        seg = np.repeat(np.arange(len(n)), n)
+        age_days = ((np.repeat(p_ts_k, n) - t_ts[pos])
+                    // (86_400 * 1_000_000_000))
+        w = np.int64(1) << (max_halvings
+                            - np.minimum(age_days, max_halvings))
+        starts = np.cumsum(n) - n
+        sw = np.add.reduceat(w, starts)
+        sw_x = np.repeat(sw, n)
+        v_x = np.repeat(cents_k, n)
+        base = v_x * w // sw_x
+        rem = (v_x * w) % sw_x
+        extra = np.repeat(np.add.reduceat(rem, starts) // sw, n)
+        # within-purchase rank by (rem DESC, recency rank ASC)
+        order = np.lexsort((rank, -rem, seg))
+        rr = np.empty(total, dtype=np.int64)
+        rr[order] = np.arange(total) - np.repeat(starts, n)[order] + 1
+        out_frames.append(pd.DataFrame({
+            "purchase_id": np.repeat(p_ids_k, n).astype(np.int64),
+            "touch_id": t_ids[pos].astype(np.int64),
+            "credit_cents": (base + (rr <= extra)).astype(np.int64),
+        }))
+    if not out_frames:
+        return pd.DataFrame({
+            "purchase_id": pd.Series([], dtype="int64"),
+            "touch_id": pd.Series([], dtype="int64"),
+            "credit_cents": pd.Series([], dtype="int64"),
+        })
+    return pd.concat(out_frames, ignore_index=True)
+
+
 __all__ = [
     "with_lag", "with_lead", "sessionize", "backfill", "rolling_agg",
     "running_agg", "ewma", "target_encode", "first_touch",
     "running_distinct", "resample_ffill", "attribute_linear",
+    "attribute_decay",
 ]
