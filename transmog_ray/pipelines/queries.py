@@ -22054,6 +22054,179 @@ FROM v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
 """
 
 
+def q_dhash_groups_images(sf_dir: str):
+    """Difference-hash (dHash) perceptual IMAGE grouping — the
+    gradient-sign cousin of aHash, robust to global brightness shifts:
+    over the 4×4 integer thumbnail, 12 horizontal + 12 vertical
+    adjacent-cell comparisons pack into a 24-bit signature; equal
+    signatures are near-dup candidates. Integer comparisons only
+    (cell means are floor-divided sums), so the SQL oracle replays the
+    hash bit-for-bit from the fixture's closed-form pixels. Decode
+    runs in the codec actor pool; only (hash, 1) partials shuffle."""
+    from ..functions.relational import grouped_agg
+
+    media_dir = _image_fixture(sf_dir)
+    ds = _rd().read_parquet(f"{media_dir}/images.parquet")
+
+    class DHashStage:
+        def __init__(self):
+            from ..stages.multimodal import (decode_bmp, decode_ppm,
+                                             sniff_image)
+
+            self._decoders = {"bmp": decode_bmp, "ppm": decode_ppm}
+            self._sniff = sniff_image
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hashes = []
+            for payload in df["payload"]:
+                raw = bytes(payload)
+                gray = self._decoders[self._sniff(raw)](raw).astype(
+                    np.int64)
+                h, w = gray.shape
+                m = (gray.reshape(h // 8, 8, w // 8, 8)
+                     .sum(axis=(1, 3)) // 64)
+                hb = (m[:, 1:] > m[:, :-1]).ravel()  # 4×3, bits 0-11
+                vb = (m[1:, :] > m[:-1, :]).ravel()  # 3×4, bits 12-23
+                bits = np.concatenate([hb, vb])
+                hashes.append(int((bits << np.arange(24)).sum()))
+            return pd.DataFrame({
+                "dhash": pd.Series(hashes, dtype="int64"),
+                "n_images": np.ones(len(hashes), np.int64)})
+
+    sigs = ds.map_batches(DHashStage, concurrency=2, batch_size=32,
+                          batch_format="pandas")
+    return grouped_agg(sigs, ["dhash"],
+                       {"n_images": ("n_images", "sum")}, num_buckets=2)
+
+
+SQL_DHASH_GROUPS_IMAGES = f"""
+WITH px AS (
+  SELECT id, CAST(t1.y AS BIGINT) AS y, CAST(t2.x AS BIGINT) AS x,
+         (7 * id + 3 * t1.y + t2.x) % 256 AS g
+  FROM read_parquet('{IMG_CURRENT}/images.parquet'),
+       unnest(range({IMG_HW})) t1(y), unnest(range({IMG_HW})) t2(x)
+), cells AS (
+  SELECT id, y // 8 AS r, x // 8 AS c, SUM(g) // 64 AS m
+  FROM px GROUP BY 1, 2, 3
+), bits AS (
+  SELECT a.id, a.r * 3 + a.c AS k,
+         CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b ON b.id = a.id AND b.r = a.r
+                           AND b.c = a.c + 1
+  UNION ALL
+  SELECT a.id, 12 + a.r * 4 + a.c,
+         CASE WHEN b.m > a.m THEN 1 ELSE 0 END
+  FROM cells a JOIN cells b ON b.id = a.id AND b.c = a.c
+                           AND b.r = a.r + 1
+), sig AS (
+  SELECT id,
+         SUM(CASE WHEN bit = 1
+             THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS dhash
+  FROM bits GROUP BY id
+)
+SELECT CAST(dhash AS BIGINT) AS dhash,
+       CAST(COUNT(*) AS BIGINT) AS n_images
+FROM sig GROUP BY 1
+"""
+
+
+def q_importance_weights_langs(sf_dir: str):
+    """DoReMi-lite importance REWEIGHTING: per language, the ratio of
+    its share in a target sub-corpus (sources src0–src4) to its share
+    in the base corpus — the per-domain multiplier a mixture trainer
+    applies. Counts combine distributed (one tiny exchange of
+    lang-cardinality partials); the weight is ONE float division of
+    exact integer cross-products, bit-identical cross-engine. Langs
+    absent from either side are dropped on both."""
+    from ..functions.relational import grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["lang"].is_valid(),
+                                   t["source"].is_valid())),
+        batch_format="pyarrow")
+
+    def tag(t: pa.Table) -> pa.Table:
+        is_t = pc.is_in(t["source"], value_set=pa.array(
+            [f"src{i}" for i in range(5)]))
+        tgt = pc.cast(is_t, pa.int64())
+        return pa.table({"lang": t["lang"], "n_t": tgt,
+                         "n_b": pc.subtract(pa.scalar(1, pa.int64()),
+                                            tgt)})
+
+    counts = grouped_agg(docs.map_batches(tag, batch_format="pyarrow"),
+                         ["lang"],
+                         {"n_t": ("n_t", "sum"), "n_b": ("n_b", "sum")},
+                         num_buckets=4).to_pandas()
+    counts = counts[(counts["n_t"] > 0) & (counts["n_b"] > 0)]
+    tot_t = int(counts["n_t"].sum())
+    tot_b = int(counts["n_b"].sum())
+    out = counts.astype({"n_t": "int64", "n_b": "int64"}).copy()
+    out["w"] = ((out["n_t"].to_numpy(np.int64) * tot_b).astype(
+        np.float64)
+        / (out["n_b"].to_numpy(np.int64) * tot_t))
+    return out[["lang", "n_t", "n_b", "w"]]
+
+
+SQL_IMPORTANCE_WEIGHTS_LANGS = """
+WITH d AS (
+  SELECT lang,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4')
+              THEN 1 ELSE 0 END AS t
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+), c AS (
+  SELECT lang, CAST(SUM(t) AS BIGINT) AS n_t,
+         CAST(SUM(1 - t) AS BIGINT) AS n_b
+  FROM d GROUP BY 1
+), kept AS (SELECT * FROM c WHERE n_t > 0 AND n_b > 0),
+tot AS (
+  SELECT CAST(SUM(n_t) AS BIGINT) AS tt,
+         CAST(SUM(n_b) AS BIGINT) AS tb
+  FROM kept
+)
+SELECT lang, n_t, n_b,
+       CAST(n_t * tb AS DOUBLE) / (n_b * tt) AS w
+FROM kept, tot
+"""
+
+
+def q_pushdown_read_lineitem(sf_dir: str):
+    """PRUNE-AT-THE-READ demonstration: the row filter and the column
+    list ride INTO ``read_parquet`` (pyarrow dataset expression), so
+    only qualifying row groups and two columns leave storage — the
+    shape every 100-TB scan must take (a read that loads all columns
+    for a two-column rollup is wrong). Downstream is one combine-only
+    exchange of 3-row partials."""
+    import pyarrow.dataset as pads
+
+    from ..functions.relational import grouped_agg
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity"],
+        filter=(pads.field("l_quantity") >= 45),
+        override_num_blocks=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["l_quantity"], pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "n": pa.array([1] * t.num_rows, pa.int64()),
+                         "sum_qty": q})
+
+    return grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["l_returnflag"],
+                       {"n": ("n", "sum"), "sum_qty": ("sum_qty", "sum")},
+                       num_buckets=2)
+
+
+SQL_PUSHDOWN_READ_LINEITEM = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity >= 45
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -22471,6 +22644,9 @@ QUERIES = {
     "wl_hash_suppliers": q_wl_hash_suppliers,
     "decay_attribution_events": q_decay_attribution_events,
     "bitemporal_asof_events": q_bitemporal_asof_events,
+    "dhash_groups_images": q_dhash_groups_images,
+    "importance_weights_langs": q_importance_weights_langs,
+    "pushdown_read_lineitem": q_pushdown_read_lineitem,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -22936,6 +23112,9 @@ ORACLE_SQL = {
     "wl_hash_suppliers": SQL_WL_HASH_SUPPLIERS,
     "decay_attribution_events": SQL_DECAY_ATTRIBUTION_EVENTS,
     "bitemporal_asof_events": SQL_BITEMPORAL_ASOF_EVENTS,
+    "dhash_groups_images": SQL_DHASH_GROUPS_IMAGES,
+    "importance_weights_langs": SQL_IMPORTANCE_WEIGHTS_LANGS,
+    "pushdown_read_lineitem": SQL_PUSHDOWN_READ_LINEITEM,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
