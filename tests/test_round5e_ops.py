@@ -44,7 +44,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "max_gain_users", "edge_support_suppliers",
              "wl_hash_suppliers", "decay_attribution_events",
              "bitemporal_asof_events", "dhash_groups_images",
-             "importance_weights_langs", "pushdown_read_lineitem"]
+             "importance_weights_langs", "pushdown_read_lineitem",
+             "ahash_neardup_images", "fallback_asof_events"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -22226,6 +22226,293 @@ FROM lineitem WHERE l_quantity >= 45
 GROUP BY 1
 """
 
+AHASH_HAM_K = 2
+
+
+def q_ahash_neardup_images(sf_dir: str):
+    """Perceptual near-dup IMAGE PAIRS at Hamming ≤ 2 over the 16-bit
+    aHash — pigeonhole-EXACT banding: 3 bands (6/5/5 bits) guarantee
+    any pair within distance 2 shares at least one band, so candidates
+    have NO false negatives; an exact popcount verify in the band
+    bucket and a pair-keyed dedup exchange (the same pair can collide
+    in several bands) finish the job. Only (id, hash) rows shuffle.
+    Oracle: the all-pairs bit_count(xor) cross join — fine at
+    image-fixture cardinality, the banded path is the scale story."""
+    from ..stages.partition import bucket_exchange
+
+    media_dir = _image_fixture(sf_dir)
+    ds = _rd().read_parquet(f"{media_dir}/images.parquet")
+
+    class SigStage:
+        def __init__(self):
+            from ..stages.multimodal import (decode_bmp, decode_ppm,
+                                             sniff_image)
+
+            self._decoders = {"bmp": decode_bmp, "ppm": decode_ppm}
+            self._sniff = sniff_image
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids, hashes = [], []
+            for i, payload in zip(df["id"].to_numpy(np.int64),
+                                  df["payload"]):
+                raw = bytes(payload)
+                gray = self._decoders[self._sniff(raw)](raw).astype(
+                    np.int64)
+                h, w = gray.shape
+                cells = (gray.reshape(h // 8, 8, w // 8, 8)
+                         .sum(axis=(1, 3)) // 64).ravel()
+                total = int(cells.sum())
+                bits = 16 * cells >= total
+                ids.append(i)
+                hashes.append(int((bits << np.arange(16)).sum()))
+            return pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                 "h": pd.Series(hashes, dtype="int64")})
+
+    sigs = ds.map_batches(SigStage, concurrency=2, batch_size=32,
+                          batch_format="pandas")
+
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["h"].to_numpy(np.int64)
+        ids = df["id"].to_numpy(np.int64)
+        frames = []
+        for b, (shift, mask) in enumerate(((0, 63), (6, 31), (11, 31))):
+            frames.append(pd.DataFrame({
+                "band": np.full(len(h), b, np.int64),
+                "bv": (h >> shift) & mask, "id": ids, "h": h}))
+        return pd.concat(frames, ignore_index=True)
+
+    pop = np.array([bin(x).count("1") for x in range(1 << 16)],
+                   dtype=np.int64)
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby(["band", "bv"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["id"].to_numpy(np.int64)
+            h = g["h"].to_numpy(np.int64)
+            ai, bi = np.triu_indices(len(ids), k=1)
+            d = pop[np.bitwise_xor(h[ai], h[bi])]
+            keep = d <= AHASH_HAM_K
+            lo = np.minimum(ids[ai[keep]], ids[bi[keep]])
+            hi = np.maximum(ids[ai[keep]], ids[bi[keep]])
+            outs.append(pd.DataFrame({"id_a": lo, "id_b": hi,
+                                      "hamming": d[keep]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    cands = bucket_exchange(
+        sigs.map_batches(bands, batch_format="pandas"),
+        ["band", "bv"], candidates, num_buckets=8)
+    return bucket_exchange(
+        cands, ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"]), num_buckets=4)
+
+
+SQL_AHASH_NEARDUP_IMAGES = f"""
+WITH px AS (
+  SELECT id, CAST(t1.y AS BIGINT) AS y, CAST(t2.x AS BIGINT) AS x,
+         (7 * id + 3 * t1.y + t2.x) % 256 AS g
+  FROM read_parquet('{IMG_CURRENT}/images.parquet'),
+       unnest(range({IMG_HW})) t1(y), unnest(range({IMG_HW})) t2(x)
+), cells AS (
+  SELECT id, (y // 8) * 4 + (x // 8) AS k, SUM(g) // 64 AS m
+  FROM px GROUP BY 1, 2
+), tot AS (
+  SELECT id, SUM(m) AS total FROM cells GROUP BY 1
+), sig AS (
+  SELECT c.id,
+         CAST(SUM(CASE WHEN 16 * c.m >= t.total
+             THEN CAST(1 AS BIGINT) << c.k ELSE 0 END) AS BIGINT) AS h
+  FROM cells c JOIN tot t ON t.id = c.id GROUP BY c.id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.h, b.h)) <= {AHASH_HAM_K}
+"""
+
+
+def q_fallback_asof_events(sf_dir: str):
+    """As-of join with GLOBAL FALLBACK — the feature-store cold-start
+    rule: each view takes the user's own latest purchase value at ts,
+    else the latest purchase value across ALL users, else a default.
+    The user side is one co-bucketed exchange (searchsorted ffill per
+    user). The global side is a distributed RUNNING LAST-VALUE: range
+    cuts on ts, per-range last purchases fold into broadcast offsets
+    (range-cardinality driver data), then one range exchange resolves
+    every view locally — no global sort and no row ever leaves its
+    range. Sides meet in an event-keyed join exchange."""
+    from ..functions.relational import hash_join
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(t["user_id"].is_valid()),
+        batch_format="pyarrow")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = (df["ts"].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64))
+        is_f = ((df["event_type"] == "purchase")
+                & df["value"].notna()).to_numpy()
+        is_v = (df["event_type"] == "view").to_numpy()
+        c = np.floor(np.nan_to_num(
+            df["value"].to_numpy(np.float64)) * 100).astype(np.int64)
+        keep = is_f | is_v
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64)[keep],
+            "event_id": df["event_id"].to_numpy(np.int64)[keep],
+            "t": ts_us[keep], "c": c[keep],
+            "is_f": is_f[keep].astype(np.int64)})
+
+    tagged = ev.map_batches(tag, batch_format="pandas").materialize()
+
+    def user_side(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("user_id", sort=False):
+            f = g[g["is_f"] == 1].sort_values(["t", "event_id"],
+                                              kind="mergesort")
+            v = g[g["is_f"] == 0]
+            if len(v) == 0:
+                continue
+            vt = v["t"].to_numpy(np.int64)
+            pos = np.searchsorted(f["t"].to_numpy(np.int64), vt,
+                                  side="right") - 1
+            fc = f["c"].to_numpy(np.int64)
+            outs.append(pd.DataFrame({
+                "event_id": v["event_id"].to_numpy(np.int64),
+                "user_c": np.where(pos >= 0, fc[np.maximum(pos, 0)],
+                                   -1)}))
+        if not outs:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_c": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    u_side = bucket_exchange(tagged, ["user_id"], user_side,
+                             num_buckets=8)
+
+    # ---- global running last-value: cuts → offsets → range exchange
+    sample = tagged.map_batches(
+        lambda df: df[["t"]].iloc[:: max(1, len(df) // 32)],
+        batch_format="pandas").to_pandas()
+    keys = np.sort(sample["t"].to_numpy(np.int64))
+    nb = 8
+    if len(keys) > 1:
+        qpos = (np.linspace(0, 1, nb + 1)[1:-1]
+                * (len(keys) - 1)).astype(int)
+        cuts = np.unique(keys[qpos])
+    else:
+        cuts = keys[:0]
+    n_ranges = len(cuts) + 1
+
+    ranged = tagged.map_batches(
+        lambda df: df.assign(_rg=np.searchsorted(
+            cuts, df["t"].to_numpy(np.int64), side="right")
+            .astype(np.int64)),
+        batch_format="pandas").materialize()
+
+    last_per_range = ranged.map_batches(
+        lambda df: df[df["is_f"] == 1]
+        .sort_values(["t", "event_id"]).groupby("_rg", sort=False)
+        .tail(1)[["_rg", "t", "event_id", "c"]],
+        batch_format="pandas").to_pandas()
+    # fold per-range maxima into "last purchase BEFORE range r"
+    best = last_per_range.sort_values(["t", "event_id"]).groupby(
+        "_rg", sort=False).tail(1).set_index("_rg")
+    offsets = np.full(n_ranges, -1, np.int64)
+    run = -1
+    for r in range(n_ranges):
+        offsets[r] = run
+        if r in best.index:
+            run = int(best.loc[r, "c"])
+    import ray as _ray
+
+    off_ref = _ray.put(offsets)
+
+    def global_side(df: pd.DataFrame, bucket: int) -> pd.DataFrame:
+        offs = _ray.get(off_ref)
+        f = df[df["is_f"] == 1].sort_values(["t", "event_id"],
+                                            kind="mergesort")
+        v = df[df["is_f"] == 0]
+        if len(v) == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "global_c": pd.Series([], dtype="int64")})
+        vt = v["t"].to_numpy(np.int64)
+        pos = np.searchsorted(f["t"].to_numpy(np.int64), vt,
+                              side="right") - 1
+        fc = f["c"].to_numpy(np.int64)
+        local = np.where(pos >= 0, fc[np.maximum(pos, 0)], offs[bucket])
+        return pd.DataFrame({
+            "event_id": v["event_id"].to_numpy(np.int64),
+            "global_c": local})
+
+    g_side = bucket_exchange(ranged, ["_rg"], global_side,
+                             num_buckets=n_ranges, bucket_col="_rg",
+                             with_bucket=True)
+
+    joined = hash_join(u_side, g_side, on="event_id", num_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        uc = df["user_c"].to_numpy(np.int64)
+        gc = df["global_c"].to_numpy(np.int64)
+        val = np.where(uc >= 0, uc, np.where(gc >= 0, gc, 0))
+        src = np.where(uc >= 0, 2, np.where(gc >= 0, 1, 0))
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "src": src.astype(np.int64), "val": val.astype(np.int64)})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_FALLBACK_ASOF_EVENTS = """
+-- ASOF joins over per-(key, ts) deduped feature streams (latest
+-- event_id wins a tied timestamp) keep the oracle linear — the naive
+-- "all preceding purchases" join is quadratic at sf0.1.
+WITH p AS (
+  SELECT user_id, ts, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+    AND user_id IS NOT NULL
+), v AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL
+), pu1 AS (
+  SELECT user_id, ts, c FROM (
+    SELECT user_id, ts, c,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM p) WHERE rn = 1
+), pg1 AS (
+  SELECT ts, c FROM (
+    SELECT ts, c, ROW_NUMBER() OVER (PARTITION BY ts
+                                     ORDER BY ts DESC, event_id DESC,
+                                              user_id DESC) AS rn
+    FROM p) WHERE rn = 1
+), u1 AS (
+  SELECT v.event_id, pu1.c
+  FROM v ASOF LEFT JOIN pu1
+    ON v.user_id = pu1.user_id AND v.ts >= pu1.ts
+), g1 AS (
+  SELECT v.event_id, pg1.c
+  FROM v ASOF LEFT JOIN pg1 ON v.ts >= pg1.ts
+)
+SELECT v.event_id,
+       CAST(CASE WHEN u1.c IS NOT NULL THEN 2
+                 WHEN g1.c IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS src,
+       CAST(COALESCE(u1.c, g1.c, 0) AS BIGINT) AS val
+FROM v LEFT JOIN u1 ON u1.event_id = v.event_id
+       LEFT JOIN g1 ON g1.event_id = v.event_id
+"""
+
 
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
@@ -22647,6 +22934,8 @@ QUERIES = {
     "dhash_groups_images": q_dhash_groups_images,
     "importance_weights_langs": q_importance_weights_langs,
     "pushdown_read_lineitem": q_pushdown_read_lineitem,
+    "ahash_neardup_images": q_ahash_neardup_images,
+    "fallback_asof_events": q_fallback_asof_events,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -23115,6 +23404,8 @@ ORACLE_SQL = {
     "dhash_groups_images": SQL_DHASH_GROUPS_IMAGES,
     "importance_weights_langs": SQL_IMPORTANCE_WEIGHTS_LANGS,
     "pushdown_read_lineitem": SQL_PUSHDOWN_READ_LINEITEM,
+    "ahash_neardup_images": SQL_AHASH_NEARDUP_IMAGES,
+    "fallback_asof_events": SQL_FALLBACK_ASOF_EVENTS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
