@@ -45,7 +45,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "wl_hash_suppliers", "decay_attribution_events",
              "bitemporal_asof_events", "dhash_groups_images",
              "importance_weights_langs", "pushdown_read_lineitem",
-             "ahash_neardup_images", "fallback_asof_events"]
+             "ahash_neardup_images", "fallback_asof_events",
+             "join_cardinality_estimate", "kmv_sketch_users",
+             "dod_bits_users"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -22514,6 +22514,188 @@ FROM v LEFT JOIN u1 ON u1.event_id = v.event_id
 """
 
 
+def q_join_cardinality_estimate(sf_dir: str):
+    """Optimizer-grade JOIN CARDINALITY from key histograms:
+    |lineitem ⋈ orders| = Σ_k c_li(k)·c_ord(k), plus the matched-key
+    count — the statistic a planner consults before picking
+    broadcast-vs-shuffle (exactly what ``auto_join`` thresholds on).
+    Per-side counts pre-aggregate map-side; the two histograms meet in
+    ONE co-bucketed exchange and only per-bucket (est, n_keys) partial
+    scalars return to the driver. Integer throughout."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"],
+                    num_blocks=8).map_batches(
+        lambda t: pa.table({"k": pc.cast(t["l_orderkey"], pa.int64()),
+                            "one": pa.array([1] * t.num_rows,
+                                            pa.int64())}),
+        batch_format="pyarrow")
+    od = read_table(sf_dir, "orders", columns=["o_orderkey"],
+                    num_blocks=8).map_batches(
+        lambda t: pa.table({"k": pc.cast(t["o_orderkey"], pa.int64()),
+                            "one": pa.array([1] * t.num_rows,
+                                            pa.int64())}),
+        batch_format="pyarrow")
+    ca = grouped_agg(li, ["k"], {"n_a": ("one", "sum")}, num_buckets=8)
+    cb = grouped_agg(od, ["k"], {"n_b": ("one", "sum")}, num_buckets=8)
+
+    a_tag = ca.map_batches(
+        lambda df: pd.DataFrame({"k": df["k"].to_numpy(np.int64),
+                                 "n": df["n_a"].to_numpy(np.int64),
+                                 "side": np.zeros(len(df), np.int64)}),
+        batch_format="pandas")
+    b_tag = cb.map_batches(
+        lambda df: pd.DataFrame({"k": df["k"].to_numpy(np.int64),
+                                 "n": df["n_b"].to_numpy(np.int64),
+                                 "side": np.ones(len(df), np.int64)}),
+        batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0].set_index("k")["n"]
+        b = df[df["side"] == 1].set_index("k")["n"]
+        both = a.index.intersection(b.index)
+        est = int((a.loc[both].to_numpy(np.int64)
+                   * b.loc[both].to_numpy(np.int64)).sum())
+        return pd.DataFrame({"n_keys": [len(both)], "est": [est]})
+
+    parts = bucket_exchange(a_tag.union(b_tag), ["k"], merge,
+                            num_buckets=8).to_pandas()
+    return pd.DataFrame({"n_keys": [int(parts["n_keys"].sum())],
+                         "est": [int(parts["est"].sum())]}).astype(
+        "int64")
+
+
+SQL_JOIN_CARDINALITY_ESTIMATE = """
+WITH a AS (
+  SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1
+), b AS (
+  SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(a.n * b.n) AS BIGINT) AS est
+FROM a JOIN b ON a.k = b.k
+"""
+
+KMV_K = 64
+
+
+def q_kmv_sketch_users(sf_dir: str):
+    """KMV (k-minimum-values) DISTINCT sketch, the mergeable bottom-k
+    structure behind theta sketches: the 64 smallest 60-bit md5 hashes
+    of distinct user ids. Every batch ships at most k rows (its local
+    bottom-k), partials merge associatively in one single-bucket
+    reduce — the textbook mergeable-sketch shuffle shape. The sketch
+    CONTENT (rank, hash) is exactly SQL-replayable; the cardinality
+    estimate (k−1)·2⁶⁰/h_k is one derived division the consumer applies."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events", columns=["user_id"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(t["user_id"].is_valid()),
+        batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        uids = pd.unique(df["user_id"].to_numpy(np.int64))
+        h = np.asarray(
+            [int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15], 16)
+             for u in uids], dtype=np.int64)
+        h = np.unique(h)[:KMV_K]
+        return pd.DataFrame({"h": h,
+                             "b": np.zeros(len(h), np.int64)})
+
+    parts = ev.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(df["h"].to_numpy(np.int64))[:KMV_K]
+        return pd.DataFrame({
+            "rank": np.arange(1, len(h) + 1, dtype=np.int64), "h": h})
+
+    return bucket_exchange(parts, ["b"], combine, num_buckets=1,
+                           bucket_col="b")
+
+
+SQL_KMV_SKETCH_USERS = f"""
+WITH h AS (
+  SELECT DISTINCT CAST(CONCAT('0x', substring(
+           md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT ROW_NUMBER() OVER (ORDER BY h) AS rank, h
+FROM h ORDER BY h LIMIT {KMV_K}
+"""
+
+
+def q_dod_bits_users(sf_dir: str):
+    """DELTA-OF-DELTA bit-width census — the Gorilla-style time-series
+    compression planner's statistic: per user, second differences of
+    the sorted event timestamps (seconds), histogrammed by bit length
+    (np.frexp exponent == DuckDB length(printf('%b', n)), zero handled
+    explicitly). Regular streams concentrate at low widths; the
+    histogram sizes the variable-length encoding. One exchange per
+    user, then a bit-cardinality combine."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(t["user_id"].is_valid()),
+        batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"bits": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
+        t_s = (df["ts"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64)) // 1_000_000
+        d = np.diff(t_s)
+        dod = np.abs(np.diff(d))
+        # drop pairs crossing a user boundary: positions i and i+1 of d
+        # must belong to the same user triple
+        same3 = (uid[2:] == uid[:-2])
+        dod = dod[same3]
+        nz = dod > 0
+        bits = np.zeros(len(dod), np.int64)
+        if nz.any():
+            bits[nz] = np.frexp(dod[nz].astype(np.float64))[1]
+        out = (pd.DataFrame({"bits": bits})
+               .groupby("bits", sort=False).size().rename("n")
+               .reset_index())
+        return out.astype({"bits": "int64", "n": "int64"})
+
+    partials = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+    return grouped_agg(partials, ["bits"], {"n": ("n", "sum")},
+                       num_buckets=2)
+
+
+SQL_DOD_BITS_USERS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS t_s, ts, event_id
+  FROM events WHERE user_id IS NOT NULL
+), d1 AS (
+  SELECT user_id, ts, event_id,
+         t_s - LAG(t_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS d
+  FROM e
+), d2 AS (
+  SELECT ABS(d - LAG(d) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)) AS dod
+  FROM d1 WHERE d IS NOT NULL
+)
+SELECT CAST(CASE WHEN dod = 0 THEN 0
+            ELSE length(printf('%b', dod)) END AS BIGINT) AS bits,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d2 WHERE dod IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -22936,6 +23118,9 @@ QUERIES = {
     "pushdown_read_lineitem": q_pushdown_read_lineitem,
     "ahash_neardup_images": q_ahash_neardup_images,
     "fallback_asof_events": q_fallback_asof_events,
+    "join_cardinality_estimate": q_join_cardinality_estimate,
+    "kmv_sketch_users": q_kmv_sketch_users,
+    "dod_bits_users": q_dod_bits_users,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -23406,6 +23591,9 @@ ORACLE_SQL = {
     "pushdown_read_lineitem": SQL_PUSHDOWN_READ_LINEITEM,
     "ahash_neardup_images": SQL_AHASH_NEARDUP_IMAGES,
     "fallback_asof_events": SQL_FALLBACK_ASOF_EVENTS,
+    "join_cardinality_estimate": SQL_JOIN_CARDINALITY_ESTIMATE,
+    "kmv_sketch_users": SQL_KMV_SKETCH_USERS,
+    "dod_bits_users": SQL_DOD_BITS_USERS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
