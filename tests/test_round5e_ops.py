@@ -47,7 +47,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "importance_weights_langs", "pushdown_read_lineitem",
              "ahash_neardup_images", "fallback_asof_events",
              "join_cardinality_estimate", "kmv_sketch_users",
-             "dod_bits_users"]
+             "dod_bits_users", "rendezvous_shards_pages",
+             "bucketed_join_orders"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -22695,6 +22695,164 @@ FROM d2 WHERE dod IS NOT NULL
 GROUP BY 1
 """
 
+RENDEZVOUS_SHARDS = 8
+
+
+def q_rendezvous_shards_pages(sf_dir: str):
+    """Rendezvous (highest-random-weight) SHARD OWNERSHIP census: each
+    distinct url belongs to the shard with the max md5(url|shard)
+    weight — the assignment scheme whose key property is minimal
+    movement when shards join/leave (vs mod-N, which remaps ~all).
+    Zero shuffle beyond the per-shard count partials: ownership is
+    decided map-side with 8 hashes per url. Ties are impossible in
+    practice (128-bit space) and broken by shard index on both
+    engines."""
+    import hashlib
+
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    pages_dir = _pages_fixture(sf_dir)
+    pages = _rd().read_parquet(pages_dir, columns=["url"],
+                               override_num_blocks=16)
+    urls = bucket_exchange(
+        pages.map_batches(lambda df: df[["url"]].drop_duplicates(),
+                          batch_format="pandas"),
+        ["url"], lambda df: df.drop_duplicates(["url"]), num_buckets=8)
+
+    def owner(df: pd.DataFrame) -> pd.DataFrame:
+        shards = []
+        for u in df["url"]:
+            ws = [(int(hashlib.md5(f"{u}|{s}".encode()).hexdigest()[:15],
+                       16), -s) for s in range(RENDEZVOUS_SHARDS)]
+            shards.append(-max(ws)[1])
+        out = (pd.DataFrame({"shard": pd.Series(shards, dtype="int64")})
+               .groupby("shard", sort=False).size().rename("n_urls")
+               .reset_index())
+        return out.astype({"shard": "int64", "n_urls": "int64"})
+
+    partials = urls.map_batches(owner, batch_format="pandas")
+    return grouped_agg(partials, ["shard"], {"n_urls": ("n_urls", "sum")},
+                       num_buckets=2)
+
+
+SQL_RENDEZVOUS_SHARDS_PAGES = f"""
+WITH urls AS (
+  SELECT DISTINCT url FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+), w AS (
+  SELECT url, CAST(s.s AS BIGINT) AS shard,
+         CAST(CONCAT('0x', substring(
+           md5(url || '|' || CAST(s.s AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS wt
+  FROM urls, (SELECT unnest(range({RENDEZVOUS_SHARDS})) AS s) s
+), pick AS (
+  SELECT url, shard,
+         ROW_NUMBER() OVER (PARTITION BY url
+                            ORDER BY wt DESC, shard) AS rn
+  FROM w
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM pick WHERE rn = 1 GROUP BY 1
+"""
+
+BUCKETED_ROOT = "/tmp/transmog_ray_bucketed"
+BUCKETED_CURRENT = f"{BUCKETED_ROOT}/current"
+BUCKETED_N = 8
+
+
+def _bucketed_fixture(sf_dir: str) -> str:
+    """Both join sides PRE-BUCKETED on the join key (orderkey % N, one
+    parquet file per bucket per table) — the lakehouse layout that
+    turns a repeated join into per-bucket map tasks with NO exchange."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"{BUCKETED_ROOT}/{scale}"
+    os.makedirs(out_dir, exist_ok=True)
+    done = ([f"{out_dir}/lineitem-{b}.parquet" for b in range(BUCKETED_N)]
+            + [f"{out_dir}/orders-{b}.parquet" for b in range(BUCKETED_N)])
+    if not all(os.path.exists(p) for p in done):
+        li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_extendedprice",
+                                    "l_discount"]).to_pandas()
+        od = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey",
+                                    "o_orderpriority"]).to_pandas()
+        for b in range(BUCKETED_N):
+            part = li[li["l_orderkey"] % BUCKETED_N == b]
+            tmp = f"{out_dir}/lineitem-{b}.parquet.tmp"
+            pq.write_table(pa.Table.from_pandas(part,
+                                                preserve_index=False), tmp)
+            os.replace(tmp, f"{out_dir}/lineitem-{b}.parquet")
+            part = od[od["o_orderkey"] % BUCKETED_N == b]
+            tmp = f"{out_dir}/orders-{b}.parquet.tmp"
+            pq.write_table(pa.Table.from_pandas(part,
+                                                preserve_index=False), tmp)
+            os.replace(tmp, f"{out_dir}/orders-{b}.parquet")
+    _repoint_current(out_dir, BUCKETED_CURRENT)
+    return out_dir
+
+
+def q_bucketed_join_orders(sf_dir: str):
+    """SHUFFLE-FREE join over STORAGE-BUCKETED tables: both sides were
+    written pre-hashed on the join key (one file per bucket), so the
+    join is N independent map tasks — each reads its matching file
+    pair, joins, and pre-aggregates; NOTHING crosses the wire but the
+    per-priority partials. The layout-aware fast path every lakehouse
+    engine (Hive/Spark bucketing, Iceberg bucket transform) ships; at
+    100 TB this converts the nightly fact⋈dim join from an all-to-all
+    exchange into pure map work. Revenue microcents stay integer."""
+    fix_dir = _bucketed_fixture(sf_dir)
+
+    items = [{"li": f"{fix_dir}/lineitem-{b}.parquet",
+              "od": f"{fix_dir}/orders-{b}.parquet"}
+             for b in range(BUCKETED_N)]
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for li_path, od_path in zip(df["li"], df["od"]):
+            li = pq.read_table(li_path).to_pandas()
+            od = pq.read_table(od_path).to_pandas()
+            m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+            price_uc = np.round(
+                m["l_extendedprice"].to_numpy(np.float64) * 100
+            ).astype(np.int64) * 100
+            disc_c = np.round(
+                m["l_discount"].to_numpy(np.float64) * 100
+            ).astype(np.int64)
+            rev_uc = price_uc // 100 * (100 - disc_c)
+            g = (pd.DataFrame({"o_orderpriority": m["o_orderpriority"],
+                               "rev_uc": rev_uc})
+                 .groupby("o_orderpriority", sort=False)["rev_uc"]
+                 .agg(["sum", "size"]).reset_index())
+            g.columns = ["o_orderpriority", "rev_uc", "n"]
+            outs.append(g)
+        out = pd.concat(outs, ignore_index=True)
+        return out.astype({"rev_uc": "int64", "n": "int64"})
+
+    from ..functions.relational import grouped_agg
+
+    parts = _rd().from_items(items).map_batches(
+        join_bucket, batch_format="pandas")
+    return grouped_agg(parts, ["o_orderpriority"],
+                       {"rev_uc": ("rev_uc", "sum"), "n": ("n", "sum")},
+                       num_buckets=2)
+
+
+SQL_BUCKETED_JOIN_ORDERS = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS rev_uc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
 
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
@@ -23121,6 +23279,8 @@ QUERIES = {
     "join_cardinality_estimate": q_join_cardinality_estimate,
     "kmv_sketch_users": q_kmv_sketch_users,
     "dod_bits_users": q_dod_bits_users,
+    "rendezvous_shards_pages": q_rendezvous_shards_pages,
+    "bucketed_join_orders": q_bucketed_join_orders,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -23594,6 +23754,8 @@ ORACLE_SQL = {
     "join_cardinality_estimate": SQL_JOIN_CARDINALITY_ESTIMATE,
     "kmv_sketch_users": SQL_KMV_SKETCH_USERS,
     "dod_bits_users": SQL_DOD_BITS_USERS,
+    "rendezvous_shards_pages": SQL_RENDEZVOUS_SHARDS_PAGES,
+    "bucketed_join_orders": SQL_BUCKETED_JOIN_ORDERS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
