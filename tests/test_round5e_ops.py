@@ -48,7 +48,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "ahash_neardup_images", "fallback_asof_events",
              "join_cardinality_estimate", "kmv_sketch_users",
              "dod_bits_users", "rendezvous_shards_pages",
-             "bucketed_join_orders"]
+             "bucketed_join_orders", "knn_graph_int8",
+             "l_diversity_docs", "rbo_rankings_docs"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

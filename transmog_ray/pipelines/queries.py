@@ -22853,6 +22853,249 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """
 
+KNN_GRAPH_CAP = 200
+
+
+def q_knn_graph_int8(sf_dir: str):
+    """k-NN GRAPH over int8-quantized embeddings — the neighbor lists
+    HNSW/NN-descent builders start from, on a bounded probe set
+    (vec_id < 200, constant at any scale so the oracle's pairwise join
+    stays linear-ish). Quantized dot products are INTEGER, so top-3
+    ranking (dot DESC, id ASC) is exactly deterministic cross-engine —
+    the float-embedding version could never hash-match. The probe
+    matrix broadcasts once via ray.put; each batch scores against it
+    with one int matmul (the documented brute-force ANN shape)."""
+    import ray as _ray
+
+    from ..functions.ann import _quantize_rows
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"],
+                     num_blocks=4).map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], KNN_GRAPH_CAP)),
+        batch_format="pyarrow")
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "qrow": pd.Series([], dtype=object)})
+        M = np.asarray(list(df["embedding"]), dtype=np.float64)
+        q, _scale = _quantize_rows(M)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "qrow": list(q.astype(np.int64))})
+
+    qds = emb.map_batches(quant, batch_format="pandas").materialize()
+    probe = qds.to_pandas().sort_values("vec_id")
+    probe_ids = probe["vec_id"].to_numpy(np.int64)
+    probe_mat = np.stack(probe["qrow"].to_numpy())  # (n, d) int64
+    ref = _ray.put((probe_ids, probe_mat))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                "nbr_id": pd.Series([], dtype="int64"),
+                "dot": pd.Series([], dtype="int64")})
+        ids_p, mat = _ray.get(ref)
+        ids = df["vec_id"].to_numpy(np.int64)
+        Q = np.stack(df["qrow"].to_numpy())
+        dots = Q @ mat.T  # exact int64
+        outs = []
+        for r in range(len(ids)):
+            row = dots[r]
+            mask = ids_p != ids[r]
+            cand_ids, cand = ids_p[mask], row[mask]
+            order = np.lexsort((cand_ids, -cand))[:3]
+            outs.append(pd.DataFrame({
+                "vec_id": np.full(len(order), ids[r], np.int64),
+                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                "nbr_id": cand_ids[order],
+                "dot": cand[order]}))
+        return pd.concat(outs, ignore_index=True)
+
+    return qds.map_batches(topk, batch_format="pandas")
+
+
+SQL_KNN_GRAPH_INT8 = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings WHERE vec_id < {KNN_GRAPH_CAP}
+), s AS (
+  SELECT vec_id, emb,
+         list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS scale
+  FROM e
+), qv AS (
+  SELECT vec_id,
+         unnest(range(0, len(emb))) AS pos,
+         unnest(list_transform(emb, x ->
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(GREATEST(LEAST(ROUND(x * 127.0 / scale),
+                                           127), -127) AS BIGINT)
+             END)) AS q
+  FROM s
+), d AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM qv a JOIN qv b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), r AS (
+  SELECT va, vb, dot,
+         ROW_NUMBER() OVER (PARTITION BY va
+                            ORDER BY dot DESC, vb) AS rn
+  FROM d
+)
+SELECT va AS vec_id, CAST(rn AS BIGINT) AS rank, vb AS nbr_id, dot
+FROM r WHERE rn <= 3
+"""
+
+LDIV_BUCKET_CHARS = 500
+LDIV_L = 3
+
+
+def q_l_diversity_docs(sf_dir: str):
+    """l-DIVERSITY privacy audit (k-anonymity's stronger sibling): per
+    quasi-identifier group (lang × length bucket), the count of rows
+    and of DISTINCT sensitive values (source); groups with fewer than
+    l = 3 distinct sources are re-identification risks even when k is
+    large — the release gate a privacy review runs before publishing a
+    corpus slice. One exchange, nunique folds in-bucket."""
+    from ..stages.partition import bucket_exchange
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["lang", "source", "n_chars"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(pc.and_(t["lang"].is_valid(),
+                                           t["source"].is_valid()),
+                                   t["n_chars"].is_valid())),
+        batch_format="pyarrow")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "len_bucket": (df["n_chars"].to_numpy(np.int64)
+                           // LDIV_BUCKET_CHARS),
+            "source": df["source"]})
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "len_bucket"], sort=False)["source"].agg(
+            ["size", "nunique"]).reset_index()
+        g.columns = ["lang", "len_bucket", "k", "l"]
+        g["risky"] = (g["l"] < LDIV_L).astype("int64")
+        return g.astype({"len_bucket": "int64", "k": "int64",
+                         "l": "int64"})
+
+    return bucket_exchange(docs.map_batches(tag, batch_format="pandas"),
+                           ["lang", "len_bucket"], per_group,
+                           num_buckets=8)
+
+
+SQL_L_DIVERSITY_DOCS = f"""
+SELECT lang, n_chars // {LDIV_BUCKET_CHARS} AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS l,
+       CAST(CASE WHEN COUNT(DISTINCT source) < {LDIV_L}
+            THEN 1 ELSE 0 END AS BIGINT) AS risky
+FROM documents
+WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+GROUP BY 1, 2
+"""
+
+RBO_K = 8  # depth; with p = 1/2 every RBO term is dyadic·(1/d)
+
+
+def q_rbo_rankings_docs(sf_dir: str):
+    """Rank-biased overlap (RBO, Webber et al.) between two retrieval
+    rankings — the ranking-agreement metric IR evals report. Rankings:
+    top-8 docs by two deterministic integer scorers ('e'-count vs
+    space-count, ties by doc_id). With persistence p = 1/2 each term
+    is overlap_d/(d·2^d), so the WHOLE metric is one exact rational:
+    numerator Σ overlap_d·(840/d)·2^(8−d) over denominator 840·256 —
+    integers on both engines, no float summation order to disagree on.
+    Each ranking is a distributed top-k (per-batch top-8 partials, one
+    single-bucket combine); the 8×8 overlap math is driver-side on
+    16 rows. Output: per-depth overlaps + the exact fraction."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8).map_batches(
+        lambda t: t.filter(t["text"].is_valid()),
+        batch_format="pyarrow")
+
+    def scores(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "sa": pc.cast(pc.count_substring(t["text"], "e"),
+                          pa.int64()),
+            "sb": pc.cast(pc.count_substring(t["text"], " "),
+                          pa.int64())})
+
+    scored = docs.map_batches(scores, batch_format="pyarrow")
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.sort_values(["sa", "doc_id"],
+                           ascending=[False, True]).head(RBO_K)
+        b = df.sort_values(["sb", "doc_id"],
+                           ascending=[False, True]).head(RBO_K)
+        return pd.concat([a, b], ignore_index=True).drop_duplicates(
+            "doc_id")
+
+    # partials are ≤2k rows per batch; the combine is one tiny frame
+    top = local_top(
+        scored.map_batches(local_top, batch_format="pandas").to_pandas())
+    merged = pd.concat([top], ignore_index=True)
+    a_ids = (merged.sort_values(["sa", "doc_id"],
+                                ascending=[False, True])
+             .head(RBO_K)["doc_id"].to_numpy(np.int64))
+    b_ids = (merged.sort_values(["sb", "doc_id"],
+                                ascending=[False, True])
+             .head(RBO_K)["doc_id"].to_numpy(np.int64))
+    rows = []
+    num = 0
+    for d in range(1, RBO_K + 1):
+        ov = len(set(a_ids[:d]) & set(b_ids[:d]))
+        term = ov * (840 // d) * (1 << (RBO_K - d))
+        num += term
+        rows.append((d, ov, term))
+    out = pd.DataFrame(rows, columns=["depth", "overlap", "term_num"])
+    out["rbo_num"] = np.int64(num)
+    out["rbo_den"] = np.int64(840 * (1 << RBO_K))
+    return out.astype({"depth": "int64", "overlap": "int64",
+                       "term_num": "int64"})
+
+
+SQL_RBO_RANKINGS_DOCS = f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, 'e', '')) AS sa,
+         length(text) - length(replace(text, ' ', '')) AS sb
+  FROM documents WHERE text IS NOT NULL
+), a AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sa DESC, doc_id) AS rn
+  FROM s QUALIFY rn <= {RBO_K}
+), b AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sb DESC, doc_id) AS rn
+  FROM s QUALIFY rn <= {RBO_K}
+), depths AS (
+  SELECT CAST(unnest(range(1, {RBO_K} + 1)) AS BIGINT) AS depth
+), ov AS (
+  SELECT d.depth,
+         (SELECT COUNT(*) FROM a JOIN b USING (doc_id)
+          WHERE a.rn <= d.depth AND b.rn <= d.depth) AS overlap
+  FROM depths d
+), terms AS (
+  SELECT depth, CAST(overlap AS BIGINT) AS overlap,
+         CAST(overlap * (840 // depth)
+              * (CAST(1 AS BIGINT) << ({RBO_K} - depth)) AS BIGINT)
+           AS term_num
+  FROM ov
+)
+SELECT depth, overlap, term_num,
+       CAST(SUM(term_num) OVER () AS BIGINT) AS rbo_num,
+       CAST(840 * (CAST(1 AS BIGINT) << {RBO_K}) AS BIGINT) AS rbo_den
+FROM terms
+"""
+
 
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
@@ -23281,6 +23524,9 @@ QUERIES = {
     "dod_bits_users": q_dod_bits_users,
     "rendezvous_shards_pages": q_rendezvous_shards_pages,
     "bucketed_join_orders": q_bucketed_join_orders,
+    "knn_graph_int8": q_knn_graph_int8,
+    "l_diversity_docs": q_l_diversity_docs,
+    "rbo_rankings_docs": q_rbo_rankings_docs,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -23756,6 +24002,9 @@ ORACLE_SQL = {
     "dod_bits_users": SQL_DOD_BITS_USERS,
     "rendezvous_shards_pages": SQL_RENDEZVOUS_SHARDS_PAGES,
     "bucketed_join_orders": SQL_BUCKETED_JOIN_ORDERS,
+    "knn_graph_int8": SQL_KNN_GRAPH_INT8,
+    "l_diversity_docs": SQL_L_DIVERSITY_DOCS,
+    "rbo_rankings_docs": SQL_RBO_RANKINGS_DOCS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
