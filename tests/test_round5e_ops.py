@@ -49,7 +49,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "join_cardinality_estimate", "kmv_sketch_users",
              "dod_bits_users", "rendezvous_shards_pages",
              "bucketed_join_orders", "knn_graph_int8",
-             "l_diversity_docs", "rbo_rankings_docs"]
+             "l_diversity_docs", "rbo_rankings_docs",
+             "value_drift_types", "cohort_ltv_users"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -23096,6 +23096,165 @@ SELECT depth, overlap, term_num,
 FROM terms
 """
 
+DRIFT_BIN_CENTS = 2000
+
+
+def q_value_drift_types(sf_dir: str):
+    """Distribution DRIFT between the first and second time half, per
+    event type: the cross-multiplied integer L1 distance
+    Σ_b |n1_b·N2 − n2_b·N1| between value-bin histograms — the
+    train/serve skew monitor, kept exact by clearing denominators
+    (per-half totals) instead of dividing. The split point is the
+    integer midpoint of the global ts span (one cheap min/max pass);
+    histograms fold per type in one exchange (small-domain key: types
+    sharing a bucket re-group inside the kernel)."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "value"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["value"].is_valid(),
+                                   t["event_type"].is_valid())),
+        batch_format="pyarrow").materialize()
+
+    span = ev.map_batches(
+        lambda df: pd.DataFrame({
+            "lo": [df["ts"].min()], "hi": [df["ts"].max()]}),
+        batch_format="pandas").to_pandas()
+    lo = span["lo"].min().to_datetime64().astype("datetime64[us]")
+    hi = span["hi"].max().to_datetime64().astype("datetime64[us]")
+    mid = (lo.astype(np.int64) + hi.astype(np.int64)) // 2
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n1": pd.Series([], dtype="int64"),
+                "n2": pd.Series([], dtype="int64"),
+                "l1_num": pd.Series([], dtype="int64")})
+        t = (df["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+        b = (np.floor(df["value"].to_numpy(np.float64) * 100)
+             .astype(np.int64) // DRIFT_BIN_CENTS)
+        f = pd.DataFrame({"event_type": df["event_type"], "bin": b,
+                          "h2": (t > mid).astype(np.int64)})
+        rows = []
+        for etype, g in f.groupby("event_type", sort=False):
+            piv = (g.groupby(["bin", "h2"]).size().unstack(
+                fill_value=0).reindex(columns=[0, 1], fill_value=0))
+            n1, n2 = int(piv[0].sum()), int(piv[1].sum())
+            d = int(np.abs(piv[0].to_numpy(np.int64) * n2
+                           - piv[1].to_numpy(np.int64) * n1).sum())
+            rows.append((etype, n1, n2, d))
+        return pd.DataFrame(rows, columns=["event_type", "n1", "n2",
+                                           "l1_num"]).astype(
+            {"n1": "int64", "n2": "int64", "l1_num": "int64"})
+
+    return bucket_exchange(ev, ["event_type"], per_type, num_buckets=4)
+
+
+SQL_VALUE_DRIFT_TYPES = f"""
+WITH mid AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS m
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), e AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) // {DRIFT_BIN_CENTS} AS bin,
+         CASE WHEN epoch_us(ts) > (SELECT m FROM mid)
+              THEN 1 ELSE 0 END AS h2
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), h AS (
+  SELECT event_type, bin,
+         SUM(1 - h2) AS c1, SUM(h2) AS c2
+  FROM e GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, SUM(c1) AS n1, SUM(c2) AS n2
+  FROM h GROUP BY 1
+)
+SELECT h.event_type, CAST(t.n1 AS BIGINT) AS n1,
+       CAST(t.n2 AS BIGINT) AS n2,
+       CAST(SUM(ABS(h.c1 * t.n2 - h.c2 * t.n1)) AS BIGINT) AS l1_num
+FROM h JOIN tot t ON t.event_type = h.event_type
+GROUP BY 1, 2, 3
+"""
+
+LTV_WEEK_US = 7 * 86_400 * 1_000_000
+LTV_MAX_K = 4
+
+
+def q_cohort_ltv_users(sf_dir: str):
+    """Cohort LTV CURVE: users cohorted by signup week (first event),
+    revenue from purchases in weeks 0..3 since signup, reported as the
+    CUMULATIVE cents per (cohort_week, k) — the growth-team curve.
+    One exchange co-locates each user (signup and purchases resolve
+    locally); only (cohort, k, cents) partials shuffle again, and the
+    cumulative fold runs on the group-cardinality frame."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type", "value"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(t["user_id"].is_valid()),
+        batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "cohort_week": pd.Series([], dtype="int64"),
+                "k": pd.Series([], dtype="int64"),
+                "cents": pd.Series([], dtype="int64")})
+        t = (df["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+        f = pd.DataFrame({"uid": df["user_id"].to_numpy(np.int64),
+                          "t": t, "typ": df["event_type"],
+                          "v": df["value"]})
+        signup = f.groupby("uid")["t"].min()
+        p = f[(f["typ"] == "purchase") & f["v"].notna()].copy()
+        p["s"] = p["uid"].map(signup)
+        p["k"] = (p["t"] - p["s"]) // LTV_WEEK_US
+        p = p[p["k"] < LTV_MAX_K]
+        p["cohort_week"] = p["s"] // LTV_WEEK_US
+        p["cents"] = np.floor(
+            p["v"].to_numpy(np.float64) * 100).astype(np.int64)
+        out = (p.groupby(["cohort_week", "k"], sort=False)["cents"]
+               .sum().reset_index())
+        return out.astype({"cohort_week": "int64", "k": "int64",
+                           "cents": "int64"})
+
+    parts = bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+    agg = grouped_agg(parts, ["cohort_week", "k"],
+                      {"cents": ("cents", "sum")},
+                      num_buckets=2).to_pandas()
+    agg = agg.sort_values(["cohort_week", "k"], kind="mergesort")
+    agg["cum_cents"] = agg.groupby("cohort_week")["cents"].cumsum()
+    return agg.astype({"cohort_week": "int64", "k": "int64",
+                       "cents": "int64", "cum_cents": "int64"})
+
+
+SQL_COHORT_LTV_USERS = f"""
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), p AS (
+  SELECT e.user_id,
+         s.s_us // {LTV_WEEK_US} AS cohort_week,
+         (epoch_us(e.ts) - s.s_us) // {LTV_WEEK_US} AS k,
+         CAST(FLOOR(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+), g AS (
+  SELECT cohort_week, k, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM p WHERE k < {LTV_MAX_K} GROUP BY 1, 2
+)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week, CAST(k AS BIGINT)
+         AS k, cents,
+       CAST(SUM(cents) OVER (PARTITION BY cohort_week ORDER BY k
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_cents
+FROM g
+"""
+
 
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
@@ -23527,6 +23686,8 @@ QUERIES = {
     "knn_graph_int8": q_knn_graph_int8,
     "l_diversity_docs": q_l_diversity_docs,
     "rbo_rankings_docs": q_rbo_rankings_docs,
+    "value_drift_types": q_value_drift_types,
+    "cohort_ltv_users": q_cohort_ltv_users,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -24005,6 +24166,8 @@ ORACLE_SQL = {
     "knn_graph_int8": SQL_KNN_GRAPH_INT8,
     "l_diversity_docs": SQL_L_DIVERSITY_DOCS,
     "rbo_rankings_docs": SQL_RBO_RANKINGS_DOCS,
+    "value_drift_types": SQL_VALUE_DRIFT_TYPES,
+    "cohort_ltv_users": SQL_COHORT_LTV_USERS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
