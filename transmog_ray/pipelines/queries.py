@@ -624,7 +624,8 @@ def q_shipping_priority(sf_dir: str):
     )
     cutoff = pd.Timestamp("1997-06-30")
     orders = read_table(sf_dir, "orders",
-                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                        num_blocks=8)
     dim = semi_join(orders, building, on="o_custkey").map_batches(
         lambda df: df.loc[df["o_orderdate"] < cutoff,
                           ["o_orderkey", "o_orderdate"]].rename(
@@ -634,22 +635,32 @@ def q_shipping_priority(sf_dir: str):
     )
 
     li = read_table(sf_dir, "lineitem",
-                    columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
-    li = li.map_batches(
-        lambda df: df[df["l_shipdate"] > cutoff].assign(
-            rev=df.loc[df["l_shipdate"] > cutoff, "l_extendedprice"]
-            * (1 - df.loc[df["l_shipdate"] > cutoff, "l_discount"])
-        ),
-        batch_format="pandas",
-    )
-    joined = hash_join(li, dim, on="l_orderkey", num_buckets=32)
-    agg = grouped_agg(joined, ["l_orderkey", "o_orderdate"],
-                      {"revenue": ("rev", "sum")})
-    agg = agg.map_batches(
-        lambda df: df.assign(revenue=round_half_away(df["revenue"], 2)),
-        batch_format="pandas",
-    )
-    return topk(agg, by=["revenue", "l_orderkey"], k=10, descending=True)
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"], num_blocks=8)
+
+    def per_order_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cutoff]
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"]))
+        return (pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                              "rev_part": rev})
+                .groupby("l_orderkey", sort=False)["rev_part"]
+                .sum(min_count=1).reset_index())
+
+    li_part = li.map_batches(per_order_partial, batch_format="pandas")
+
+    # join+aggregate FUSION: the group key starts with the join key, so
+    # each bucket's rollup is COMPLETE — no second aggregate exchange,
+    # only ≤10-candidate top-k partials leave each join task
+    def per_bucket(out: pd.DataFrame) -> pd.DataFrame:
+        g = (out.groupby(["l_orderkey", "o_orderdate"], sort=False)
+             ["rev_part"].sum(min_count=1).reset_index())
+        g["revenue"] = round_half_away(g["rev_part"], 2)
+        return g[["l_orderkey", "o_orderdate", "revenue"]]
+
+    joined = hash_join(li_part, dim, on="l_orderkey", num_buckets=16,
+                       post_fn=per_bucket)
+    return topk(joined, by=["revenue", "l_orderkey"], k=10,
+                descending=True)
 
 
 SQL_SHIPPING_PRIORITY = """
