@@ -474,8 +474,7 @@ def q_top_customers(sf_dir: str):
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderkey"])
     agg = grouped_agg(
         orders, ["o_custkey"],
-        {"total_spent": ("o_totalprice", "sum"), "n_orders": ("o_orderkey", "count")},
-    )
+        {"total_spent": ("o_totalprice", "sum"), "n_orders": ("o_orderkey", "count")}, num_buckets=8,)
     agg = agg.map_batches(
         lambda df: df.assign(total_spent=round_half_away(df["total_spent"], 2)),
         batch_format="pandas",
@@ -523,8 +522,7 @@ def q_events_by_type(sf_dir: str):
             "sum_value": ("value", "sum"),
             "min_value": ("value", "min"),
             "max_value": ("value", "max"),
-        },
-    )
+        }, num_buckets=8,)
     return agg.map_batches(
         lambda df: df.assign(sum_value=round_half_away(df["sum_value"], 2)),
         batch_format="pandas",
@@ -552,8 +550,7 @@ def q_salted_revenue(sf_dir: str):
             "n": ("l_quantity", "count"),
             "max_qty": ("l_quantity", "max"),
         },
-        num_salts=8,
-    )
+        num_salts=8, num_buckets=8,)
     return agg.map_batches(
         lambda df: df.assign(sum_price=round_half_away(df["sum_price"], 2)),
         batch_format="pandas",
@@ -594,8 +591,7 @@ def q_orders_by_month(sf_dir: str):
     )
     agg = grouped_agg(
         orders, ["month"],
-        {"n_orders": ("o_orderkey", "count"), "revenue": ("o_totalprice", "sum")},
-    )
+        {"n_orders": ("o_orderkey", "count"), "revenue": ("o_totalprice", "sum")}, num_buckets=8,)
     return agg.map_batches(
         lambda df: df.assign(revenue=round_half_away(df["revenue"], 2)),
         batch_format="pandas",
@@ -873,7 +869,7 @@ def q_semi_anti_purchasers(sf_dir: str):
 
     flagged = ev.map_batches(flag, batch_format="pandas")
     agg = grouped_agg(flagged, ["user_id"],
-                      {"n_semi": ("semi", "sum"), "n_anti": ("anti", "sum")})
+                      {"n_semi": ("semi", "sum"), "n_anti": ("anti", "sum")}, num_buckets=8)
     return agg.map_batches(
         lambda df: df.astype({"n_semi": "int64", "n_anti": "int64"}),
         batch_format="pandas",
@@ -1060,7 +1056,7 @@ def q_union_lang_counts(sf_dir: str):
 
     a = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
     b = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
-    return grouped_agg(a.union(b), ["lang"], {"n_docs": ("doc_id", "count")})
+    return grouped_agg(a.union(b), ["lang"], {"n_docs": ("doc_id", "count")}, num_buckets=8)
 
 
 SQL_UNION_LANG = """
@@ -1599,8 +1595,7 @@ def q_tumbling_hourly(sf_dir: str):
     )
     agg = grouped_agg(
         ev, ["user_id", "window_start"],
-        {"n_events": ("event_id", "count"), "sum_value": ("value", "sum")},
-    )
+        {"n_events": ("event_id", "count"), "sum_value": ("value", "sum")}, num_buckets=8,)
     return agg.map_batches(
         lambda df: df.assign(sum_value=round_half_away(df["sum_value"], 2)),
         batch_format="pandas",
@@ -3329,7 +3324,7 @@ def q_histogram_chars(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    return grouped_agg(binned, ["bin"], {"n_docs": ("bin", "count")})
+    return grouped_agg(binned, ["bin"], {"n_docs": ("bin", "count")}, num_buckets=8)
 
 
 SQL_HISTOGRAM_CHARS = """
@@ -3699,7 +3694,7 @@ def q_top_terms(sf_dir: str):
                               kind="mergesort").head(20)
 
     parts = docs.map_batches(partial, batch_format="pandas")
-    agg = grouped_agg(parts, ["term"], {"cnt": ("cnt", "sum")})
+    agg = grouped_agg(parts, ["term"], {"cnt": ("cnt", "sum")}, num_buckets=8)
     tops = agg.map_batches(local_top, batch_format="pandas")
     out = local_top(tops.to_pandas()).reset_index(drop=True)
     out["cnt"] = out["cnt"].astype("int64")
@@ -4061,9 +4056,8 @@ def q_customer_order_counts(sf_dir: str):
             lambda d: d.rename(columns={"o_custkey": "c_custkey"}),
             batch_format="pandas",
         ),
-        ["c_custkey"], {"n_orders": ("c_custkey", "count")},
-    )
-    joined = hash_join(cust, agg, on="c_custkey", how="left")
+        ["c_custkey"], {"n_orders": ("c_custkey", "count")}, num_buckets=8,)
+    joined = hash_join(cust, agg, on="c_custkey", how="left", num_buckets=8)
     return joined.map_batches(
         lambda d: d.assign(n_orders=d["n_orders"].fillna(0).astype("int64")),
         batch_format="pandas",
@@ -4085,19 +4079,20 @@ def q_events_orders_outer(sf_dir: str):
     ``how='outer'``; missing sides coalesce to 0."""
     from ..functions.relational import grouped_agg, hash_join
 
-    ev = read_table(sf_dir, "events", columns=["user_id"])
-    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    ev = read_table(sf_dir, "events", columns=["user_id"], num_blocks=8)
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"],
+                        num_blocks=8)
     ne = grouped_agg(
         ev.map_batches(lambda d: d.rename(columns={"user_id": "id"}),
                        batch_format="pandas"),
-        ["id"], {"n_events": ("id", "count")},
+        ["id"], {"n_events": ("id", "count")}, num_buckets=8,
     )
     no = grouped_agg(
         orders.map_batches(lambda d: d.rename(columns={"o_custkey": "id"}),
                            batch_format="pandas"),
-        ["id"], {"n_orders": ("id", "count")},
+        ["id"], {"n_orders": ("id", "count")}, num_buckets=8,
     )
-    joined = hash_join(ne, no, on="id", how="outer")
+    joined = hash_join(ne, no, on="id", how="outer", num_buckets=8)
     return joined.map_batches(
         lambda d: d.assign(
             n_events=d["n_events"].fillna(0).astype("int64"),
