@@ -50,7 +50,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "dod_bits_users", "rendezvous_shards_pages",
              "bucketed_join_orders", "knn_graph_int8",
              "l_diversity_docs", "rbo_rankings_docs",
-             "value_drift_types", "cohort_ltv_users"]
+             "value_drift_types", "cohort_ltv_users",
+             "warc_domain_census"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
@@ -160,6 +161,43 @@ def test_bitemporal_never_uses_late_features(ray_session):
         ft = fmap.loc[r.f_event_id, "t"]
         assert ft <= vt
         assert ft + delay[int(r.f_event_id)] * 1_000_000 <= vt
+
+
+def test_warc_roundtrip_and_error_contract(ray_session, tmp_path):
+    """write_warc → read_warc round-trips records byte-for-byte (plain
+    and gz); malformed streams raise with file + record index under
+    on_error='raise' and resync under 'skip'."""
+    import gzip
+
+    from transmog_ray.api import ValidationError
+    from transmog_ray.sources.warc import (parse_warc_stream, read_warc,
+                                           write_warc)
+
+    recs = [{"url": f"https://ex{i}.com/p", "warc_date": "2024-01-01",
+             "payload": (b"body \r\n\r\n binary \x00" * (i + 1))}
+            for i in range(5)]
+    for name in ("a.warc", "a.warc.gz"):
+        p = tmp_path / name
+        write_warc(recs, str(p))
+        got = read_warc([str(p)]).to_pandas()
+        assert len(got) == 5
+        assert got["url"].tolist() == [r["url"] for r in recs]
+        assert [bytes(b) for b in got["payload"]] == [r["payload"]
+                                                      for r in recs]
+        assert (got["length"].to_numpy()
+                == [len(r["payload"]) for r in recs]).all()
+        assert set(got["warc_type"]) == {"response"}
+
+    bad = tmp_path / "bad.warc"
+    with open(bad, "wb") as f:
+        f.write(b"WARC/1.0\r\nWARC-Target-URI: u\r\n\r\n")  # no length
+    with pytest.raises(Exception) as exc:
+        read_warc([str(bad)]).materialize()
+    assert "record 1" in str(exc.value)
+    with open(bad, "rb") as f:
+        assert list(parse_warc_stream(f, "bad", on_error="skip")) == []
+    with pytest.raises(ValueError):
+        read_warc([str(bad)], on_error="nope")
 
 
 def test_negative_edges_are_not_edges(ray_session):

@@ -23290,6 +23290,92 @@ SELECT CAST(cohort_week AS BIGINT) AS cohort_week, CAST(k AS BIGINT)
 FROM g
 """
 
+WARC_FIX_ROOT = "/tmp/transmog_ray_warc"
+WARC_FIX_SHARDS = 4
+
+
+def _warc_fixture(sf_dir: str) -> str:
+    """The pages table re-materialized as gzipped WARC/1.0 response
+    shards — the actual Common-Crawl wire format — so the WARC source
+    is exercised end-to-end against an INDEPENDENT oracle path (the
+    parquet the records derive from)."""
+    import os
+
+    pages_dir = _pages_fixture(sf_dir)
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"{WARC_FIX_ROOT}/{scale}"
+    os.makedirs(out_dir, exist_ok=True)
+    done = [f"{out_dir}/crawl-{i}.warc.gz" for i in range(WARC_FIX_SHARDS)]
+    if not all(os.path.exists(p) for p in done):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from ..sources.warc import write_warc
+
+        files = sorted(glob.glob(f"{pages_dir}/pages-*.parquet"))
+        t = pa.concat_tables([
+            pq.read_table(f, columns=["url", "warc_ts", "text"])
+            for f in files])
+        df = t.to_pandas()
+        df = df[df["text"].notna()].sort_values(
+            ["url", "warc_ts"], kind="mergesort")
+        shards = np.array_split(df, WARC_FIX_SHARDS)
+        for i, shard in enumerate(shards):
+            # tmp name must KEEP the .gz suffix — write_warc picks its
+            # opener from the extension
+            tmp = f"{out_dir}/.tmp-crawl-{i}.warc.gz"
+            write_warc(
+                ({"url": r.url,
+                  "warc_date": pd.Timestamp(r.warc_ts).isoformat(),
+                  "payload": str(r.text).encode("utf-8")}
+                 for r in shard.itertuples(index=False)), tmp)
+            os.replace(tmp, done[i])
+    return out_dir
+
+
+def q_warc_domain_census(sf_dir: str):
+    """End-to-end WARC SOURCE exercise (sources/warc.py): parse gzipped
+    WARC/1.0 response shards — one record per (url, warc_ts) page
+    snapshot — and roll up records + payload bytes per domain. The
+    oracle takes the INDEPENDENT path: the parquet pages the fixture
+    was written from, with octet_length(encode(text)) as the byte
+    count — so a parser bug (truncated payload, header drift, gzip
+    member handling) breaks the hash."""
+    from ..functions.relational import grouped_agg
+    from ..sources.warc import read_warc
+
+    fix_dir = _warc_fixture(sf_dir)
+    paths = [f"{fix_dir}/crawl-{i}.warc.gz"
+             for i in range(WARC_FIX_SHARDS)]
+    ds = read_warc(paths)
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        dom = (df["url"].str.split("//", n=1).str[1]
+               .str.split("/", n=1).str[0])
+        out = pd.DataFrame({"domain": dom,
+                            "n_records": np.ones(len(df), np.int64),
+                            "total_bytes": df["length"]
+                            .to_numpy(np.int64)})
+        return (out.groupby("domain", sort=False)
+                [["n_records", "total_bytes"]].sum().reset_index())
+
+    return grouped_agg(ds.map_batches(census, batch_format="pandas"),
+                       ["domain"],
+                       {"n_records": ("n_records", "sum"),
+                        "total_bytes": ("total_bytes", "sum")},
+                       num_buckets=4)
+
+
+SQL_WARC_DOMAIN_CENSUS = f"""
+SELECT split_part(split_part(url, '//', 2), '/', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+WHERE text IS NOT NULL
+GROUP BY 1
+"""
+
 
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
@@ -23723,6 +23809,7 @@ QUERIES = {
     "rbo_rankings_docs": q_rbo_rankings_docs,
     "value_drift_types": q_value_drift_types,
     "cohort_ltv_users": q_cohort_ltv_users,
+    "warc_domain_census": q_warc_domain_census,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -24203,6 +24290,7 @@ ORACLE_SQL = {
     "rbo_rankings_docs": SQL_RBO_RANKINGS_DOCS,
     "value_drift_types": SQL_VALUE_DRIFT_TYPES,
     "cohort_ltv_users": SQL_COHORT_LTV_USERS,
+    "warc_domain_census": SQL_WARC_DOMAIN_CENSUS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
