@@ -23377,6 +23377,50 @@ GROUP BY 1
 """
 
 
+def q_warc_token_stats(sf_dir: str):
+    """Wire-format → FEATURES in one pass: whitespace token counts per
+    domain computed directly from parsed WARC payloads (decode utf-8 in
+    the parse task, count with the codepoint-exact pc.count_substring
+    rule) — the ingest shape a crawl-to-training pipeline runs without
+    ever materializing an intermediate table. Oracle: the independent
+    parquet path with the established count(' ')+1 formula."""
+    from ..functions.relational import grouped_agg
+    from ..sources.warc import read_warc
+
+    fix_dir = _warc_fixture(sf_dir)
+    paths = [f"{fix_dir}/crawl-{i}.warc.gz"
+             for i in range(WARC_FIX_SHARDS)]
+    ds = read_warc(paths)
+
+    def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        dom = (df["url"].str.split("//", n=1).str[1]
+               .str.split("/", n=1).str[0])
+        text = df["payload"].map(lambda b: bytes(b).decode("utf-8"))
+        toks = text.str.count(" ").to_numpy(np.int64) + 1
+        out = pd.DataFrame({"domain": dom,
+                            "n_pages": np.ones(len(df), np.int64),
+                            "n_tokens": toks})
+        return (out.groupby("domain", sort=False)
+                [["n_pages", "n_tokens"]].sum().reset_index())
+
+    return grouped_agg(ds.map_batches(tokens, batch_format="pandas"),
+                       ["domain"],
+                       {"n_pages": ("n_pages", "sum"),
+                        "n_tokens": ("n_tokens", "sum")},
+                       num_buckets=4)
+
+
+SQL_WARC_TOKEN_STATS = f"""
+SELECT split_part(split_part(url, '//', 2), '/', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+            AS BIGINT) AS n_tokens
+FROM read_parquet('{PAGES_CURRENT}/pages-*.parquet')
+WHERE text IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -23810,6 +23854,7 @@ QUERIES = {
     "value_drift_types": q_value_drift_types,
     "cohort_ltv_users": q_cohort_ltv_users,
     "warc_domain_census": q_warc_domain_census,
+    "warc_token_stats": q_warc_token_stats,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -24291,6 +24336,7 @@ ORACLE_SQL = {
     "value_drift_types": SQL_VALUE_DRIFT_TYPES,
     "cohort_ltv_users": SQL_COHORT_LTV_USERS,
     "warc_domain_census": SQL_WARC_DOMAIN_CENSUS,
+    "warc_token_stats": SQL_WARC_TOKEN_STATS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
