@@ -51,7 +51,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "bucketed_join_orders", "knn_graph_int8",
              "l_diversity_docs", "rbo_rankings_docs",
              "value_drift_types", "cohort_ltv_users",
-             "warc_domain_census", "warc_token_stats"]
+             "warc_domain_census", "warc_token_stats",
+             "boruvka_round_parts"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -23421,6 +23421,77 @@ GROUP BY 1
 """
 
 
+def q_boruvka_round_parts(sf_dir: str):
+    """One Borůvka MST ROUND over the weighted part co-occurrence
+    graph (weight = 1/co-purchase-count proxy, i.e. PREFER frequent
+    pairs ⇒ min edge by (−w, neighbor)): each node's cheapest incident
+    edge — the contraction set the first round of every distributed
+    MST computes. Deterministic tie-break by neighbor id. Pair weights
+    come from the order-keyed exchange + combine; the argmin is one
+    node-keyed exchange of (node, w, nbr) triples."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"], num_blocks=8)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = _copurchase_pair_frame(df)
+        if out.empty:
+            return pd.DataFrame({"pa": pd.Series([], dtype="int64"),
+                                 "pb": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        return (out.groupby(["pa", "pb"], sort=False)
+                .size().rename("w").astype("int64").reset_index())
+
+    weighted = grouped_agg(
+        bucket_exchange(li, ["l_orderkey"], pairs, num_buckets=8),
+        ["pa", "pb"], {"w": ("w", "sum")}, num_buckets=8)
+
+    und = weighted.map_batches(
+        lambda df: pd.concat([
+            df.rename(columns={"pa": "node", "pb": "nbr"}),
+            df.rename(columns={"pb": "node", "pa": "nbr"})[
+                ["node", "nbr", "w"]]],
+            ignore_index=True)[["node", "nbr", "w"]],
+        batch_format="pandas")
+
+    def argmin_edge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64"),
+                                 "nbr": pd.Series([], dtype="int64")})
+        df = df.sort_values(["node", "w", "nbr"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        best = df.drop_duplicates("node", keep="first")
+        return best[["node", "w", "nbr"]].astype("int64")
+
+    return bucket_exchange(und, ["node"], argmin_edge, num_buckets=8)
+
+
+SQL_BORUVKA_ROUND_PARTS = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pw AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), und AS (
+  SELECT pa AS node, pb AS nbr, w FROM pw
+  UNION ALL SELECT pb, pa, w FROM pw
+), pick AS (
+  SELECT node, nbr, w,
+         ROW_NUMBER() OVER (PARTITION BY node
+                            ORDER BY w DESC, nbr) AS rn
+  FROM und
+)
+SELECT node, w, nbr FROM pick WHERE rn = 1
+"""
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -23855,6 +23926,7 @@ QUERIES = {
     "cohort_ltv_users": q_cohort_ltv_users,
     "warc_domain_census": q_warc_domain_census,
     "warc_token_stats": q_warc_token_stats,
+    "boruvka_round_parts": q_boruvka_round_parts,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -24337,6 +24409,7 @@ ORACLE_SQL = {
     "cohort_ltv_users": SQL_COHORT_LTV_USERS,
     "warc_domain_census": SQL_WARC_DOMAIN_CENSUS,
     "warc_token_stats": SQL_WARC_TOKEN_STATS,
+    "boruvka_round_parts": SQL_BORUVKA_ROUND_PARTS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
