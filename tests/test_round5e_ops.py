@@ -52,7 +52,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "l_diversity_docs", "rbo_rankings_docs",
              "value_drift_types", "cohort_ltv_users",
              "warc_domain_census", "warc_token_stats",
-             "boruvka_round_parts"]
+             "boruvka_round_parts", "bootstrap_means_events"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

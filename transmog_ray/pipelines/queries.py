@@ -23491,6 +23491,60 @@ WITH op AS (
 SELECT node, w, nbr FROM pick WHERE rn = 1
 """
 
+BOOTSTRAP_B = 16
+
+
+def q_bootstrap_means_events(sf_dir: str):
+    """Deterministic BOOTSTRAP replicates for the mean event value —
+    the resampling machinery behind distributed confidence intervals:
+    replicate b reweights each event by knuth_hash(event_id + salt_b)
+    mod 3 ∈ {0,1,2} (mean 1 — the integer stand-in for Poisson(1)
+    weights), so every replicate is a single weighted pass and all 16
+    replicates ship ONE partial row per batch each. Sufficient stats
+    (Σw, Σw·cents) stay integer — the consumer divides. The hash grid
+    replays exactly in SQL (the epoch-order knuth recipe)."""
+    from ..functions.relational import grouped_agg
+    from ..functions.sampling import knuth_hash
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "value"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(t["value"].is_valid()),
+        batch_format="pyarrow")
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].to_numpy(np.int64)
+        cents = np.floor(
+            df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        rows = []
+        for b in range(BOOTSTRAP_B):
+            w = (knuth_hash(ids + 1000 * (b + 1)).astype(np.int64)) % 3
+            rows.append((b, int(w.sum()), int((w * cents).sum())))
+        return pd.DataFrame(rows, columns=["b", "n_eff", "sum_cents"])
+
+    return grouped_agg(
+        ev.map_batches(replicate, batch_format="pandas"),
+        ["b"], {"n_eff": ("n_eff", "sum"),
+                "sum_cents": ("sum_cents", "sum")}, num_buckets=2)
+
+
+SQL_BOOTSTRAP_MEANS_EVENTS = f"""
+WITH e AS (
+  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT b.b,
+         ((e.event_id + 1000 * (b.b + 1)) * 2654435761)
+           % 4294967296 % 3 AS w,
+         e.c
+  FROM e, (SELECT unnest(range({BOOTSTRAP_B})) AS b) b
+)
+SELECT CAST(b AS BIGINT) AS b,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       CAST(SUM(w * c) AS BIGINT) AS sum_cents
+FROM r GROUP BY 1
+"""
+
 
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
@@ -23927,6 +23981,7 @@ QUERIES = {
     "warc_domain_census": q_warc_domain_census,
     "warc_token_stats": q_warc_token_stats,
     "boruvka_round_parts": q_boruvka_round_parts,
+    "bootstrap_means_events": q_bootstrap_means_events,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -24410,6 +24465,7 @@ ORACLE_SQL = {
     "warc_domain_census": SQL_WARC_DOMAIN_CENSUS,
     "warc_token_stats": SQL_WARC_TOKEN_STATS,
     "boruvka_round_parts": SQL_BORUVKA_ROUND_PARTS,
+    "bootstrap_means_events": SQL_BOOTSTRAP_MEANS_EVENTS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
