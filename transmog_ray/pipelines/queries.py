@@ -23545,6 +23545,73 @@ SELECT CAST(b AS BIGINT) AS b,
 FROM r GROUP BY 1
 """
 
+FUNNEL_CANON = "vcp"  # view → click → purchase
+FUNNEL_SEQ_LEN = 8
+
+
+def q_funnel_distance_users(sf_dir: str):
+    """SEQUENCE-ALIGNMENT conformance: per user, the Levenshtein
+    distance between their first-8-event type string (one char per
+    type, (ts, event_id) order) and the canonical view→click→purchase
+    path — the behavioral-clustering feature that ranks how far each
+    journey deviates from the funnel. Unit-cost edit distance matches
+    DuckDB's levenshtein() exactly; strings are ≤8 chars so the DP is
+    constant work per user after one exchange."""
+    from ..stages.partition import bucket_exchange
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"],
+                    num_blocks=8).map_batches(
+        lambda t: t.filter(pc.and_(t["user_id"].is_valid(),
+                                   t["event_type"].is_valid())),
+        batch_format="pyarrow")
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "seq": pd.Series([], dtype=object),
+                                 "dist": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        ch = df["event_type"].str[0]
+        rows = []
+        for uid, g in ch.groupby(df["user_id"].to_numpy(np.int64),
+                                 sort=False):
+            seq = "".join(g.iloc[:FUNNEL_SEQ_LEN])
+            rows.append((uid, seq, lev(seq, FUNNEL_CANON)))
+        return pd.DataFrame(rows, columns=["user_id", "seq",
+                                           "dist"]).astype(
+            {"user_id": "int64", "dist": "int64"})
+
+    return bucket_exchange(ev, ["user_id"], per_user, num_buckets=8)
+
+
+SQL_FUNNEL_DISTANCE_USERS = f"""
+WITH o AS (
+  SELECT user_id, substring(event_type, 1, 1) AS ch,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+), s AS (
+  SELECT user_id,
+         string_agg(ch, '' ORDER BY rn) AS seq
+  FROM o WHERE rn <= {FUNNEL_SEQ_LEN} GROUP BY 1
+)
+SELECT user_id, seq,
+       CAST(levenshtein(seq, '{FUNNEL_CANON}') AS BIGINT) AS dist
+FROM s
+"""
+
 
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
@@ -23982,6 +24049,7 @@ QUERIES = {
     "warc_token_stats": q_warc_token_stats,
     "boruvka_round_parts": q_boruvka_round_parts,
     "bootstrap_means_events": q_bootstrap_means_events,
+    "funnel_distance_users": q_funnel_distance_users,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -24466,6 +24534,7 @@ ORACLE_SQL = {
     "warc_token_stats": SQL_WARC_TOKEN_STATS,
     "boruvka_round_parts": SQL_BORUVKA_ROUND_PARTS,
     "bootstrap_means_events": SQL_BOOTSTRAP_MEANS_EVENTS,
+    "funnel_distance_users": SQL_FUNNEL_DISTANCE_USERS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
