@@ -23612,6 +23612,128 @@ SELECT user_id, seq,
 FROM s
 """
 
+ZSKIP_ROOT = "/tmp/transmog_ray_zskip"
+ZSKIP_CURRENT = f"{ZSKIP_ROOT}/current"
+ZSKIP_RG = 512
+# 2-D box predicate the audit evaluates against the zone maps
+ZSKIP_SIZE_LO, ZSKIP_SIZE_HI = 10, 20
+ZSKIP_PB_LO, ZSKIP_PB_HI = 16, 31
+
+
+def _zskip_fixture(sf_dir: str) -> str:
+    """The part table in two physical orders — Z-ORDER (Morton) sorted
+    vs natural key order — with small row groups, so the audit can
+    show the curve layout turning a 2-D box predicate into zone-map
+    skips that a 1-D sort can never give."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"{ZSKIP_ROOT}/{scale}"
+    os.makedirs(out_dir, exist_ok=True)
+    z_path, n_path = (f"{out_dir}/zorder.parquet",
+                      f"{out_dir}/natural.parquet")
+    if not (os.path.exists(z_path) and os.path.exists(n_path)):
+        t = pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_size",
+                                   "p_retailprice"])
+        df = t.to_pandas()
+        cents = np.rint(
+            df["p_retailprice"].to_numpy(np.float64) * 100).astype(
+            np.int64)
+        x = df["p_size"].to_numpy(np.int64)
+        y = np.clip((cents - 90000) // 200, 0, 63)
+        z = np.zeros(len(df), np.int64)
+        for i in range(6):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        out = pd.DataFrame({"p_partkey": df["p_partkey"]
+                            .to_numpy(np.int64),
+                            "p_size": x, "pb": y, "z": z})
+        nat = out.sort_values("p_partkey", kind="mergesort")
+        pq.write_table(pa.Table.from_pandas(
+            nat.drop(columns=["z"]), preserve_index=False),
+            n_path, row_group_size=ZSKIP_RG)
+        zo = out.sort_values(["z", "p_partkey"], kind="mergesort")
+        pq.write_table(pa.Table.from_pandas(
+            zo.drop(columns=["z"]), preserve_index=False),
+            z_path, row_group_size=ZSKIP_RG)
+    _repoint_current(out_dir, ZSKIP_CURRENT)
+    return out_dir
+
+
+def q_zorder_skip_stats(sf_dir: str):
+    """LAYOUT PAYOFF audit: for the 2-D box predicate (p_size ∈
+    [10,20] AND price-bucket ∈ [16,31]), how many row groups each
+    physical layout lets a reader SKIP from zone maps alone — the
+    measurement behind an OPTIMIZE ZORDER recommendation (a Morton
+    layout keeps both dimensions local per row group; a key-ordered
+    layout spans the full domain of both). Metadata-only Ray tasks,
+    one per file; oracle = parquet_metadata() stats self-joined across
+    the two columns."""
+    from ..functions.relational import grouped_agg
+
+    fix_dir = _zskip_fixture(sf_dir)
+    files = [{"path": f"{fix_dir}/zorder.parquet", "layout": "zorder"},
+             {"path": f"{fix_dir}/natural.parquet", "layout": "natural"}]
+
+    def footer(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        rows = []
+        for path, layout in zip(df["path"], df["layout"]):
+            md = pq.ParquetFile(path).metadata
+            names = md.schema.names
+            i_size, i_pb = names.index("p_size"), names.index("pb")
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                s, b = rg.column(i_size).statistics, \
+                    rg.column(i_pb).statistics
+                skip = (s.max < ZSKIP_SIZE_LO or s.min > ZSKIP_SIZE_HI
+                        or b.max < ZSKIP_PB_LO or b.min > ZSKIP_PB_HI)
+                rows.append((layout, 1, int(skip),
+                             rg.num_rows * int(skip)))
+        return pd.DataFrame(rows, columns=["layout", "n_groups",
+                                           "n_skippable", "skip_rows"])
+
+    ds = _rd().from_items(files)
+    return grouped_agg(
+        ds.map_batches(footer, batch_format="pandas"), ["layout"],
+        {"n_groups": ("n_groups", "sum"),
+         "n_skippable": ("n_skippable", "sum"),
+         "skip_rows": ("skip_rows", "sum")}, num_buckets=2)
+
+
+SQL_ZORDER_SKIP_STATS = f"""
+WITH m AS (
+  SELECT 'zorder' AS layout, row_group_id, row_group_num_rows,
+         path_in_schema,
+         CAST(stats_min_value AS BIGINT) AS mn,
+         CAST(stats_max_value AS BIGINT) AS mx
+  FROM parquet_metadata('{ZSKIP_CURRENT}/zorder.parquet')
+  WHERE path_in_schema IN ('p_size', 'pb')
+  UNION ALL
+  SELECT 'natural', row_group_id, row_group_num_rows, path_in_schema,
+         CAST(stats_min_value AS BIGINT),
+         CAST(stats_max_value AS BIGINT)
+  FROM parquet_metadata('{ZSKIP_CURRENT}/natural.parquet')
+  WHERE path_in_schema IN ('p_size', 'pb')
+), g AS (
+  SELECT s.layout, s.row_group_id, s.row_group_num_rows,
+         CASE WHEN s.mx < {ZSKIP_SIZE_LO} OR s.mn > {ZSKIP_SIZE_HI}
+                OR b.mx < {ZSKIP_PB_LO} OR b.mn > {ZSKIP_PB_HI}
+              THEN 1 ELSE 0 END AS skip
+  FROM (SELECT * FROM m WHERE path_in_schema = 'p_size') s
+  JOIN (SELECT * FROM m WHERE path_in_schema = 'pb') b
+    ON b.layout = s.layout AND b.row_group_id = s.row_group_id
+)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(skip) AS BIGINT) AS n_skippable,
+       CAST(SUM(skip * row_group_num_rows) AS BIGINT) AS skip_rows
+FROM g GROUP BY 1
+"""
+
 
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
@@ -24050,6 +24172,7 @@ QUERIES = {
     "boruvka_round_parts": q_boruvka_round_parts,
     "bootstrap_means_events": q_bootstrap_means_events,
     "funnel_distance_users": q_funnel_distance_users,
+    "zorder_skip_stats": q_zorder_skip_stats,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -24535,6 +24658,7 @@ ORACLE_SQL = {
     "boruvka_round_parts": SQL_BORUVKA_ROUND_PARTS,
     "bootstrap_means_events": SQL_BOOTSTRAP_MEANS_EVENTS,
     "funnel_distance_users": SQL_FUNNEL_DISTANCE_USERS,
+    "zorder_skip_stats": SQL_ZORDER_SKIP_STATS,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
