@@ -53,7 +53,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "value_drift_types", "cohort_ltv_users",
              "warc_domain_census", "warc_token_stats",
              "boruvka_round_parts", "bootstrap_means_events",
-             "funnel_distance_users", "zorder_skip_stats"]
+             "funnel_distance_users", "zorder_skip_stats",
+             "null_census_tables", "forget_users_run"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES

@@ -23734,6 +23734,158 @@ SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_groups,
 FROM g GROUP BY 1
 """
 
+NULL_CENSUS_TABLES = {
+    "events": ["event_id", "ts", "user_id", "event_type", "value",
+               "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderdate", "o_orderpriority"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+}
+
+
+def q_null_census_tables(sf_dir: str):
+    """Cross-TABLE completeness census — the data-quality dashboard's
+    backbone: per (table, column), row count and null count, computed
+    with zero-copy Arrow null_count per batch (no value scan beyond
+    validity bitmaps) and one tiny combine across all four tables'
+    partials. The audit every ingest run should publish before
+    downstream jobs trust a column."""
+    from ..functions.relational import grouped_agg
+
+    partials = []
+    for tname, cols in NULL_CENSUS_TABLES.items():
+        ds = read_table(sf_dir, tname, columns=cols, num_blocks=4)
+
+        def census(t: pa.Table, tname=tname) -> pa.Table:
+            names, n_nulls = [], []
+            for c in t.column_names:
+                names.append(c)
+                n_nulls.append(t[c].null_count)
+            k = len(names)
+            return pa.table({
+                "tbl": pa.array([tname] * k),
+                "col": pa.array(names),
+                "n": pa.array([t.num_rows] * k, pa.int64()),
+                "n_null": pa.array(n_nulls, pa.int64())})
+
+        partials.append(ds.map_batches(census, batch_format="pyarrow"))
+
+    allp = partials[0]
+    for p in partials[1:]:
+        allp = allp.union(p)
+    return grouped_agg(allp, ["tbl", "col"],
+                       {"n": ("n", "sum"), "n_null": ("n_null", "sum")},
+                       num_buckets=2)
+
+
+def _null_census_sql() -> str:
+    parts = []
+    for tname, cols in NULL_CENSUS_TABLES.items():
+        for c in cols:
+            parts.append(
+                f"SELECT '{tname}' AS tbl, '{c}' AS col,\n"
+                f"       CAST(COUNT(*) AS BIGINT) AS n,\n"
+                f"       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null\n"
+                f"FROM {tname}")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_NULL_CENSUS_TABLES = _null_census_sql()
+
+FORGET_ROOT = "/tmp/transmog_ray_forget"
+FORGET_BUCKETS = 8
+FORGET_EVERY = 30  # forget users with user_id % 30 == 0
+
+
+def q_forget_users_run(sf_dir: str):
+    """Right-to-be-forgotten DELETION over bucketed storage — the
+    GDPR/CCPA erasure job: events are bucketed by hash(user) into 8
+    partition files; a deletion pass rewrites ONLY the buckets that
+    contain a to-forget user (here the deterministic user_id % 30 == 0
+    set) and leaves every other partition file untouched — at 100 TB
+    the difference between rewriting 8/1024 partitions and a full-table
+    rewrite. Output: per bucket, rows before/after and whether it was
+    rewritten; the base store is never mutated (the rewrite lands in a
+    fresh run dir), so the job is idempotent."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    scale = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base_dir = f"{FORGET_ROOT}/{scale}/base"
+    os.makedirs(base_dir, exist_ok=True)
+    done = [f"{base_dir}/bucket-{b}.parquet"
+            for b in range(FORGET_BUCKETS)]
+    if not all(os.path.exists(p) for p in done):
+        t = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "user_id"])
+        df = t.to_pandas()
+        df = df[df["user_id"].notna()]
+        df["user_id"] = df["user_id"].astype("int64")
+        b_of = df["user_id"].to_numpy(np.int64) % FORGET_BUCKETS
+        for b in range(FORGET_BUCKETS):
+            part = df[b_of == b]
+            tmp = done[b] + ".tmp"
+            pq.write_table(pa.Table.from_pandas(
+                part, preserve_index=False), tmp)
+            os.replace(tmp, done[b])
+
+    out_dir = f"{FORGET_ROOT}/{scale}/after"
+    os.makedirs(out_dir, exist_ok=True)
+
+    items = [{"b": b, "path": done[b],
+              "out": f"{out_dir}/bucket-{b}.parquet"}
+             for b in range(FORGET_BUCKETS)]
+
+    def erase(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b, path, out in zip(df["b"], df["path"], df["out"]):
+            t = pq.read_table(path)
+            uid = t["user_id"].to_numpy()
+            doomed = (uid % FORGET_EVERY) == 0
+            n_before = t.num_rows
+            if n_before == 0:  # hash gap: SQL's GROUP BY has no row
+                continue
+            if doomed.any():
+                kept = t.filter(pa.array(~doomed))
+                tmp = out + ".tmp"
+                pq.write_table(kept, tmp)
+                os.replace(tmp, out)
+                rows.append((int(b), n_before, kept.num_rows, 1))
+            else:
+                # untouched partition: no rewrite, no new file
+                rows.append((int(b), n_before, n_before, 0))
+        return pd.DataFrame(rows, columns=["bucket", "n_before",
+                                           "n_after", "rewritten"])
+
+    out = _rd().from_items(items).map_batches(
+        erase, batch_format="pandas").to_pandas()
+    return out.sort_values("bucket").reset_index(drop=True).astype(
+        "int64")
+
+
+SQL_FORGET_USERS_RUN = f"""
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id FROM events
+  WHERE user_id IS NOT NULL
+), g AS (
+  SELECT user_id % {FORGET_BUCKETS} AS bucket,
+         COUNT(*) AS n_before,
+         COUNT(*) FILTER (user_id % {FORGET_EVERY} <> 0) AS n_kept,
+         COUNT(*) FILTER (user_id % {FORGET_EVERY} = 0) AS n_doomed
+  FROM e GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_before AS BIGINT) AS n_before,
+       CAST(CASE WHEN n_doomed > 0 THEN n_kept
+                 ELSE n_before END AS BIGINT) AS n_after,
+       CAST(CASE WHEN n_doomed > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS rewritten
+FROM g
+"""
+
 
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
@@ -24173,6 +24325,8 @@ QUERIES = {
     "bootstrap_means_events": q_bootstrap_means_events,
     "funnel_distance_users": q_funnel_distance_users,
     "zorder_skip_stats": q_zorder_skip_stats,
+    "null_census_tables": q_null_census_tables,
+    "forget_users_run": q_forget_users_run,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -24659,6 +24813,8 @@ ORACLE_SQL = {
     "bootstrap_means_events": SQL_BOOTSTRAP_MEANS_EVENTS,
     "funnel_distance_users": SQL_FUNNEL_DISTANCE_USERS,
     "zorder_skip_stats": SQL_ZORDER_SKIP_STATS,
+    "null_census_tables": SQL_NULL_CENSUS_TABLES,
+    "forget_users_run": SQL_FORGET_USERS_RUN,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
