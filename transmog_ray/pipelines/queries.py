@@ -23886,6 +23886,133 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
 FROM g
 """
 
+ENC_ADVISOR_COLS = ["l_orderkey", "l_linenumber", "l_quantity"]
+
+
+def q_encoding_advisor_lineitem(sf_dir: str):
+    """Columnar ENCODING ADVISOR from exact stats — the decision a
+    lakehouse writer makes per column: NDV (dictionary candidate),
+    adjacent-equal run count in FILE order (RLE candidate), and the
+    max bit width of adjacent deltas (delta-encoding candidate),
+    folded into a deterministic recommendation (dict if ndv·20 ≤ n,
+    else rle if runs·3 ≤ n, else delta if ≤ 12 bits, else plain).
+    Runs/deltas scan one task per ROW GROUP with cross-group boundary
+    stitching (the sortedness-audit shape); NDV is a (col, value)
+    dedup exchange — exact here, swap for HLL at 100 TB. Oracle
+    replays runs via LAG over file_row_number and bit widths via
+    printf('%b')."""
+    from ..functions.relational import grouped_agg
+    from ..stages.partition import bucket_exchange
+
+    fix_dir = _rowgroup_fixture(sf_dir)
+    import pyarrow.parquet as pq
+
+    path = f"{fix_dir}/unsorted.parquet"
+    n_rg = pq.ParquetFile(path).metadata.num_row_groups
+    items = [{"path": path, "col": c, "rg": g}
+             for c in ENC_ADVISOR_COLS for g in range(n_rg)]
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for path, col, g in zip(df["path"], df["col"], df["rg"]):
+            v = (pq.ParquetFile(path).read_row_group(int(g),
+                                                     columns=[col])
+                 [col].to_numpy().astype(np.int64))
+            d = np.abs(np.diff(v))
+            breaks = int((d != 0).sum())
+            nz = d[d > 0]
+            bits = int(np.frexp(nz.astype(np.float64))[1].max()) \
+                if len(nz) else 0
+            rows.append((col, int(g), len(v), breaks, bits,
+                         int(v[0]), int(v[-1])))
+        return pd.DataFrame(rows, columns=["col", "rg", "n", "breaks",
+                                           "bits", "first", "last"])
+
+    parts = _rd().from_items(items).map_batches(
+        scan, batch_format="pandas").to_pandas()
+
+    # exact NDV: (col, value) dedup exchange → per-col counts
+    vals = read_table(sf_dir, "lineitem", columns=ENC_ADVISOR_COLS,
+                      num_blocks=8)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [pd.DataFrame({
+            "col": c, "v": np.unique(df[c].to_numpy(np.float64)
+                                     .astype(np.int64))})
+            for c in ENC_ADVISOR_COLS]
+        return pd.concat(frames, ignore_index=True)
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(["col", "v"])
+        out = (u.groupby("col", sort=False).size().rename("ndv")
+               .reset_index())
+        out["ndv"] = out["ndv"].astype("int64")
+        return out
+
+    ndv = grouped_agg(
+        bucket_exchange(vals.map_batches(explode, batch_format="pandas"),
+                        ["col", "v"], count_distinct, num_buckets=8),
+        ["col"], {"ndv": ("ndv", "sum")}, num_buckets=2).to_pandas()
+
+    rows = []
+    for col, g in parts.groupby("col", sort=False):
+        g = g.sort_values("rg", kind="mergesort")
+        boundary_d = np.abs(g["first"].to_numpy(np.int64)[1:]
+                            - g["last"].to_numpy(np.int64)[:-1])
+        breaks = int(g["breaks"].sum()) + int((boundary_d != 0).sum())
+        nzb = boundary_d[boundary_d > 0]
+        bbits = int(np.frexp(nzb.astype(np.float64))[1].max()) \
+            if len(nzb) else 0
+        n = int(g["n"].sum())
+        bits = max(int(g["bits"].max()), bbits)
+        n_runs = breaks + 1
+        nd = int(ndv.loc[ndv["col"] == col, "ndv"].iloc[0])
+        if nd * 20 <= n:
+            rec = "dict"
+        elif n_runs * 3 <= n:
+            rec = "rle"
+        elif bits <= 12:
+            rec = "delta"
+        else:
+            rec = "plain"
+        rows.append((col, n, nd, n_runs, bits, rec))
+    return pd.DataFrame(rows, columns=["col", "n", "ndv", "n_runs",
+                                       "max_delta_bits", "rec"]).astype(
+        {"n": "int64", "ndv": "int64", "n_runs": "int64",
+         "max_delta_bits": "int64"})
+
+
+def _enc_advisor_sql() -> str:
+    parts = []
+    for c in ENC_ADVISOR_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col, stats.n, stats.ndv, stats.n_runs,
+       stats.max_delta_bits,
+       CASE WHEN stats.ndv * 20 <= stats.n THEN 'dict'
+            WHEN stats.n_runs * 3 <= stats.n THEN 'rle'
+            WHEN stats.max_delta_bits <= 12 THEN 'delta'
+            ELSE 'plain' END AS rec
+FROM (
+  WITH q AS (
+    SELECT file_row_number AS i, CAST({c} AS BIGINT) AS v
+    FROM read_parquet('{{CUR}}/unsorted.parquet', file_row_number=true)
+  ), lagged AS (
+    SELECT v, LAG(v) OVER (ORDER BY i) AS pv FROM q
+  )
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+         CAST(1 + COUNT(*) FILTER (pv IS NOT NULL AND v <> pv)
+              AS BIGINT) AS n_runs,
+         CAST(COALESCE(MAX(CASE WHEN pv IS NOT NULL AND v <> pv
+              THEN length(printf('%b', ABS(v - pv))) END), 0)
+              AS BIGINT) AS max_delta_bits
+  FROM lagged
+) stats""")
+    return "\nUNION ALL".join(parts).replace("{CUR}", ROWGROUP_CURRENT)
+
+
+SQL_ENCODING_ADVISOR_LINEITEM = _enc_advisor_sql()
+
 
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
@@ -24327,6 +24454,7 @@ QUERIES = {
     "zorder_skip_stats": q_zorder_skip_stats,
     "null_census_tables": q_null_census_tables,
     "forget_users_run": q_forget_users_run,
+    "encoding_advisor_lineitem": q_encoding_advisor_lineitem,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
@@ -24815,6 +24943,7 @@ ORACLE_SQL = {
     "zorder_skip_stats": SQL_ZORDER_SKIP_STATS,
     "null_census_tables": SQL_NULL_CENSUS_TABLES,
     "forget_users_run": SQL_FORGET_USERS_RUN,
+    "encoding_advisor_lineitem": SQL_ENCODING_ADVISOR_LINEITEM,
     "simhash_docs": SQL_SIMHASH_DOCS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "ppjoin_docs": SQL_NGRAM_JACCARD,
