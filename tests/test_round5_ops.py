@@ -277,3 +277,81 @@ def test_minhash_ingest_param_change_rejected(ray_session, tmp_path):
     with pytest.raises(ValueError, match="different parameters"):
         minhash_ingest(cache, rd.from_pandas(docs), rd.from_pandas(docs),
                        n_perm=16, n_bands=8, num_buckets=4)
+
+
+def test_minhash_retract_matches_batch_on_survivors(ray_session, tmp_path):
+    """Ingest everything, retract a slice: the assignment must equal a
+    fresh batch run over the surviving corpus — edge validity is
+    pairwise, so retraction is a pure filter."""
+    import ray.data as rd
+
+    from transmog_ray.functions.neardup import (minhash_clusters,
+                                                minhash_ingest,
+                                                minhash_retract)
+
+    docs = _mk_docs(90, seed=5)
+    kw = dict(n_perm=32, n_bands=8, jaccard_threshold=0.8, num_buckets=8)
+    forget = docs["doc_id"][docs["doc_id"] % 10 == 3]
+    survivors = docs[~docs["doc_id"].isin(set(forget))].reset_index(
+        drop=True)
+    want = (minhash_clusters(rd.from_pandas(survivors), **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    cache = str(tmp_path / "mh")
+    minhash_ingest(cache, rd.from_pandas(docs), rd.from_pandas(docs),
+                   **kw)
+    got = (minhash_retract(cache, forget.tolist(),
+                           rd.from_pandas(survivors), **kw)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_minhash_retract_then_ingest_skips_tombstones(ray_session,
+                                                      tmp_path):
+    """Interleaving: ingest shard0, retract part of it, ingest shard1 —
+    the final state equals a batch run over (corpus minus the
+    retracted set); a tombstoned doc must never re-enter as a
+    candidate partner."""
+    import ray.data as rd
+
+    from transmog_ray.functions.neardup import (minhash_clusters,
+                                                minhash_ingest,
+                                                minhash_retract)
+
+    docs = _mk_docs(90, seed=7)
+    kw = dict(n_perm=32, n_bands=8, jaccard_threshold=0.8, num_buckets=8)
+    sh0 = docs.iloc[0::2].reset_index(drop=True)
+    sh1 = docs.iloc[1::2].reset_index(drop=True)
+    forget = sh0["doc_id"][sh0["doc_id"] % 6 == 0]
+    sh0_left = sh0[~sh0["doc_id"].isin(set(forget))]
+    survivors = pd.concat([sh0_left, sh1], ignore_index=True)
+    want = (minhash_clusters(rd.from_pandas(survivors), **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    cache = str(tmp_path / "mh")
+    minhash_ingest(cache, rd.from_pandas(sh0), rd.from_pandas(sh0), **kw)
+    minhash_retract(cache, forget.tolist(),
+                    rd.from_pandas(sh0_left), **kw)
+    got = (minhash_ingest(cache, rd.from_pandas(sh1),
+                          rd.from_pandas(survivors), **kw)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_minhash_retract_requires_cache_and_same_params(ray_session,
+                                                        tmp_path):
+    import ray.data as rd
+
+    from transmog_ray.functions.neardup import (minhash_ingest,
+                                                minhash_retract)
+
+    docs = _mk_docs(20, seed=2)
+    with pytest.raises(ValueError, match="existing ingest cache"):
+        minhash_retract(str(tmp_path / "none"), [1],
+                        rd.from_pandas(docs), n_perm=32, n_bands=8)
+    cache = str(tmp_path / "mh")
+    minhash_ingest(cache, rd.from_pandas(docs), rd.from_pandas(docs),
+                   n_perm=32, n_bands=8, num_buckets=4)
+    with pytest.raises(ValueError, match="different parameters"):
+        minhash_retract(cache, [1], rd.from_pandas(docs),
+                        n_perm=16, n_bands=8, num_buckets=4)

@@ -725,9 +725,15 @@ def minhash_ingest(
         for f in _glob.glob(os.path.join(d, "*.parquet"))
     )
     if old_files:
-        tagged = tagged.union(
-            rd.read_parquet(old_files).map_batches(tag(0),
-                                                   batch_format="pandas"))
+        old = rd.read_parquet(old_files)
+        tomb = _load_tombstones(cache_dir, id_col)
+        if tomb is not None and len(tomb):
+            tomb_set = set(tomb.tolist())
+            old = old.map_batches(
+                lambda df: df[~df[id_col].isin(tomb_set)],
+                batch_format="pandas")
+        tagged = tagged.union(old.map_batches(tag(0),
+                                              batch_format="pandas"))
 
     def coarse_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df["_cand_bucket"] = (
@@ -781,17 +787,143 @@ def minhash_ingest(
                 os.path.join(cache_dir, f"edges-{k:05d}"))
 
     tmp_meta = meta_path + f".tmp.{os.getpid()}"
+    prior_retracts = 0
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prior_retracts = int(_json.load(f).get("n_retracts", 0))
     with open(tmp_meta, "w") as f:
         _json.dump({"params_fp": params_fp, "params": params,
-                    "n_ingests": k + 1}, f)
+                    "n_ingests": k + 1,
+                    "n_retracts": prior_retracts}, f)
     os.replace(tmp_meta, meta_path)
 
-    # 4) labels over the CUMULATIVE edge set, assignment over the corpus
+    # 4) labels over the CUMULATIVE edge set (minus any retracted docs),
+    # assignment over the corpus
+    edges = _cache_edges(cache_dir, id_col)
+    return _cluster_assign(edges, corpus_ds.select_columns([id_col]),
+                           id_col, id_is_int, num_buckets,
+                           driver_edge_limit)
+
+
+def _load_tombstones(cache_dir: str, id_col: str):
+    """Cumulative retracted-id array from ``tombstones-*.parquet``
+    (None when nothing was ever retracted). Tombstones are id-only and
+    small relative to the corpus — they broadcast in task closures the
+    way semi-join key sets do; swap for a Bloom filter at extreme
+    retraction volume."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(
+        f for d in _glob.glob(os.path.join(cache_dir, "tombstones-*"))
+        for f in _glob.glob(os.path.join(d, "*.parquet")))
+    files += sorted(_glob.glob(
+        os.path.join(cache_dir, "tombstones-*.parquet")))
+    if not files:
+        return None
+    import pyarrow as _pa
+
+    t = _pa.concat_tables([_pq.read_table(f, columns=[id_col])
+                           for f in files])
+    return pd.unique(t[id_col].to_pandas())
+
+
+def _cache_edges(cache_dir: str, id_col: str):
+    """The cache's cumulative verified edge Dataset with every edge
+    touching a tombstoned id dropped (edge validity is pairwise, so
+    retraction is a pure filter — no re-verification needed)."""
+    import glob as _glob
+    import os
+
+    import ray.data as rd
+
     edge_files = sorted(
         f for d in _glob.glob(os.path.join(cache_dir, "edges-*"))
         for f in _glob.glob(os.path.join(d, "*.parquet"))
     )
-    edges = rd.read_parquet(edge_files).materialize() if edge_files else None
+    if not edge_files:
+        return None
+    edges = rd.read_parquet(edge_files)
+    tomb = _load_tombstones(cache_dir, id_col)
+    if tomb is not None and len(tomb):
+        tomb_set = set(tomb.tolist())
+
+        def drop(df: pd.DataFrame) -> pd.DataFrame:
+            keep = ~(df["id_a"].isin(tomb_set)
+                     | df["id_b"].isin(tomb_set))
+            return df[keep]
+
+        edges = edges.map_batches(drop, batch_format="pandas")
+    return edges.materialize()
+
+
+def minhash_retract(
+    cache_dir: str,
+    forget_ids,
+    corpus_ds,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+    driver_edge_limit: int = 100_000,
+):
+    """DECREMENTAL near-dup maintenance — the right-to-be-forgotten
+    path of :func:`minhash_ingest`: retract a doc-id set from the
+    persistent cache and return the cluster assignment for the
+    REMAINING corpus (``corpus_ds`` must already exclude the forgotten
+    docs). Because band membership and verified-Jaccard edges are both
+    per-doc/pairwise properties, retraction never re-signs or
+    re-verifies anything: forgotten ids append to a tombstone file,
+    the cumulative edge set is filtered at label time, and FUTURE
+    ingests skip tombstoned band rows — so the state after any
+    ingest/retract interleaving equals a fresh batch run over the
+    surviving corpus (pinned by tests)."""
+    import hashlib
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from ..stages.common import arrow_schema
+
+    params = {"n_perm": n_perm, "n_bands": n_bands,
+              "shingle_k": shingle_k,
+              "jaccard_threshold": jaccard_threshold, "id_col": id_col,
+              "text_col": text_col}
+    params_fp = hashlib.sha256(
+        _json.dumps(params, sort_keys=True).encode()).hexdigest()[:16]
+    meta_path = os.path.join(cache_dir, "meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError("minhash_retract needs an existing ingest cache")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    if meta["params_fp"] != params_fp:
+        raise ValueError(
+            "minhash_retract called with different parameters than the "
+            "cache was built with")
+    r = int(meta.get("n_retracts", 0))
+
+    ids = pd.Series(list(forget_ids)).drop_duplicates()
+    tmp = os.path.join(cache_dir, f".tmp-tombstones-{r:05d}.parquet")
+    _pq.write_table(
+        pa.table({id_col: pa.array(ids.to_numpy())}), tmp)
+    os.replace(tmp, os.path.join(cache_dir,
+                                 f"tombstones-{r:05d}.parquet"))
+    meta["n_retracts"] = r + 1
+    tmp_meta = meta_path + f".tmp.{os.getpid()}"
+    with open(tmp_meta, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp_meta, meta_path)
+
+    id_is_int = pa.types.is_integer(
+        arrow_schema(corpus_ds).field(id_col).type)
+    edges = _cache_edges(cache_dir, id_col)
     return _cluster_assign(edges, corpus_ds.select_columns([id_col]),
                            id_col, id_is_int, num_buckets,
                            driver_edge_limit)
@@ -1572,6 +1704,7 @@ __all__ = [
     "lsh_bands",
     "minhash_clusters",
     "minhash_ingest",
+    "minhash_retract",
     "simhash_batch",
     "simhash64",
     "add_simhash",

@@ -24014,6 +24014,33 @@ FROM (
 SQL_ENCODING_ADVISOR_LINEITEM = _enc_advisor_sql()
 
 
+def q_minhash_retract_incremental(sf_dir: str):
+    """DECREMENTAL near-dup maintenance (functions/neardup.py
+    ``minhash_retract``): ingest the corpus, then right-to-be-forgotten
+    retract doc_id % 10 == 3 — tombstones filter the cumulative edge
+    set at label time and mask future candidate generation; nothing is
+    re-signed or re-verified. Equality with a fresh batch run over the
+    survivors (and with retract/ingest interleavings) is pinned by
+    tests; rows-only here like the other signature-keyed minhash
+    entries."""
+    import tempfile
+
+    from ..functions.neardup import minhash_ingest, minhash_retract
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      num_blocks=8).materialize()
+    survivors = docs.map_batches(
+        lambda df: df[df["doc_id"] % 10 != 3], batch_format="pandas")
+    forget = docs.map_batches(
+        lambda df: df.loc[df["doc_id"] % 10 == 3, ["doc_id"]],
+        batch_format="pandas").to_pandas()["doc_id"].tolist()
+    cache = tempfile.mkdtemp(prefix="mh_retract_", dir="/tmp")
+    kw = dict(n_perm=32, n_bands=8, jaccard_threshold=0.8,
+              num_buckets=16)
+    minhash_ingest(cache, docs, docs, **kw)
+    return minhash_retract(cache, forget, survivors, **kw)
+
+
 QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "curate_pages": q_curate_pages,
@@ -24455,6 +24482,7 @@ QUERIES = {
     "null_census_tables": q_null_census_tables,
     "forget_users_run": q_forget_users_run,
     "encoding_advisor_lineitem": q_encoding_advisor_lineitem,
+    "minhash_retract_incremental": q_minhash_retract_incremental,
 }
 
 # Driver-visible ordering: the correctness driver samples the FIRST 50
