@@ -55,7 +55,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "boruvka_round_parts", "bootstrap_means_events",
              "funnel_distance_users", "zorder_skip_stats",
              "null_census_tables", "forget_users_run",
-             "encoding_advisor_lineitem"]
+             "encoding_advisor_lineitem", "lateness_sweep_events",
+             "nation_part_overlap"]
 )
 def test_round5e_query_matches_oracle(ray_session, name):
     from transmog_ray.pipelines.queries import ORACLE_SQL, QUERIES
