@@ -36,7 +36,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name", ["ipc_read_events", "time_since_purchase_events",
-             "cusum_alarms_types", "common_neighbors_suppliers"])
+             "cusum_alarms_types", "common_neighbors_suppliers",
+             "csv_read_events", "lag_features_daily",
+             "minmax_scaled_events"])
 def test_round5f_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -76,6 +78,23 @@ def test_read_ipc_roundtrip(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         read_ipc([])
+
+
+def test_read_csv_files_quoting(ray_session, tmp_path):
+    """Quoted delimiter, escaped double-quote, and embedded newline all
+    survive the distributed parse; empty path list errors."""
+    from transmog_ray.sources.csv_src import read_csv_files
+
+    p = tmp_path / "t.csv"
+    p.write_text('a,b\n1,"x,y"\n2,"he said ""hi"""\n3,"line1\nline2"\n')
+    got = read_csv_files([str(p)]).to_pandas().sort_values("a")
+    assert got["b"].tolist() == ["x,y", 'he said "hi"', "line1\nline2"]
+
+    pruned = read_csv_files([str(p)], columns=["a"]).to_pandas()
+    assert list(pruned.columns) == ["a"]
+
+    with pytest.raises(ValueError):
+        read_csv_files([])
 
 
 def test_cusum_closed_form_equals_recursion():
