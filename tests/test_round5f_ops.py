@@ -38,7 +38,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     "name", ["ipc_read_events", "time_since_purchase_events",
              "cusum_alarms_types", "common_neighbors_suppliers",
              "csv_read_events", "lag_features_daily",
-             "minmax_scaled_events"])
+             "minmax_scaled_events", "xml_read_events",
+             "pit_purchase_count_events", "hive_pruned_read_docs"])
 def test_round5f_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -95,6 +96,23 @@ def test_read_csv_files_quoting(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         read_csv_files([])
+
+
+def test_read_xml_streaming(ray_session, tmp_path):
+    """Attribute records parse; escaped attribute values survive;
+    non-record elements are ignored; empty path list errors."""
+    from transmog_ray.sources.xml_src import read_xml
+
+    p = tmp_path / "t.xml"
+    p.write_text('<root><meta x="1"/><e id="1" v="a&quot;b &amp; c"/>'
+                 '<e id="2"/></root>')
+    got = read_xml([str(p)], record_tag="e").to_pandas().sort_values("id")
+    assert got["id"].tolist() == ["1", "2"]
+    assert got["v"].tolist()[0] == 'a"b & c'
+    assert pd.isna(got["v"].tolist()[1])
+
+    with pytest.raises(ValueError):
+        read_xml([], record_tag="e")
 
 
 def test_cusum_closed_form_equals_recursion():
