@@ -40,7 +40,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "csv_read_events", "lag_features_daily",
              "minmax_scaled_events", "xml_read_events",
              "pit_purchase_count_events", "hive_pruned_read_docs",
-             "pit_multi_window_events", "asof_delta_refresh"])
+             "pit_multi_window_events", "asof_delta_refresh",
+             "modularity_stats_suppliers", "dim_range_embeddings"])
 def test_round5f_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
