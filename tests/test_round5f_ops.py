@@ -41,7 +41,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "minmax_scaled_events", "xml_read_events",
              "pit_purchase_count_events", "hive_pruned_read_docs",
              "pit_multi_window_events", "asof_delta_refresh",
-             "modularity_stats_suppliers", "dim_range_embeddings"])
+             "modularity_stats_suppliers", "dim_range_embeddings",
+             "multi_source_reconcile", "rich_club_suppliers"])
 def test_round5f_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
