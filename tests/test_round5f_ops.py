@@ -43,7 +43,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "pit_multi_window_events", "asof_delta_refresh",
              "modularity_stats_suppliers", "dim_range_embeddings",
              "multi_source_reconcile", "rich_club_suppliers",
-             "shard_balance_lpt", "bigram_gini_docs"])
+             "shard_balance_lpt", "bigram_gini_docs",
+             "mixed_format_union_events"])
 def test_round5f_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -131,6 +132,34 @@ def test_cusum_closed_form_equals_recursion():
             s = max(0, s + int(x))
             out.append(s)
         assert closed.tolist() == out
+
+
+def test_detect_format_and_read_auto(ray_session, tmp_path):
+    """Suffix dispatch (longest suffix wins), XML record_tag contract,
+    unknown suffix errors, and a csv+ipc mixed union."""
+    import pyarrow as pa
+
+    from transmog_ray.sources import detect_format, read_auto
+
+    assert detect_format("a/b.jsonl.gz") == "jsonl_gz"
+    assert detect_format("a/b.jsonl") == "jsonl"
+    assert detect_format("x.PARQUET") == "parquet"
+    with pytest.raises(ValueError):
+        detect_format("x.avro")
+    with pytest.raises(ValueError):
+        read_auto(["a.xml"])  # record_tag required
+
+    c = tmp_path / "a.csv"
+    c.write_text("a,b\n1,x\n2,y\n")
+    t = pa.table({"a": [3, 4], "b": ["z", "w"]})
+    i = tmp_path / "b.ipc"
+    with pa.OSFile(str(i), "wb") as f, \
+            pa.ipc.new_file(f, t.schema) as w:
+        w.write_table(t)
+    got = read_auto([str(c), str(i)],
+                    columns=["a", "b"]).to_pandas().sort_values("a")
+    assert got["a"].tolist() == [1, 2, 3, 4]
+    assert got["b"].tolist() == ["x", "y", "z", "w"]
 
 
 def test_lpt_mass_conservation(ray_session):
