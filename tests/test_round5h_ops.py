@@ -1,0 +1,148 @@
+"""Round-5 eighth-batch operators: Good-Turing frequency spectrum,
+item-item co-purchase similarity, equi-depth range-partition planning,
+split-conformal calibration, feature-staleness audit — oracle pins at
+sf0.001 plus targeted semantics tests."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem", "orders", "embeddings",
+              "supplier", "nation", "region", "customer", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")  # Int64-with-NA safe
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "name", ["freq_spectrum_docs", "item_similarity_topk",
+             "range_partition_plan", "conformal_value_types",
+             "feature_staleness_types"])
+def test_round5h_oracle_pin(ray_session, name):
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES[name](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    want = _oracle(q.ORACLE_SQL[name])
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
+def test_freq_spectrum_mass_identities(ray_session):
+    """Σ k·N_k == total tokens and Σ N_k == vocabulary size, against a
+    direct pandas count of the same whitespace tokenization."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["freq_spectrum_docs"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = docs["text"].fillna("").str.split(" ").explode()
+    counts = toks.value_counts()
+    assert int((got["k"] * got["n_words"]).sum()) == len(toks)
+    assert int(got["n_words"].sum()) == len(counts)
+
+
+def test_item_similarity_bounds(ray_session):
+    """Cosine scores sit in (0, 1] (Cauchy-Schwarz on co-occurrence
+    counts) and no part lists more than 3 neighbors."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["item_similarity_topk"](SF)
+    assert (got["score"] > 0).all() and (got["score"] <= 1.0).all()
+    assert got.groupby("part").size().max() <= 3
+    # symmetry of the underlying pair: if (a,b) is a's top neighbor the
+    # same support n must appear when b lists a (when it does)
+    m = got.set_index(["part", "nbr"])["n"]
+    for (a, b), n in m.items():
+        if (b, a) in m.index:
+            assert m.loc[(b, a)] == n
+
+
+def test_range_partition_plan_is_equi_depth(ray_session):
+    """Buckets cover all rows, are key-disjoint and ordered, and no
+    bucket exceeds the equi-depth target by more than the multiplicity
+    of its boundary value (ties cannot be split by a range partition)."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["range_partition_plan"](SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = np.rint(orders["o_totalprice"].to_numpy(np.float64) * 100
+                    ).astype(np.int64)
+    assert int(got["n_rows"].sum()) == len(cents)
+    g = got.sort_values("bucket")
+    los, his = g["lo_cents"].to_numpy(), g["hi_cents"].to_numpy()
+    assert (los <= his).all()
+    assert (his[:-1] <= los[1:]).all()  # ranges ordered, non-overlapping
+    vc = pd.Series(cents).value_counts()
+    target = -(-len(cents) // len(g))  # ceil equi-depth target
+    for _, row in g.iterrows():
+        slack = int(vc.get(row["lo_cents"], 0)) + int(
+            vc.get(row["hi_cents"], 0))
+        assert row["n_rows"] <= target + slack
+
+
+def test_conformal_rank_naive(ray_session):
+    """Engine threshold equals the naive in-memory conformal rank on the
+    same residual definition."""
+    from transmog_ray.pipelines import queries as q
+    from transmog_ray.pipelines.queries import CONFORMAL_HOLDOUT_DAYS
+
+    got = q.QUERIES["conformal_value_types"](SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cutoff = ev["ts"].max() - pd.Timedelta(days=CONFORMAL_HOLDOUT_DAYS)
+    c = ev[(ev["ts"] < cutoff) & ev["user_id"].notna()
+           & ev["event_type"].notna() & ev["value"].notna()].copy()
+    c = c.sort_values(["user_id", "event_type", "ts", "event_id"])
+    c["cents"] = np.floor(c["value"].to_numpy(np.float64) * 100
+                          ).astype(np.int64)
+    c["prev"] = c.groupby(["user_id", "event_type"])["cents"].shift(1)
+    r = c[c["prev"].notna()]
+    for typ, grp in r.groupby("event_type"):
+        resid = np.sort(np.abs(grp["cents"] - grp["prev"].astype(np.int64)
+                               ).to_numpy(np.int64))
+        n = len(resid)
+        r1 = (9 * (n + 1) + 9) // 10
+        want = int(resid[r1 - 1]) if r1 <= n else None
+        have = got.loc[typ, "thr_cents"]
+        assert int(got.loc[typ, "n_calib"]) == n
+        if want is None:
+            assert pd.isna(have)
+        else:
+            assert int(have) == want
+
+
+def test_feature_staleness_consistency(ray_session):
+    """n_matched <= n_total, quartiles nondecreasing, and the purchase
+    type itself must have strictly positive staleness (a purchase sees
+    only the PREVIOUS purchase, never itself)."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["feature_staleness_types"](SF)
+    assert (got["n_matched"] <= got["n_total"]).all()
+    m = got[got["n_matched"] > 0]
+    assert (m["q1"] <= m["q2"]).all() and (m["q2"] <= m["q3"]).all()
+    pur = got[got["event_type"] == "purchase"]
+    if len(pur) and pur["n_matched"].iloc[0] > 0:
+        assert int(pur["q1"].iloc[0]) > 0
