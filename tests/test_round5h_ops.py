@@ -39,7 +39,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name", ["freq_spectrum_docs", "item_similarity_topk",
              "range_partition_plan", "conformal_value_types",
-             "feature_staleness_types"])
+             "feature_staleness_types", "orc_read_events",
+             "tvd_drift_types", "engagement_transitions",
+             "assortativity_suppliers", "class_centroid_stats"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -146,3 +148,58 @@ def test_feature_staleness_consistency(ray_session):
     pur = got[got["event_type"] == "purchase"]
     if len(pur) and pur["n_matched"].iloc[0] > 0:
         assert int(pur["q1"].iloc[0]) > 0
+
+
+def test_orc_round_trip_preserves_counts(ray_session):
+    """The ORC write→read round trip loses no rows and no types."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["orc_read_events"](SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert int(got["n"].sum()) == int(ev["event_type"].notna().sum())
+
+
+def test_tvd_bounds(ray_session):
+    """TVD is a metric in [0, 1]: 0 <= num <= den, den = 2·n1·n2."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["tvd_drift_types"](SF)
+    assert (got["tvd_num"] >= 0).all()
+    assert (got["tvd_num"] <= got["tvd_den"]).all()
+    assert (got["tvd_den"] == 2 * got["n1"] * got["n2"]).all()
+
+
+def test_engagement_transition_mass(ray_session):
+    """Total transitions == Σ_users (span_weeks − 1) over dense spans."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["engagement_transitions"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["user_id"].notna()].copy()
+    wk = (ev["ts"].astype("datetime64[us]").astype("int64")
+          // (7 * 86_400_000_000))
+    span = pd.DataFrame({"u": ev["user_id"], "w": wk}).groupby("u")["w"] \
+        .agg(["min", "max"])
+    want = int((span["max"] - span["min"]).sum())
+    assert int(got["n"].sum()) == want
+    assert set(got["from_band"]) <= {"absent", "low", "high"}
+
+
+def test_assortativity_amgm(ray_session):
+    """Σ2·da·db <= Σ(da²+db²) (AM-GM) and m2 is twice an edge count."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["assortativity_suppliers"](SF)
+    assert int(got["m2"].iloc[0]) % 2 == 0
+    assert int(got["sxy"].iloc[0]) <= int(got["sxx"].iloc[0])
+
+
+def test_class_centroid_mass(ray_session):
+    """Every dim accounts for every vector exactly once per class."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["class_centroid_stats"](SF).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    per_pos = got.groupby("pos")["n"].sum()
+    assert (per_pos == len(emb)).all()
+    assert got["sum_q"].abs().le(127 * got["n"]).all()
