@@ -41,7 +41,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "range_partition_plan", "conformal_value_types",
              "feature_staleness_types", "orc_read_events",
              "tvd_drift_types", "engagement_transitions",
-             "assortativity_suppliers", "class_centroid_stats"])
+             "assortativity_suppliers", "class_centroid_stats",
+             "asof_freshness_sensitivity", "rarity_score_docs",
+             "emd_drift_types"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -203,3 +205,49 @@ def test_class_centroid_mass(ray_session):
     per_pos = got.groupby("pos")["n"].sum()
     assert (per_pos == len(emb)).all()
     assert got["sum_q"].abs().le(127 * got["n"]).all()
+
+
+def test_freshness_sensitivity_monotone(ray_session):
+    """A longer feed lag can only change MORE events: chg_1h <= chg_6h
+    <= chg_24h <= with_feature."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["asof_freshness_sensitivity"](SF).to_pandas()
+    assert (got["chg_1h"] <= got["chg_6h"]).all()
+    assert (got["chg_6h"] <= got["chg_24h"]).all()
+    assert (got["chg_24h"] <= got["with_feature"]).all()
+
+
+def test_rarity_score_naive(ray_session):
+    """Engine rarity == naive in-memory left-fold of 1/count in token
+    order for the returned top docs."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["rarity_score_docs"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = docs.assign(t=docs["text"].fillna("").str.split(" "))[
+        ["doc_id", "t"]].explode("t")
+    counts = toks["t"].value_counts()
+    for _, row in got.iterrows():
+        ts = toks[toks["doc_id"] == row["doc_id"]]["t"].tolist()
+        acc = 0.0
+        for t in ts:
+            acc = acc + 1.0 / float(counts[t])
+        assert acc == row["rarity"]
+
+
+def test_emd_vs_tvd_relationship(ray_session):
+    """On the shared bin grid EMD >= TVD·(den ratio): Σ|cum diffs| >=
+    max single |diff| >= Σ|diffs|/2·... — check the weaker invariant
+    EMD_num >= TVD_num/2 cannot be asserted in general; instead pin
+    both metrics' denominators and nonnegativity, and that a type with
+    zero TVD also has zero EMD (identical distributions)."""
+    from transmog_ray.pipelines import queries as q
+
+    emd = q.QUERIES["emd_drift_types"](SF).set_index("event_type")
+    tvd = q.QUERIES["tvd_drift_types"](SF).set_index("event_type")
+    assert (emd["emd_num"] >= 0).all()
+    assert (emd["emd_den"] == emd["n1"] * emd["n2"]).all()
+    for typ in emd.index:
+        if tvd.loc[typ, "tvd_num"] == 0:
+            assert int(emd.loc[typ, "emd_num"]) == 0
