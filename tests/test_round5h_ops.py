@@ -43,7 +43,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "tvd_drift_types", "engagement_transitions",
              "assortativity_suppliers", "class_centroid_stats",
              "asof_freshness_sensitivity", "rarity_score_docs",
-             "emd_drift_types"])
+             "emd_drift_types", "jsonl_sink_roundtrip",
+             "skipgram_support_events", "cuped_stats_events",
+             "type_breadth_histogram"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -251,3 +253,77 @@ def test_emd_vs_tvd_relationship(ray_session):
     for typ in emd.index:
         if tvd.loc[typ, "tvd_num"] == 0:
             assert int(emd.loc[typ, "emd_num"]) == 0
+
+
+def test_jsonl_sink_is_standard_parseable(ray_session, tmp_path):
+    """Shards the sink writes parse with an INDEPENDENT reader (DuckDB
+    read_json) to the same rows the engine wrote — format interop, not
+    just self-consistency. Also: content-addressed rewrite is a no-op."""
+    import glob
+
+    import duckdb
+    import ray.data as rd
+
+    from transmog_ray.sources.jsonl_gz import read_jsonl_gz, write_jsonl_gz
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", None, 'q"z'],
+                       "v": [1.5, None, -0.25]})
+    ds = rd.from_pandas(df)
+    man1 = write_jsonl_gz(ds, str(tmp_path))
+    man2 = write_jsonl_gz(ds, str(tmp_path))  # idempotent rewrite
+    assert sorted(man1["path"]) == sorted(man2["path"])
+    assert int(man1["n_rows"].sum()) == 3
+    got = duckdb.sql(
+        f"SELECT * FROM read_json_auto('{tmp_path}/part-*.jsonl.gz') "
+        f"ORDER BY a").df()
+    assert got["a"].tolist() == [1, 2, 3]
+    assert got["b"].fillna("<na>").tolist() == ["x", "<na>", 'q"z']
+    assert got["v"].iloc[0] == 1.5 and got["v"].iloc[2] == -0.25
+    back = read_jsonl_gz(list(man1["path"])).to_pandas()
+    assert len(back) == 3
+
+
+def test_skipgram_contains_contiguous_bigrams(ray_session):
+    """Gap<=3 support must dominate gap==1 (contiguous) support for
+    every pair that appears contiguously."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["skipgram_support_events"](SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["user_id"].notna() & ev["event_type"].notna()]
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    uid = ev["user_id"].to_numpy()
+    typ = ev["event_type"].to_numpy()
+    m = uid[1:] == uid[:-1]
+    contig = pd.DataFrame({"a": typ[:-1][m], "b": typ[1:][m]}) \
+        .groupby(["a", "b"]).size()
+    for _, row in got.iterrows():
+        key = (row["a"], row["b"])
+        if key in contig.index:
+            assert row["n"] >= contig[key]
+
+
+def test_cuped_stats_cauchy_schwarz(ray_session):
+    """Σxy² <= Σx²·Σy² per arm (Cauchy-Schwarz on integer stats) and
+    user totals split across arms."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["cuped_stats_events"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n_users = ev[ev["user_id"].notna()]["user_id"].nunique()
+    assert int(got["n_users"].sum()) == n_users
+    for _, r in got.iterrows():
+        # Python ints — int64 squares overflow
+        assert int(r["sxy"]) ** 2 <= int(r["sxx"]) * int(r["syy"])
+
+
+def test_type_breadth_mass(ray_session):
+    """Σ n_users == distinct users; Σ k·n_users == distinct pairs."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["type_breadth_histogram"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["user_id"].notna() & ev["event_type"].notna()]
+    assert int(got["n_users"].sum()) == ev["user_id"].nunique()
+    pairs = ev[["user_id", "event_type"]].drop_duplicates()
+    assert int((got["k"] * got["n_users"]).sum()) == len(pairs)

@@ -20,6 +20,7 @@ import gzip
 import json
 from collections.abc import Sequence
 
+import numpy as np
 import pandas as pd
 
 
@@ -67,3 +68,50 @@ def read_jsonl_gz(paths: Sequence[str], on_error: str = "raise"):
         return rows_to_table(rows)
 
     return rd.from_items(items).map_batches(load, batch_format="pandas")
+
+
+def write_jsonl_gz(ds, out_dir: str, columns: Sequence[str] | None = None):
+    """Distributed gzip-JSONL SINK — the write side of this module: one
+    ``.jsonl.gz`` shard per block, streamed (no driver materialization).
+
+    Shards are CONTENT-ADDRESSED (``part-<md5-of-bytes>.jsonl.gz``) with
+    ``mtime=0`` gzip headers, so bytes are deterministic for identical
+    input blocks, rewrites of unchanged data are idempotent no-ops, and
+    a resumed run never half-overwrites a shard (tmp + atomic rename).
+    NaN/None become JSON ``null``; keys are sorted so any standard JSONL
+    reader (including DuckDB ``read_json``) parses the output.
+
+    Returns the manifest as a pandas frame (path, n_rows) — pass
+    ``manifest["path"]`` straight to :func:`read_jsonl_gz`. At 100 TB
+    the manifest is shard-cardinality, never row-cardinality.
+    """
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = list(columns) if columns is not None else None
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"path": pd.Series([], dtype=object),
+                              "n_rows": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        if cols is not None:
+            df = df[cols]
+        clean = df.astype(object).where(df.notna(), None)
+        lines = [json.dumps(rec, sort_keys=True, allow_nan=False)
+                 for rec in clean.to_dict(orient="records")]
+        payload = ("\n".join(lines) + "\n").encode("utf-8")
+        buf = gzip.compress(payload, mtime=0)
+        digest = hashlib.md5(buf).hexdigest()[:20]
+        path = os.path.join(out_dir, f"part-{digest}.jsonl.gz")
+        if not os.path.exists(path):
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(buf)
+            os.replace(tmp, path)
+        return pd.DataFrame({"path": [path],
+                             "n_rows": [np.int64(len(df))]})
+
+    out = ds.map_batches(write_shard, batch_format="pandas").to_pandas()
+    return out.sort_values("path").reset_index(drop=True)
