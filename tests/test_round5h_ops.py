@@ -45,7 +45,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "asof_freshness_sensitivity", "rarity_score_docs",
              "emd_drift_types", "jsonl_sink_roundtrip",
              "skipgram_support_events", "cuped_stats_events",
-             "type_breadth_histogram"])
+             "type_breadth_histogram", "vocab_coverage_curve",
+             "hard_negatives_int8", "curriculum_plan_docs"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -327,3 +328,41 @@ def test_type_breadth_mass(ray_session):
     assert int(got["n_users"].sum()) == ev["user_id"].nunique()
     pairs = ev[["user_id", "event_type"]].drop_duplicates()
     assert int((got["k"] * got["n_users"]).sum()) == len(pairs)
+
+
+def test_vocab_coverage_monotone(ray_session):
+    """Coverage is nondecreasing in k and never exceeds the total."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["vocab_coverage_curve"](SF).sort_values("k")
+    cum = got["cum_tokens"].to_numpy()
+    assert (np.diff(cum) >= 0).all()
+    assert (got["cum_tokens"] <= got["total_tokens"]).all()
+    assert got["total_tokens"].nunique() == 1
+
+
+def test_hard_negative_labels_differ(ray_session):
+    """Every mined negative carries a label different from its probe's."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["hard_negatives_int8"](SF).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")[["vec_id", "label"]]
+    m = got.merge(emb, on="vec_id")
+    assert (m["neg_label"] != m["label"]).all()
+    # the mined negative's own label must be truthful
+    m2 = got.merge(emb.rename(columns={"vec_id": "neg_id",
+                                       "label": "true_neg_label"}),
+                   on="neg_id")
+    assert (m2["neg_label"] == m2["true_neg_label"]).all()
+
+
+def test_curriculum_band_blocks(ray_session):
+    """Positions are a permutation of 1..n and bands appear in
+    nondecreasing order along the curriculum."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["curriculum_plan_docs"](SF).to_pandas() \
+        .sort_values("pos")
+    n = len(got)
+    assert got["pos"].tolist() == list(range(1, n + 1))
+    assert (np.diff(got["band"].to_numpy()) >= 0).all()
