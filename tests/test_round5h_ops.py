@@ -46,7 +46,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "emd_drift_types", "jsonl_sink_roundtrip",
              "skipgram_support_events", "cuped_stats_events",
              "type_breadth_histogram", "vocab_coverage_curve",
-             "hard_negatives_int8", "curriculum_plan_docs"])
+             "hard_negatives_int8", "curriculum_plan_docs",
+             "hive_output_audit", "model_calibration_bins"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -366,3 +367,29 @@ def test_curriculum_band_blocks(ray_session):
     n = len(got)
     assert got["pos"].tolist() == list(range(1, n + 1))
     assert (np.diff(got["band"].to_numpy()) >= 0).all()
+
+
+def test_hive_audit_matches_source(ray_session):
+    """The independent-reader audit of the hive output reproduces the
+    source table's per-lang counts and doc_id sums exactly."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["hive_output_audit"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = (docs[docs["lang"].notna()].groupby("lang")
+            .agg(n_docs=("doc_id", "size"), sum_doc_id=("doc_id", "sum"))
+            .reset_index())
+    m = got.merge(want, on="lang", suffixes=("", "_w"))
+    assert len(m) == len(want) == len(got)
+    assert (m["n_docs"] == m["n_docs_w"]).all()
+    assert (m["sum_doc_id"] == m["sum_doc_id_w"]).all()
+
+
+def test_calibration_bins_mass(ray_session):
+    """Bin masses sum to the scored doc count and n_en <= n_docs."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["model_calibration_bins"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert int(got["n_docs"].sum()) == int(docs["text"].notna().sum())
+    assert (got["n_en"] <= got["n_docs"]).all()
