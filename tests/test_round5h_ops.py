@@ -47,7 +47,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "skipgram_support_events", "cuped_stats_events",
              "type_breadth_histogram", "vocab_coverage_curve",
              "hard_negatives_int8", "curriculum_plan_docs",
-             "hive_output_audit", "model_calibration_bins"])
+             "hive_output_audit", "model_calibration_bins",
+             "rec_eval_hitrate", "overdispersion_types"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -393,3 +394,36 @@ def test_calibration_bins_mass(ray_session):
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     assert int(got["n_docs"].sum()) == int(docs["text"].notna().sum())
     assert (got["n_en"] <= got["n_docs"]).all()
+
+
+def test_rec_eval_bounds(ray_session):
+    """hits <= queries, and queries == distinct test (order, part)
+    pairs under the temporal split."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["rec_eval_hitrate"](SF)
+    assert int(got["n_hits"].iloc[0]) <= int(got["n_queries"].iloc[0])
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderkey", "o_orderdate"])
+    days = (od["o_orderdate"].astype("datetime64[us]").astype("int64")
+            // 86_400_000_000)
+    mid = (int(days.min()) + int(days.max()) + 1) // 2
+    test_orders = set(od["o_orderkey"][days >= mid])
+    t = li[li["l_orderkey"].isin(test_orders)].drop_duplicates()
+    assert int(got["n_queries"].iloc[0]) == len(t)
+
+
+def test_overdispersion_stats_consistency(ray_session):
+    """Σc == total qualifying events; Σc² >= Σc (counts >= 1);
+    Cauchy-Schwarz (Σc)² <= n·Σc²."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["overdispersion_types"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n_ev = int((ev["user_id"].notna() & ev["event_type"].notna()).sum())
+    assert int(got["sum_c"].sum()) == n_ev
+    assert (got["sum_c2"] >= got["sum_c"]).all()
+    for _, r in got.iterrows():
+        assert int(r["sum_c"]) ** 2 <= int(r["n_cells"]) * int(r["sum_c2"])
