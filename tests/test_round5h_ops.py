@@ -48,7 +48,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "type_breadth_histogram", "vocab_coverage_curve",
              "hard_negatives_int8", "curriculum_plan_docs",
              "hive_output_audit", "model_calibration_bins",
-             "rec_eval_hitrate", "overdispersion_types"])
+             "rec_eval_hitrate", "overdispersion_types",
+             "diversity_sample_simhash", "dp_sensitivity_census",
+             "ioc_langs"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -427,3 +429,47 @@ def test_overdispersion_stats_consistency(ray_session):
     assert (got["sum_c2"] >= got["sum_c"]).all()
     for _, r in got.iterrows():
         assert int(r["sum_c"]) ** 2 <= int(r["n_cells"]) * int(r["sum_c2"])
+
+
+def test_diversity_sample_covers_corpus(ray_session):
+    """Every doc lands in exactly one prefix bucket; representatives
+    are members of their bucket."""
+    from transmog_ray.functions.neardup import simhash_md5_batch
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["diversity_sample_simhash"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert int(got["n_docs"].sum()) == len(docs)
+    sigs = np.asarray(simhash_md5_batch(list(docs["text"])),
+                      dtype=np.uint64)
+    pref = (sigs >> np.uint64(56)).astype(np.int64)
+    by_doc = dict(zip(docs["doc_id"].to_numpy(np.int64), pref))
+    for _, r in got.iterrows():
+        assert by_doc[int(r["rep_doc_id"])] == int(r["prefix"])
+
+
+def test_dp_sensitivity_bounds(ray_session):
+    """max_user_day <= max_user_total, both >= 1."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["dp_sensitivity_census"](SF)
+    assert (got["max_user_day"] >= 1).all()
+    assert (got["max_user_day"] <= got["max_user_total"]).all()
+
+
+def test_ioc_naive(ray_session):
+    """Engine IoC rational equals a direct Counter-based computation."""
+    from collections import Counter
+
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["ioc_langs"](SF).set_index("lang")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs = docs[docs["lang"].notna() & docs["text"].notna()
+                & (docs["text"] != "")]
+    for lang, g in docs.groupby("lang"):
+        cnt = Counter("".join(g["text"]))
+        num = sum(c * (c - 1) for c in cnt.values())
+        n = sum(cnt.values())
+        assert int(got.loc[lang, "ioc_num"]) == num
+        assert int(got.loc[lang, "ioc_den"]) == n * (n - 1)
