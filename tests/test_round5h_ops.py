@@ -50,7 +50,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "hive_output_audit", "model_calibration_bins",
              "rec_eval_hitrate", "overdispersion_types",
              "diversity_sample_simhash", "dp_sensitivity_census",
-             "ioc_langs"])
+             "ioc_langs", "snapshot_shingle_drift", "rare_token_links",
+             "spend_pacing_audit"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -473,3 +474,61 @@ def test_ioc_naive(ray_session):
         n = sum(cnt.values())
         assert int(got.loc[lang, "ioc_num"]) == num
         assert int(got.loc[lang, "ioc_den"]) == n * (n - 1)
+
+
+def test_shingle_drift_bounds(ray_session):
+    """0 <= intersection <= union; a verbatim-identical consecutive
+    snapshot pair must score intersection == union."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["snapshot_shingle_drift"](SF).to_pandas()
+    assert (got["n_inter"] >= 0).all()
+    assert (got["n_inter"] <= got["n_union"]).all()
+    assert (got["snap_no"] >= 2).all()
+
+
+def test_rare_links_cross_lang_only(ray_session):
+    """Every linked pair spans two languages and genuinely shares at
+    least one rare shingle."""
+    from transmog_ray.pipelines import queries as q
+    from transmog_ray.pipelines.queries import RARE_TOKEN_MAX_DF
+
+    got = q.QUERIES["rare_token_links"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet").set_index("doc_id")
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    all_sh = {d: shingles(t) for d, t in docs["text"].items()}
+    df_counts = {}
+    for d, ss in all_sh.items():
+        for s in ss:
+            df_counts[s] = df_counts.get(s, 0) + 1
+    sample = got.head(25)
+    for _, r in sample.iterrows():
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        assert docs.loc[a, "lang"] != docs.loc[b, "lang"]
+        shared_rare = {s for s in all_sh[a] & all_sh[b]
+                       if df_counts[s] <= RARE_TOKEN_MAX_DF}
+        assert len(shared_rare) == int(r["n_shared"])
+
+
+def test_pacing_audit_naive(ray_session):
+    """Engine peak deviation equals the naive dense-cumsum argmax."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["spend_pacing_audit"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    p = ev[(ev["event_type"] == "purchase") & ev["value"].notna()]
+    day = (p["ts"].astype("datetime64[us]").astype("int64")
+           // 86_400_000_000)
+    cents = np.floor(p["value"].to_numpy(np.float64) * 100).astype(np.int64)
+    h = pd.DataFrame({"day": day, "c": cents}).groupby("day")["c"].sum()
+    days = np.arange(h.index.min(), h.index.max() + 1)
+    c = h.reindex(days, fill_value=0).to_numpy(np.int64)
+    cum, D, total = c.cumsum(), len(days), int(c.sum())
+    dev = np.abs(cum * D - total * np.arange(1, D + 1))
+    j = int(np.argmax(dev))
+    assert int(got["peak_day"].iloc[0]) == int(days[j])
+    assert int(got["dev_num"].iloc[0]) == int(dev[j])
