@@ -51,7 +51,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "rec_eval_hitrate", "overdispersion_types",
              "diversity_sample_simhash", "dp_sensitivity_census",
              "ioc_langs", "snapshot_shingle_drift", "rare_token_links",
-             "spend_pacing_audit"])
+             "spend_pacing_audit", "class_scatter_gram",
+             "session_handoff_matrix"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -532,3 +533,35 @@ def test_pacing_audit_naive(ray_session):
     j = int(np.argmax(dev))
     assert int(got["peak_day"].iloc[0]) == int(days[j])
     assert int(got["dev_num"].iloc[0]) == int(dev[j])
+
+
+def test_class_scatter_psd_diag(ray_session):
+    """Diagonal entries are squared norms (>= 0) and dominate:
+    dot(a,b)² <= dot(a,a)·dot(b,b) (Cauchy-Schwarz)."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["class_scatter_gram"](SF)
+    diag = got[got["label_a"] == got["label_b"]].set_index("label_a")["dot"]
+    assert (diag >= 0).all()
+    off = got[got["label_a"] != got["label_b"]]
+    for _, r in off.iterrows():
+        assert int(r["dot"]) ** 2 <= int(diag[r["label_a"]]) * int(
+            diag[r["label_b"]])
+
+
+def test_handoff_mass(ray_session):
+    """Total handoffs == Σ_users (n_sessions − 1)."""
+    from transmog_ray.pipelines import queries as q
+    from transmog_ray.pipelines.queries import SESSION_GAP_S
+
+    got = q.QUERIES["session_handoff_matrix"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["user_id"].notna() & ev["event_type"].notna()]
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    us = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    uid = ev["user_id"].to_numpy()
+    new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+    brk = new_user | np.concatenate(
+        ([True], (us[1:] - us[:-1]) > SESSION_GAP_S * 1_000_000))
+    n_sessions = pd.Series(brk).groupby(pd.Series(uid)).sum()
+    assert int(got["n"].sum()) == int((n_sessions - 1).sum())
