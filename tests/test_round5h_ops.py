@@ -555,6 +555,8 @@ def test_handoff_mass(ray_session):
     from transmog_ray.pipelines.queries import SESSION_GAP_S
 
     got = q.QUERIES["session_handoff_matrix"](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
     ev = pd.read_parquet(f"{SF}/events.parquet")
     ev = ev[ev["user_id"].notna() & ev["event_type"].notna()]
     ev = ev.sort_values(["user_id", "ts", "event_id"])
