@@ -52,7 +52,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "diversity_sample_simhash", "dp_sensitivity_census",
              "ioc_langs", "snapshot_shingle_drift", "rare_token_links",
              "spend_pacing_audit", "class_scatter_gram",
-             "session_handoff_matrix"])
+             "session_handoff_matrix", "walk_forward_folds",
+             "arrival_inversion_audit"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -567,3 +568,28 @@ def test_handoff_mass(ray_session):
         ([True], (us[1:] - us[:-1]) > SESSION_GAP_S * 1_000_000))
     n_sessions = pd.Series(brk).groupby(pd.Series(uid)).sum()
     assert int(got["n"].sum()) == int((n_sessions - 1).sum())
+
+
+def test_walk_forward_expanding(ray_session):
+    """Train sets strictly expand across folds; no test window
+    overlaps its own train window."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["walk_forward_folds"](SF).sort_values("fold")
+    tr = got["n_train"].to_numpy()
+    assert (np.diff(tr) >= 0).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    # folds partition a prefix: n_train(k+1) == n_train(k) + n_test(k)
+    for i in range(len(got) - 1):
+        assert tr[i + 1] == tr[i] + int(got["n_test"].iloc[i])
+    assert tr[-1] + int(got["n_test"].iloc[-1]) <= len(ev)
+
+
+def test_arrival_inversion_consistency(ray_session):
+    """n_late <= n and depth positive iff any late arrival exists."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["arrival_inversion_audit"](SF).to_pandas()
+    assert (got["n_late"] <= got["n"]).all()
+    for _, r in got.iterrows():
+        assert (r["max_depth_us"] > 0) == (r["n_late"] > 0)
