@@ -53,7 +53,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "ioc_langs", "snapshot_shingle_drift", "rare_token_links",
              "spend_pacing_audit", "class_scatter_gram",
              "session_handoff_matrix", "walk_forward_folds",
-             "arrival_inversion_audit"])
+             "arrival_inversion_audit", "qnorm_histogram",
+             "conversion_by_position"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -593,3 +594,28 @@ def test_arrival_inversion_consistency(ray_session):
     assert (got["n_late"] <= got["n"]).all()
     for _, r in got.iterrows():
         assert (r["max_depth_us"] > 0) == (r["n_late"] > 0)
+
+
+def test_qnorm_histogram_mass(ray_session):
+    """Bins cover every vector; bins are within the int8 energy range."""
+    from transmog_ray.pipelines import queries as q
+    from transmog_ray.pipelines.queries import QNORM_BIN
+
+    got = q.QUERIES["qnorm_histogram"](SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    assert int(got["n_vecs"].sum()) == len(emb)
+    dim = len(emb["embedding"].iloc[0])
+    assert (got["bin"] * QNORM_BIN <= 127 * 127 * dim).all()
+    assert (got["bin"] >= 0).all()
+
+
+def test_conversion_position_mass(ray_session):
+    """Positions cover every qualifying event; purchases bounded."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["conversion_by_position"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n = int((ev["user_id"].notna() & ev["event_type"].notna()).sum())
+    assert int(got["n"].sum()) == n
+    assert (got["n_purchase"] <= got["n"]).all()
+    assert got["pos"].min() == 1
