@@ -54,7 +54,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "spend_pacing_audit", "class_scatter_gram",
              "session_handoff_matrix", "walk_forward_folds",
              "arrival_inversion_audit", "qnorm_histogram",
-             "conversion_by_position"])
+             "conversion_by_position", "daily_type_basket_pairs",
+             "first_session_activation"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -619,3 +620,31 @@ def test_conversion_position_mass(ray_session):
     assert int(got["n"].sum()) == n
     assert (got["n_purchase"] <= got["n"]).all()
     assert got["pos"].min() == 1
+
+
+def test_basket_pairs_ordered(ray_session):
+    """Pairs are strictly ordered (type_a < type_b) and counts bound
+    by the number of (user, day) baskets."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["daily_type_basket_pairs"](SF)
+    assert (got["type_a"] < got["type_b"]).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["user_id"].notna() & ev["event_type"].notna()]
+    baskets = ev.assign(
+        day=ev["ts"].astype("datetime64[us]").astype("int64")
+        // 86_400_000_000)[["user_id", "day"]].drop_duplicates()
+    assert (got["n"] <= len(baskets)).all()
+
+
+def test_activation_split_partitions_users(ray_session):
+    """The two activation rows partition the user base; retained <=
+    users in each."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["first_session_activation"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n_users = ev[ev["user_id"].notna()
+                 & ev["event_type"].notna()]["user_id"].nunique()
+    assert int(got["n_users"].sum()) == n_users
+    assert (got["n_retained"] <= got["n_users"]).all()
