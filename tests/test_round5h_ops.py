@@ -55,7 +55,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "session_handoff_matrix", "walk_forward_folds",
              "arrival_inversion_audit", "qnorm_histogram",
              "conversion_by_position", "daily_type_basket_pairs",
-             "first_session_activation"])
+             "first_session_activation", "transition_latency_stats",
+             "price_ending_histogram"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -648,3 +649,27 @@ def test_activation_split_partitions_users(ray_session):
                  & ev["event_type"].notna()]["user_id"].nunique()
     assert int(got["n_users"].sum()) == n_users
     assert (got["n_retained"] <= got["n_users"]).all()
+
+
+def test_transition_latency_mass(ray_session):
+    """Σn == Σ_users (events_u − 1); max >= mean (sum/n) per pair."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["transition_latency_stats"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["user_id"].notna() & ev["event_type"].notna()]
+    per_user = ev.groupby("user_id").size()
+    assert int(got["n"].sum()) == int((per_user - 1).sum())
+    assert (got["max_gap_us"] * got["n"] >= got["sum_gap_us"]).all()
+
+
+def test_price_endings_cover(ray_session):
+    """Endings are in [0, 100) and cover every purchase."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["price_ending_histogram"](SF)
+    assert got["ending"].between(0, 99).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n = int(((ev["event_type"] == "purchase")
+             & ev["value"].notna()).sum())
+    assert int(got["n"].sum()) == n
