@@ -56,7 +56,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "arrival_inversion_audit", "qnorm_histogram",
              "conversion_by_position", "daily_type_basket_pairs",
              "first_session_activation", "transition_latency_stats",
-             "price_ending_histogram"])
+             "price_ending_histogram", "syndication_matrix",
+             "order_aging_buckets"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -673,3 +674,36 @@ def test_price_endings_cover(ray_session):
     n = int(((ev["event_type"] == "purchase")
              & ev["value"].notna()).sum())
     assert int(got["n"].sum()) == n
+
+
+def test_syndication_symmetric_bound(ray_session):
+    """Shared-line counts are bounded by each source's distinct lines
+    and pairs are strictly ordered."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["syndication_matrix"](SF)
+    assert (got["source_a"] < got["source_b"]).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per_source = {}
+    for src, g in docs.groupby("source"):
+        lines = set()
+        for t in g["text"].dropna():
+            w = t.split(" ")
+            lines |= {" ".join(w[i:i + 3]) for i in range(0, len(w), 3)}
+        per_source[src] = lines
+    for _, r in got.head(20).iterrows():
+        shared = per_source[r["source_a"]] & per_source[r["source_b"]]
+        assert int(r["n_lines"]) == len(shared)
+
+
+def test_order_aging_mass(ray_session):
+    """Buckets cover every order; cents exposure sums to the table."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["order_aging_buckets"](SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    assert int(got["n_orders"].sum()) == len(orders)
+    cents = np.rint(orders["o_totalprice"].to_numpy(np.float64) * 100
+                    ).astype(np.int64)
+    assert int(got["sum_cents"].sum()) == int(cents.sum())
+    assert got["bucket"].between(0, 3).all()
