@@ -57,7 +57,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "conversion_by_position", "daily_type_basket_pairs",
              "first_session_activation", "transition_latency_stats",
              "price_ending_histogram", "syndication_matrix",
-             "order_aging_buckets"])
+             "order_aging_buckets", "supplier_concentration_topk",
+             "boilerplate_suffix"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -707,3 +708,40 @@ def test_order_aging_mass(ray_session):
                     ).astype(np.int64)
     assert int(got["sum_cents"].sum()) == int(cents.sum())
     assert got["bucket"].between(0, 3).all()
+
+
+def test_supplier_concentration_shares_valid(ray_session):
+    """share == top/total exactly, in (0, 1], sorted desc."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["supplier_concentration_topk"](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    assert (got["top_cents"] <= got["total_cents"]).all()
+    recomputed = (got["top_cents"].to_numpy(np.int64).astype(np.float64)
+                  / got["total_cents"].to_numpy(np.int64)
+                  .astype(np.float64))
+    assert (got["share"].to_numpy() == recomputed).all()
+    s = got["share"].to_numpy()
+    assert (np.diff(s) <= 0).all()
+
+
+def test_boilerplate_is_true_mode(ray_session):
+    """The reported footer is the modal last line of its source."""
+    from collections import Counter
+
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["boilerplate_suffix"](SF).set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    for src, g in docs.groupby("source"):
+        lasts = []
+        for t in g["text"].dropna():
+            w = t.split(" ")
+            n_lines = -(-len(w) // 3)
+            lasts.append(" ".join(w[(n_lines - 1) * 3:n_lines * 3]))
+        cnt = Counter(lasts)
+        best_n = max(cnt.values())
+        best = min(line for line, c in cnt.items() if c == best_n)
+        assert got.loc[src, "line"] == best
+        assert int(got.loc[src, "n_docs"]) == best_n
