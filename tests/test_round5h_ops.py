@@ -58,7 +58,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "first_session_activation", "transition_latency_stats",
              "price_ending_histogram", "syndication_matrix",
              "order_aging_buckets", "supplier_concentration_topk",
-             "boilerplate_suffix"])
+             "boilerplate_suffix", "discriminative_dims",
+             "bounce_by_entry_type"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -745,3 +746,34 @@ def test_boilerplate_is_true_mode(ray_session):
         best = min(line for line, c in cnt.items() if c == best_n)
         assert got.loc[src, "line"] == best
         assert int(got.loc[src, "n_docs"]) == best_n
+
+
+def test_discriminative_dims_counts(ray_session):
+    """Class counts are consistent (n0 + nr == all vectors) and the
+    gap equals the cross-multiplied sums."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["discriminative_dims"](SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    assert (got["n0"] + got["nr"] == len(emb)).all()
+    gap = np.abs(got["s0"].astype("int64") * got["nr"].astype("int64")
+                 - got["sr"].astype("int64") * got["n0"].astype("int64"))
+    assert (got["gap"] == gap).all()
+
+
+def test_bounce_by_entry_mass(ray_session):
+    """Σ n_sessions over entry types == total sessions (handoff mass
+    + users); bounces bounded."""
+    from transmog_ray.pipelines import queries as q
+    from transmog_ray.pipelines.queries import SESSION_GAP_S
+
+    got = q.QUERIES["bounce_by_entry_type"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["user_id"].notna() & ev["event_type"].notna()]
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    us = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    uid = ev["user_id"].to_numpy()
+    brk = np.concatenate(([True], uid[1:] != uid[:-1])) | np.concatenate(
+        ([True], (us[1:] - us[:-1]) > SESSION_GAP_S * 1_000_000))
+    assert int(got["n_sessions"].sum()) == int(brk.sum())
+    assert (got["n_bounce"] <= got["n_sessions"]).all()
