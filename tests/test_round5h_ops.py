@@ -59,7 +59,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "price_ending_histogram", "syndication_matrix",
              "order_aging_buckets", "supplier_concentration_topk",
              "boilerplate_suffix", "discriminative_dims",
-             "bounce_by_entry_type"])
+             "bounce_by_entry_type", "purity_at_k",
+             "contingency_residuals"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -777,3 +778,32 @@ def test_bounce_by_entry_mass(ray_session):
         ([True], (us[1:] - us[:-1]) > SESSION_GAP_S * 1_000_000))
     assert int(got["n_sessions"].sum()) == int(brk.sum())
     assert (got["n_bounce"] <= got["n_sessions"]).all()
+
+
+def test_purity_curve_monotone_mass(ray_session):
+    """n_same grows with k and never exceeds k·n_probes."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["purity_at_k"](SF).sort_values("k")
+    s = got["n_same"].to_numpy()
+    assert (np.diff(s) >= 0).all()
+    assert (got["n_same"] <= got["k"] * got["n_probes"]).all()
+
+
+def test_contingency_residuals_recompute(ray_session):
+    """Every residual equals obs·N − row_total·col_total recomputed
+    from the raw table. (The residuals do NOT sum to zero unless every
+    lang×source cell is present — absent cells carry the balance.)"""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["contingency_residuals"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs = docs[docs["lang"].notna() & docs["source"].notna()]
+    N = len(docs)
+    row = docs.groupby("lang").size()
+    col = docs.groupby("source").size()
+    assert int(got["obs"].sum()) == N
+    for _, r in got.head(30).iterrows():
+        want = int(r["obs"]) * N - int(row[r["lang"]]) * int(
+            col[r["source"]])
+        assert int(r["resid_num"]) == want
