@@ -60,7 +60,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "order_aging_buckets", "supplier_concentration_topk",
              "boilerplate_suffix", "discriminative_dims",
              "bounce_by_entry_type", "purity_at_k",
-             "contingency_residuals"])
+             "contingency_residuals", "line_dup_histogram",
+             "audience_overlap_matrix"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -807,3 +808,32 @@ def test_contingency_residuals_recompute(ray_session):
         want = int(r["obs"]) * N - int(row[r["lang"]]) * int(
             col[r["source"]])
         assert int(r["resid_num"]) == want
+
+
+def test_line_dup_histogram_mass(ray_session):
+    """Σ k·N_k == total lines emitted by the chunker."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["line_dup_histogram"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    total_lines = sum(-(-len(t.split(" ")) // 3)
+                      for t in docs["text"].dropna())
+    assert int((got["k"] * got["n_lines"]).sum()) == total_lines
+
+
+def test_audience_overlap_diag_is_size(ray_session):
+    """Diagonal equals the per-type audience size and bounds every
+    off-diagonal overlap."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["audience_overlap_matrix"](SF)
+    diag = got[got["type_a"] == got["type_b"]].set_index("type_a")[
+        "n_users"]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["user_id"].notna() & ev["event_type"].notna()]
+    sizes = ev.groupby("event_type")["user_id"].nunique()
+    for t, n in diag.items():
+        assert int(n) == int(sizes[t])
+    off = got[got["type_a"] != got["type_b"]]
+    for _, r in off.iterrows():
+        assert r["n_users"] <= min(diag[r["type_a"]], diag[r["type_b"]])
