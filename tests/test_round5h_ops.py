@@ -61,7 +61,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "boilerplate_suffix", "discriminative_dims",
              "bounce_by_entry_type", "purity_at_k",
              "contingency_residuals", "line_dup_histogram",
-             "audience_overlap_matrix"])
+             "audience_overlap_matrix", "share_movers_suppliers",
+             "weighted_audience_jaccard"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -837,3 +838,41 @@ def test_audience_overlap_diag_is_size(ray_session):
     off = got[got["type_a"] != got["type_b"]]
     for _, r in off.iterrows():
         assert r["n_users"] <= min(diag[r["type_a"]], diag[r["type_b"]])
+
+
+def test_share_movers_exact_bigints(ray_session):
+    """move_num recomputes exactly from the two half totals (Python
+    ints — the value exceeds int64)."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["share_movers_suppliers"](SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    day = (li["l_shipdate"].astype("datetime64[us]").astype("int64")
+           // 86_400_000_000)
+    mid = (int(day.min()) + int(day.max()) + 1) // 2
+    cents = np.rint(li["l_extendedprice"].to_numpy(np.float64) * 100
+                    ).astype(np.int64)
+    h = pd.DataFrame({"s": li["l_suppkey"], "c1": np.where(day < mid,
+                                                           cents, 0),
+                      "c2": np.where(day >= mid, cents, 0)}) \
+        .groupby("s").sum()
+    T1, T2 = int(h["c1"].sum()), int(h["c2"].sum())
+    for _, r in got.iterrows():
+        s = int(r["l_suppkey"])
+        want = abs(int(h.loc[s, "c1"]) * T2 - int(h.loc[s, "c2"]) * T1)
+        assert int(r["move_num"]) == want
+
+
+def test_weighted_jaccard_dominates_min(ray_session):
+    """sum_min <= sum_max, and sum_max >= total events of either type's
+    exclusive mass sanity (min+max == ca_total + cb_total)."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["weighted_audience_jaccard"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["user_id"].notna() & ev["event_type"].notna()]
+    totals = ev.groupby("event_type").size()
+    assert (got["sum_min"] <= got["sum_max"]).all()
+    for _, r in got.iterrows():
+        assert (int(r["sum_min"]) + int(r["sum_max"])
+                == int(totals[r["type_a"]]) + int(totals[r["type_b"]]))
