@@ -62,7 +62,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "bounce_by_entry_type", "purity_at_k",
              "contingency_residuals", "line_dup_histogram",
              "audience_overlap_matrix", "share_movers_suppliers",
-             "weighted_audience_jaccard"])
+             "weighted_audience_jaccard", "new_parts_adoption",
+             "source_length_skew"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -876,3 +877,24 @@ def test_weighted_jaccard_dominates_min(ray_session):
     for _, r in got.iterrows():
         assert (int(r["sum_min"]) + int(r["sum_max"])
                 == int(totals[r["type_a"]]) + int(totals[r["type_b"]]))
+
+
+def test_new_parts_mass(ray_session):
+    """Each part appears in exactly one first-order week."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["new_parts_adoption"](SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    assert int(got["n_new_parts"].sum()) == li["l_partkey"].nunique()
+
+
+def test_source_length_skew_median_property(ray_session):
+    """Corpus-wide, at most half the docs sit strictly above the
+    median (quantile_disc selection guarantees it)."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["source_length_skew"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert int(got["n_docs"].sum()) == len(docs)
+    assert 2 * int(got["n_above"].sum()) <= len(docs)
+    assert (got["n_above"] <= got["n_docs"]).all()
