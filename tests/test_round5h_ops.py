@@ -63,7 +63,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "contingency_residuals", "line_dup_histogram",
              "audience_overlap_matrix", "share_movers_suppliers",
              "weighted_audience_jaccard", "new_parts_adoption",
-             "source_length_skew"])
+             "source_length_skew", "gopher_ablation"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -898,3 +898,26 @@ def test_source_length_skew_median_property(ray_session):
     assert int(got["n_docs"].sum()) == len(docs)
     assert 2 * int(got["n_above"].sum()) <= len(docs)
     assert (got["n_above"] <= got["n_docs"]).all()
+
+
+def test_gopher_ablation_consistent_with_gate(ray_session):
+    """Marginal kills are bounded by total fails per rule, and the
+    ablation's failure mass is consistent with the gate's keep count:
+    docs failing EXACTLY one rule == Σ n_fail_only."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["gopher_ablation"](SF)
+    assert (got["n_fail_only"] <= got["n_fail"]).all()
+    gate = q.QUERIES["gopher_docs"](SF)
+    if hasattr(gate, "to_pandas"):
+        gate = gate.to_pandas()
+    fails = pd.DataFrame({
+        "words": ~gate["n_words"].between(30, 90),
+        "word_len": ~(gate["mean_word_len"] <= 4.6),
+        "stopwords": ~(gate["n_stop_distinct"] >= 2),
+        "dup_bigram": ~(gate["dup_bigram_frac"] <= 0.08)})
+    nf = fails.sum(axis=1)
+    assert int(got["n_fail_only"].sum()) == int((nf == 1).sum())
+    for rule in fails.columns:
+        assert int(got.set_index("rule").loc[rule, "n_fail"]) == int(
+            fails[rule].sum())
