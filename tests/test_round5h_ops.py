@@ -64,7 +64,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "audience_overlap_matrix", "share_movers_suppliers",
              "weighted_audience_jaccard", "new_parts_adoption",
              "source_length_skew", "gopher_ablation",
-             "value_tier_migration"])
+             "value_tier_migration", "copart_weight_histogram",
+             "activity_gini_weekly"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -936,3 +937,26 @@ def test_value_tier_migration_mass(ray_session):
     assert int(got["n_users"].sum()) == n_users
     assert got["tier_from"].between(0, 4).all()
     assert got["tier_to"].between(0, 4).all()
+
+
+def test_copart_weight_mass(ray_session):
+    """Σ k·n_pairs == total co-part incidences (Σ_parts C(n_supp,2))."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["copart_weight_histogram"](SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    sp = li[["l_suppkey", "l_partkey"]].drop_duplicates()
+    per_part = sp.groupby("l_partkey").size()
+    want = int((per_part * (per_part - 1) // 2).sum())
+    assert int((got["k"] * got["n_pairs"]).sum()) == want
+
+
+def test_weekly_gini_bounds(ray_session):
+    """0 <= gini_num < gini_den (Gini in [0,1)) for weeks with
+    activity, and n_users positive."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["activity_gini_weekly"](SF)
+    assert (got["n_users"] > 0).all()
+    assert (got["gini_num"] >= 0).all()
+    assert (got["gini_num"] < got["gini_den"]).all()
