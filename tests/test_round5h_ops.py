@@ -65,7 +65,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "weighted_audience_jaccard", "new_parts_adoption",
              "source_length_skew", "gopher_ablation",
              "value_tier_migration", "copart_weight_histogram",
-             "activity_gini_weekly"])
+             "activity_gini_weekly", "dom_revenue_profile",
+             "purchase_momentum_stats"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -960,3 +961,28 @@ def test_weekly_gini_bounds(ray_session):
     assert (got["n_users"] > 0).all()
     assert (got["gini_num"] >= 0).all()
     assert (got["gini_num"] < got["gini_den"]).all()
+
+
+def test_dom_profile_mass(ray_session):
+    """Day-of-month cells cover every purchase; dom in 1..31."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["dom_revenue_profile"](SF)
+    assert got["dom"].between(1, 31).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n = int(((ev["event_type"] == "purchase") & ev["value"].notna()).sum())
+    assert int(got["n"].sum()) == n
+
+
+def test_momentum_cauchy_schwarz(ray_session):
+    """(Σxy)² <= Σx²·Σy² (Python ints) and pair count is consistent."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["purchase_momentum_stats"](SF)
+    r = got.iloc[0]
+    assert int(r["sxy"]) ** 2 <= int(r["sxx"]) * int(r["syy"])
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    p = ev[(ev["event_type"] == "purchase") & ev["value"].notna()
+           & ev["user_id"].notna()]
+    per_user = p.groupby("user_id").size()
+    assert int(r["n"]) == int((per_user - 1).clip(lower=0).sum())
