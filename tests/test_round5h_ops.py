@@ -66,7 +66,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "source_length_skew", "gopher_ablation",
              "value_tier_migration", "copart_weight_histogram",
              "activity_gini_weekly", "dom_revenue_profile",
-             "purchase_momentum_stats"])
+             "purchase_momentum_stats", "input_rowgroup_census",
+             "part_name_tokens"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -986,3 +987,31 @@ def test_momentum_cauchy_schwarz(ray_session):
            & ev["user_id"].notna()]
     per_user = p.groupby("user_id").size()
     assert int(r["n"]) == int((per_user - 1).clip(lower=0).sum())
+
+
+def test_rowgroup_census_matches_tables(ray_session):
+    """Census row totals equal each table's true row count."""
+    from transmog_ray.pipelines import queries as q
+    from transmog_ray.pipelines.queries import CENSUS_TABLES
+
+    got = q.QUERIES["input_rowgroup_census"](SF).set_index("tbl")
+    import pyarrow.parquet as pq
+    for t in CENSUS_TABLES:
+        md = pq.ParquetFile(f"{SF}/{t}.parquet").metadata
+        assert int(got.loc[t, "n_rows"]) == md.num_rows
+        assert int(got.loc[t, "n_rowgroups"]) == md.num_row_groups
+        assert got.loc[t, "max_rg_rows"] <= got.loc[t, "n_rows"]
+
+
+def test_part_name_tokens_bounded(ray_session):
+    """Top tokens counts are bounded by part-name token mass."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["part_name_tokens"](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    parts = pd.read_parquet(f"{SF}/part.parquet")
+    total = int(parts["p_name"].fillna("").str.count(" ").sum()
+                + len(parts))
+    assert len(got) <= 15
+    assert int(got["n"].sum()) <= total
