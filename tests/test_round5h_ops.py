@@ -67,7 +67,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "value_tier_migration", "copart_weight_histogram",
              "activity_gini_weekly", "dom_revenue_profile",
              "purchase_momentum_stats", "input_rowgroup_census",
-             "part_name_tokens"])
+             "part_name_tokens", "new_vs_returning_revenue",
+             "dormancy_spectrum"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1015,3 +1016,38 @@ def test_part_name_tokens_bounded(ray_session):
                 + len(parts))
     assert len(got) <= 15
     assert int(got["n"].sum()) <= total
+
+
+def test_new_returning_split_mass(ray_session):
+    """new + returning cents == total purchase cents; the earliest
+    active week carries only NEW revenue."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["new_vs_returning_revenue"](SF).sort_values("week")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    p = ev[(ev["event_type"] == "purchase") & ev["value"].notna()
+           & ev["user_id"].notna()]
+    cents = np.floor(p["value"].to_numpy(np.float64) * 100
+                     ).astype(np.int64)
+    assert int((got["new_cents"] + got["ret_cents"]).sum()) \
+        == int(cents.sum())
+    assert int(got["ret_cents"].iloc[0]) == 0
+
+
+def test_dormancy_spectrum_consistency(ray_session):
+    """Streak mass equals the naive per-user day-gap computation."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["dormancy_spectrum"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["user_id"].notna()]
+    d = (pd.DataFrame({
+        "u": ev["user_id"],
+        "w": ev["ts"].astype("datetime64[us]").astype("int64")
+        // 86_400_000_000}).drop_duplicates().sort_values(["u", "w"]))
+    gaps = d.groupby("u")["w"].diff().dropna() - 1
+    gaps = gaps[gaps > 0].astype(int)
+    want = gaps.value_counts().sort_index()
+    assert int(got["n_streaks"].sum()) == int(want.sum())
+    for _, r in got.iterrows():
+        assert int(r["n_streaks"]) == int(want[int(r["k_days"])])
