@@ -68,7 +68,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "activity_gini_weekly", "dom_revenue_profile",
              "purchase_momentum_stats", "input_rowgroup_census",
              "part_name_tokens", "new_vs_returning_revenue",
-             "dormancy_spectrum"])
+             "dormancy_spectrum", "volume_discount_audit",
+             "lifecycle_stage_census"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1051,3 +1052,26 @@ def test_dormancy_spectrum_consistency(ray_session):
     assert int(got["n_streaks"].sum()) == int(want.sum())
     for _, r in got.iterrows():
         assert int(r["n_streaks"]) == int(want[int(r["k_days"])])
+
+
+def test_volume_discount_mass(ray_session):
+    """Lines covered once; discount mass equals the table total."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["volume_discount_audit"](SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    assert int(got["n_lines"].sum()) == len(li)
+    disc = np.floor(li["l_discount"].to_numpy(np.float64) * 100
+                    ).astype(np.int64)
+    assert int(got["sum_disc_pct"].sum()) == int(disc.sum())
+
+
+def test_lifecycle_partitions_users(ray_session):
+    """Stages partition the user base."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["lifecycle_stage_census"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert int(got["n_users"].sum()) == ev[
+        ev["user_id"].notna()]["user_id"].nunique()
+    assert set(got["stage"]) <= {"new", "active", "at_risk", "churned"}
