@@ -69,7 +69,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "purchase_momentum_stats", "input_rowgroup_census",
              "part_name_tokens", "new_vs_returning_revenue",
              "dormancy_spectrum", "volume_discount_audit",
-             "lifecycle_stage_census"])
+             "lifecycle_stage_census", "anomalous_days_exact"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1075,3 +1075,22 @@ def test_lifecycle_partitions_users(ray_session):
     assert int(got["n_users"].sum()) == ev[
         ev["user_id"].notna()]["user_id"].nunique()
     assert set(got["stage"]) <= {"new", "active", "at_risk", "churned"}
+
+
+def test_anomalous_days_zsq(ray_session):
+    """Every flagged day genuinely exceeds z² > 4 under the float
+    formulation too (the integer test is a strict restatement)."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["anomalous_days_exact"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = (ev["ts"].astype("datetime64[us]").astype("int64")
+           // 86_400_000_000)
+    h = day.value_counts().sort_index()
+    days = np.arange(h.index.min(), h.index.max() + 1)
+    n = h.reindex(days, fill_value=0).to_numpy(float)
+    mu, sig = n.mean(), n.std()  # population σ, matching the formula
+    for _, r in got.iterrows():
+        z = (float(r["n"]) - mu) / sig
+        assert z * z > 4 - 1e-9
+        assert int(r["lhs"]) > int(r["rhs"])
