@@ -69,7 +69,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "purchase_momentum_stats", "input_rowgroup_census",
              "part_name_tokens", "new_vs_returning_revenue",
              "dormancy_spectrum", "volume_discount_audit",
-             "lifecycle_stage_census", "anomalous_days_exact"])
+             "lifecycle_stage_census", "anomalous_days_exact",
+             "hhi_by_nation", "updown_runs_daily"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1094,3 +1095,32 @@ def test_anomalous_days_zsq(ray_session):
         z = (float(r["n"]) - mu) / sig
         assert z * z > 4 - 1e-9
         assert int(r["lhs"]) > int(r["rhs"])
+
+
+def test_hhi_bounds(ray_session):
+    """1/n_suppliers <= HHI <= 1 per nation (cross-multiplied)."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["hhi_by_nation"](SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    m = li.merge(supp, left_on="l_suppkey", right_on="s_suppkey") \
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    nsup = m.groupby("n_name")["l_suppkey"].nunique()
+    for _, r in got.iterrows():
+        num, den = int(r["hhi_num"]), int(r["hhi_den"])
+        assert num <= den            # HHI <= 1
+        k = int(nsup[r["n_name"]])
+        assert num * k >= den        # HHI >= 1/k (Cauchy-Schwarz)
+
+
+def test_updown_runs_consistency(ray_session):
+    """runs <= moves, runs >= 1 when any move exists."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["updown_runs_daily"](SF).iloc[0]
+    moves = int(got["n_up"]) + int(got["n_down"])
+    assert int(got["n_runs"]) <= moves
+    if moves:
+        assert int(got["n_runs"]) >= 1
