@@ -70,7 +70,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "part_name_tokens", "new_vs_returning_revenue",
              "dormancy_spectrum", "volume_discount_audit",
              "lifecycle_stage_census", "anomalous_days_exact",
-             "hhi_by_nation", "updown_runs_daily"])
+             "hhi_by_nation", "updown_runs_daily",
+             "kendall_stats_users"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1124,3 +1125,15 @@ def test_updown_runs_consistency(ray_session):
     assert int(got["n_runs"]) <= moves
     if moves:
         assert int(got["n_runs"]) >= 1
+
+
+def test_kendall_pair_accounting(ray_session):
+    """conc + disc + ties_x + ties_y + both-tied == C(n,2)."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["kendall_stats_users"](SF).iloc[0]
+    n = int(got["n_users"])
+    total = n * (n - 1) // 2
+    acc = (int(got["concordant"]) + int(got["discordant"])
+           + int(got["ties_x"]) + int(got["ties_y"]))
+    assert acc <= total  # remainder = pairs tied on BOTH metrics
