@@ -71,7 +71,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "dormancy_spectrum", "volume_discount_audit",
              "lifecycle_stage_census", "anomalous_days_exact",
              "hhi_by_nation", "updown_runs_daily",
-             "kendall_stats_users"])
+             "kendall_stats_users", "gate_mcnemar_table"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1137,3 +1137,23 @@ def test_kendall_pair_accounting(ray_session):
     acc = (int(got["concordant"]) + int(got["discordant"])
            + int(got["ties_x"]) + int(got["ties_y"]))
     assert acc <= total  # remainder = pairs tied on BOTH metrics
+
+
+def test_mcnemar_cells_partition_docs(ray_session):
+    """2x2 cells cover the whole corpus; marginals match the two
+    standalone gate queries."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["gate_mcnemar_table"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert int(got["n_docs"].sum()) == len(docs)
+    gop = q.QUERIES["gopher_docs"](SF)
+    if hasattr(gop, "to_pandas"):
+        gop = gop.to_pandas()
+    want_keep = int(gop["keep"].sum())
+    have_keep = int(got[got["gopher_keep"] == 1]["n_docs"].sum())
+    assert have_keep == want_keep
+    c4 = q.QUERIES["line_filtered_docs"](SF)
+    if hasattr(c4, "to_pandas"):
+        c4 = c4.to_pandas()
+    assert int(got[got["c4_keep"] == 1]["n_docs"].sum()) == len(c4)
