@@ -71,7 +71,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "dormancy_spectrum", "volume_discount_audit",
              "lifecycle_stage_census", "anomalous_days_exact",
              "hhi_by_nation", "updown_runs_daily",
-             "kendall_stats_users", "gate_mcnemar_table"])
+             "kendall_stats_users", "gate_mcnemar_table",
+             "part_lifespan_histogram", "novel_pairs_weekly"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1157,3 +1158,26 @@ def test_mcnemar_cells_partition_docs(ray_session):
     if hasattr(c4, "to_pandas"):
         c4 = c4.to_pandas()
     assert int(got[got["c4_keep"] == 1]["n_docs"].sum()) == len(c4)
+
+
+def test_part_lifespan_mass(ray_session):
+    """Each part appears once; spans positive."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["part_lifespan_histogram"](SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    assert int(got["n_parts"].sum()) == li["l_partkey"].nunique()
+    assert (got["span_weeks"] >= 1).all()
+
+
+def test_novel_pairs_total(ray_session):
+    """Σ new pairs over weeks == distinct co-purchase pair count."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["novel_pairs_weekly"](SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    d = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    m = d.merge(d, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    n_pairs = len(m[["l_partkey_x", "l_partkey_y"]].drop_duplicates())
+    assert int(got["n_new_pairs"].sum()) == n_pairs
