@@ -72,7 +72,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "lifecycle_stage_census", "anomalous_days_exact",
              "hhi_by_nation", "updown_runs_daily",
              "kendall_stats_users", "gate_mcnemar_table",
-             "part_lifespan_histogram", "novel_pairs_weekly"])
+             "part_lifespan_histogram", "novel_pairs_weekly",
+             "trade_residuals", "order_cadence_quartiles"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1181,3 +1182,29 @@ def test_novel_pairs_total(ray_session):
     m = m[m["l_partkey_x"] < m["l_partkey_y"]]
     n_pairs = len(m[["l_partkey_x", "l_partkey_y"]].drop_duplicates())
     assert int(got["n_new_pairs"].sum()) == n_pairs
+
+
+def test_trade_residuals_recompute(ray_session):
+    """Spot-recompute residuals with Python ints."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["trade_residuals"](SF)
+    T = int(got["cents"].sum())
+    row = got.groupby("n_name")["cents"].sum()
+    col = got.groupby("segment")["cents"].sum()
+    for _, r in got.head(20).iterrows():
+        want = int(r["cents"]) * T - int(row[r["n_name"]]) * int(
+            col[r["segment"]])
+        assert int(r["resid_num"]) == want
+
+
+def test_cadence_quartiles_ordered(ray_session):
+    """q1 <= q2 <= q3 and gap mass matches the naive count."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["order_cadence_quartiles"](SF)
+    assert (got["q1"] <= got["q2"]).all()
+    assert (got["q2"] <= got["q3"]).all()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    per_cust = orders.groupby("o_custkey").size()
+    assert int(got["n_gaps"].sum()) == int((per_cust - 1).sum())
