@@ -73,7 +73,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "hhi_by_nation", "updown_runs_daily",
              "kendall_stats_users", "gate_mcnemar_table",
              "part_lifespan_histogram", "novel_pairs_weekly",
-             "trade_residuals", "order_cadence_quartiles"])
+             "trade_residuals", "order_cadence_quartiles",
+             "docs_for_half_tokens", "price_drift_parts"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1208,3 +1209,29 @@ def test_cadence_quartiles_ordered(ray_session):
     orders = pd.read_parquet(f"{SF}/orders.parquet")
     per_cust = orders.groupby("o_custkey").size()
     assert int(got["n_gaps"].sum()) == int((per_cust - 1).sum())
+
+
+def test_docs_for_half_naive(ray_session):
+    """Engine count equals the naive sorted-prefix computation."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["docs_for_half_tokens"](SF).iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    lens = np.sort(docs["n_chars"].to_numpy(np.int64))[::-1]
+    total = int(lens.sum())
+    cum = lens.cumsum()
+    k = int(np.argmax(2 * cum >= total)) + 1
+    assert int(got["n_docs_needed"]) == k
+    assert int(got["total_chars"]) == total
+
+
+def test_price_drift_partition(ray_session):
+    """risen + fallen + flat == distinct parts."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["price_drift_parts"](SF).iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    n_parts = li["l_partkey"].nunique()
+    assert (int(got["n_risen"]) + int(got["n_fallen"])
+            + int(got["n_flat"])) == n_parts
+    assert len(got["top_parts"].split(",")) <= 10
