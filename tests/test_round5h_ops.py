@@ -74,7 +74,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "kendall_stats_users", "gate_mcnemar_table",
              "part_lifespan_histogram", "novel_pairs_weekly",
              "trade_residuals", "order_cadence_quartiles",
-             "docs_for_half_tokens", "price_drift_parts"])
+             "docs_for_half_tokens", "price_drift_parts",
+             "stutter_runs_docs"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1235,3 +1236,13 @@ def test_price_drift_partition(ray_session):
     assert (int(got["n_risen"]) + int(got["n_fallen"])
             + int(got["n_flat"])) == n_parts
     assert len(got["top_parts"].split(",")) <= 10
+
+
+def test_stutter_runs_cover_docs(ray_session):
+    """Every non-null doc gets exactly one max-run; runs >= 1."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["stutter_runs_docs"](SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert int(got["n_docs"].sum()) == int(docs["text"].notna().sum())
+    assert (got["max_run"] >= 1).all()
