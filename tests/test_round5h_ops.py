@@ -75,7 +75,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "part_lifespan_histogram", "novel_pairs_weekly",
              "trade_residuals", "order_cadence_quartiles",
              "docs_for_half_tokens", "price_drift_parts",
-             "stutter_runs_docs"])
+             "stutter_runs_docs", "positional_template_docs"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1246,3 +1246,20 @@ def test_stutter_runs_cover_docs(ray_session):
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     assert int(got["n_docs"].sum()) == int(docs["text"].notna().sum())
     assert (got["max_run"] >= 1).all()
+
+
+def test_positional_template_support(ray_session):
+    """Modal support <= position total; position 0 covers all docs."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["positional_template_docs"](SF)
+    assert (got["n_modal"] <= got["n_total"]).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert int(got[got["pos"] == 0]["n_total"].iloc[0]) \
+        == int(docs["text"].notna().sum())
+    # the modal token at position 0 is genuinely the mode
+    first = docs["text"].dropna().str.split(" ").str[0]
+    vc = first.value_counts()
+    best_n = int(vc.max())
+    best = min(t for t, c in vc.items() if c == best_n)
+    assert got[got["pos"] == 0]["modal_tok"].iloc[0] == best
