@@ -75,7 +75,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "part_lifespan_histogram", "novel_pairs_weekly",
              "trade_residuals", "order_cadence_quartiles",
              "docs_for_half_tokens", "price_drift_parts",
-             "stutter_runs_docs", "positional_template_docs"])
+             "stutter_runs_docs", "positional_template_docs",
+             "format_matrix_census"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1263,3 +1264,17 @@ def test_positional_template_support(ray_session):
     best_n = int(vc.max())
     best = min(t for t, c in vc.items() if c == best_n)
     assert got[got["pos"] == 0]["modal_tok"].iloc[0] == best
+
+
+def test_format_matrix_rows_agree(ray_session):
+    """All five formats report IDENTICAL per-type counts — the whole
+    point of the matrix."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["format_matrix_census"](SF)
+    piv = got.pivot_table(index="event_type", columns="fmt", values="n",
+                          aggfunc="sum")
+    assert set(piv.columns) == {"parquet", "csv", "gz_jsonl", "orc",
+                                "jsonl_sink"}
+    for fmt in piv.columns:
+        assert (piv[fmt] == piv["parquet"]).all()
