@@ -76,7 +76,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "trade_residuals", "order_cadence_quartiles",
              "docs_for_half_tokens", "price_drift_parts",
              "stutter_runs_docs", "positional_template_docs",
-             "format_matrix_census"])
+             "format_matrix_census", "ranker_agreement"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1278,3 +1278,13 @@ def test_format_matrix_rows_agree(ray_session):
                                 "jsonl_sink"}
     for fmt in piv.columns:
         assert (piv[fmt] == piv["parquet"]).all()
+
+
+def test_ranker_agreement_bounds(ray_session):
+    """0 <= overlap <= 3·n_parts, and overlap is substantial (both
+    rankers derive from the same co-purchase structure)."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["ranker_agreement"](SF).iloc[0]
+    assert 0 <= int(got["overlap_sum"]) <= int(got["overlap_max"])
+    assert int(got["overlap_max"]) == 3 * int(got["n_parts"])
