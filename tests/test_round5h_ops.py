@@ -76,7 +76,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "trade_residuals", "order_cadence_quartiles",
              "docs_for_half_tokens", "price_drift_parts",
              "stutter_runs_docs", "positional_template_docs",
-             "format_matrix_census", "ranker_agreement"])
+             "format_matrix_census", "ranker_agreement",
+             "conversion_by_hour", "copresence_links"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1288,3 +1289,25 @@ def test_ranker_agreement_bounds(ray_session):
     got = q.QUERIES["ranker_agreement"](SF).iloc[0]
     assert 0 <= int(got["overlap_sum"]) <= int(got["overlap_max"])
     assert int(got["overlap_max"]) == 3 * int(got["n_parts"])
+
+
+def test_conversion_by_hour_mass(ray_session):
+    """24 hour cells cover every typed event."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["conversion_by_hour"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert int(got["n"].sum()) == int(ev["event_type"].notna().sum())
+    assert got["hour"].between(0, 23).all()
+    assert (got["n_purchase"] <= got["n"]).all()
+
+
+def test_copresence_links_valid(ray_session):
+    """Pairs are ordered and each co-presence count >= 2 (the repeat
+    threshold); empty at this tiny scale is acceptable."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["copresence_links"](SF)
+    if len(got):
+        assert (got["user_a"] < got["user_b"]).all()
+        assert (got["n_minutes"] >= 2).all()
