@@ -77,7 +77,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "docs_for_half_tokens", "price_drift_parts",
              "stutter_runs_docs", "positional_template_docs",
              "format_matrix_census", "ranker_agreement",
-             "conversion_by_hour", "copresence_links"])
+             "conversion_by_hour", "copresence_links",
+             "transition_drift", "engagement_decile_lift"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1311,3 +1312,27 @@ def test_copresence_links_valid(ray_session):
     if len(got):
         assert (got["user_a"] < got["user_b"]).all()
         assert (got["n_minutes"] >= 2).all()
+
+
+def test_transition_drift_bounds(ray_session):
+    """TVD in [0,1]; halves partition all transitions."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["transition_drift"](SF).iloc[0]
+    assert 0 <= int(got["tvd_num"]) <= int(got["tvd_den"])
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["user_id"].notna() & ev["event_type"].notna()]
+    per_user = ev.groupby("user_id").size()
+    assert int(got["n1"]) + int(got["n2"]) == int((per_user - 1).sum())
+
+
+def test_decile_lift_partitions(ray_session):
+    """Bands partition users; purchasers bounded; bands in 1..5."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["engagement_decile_lift"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n_users = ev[ev["user_id"].notna()]["user_id"].nunique()
+    assert int(got["n_users"].sum()) == n_users
+    assert got["band"].between(1, 5).all()
+    assert (got["n_purchasers"] <= got["n_users"]).all()
