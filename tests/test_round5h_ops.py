@@ -78,7 +78,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "stutter_runs_docs", "positional_template_docs",
              "format_matrix_census", "ranker_agreement",
              "conversion_by_hour", "copresence_links",
-             "transition_drift", "engagement_decile_lift"])
+             "transition_drift", "engagement_decile_lift",
+             "lis_daily_revenue"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1336,3 +1337,26 @@ def test_decile_lift_partitions(ray_session):
     assert int(got["n_users"].sum()) == n_users
     assert got["band"].between(1, 5).all()
     assert (got["n_purchasers"] <= got["n_users"]).all()
+
+
+def test_lis_naive_dp(ray_session):
+    """Patience LIS equals the O(n²) DP on the same series."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["lis_daily_revenue"](SF).iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    p = ev[(ev["event_type"] == "purchase") & ev["value"].notna()]
+    day = (p["ts"].astype("datetime64[us]").astype("int64")
+           // 86_400_000_000)
+    cents = np.floor(p["value"].to_numpy(np.float64) * 100).astype(np.int64)
+    h = pd.DataFrame({"day": day, "c": cents}).groupby("day")["c"].sum()
+    days = np.arange(h.index.min(), h.index.max() + 1)
+    v = h.reindex(days, fill_value=0).to_numpy(np.int64)
+    n = len(v)
+    dp = [1] * n
+    for i in range(n):
+        for j in range(i):
+            if v[j] < v[i]:
+                dp[i] = max(dp[i], dp[j] + 1)
+    assert int(got["lis_len"]) == max(dp)
+    assert int(got["n_days"]) == n
