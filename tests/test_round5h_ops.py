@@ -79,7 +79,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "format_matrix_census", "ranker_agreement",
              "conversion_by_hour", "copresence_links",
              "transition_drift", "engagement_decile_lift",
-             "lis_daily_revenue"])
+             "lis_daily_revenue", "anomalous_users_topk"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1360,3 +1360,19 @@ def test_lis_naive_dp(ray_session):
                 dp[i] = max(dp[i], dp[j] + 1)
     assert int(got["lis_len"]) == max(dp)
     assert int(got["n_days"]) == n
+
+
+def test_anomalous_users_are_extremes(ray_session):
+    """Top users by z² numerator are the count extremes (farthest from
+    the mean in scaled units)."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["anomalous_users_topk"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    counts = ev[ev["user_id"].notna()].groupby("user_id").size()
+    U, N = len(counts), int(counts.sum())
+    dev2 = {int(u): (int(c) * U - N) ** 2 for u, c in counts.items()}
+    worst = sorted(dev2, key=lambda u: (-dev2[u], u))[:5]
+    assert got["user_id"].astype(int).tolist() == worst
+    for _, r in got.iterrows():
+        assert int(r["zsq_num"]) == dev2[int(r["user_id"])]
