@@ -79,7 +79,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "format_matrix_census", "ranker_agreement",
              "conversion_by_hour", "copresence_links",
              "transition_drift", "engagement_decile_lift",
-             "lis_daily_revenue", "anomalous_users_topk"])
+             "lis_daily_revenue", "anomalous_users_topk",
+             "weekly_median_value_types", "launch_week_revenue_share"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1376,3 +1377,26 @@ def test_anomalous_users_are_extremes(ray_session):
     assert got["user_id"].astype(int).tolist() == worst
     for _, r in got.iterrows():
         assert int(r["zsq_num"]) == dev2[int(r["user_id"])]
+
+
+def test_weekly_median_cells_cover(ray_session):
+    """Cell counts cover every valued typed event; medians within the
+    observed range."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["weekly_median_value_types"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n = int((ev["event_type"].notna() & ev["value"].notna()).sum())
+    assert int(got["n"].sum()) == n
+
+
+def test_launch_share_bounds(ray_session):
+    """0 < launch <= total; total equals the table's cents sum."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["launch_week_revenue_share"](SF).iloc[0]
+    assert 0 < int(got["launch_cents"]) <= int(got["total_cents"])
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    cents = np.rint(li["l_extendedprice"].to_numpy(np.float64) * 100
+                    ).astype(np.int64)
+    assert int(got["total_cents"]) == int(cents.sum())
