@@ -81,7 +81,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "transition_drift", "engagement_decile_lift",
              "lis_daily_revenue", "anomalous_users_topk",
              "weekly_median_value_types", "launch_week_revenue_share",
-             "return_rate_by_age", "weekday_adjusted_anomalies"])
+             "return_rate_by_age", "weekday_adjusted_anomalies",
+             "dedup_savings_estimate"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1426,3 +1427,17 @@ def test_weekday_atypical_one_per_weekday(ray_session):
     for _, r in got.iterrows():
         assert int(r["lhs"]) >= 0 and int(r["rhs"]) >= 0
         assert (int(r["day"]) + 4) % 7 == int(r["weekday"])
+
+
+def test_dedup_savings_vs_histogram(ray_session):
+    """removed_lines assembles from the line-dup histogram:
+    Σ(k−1)·N_k; totals agree."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["dedup_savings_estimate"](SF).iloc[0]
+    hist = q.QUERIES["line_dup_histogram"](SF)
+    assert int(got["total_lines"]) == int(
+        (hist["k"] * hist["n_lines"]).sum())
+    assert int(got["removed_lines"]) == int(
+        ((hist["k"] - 1) * hist["n_lines"]).sum())
+    assert int(got["removed_chars"]) >= int(got["removed_lines"])
