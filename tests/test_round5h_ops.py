@@ -82,7 +82,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
              "lis_daily_revenue", "anomalous_users_topk",
              "weekly_median_value_types", "launch_week_revenue_share",
              "return_rate_by_age", "weekday_adjusted_anomalies",
-             "dedup_savings_estimate"])
+             "dedup_savings_estimate", "source_lang_skew",
+             "value_gap_detector"])
 def test_round5h_oracle_pin(ray_session, name):
     from transmog_ray.pipelines import queries as q
 
@@ -1441,3 +1442,32 @@ def test_dedup_savings_vs_histogram(ray_session):
     assert int(got["removed_lines"]) == int(
         ((hist["k"] - 1) * hist["n_lines"]).sum())
     assert int(got["removed_chars"]) >= int(got["removed_lines"])
+
+
+def test_source_lang_skew_bounds(ray_session):
+    """TVD in [0,1] per source; doc mass partitions the corpus."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["source_lang_skew"](SF)
+    assert (got["tvd_num"] >= 0).all()
+    assert (got["tvd_num"] <= got["tvd_den"]).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n = int((docs["source"].notna() & docs["lang"].notna()).sum())
+    assert int(got["n_docs"].sum()) == n
+
+
+def test_value_gap_is_max(ray_session):
+    """The reported gap is the true max adjacent gap of distinct
+    purchase cents."""
+    from transmog_ray.pipelines import queries as q
+
+    got = q.QUERIES["value_gap_detector"](SF).iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    p = ev[(ev["event_type"] == "purchase") & ev["value"].notna()]
+    v = np.unique(np.floor(p["value"].to_numpy(np.float64) * 100
+                           ).astype(np.int64))
+    gaps = np.diff(v)
+    assert int(got["gap_cents"]) == int(gaps.max())
+    assert int(got["n_distinct"]) == len(v)
+    assert int(got["hi_cents"]) - int(got["lo_cents"]) == int(
+        got["gap_cents"])
